@@ -1,0 +1,78 @@
+import pytest
+from pyspark.sql import types as T
+
+from xdump_spark.catalog import Catalog, ForeignKey
+from xdump_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("xdump_spark_tests", cpus=4)
+    yield s
+    s.stop()
+
+
+# The reference test fixture: 3 tables, self-referencing FKs on employees
+# (reference: tests/sql/schema.sql:1-18, tests/sql/*_data.sql; FIXTURES.md).
+GROUPS = [(1, "Admin"), (2, "User")]
+EMPLOYEES = [
+    (1, "John", "Doe", None, None, 1),
+    (2, "John", "Black", 1, None, 1),
+    (3, "John", "Smith", 1, None, 1),
+    (4, "John", "Brown", 3, None, 2),
+    (5, "John", "Snow", 3, 4, 2),
+]
+TICKETS = [
+    (1, 1, "Sub 1", "Message 1"),
+    (2, 2, "Sub 2", "Message 2"),
+    (3, 2, "Sub 3", "Message 3"),
+    (4, 2, "Sub 4", "Message 4"),
+    (5, 3, "Sub 5", "Message 5"),
+]
+
+EMPLOYEES_FKS = [
+    ForeignKey("employees", "manager_id", "employees", "id", "employees_manager_id_fkey"),
+    ForeignKey("employees", "referrer_id", "employees", "id", "employees_referrer_id_fkey"),
+    ForeignKey("employees", "group_id", "groups", "id", "employees_group_id_fkey"),
+    ForeignKey("tickets", "author_id", "employees", "id", "tickets_author_id_fkey"),
+]
+
+
+def _int(name, nullable=False):
+    return T.StructField(name, T.IntegerType(), nullable)
+
+
+def _str(name, nullable=False):
+    return T.StructField(name, T.StringType(), nullable)
+
+
+@pytest.fixture(scope="session")
+def employees_catalog(spark) -> Catalog:
+    groups = spark.createDataFrame(
+        GROUPS, T.StructType([_int("id"), _str("name")])
+    )
+    employees = spark.createDataFrame(
+        EMPLOYEES,
+        T.StructType(
+            [
+                _int("id"),
+                _str("first_name"),
+                _str("last_name"),
+                _int("manager_id", True),
+                _int("referrer_id", True),
+                _int("group_id", True),
+            ]
+        ),
+    )
+    tickets = spark.createDataFrame(
+        TICKETS,
+        T.StructType([_int("id"), _int("author_id"), _str("subject"), _str("message")]),
+    )
+    return Catalog(
+        {"groups": groups, "employees": employees, "tickets": tickets},
+        EMPLOYEES_FKS,
+    )
+
+
+def ids(df, col="id"):
+    return {r[col] for r in df.select(col).collect()}

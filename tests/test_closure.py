@@ -1,0 +1,142 @@
+"""Golden closure-semantics matrix, ported from the reference's
+TestAutoSelect (reference: tests/test_backend.py:243-335; FIXTURES.md F1-F13).
+All expectations are order-insensitive row-id sets, exactly as the reference
+compares CSV content as sets (tests/conftest.py:133-136)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.planner.closure import compute_closure, pull_related, validate_tables
+
+from .conftest import ids
+
+
+def run(catalog, full=(), partial=None, spark=None):
+    return compute_closure(catalog, full, partial or {}, spark=spark)
+
+
+def seed(catalog, table, predicate):
+    return catalog.tables[table].filter(predicate)
+
+
+class TestAutoSelect:
+    # F1: test_related_table — seed employee 1 pulls its group, not its tickets
+    def test_related_table(self, spark, employees_catalog):
+        out = run(employees_catalog, partial={"employees": seed(employees_catalog, "employees", "id = 1")})
+        assert ids(out["employees"]) == {1}
+        assert ids(out["groups"]) == {1}
+        assert "tickets" not in out  # children never pulled
+
+    # F2: test_complex_query — seeds may carry ORDER BY / LIMIT
+    def test_complex_query(self, spark, employees_catalog):
+        s = employees_catalog.tables["employees"].filter("id <= 1").orderBy(F.desc("id")).limit(1)
+        out = run(employees_catalog, partial={"employees": s})
+        assert ids(out["employees"]) == {1}
+        assert ids(out["groups"]) == {1}
+
+    # F3: test_full_tables_handling — full table complete, edges into it skipped
+    def test_full_tables_handling(self, spark, employees_catalog):
+        out = run(
+            employees_catalog,
+            full=["groups"],
+            partial={"employees": seed(employees_catalog, "employees", "id = 1")},
+        )
+        assert ids(out["employees"]) == {1}
+        assert ids(out["groups"]) == {1, 2}
+
+    # F4: test_long_relation — 2-hop pull tickets→employees→groups
+    def test_long_relation(self, spark, employees_catalog):
+        out = run(employees_catalog, partial={"tickets": seed(employees_catalog, "tickets", "id = 1")})
+        assert ids(out["tickets"]) == {1}
+        assert ids(out["employees"]) == {1}
+        assert ids(out["groups"]) == {1}
+
+    # F5: test_related_to_full — closure also runs for full tables
+    def test_related_to_full(self, spark, employees_catalog):
+        out = run(employees_catalog, full=["employees"])
+        assert ids(out["employees"]) == {1, 2, 3, 4, 5}
+        assert ids(out["groups"]) == {1, 2}
+
+    # F6: test_recursive_relation — manager chain via self-FK
+    def test_recursive_relation(self, spark, employees_catalog):
+        out = run(employees_catalog, partial={"employees": seed(employees_catalog, "employees", "id = 2")})
+        assert ids(out["employees"]) == {1, 2}
+        assert ids(out["groups"]) == {1}
+
+    # F7: test_long_recursive_relation — ticket → author → manager chain
+    def test_long_recursive_relation(self, spark, employees_catalog):
+        out = run(employees_catalog, partial={"tickets": seed(employees_catalog, "tickets", "id = 2")})
+        assert ids(out["tickets"]) == {2}
+        assert ids(out["employees"]) == {1, 2}
+        assert ids(out["groups"]) == {1}
+
+    # F8: test_multiple_partials — merged selections, no duplicates
+    def test_multiple_partials(self, spark, employees_catalog):
+        out = run(
+            employees_catalog,
+            partial={
+                "tickets": seed(employees_catalog, "tickets", "id = 1"),
+                "employees": seed(employees_catalog, "employees", "id = 2"),
+            },
+        )
+        assert ids(out["tickets"]) == {1}
+        assert ids(out["employees"]) == {1, 2}
+        assert ids(out["groups"]) == {1}
+        assert out["employees"].count() == 2  # deduped
+
+    # F9: test_multiple_partials_with_intersections — overlapping closures dedup
+    def test_multiple_partials_with_intersections(self, spark, employees_catalog):
+        out = run(
+            employees_catalog,
+            partial={
+                "tickets": seed(employees_catalog, "tickets", "id = 3"),
+                "employees": seed(employees_catalog, "employees", "id = 5"),
+            },
+        )
+        assert ids(out["tickets"]) == {3}
+        assert ids(out["employees"]) == {1, 2, 3, 4, 5}
+        assert ids(out["groups"]) == {1, 2}
+        assert out["employees"].count() == 5
+
+    # F10: test_multiple_recursive_relations — manager AND referrer chains,
+    # children (employee 2) NOT pulled
+    def test_multiple_recursive_relations(self, spark, employees_catalog):
+        out = run(employees_catalog, partial={"employees": seed(employees_catalog, "employees", "id = 5")})
+        assert ids(out["employees"]) == {1, 3, 4, 5}
+        assert ids(out["groups"]) == {1, 2}
+
+    # F11: the reference's EMPLOYEES_SQL flagship — 2 most-recent employees
+    # + transitive managers, via a SQL seed (reference: tests/conftest.py:14-29)
+    def test_sql_seed_flagship(self, spark, employees_catalog):
+        out = compute_closure(
+            employees_catalog,
+            full_tables=["groups"],
+            partial_tables={
+                "employees": "SELECT * FROM employees ORDER BY id DESC LIMIT 2"
+            },
+            spark=spark,
+        )
+        assert ids(out["employees"]) == {1, 3, 4, 5}
+        assert ids(out["groups"]) == {1, 2}
+
+    # F13: test_keys_intersection_error
+    def test_keys_intersection_error(self, spark, employees_catalog):
+        with pytest.raises(ValueError, match="must not overlap"):
+            validate_tables(employees_catalog, ["employees"], {"employees": None})
+
+    def test_unknown_table_error(self, spark, employees_catalog):
+        with pytest.raises(ValueError, match="unknown tables"):
+            validate_tables(employees_catalog, ["nope"], {})
+
+
+def test_pull_related(spark, employees_catalog):
+    # O3 standalone: the reference's get_related_data_sql semi-join
+    emp = employees_catalog.tables["employees"].filter("id = 4")
+    groups = pull_related(employees_catalog.tables["groups"], "id", emp, "group_id")
+    assert ids(groups) == {2}
+
+
+def test_null_fk_not_pulled(spark, employees_catalog):
+    # employee 1 has manager_id NULL — no phantom key propagation
+    out = run(employees_catalog, partial={"employees": seed(employees_catalog, "employees", "id = 1")})
+    assert ids(out["employees"]) == {1}

@@ -1,0 +1,170 @@
+"""Engine catalog: named DataFrames + foreign-key edge metadata.
+
+The reference engine's only metadata structure is the FK edge dict
+``{constraint_name, table_name, column_name, foreign_table_name,
+foreign_column_name}`` (reference: xdump/postgresql.py:19-62,
+xdump/sqlite.py:71-84). Spark's catalog cannot represent FK constraints, so
+this module carries them engine-side; the FK graph drives the closure
+planner (planner/closure.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """One FK edge: ``table.column`` references ``foreign_table.foreign_column``.
+
+    Mirrors the reference's edge dict (xdump/postgresql.py:19-62); the
+    constraint name is optional because file-based sources have none.
+    """
+
+    table: str
+    column: str
+    foreign_table: str
+    foreign_column: str
+    name: str | None = None
+
+    @property
+    def is_recursive(self) -> bool:
+        # A self-referencing FK; the reference routes these through a
+        # recursive CTE (xdump/base.py:253-262, postgresql.py:162-165).
+        return self.table == self.foreign_table
+
+    def to_dict(self) -> dict:
+        return {
+            "table": self.table,
+            "column": self.column,
+            "foreign_table": self.foreign_table,
+            "foreign_column": self.foreign_column,
+            "name": self.name,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ForeignKey":
+        return cls(
+            table=d["table"],
+            column=d["column"],
+            foreign_table=d["foreign_table"],
+            foreign_column=d["foreign_column"],
+            name=d.get("name"),
+        )
+
+
+class Catalog:
+    """Table name → DataFrame, plus the FK graph.
+
+    The analog of the reference's cached ``_related_data``
+    (xdump/postgresql.py:148-156) and per-table ``_get_foreign_keys``
+    (xdump/sqlite.py:67-69): all FK metadata is resolved once, up front.
+    """
+
+    def __init__(self, tables: dict[str, DataFrame], foreign_keys: list[ForeignKey] | None = None):
+        self.tables: dict[str, DataFrame] = dict(tables)
+        self.foreign_keys: list[ForeignKey] = list(foreign_keys or [])
+        for fk in self.foreign_keys:
+            if fk.table not in self.tables:
+                raise ValueError(f"FK references unknown table {fk.table!r}")
+            if fk.foreign_table not in self.tables:
+                raise ValueError(f"FK references unknown table {fk.foreign_table!r}")
+
+    # -- graph accessors ---------------------------------------------------
+    def outgoing(self, table: str) -> list[ForeignKey]:
+        """FK edges whose child side is ``table`` (selected rows in ``table``
+        pull the referenced parent rows — child→parent only, matching the
+        reference's closure direction, xdump/base.py:154-171)."""
+        return [fk for fk in self.foreign_keys if fk.table == table]
+
+    def incoming(self, table: str) -> list[ForeignKey]:
+        return [fk for fk in self.foreign_keys if fk.foreign_table == table]
+
+    def primary_key(self, table: str) -> str | None:
+        """The column other tables reference — used as the row identity for
+        key-set accumulation. None if nothing references ``table``."""
+        cols = {fk.foreign_column for fk in self.incoming(table)}
+        if not cols:
+            return None
+        if len(cols) > 1:
+            raise ValueError(
+                f"table {table!r} is referenced through multiple columns {sorted(cols)}; "
+                "composite/multi-column reference targets are not supported"
+            )
+        return next(iter(cols))
+
+    # -- convenience -------------------------------------------------------
+    def register_views(self, spark: SparkSession, suffix: str = "") -> None:
+        """Expose every table as a temp view so user seed SQL can run
+        against it (the reference's seed surface is raw SQL per partial
+        table, README.rst:41-45)."""
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name + suffix)
+
+    def with_table(self, name: str, df: DataFrame, fks: list[ForeignKey] | None = None) -> "Catalog":
+        tables = dict(self.tables)
+        tables[name] = df
+        return Catalog(tables, self.foreign_keys + list(fks or []))
+
+
+# FK graph of the driver's TPC-H-ish testdata (TESTDATA.md); same graph
+# shapes as the reference's 3-table fixture, at scale.
+TPCH_FOREIGN_KEYS: list[ForeignKey] = [
+    ForeignKey("nation", "n_regionkey", "region", "r_regionkey"),
+    ForeignKey("customer", "c_nationkey", "nation", "n_nationkey"),
+    ForeignKey("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+    ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ForeignKey("lineitem", "l_partkey", "part", "p_partkey"),
+    ForeignKey("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries nanosecond parquet timestamps, which Spark
+    refuses by default; read them as longs and convert to microsecond
+    timestamps JVM-side (no UDF)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def load_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> Catalog:
+    """Build a Catalog over one driver testdata directory (TESTDATA.md).
+
+    Parquet files are immutable, so the snapshot-consistency requirement the
+    reference meets with REPEATABLE READ / BEGIN IMMEDIATE
+    (xdump/postgresql.py:75-83, xdump/sqlite.py:63-65) holds for free; for
+    mutable sources see sources/jdbc.py staging.
+    """
+    names = tables or TPCH_TABLES
+    dfs: dict[str, DataFrame] = {}
+    for name in names:
+        if name == "events":
+            dfs[name] = read_events(spark, sf_dir)
+        else:
+            dfs[name] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    fks = [fk for fk in TPCH_FOREIGN_KEYS if fk.table in dfs and fk.foreign_table in dfs]
+    return Catalog(dfs, fks)

@@ -1,0 +1,33 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a cluster deployment would set per-executor;
+the shuffle-partition count is sized to cores (not the 200 default) and AQE
+is enabled so skewed closure key-sets and joins re-plan at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "xdump_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("XDUMP_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
