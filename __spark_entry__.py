@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship FK-closure dump scenario on sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracles (see xdump_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -12,27 +10,29 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import xdump_spark.queries as Q
+from xdump_spark.catalog import load_sf_dir
+from xdump_spark.planner.closure import compute_closure
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: partial-dump closure seeded with the 2 most recent orders
+    on /root/testdata/sf0.001 — the reference's EMPLOYEES_SQL scenario
+    (reference: tests/conftest.py:14-29) on TPC-H-shaped data. Returns the
+    per-table selection summary."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    cat = load_sf_dir(spark, "/root/testdata/sf0.001")
+    seed = cat.tables["orders"].orderBy(F.desc("o_orderkey")).limit(2)
+    out = compute_closure(cat, (), {"orders": seed})
+    rows = [(name, out[name].count()) for name in sorted(out)]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

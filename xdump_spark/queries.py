@@ -1,0 +1,544 @@
+"""Query registry: every implemented operator exposed as a named query with
+a DuckDB oracle (the driver's correctness gate, and ours).
+
+Each entry is ``name -> (builder, oracle_sql | None)`` where ``builder``
+takes ``(spark, sf_dir)`` and returns a DataFrame whose column names match
+the oracle's aliases exactly (the driver sorts columns by name before value
+hashing). Oracle-less entries get a weaker rows-only check (reserved for
+genuinely non-SQL-expressible or approximate operators).
+
+Float policy: aggregates over doubles are rounded identically on both
+sides (sums of ~1e6-scale money to 2 decimals; averages to 6) so the
+bit-level nondeterminism of parallel summation cannot flip the hash.
+Raw column values pass through both engines untouched and match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xdump_spark.catalog import Catalog, ForeignKey, load_sf_dir
+from xdump_spark.planner.closure import compute_closure
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# --------------------------------------------------------------------------
+# shared catalog / closure-scenario cache (one closure run serves the
+# per-table queries derived from it)
+# --------------------------------------------------------------------------
+_cat_cache: dict[str, Catalog] = {}
+_closure_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    if sf_dir not in _cat_cache:
+        _cat_cache[sf_dir] = load_sf_dir(spark, sf_dir)
+    return _cat_cache[sf_dir]
+
+
+def _closure(spark: SparkSession, sf_dir: str, scenario: str) -> dict[str, DataFrame]:
+    key = (sf_dir, scenario)
+    if key in _closure_cache:
+        return _closure_cache[key]
+    cat = _cat(spark, sf_dir)
+    if scenario == "orders_top2":
+        seeds = {"orders": cat.tables["orders"].orderBy(F.desc("o_orderkey")).limit(2)}
+        out = compute_closure(cat, (), seeds)
+    elif scenario == "lineitem_small":
+        seeds = {"lineitem": cat.tables["lineitem"].filter("l_orderkey <= 64")}
+        out = compute_closure(cat, (), seeds)
+    elif scenario == "merge":
+        seeds = {
+            "orders": cat.tables["orders"].orderBy(F.desc("o_orderkey")).limit(2),
+            "lineitem": cat.tables["lineitem"].filter("l_orderkey <= 64"),
+        }
+        out = compute_closure(cat, (), seeds)
+    elif scenario == "full_nation":
+        seeds = {"customer": cat.tables["customer"].filter("c_custkey <= 40")}
+        out = compute_closure(cat, ("nation",), seeds)
+    else:
+        raise KeyError(scenario)
+    _closure_cache[key] = out
+    return out
+
+
+# SQL fragment for the orders_top2 seed, shared by several oracles.
+_SEED_TOP2 = "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 2"
+_SEED_LI = "SELECT * FROM lineitem WHERE l_orderkey <= 64"
+
+
+# --------------------------------------------------------------------------
+# O1 full scan / O2 seed surface
+# --------------------------------------------------------------------------
+@query("xd_full_scan_region", "SELECT * FROM region")
+def xd_full_scan_region(spark, sf_dir):
+    """Full-table export scan (reference: xdump/base.py:184-187)."""
+    return _cat(spark, sf_dir).tables["region"]
+
+
+@query("xd_seed_topk_orders", _SEED_TOP2)
+def xd_seed_topk_orders(spark, sf_dir):
+    """Seed with ORDER BY/LIMIT (reference: tests/conftest.py:24-27)."""
+    return _cat(spark, sf_dir).tables["orders"].orderBy(F.desc("o_orderkey")).limit(2)
+
+
+# --------------------------------------------------------------------------
+# O3 semi-join, O4 union-distinct
+# --------------------------------------------------------------------------
+@query(
+    "xd_semijoin_supplier",
+    f"SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ({_SEED_LI}))",
+)
+def xd_semijoin_supplier(spark, sf_dir):
+    """Related-row pull = IN-subquery semi-join (reference: xdump/base.py:154-171)."""
+    cat = _cat(spark, sf_dir)
+    seed = cat.tables["lineitem"].filter("l_orderkey <= 64")
+    keys = F.broadcast(seed.select(F.col("l_suppkey").alias("s_suppkey")).distinct())
+    return cat.tables["supplier"].join(keys, "s_suppkey", "left_semi")
+
+
+@query(
+    "xd_union_distinct_customers",
+    "SELECT * FROM customer WHERE c_nationkey = 1 "
+    "UNION SELECT * FROM customer WHERE c_acctbal > 9000",
+)
+def xd_union_distinct_customers(spark, sf_dir):
+    """Accumulated selections merge with UNION distinct (reference: xdump/base.py:142-146)."""
+    c = _cat(spark, sf_dir).tables["customer"]
+    return c.filter("c_nationkey = 1").unionByName(c.filter("c_acctbal > 9000")).distinct()
+
+
+# --------------------------------------------------------------------------
+# O5/O6 closure scenarios (multi-hop, merge, full-table skip, recursion)
+# --------------------------------------------------------------------------
+@query(
+    "xd_closure_customer",
+    f"SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM ({_SEED_TOP2}))",
+)
+def xd_closure_customer(spark, sf_dir):
+    return _closure(spark, sf_dir, "orders_top2")["customer"]
+
+
+@query(
+    "xd_closure_nation",
+    "SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer "
+    f"WHERE c_custkey IN (SELECT o_custkey FROM ({_SEED_TOP2})))",
+)
+def xd_closure_nation(spark, sf_dir):
+    return _closure(spark, sf_dir, "orders_top2")["nation"]
+
+
+@query(
+    "xd_closure_region",
+    "SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation "
+    "WHERE n_nationkey IN (SELECT c_nationkey FROM customer "
+    f"WHERE c_custkey IN (SELECT o_custkey FROM ({_SEED_TOP2}))))",
+)
+def xd_closure_region(spark, sf_dir):
+    return _closure(spark, sf_dir, "orders_top2")["region"]
+
+
+@query(
+    "xd_closure_orders_from_lineitem",
+    f"SELECT * FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM ({_SEED_LI}))",
+)
+def xd_closure_orders_from_lineitem(spark, sf_dir):
+    return _closure(spark, sf_dir, "lineitem_small")["orders"]
+
+
+@query(
+    "xd_closure_part_from_lineitem",
+    f"SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM ({_SEED_LI}))",
+)
+def xd_closure_part_from_lineitem(spark, sf_dir):
+    return _closure(spark, sf_dir, "lineitem_small")["part"]
+
+
+@query(
+    "xd_closure_nation_from_lineitem",
+    "SELECT * FROM nation WHERE n_nationkey IN ("
+    "  SELECT c_nationkey FROM customer WHERE c_custkey IN ("
+    f"    SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM ({_SEED_LI})))"
+    "  UNION"
+    f"  SELECT s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ({_SEED_LI})))",
+)
+def xd_closure_nation_from_lineitem(spark, sf_dir):
+    """Multi-path reachability (customer AND supplier paths) dedupes."""
+    return _closure(spark, sf_dir, "lineitem_small")["nation"]
+
+
+@query(
+    "xd_closure_merge_customer",
+    "SELECT * FROM customer WHERE c_custkey IN ("
+    f"  SELECT o_custkey FROM ({_SEED_TOP2})"
+    "  UNION"
+    f"  SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM ({_SEED_LI})))",
+)
+def xd_closure_merge_customer(spark, sf_dir):
+    """Multiple partial seeds merge duplicate-free (reference:
+    tests/test_backend.py:306-330)."""
+    return _closure(spark, sf_dir, "merge")["customer"]
+
+
+@query(
+    "xd_closure_full_skip_region",
+    "SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation)",
+)
+def xd_closure_full_skip_region(spark, sf_dir):
+    """Full tables propagate outward while edges INTO them are skipped
+    (reference: xdump/postgresql.py:148-156; tests/test_backend.py:275-291)."""
+    return _closure(spark, sf_dir, "full_nation")["region"]
+
+
+def _supplier_hierarchy(cat: Catalog):
+    """Derived self-referencing table: supplier with a synthetic manager
+    chain (mgr = s_suppkey // 2) — TPC-H has no self-FK, so the recursive
+    operator is exercised on this deterministic derivation (FIXTURES.md)."""
+    s = cat.tables["supplier"].select(
+        "s_suppkey",
+        "s_name",
+        F.when(F.col("s_suppkey") > 1, F.floor(F.col("s_suppkey") / 2).cast("long")).alias("mgr"),
+        F.when(F.col("s_suppkey") > 2, F.floor(F.col("s_suppkey") / 3).cast("long")).alias("referrer"),
+    )
+    return s
+
+
+@query(
+    "xd_closure_recursive_chain",
+    """
+WITH RECURSIVE sh AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey > 1 THEN CAST(s_suppkey // 2 AS BIGINT) END AS mgr
+  FROM supplier
+), seedq AS (SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1),
+r AS (
+  SELECT * FROM seedq
+  UNION
+  SELECT sh.* FROM sh JOIN r ON r.mgr = sh.s_suppkey
+)
+SELECT * FROM r
+""",
+)
+def xd_closure_recursive_chain(spark, sf_dir):
+    """Transitive ancestors over a self-FK — the reference's WITH RECURSIVE
+    rewrite (xdump/base.py:253-262) as an iterative key-set loop."""
+    cat = _cat(spark, sf_dir)
+    sh = _supplier_hierarchy(cat).drop("referrer")
+    sub = Catalog({"sh": sh}, [ForeignKey("sh", "mgr", "sh", "s_suppkey")])
+    seed = sh.orderBy(F.desc("s_suppkey")).limit(1)
+    return compute_closure(sub, (), {"sh": seed})["sh"]
+
+
+@query(
+    "xd_closure_recursive_multi",
+    """
+WITH RECURSIVE sh AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey > 1 THEN CAST(s_suppkey // 2 AS BIGINT) END AS mgr,
+         CASE WHEN s_suppkey > 2 THEN CAST(s_suppkey // 3 AS BIGINT) END AS referrer
+  FROM supplier
+), seedq AS (SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1),
+r AS (
+  SELECT * FROM seedq
+  UNION
+  SELECT sh.* FROM sh JOIN r ON sh.s_suppkey = r.mgr OR sh.s_suppkey = r.referrer
+)
+SELECT * FROM r
+""",
+)
+def xd_closure_recursive_multi(spark, sf_dir):
+    """Two self-FK edges followed to a joint fixed point (reference:
+    tests/test_backend.py:332-335, manager + referrer chains)."""
+    cat = _cat(spark, sf_dir)
+    sh = _supplier_hierarchy(cat)
+    sub = Catalog(
+        {"sh": sh},
+        [
+            ForeignKey("sh", "mgr", "sh", "s_suppkey"),
+            ForeignKey("sh", "referrer", "sh", "s_suppkey"),
+        ],
+    )
+    seed = sh.orderBy(F.desc("s_suppkey")).limit(1)
+    return compute_closure(sub, (), {"sh": seed})["sh"]
+
+
+# --------------------------------------------------------------------------
+# O9/O13/O18 — enumeration, sequence state, counts
+# --------------------------------------------------------------------------
+_SEQ_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+]
+
+
+@query(
+    "xd_sequence_state",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(max({k}) AS BIGINT) AS max_key FROM {t}"
+        for t, k in _SEQ_TABLES
+    ),
+)
+def xd_sequence_state(spark, sf_dir):
+    """Sequence-position capture: max key per table, the Spark analog of
+    dumping PG sequence state (reference: xdump/postgresql.py:136-146)."""
+    cat = _cat(spark, sf_dir)
+    parts = [
+        cat.tables[t].agg(
+            F.lit(t).alias("table_name"), F.max(k).cast("long").alias("max_key")
+        )
+        for t, k in _SEQ_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "xd_table_counts",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM {t}"
+        for t, _ in _SEQ_TABLES
+    ),
+)
+def xd_table_counts(spark, sf_dir):
+    """Table enumeration + COUNT surface (reference: tests/conftest.py:85-92)."""
+    cat = _cat(spark, sf_dir)
+    parts = [
+        cat.tables[t].agg(F.lit(t).alias("table_name"), F.count("*").alias("n_rows"))
+        for t, _ in _SEQ_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Seed-SQL analytic surface (arbitrary user SQL is the reference's partial-
+# table interface; TPC-H-style queries prove the surface at scale)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark, sf_dir):
+    li = _cat(spark, sf_dir).tables["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    c = cat.tables["customer"].filter("c_mktsegment = 'BUILDING'")
+    o = cat.tables["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = cat.tables["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    region = cat.tables["region"].filter("r_name = 'ASIA'")
+    nation = cat.tables["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = cat.tables["supplier"].join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = cat.tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = cat.tables["lineitem"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cat.tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q6",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark, sf_dir):
+    li = _cat(spark, sf_dir).tables["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "win_top3_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_top3_orders_per_customer(spark, sf_dir):
+    """Window-function surface: deterministic top-N per group."""
+    o = _cat(spark, sf_dir).tables["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+    )
+
+
+@query(
+    "events_hourly",
+    """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark, sf_dir):
+    """Hourly rollup of the event stream (batch view; the streaming
+    variant with watermarking lives in streaming/events.py). Bucketing is
+    integer division on the raw nanosecond epoch — timezone-free and
+    bit-exact on both engines."""
+    ev = _cat(spark, sf_dir).tables["events"]
+    return (
+        ev.withColumn("bucket_hour", F.expr("ts_ns DIV 3600000000000"))
+        .groupBy("bucket_hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
