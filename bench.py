@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization, no
+driver collect cost). The headline set exercises every engine pillar:
+scan+agg (q1/q6), shuffle joins (q3/q5), window, closure propagation,
+recursion, event rollup, dedup, and similarity search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "win_top3_orders_per_customer",
+    "events_hourly",
+    "xd_closure_merge_customer",      # full FK-closure run (worklist + semi-joins)
+    "xd_closure_recursive_multi",     # iterative recursive closure
+    "dedup_exact_docs",
+    "text_quality",
+    "minhash_pairs",
+    "knn_cosine_top5",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from xdump_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("xdump_spark_bench")
+    qs = entry_mod.queries()
+
+    # warm the session (JVM + parquet footer reads) outside the timings
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,6 @@ Scale properties (the reason for this shape):
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,42 +138,55 @@ def compute_closure(
             state[table] = _Selection(key_col=catalog.primary_key(table))
         return state[table]
 
-    # Worklist of (table, increment-of-selected-rows). Column pruning means
-    # only the FK columns of the increment are ever read.
-    work: deque[tuple[str, DataFrame]] = deque()
+    # Level-synchronous BFS over the FK graph: each round gathers ALL key
+    # contributions per parent table (one union+distinct+anti-join+
+    # checkpoint per touched table per round), so the number of Spark jobs
+    # is O(diameter × touched_tables), not O(edges × increments). Column
+    # pruning means only the FK columns of an increment ever hit the scan.
+    pending: dict[str, list[DataFrame]] = {}
 
     for t in full:
         sel(t).is_full = True
-        work.append((t, catalog.tables[t]))   # full tables still propagate (F5)
+        pending.setdefault(t, []).append(catalog.tables[t])   # full tables propagate (F5)
     for t, seed_df in seeds.items():
         s = sel(t)
         s.seed_dfs.append(seed_df)
         if s.key_col is not None:
             keys = seed_df.select(s.key_col).distinct().localCheckpoint(eager=True)
             s.add_keys(keys, keys.count())
-        work.append((t, seed_df))
+        pending.setdefault(t, []).append(seed_df)
 
-    steps = 0
-    while work:
-        steps += 1
-        if steps > max_steps:
-            raise RuntimeError(f"closure did not converge within {max_steps} steps")
-        table, increment = work.popleft()
-        for fk in catalog.outgoing(table):
-            parent = fk.foreign_table
-            if parent in full:
-                # Edge into a full table: parent is already complete
-                # (reference: xdump/postgresql.py:148-156).
-                continue
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > max_steps:
+            raise RuntimeError(f"closure did not converge within {max_steps} rounds")
+        # gather contributions per parent across every pending increment
+        contribs: dict[str, list[DataFrame]] = {}
+        for table, increments in pending.items():
+            for fk in catalog.outgoing(table):
+                parent = fk.foreign_table
+                if parent in full:
+                    # Edge into a full table: parent is already complete
+                    # (reference: xdump/postgresql.py:148-156).
+                    continue
+                key_col = sel(parent).key_col
+                assert key_col == fk.foreign_column, (
+                    f"FK {fk} disagrees with key column {key_col!r} of {parent!r}"
+                )
+                for inc in increments:
+                    contribs.setdefault(parent, []).append(
+                        inc.select(F.col(fk.column).alias(key_col)).where(
+                            F.col(key_col).isNotNull()
+                        )
+                    )
+        pending = {}
+        for parent, parts in contribs.items():
             p = sel(parent)
-            assert p.key_col == fk.foreign_column, (
-                f"FK {fk} disagrees with key column {p.key_col!r} of {parent!r}"
-            )
-            contrib = (
-                increment.select(F.col(fk.column).alias(p.key_col))
-                .where(F.col(p.key_col).isNotNull())
-                .distinct()
-            )
+            contrib = parts[0]
+            for extra in parts[1:]:
+                contrib = contrib.union(extra)
+            contrib = contrib.distinct()   # multi-path dedup in one shot
             if p.keys is not None:
                 contrib = contrib.join(F.broadcast(p.keys), on=p.key_col, how="left_anti")
             new = contrib.localCheckpoint(eager=True)
@@ -185,7 +197,7 @@ def compute_closure(
             parent_rows = catalog.tables[parent].join(
                 F.broadcast(new), on=p.key_col, how="left_semi"
             )
-            work.append((parent, parent_rows))
+            pending.setdefault(parent, []).append(parent_rows)
 
     # Materialize: one semi-join per reached table.
     out: dict[str, DataFrame] = {}
