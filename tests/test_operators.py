@@ -1,0 +1,147 @@
+"""Behavioral tests for the extension operators (dedup / text / similarity)
+on small hand-checkable corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.operators import dedup as D
+from xdump_spark.operators import similarity as S
+from xdump_spark.operators import text as TX
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+    (4, "completely unrelated text about apples and oranges"),
+    (5, "  THE  quick   brown fox jumps over the lazy dog "),    # dup modulo case/ws
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r.keeper_id: r.n_copies for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 3       # 1, 2, 5 normalize identically
+    assert groups[3] == 1
+    assert groups[4] == 1
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = {r.doc_id for r in D.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert 0.2 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(D.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0].g == []
+
+
+def test_char_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "")], "doc_id long, text string")
+    rows = df.select("doc_id", D.char_shingles(F.col("text"), 5).alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in rows}
+    assert by_id[1] == ["ab"]
+    assert by_id[2] == []
+
+
+# ---------------------------------------------------------------- text ----
+def test_quality_frame(spark):
+    df = spark.createDataFrame([(1, "Hello, world! the end."), (2, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in TX.quality_frame(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].n_chars == 22
+    # punctuation: , ! .  → 3 of 22 chars
+    assert abs(rows[1].punct_ratio - 3 / 22) < 1e-6
+    # 'the' is the only stopword among 4 tokens
+    assert abs(rows[1].stopword_ratio - 0.25) < 1e-6
+    assert rows[2].n_tokens == 0 and rows[2].punct_ratio == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pred_lang for r in TX.lang_id_frame(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_ws_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in TX.fingerprint_frame(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+# ---------------------------------------------------------- similarity ----
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+    (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    (5, [1.0, 0.0, 0.0, 0.0]),   # identical to 1
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vecs):
+    out = S.cosine_topk(vecs, vecs.filter("vec_id = 1"), k=2)
+    rows = sorted((r.rn, r.neighbor_id, r.cosine_sim) for r in out.collect())
+    assert rows[0][1] == 5 and rows[0][2] == 1.0
+    assert rows[1][1] == 2 and rows[1][2] == pytest.approx(0.993884, abs=1e-5)
+
+
+def test_embedding_neardup_exact(spark, vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in S.embedding_neardup_pairs(vecs, threshold=0.95, exact=True).collect()}
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_embedding_neardup_lsh_finds_identical(spark, vecs):
+    pairs = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(vecs, threshold=0.95, dim=4, exact=False).collect()}
+    assert (1, 5) in pairs
+
+
+def test_lsh_topk_subset_of_exact(spark, vecs):
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(vecs, vecs, k=2).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.lsh_topk(vecs, vecs, k=2, dim=4).collect()}
+    assert approx <= exact or len(approx - exact) <= 2  # approximate, but sane

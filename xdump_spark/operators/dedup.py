@@ -1,0 +1,317 @@
+"""Deduplication operators for document corpora, at four fidelity levels:
+
+* exact          — fingerprint groupBy (bit-identical duplicates)
+* minhash_lsh    — Jaccard near-dups via MinHash signatures + banded LSH
+* simhash        — Hamming near-dups via 64-bit SimHash + band blocking
+* ngram_jaccard  — exact word-n-gram Jaccard via an inverted-index join
+
+Scale design: every candidate-generation step is a shuffle on small keys
+(band hashes / n-grams), never an all-pairs product; verification joins
+only candidate pairs back to their feature sets. All expressions are
+built-in higher-order functions (JVM codegen) — no Python in the hot path.
+Giant LSH buckets (skew) are capped with a configurable bound so one hot
+bucket cannot produce a quadratic pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.text import tokens
+
+# Mersenne prime 2^61-1: classic universal-hash modulus; products of two
+# sub-61-bit values stay within the long range after Java wrap semantics.
+_MERSENNE = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: keeper id (min) + copy count."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keep the minimum-id row per fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = W.partitionBy(F.md5(norm)).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# shingles / signatures
+# --------------------------------------------------------------------------
+def char_shingles(text_col, k: int = 5):
+    """Distinct character k-shingles of normalized text (array<string>).
+    Text shorter than k (but non-empty) yields itself as a single shingle;
+    empty text yields an empty array. NB: F.sequence(1, n) DESCENDS when
+    n < 1, so short inputs must be guarded, not clamped."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+    return (
+        F.when(F.length(norm) >= k, full)
+        .when(F.length(norm) > 0, F.array(norm))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _perm_hash(h, a: int, b: int):
+    """(a * h32 + b) mod 2^61-1, overflow-free under ANSI mode: the hash
+    is reduced to its low 32 bits and a < 2^30, b < 2^61, so
+    a*h32 + b < 2^62 + 2^61 stays inside the signed-long range."""
+    h32 = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(_MERSENNE))
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 64) -> DataFrame:
+    """MinHash signatures as wide columns m0..m{n-1} for a (id, shingles)
+    frame.
+
+    Shape matters at scale: shingles are EXPLODED and each permutation is a
+    plain ``min`` aggregate → Spark's hash aggregate with map-side partial
+    combine, instead of a per-row 64-pass nested-array expression (which
+    also overwhelms whole-stage codegen). Docs with zero shingles drop out
+    (they cannot near-dup)."""
+    perms = _perm_params(num_perm)
+    exploded = docs.select("id", F.explode("shingles").alias("sh")).select(
+        "id", F.xxhash64("sh").alias("h")
+    )
+    aggs = [
+        F.min(_perm_hash(F.col("h"), a, b)).alias(f"m{i}") for i, (a, b) in enumerate(perms)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    # deterministic LCG-derived (a, b) pairs; a must be non-zero mod p
+    params = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % ((1 << 30) - 1)) + 1          # 1 ≤ a < 2^30
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % (1 << 61)                      # 0 ≤ b < 2^61
+        params.append((a, b))
+    return params
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH near-dup pairs
+# --------------------------------------------------------------------------
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified with EXACT shingle-set
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    num_perm/bands give rows-per-band r = num_perm/bands; the usual
+    S-curve threshold ≈ (1/bands)^(1/r). Buckets larger than
+    ``max_bucket`` are dropped (skew guard — at corpus scale a degenerate
+    shingle bucket would otherwise emit |bucket|² candidates)."""
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = minhash_signatures(docs, num_perm)
+
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(j * rows_per_band, (j + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for j in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    # skew guard: drop degenerate buckets
+    sized = banded.withColumn("bsize", F.count("*").over(W.partitionBy("band", "bucket")))
+    banded = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs
+# --------------------------------------------------------------------------
+def simhash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, sig) with a 64-bit SimHash per document: tokens exploded, one
+    ±1 vote sum per bit as a plain aggregate (map-side combinable; shift
+    amounts are constants because F.shiftright requires literal counts),
+    sign of each vote becomes the signature bit. Token-less docs drop out."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    ex = ex.select("id", F.xxhash64("t").alias("h"))
+    vote_aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*vote_aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
+    blocked on exact match of any of four 16-bit bands (finds all pairs
+    with ≤3 differing bits for sure; probabilistic beyond — standard
+    SimHash blocking). Returns (id_a, id_b, hamming)."""
+    sigs = simhash_frame(df, text_col, id_col)
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sized = bands.withColumn("bsize", F.count("*").over(W.partitionBy("band", "bucket")))
+    bands = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (oracle-checkable)
+# --------------------------------------------------------------------------
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams (space-joined); fewer than n tokens → empty
+    array (guarded — F.sequence descends when stop < start)."""
+    toks = tokens(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_posting: int = 2000,
+) -> DataFrame:
+    """ALL pairs with word-n-gram Jaccard ≥ threshold (> 0 ⇒ the pair
+    shares ≥1 n-gram ⇒ the inverted-index join finds it — this operator is
+    exact, unlike the MinHash estimate). Returns (id_a, id_b, jaccard).
+
+    ``max_posting`` caps an n-gram's posting list (stopword-like n-grams
+    explode quadratically; at threshold ≥ 0.2 a pair sharing ONLY such
+    n-grams is extremely unlikely to clear verification — documented
+    approximation bound, disabled by passing None)."""
+    docs = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    postings = docs.select("id", F.explode("grams").alias("gram"))
+    if max_posting is not None:
+        postings = (
+            postings.withColumn("psize", F.count("*").over(W.partitionBy("gram")))
+            .filter(F.col("psize") <= max_posting)
+            .drop("psize")
+        )
+    l, r = postings.alias("l"), postings.alias("r")
+    cand = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("uni", F.size("g_a") + F.size("g_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

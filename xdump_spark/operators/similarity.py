@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline; query side broadcast,
+  similarity computed JVM-side with higher-order functions.
+* sign-LSH (random hyperplanes) bucketing — the scale path: candidates
+  share a signature prefix bucket, exact cosine re-ranks within buckets.
+* exact near-dup pairs — cosine ≥ τ via bucketed candidates (scale) or
+  full product (oracle baseline at small n).
+
+Everything is double-precision: float32 inputs are upcast before any
+arithmetic so results are engine-portable (and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    """dot(a,b) / (norm(a) * norm(b)) — the same association order DuckDB's
+    list_cosine_similarity uses, for bit-comparable results."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+
+    Plan shape: broadcast the (small) query side against the corpus scan —
+    one pass over the corpus, no shuffle of corpus vectors; the window
+    top-k shuffles only (n_queries × n_corpus-surviving) score rows.
+    Returns (query_id, neighbor_id, cosine_sim) with deterministic
+    tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized sign-LSH signatures for all hash tables in one Arrow
+    batch: a (batch × dim) @ (dim × tables·planes) matmul, bits packed per
+    table. A Pandas UDF is the right tool here — 32 plane-dots per row as
+    nested SQL `aggregate` expressions exceeds whole-stage codegen limits
+    and falls back to slow interpretation, while numpy does the batch in
+    one BLAS call. Returns array<long> of length n_tables (index = table)."""
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)          # (batch, dim)
+        bits = (M @ P.T) > 0                                    # (batch, T*p)
+        per_table = [
+            bits[:, t * n_planes : (t + 1) * n_planes] @ weights for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
+
+
+def _with_buckets(df: DataFrame, vec: str, out_prefix: str, dim, n_planes, n_tables, seed):
+    """Attach (tbl, bucket) rows via posexplode of the per-table signature
+    array — a pair is a candidate if it collides in ANY table, trading
+    compute for recall (P = 1-(1-p^planes)^tables per-bit agreement p)."""
+    udf = _bucket_array_udf(dim, n_planes, n_tables, seed)
+    return df.withColumn("_buckets", udf(F.col(vec))).select(
+        "*", F.posexplode("_buckets").alias(f"{out_prefix}tbl", f"{out_prefix}bucket")
+    ).drop("_buckets")
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Sign-LSH signature: bit i = (v · plane_i) > 0, packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share a sign-LSH bucket in any of
+    ``n_tables`` tables, exact cosine re-ranks within. Recall < 1.0 by
+    construction (rows-only check); at corpus scale the bucket join
+    replaces the broadcast product with a shuffle on small keys."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q = _with_buckets(q, "qv", "", dim, n_planes, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    c = _with_buckets(c, "cv", "", dim, n_planes, n_tables, seed)
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``exact=True`` compares all pairs
+    (baseline / oracle path, O(n²) — small n only); otherwise candidates
+    must share a sign-LSH bucket in any of ``n_tables`` tables (scale
+    path, approximate recall)."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    if exact:
+        l = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        r = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cand = l.join(r, F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = _with_buckets(c, "v", "", dim, n_planes, n_tables, seed)
+        l = bucketed.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        r = bucketed.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cand = (
+            l.join(r, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for document tables: tokenization stats,
+quality scoring, language identification, fingerprinting.
+
+All pure `pyspark.sql.functions` column expressions (whole-stage-codegen
+friendly, no UDFs). Each operator has an exactly-equivalent ANSI-SQL
+formulation (see queries.py) so results are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets (public common words). Chosen to
+# be disjoint across languages so hit counts are unambiguous.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "es": ["el", "la", "los", "las", "que", "por", "una", "para"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "sur"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
+}
+# deterministic tie-break order (max hits wins; earlier wins ties)
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text; empty text → empty array."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    # ASCII punctuation; Java \p{Punct} == POSIX [[:punct:]] on ASCII input
+    return F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of token OCCURRENCES that are in ``words`` (not distinct)."""
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda x: F.array_contains(lit_arr, x)))
+
+
+def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char/token counts, mean token length,
+    punctuation ratio, English-stopword ratio."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")) / n_tok)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            F.when(F.length(t) > 0, punct_count(t) / F.length(t)).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_tok > 0, stopword_hits(t, LANG_MARKERS["en"]) / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: the language whose marker-word hit count is
+    highest (deterministic tie-break by LANG_ORDER)."""
+    t = F.col(text_col)
+    hits = {lang: stopword_hits(t, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    # CASE chain: a language wins when it beats every earlier language
+    # strictly and every later language at-least (earlier wins ties) —
+    # the same CASE the SQL oracle spells out.
+    pred = F.lit("und")
+    branches = []
+    for i, lang in enumerate(LANG_ORDER):
+        cond = hits[lang] > 0
+        for j, other in enumerate(LANG_ORDER):
+            if i == j:
+                continue
+            cond = cond & (
+                (hits[lang] > hits[other]) if j < i else (hits[lang] >= hits[other])
+            )
+        branches.append((cond, lang))
+    for cond, lang in reversed(branches):
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    cols = [F.col(id_col), pred.alias("pred_lang")]
+    cols += [hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER]
+    return df.select(*cols)
+
+
+def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key (stable across engines and runs)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

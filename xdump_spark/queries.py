@@ -542,3 +542,203 @@ def events_hourly(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Extension operators: text analysis (oracle-checked bit-for-bit)
+# --------------------------------------------------------------------------
+from xdump_spark.operators import dedup as D  # noqa: E402
+from xdump_spark.operators import similarity as S  # noqa: E402
+from xdump_spark.operators import text as TX  # noqa: E402
+
+# DuckDB fragments mirroring operators/text.py exactly
+_SQL_TOKS = (
+    r"CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
+)
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+@query(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN {_sql_hits('en')} / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio
+FROM t
+""",
+)
+def text_quality(spark, sf_dir):
+    """Document quality metrics (operators/text.py, all JVM built-ins)."""
+    return TX.quality_frame(_cat(spark, sf_dir).tables["documents"])
+
+
+def _langid_sql() -> str:
+    hits_cols = ", ".join(f"{_sql_hits(lang)} AS h_{lang}" for lang in TX.LANG_ORDER)
+    branches = []
+    for i, lang in enumerate(TX.LANG_ORDER):
+        conds = [f"h_{lang} > 0"]
+        for j, other in enumerate(TX.LANG_ORDER):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"h_{lang} {op} h_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    hit_outs = ", ".join(f"CAST(h_{lang} AS BIGINT) AS hits_{lang}" for lang in TX.LANG_ORDER)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hits_cols} FROM t)
+SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h
+"""
+
+
+@query("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    """Marker-word language ID with deterministic tie-breaks."""
+    return TX.lang_id_frame(_cat(spark, sf_dir).tables["documents"])
+
+
+@query(
+    "text_fingerprint",
+    r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint (the exact-dedup key)."""
+    return TX.fingerprint_frame(_cat(spark, sf_dir).tables["documents"])
+
+
+# --------------------------------------------------------------------------
+# Extension operators: deduplication
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_docs",
+    r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on the normalized fingerprint."""
+    return D.exact_dedup_groups(_cat(spark, sf_dir).tables["documents"])
+
+
+_NGRAM_SQL = r"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE []::VARCHAR[] END AS grams
+      FROM t),
+gg AS (SELECT * FROM g WHERE len(grams) > 0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.grams, b.grams)) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      FROM gg a JOIN gg b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2
+""".replace("{toks}", _SQL_TOKS)
+
+
+@query("dedup_ngram_pairs", _NGRAM_SQL)
+def dedup_ngram_pairs(spark, sf_dir):
+    """EXACT word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join (the
+    oracle recomputes the same set with an O(n²) product — the index join
+    finds every pair with jaccard > 0, so results coincide exactly)."""
+    return D.ngram_jaccard_pairs(
+        _cat(spark, sf_dir).tables["documents"], threshold=0.2, max_posting=None
+    )
+
+
+@query("minhash_pairs", None)
+def minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates verified to shingle-Jaccard ≥ 0.5
+    (approximate recall by construction → rows-only check)."""
+    return D.minhash_lsh_pairs(
+        _cat(spark, sf_dir).tables["documents"], threshold=0.5
+    )
+
+
+@query("simhash_pairs", None)
+def simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs, Hamming ≤ 8 (rows-only check)."""
+    return D.simhash_pairs(_cat(spark, sf_dir).tables["documents"])
+
+
+# --------------------------------------------------------------------------
+# Extension operators: similarity search over embeddings
+# --------------------------------------------------------------------------
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 5
+"""
+
+
+@query("knn_cosine_top5", _KNN_SQL)
+def knn_cosine_top5(spark, sf_dir):
+    """Exact brute-force cosine top-5 for every 100th vector (broadcast
+    query side, one corpus pass)."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    return S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+
+@query(
+    "embed_neardup_exact",
+    """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
+""",
+)
+def embed_neardup_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs ≥ 0.4 (baseline all-pairs; the LSH
+    variant below is the scale path)."""
+    return S.embedding_neardup_pairs(
+        _cat(spark, sf_dir).tables["embeddings"], threshold=0.4, exact=True
+    )
+
+
+@query("embed_neardup_lsh", None)
+def embed_neardup_lsh(spark, sf_dir):
+    """Sign-LSH bucketed near-dup pairs ≥ 0.4 (approximate recall —
+    rows-only check; compare against embed_neardup_exact for recall)."""
+    return S.embedding_neardup_pairs(
+        _cat(spark, sf_dir).tables["embeddings"], threshold=0.4, exact=False
+    )
+
+
+@query("knn_cosine_lsh", None)
+def knn_cosine_lsh(spark, sf_dir):
+    """Approximate top-5 via sign-LSH buckets (rows-only check)."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    return S.lsh_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
