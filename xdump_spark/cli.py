@@ -1,0 +1,97 @@
+"""CLI mirroring the reference's ``xdump`` / ``xload`` commands
+(xdump/cli/dump.py:41-74, xdump/cli/load.py:13-22) over the parquet-db
+source.
+
+    python -m xdump_spark.cli dump -i DBDIR -o dump.zip \
+        -f groups -p "employees:SELECT * FROM employees WHERE id = 1" \
+        --compression deflated [--no-schema] [--no-data]
+    python -m xdump_spark.cli load -i dump.zip -o DBDIR \
+        [--cleanup-method {recreate,truncate}]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from xdump_spark.archive import COMPRESSION
+
+
+def parse_partial(value: str) -> tuple[str, str]:
+    """'table:SELECT ...' → (table, sql); bad format is a usage error
+    (reference: xdump/cli/dump.py:16-29, tests/cli/test_dump.py:52-58)."""
+    table, sep, sql = value.partition(":")
+    if not sep or not table.strip() or not sql.strip():
+        raise argparse.ArgumentTypeError(
+            f"partial table spec must look like 'table:SELECT ...', got {value!r}"
+        )
+    return table.strip(), sql.strip()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="xdump-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("dump", help="make a consistent partial dump")
+    d.add_argument("-i", "--input-db", required=True, help="parquet database directory")
+    d.add_argument("-o", "--output", required=True, help="output zip path")
+    d.add_argument("-f", "--full-table", action="append", default=[], dest="full_tables")
+    d.add_argument(
+        "-p", "--partial", action="append", default=[], type=parse_partial,
+        help="'table:SELECT ...' seed (repeatable)",
+    )
+    d.add_argument("--compression", choices=sorted(COMPRESSION), default="deflated")
+    d.add_argument("--no-schema", action="store_true", dest="no_schema")
+    d.add_argument("--no-data", action="store_true", dest="no_data")
+
+    ld = sub.add_parser("load", help="load a dump into a parquet database")
+    ld.add_argument("-i", "--input", required=True, help="dump zip path")
+    ld.add_argument("-o", "--output-db", required=True, help="target parquet db dir")
+    ld.add_argument(
+        "--cleanup-method", choices=["recreate", "truncate"], default=None,
+        help="clean the target before loading (reference: xdump/cli/load.py:25-37)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from xdump_spark.catalog import Catalog
+    from xdump_spark.engine import SparkDumpEngine
+    from xdump_spark.session import get_spark
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    spark = get_spark("xdump_spark_cli")
+    try:
+        if args.command == "dump":
+            db = ParquetDatabase(spark, args.input_db)
+            engine = SparkDumpEngine(spark, db.catalog())
+            counts = engine.dump(
+                args.output,
+                full_tables=args.full_tables,
+                partial_tables=dict(args.partial),
+                dump_schema=not args.no_schema,
+                dump_data=not args.no_data,
+                compression=args.compression,
+            )
+            for table in sorted(counts):
+                print(f"{table}: {counts[table]} rows")
+            print(f"wrote {args.output}")
+        else:
+            db = ParquetDatabase(spark, args.output_db)
+            if args.cleanup_method == "recreate":
+                db.recreate()
+            elif args.cleanup_method == "truncate":
+                db.truncate()
+            engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
+            loaded = engine.load(args.input)
+            order = loaded.write_parquet_db(args.output_db, mode="overwrite")
+            db.write_fk_config(loaded.foreign_keys)
+            print(f"loaded tables (FK order): {', '.join(order)}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""A 'database' as a directory of parquet tables + optional fk_config.json
+— the file-source backend of the engine (the reference's backends wrap
+PostgreSQL/SQLite connections; ours wraps storage Spark reads natively).
+
+Provides the maintenance surface the reference exposes per backend:
+truncate (xdump/postgresql.py:212-214, sqlite.py:124-131) and recreate
+(xdump/postgresql.py:203-210, sqlite.py:114-122).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xdump_spark.catalog import Catalog, ForeignKey
+
+FK_CONFIG = "fk_config.json"
+
+
+class ParquetDatabase:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- introspection (O9/O7 analog) -------------------------------------
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, name)
+            if os.path.isdir(p) or name.endswith(".parquet"):
+                out.append(name.removesuffix(".parquet"))
+        return out
+
+    def foreign_keys(self) -> list[ForeignKey]:
+        cfg = os.path.join(self.path, FK_CONFIG)
+        if not os.path.exists(cfg):
+            return []
+        with open(cfg) as f:
+            return [ForeignKey.from_dict(d) for d in json.load(f)]
+
+    def catalog(self) -> Catalog:
+        dfs: dict[str, DataFrame] = {}
+        for name in self.tables():
+            p = os.path.join(self.path, name)
+            if not os.path.isdir(p):
+                p = os.path.join(self.path, f"{name}.parquet")
+            dfs[name] = self.spark.read.parquet(p)
+        return Catalog(dfs, [fk for fk in self.foreign_keys() if fk.table in dfs])
+
+    # -- maintenance (O16/O17 analog) -------------------------------------
+    def truncate(self, tables: list[str] | None = None) -> None:
+        for name in tables if tables is not None else self.tables():
+            p = os.path.join(self.path, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    def recreate(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write_fk_config(self, fks: list[ForeignKey]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, FK_CONFIG), "w") as f:
+            json.dump([fk.to_dict() for fk in fks], f, indent=2)
