@@ -33,6 +33,8 @@ HEADLINE = [
     "text_quality",
     "minhash_pairs",
     "knn_cosine_top5",
+    "events_sessionize",              # session_window gap sessionization
+    "multimodal_frames",              # Arrow mapInPandas 1→N explode
 ]
 
 

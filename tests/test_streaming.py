@@ -1,0 +1,114 @@
+"""Streaming-module tests: the streaming twins must agree with their batch
+anchors (which are themselves DuckDB-oracle-checked via queries.py)."""
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.catalog import read_events
+from xdump_spark.streaming import (
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionize,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_events(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The events table re-written as 4 parquet files so maxFilesPerTrigger
+    can split the stream into several micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(d / "parts")
+    raw.repartition(4).write.parquet(out)
+    yield out
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_events_dir_is_multifile(events_dir):
+    assert len(glob.glob(f"{events_dir}/part-*.parquet")) == 4
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_batch, events_dir):
+    stream = read_events_stream(spark, f"{events_dir}/part-*.parquet")
+    assert stream.isStreaming
+    q = run_to_memory(hourly_rollup(stream), "hr_stream", output_mode="complete")
+    try:
+        got = rows_set(spark.table("hr_stream"))
+        want = rows_set(hourly_rollup(events_batch))
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_sessionize_batch_semantics(spark):
+    # gap boundary: exactly 30 min merges; 30 min + 1 µs splits
+    rows = [
+        (1, 0),
+        (1, 1_800_000_000),  # == gap → same session
+        (2, 0),
+        (2, 1_800_000_001),  # > gap → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long").withColumn(
+        "ts", F.timestamp_micros("us")
+    ).withColumn("value", F.lit(1.0))
+    out = {(r.user_id, r.n_events) for r in sessionize(df).collect()}
+    assert out == {(1, 2), (2, 1), (2, 1)} or out == {(1, 2), (2, 1)}
+    n_sessions = sessionize(df).count()
+    assert n_sessions == 3
+
+
+def test_sessionize_stream_subset_of_batch(spark, events_batch, events_dir):
+    """Append-mode session output (only watermark-finalized sessions emit in
+    an availableNow run) must be a subset of the batch sessionization."""
+    stream = read_events_stream(spark, f"{events_dir}/part-*.parquet")
+    q = run_to_memory(
+        sessionize(stream, watermark="1 hour"), "sess_stream", output_mode="append"
+    )
+    try:
+        got = rows_set(spark.table("sess_stream"))
+        want = rows_set(sessionize(events_batch))
+        assert got.issubset(want)
+    finally:
+        q.stop()
+
+
+def test_running_user_totals_final_state_matches_batch(spark, events_batch, events_dir):
+    """Multi-micro-batch run: the LAST emitted row per user must equal the
+    batch per-user totals (state accumulates correctly across batches)."""
+    stream = read_events_stream(
+        spark, f"{events_dir}/part-*.parquet", max_files_per_trigger=1
+    )
+    q = run_to_memory(running_user_totals(stream), "totals_stream")
+    try:
+        sink = spark.table("totals_stream")
+        # update-mode memory sink appends every update; per user the max
+        # n_events row is the final state (totals only grow)
+        final = (
+            sink.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select("user_id", "s.n_events", "s.total_value")
+        )
+        want = events_batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        assert rows_set(final) == rows_set(want)
+    finally:
+        q.stop()

@@ -146,8 +146,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # Integer `div`, not `/`: ns epochs (~1.7e18) exceed double's 53-bit
+    # mantissa, so float division mis-rounds ~12% of rows by 1 µs; DuckDB
+    # truncates ns→µs exactly, and the oracle compare needs bit parity.
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

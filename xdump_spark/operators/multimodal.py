@@ -1,0 +1,195 @@
+"""Multimodal (image/audio/video) column operators.
+
+The reference engine is text/CSV-only (SURVEY.md §1.2 — no binary types
+anywhere); this is the brief's scale extension: treat media as opaque
+``binary`` columns with typed metadata, and run decode / feature-extract /
+frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the actual codec step is a
+STUB: ``decode_blobs`` tries Pillow and, when absent, falls back to a
+clearly-marked deterministic fake decoder. Everything around the stub —
+schema convention, partition-size control, UDF signatures, 1→N frame
+explode, Arrow batch shapes — is real and tested.
+
+At 100 TB: blobs dominate partition size, so operators here repartition by
+byte budget (not row count) before Python stages, keep each Arrow batch
+bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``, and never
+collect blobs to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema convention for a multimodal table: payload + typed metadata struct.
+BLOB_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+_FORMATS = ["png", "jpeg", "webm"]
+
+
+def attach_blobs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic media table from ``documents``: the payload
+    is the UTF-8 byte encoding of the text (so DuckDB can reproduce it with
+    ``encode(text)`` for oracle checks) plus derived typed metadata.
+
+    All JVM-side column expressions — this is the ingest-side plumbing a
+    real pipeline would replace with a binary-file / parquet-blob reader.
+    """
+    blob = F.encode(F.col(text_col), "UTF-8")
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _FORMATS]),
+        (F.col(id_col) % len(_FORMATS) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        blob.alias("blob"),
+        F.struct(
+            fmt.alias("format"),
+            (F.octet_length(blob) % 1920 + 1).cast("int").alias("width"),
+            (F.octet_length(blob) % 1080 + 1).cast("int").alias("height"),
+            (F.col(id_col) % 7 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def blob_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cheap JVM-side blob statistics (no Python): length, md5, format.
+    The scan-side profile step of a media pipeline — runs at full codegen
+    speed, prunes to (id, len, hash) before any expensive Python stage."""
+    return media.select(
+        F.col(id_col),
+        F.octet_length("blob").cast("long").alias("blob_len"),
+        F.md5("blob").alias("blob_md5"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+# -- decode (STUBBED codec) -------------------------------------------------
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def _fake_luma(blob: bytes) -> float:
+    # STUB: deterministic stand-in for per-pixel luma averaging. Real
+    # decoders (Pillow/ffmpeg) are not in this container.
+    h = hashlib.md5(blob).digest()
+    return round((h[0] * 256 + h[1]) / 65535.0, 6)
+
+
+def decode_blobs(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode each blob to (width, height, mean_luma) via ``mapInPandas``.
+
+    ``use_real_codec=True`` requires Pillow and raises NotImplementedError
+    here (codec libs absent in this environment) — the Spark-side plumbing
+    (Arrow batches, schema, partitioning) is identical either way, which is
+    the point of the stub.
+    """
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "real image decode needs Pillow, which is not installed; "
+                "run with use_real_codec=False for the deterministic stub"
+            ) from exc
+        raise NotImplementedError("real codec path not wired in this build")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "mean_luma": [_fake_luma(bytes(b)) for b in pdf["blob"]],
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "blob", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return flat.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+# -- frame sampling (1→N explode in Python) ---------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Emit one row per sampled frame: ``meta.n_frames`` frames per blob,
+    each fingerprinted as md5(blob || '#' || idx) — a deterministic
+    stand-in for decode+hash of the idx-th frame, so the whole 1→N
+    ``mapInPandas`` generator stage is oracle-checkable in SQL.
+
+    Memory shape: yields one output DataFrame per (input batch, frame idx)
+    instead of materializing len(batch)×n_frames rows at once.
+    """
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            max_n = int(pdf["n_frames"].max()) if len(pdf) else 0
+            for idx in range(max_n):
+                sel = pdf[pdf["n_frames"] > idx]
+                if not len(sel):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sel["doc_id"],
+                        "frame_idx": idx,
+                        "frame_md5": [
+                            hashlib.md5(bytes(b) + b"#" + str(idx).encode()).hexdigest()
+                            for b in sel["blob"]
+                        ],
+                    }
+                )
+
+    flat = media.select("doc_id", "blob", F.col("meta.n_frames").alias("n_frames"))
+    return flat.mapInPandas(expand, schema=_FRAME_SCHEMA)
+
+
+def repartition_by_bytes(media: DataFrame, target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Size-aware repartition before a Python stage: blob tables are skewed
+    by byte size, not row count, so pick the partition count from total
+    payload bytes. One aggregate scan (cheap: octet_length only) then a
+    round-robin repartition."""
+    total = media.select(F.sum(F.octet_length("blob"))).first()[0] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return media.repartition(n)

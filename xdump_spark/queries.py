@@ -495,6 +495,114 @@ def tpch_q6(spark, sf_dir):
 
 
 @query(
+    "tpch_q4_exists",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_exists(spark, sf_dir):
+    """EXISTS-subquery surface (TPC-H Q4 shape, adapted to this schema):
+    planned as a left-semi join — lineitem is filtered+pruned to its join
+    key before the shuffle, so the probe side never carries payload."""
+    cat = _cat(spark, sf_dir)
+    li = cat.tables["lineitem"].filter("l_returnflag = 'R'").select("l_orderkey")
+    return (
+        cat.tables["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Conditional aggregation over a fact⋈dim join (TPC-H Q14 shape).
+    part is broadcast (dim ≪ fact at every SF), so the fact table never
+    shuffles; only (l_partkey, price, discount) columns reach the scan."""
+    cat = _cat(spark, sf_dir)
+    part = cat.tables["part"].select("p_partkey", "p_type")
+    li = cat.tables["lineitem"].select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_big",
+    """
+SELECT c_name, o.o_orderkey, o_totalprice, round(t.sum_qty, 2) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+  ON o.o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def tpch_q18_big(spark, sf_dir):
+    """Agg-subquery + HAVING + join (TPC-H Q18 shape): lineitem pre-
+    aggregates map-side to one row per orderkey BEFORE joining, so the
+    join input shrinks ~4× and the HAVING filter prunes further."""
+    cat = _cat(spark, sf_dir)
+    big = (
+        cat.tables["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter("sum_qty > 150")
+    )
+    return (
+        cat.tables["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.tables["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_totalprice", F.round("sum_qty", 2).alias("sum_qty")
+        )
+    )
+
+
+@query(
+    "anti_parts_quiet",
+    """
+SELECT p_partkey, p_name, p_type
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+""",
+)
+def anti_parts_quiet(spark, sf_dir):
+    """NOT-EXISTS surface → left-anti join (parts never shipped in bulk).
+    The probe side is filtered + column-pruned to the join key first."""
+    cat = _cat(spark, sf_dir)
+    big = cat.tables["lineitem"].filter("l_quantity > 49").select("l_partkey")
+    return (
+        cat.tables["part"]
+        .join(big, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@query(
     "win_top3_orders_per_customer",
     """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -541,6 +649,74 @@ def events_hourly(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+),
+p AS (
+  SELECT user_id, ts_us, value,
+         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+  FROM e
+),
+m AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM p
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization via session_window (streaming twin in
+    streaming/events.py). Spark merges sessions when the inter-event gap is
+    <= the 30-minute window (verified empirically), so the oracle starts a
+    new session strictly-greater-than. Output on µs integers for bit parity."""
+    from xdump_spark.streaming.events import sessionize
+
+    ev = _cat(spark, sf_dir).tables["events"]
+    return sessionize(ev, gap="30 minutes").select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "events_user_totals",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def events_user_totals(spark, sf_dir):
+    """Per-user lifetime totals — the batch anchor for the
+    applyInPandasWithState running-totals stream (streaming/events.py);
+    tests assert the stream's final state equals this."""
+    ev = _cat(spark, sf_dir).tables["events"]
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 
@@ -742,3 +918,56 @@ def knn_cosine_lsh(spark, sf_dir):
     """Approximate top-5 via sign-LSH buckets (rows-only check)."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
     return S.lsh_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+
+# --------------------------------------------------------------------------
+# Extension operators: multimodal binary columns (operators/multimodal.py)
+# --------------------------------------------------------------------------
+from xdump_spark.operators import multimodal as M  # noqa: E402
+
+
+def _media(spark, sf_dir):
+    return M.attach_blobs(_cat(spark, sf_dir).tables["documents"])
+
+
+@query(
+    "multimodal_blob_stats",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+       md5(text) AS blob_md5,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'webm' END AS format,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 1080 + 1 AS INT) AS height
+FROM documents
+""",
+)
+def multimodal_blob_stats(spark, sf_dir):
+    """JVM-side blob profiling over the synthetic media table (payload =
+    UTF-8 bytes of the document text so DuckDB reproduces it exactly)."""
+    return M.blob_stats(_media(spark, sf_dir))
+
+
+@query(
+    "multimodal_frames",
+    """
+SELECT d.doc_id,
+       CAST(g.i AS INT) AS frame_idx,
+       md5(d.text || '#' || CAST(g.i AS VARCHAR)) AS frame_md5
+FROM documents d
+CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g
+WHERE g.i <= d.doc_id % 7
+""",
+)
+def multimodal_frames(spark, sf_dir):
+    """1→N frame sampling through mapInPandas: meta.n_frames rows per blob,
+    frame fingerprint = md5(payload || '#' || idx)."""
+    return M.sample_frames(_media(spark, sf_dir))
+
+
+@query("multimodal_decode_stub", None)
+def multimodal_decode_stub(spark, sf_dir):
+    """Stubbed codec decode (rows-only check: deterministic fake luma —
+    real decoders absent in this environment; plumbing is real)."""
+    return M.decode_blobs(_media(spark, sf_dir))

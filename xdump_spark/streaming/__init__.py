@@ -1,0 +1,17 @@
+from xdump_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionize,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "hourly_rollup",
+    "read_events_stream",
+    "run_to_memory",
+    "running_user_totals",
+    "sessionize",
+]

@@ -1,0 +1,191 @@
+"""Structured-Streaming operators over the ``events`` table.
+
+The reference engine has no streaming surface (SURVEY.md §2.2 — "Streaming:
+none"); this module is the §7.2-step-9 scale extension: the same event
+analytics exposed batch-first (so DuckDB can oracle-check them) with a
+streaming twin that shares the transformation code path. Patterns:
+
+- file-source ``readStream`` with an explicit schema (schema inference is
+  disabled on streams for a reason — never rely on it),
+- event-time watermarks + tumbling windows for late data,
+- ``session_window`` gap sessionization (Spark-native, no UDF),
+- ``applyInPandasWithState`` for custom per-key running state that window
+  functions cannot express incrementally.
+
+At 100 TB / real Kafka scale the same code applies: only the reader config
+changes (``format("kafka")`` + ``from_json``); every aggregation below is
+incremental, partitioned by key, and never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+# Explicit source schema: the driver's events parquet stores nanosecond
+# timestamps, which Spark reads as long under
+# spark.sql.legacy.parquet.nanosAsLong (see catalog.read_events).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns epoch; converted below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over event parquet files (``path`` may be a glob).
+
+    ``maxFilesPerTrigger`` splits the backlog into multiple micro-batches —
+    used by tests to exercise true incremental state; production would point
+    at an arriving-files directory or swap in a Kafka reader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    # integer div: exact ns→µs floor (see catalog.read_events rationale)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    # withWatermark is streaming-only; the batch twin (what the DuckDB
+    # oracle checks) runs the identical aggregation without it.
+    if events.isStreaming and watermark is not None:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def hourly_rollup(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum.
+
+    Incremental on a stream (partial aggregation per micro-batch, state
+    keyed by (window, event_type)); a plain hash aggregate in batch.
+    """
+    src = _maybe_watermark(events, watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` (no UDF, mergeable
+    session state on streams). A session groups a user's events where each
+    event starts within ``gap`` of the previous one; ``session_end`` is
+    last-event-time + gap, per Spark/standard session-window semantics.
+    """
+    src = _maybe_watermark(events, watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -- custom stateful operator (applyInPandasWithState) ----------------------
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one user into running state and emit
+    the updated running totals (Arrow-batched: each pdf is a chunk of the
+    group, never the whole partition in memory)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime running totals, emitted every micro-batch — the
+    custom-stateful-operator pattern (brief: ``applyInPandasWithState``).
+
+    Unlike a windowed agg, state here is unbounded per key and the operator
+    emits on every update; at scale, state lives in the state store
+    partitioned by user_id (RocksDB provider in production).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "update", timeout: int = 120
+) -> "StreamingQuery":
+    """Drain all available input into an in-memory table ``name`` with
+    ``trigger(availableNow=True)`` and block until done (test/dev sink)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
