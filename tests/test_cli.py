@@ -1,0 +1,61 @@
+"""CLI tests (reference model: tests/cli/test_dump.py, test_load.py —
+option parsing errors and end-to-end dump/load through the command layer)."""
+
+import argparse
+import os
+
+import pytest
+
+from xdump_spark import cli
+
+
+def test_parse_partial_ok():
+    assert cli.parse_partial("employees:SELECT * FROM employees") == (
+        "employees",
+        "SELECT * FROM employees",
+    )
+
+
+@pytest.mark.parametrize("bad", ["employees", "employees:", ":SELECT 1", "  :  "])
+def test_parse_partial_bad_format(bad):
+    with pytest.raises(argparse.ArgumentTypeError):
+        cli.parse_partial(bad)
+
+
+def test_parser_requires_command():
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args([])
+
+
+def test_cli_dump_then_load_roundtrip(spark, employees_catalog, tmp_path):
+    # stage the employees fixture as a parquet db with fk config
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    src = str(tmp_path / "srcdb")
+    for name, df in employees_catalog.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    ParquetDatabase(spark, src).write_fk_config(employees_catalog.foreign_keys)
+
+    zip_path = str(tmp_path / "dump.zip")
+    args = cli.build_parser().parse_args(
+        [
+            "dump",
+            "-i", src,
+            "-o", zip_path,
+            "-f", "groups",
+            "-p", "employees:SELECT * FROM employees WHERE id = 2",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    assert os.path.exists(zip_path)
+
+    dst = str(tmp_path / "dstdb")
+    args = cli.build_parser().parse_args(
+        ["load", "-i", zip_path, "-o", dst, "--cleanup-method", "recreate"]
+    )
+    assert cli.run(args, spark) == 0
+    # employee 2's manager chain is 2→1; groups full
+    emp = spark.read.parquet(os.path.join(dst, "employees"))
+    assert {r.id for r in emp.collect()} == {1, 2}
+    grp = spark.read.parquet(os.path.join(dst, "groups"))
+    assert grp.count() == 2

@@ -49,6 +49,20 @@ def test_minhash_lsh_finds_dups(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_lsh_exact_verify(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5, verify="exact").collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 4) not in pairs
+    # exact mode computes true shingle-set Jaccard: near-dup 1↔3 differ in
+    # one word, so if present its jaccard must be strictly between 0 and 1
+    if (1, 3) in pairs:
+        assert 0.0 < pairs[(1, 3)] < 1.0
+
+
 def test_simhash_identical_zero_hamming(spark, docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs, max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the optimizations the engine relies on
+at scale (predicate pushdown to parquet, column pruning, broadcast of dim /
+key-set sides, semi-join planning) must actually appear in the executed
+plans — a correct-but-full-scan plan is a scale bug even when results match.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import xdump_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "tpch_q6")
+    assert "PushedFilters" in plan
+    # the selective predicates must reach the parquet reader, not a
+    # post-scan Filter only
+    assert "l_discount" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q14_broadcasts_dim_and_prunes_columns(spark):
+    plan = plan_of(spark, "tpch_q14_promo")
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan must read only the 3 needed columns
+    li_schema = [
+        seg for seg in plan.split("ReadSchema: ")[1:] if "l_extendedprice" in seg
+    ][0].splitlines()[0]
+    assert "l_partkey" in li_schema and "l_discount" in li_schema
+    assert "l_comment" not in li_schema and "l_quantity" not in li_schema
+
+
+def test_semijoin_is_broadcast_left_semi(spark):
+    plan = plan_of(spark, "xd_semijoin_supplier")
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+
+
+def test_anti_join_planned_left_anti(spark):
+    plan = plan_of(spark, "anti_parts_quiet")
+    assert "LeftAnti" in plan
+
+
+def test_q18_preaggregates_before_join(spark):
+    plan = plan_of(spark, "tpch_q18_big")
+    # the lineitem aggregate (partial + final) must sit BELOW the join with
+    # orders: HashAggregate appears before the first SortMergeJoin/
+    # BroadcastHashJoin node id referencing o_orderkey
+    assert "HashAggregate" in plan
+    agg_pos = plan.index("HashAggregate")
+    join_pos = min(
+        (plan.index(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if j in plan),
+        default=len(plan),
+    )
+    assert agg_pos < join_pos or "sum_qty" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    # scan+agg query: map-side partial aggregation (two HashAggregate
+    # phases) keeps the shuffle to one row per group per partition
+    plan = plan_of(spark, "tpch_q1")
+    assert plan.count("HashAggregate") >= 2

@@ -54,41 +54,48 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+def run(args, spark) -> int:
+    """Execute a parsed CLI command against an existing session (split from
+    ``main`` so tests can drive the CLI without owning session lifecycle)."""
     from xdump_spark.catalog import Catalog
     from xdump_spark.engine import SparkDumpEngine
-    from xdump_spark.session import get_spark
     from xdump_spark.sources.parquet_db import ParquetDatabase
 
+    if args.command == "dump":
+        db = ParquetDatabase(spark, args.input_db)
+        engine = SparkDumpEngine(spark, db.catalog())
+        counts = engine.dump(
+            args.output,
+            full_tables=args.full_tables,
+            partial_tables=dict(args.partial),
+            dump_schema=not args.no_schema,
+            dump_data=not args.no_data,
+            compression=args.compression,
+        )
+        for table in sorted(counts):
+            print(f"{table}: {counts[table]} rows")
+        print(f"wrote {args.output}")
+    else:
+        db = ParquetDatabase(spark, args.output_db)
+        if args.cleanup_method == "recreate":
+            db.recreate()
+        elif args.cleanup_method == "truncate":
+            db.truncate()
+        engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
+        loaded = engine.load(args.input)
+        order = loaded.write_parquet_db(args.output_db, mode="overwrite")
+        db.write_fk_config(loaded.foreign_keys)
+        print(f"loaded tables (FK order): {', '.join(order)}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    from xdump_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
     spark = get_spark("xdump_spark_cli")
     try:
-        if args.command == "dump":
-            db = ParquetDatabase(spark, args.input_db)
-            engine = SparkDumpEngine(spark, db.catalog())
-            counts = engine.dump(
-                args.output,
-                full_tables=args.full_tables,
-                partial_tables=dict(args.partial),
-                dump_schema=not args.no_schema,
-                dump_data=not args.no_data,
-                compression=args.compression,
-            )
-            for table in sorted(counts):
-                print(f"{table}: {counts[table]} rows")
-            print(f"wrote {args.output}")
-        else:
-            db = ParquetDatabase(spark, args.output_db)
-            if args.cleanup_method == "recreate":
-                db.recreate()
-            elif args.cleanup_method == "truncate":
-                db.truncate()
-            engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
-            loaded = engine.load(args.input)
-            order = loaded.write_parquet_db(args.output_db, mode="overwrite")
-            db.write_fk_config(loaded.foreign_keys)
-            print(f"loaded tables (FK order): {', '.join(order)}")
-        return 0
+        return run(args, spark)
     finally:
         spark.stop()
 

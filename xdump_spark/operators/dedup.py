@@ -15,6 +15,7 @@ bucket cannot produce a quadratic pair explosion.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -23,6 +24,19 @@ from xdump_spark.operators.text import tokens
 # Mersenne prime 2^61-1: classic universal-hash modulus; products of two
 # sub-61-bit values stay within the long range after Java wrap semantics.
 _MERSENNE = (1 << 61) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the cluster before CPU-heavy expression
+    evaluation. A small parquet file arrives as ONE partition, and the
+    shingle/signature map stage runs BEFORE any shuffle — without this it
+    executes on a single core regardless of cluster size. No-op (returns
+    df) when the scan already has enough partitions, so wide 100 TB inputs
+    are never collapsed."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # --------------------------------------------------------------------------
@@ -51,12 +65,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------------------
 # shingles / signatures
 # --------------------------------------------------------------------------
-def char_shingles(text_col, k: int = 5):
-    """Distinct character k-shingles of normalized text (array<string>).
-    Text shorter than k (but non-empty) yields itself as a single shingle;
-    empty text yields an empty array. NB: F.sequence(1, n) DESCENDS when
-    n < 1, so short inputs must be guarded, not clamped."""
-    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+def _norm_text(text_col):
+    """Whitespace-normalized lowercase text (the dedup canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def _shingles_of_norm(norm, k: int):
+    """Shingles from an already-projected normalized-text COLUMN. Callers
+    in pipelines must pre-project the norm: expressions captured inside a
+    higher-order-function lambda are re-evaluated PER ARRAY ELEMENT, so an
+    inline regexp_replace here would run ~|text| times per document
+    (measured 8× end-to-end). A column reference is evaluated once."""
     full = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(norm) - (k - 1)),
@@ -68,6 +87,17 @@ def char_shingles(text_col, k: int = 5):
         .when(F.length(norm) > 0, F.array(norm))
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def char_shingles(text_col, k: int = 5):
+    """Distinct character k-shingles of normalized text (array<string>).
+    Text shorter than k (but non-empty) yields itself as a single shingle;
+    empty text yields an empty array. NB: F.sequence(1, n) DESCENDS when
+    n < 1, so short inputs must be guarded, not clamped.
+
+    Convenience single-expression form; hot paths pre-project the norm and
+    use ``_shingles_of_norm`` (see that docstring for why)."""
+    return _shingles_of_norm(_norm_text(text_col), k)
 
 
 def _perm_hash(h, a: int, b: int):
@@ -122,9 +152,21 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 LSH band, verified with EXACT shingle-set
-    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """Candidate pairs sharing ≥1 LSH band with Jaccard ≥ threshold.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``verify`` selects the Jaccard used for the final filter:
+
+    * ``"estimate"`` (default, the scale path): fraction of agreeing
+      MinHash components — the same verification Spark ML's MinHashLSH
+      ``approxSimilarityJoin`` applies. Accuracy ±1/√num_perm; pair
+      verification touches only the num_perm-long signatures, never the
+      shingle sets (which on a template-heavy corpus are ~10× the bytes
+      and ~4× the end-to-end time).
+    * ``"exact"``: exact shingle-set Jaccard per candidate pair — the
+      oracle baseline; O(|doc|) per pair, fine at small n.
 
     num_perm/bands give rows-per-band r = num_perm/bands; the usual
     S-curve threshold ≈ (1/bands)^(1/r). Buckets larger than
@@ -132,11 +174,19 @@ def minhash_lsh_pairs(
     shingle bucket would otherwise emit |bucket|² candidates)."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
+    assert verify in ("estimate", "exact")
 
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    normed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
+    )
+    # In exact mode one computation of the shingle sets serves signatures
+    # AND both sides of verification (3 consumers — without persist the
+    # scan and shingling rerun per consumer).
+    docs = normed.select(
+        "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    if verify == "exact":
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(docs, num_perm)
 
     band_structs = [
@@ -169,19 +219,42 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if verify == "exact":
+        # Exact verification is CPU-bound (an array_intersect per pair),
+        # but the pair rows are tiny, so AQE's byte-based coalescing would
+        # shrink that stage to a handful of tasks — hold full parallelism.
+        cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-    a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
+    if verify == "exact":
+        a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # estimate mode: signatures as one array column, verification is
+    # num_perm integer comparisons per pair (zip_with stays JVM-side)
+    sig_arr = sigs.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+    a = sig_arr.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig_arr.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .withColumn("jaccard", F.round(matches / F.lit(float(num_perm)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # --------------------------------------------------------------------------
@@ -194,7 +267,9 @@ def simhash_frame(
     ±1 vote sum per bit as a plain aggregate (map-side combinable; shift
     amounts are constants because F.shiftright requires literal counts),
     sign of each vote becomes the signature bit. Token-less docs drop out."""
-    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
     ex = ex.select("id", F.xxhash64("t").alias("h"))
     vote_aggs = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
@@ -259,10 +334,9 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted index (oracle-checkable)
 # --------------------------------------------------------------------------
-def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-grams (space-joined); fewer than n tokens → empty
-    array (guarded — F.sequence descends when stop < start)."""
-    toks = tokens(text_col)
+def _grams_of_tokens(toks, n: int):
+    """N-grams from an already-projected token-array COLUMN (same
+    per-element re-evaluation hazard as ``_shingles_of_norm``)."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -270,6 +344,12 @@ def word_ngrams(text_col, n: int = 3):
         )
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams (space-joined); fewer than n tokens → empty
+    array (guarded — F.sequence descends when stop < start)."""
+    return _grams_of_tokens(tokens(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -288,9 +368,12 @@ def ngram_jaccard_pairs(
     explode quadratically; at threshold ≥ 0.2 a pair sharing ONLY such
     n-grams is extremely unlikely to clear verification — documented
     approximation bound, disabled by passing None)."""
-    docs = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    tokenized = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    docs = tokenized.select(
+        "id", _grams_of_tokens(F.col("_toks"), n).alias("grams")
+    ).filter(F.size("grams") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     postings = docs.select("id", F.explode("grams").alias("gram"))
     if max_posting is not None:
         postings = (

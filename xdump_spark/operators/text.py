@@ -51,25 +51,38 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
 
 def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: char/token counts, mean token length,
-    punctuation ratio, English-stopword ratio."""
+    punctuation ratio, English-stopword ratio.
+
+    Two-stage projection: tokenization/regex run ONCE per row into real
+    columns, and the metric expressions reference those columns. Inlining
+    them re-evaluates the regex splits per metric (and per lambda element
+    in the stopword filter) — measurably slower at scale."""
     t = F.col(text_col)
-    n_tok = token_count(t)
-    return df.select(
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    pre = df.select(
         F.col(id_col),
-        F.length(t).cast("long").alias("n_chars"),
+        F.length(t).cast("long").alias("_len"),
+        tokens(t).alias("_toks"),
+        punct_count(t).cast("long").alias("_punct"),
+        F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
+    )
+    n_tok = F.size("_toks")
+    return pre.select(
+        F.col(id_col),
+        F.col("_len").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.round(
-            F.when(n_tok > 0, F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")) / n_tok)
-            .otherwise(F.lit(0.0)),
-            6,
+            F.when(n_tok > 0, F.col("_nsp") / n_tok).otherwise(F.lit(0.0)), 6
         ).alias("mean_token_len"),
         F.round(
-            F.when(F.length(t) > 0, punct_count(t) / F.length(t)).otherwise(F.lit(0.0)), 6
+            F.when(F.col("_len") > 0, F.col("_punct") / F.col("_len")).otherwise(F.lit(0.0)),
+            6,
         ).alias("punct_ratio"),
         F.round(
-            F.when(n_tok > 0, stopword_hits(t, LANG_MARKERS["en"]) / n_tok).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                n_tok > 0,
+                F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(en, x))) / n_tok,
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("stopword_ratio"),
     )
@@ -77,9 +90,22 @@ def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: the language whose marker-word hit count is
-    highest (deterministic tie-break by LANG_ORDER)."""
+    highest (deterministic tie-break by LANG_ORDER).
+
+    The winner-CASE references each language's hit count ~|langs| times, so
+    hit counts are projected to real columns first — inlined, the CASE
+    would re-tokenize and re-filter per comparison (≈25× per row)."""
     t = F.col(text_col)
-    hits = {lang: stopword_hits(t, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    toked = df.select(F.col(id_col), tokens(t).alias("_toks"))
+    def _hit_count(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
+
+    hit_exprs = [
+        _hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER
+    ]
+    counted = toked.select(F.col(id_col), *hit_exprs)
+    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
     # CASE chain: a language wins when it beats every earlier language
     # strictly and every later language at-least (earlier wins ties) —
     # the same CASE the SQL oracle spells out.
@@ -98,7 +124,7 @@ def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     cols = [F.col(id_col), pred.alias("pred_lang")]
     cols += [hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER]
-    return df.select(*cols)
+    return counted.select(*cols)
 
 
 def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

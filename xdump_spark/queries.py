@@ -845,8 +845,9 @@ def dedup_ngram_pairs(spark, sf_dir):
 
 @query("minhash_pairs", None)
 def minhash_pairs(spark, sf_dir):
-    """MinHash-LSH candidates verified to shingle-Jaccard ≥ 0.5
-    (approximate recall by construction → rows-only check)."""
+    """MinHash-LSH near-dup pairs at estimated Jaccard ≥ 0.5 (signature-
+    component agreement, Spark-ML-MinHashLSH-style verification;
+    approximate by construction → rows-only check)."""
     return D.minhash_lsh_pairs(
         _cat(spark, sf_dir).tables["documents"], threshold=0.5
     )
