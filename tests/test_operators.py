@@ -159,3 +159,26 @@ def test_lsh_topk_subset_of_exact(spark, vecs):
     exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(vecs, vecs, k=2).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in S.lsh_topk(vecs, vecs, k=2, dim=4).collect()}
     assert approx <= exact or len(approx - exact) <= 2  # approximate, but sane
+
+
+def test_ivf_topk_structure_and_recall(spark, vecs):
+    # tiny corpus: 2 cells, probe both → equivalent to exact search
+    out = S.ivf_topk(vecs, vecs.filter("vec_id = 1"), k=2, n_cells=2, n_probe=2)
+    rows = sorted((r.rn, r.neighbor_id, r.cosine_sim) for r in out.collect())
+    assert rows[0][1] == 5 and rows[0][2] == 1.0
+    assert rows[1][1] == 2
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = {}
+    for r in S.cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # probing 3/8 cells

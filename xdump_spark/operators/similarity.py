@@ -163,6 +163,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: KMeans partitions
+    the corpus into ``n_cells`` cells; each query probes its ``n_probe``
+    nearest cells and re-ranks exactly within them.
+
+    Scale shape: the index assignment is one KMeans fit (sample-able) plus
+    a model transform; the search joins queries to only n_probe/n_cells of
+    the corpus — at 1e9 vectors with 4096 cells / 64 probes that is a
+    ~1.5% corpus scan per query batch instead of 100% (brute force).
+    Centroids are driver-small (n_cells × dim floats) and enter the query
+    plan as literals, so probe selection is pure JVM expression work."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_feat")
+    model = km.fit(c.withColumn("_feat", array_to_vector("cv")))
+    centers = [ctr.tolist() for ctr in model.clusterCenters()]
+
+    assigned = model.transform(c.withColumn("_feat", array_to_vector("cv"))).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    # per-query n_probe nearest centroids (squared L2, matching KMeans
+    # assignment); centers are literals → no join, no UDF
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in ctr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    probed = q.withColumn(
+        "cell", F.explode(F.slice(F.array_sort(dists), 1, n_probe).getField("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

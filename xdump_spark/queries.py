@@ -921,6 +921,15 @@ def knn_cosine_lsh(spark, sf_dir):
     return S.lsh_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
 
 
+@query("knn_cosine_ivf", None)
+def knn_cosine_ivf(spark, sf_dir):
+    """Approximate top-5 via an IVF index (KMeans cells, n_probe nearest
+    cells re-ranked exactly; rows-only check — recall anchored against
+    knn_cosine_top5 in tests)."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    return S.ivf_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+
 # --------------------------------------------------------------------------
 # Extension operators: multimodal binary columns (operators/multimodal.py)
 # --------------------------------------------------------------------------
