@@ -182,3 +182,20 @@ def test_ivf_topk_recall_on_real_embeddings(spark):
         len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5  # probing 3/8 cells
+
+
+# ------------------------------------------------------------ bpe tokens ----
+def test_bpe_tokens_split(spark):
+    df = spark.createDataFrame([(1, "Hello world, it's 2026!")], "doc_id long, text string")
+    toks = df.select(TX.bpe_tokens(F.col("text")).alias("t")).first().t
+    assert toks == ["Hello", " world", ",", " it", "'s", " 2026", "!"]
+
+
+def test_token_count_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "it's a test"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in TX.token_count_frame(df).collect()}
+    assert rows[1].n_ws_tokens == 3
+    assert rows[1].n_bpe_tokens == 4   # it / 's / " a" / " test"
+    assert rows[2].n_ws_tokens == 0 and rows[2].n_bpe_tokens == 0

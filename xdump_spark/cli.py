@@ -30,6 +30,11 @@ def parse_partial(value: str) -> tuple[str, str]:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="xdump-spark")
+    p.add_argument(
+        "-v", "--verbosity", action="count", default=0,
+        help="-v: info (queries), -vv: debug (per-table timings) — the "
+        "reference's verbosity surface (xdump/cli/dump.py, xdump/logging.py)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("dump", help="make a consistent partial dump")
@@ -60,7 +65,9 @@ def run(args, spark) -> int:
     from xdump_spark.catalog import Catalog
     from xdump_spark.engine import SparkDumpEngine
     from xdump_spark.sources.parquet_db import ParquetDatabase
+    from xdump_spark.timing import configure
 
+    configure(getattr(args, "verbosity", 0))
     if args.command == "dump":
         db = ParquetDatabase(spark, args.input_db)
         engine = SparkDumpEngine(spark, db.catalog())

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from xdump_spark.archive import DumpArchive, rows_to_csv, parse_csv_bytes
 from xdump_spark.catalog import Catalog, ForeignKey
 from xdump_spark.planner.closure import compute_closure, validate_tables
+from xdump_spark.timing import log_time, logger
 
 
 def toposort_tables(tables: list[str], fks: list[ForeignKey]) -> list[str]:
@@ -88,7 +89,17 @@ class SparkDumpEngine:
     ) -> dict[str, int]:
         """Write the closure of (full_tables, partial_tables) as a zip.
         Returns {table: rows written}. Mirrors backend.dump flags
-        (reference: xdump/base.py:87-106; tests/test_backend.py:142-162)."""
+        (reference: xdump/base.py:87-106; tests/test_backend.py:142-162).
+        Total and per-table wall time is logged like the reference's
+        verbosity surface (xdump/base.py:24-35,98)."""
+        with log_time("total dump"):
+            return self._dump(
+                filename, full_tables, partial_tables, dump_schema, dump_data, compression
+            )
+
+    def _dump(
+        self, filename, full_tables, partial_tables, dump_schema, dump_data, compression
+    ) -> dict[str, int]:
         selections = self._select(full_tables, partial_tables)
         schema = None
         sequences = None
@@ -109,10 +120,12 @@ class SparkDumpEngine:
         counts: dict[str, int] = {}
         if dump_data:
             for table, df in selections.items():
-                cols = df.columns
-                rows = [tuple(r) for r in df.collect()]
+                with log_time(f"export {table}", level=10):
+                    cols = df.columns
+                    rows = [tuple(r) for r in df.collect()]
                 counts[table] = len(rows)
                 data[table] = rows_to_csv(cols, rows)
+                logger.debug("%s: %d rows", table, counts[table])
         DumpArchive(filename).write(schema, sequences, data, compression)
         return counts
 
@@ -153,6 +166,10 @@ class SparkDumpEngine:
         manifest when present, else all-string columns — the reference
         likewise loads without schema when schema.sql is absent,
         docs/changelog.rst:26)."""
+        with log_time("total load"):
+            return self._load(filename)
+
+    def _load(self, filename: str) -> "LoadedDump":
         arc = DumpArchive(filename)
         schema = arc.read_schema()
         sequences = arc.read_sequences()

@@ -127,6 +127,29 @@ def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return counted.select(*cols)
 
 
+# GPT-2-style pre-tokenization split (public pattern family: contraction
+# suffixes, letter runs, digit runs, other-symbol runs, each with optional
+# leading space). No lookaheads → identical semantics under Java regex
+# (Spark) and RE2 (DuckDB), verified on mixed-script samples.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokens of raw text (case-preserving, as BPE sees it)."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def token_count_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Both token-count flavors a data pipeline budgets with: whitespace
+    words and BPE-ish pre-tokens (the better proxy for LLM token cost)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens(t)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key (stable across engines and runs)."""

@@ -790,6 +790,23 @@ def text_langid(spark, sf_dir):
 
 
 @query(
+    "text_token_counts",
+    rf"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM t
+""",
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting (operators/text.py;
+    the split pattern is lookahead-free so Java regex and RE2 agree)."""
+    return TX.token_count_frame(_cat(spark, sf_dir).tables["documents"])
+
+
+@query(
     "text_fingerprint",
     r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint FROM documents",
 )
