@@ -35,6 +35,12 @@ HEADLINE = [
     "knn_cosine_top5",
     "events_sessionize",              # session_window gap sessionization
     "multimodal_frames",              # Arrow mapInPandas 1→N explode
+    "tpch_q4_exists",                 # EXISTS → left-semi
+    "tpch_q14_promo",                 # broadcast dim join + conditional agg
+    "tpch_q18_big",                   # pre-aggregated HAVING subquery join
+    "anti_parts_quiet",               # NOT EXISTS → left-anti
+    "simhash_pairs",                  # 64-bit simhash band blocking
+    "text_token_counts",              # ws + BPE-ish regex token counts
 ]
 
 

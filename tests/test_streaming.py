@@ -112,3 +112,49 @@ def test_running_user_totals_final_state_matches_batch(spark, events_batch, even
         assert rows_set(final) == rows_set(want)
     finally:
         q.stop()
+
+
+def test_state_survives_restart_via_checkpoint(spark, events_batch, tmp_path):
+    """Two separate availableNow runs over a growing directory with one
+    checkpoint: the second run must resume file-source progress AND state
+    (running totals double for re-ingested users) — the exactly-once /
+    recovery contract a production stream relies on."""
+    import shutil as _sh
+
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        rows = []
+        stream = read_events_stream(spark, src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return rows
+
+    run_once()
+    # second wave: the same events land again as new files
+    part = [p for p in __import__("glob").glob(f"{src}/part-*.parquet")][0]
+    _sh.copy(part, f"{src}/part-wave2.parquet")
+    wave2 = run_once()
+
+    want = {
+        r.user_id: r.n for r in events_batch.groupBy("user_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    got = {r.user_id: r.n_events for r in wave2}
+    assert got, "second run emitted nothing — state/checkpoint not resumed"
+    for uid, n in got.items():
+        assert n == 2 * want[uid], f"user {uid}: {n} != 2*{want[uid]}"

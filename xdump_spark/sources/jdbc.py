@@ -54,12 +54,35 @@ def jdbc_options(url: str, user: str | None = None, password: str | None = None,
 
 
 def read_table(spark: SparkSession, options: dict[str, str], table: str,
-               partition_column: str | None = None, num_partitions: int = 16) -> DataFrame:
+               partition_column: str | None = None, num_partitions: int = 16,
+               lower_bound: int | None = None, upper_bound: int | None = None) -> DataFrame:
+    """Read one table; with ``partition_column`` the scan is split into
+    ``num_partitions`` key ranges read in parallel. Spark requires explicit
+    bounds for a partitioned JDBC read — when not given, they are probed
+    with one tiny min/max query first (the probe is O(1) with an index on
+    the key, which a referenced/PK column has)."""
     reader = spark.read.format("jdbc").options(**options).option("dbtable", table)
     if partition_column:
-        # parallel scan: executors split the key range
+        if lower_bound is None or upper_bound is None:
+            probe = (
+                spark.read.format("jdbc")
+                .options(**options)
+                .option(
+                    "query",
+                    f"SELECT min({partition_column}) AS mn, "
+                    f"max({partition_column}) AS mx FROM {table}",
+                )
+                .load()
+                .first()
+            )
+            lower_bound = probe["mn"] if lower_bound is None else lower_bound
+            upper_bound = probe["mx"] if upper_bound is None else upper_bound
+        if lower_bound is None or upper_bound is None:   # empty table
+            return reader.load()
         reader = (
             reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
