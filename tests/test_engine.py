@@ -147,3 +147,30 @@ def test_cli_parse_partial():
     assert parse_partial("emp:SELECT * FROM emp") == ("emp", "SELECT * FROM emp")
     with pytest.raises(argparse.ArgumentTypeError):
         parse_partial("nocolon")
+
+
+def test_distributed_dump_load_roundtrip(tmp_path, spark, engine, employees_catalog):
+    out_dir = str(tmp_path / "dist")
+    seed = employees_catalog.tables["employees"].filter("id = 2")
+    tables = engine.dump_distributed(
+        out_dir, full_tables=["groups"], partial_tables={"employees": seed}
+    )
+    assert set(tables) == {"employees", "groups"}
+    loaded = engine.load_distributed(out_dir)
+    # manager chain 2→1, groups full; schema round-trips typed
+    emp = loaded.frames["employees"]
+    assert {r.id for r in emp.collect()} == {1, 2}
+    assert dict(emp.dtypes)["id"] == "int"
+    assert loaded.frames["groups"].count() == 2
+    assert loaded.load_order().index("groups") < loaded.load_order().index("employees")
+
+
+def test_distributed_csv_roundtrip(tmp_path, spark, engine, employees_catalog):
+    out_dir = str(tmp_path / "dist_csv")
+    seed = employees_catalog.tables["employees"].filter("id = 1")
+    engine.dump_distributed(out_dir, partial_tables={"employees": seed}, fmt="csv")
+    loaded = engine.load_distributed(out_dir)
+    emp = loaded.frames["employees"]
+    rows = {r.id: r for r in emp.collect()}
+    assert set(rows) == {1}
+    assert rows[1].manager_id is None   # NULL survives CSV round-trip

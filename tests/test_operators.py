@@ -199,3 +199,26 @@ def test_token_count_frame(spark):
     assert rows[1].n_ws_tokens == 3
     assert rows[1].n_bpe_tokens == 4   # it / 's / " a" / " test"
     assert rows[2].n_ws_tokens == 0 and rows[2].n_bpe_tokens == 0
+
+
+# ------------------------------------------------------------- skew ----
+def test_salted_join_equals_plain_join(spark):
+    from xdump_spark.operators.skew import salted_join
+
+    # heavy skew: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, name string")
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(left, right, "k", n_salt=4).collect()}
+    assert salted == plain and len(plain) == 1000
+
+
+def test_salted_join_left_outer(spark):
+    from xdump_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    right = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = {(r.k, r.v, r.name) for r in salted_join(left, right, "k", how="left").collect()}
+    assert out == {(1, 10, "one"), (9, 90, None)}

@@ -160,6 +160,30 @@ class SparkDumpEngine:
             json.dump(manifest, f, indent=2)
         return sorted(selections)
 
+    def load_distributed(self, out_dir: str) -> "LoadedDump":
+        """Read a ``dump_distributed`` directory back: typed frames come
+        straight off the partitioned parquet/CSV parts (executors do the
+        IO — the scale twin of ``load``, which parses driver-side CSV)."""
+        import json
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        frames: dict[str, DataFrame] = {}
+        for table, schema_json in manifest["tables"].items():
+            st = T.StructType.fromJson(schema_json)
+            path = os.path.join(out_dir, table)
+            if manifest.get("format") == "csv":
+                frames[table] = (
+                    self.spark.read.option("header", True)
+                    .option("nullValue", "")
+                    .schema(st)
+                    .csv(path)
+                )
+            else:
+                frames[table] = self.spark.read.parquet(path)
+        fks = [ForeignKey.from_dict(d) for d in manifest.get("foreign_keys", [])]
+        return LoadedDump(frames, fks, {})
+
     # ------------------------------------------------------------- load --
     def load(self, filename: str) -> "LoadedDump":
         """Parse an archive back into typed DataFrames (schema from the
