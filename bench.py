@@ -55,8 +55,15 @@ def main() -> None:
     spark = get_spark("xdump_spark_bench")
     qs = entry_mod.queries()
 
-    # warm the session (JVM + parquet footer reads) outside the timings
+    # warm the session and catalog metadata (JVM start, parquet footer
+    # reads, view registration) outside the timings — per-query numbers
+    # should measure execution, not first-touch setup. Data itself is NOT
+    # cached; every timed query still scans storage.
     spark.range(1).count()
+    from xdump_spark.queries import _cat
+
+    for df in _cat(spark, sf_dir).tables.values():
+        df.schema  # footer/schema resolution only, no data scan
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

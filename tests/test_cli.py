@@ -59,3 +59,36 @@ def test_cli_dump_then_load_roundtrip(spark, employees_catalog, tmp_path):
     assert {r.id for r in emp.collect()} == {1, 2}
     grp = spark.read.parquet(os.path.join(dst, "groups"))
     assert grp.count() == 2
+
+
+def test_dump_from_config(spark, employees_catalog, tmp_path):
+    """Config-driven dump (the reference's settings-driven Django path)."""
+    import json
+
+    from xdump_spark.config import dump_from_config, load_config
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    src = str(tmp_path / "cfgdb")
+    for name, df in employees_catalog.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    ParquetDatabase(spark, src).write_fk_config(employees_catalog.foreign_keys)
+
+    cfg = {
+        "db": src,
+        "output": str(tmp_path / "cfg_dump.zip"),
+        "full_tables": ["groups"],
+        "partial_tables": {"employees": "SELECT * FROM employees WHERE id = 2"},
+    }
+    cfg_path = str(tmp_path / "xdump.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    counts = dump_from_config(spark, cfg_path)
+    assert counts["employees"] == 2   # 2 + manager 1
+    assert counts["groups"] == 2
+    assert os.path.exists(cfg["output"])
+
+    with pytest.raises(ValueError, match="missing required"):
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            json.dump({"db": src}, f)
+        load_config(bad)

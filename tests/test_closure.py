@@ -140,3 +140,22 @@ def test_null_fk_not_pulled(spark, employees_catalog):
     # employee 1 has manager_id NULL — no phantom key propagation
     out = run(employees_catalog, partial={"employees": seed(employees_catalog, "employees", "id = 1")})
     assert ids(out["employees"]) == {1}
+
+
+def test_cte_seed_sql(spark, employees_catalog):
+    """Seeds may be multi-CTE SQL (reference exercises CTE seeds,
+    tests/test_backend.py:263-332); Spark SQL WITH covers it."""
+    out = compute_closure(
+        employees_catalog,
+        partial_tables={
+            "employees": """
+                WITH top_two AS (
+                  SELECT id FROM employees ORDER BY id DESC LIMIT 2
+                ), picked AS (SELECT max(id) AS id FROM top_two)
+                SELECT e.* FROM employees e JOIN picked p ON e.id = p.id
+            """
+        },
+        spark=spark,
+    )
+    assert ids(out["employees"]) == {1, 3, 4, 5}   # 5 + mgr 3 + referrer 4, then 3→1
+    assert ids(out["groups"]) == {1, 2}

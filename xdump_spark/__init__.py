@@ -19,6 +19,7 @@ Layout:
 """
 
 from xdump_spark.catalog import Catalog, ForeignKey, TPCH_FOREIGN_KEYS, load_sf_dir
+from xdump_spark.engine import SparkDumpEngine
 from xdump_spark.planner.closure import compute_closure
 
 __version__ = "0.1.0"
@@ -26,6 +27,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Catalog",
     "ForeignKey",
+    "SparkDumpEngine",
     "TPCH_FOREIGN_KEYS",
     "load_sf_dir",
     "compute_closure",
