@@ -158,3 +158,51 @@ def test_state_survives_restart_via_checkpoint(spark, events_batch, tmp_path):
     assert got, "second run emitted nothing — state/checkpoint not resumed"
     for uid, n in got.items():
         assert n == 2 * want[uid], f"user {uid}: {n} != 2*{want[uid]}"
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time watermark semantics on the session stream: events older
+    than the watermark carried in the checkpoint are dropped; sessions emit
+    (append mode) only once the watermark passes their end."""
+    src = str(tmp_path / "wm_incoming")
+    ckpt = str(tmp_path / "wm_ckpt")
+    T = 1_700_000_000 * 10**9  # ns epoch base
+    H = 3600 * 10**9
+
+    def write_wave(rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "click", 1.0, "{}") for i, (ts, uid) in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        rows = []
+        stream = read_events_stream(spark, src)
+        q = (
+            sessionize(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {r.user_id for r in rows}
+
+    # wave A: users 1,2 at T; user 99 at T+3h advances the watermark to
+    # T+2h, finalizing the T-sessions (end = T+30min < T+2h)
+    write_wave([(T, 1), (T, 2), (T + 3 * H, 99)])
+    emitted1 = run_once()
+    assert {1, 2} <= emitted1 and 99 not in emitted1
+
+    # wave B against the checkpointed watermark (T+2h):
+    #   user 3 at T        → LATE (ts < watermark) → dropped forever
+    #   user 5 at T+2h20m  → valid; session end T+2h50m < new watermark
+    #   user 4 at T+4h     → advances watermark to T+3h; own session open
+    write_wave([(T, 3), (T + 2 * H + 20 * 60 * 10**9, 5), (T + 4 * H, 4)])
+    emitted2 = run_once()
+    assert 5 in emitted2, "on-time session did not emit"
+    assert 3 not in emitted2, "late event survived the watermark"
+    assert 4 not in emitted2, "open session emitted early"
