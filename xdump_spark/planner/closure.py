@@ -133,9 +133,13 @@ def compute_closure(
     full = set(full_tables)
     state: dict[str, _Selection] = {}
 
-    def sel(table: str) -> _Selection:
+    def sel(table: str, needs_key: bool = True) -> _Selection:
         if table not in state:
-            state[table] = _Selection(key_col=catalog.primary_key(table))
+            # Full tables never accumulate keys (edges into them are
+            # skipped), so don't resolve a key column for them — a full
+            # table referenced through two different columns is legal.
+            key = catalog.primary_key(table) if needs_key else None
+            state[table] = _Selection(key_col=key)
         return state[table]
 
     # Level-synchronous BFS over the FK graph: each round gathers ALL key
@@ -146,7 +150,7 @@ def compute_closure(
     pending: dict[str, list[DataFrame]] = {}
 
     for t in full:
-        sel(t).is_full = True
+        sel(t, needs_key=False).is_full = True
         pending.setdefault(t, []).append(catalog.tables[t])   # full tables propagate (F5)
     for t, seed_df in seeds.items():
         s = sel(t)
@@ -188,14 +192,20 @@ def compute_closure(
                 contrib = contrib.union(extra)
             contrib = contrib.distinct()   # multi-path dedup in one shot
             if p.keys is not None:
-                contrib = contrib.join(F.broadcast(p.keys), on=p.key_col, how="left_anti")
+                # broadcast the accumulated set only while it is known-small
+                # (its exact size is tracked); past the limit fall back to a
+                # shuffled anti-join — broadcasting unconditionally would
+                # collect the whole key-set to the driver every round.
+                acc = F.broadcast(p.keys) if p.n_keys <= BROADCAST_KEY_LIMIT else p.keys
+                contrib = contrib.join(acc, on=p.key_col, how="left_anti")
             new = contrib.localCheckpoint(eager=True)
             n_new = new.count()
             if n_new == 0:
                 continue
             p.add_keys(new, n_new)
+            inc = F.broadcast(new) if n_new <= BROADCAST_KEY_LIMIT else new
             parent_rows = catalog.tables[parent].join(
-                F.broadcast(new), on=p.key_col, how="left_semi"
+                inc, on=p.key_col, how="left_semi"
             )
             pending.setdefault(parent, []).append(parent_rows)
 
