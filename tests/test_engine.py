@@ -174,3 +174,95 @@ def test_distributed_csv_roundtrip(tmp_path, spark, engine, employees_catalog):
     rows = {r.id: r for r in emp.collect()}
     assert set(rows) == {1}
     assert rows[1].manager_id is None   # NULL survives CSV round-trip
+
+
+def test_roundtrip_decimal_and_binary(tmp_path, spark):
+    """Decimal and binary columns must survive the CSV archive round-trip
+    (binary is encoded PG-COPY-style as \\x<hex>)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("price", T.DecimalType(10, 2), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    rows = [
+        (1, Decimal("19.99"), b"\x00\xffabc"),
+        (2, None, None),
+        (3, Decimal("0.01"), b","),  # delimiter byte inside the payload
+    ]
+    cat = Catalog({"items": spark.createDataFrame(rows, st)}, [])
+    eng = SparkDumpEngine(spark, cat)
+    out = str(tmp_path / "dump.zip")
+    eng.dump(out, full_tables=["items"])
+    loaded = eng.load(out)
+    got = {tuple(r) for r in loaded.frames["items"].collect()}
+    assert got == set(rows)
+    assert loaded.frames["items"].schema == st
+
+
+def test_sequence_state_skips_non_numeric_keys(spark):
+    """A string-keyed parent must not crash the dump's sequence capture —
+    there is no serial counter to restore for uuid/code keys."""
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+    from xdump_spark.engine import sequence_state
+
+    parent = spark.createDataFrame(
+        [("ZX-991",), ("AA-002",)],
+        T.StructType([T.StructField("code", T.StringType(), False)]),
+    )
+    child = spark.createDataFrame(
+        [(1, "ZX-991")],
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),
+                T.StructField("parent_code", T.StringType(), True),
+            ]
+        ),
+    )
+    cat = Catalog(
+        {"parent": parent, "child": child},
+        [ForeignKey("child", "parent_code", "parent", "code", "fk")],
+    )
+    seqs = sequence_state({"parent": parent, "child": child}, cat)
+    assert "parent" not in seqs  # skipped, not crashed
+
+
+def test_csv_header_escaping_roundtrip():
+    """Column names containing commas/quotes (Spark allows them, e.g. an
+    unaliased aggregate) must round-trip through the archive CSV."""
+    cols = ["id", "round(sum(x), 2)", 'say "hi"']
+    rows = [(1, "a", "b"), (2, None, "")]
+    header, parsed = parse_csv_bytes(rows_to_csv(cols, rows))
+    assert header == cols
+    assert parsed == [["1", "a", "b"], ["2", None, ""]]
+
+
+def test_parquet_db_truncate_file_form(tmp_path, spark):
+    """truncate() must also delete single-file <name>.parquet tables that
+    tables() reports."""
+    import os
+
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    db_dir = tmp_path / "db"
+    os.makedirs(db_dir)
+    df = spark.range(3).toDF("id")
+    df.write.parquet(str(tmp_path / "stage"))
+    part = [
+        p for p in os.listdir(tmp_path / "stage") if p.endswith(".parquet")
+    ][0]
+    os.rename(tmp_path / "stage" / part, db_dir / "solo.parquet")
+    df.write.parquet(str(db_dir / "dirform"))
+    db = ParquetDatabase(spark, str(db_dir))
+    assert db.tables() == ["dirform", "solo"]
+    db.truncate()
+    assert db.tables() == []

@@ -222,3 +222,17 @@ def test_salted_join_left_outer(spark):
     right = spark.createDataFrame([(1, "one")], "k int, name string")
     out = {(r.k, r.v, r.name) for r in salted_join(left, right, "k", how="left").collect()}
     assert out == {(1, 10, "one"), (9, 90, None)}
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Right/full outer would emit unmatched small-side rows once per salt;
+    the API refuses instead of silently duplicating."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.skew import salted_join
+
+    left = spark.range(10).toDF("k")
+    right = spark.range(5).toDF("k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", how=how)

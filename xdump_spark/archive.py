@@ -44,6 +44,8 @@ def format_csv_value(v) -> str:
         s = v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
     elif isinstance(v, float):
         s = repr(v)
+    elif isinstance(v, (bytes, bytearray)):
+        s = "\\x" + bytes(v).hex()   # PG COPY bytea encoding
     else:
         s = str(v)
     if s == "":
@@ -56,7 +58,9 @@ def format_csv_value(v) -> str:
 def rows_to_csv(columns: list[str], rows) -> bytes:
     """Materialize rows as COPY-style CSV bytes with a header row."""
     buf = io.StringIO()
-    buf.write(",".join(columns) + "\n")
+    # column names go through the same escaping as data fields — Spark
+    # allows commas/quotes in names (e.g. an unaliased `round(sum(x), 2)`)
+    buf.write(",".join(format_csv_value(c) for c in columns) + "\n")
     for row in rows:
         buf.write(",".join(format_csv_value(v) for v in row) + "\n")
     return buf.getvalue().encode("utf-8")

@@ -54,9 +54,14 @@ def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[s
     sequence positions so a loaded database continues numbering correctly
     (reference: xdump/postgresql.py:136-146)."""
     out: dict[str, int] = {}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for table, df in selections.items():
         pk = catalog.primary_key(table)
         if pk is None:
+            continue
+        if not isinstance(df.schema[pk].dataType, integral):
+            # Sequence state only makes sense for serial integer keys;
+            # string/uuid keys carry no counter to restore.
             continue
         row = df.agg(F.max(pk).alias("m")).collect()[0]
         if row.m is not None:
@@ -153,7 +158,11 @@ class SparkDumpEngine:
         manifest = {
             "format": fmt,
             "tables": {name: df.schema.jsonValue() for name, df in selections.items()},
-            "foreign_keys": [fk.to_dict() for fk in self.catalog.foreign_keys],
+            "foreign_keys": [
+                fk.to_dict()
+                for fk in self.catalog.foreign_keys
+                if fk.table in selections and fk.foreign_table in selections
+            ],
         }
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -236,6 +245,15 @@ def _coerce(v: str | None, dt: T.DataType):
         from datetime import date
 
         return date.fromisoformat(v)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(v)
+    if isinstance(dt, T.BinaryType):
+        # format_csv_value writes bytes PG-COPY-style as \x<hex>
+        if v.startswith("\\x"):
+            return bytes.fromhex(v[2:])
+        return v.encode("utf-8")
     return v
 
 

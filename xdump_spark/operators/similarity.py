@@ -75,11 +75,6 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
-
-
 def _bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     """Vectorized sign-LSH signatures for all hash tables in one Arrow
     batch: a (batch × dim) @ (dim × tables·planes) matmul, bits packed per
@@ -111,18 +106,6 @@ def _with_buckets(df: DataFrame, vec: str, out_prefix: str, dim, n_planes, n_tab
     return df.withColumn("_buckets", udf(F.col(vec))).select(
         "*", F.posexplode("_buckets").alias(f"{out_prefix}tbl", f"{out_prefix}bucket")
     ).drop("_buckets")
-
-
-def signature_col(vec_col, planes: list[list[float]]):
-    """Sign-LSH signature: bit i = (v · plane_i) > 0, packed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig + bit
-    return sig
 
 
 def lsh_topk(

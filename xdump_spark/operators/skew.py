@@ -30,6 +30,16 @@ def salted_join(
     """Equi-join ``skewed ⋈ small`` on column(s) ``on`` with the hot keys of
     ``skewed`` spread over ``n_salt`` sub-keys. Result equals the plain
     join (salt columns are internal and dropped)."""
+    if how in {"right", "rightouter", "right_outer", "full", "fullouter",
+               "full_outer", "outer"}:
+        # The small side is replicated n_salt ways; its unmatched rows
+        # would surface n_salt times under right/full outer joins.
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side duplicates unmatched rows under right/full outer "
+            "joins. Swap the sides or use a plain join with AQE skew "
+            "handling."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted = skewed.withColumn(
         SALT_COL, F.floor(F.rand(seed) * n_salt).cast("int")

@@ -50,7 +50,14 @@ class ParquetDatabase:
             if not os.path.isdir(p):
                 p = os.path.join(self.path, f"{name}.parquet")
             dfs[name] = self.spark.read.parquet(p)
-        return Catalog(dfs, [fk for fk in self.foreign_keys() if fk.table in dfs])
+        return Catalog(
+            dfs,
+            [
+                fk
+                for fk in self.foreign_keys()
+                if fk.table in dfs and fk.foreign_table in dfs
+            ],
+        )
 
     # -- maintenance (O16/O17 analog) -------------------------------------
     def truncate(self, tables: list[str] | None = None) -> None:
@@ -58,6 +65,9 @@ class ParquetDatabase:
             p = os.path.join(self.path, name)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+            fp = os.path.join(self.path, f"{name}.parquet")
+            if os.path.isfile(fp):
+                os.remove(fp)
 
     def recreate(self) -> None:
         if os.path.isdir(self.path):

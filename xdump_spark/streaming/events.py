@@ -61,6 +61,13 @@ def read_events_stream(
     ``maxFilesPerTrigger`` splits the backlog into multiple micro-batches —
     used by tests to exercise true incremental state; production would point
     at an arriving-files directory or swap in a Kafka reader.
+
+    NOTE: sets ``spark.sql.legacy.parquet.nanosAsLong`` for the *session*
+    and leaves it set — the conf must hold for every micro-batch of the
+    returned stream, so it cannot be save/restored here (batch reads use
+    ``catalog.read_events``, which does restore it). Nanosecond-timestamp
+    parquet read elsewhere in the same session will yield LongType instead
+    of erroring while a stream is live.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
@@ -187,5 +194,10 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not drain within {timeout}s; "
+            "stopped to avoid reading a partially-committed memory table"
+        )
     return q
