@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves type hints via module globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -64,6 +66,20 @@ def main() -> None:
 
     for df in _cat(spark, sf_dir).tables.values():
         df.schema  # footer/schema resolution only, no data scan
+
+    # spin up the Arrow python-UDF worker pool once (each worker imports
+    # pandas/numpy on first use, ~0.5 s × cores serialized into the first
+    # pandas-UDF query otherwise) — same rationale as the catalog warm:
+    # per-query numbers measure execution, not interpreter startup.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_udf(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(256).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(_warm_udf("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -159,3 +159,53 @@ def test_cte_seed_sql(spark, employees_catalog):
     )
     assert ids(out["employees"]) == {1, 3, 4, 5}   # 5 + mgr 3 + referrer 4, then 3→1
     assert ids(out["groups"]) == {1, 2}
+
+
+class TestRecursiveCTE:
+    """The WITH RECURSIVE SQL path must agree with the semi-naive loop on
+    acyclic self-FK data (the reference's manager-chain golden cases,
+    tests/test_backend.py:293-304,332-335)."""
+
+    def test_manager_chain_matches_loop(self, spark, employees_catalog):
+        from xdump_spark.catalog import Catalog, ForeignKey
+        from xdump_spark.planner.closure import recursive_pull
+
+        # isolate the manager_id self-FK (the reference applies its
+        # template per recursive FK; single-FK catalog makes the loop
+        # comparison exact)
+        cat = Catalog(
+            {"employees": employees_catalog.tables["employees"]},
+            [ForeignKey("employees", "manager_id", "employees", "id", "fk_mgr")],
+        )
+        got = recursive_pull(
+            spark, cat, "employees", "SELECT * FROM employees WHERE id = 5"
+        )
+        assert ids(got) == {5, 3, 1}  # 5 -> manager 3 -> manager 1
+
+        loop = compute_closure(
+            cat,
+            partial_tables={"employees": "SELECT * FROM employees WHERE id = 5"},
+            spark=spark,
+        )
+        assert ids(loop["employees"]) == ids(got)
+
+    def test_both_self_fks_compound(self, spark, employees_catalog):
+        from xdump_spark.planner.closure import recursive_pull
+
+        # manager_id AND referrer_id both rewrite the seed in sequence:
+        # 5 -> mgr 3 -> mgr 1; 5 -> ref 4 -> mgr 3 (reference golden
+        # test_recursive_relation expects {1,3,4,5}).
+        got = recursive_pull(
+            spark,
+            employees_catalog,
+            "employees",
+            "SELECT * FROM employees WHERE id = 5",
+        )
+        assert ids(got) == {1, 3, 4, 5}
+
+        loop = compute_closure(
+            employees_catalog,
+            partial_tables={"employees": "SELECT * FROM employees WHERE id = 5"},
+            spark=spark,
+        )
+        assert ids(loop["employees"]) == ids(got)

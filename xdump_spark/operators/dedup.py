@@ -15,9 +15,13 @@ bucket cannot produce a quadratic pair explosion.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from xdump_spark.operators.text import tokens
 
@@ -100,31 +104,78 @@ def char_shingles(text_col, k: int = 5):
     return _shingles_of_norm(_norm_text(text_col), k)
 
 
-def _perm_hash(h, a: int, b: int):
-    """(a * h32 + b) mod 2^61-1, overflow-free under ANSI mode: the hash
-    is reduced to its low 32 bits and a < 2^30, b < 2^61, so
-    a*h32 + b < 2^62 + 2^61 stays inside the signed-long range."""
-    h32 = h.bitwiseAND(F.lit(0xFFFFFFFF))
-    return F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(_MERSENNE))
+def minhash_signatures(
+    normed: DataFrame,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    id_col: str = "id",
+    text_col: str = "_norm",
+) -> DataFrame:
+    """(id, sig) MinHash signatures for an (id, _norm) normalized-text
+    frame; ``sig`` is array<long> of length ``num_perm``.
 
-
-def minhash_signatures(docs: DataFrame, num_perm: int = 64) -> DataFrame:
-    """MinHash signatures as wide columns m0..m{n-1} for a (id, shingles)
-    frame.
-
-    Shape matters at scale: shingles are EXPLODED and each permutation is a
-    plain ``min`` aggregate → Spark's hash aggregate with map-side partial
-    combine, instead of a per-row 64-pass nested-array expression (which
-    also overwhelms whole-stage codegen). Docs with zero shingles drop out
-    (they cannot near-dup)."""
+    Shape matters at scale: the pipeline is NARROW (no shuffle) and the
+    entire shingle→hash→min-per-permutation computation happens in ONE
+    Arrow batch per partition in numpy — byte k-shingles via a sliding
+    window view, a wrapping-uint64 polynomial hash per shingle, then the
+    (|shingles| × num_perm) universal-hash min. Everything JVM-side was
+    measured and rejected: character shingling through nested
+    higher-order functions is interpreted (non-codegen) and cost tens of
+    seconds at sf0.1, and a 64-wide min aggregate exceeds the
+    whole-stage-codegen budget. MinHash is idempotent over duplicate
+    shingles, so no distinct pass is needed. Shingles are BYTE k-grams of
+    the normalized utf-8 text (multibyte characters span shingles —
+    standard corpus-dedup practice). Empty docs drop out (they cannot
+    near-dup)."""
     perms = _perm_params(num_perm)
-    exploded = docs.select("id", F.explode("shingles").alias("sh")).select(
-        "id", F.xxhash64("sh").alias("h")
+    A = np.array([a for a, _ in perms], dtype=np.int64)
+    B = np.array([b for _, b in perms], dtype=np.int64)
+    # wrapping-uint64 polynomial hash coefficients, highest power first
+    base = np.uint64(0x100000001B3)  # FNV-1a prime, odd => bijective mod 2^64
+    pw = np.empty(shingle_k, dtype=np.uint64)
+    pw[-1] = 1
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+        for i in range(shingle_k - 2, -1, -1):
+            pw[i] = pw[i + 1] * base
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+            for t in texts:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(b) == 0:
+                    out.append(None)
+                    continue
+                if len(b) >= shingle_k:
+                    win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
+                    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+                else:  # short doc: the whole text is its single shingle
+                    p = np.empty(len(b), dtype=np.uint64)
+                    p[-1] = 1
+                    for i in range(len(b) - 2, -1, -1):
+                        p[i] = p[i + 1] * base
+                    h = np.array([(b * p).sum(dtype=np.uint64)], dtype=np.uint64)
+                # murmur3-style finalizer: the raw polynomial has no
+                # avalanche (low bits ≈ last byte), which correlates
+                # shingle hashes and inflates MinHash agreement ~10x
+                # (measured). Mix before truncating to 32 bits.
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xC4CEB9FE1A85EC53)
+                h ^= h >> np.uint64(33)
+                # h32 < 2^32, a < 2^30 keep a*h32 + b below 2^63: no overflow
+                h32 = np.atleast_1d(h).astype(np.int64) & 0xFFFFFFFF
+                out.append(
+                    ((h32[:, None] * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0)
+                )
+        return pd.Series(out)
+
+    return (
+        normed.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
     )
-    aggs = [
-        F.min(_perm_hash(F.col("h"), a, b)).alias(f"m{i}") for i, (a, b) in enumerate(perms)
-    ]
-    return exploded.groupBy("id").agg(*aggs)
 
 
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
@@ -179,15 +230,18 @@ def minhash_lsh_pairs(
     normed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
     )
-    # In exact mode one computation of the shingle sets serves signatures
-    # AND both sides of verification (3 consumers — without persist the
-    # scan and shingling rerun per consumer).
-    docs = normed.select(
-        "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
     if verify == "exact":
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(docs, num_perm)
+        # exact verification needs the character shingle SETS (JVM-side);
+        # one computation serves both sides of the pair join.
+        docs = normed.select(
+            "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
+        ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    # Signatures have three consumers (banding + both sides of pair
+    # verification) and the frame is tiny (num_perm longs per doc):
+    # eagerly checkpoint so every consumer reads materialized blocks — a
+    # lazy persist lets parallel stages of the SAME job race and recompute
+    # the whole scan→norm→signature pipeline per consumer.
+    sigs = minhash_signatures(normed, num_perm, shingle_k).localCheckpoint(eager=True)
 
     band_structs = [
         F.struct(
@@ -195,10 +249,10 @@ def minhash_lsh_pairs(
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    *[
-                        F.col(f"m{i}").cast("string")
-                        for i in range(j * rows_per_band, (j + 1) * rows_per_band)
-                    ],
+                    F.transform(
+                        F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
                 )
             ).alias("bucket"),
         )
@@ -208,9 +262,12 @@ def minhash_lsh_pairs(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    # skew guard: drop degenerate buckets
+    # skew guard: drop degenerate buckets; checkpointed because the
+    # self-join below reads it twice (bands × n_docs rows of three longs)
     sized = banded.withColumn("bsize", F.count("*").over(W.partitionBy("band", "bucket")))
-    banded = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    banded = sized.filter(F.col("bsize") <= max_bucket).drop("bsize").localCheckpoint(
+        eager=True
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -238,13 +295,10 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    # estimate mode: signatures as one array column, verification is
-    # num_perm integer comparisons per pair (zip_with stays JVM-side)
-    sig_arr = sigs.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
-    a = sig_arr.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sig_arr.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # estimate mode: verification is num_perm integer comparisons per pair
+    # (zip_with stays JVM-side)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
@@ -294,8 +348,13 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
     blocked on exact match of any of four 16-bit bands (finds all pairs
     with ≤3 differing bits for sure; probabilistic beyond — standard
-    SimHash blocking). Returns (id_a, id_b, hamming)."""
-    sigs = simhash_frame(df, text_col, id_col)
+    SimHash blocking). Returns (id_a, id_b, hamming).
+
+    The signature frame (two longs per doc) is eagerly checkpointed: the
+    band self-join reads it twice, the 64-vote aggregation behind it is
+    the dominant cost, and a lazy persist lets parallel stages of the
+    same job race and recompute it per consumer."""
+    sigs = simhash_frame(df, text_col, id_col).localCheckpoint(eager=True)
     bands = sigs.select(
         "id",
         "sig",

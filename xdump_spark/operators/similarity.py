@@ -54,17 +54,22 @@ def cosine_topk(
     Plan shape: broadcast the (small) query side against the corpus scan —
     one pass over the corpus, no shuffle of corpus vectors; the window
     top-k shuffles only (n_queries × n_corpus-surviving) score rows.
+    Norms are computed once per VECTOR before the pair join (computing
+    them per pair triples the dominant higher-order-function cost).
     Returns (query_id, neighbor_id, cosine_sim) with deterministic
     tie-break on neighbor id."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -125,17 +130,20 @@ def lsh_topk(
     replaces the broadcast product with a shuffle on small keys."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     q = _with_buckets(q, "qv", "", dim, n_planes, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     c = _with_buckets(c, "cv", "", dim, n_planes, n_tables, seed)
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -172,20 +180,20 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_feat")
     model = km.fit(c.withColumn("_feat", array_to_vector("cv")))
     centers = [ctr.tolist() for ctr in model.clusterCenters()]
 
     assigned = model.transform(c.withColumn("_feat", array_to_vector("cv"))).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
     )
 
     # per-query n_probe nearest centroids (squared L2, matching KMeans
     # assignment); centers are literals → no join, no UDF
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     dists = F.array(
         *[
             F.struct(
@@ -210,7 +218,10 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -236,22 +247,33 @@ def embedding_neardup_pairs(
     (baseline / oracle path, O(n²) — small n only); otherwise candidates
     must share a sign-LSH bucket in any of ``n_tables`` tables (scale
     path, approximate recall)."""
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
     if exact:
-        l = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        r = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        l = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+        r = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
         cand = l.join(r, F.col("id_a") < F.col("id_b"))
     else:
         bucketed = _with_buckets(c, "v", "", dim, n_planes, n_tables, seed)
-        l = bucketed.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        r = bucketed.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        l = bucketed.select(
+            "tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        )
+        r = bucketed.select(
+            "tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        )
         cand = (
             l.join(r, ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
-        cand.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -235,6 +235,44 @@ def compute_closure(
     return out
 
 
+def recursive_pull_sql(table: str, column: str, foreign_column: str, seed_sql: str) -> str:
+    """Spark-SQL ``WITH RECURSIVE`` form of the reference's self-FK template
+    (``RECURSIVE_QUERY_TEMPLATE``, xdump/base.py:253-262): the seed plus,
+    transitively, every row it references through ``column`` →
+    ``foreign_column``.
+
+    Spark 4.x only supports UNION ALL in the recursive step
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the reference's UNION-distinct
+    becomes an outer SELECT DISTINCT — equivalent on ACYCLIC self-FK data
+    (manager chains). Cyclic graphs must use ``compute_closure``'s
+    semi-naive loop, whose per-round anti-join terminates on cycles; the
+    UNION ALL recursion would instead abort at
+    ``spark.sql.cteRecursionLevelLimit``. Kept for SQL-surface parity and
+    as the single-statement path Catalyst can plan end-to-end."""
+    return (
+        "WITH RECURSIVE __closure AS (\n"
+        f"  SELECT * FROM ({seed_sql})\n"
+        "  UNION ALL\n"
+        f"  SELECT T.* FROM {table} T JOIN __closure ON __closure.{column} = T.{foreign_column}\n"
+        ")\n"
+        "SELECT DISTINCT * FROM __closure"
+    )
+
+
+def recursive_pull(
+    spark: SparkSession, catalog: Catalog, table: str, seed_sql: str
+) -> DataFrame:
+    """Run ``recursive_pull_sql`` for every self-FK of ``table`` in
+    sequence (the reference applies its template once per recursive FK,
+    compounding the rewrites — xdump/base.py:131-136)."""
+    catalog.register_views(spark)
+    sql = seed_sql
+    for fk in catalog.outgoing(table):
+        if fk.is_recursive:
+            sql = recursive_pull_sql(table, fk.column, fk.foreign_column, sql)
+    return spark.sql(sql)
+
+
 def closure_summary(result: dict[str, DataFrame]) -> list[tuple[str, int]]:
     """(table, selected-row-count) pairs, sorted by table name."""
     return sorted((name, df.count()) for name, df in result.items())
