@@ -71,3 +71,47 @@ def test_q1_partial_aggregation(spark):
     # phases) keeps the shuffle to one row per group per partition
     plan = plan_of(spark, "tpch_q1")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without any Exchange —
+    the co-located-join property the scale design relies on."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.sources.bucketed import (
+        is_shuffle_free_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_orders_{suffix}", f"bk_lineitem_{suffix}"
+    orders = spark.range(0, 10_000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_custkey")
+    )
+    lineitem = spark.range(0, 30_000).select(
+        (F.col("id") % 10_000).alias("l_orderkey"), F.col("id").alias("l_qty")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join: at real scale neither side broadcasts,
+        # which is exactly when bucketing pays
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, ta, "o_orderkey", n_buckets=8,
+                       path=str(tmp_path / ta))
+        write_bucketed(lineitem, tb, "l_orderkey", n_buckets=8,
+                       path=str(tmp_path / tb))
+        a, b = read_bucketed(spark, ta), read_bucketed(spark, tb)
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        assert is_shuffle_free_join(joined)
+        assert joined.count() == 30_000
+
+        # sanity: the same join over non-bucketed frames DOES shuffle
+        plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        assert not is_shuffle_free_join(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
