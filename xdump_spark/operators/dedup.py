@@ -317,25 +317,33 @@ def minhash_lsh_pairs(
 def simhash_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """(id, sig) with a 64-bit SimHash per document: tokens exploded, one
-    ±1 vote sum per bit as a plain aggregate (map-side combinable; shift
-    amounts are constants because F.shiftright requires literal counts),
-    sign of each vote becomes the signature bit. Token-less docs drop out."""
-    ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
-    )
-    ex = ex.select("id", F.xxhash64("t").alias("h"))
-    vote_aggs = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    votes = ex.groupBy("id").agg(*vote_aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("id", sig.alias("sig"))
+    """(id, sig) with a 64-bit SimHash per document. Token hashes stay
+    JVM-side (xxhash64 over a single-level transform of the split-token
+    array — cheap, codegen'd inputs), then ONE Arrow batch per partition
+    computes the per-bit ±1 vote sums and packs the sign bits in numpy.
+    Shuffle-free; replaces a 64-wide sum aggregate that exceeded the
+    whole-stage-codegen field budget (interpreted fallback, ~2× slower
+    measured at sf0.1). Signature values are identical: bit b is set iff
+    2·(count of tokens with hash bit b) > n_tokens. Token-less docs drop
+    out."""
+
+    @pandas_udf("long")
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bitm = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = bitm.sum(axis=0, dtype=np.int64) * 2 - len(hv)
+            packed = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = int(packed) - (1 << 64) if packed >= (1 << 63) else int(packed)
+        return pd.Series(out)
+
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("h"),
+    ).filter(F.size("h") > 0)
+    return hashed.select("id", sig_udf("h").alias("sig"))
 
 
 def simhash_pairs(
