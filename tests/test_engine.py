@@ -266,3 +266,33 @@ def test_parquet_db_truncate_file_form(tmp_path, spark):
     assert db.tables() == ["dirform", "solo"]
     db.truncate()
     assert db.tables() == []
+
+
+def test_sequence_state_accepts_decimal_scale0_keys(spark):
+    """JDBC sources surface serial keys as DecimalType(p, 0) — those carry
+    a restorable counter and must be captured."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+    from xdump_spark.engine import sequence_state
+
+    parent = spark.createDataFrame(
+        [(Decimal("7"),), (Decimal("42"),)],
+        T.StructType([T.StructField("id", T.DecimalType(10, 0), False)]),
+    )
+    child = spark.createDataFrame(
+        [(1, Decimal("42"))],
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType(), False),
+                T.StructField("pid", T.DecimalType(10, 0), True),
+            ]
+        ),
+    )
+    cat = Catalog(
+        {"parent": parent, "child": child},
+        [ForeignKey("child", "pid", "parent", "id", "fk")],
+    )
+    assert sequence_state({"parent": parent}, cat) == {"parent": 42}

@@ -236,3 +236,17 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with _pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_rejects_spelling_variants(spark):
+    """Spark normalizes join-type strings (case, underscores); the guard
+    must normalize the same way or "RIGHT"/"Full_Outer" slip through."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.skew import salted_join
+
+    left = spark.range(4).toDF("k")
+    right = spark.range(2).toDF("k")
+    for how in ("RIGHT", "Full_Outer", "OUTER", "rightouter"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", how=how)

@@ -59,9 +59,15 @@ def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[s
         pk = catalog.primary_key(table)
         if pk is None:
             continue
-        if not isinstance(df.schema[pk].dataType, integral):
-            # Sequence state only makes sense for serial integer keys;
-            # string/uuid keys carry no counter to restore.
+        dt = df.schema[pk].dataType
+        # Sequence state only makes sense for serial integer keys;
+        # string/uuid keys carry no counter to restore. JDBC sources
+        # commonly surface serial keys as DecimalType(p, 0) (PostgreSQL
+        # numeric, Oracle NUMBER(10,0)) — those ARE integral.
+        if not (
+            isinstance(dt, integral)
+            or (isinstance(dt, T.DecimalType) and dt.scale == 0)
+        ):
             continue
         row = df.agg(F.max(pk).alias("m")).collect()[0]
         if row.m is not None:

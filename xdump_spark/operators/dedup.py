@@ -7,10 +7,14 @@
 
 Scale design: every candidate-generation step is a shuffle on small keys
 (band hashes / n-grams), never an all-pairs product; verification joins
-only candidate pairs back to their feature sets. All expressions are
-built-in higher-order functions (JVM codegen) — no Python in the hot path.
-Giant LSH buckets (skew) are capped with a configurable bound so one hot
-bucket cannot produce a quadratic pair explosion.
+only candidate pairs back to their feature sets. Pair verification and
+n-gram work are JVM built-ins; MinHash/SimHash signature computation is
+Arrow-batched numpy in Python workers (one batch per partition, no
+shuffle) — both JVM shapes were measured 2-20× slower (interpreted
+nested-HOF shingling; 64-wide aggregates past the codegen field budget).
+Size Python-worker memory accordingly. Giant LSH buckets (skew) are
+capped with a configurable bound so one hot bucket cannot produce a
+quadratic pair explosion.
 """
 
 from __future__ import annotations
@@ -231,8 +235,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
     )
     if verify == "exact":
-        # exact verification needs the character shingle SETS (JVM-side);
-        # one computation serves both sides of the pair join.
+        # normed feeds both the shingle sets and the signature UDF: persist
+        # it so the scan + normalization run once, then the character
+        # shingle SETS (JVM-side) once more for both sides of the pair join.
+        normed = normed.persist(StorageLevel.MEMORY_AND_DISK)
         docs = normed.select(
             "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
         ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)

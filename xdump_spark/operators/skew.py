@@ -30,8 +30,10 @@ def salted_join(
     """Equi-join ``skewed ⋈ small`` on column(s) ``on`` with the hot keys of
     ``skewed`` spread over ``n_salt`` sub-keys. Result equals the plain
     join (salt columns are internal and dropped)."""
-    if how in {"right", "rightouter", "right_outer", "full", "fullouter",
-               "full_outer", "outer"}:
+    # normalize the way Spark's JoinType resolution does (lowercase,
+    # underscores stripped) so "RIGHT"/"Full_Outer"/"OUTER" can't slip past
+    if how.lower().replace("_", "") in {"right", "rightouter", "full",
+                                        "fullouter", "outer"}:
         # The small side is replicated n_salt ways; its unmatched rows
         # would surface n_salt times under right/full outer joins.
         raise ValueError(

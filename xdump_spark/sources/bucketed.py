@@ -67,4 +67,6 @@ def is_shuffle_free_join(joined: DataFrame) -> bool:
     import re
 
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return not re.search(r"(?<!Broadcast)Exchange", plan)
+    # ReusedExchange re-prints a broadcast subtree; neither it nor
+    # BroadcastExchange moves partitioned data.
+    return not re.search(r"(?<!Broadcast)(?<!Reused)Exchange", plan)
