@@ -185,8 +185,9 @@ def compute_closure(
                         )
                     )
         pending = {}
-        for parent, parts in contribs.items():
-            p = sel(parent)
+
+        def advance(parent: str, parts: list[DataFrame]) -> tuple[str, DataFrame, int]:
+            p = state[parent]
             contrib = parts[0]
             for extra in parts[1:]:
                 contrib = contrib.union(extra)
@@ -199,9 +200,25 @@ def compute_closure(
                 acc = F.broadcast(p.keys) if p.n_keys <= BROADCAST_KEY_LIMIT else p.keys
                 contrib = contrib.join(acc, on=p.key_col, how="left_anti")
             new = contrib.localCheckpoint(eager=True)
-            n_new = new.count()
+            return parent, new, new.count()
+
+        # Each parent's checkpoint+count is an independent Spark job; run
+        # the round's jobs from a thread pool so the scheduler overlaps
+        # them — wall time per round becomes max over touched tables, not
+        # sum. State mutation stays on the driver thread below.
+        if len(contribs) <= 1:
+            results = [advance(t, ps) for t, ps in contribs.items()]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(contribs))) as pool:
+                results = list(
+                    pool.map(lambda kv: advance(kv[0], kv[1]), contribs.items())
+                )
+        for parent, new, n_new in results:
             if n_new == 0:
                 continue
+            p = state[parent]
             p.add_keys(new, n_new)
             inc = F.broadcast(new) if n_new <= BROADCAST_KEY_LIMIT else new
             parent_rows = catalog.tables[parent].join(
