@@ -30,6 +30,15 @@ Scale properties (the reason for this shape):
   transitive-closure pitfall (exponentially growing plans).
 * Base tables are scanned with column pruning (only the FK columns reach
   the scan during propagation).
+* An increment feeding ≥2 FK edges is checkpointed as a NARROW frame (just
+  the FK columns) so the underlying table is scanned once per round, not
+  once per edge — at scale duplicate scans are the dominant waste.
+* Each BFS round runs its per-parent jobs from a thread pool so the
+  scheduler overlaps them. (A fused single-job variant — all parents
+  union-tagged into one wide frame, one checkpoint per round — measured
+  ~2× SLOWER at sf0.1: AQE executes the fused query's shuffle stages in
+  serialized waves, while independent jobs overlap freely. Job *count*
+  is not the cost; duplicate scans and per-round shuffles are.)
 """
 
 from __future__ import annotations
@@ -77,28 +86,64 @@ def pull_related(target_df: DataFrame, target_col: str, source_df: DataFrame, so
     return target_df.join(keys, on=target_col, how="left_semi")
 
 
+# Fold unmerged key-set increments into the single accumulated frame once
+# this many pile up (LSM-style): the per-round anti-join chains one
+# broadcast join per unmerged piece (bounded by this constant), while the
+# merge — a map-only re-copy of the whole accumulated set — runs every
+# K rounds instead of every round.
+ACC_MERGE_THRESHOLD = 4
+
+
 @dataclass
 class _Selection:
     """Per-table accumulated selection state during propagation.
 
-    ``keys`` is always a *checkpointed* single DataFrame (never a lazy
-    union): downstream anti-/semi-joins then reference one materialized
-    relation, which both truncates lineage and sidesteps a Spark 4.1
-    optimizer defect when constraint inference rewrites through a Union of
-    checkpointed relations."""
+    ``keys`` is the merged accumulator, ``pieces`` are checkpointed
+    increments not yet folded in. Every frame that serves as an anti- or
+    semi-join side is a SINGLE checkpointed relation (never a lazy Union):
+    joining against a Union of checkpoints trips a Spark 4.1 optimizer
+    defect (``UnionBase.rewriteConstraints`` key-not-found during
+    constraint inference). *Executing* a union inside a checkpoint job is
+    fine — that is what ``_merge`` does."""
 
     key_col: str | None                       # referenced column (row identity), if any
-    keys: DataFrame | None = None             # accumulated key-set (checkpointed)
+    keys: DataFrame | None = None             # merged accumulated key-set (checkpointed)
+    pieces: list[DataFrame] = field(default_factory=list)   # unmerged checkpointed increments
     n_keys: int = 0
     seed_dfs: list[DataFrame] = field(default_factory=list)   # raw seed row sets
     is_full: bool = False
 
+    def subtract_seen(self, contrib: DataFrame) -> DataFrame:
+        """Anti-join ``contrib`` against everything accumulated so far —
+        one chained join per piece, each against a single checkpointed
+        relation. Broadcast only while the set is known-small; past the
+        limit fall back to shuffled joins (broadcasting unconditionally
+        would collect the whole key-set to the driver every round)."""
+        small = self.n_keys <= BROADCAST_KEY_LIMIT
+        for seen in ([self.keys] if self.keys is not None else []) + self.pieces:
+            side = F.broadcast(seen) if small else seen
+            contrib = contrib.join(side, on=self.key_col, how="left_anti")
+        return contrib
+
     def add_keys(self, new: DataFrame, n_new: int) -> None:
-        if self.keys is None:
-            self.keys = new
-        else:
-            self.keys = self.keys.union(new).localCheckpoint(eager=True)
+        self.pieces.append(new)
         self.n_keys += n_new
+        if len(self.pieces) + (self.keys is not None) > ACC_MERGE_THRESHOLD:
+            self._merge()
+
+    def _merge(self) -> None:
+        frames = ([self.keys] if self.keys is not None else []) + self.pieces
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.union(f)
+        self.keys = merged.localCheckpoint(eager=True) if len(frames) > 1 else frames[0]
+        self.pieces = []
+
+    def all_keys(self) -> DataFrame | None:
+        """The full accumulated key-set as one checkpointed relation."""
+        if self.pieces:
+            self._merge()
+        return self.keys
 
 
 def compute_closure(
@@ -142,6 +187,43 @@ def compute_closure(
             state[table] = _Selection(key_col=key)
         return state[table]
 
+    def propagation_columns(table: str) -> list[str]:
+        """FK child columns of ``table`` that feed non-full parents — the
+        only columns an increment needs during propagation."""
+        return sorted(
+            {fk.column for fk in catalog.outgoing(table) if fk.foreign_table not in full}
+        )
+
+    def narrow_increment(table: str, df: DataFrame) -> DataFrame:
+        """Project an increment to its propagation columns; checkpoint it
+        when ≥2 edges would otherwise each re-scan the underlying table.
+        (One narrow materialization beats N duplicate scans — at 100 TB the
+        duplicate scans are the dominant waste, not the extra tiny job.)"""
+        cols = propagation_columns(table)
+        out = df.select(*cols)
+        if len(cols) >= 2:
+            out = out.localCheckpoint(eager=True)
+        return out
+
+    narrow_base: dict[str, DataFrame] = {}
+
+    def propagation_base(parent: str, key_col: str) -> tuple[DataFrame, bool]:
+        """Base frame increment rows are pulled from. A self-FK table is
+        semi-joined once per recursion LEVEL (deep chains → many rounds),
+        so its narrow projection (key + FK columns) is materialized once
+        and reused across rounds — per-round work becomes an in-memory
+        broadcast join instead of a parquet re-scan. Non-recursive tables
+        are hit at most once per BFS round and keep the pruned scan (no
+        copy of table-sized data)."""
+        if any(fk.is_recursive for fk in catalog.outgoing(parent)):
+            if parent not in narrow_base:
+                cols = sorted(set(propagation_columns(parent)) | {key_col})
+                narrow_base[parent] = (
+                    catalog.tables[parent].select(*cols).localCheckpoint(eager=True)
+                )
+            return narrow_base[parent], True
+        return catalog.tables[parent], False
+
     # Level-synchronous BFS over the FK graph: each round gathers ALL key
     # contributions per parent table (one union+distinct+anti-join+
     # checkpoint per touched table per round), so the number of Spark jobs
@@ -150,15 +232,27 @@ def compute_closure(
     pending: dict[str, list[DataFrame]] = {}
 
     for t in full:
+        # Full tables propagate (F5). Kept lazy (no narrow checkpoint):
+        # materializing a full table's FK columns could be huge; repeated
+        # pruned parquet scans are the safer trade.
         sel(t, needs_key=False).is_full = True
-        pending.setdefault(t, []).append(catalog.tables[t])   # full tables propagate (F5)
+        pending.setdefault(t, []).append(catalog.tables[t])
     for t, seed_df in seeds.items():
         s = sel(t)
         s.seed_dfs.append(seed_df)
-        if s.key_col is not None:
-            keys = seed_df.select(s.key_col).distinct().localCheckpoint(eager=True)
-            s.add_keys(keys, keys.count())
-        pending.setdefault(t, []).append(seed_df)
+        prop_cols = propagation_columns(t)
+        if s.key_col is not None or prop_cols:
+            # Seeds are arbitrary user SQL (sorts, joins, limits, ...) —
+            # evaluate each ONCE: checkpoint the narrow projection
+            # (key + FK columns) and derive both the initial key-set and
+            # the first propagation increment from the materialized frame.
+            keep = sorted(set(prop_cols) | ({s.key_col} if s.key_col else set()))
+            snap = seed_df.select(*keep).localCheckpoint(eager=True)
+            if s.key_col is not None:
+                keys = snap.select(s.key_col).distinct().localCheckpoint(eager=True)
+                s.add_keys(keys, keys.count())
+            if prop_cols:
+                pending.setdefault(t, []).append(snap.select(*prop_cols))
 
     rounds = 0
     while pending:
@@ -175,9 +269,10 @@ def compute_closure(
                     # (reference: xdump/postgresql.py:148-156).
                     continue
                 key_col = sel(parent).key_col
-                assert key_col == fk.foreign_column, (
-                    f"FK {fk} disagrees with key column {key_col!r} of {parent!r}"
-                )
+                if key_col != fk.foreign_column:
+                    raise ValueError(
+                        f"FK {fk} disagrees with key column {key_col!r} of {parent!r}"
+                    )
                 for inc in increments:
                     contribs.setdefault(parent, []).append(
                         inc.select(F.col(fk.column).alias(key_col)).where(
@@ -186,26 +281,37 @@ def compute_closure(
                     )
         pending = {}
 
-        def advance(parent: str, parts: list[DataFrame]) -> tuple[str, DataFrame, int]:
+        def advance(parent: str, parts: list[DataFrame]) -> tuple[str, DataFrame | None]:
+            """One parent's full round step: dedup + anti-join + checkpoint
+            the new keys, fold them into the accumulated set, and build the
+            (narrow) increment for the next round. Runs on a worker thread;
+            only per-parent state is touched."""
             p = state[parent]
             contrib = parts[0]
             for extra in parts[1:]:
                 contrib = contrib.union(extra)
             contrib = contrib.distinct()   # multi-path dedup in one shot
-            if p.keys is not None:
-                # broadcast the accumulated set only while it is known-small
-                # (its exact size is tracked); past the limit fall back to a
-                # shuffled anti-join — broadcasting unconditionally would
-                # collect the whole key-set to the driver every round.
-                acc = F.broadcast(p.keys) if p.n_keys <= BROADCAST_KEY_LIMIT else p.keys
-                contrib = contrib.join(acc, on=p.key_col, how="left_anti")
+            contrib = p.subtract_seen(contrib)
             new = contrib.localCheckpoint(eager=True)
-            return parent, new, new.count()
+            n_new = new.count()
+            if n_new == 0:
+                return parent, None
+            p.add_keys(new, n_new)
+            if not propagation_columns(parent):
+                return parent, None   # nothing references out of this table
+            inc = F.broadcast(new) if n_new <= BROADCAST_KEY_LIMIT else new
+            base, in_memory = propagation_base(parent, p.key_col)
+            rows = base.join(inc, on=p.key_col, how="left_semi")
+            if in_memory:
+                # Re-deriving this tiny in-memory join per edge is cheaper
+                # than another checkpoint job.
+                return parent, rows.select(*propagation_columns(parent))
+            return parent, narrow_increment(parent, rows)
 
-        # Each parent's checkpoint+count is an independent Spark job; run
-        # the round's jobs from a thread pool so the scheduler overlaps
-        # them — wall time per round becomes max over touched tables, not
-        # sum. State mutation stays on the driver thread below.
+        # Each parent's jobs are independent; run the round's work from a
+        # thread pool so the scheduler overlaps them — wall time per round
+        # becomes max over touched tables, not sum. Each thread mutates
+        # only its own parent's state.
         if len(contribs) <= 1:
             results = [advance(t, ps) for t, ps in contribs.items()]
         else:
@@ -215,16 +321,9 @@ def compute_closure(
                 results = list(
                     pool.map(lambda kv: advance(kv[0], kv[1]), contribs.items())
                 )
-        for parent, new, n_new in results:
-            if n_new == 0:
-                continue
-            p = state[parent]
-            p.add_keys(new, n_new)
-            inc = F.broadcast(new) if n_new <= BROADCAST_KEY_LIMIT else new
-            parent_rows = catalog.tables[parent].join(
-                inc, on=p.key_col, how="left_semi"
-            )
-            pending.setdefault(parent, []).append(parent_rows)
+        for parent, rows in results:
+            if rows is not None:
+                pending.setdefault(parent, []).append(rows)
 
     # Materialize: one semi-join per reached table.
     out: dict[str, DataFrame] = {}
@@ -234,8 +333,8 @@ def compute_closure(
             out[table] = base
             continue
         parts: list[DataFrame] = []
-        if s.key_col is not None and s.keys is not None:
-            keys = s.keys
+        if s.key_col is not None and s.all_keys() is not None:
+            keys = s.all_keys()
             if s.n_keys <= BROADCAST_KEY_LIMIT:
                 keys = F.broadcast(keys)
             parts.append(base.join(keys, on=s.key_col, how="left_semi"))
