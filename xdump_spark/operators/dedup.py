@@ -33,6 +33,11 @@ from xdump_spark.operators.text import tokens
 # sub-61-bit values stay within the long range after Java wrap semantics.
 _MERSENNE = (1 << 61) - 1
 
+# Signature frames up to this many rows are broadcast into pair-
+# verification joins (~600 B/row at num_perm=64 → ≤ ~300 MB executor-side;
+# beyond that the candidate pairs go through shuffled joins instead).
+_BROADCAST_SIG_LIMIT = 500_000
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out to the cluster before CPU-heavy expression
@@ -131,6 +136,24 @@ def minhash_signatures(
     the normalized utf-8 text (multibyte characters span shingles —
     standard corpus-dedup practice). Empty docs drop out (they cannot
     near-dup)."""
+    sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+    return (
+        normed.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    )
+
+
+# A pandas UDF *instance* pays a measured ~1-2 s on its first job even
+# against a warmed worker pool (per-worker function install + Arrow stream
+# setup fan-out); building a fresh instance per operator call would repay
+# that every time. Cache instances by their parameters.
+_UDF_CACHE: dict[tuple, object] = {}
+
+
+def _minhash_sig_udf(num_perm: int, shingle_k: int):
+    key = ("minhash", num_perm, shingle_k)
+    if key in _UDF_CACHE:
+        return _UDF_CACHE[key]
     perms = _perm_params(num_perm)
     A = np.array([a for a, _ in perms], dtype=np.int64)
     B = np.array([b for _, b in perms], dtype=np.int64)
@@ -176,10 +199,8 @@ def minhash_signatures(
                 )
         return pd.Series(out)
 
-    return (
-        normed.filter(F.length(text_col) > 0)
-        .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
-    )
+    _UDF_CACHE[key] = sig_udf
+    return sig_udf
 
 
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
@@ -249,18 +270,14 @@ def minhash_lsh_pairs(
     # the whole scan→norm→signature pipeline per consumer.
     sigs = minhash_signatures(normed, num_perm, shingle_k).localCheckpoint(eager=True)
 
+    # xxhash64 hashes the array slice directly (no per-component string
+    # cast + concat): bucket VALUES differ from a string-keyed scheme but
+    # bucket MEMBERSHIP — equality of r-length signature slices — is
+    # preserved exactly, so the candidate pair set is unchanged.
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice("sig", j * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
+            F.xxhash64(F.slice("sig", j * rows_per_band + 1, rows_per_band)).alias("bucket"),
         )
         for j in range(bands)
     ]
@@ -268,25 +285,37 @@ def minhash_lsh_pairs(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    # skew guard: drop degenerate buckets; checkpointed because the
-    # self-join below reads it twice (bands × n_docs rows of three longs)
-    sized = banded.withColumn("bsize", F.count("*").over(W.partitionBy("band", "bucket")))
-    banded = sized.filter(F.col("bsize") <= max_bucket).drop("bsize").localCheckpoint(
-        eager=True
+    # Skew guard: drop degenerate buckets. Hot buckets are found with a
+    # map-side-combined groupBy (shuffles only per-bucket counts) and
+    # removed with a broadcast anti-join — a window count here would
+    # shuffle every banded row instead. The hot set is checkpointed (it is
+    # read by both sides of the self-join below); `banded` itself stays
+    # lazy — re-deriving explode+anti-join from the materialized signature
+    # frame twice is cheaper than materializing bands × n_docs rows.
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsize"))
+        .filter(F.col("bsize") > max_bucket)
+        .select("band", "bucket")
+        .localCheckpoint(eager=True)
     )
+    banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # Dedup candidate pairs in an explicitly-sized hash layout: the pair
+    # rows are two ints, so AQE's byte-based coalescing would collapse the
+    # post-shuffle stage to a couple of tasks — and the signature/shingle
+    # joins right after fan every row back out. repartition(N, keys) +
+    # dropDuplicates is ONE shuffle (dedup runs in the repartitioned
+    # layout) and AQE respects the explicit partition count.
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates()
     )
-    if verify == "exact":
-        # Exact verification is CPU-bound (an array_intersect per pair),
-        # but the pair rows are tiny, so AQE's byte-based coalescing would
-        # shrink that stage to a handful of tasks — hold full parallelism.
-        cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     if verify == "exact":
         a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -302,9 +331,16 @@ def minhash_lsh_pairs(
         )
 
     # estimate mode: verification is num_perm integer comparisons per pair
-    # (zip_with stays JVM-side)
+    # (zip_with stays JVM-side). The signature frame is num_perm longs per
+    # doc: broadcast both join sides while small so the (much larger)
+    # candidate pair set never shuffles; sigs is checkpointed, so the
+    # count is a metadata-cheap job. A pandas-UDF verifier was measured
+    # 2-3× SLOWER than the interpreted zip_with here (Arrow transfer of
+    # both signature arrays per pair dominates).
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if sigs.count() <= _BROADCAST_SIG_LIMIT:
+        a, b = F.broadcast(a), F.broadcast(b)
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
@@ -332,6 +368,18 @@ def simhash_frame(
     measured at sf0.1). Signature values are identical: bit b is set iff
     2·(count of tokens with hash bit b) > n_tokens. Token-less docs drop
     out."""
+    sig_udf = _simhash_sig_udf(bits)
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("h"),
+    ).filter(F.size("h") > 0)
+    return hashed.select("id", sig_udf("h").alias("sig"))
+
+
+def _simhash_sig_udf(bits: int):
+    key = ("simhash", bits)
+    if key in _UDF_CACHE:
+        return _UDF_CACHE[key]
 
     @pandas_udf("long")
     def sig_udf(hs: pd.Series) -> pd.Series:
@@ -345,11 +393,8 @@ def simhash_frame(
             out[i] = int(packed) - (1 << 64) if packed >= (1 << 63) else int(packed)
         return pd.Series(out)
 
-    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("h"),
-    ).filter(F.size("h") > 0)
-    return hashed.select("id", sig_udf("h").alias("sig"))
+    _UDF_CACHE[key] = sig_udf
+    return sig_udf
 
 
 def simhash_pairs(
@@ -384,8 +429,16 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    sized = bands.withColumn("bsize", F.count("*").over(W.partitionBy("band", "bucket")))
-    bands = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    # same skew-guard shape as minhash_lsh_pairs: aggregate counts, not a
+    # full-row window shuffle
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsize"))
+        .filter(F.col("bsize") > max_bucket)
+        .select("band", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
