@@ -71,6 +71,10 @@ def employees_catalog(spark) -> Catalog:
     return Catalog(
         {"groups": groups, "employees": employees, "tickets": tickets},
         EMPLOYEES_FKS,
+        # explicit serial keys, as the reference reads from the DB catalog;
+        # 'tickets' is a LEAF (nothing references it) — only the explicit
+        # declaration preserves its counter across dump/load
+        primary_keys={"groups": "id", "employees": "id", "tickets": "id"},
     )
 
 

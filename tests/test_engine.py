@@ -296,3 +296,64 @@ def test_sequence_state_accepts_decimal_scale0_keys(spark):
         [ForeignKey("child", "pid", "parent", "id", "fk")],
     )
     assert sequence_state({"parent": parent}, cat) == {"parent": 42}
+
+
+def test_sequence_state_includes_leaf_tables(tmp_path, spark, engine):
+    """The reference dumps ALL sequences (xdump/postgresql.py:136-146);
+    a leaf table's serial counter (tickets — nothing references it) must
+    survive the round trip via the catalog's explicit primary keys, or
+    post-load inserts would restart numbering and collide."""
+    out = str(tmp_path / "leaf.zip")
+    engine.dump(out, full_tables=["groups", "tickets"])
+    loaded = SparkDumpEngine(spark, engine.catalog).load(out)
+    assert loaded.sequences == {"employees": 3, "groups": 2, "tickets": 5}
+
+
+def test_roundtrip_complex_columns(tmp_path, spark):
+    """array / struct / map columns round-trip through the archive CSV as
+    embedded JSON (a bare str() wrote Python reprs that could not load) —
+    the catalog's 'embeddings' table (array<float>) is the motivating
+    case."""
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType()), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("tag", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("props", T.MapType(T.StringType(), T.LongType()), True),
+        ]
+    )
+    rows = [
+        (1, [0.5, -1.25], {"w": 3, "tag": 'a,"b'}, {"k1": 7, "k2": 9}),
+        (2, [], {"w": None, "tag": None}, {}),
+        (3, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, st)
+    cat = Catalog({"media": media}, [], primary_keys={"media": "id"})
+    out = str(tmp_path / "complex.zip")
+    eng = SparkDumpEngine(spark, cat)
+    assert eng.dump(out, full_tables=["media"]) == {"media": 3}
+
+    loaded = SparkDumpEngine(spark, cat).load(out)
+    got = loaded.frames["media"]
+    assert got.schema == st
+    by_id = {r.id: r for r in got.collect()}
+    assert by_id[1].emb == [0.5, -1.25]
+    assert by_id[1].meta.asDict() == {"w": 3, "tag": 'a,"b'}
+    assert by_id[1].props == {"k1": 7, "k2": 9}
+    assert by_id[2].emb == []
+    assert by_id[2].meta.asDict() == {"w": None, "tag": None}
+    assert by_id[2].props == {}
+    assert by_id[3].emb is None and by_id[3].meta is None and by_id[3].props is None

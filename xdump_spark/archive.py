@@ -33,9 +33,33 @@ COMPRESSION = {
 }
 
 
+def _to_jsonable(v):
+    """Recursively convert a Spark-collected cell (lists, Rows, dicts,
+    temporals, bytes, Decimals) to a JSON-serializable shape. Scalar
+    encodings match the top-level CSV ones so the load path can reuse one
+    string-coercion routine per element."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    if hasattr(v, "asDict"):   # pyspark Row (struct cell) without importing pyspark
+        return {k: _to_jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {str(k): _to_jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_to_jsonable(x) for x in v]
+    return str(v)   # Decimal and anything else with a faithful str form
+
+
 def format_csv_value(v) -> str:
     """One CSV field, COPY-style: None → empty (unquoted), empty string →
-    '""', quoting only when needed, internal quotes doubled."""
+    '""', quoting only when needed, internal quotes doubled. Complex cells
+    (array/struct/map) are embedded as JSON — a bare str() would emit
+    Python reprs the load side cannot type back."""
     if v is None:
         return ""
     if isinstance(v, bool):
@@ -46,6 +70,8 @@ def format_csv_value(v) -> str:
         s = repr(v)
     elif isinstance(v, (bytes, bytearray)):
         s = "\\x" + bytes(v).hex()   # PG COPY bytea encoding
+    elif isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+        s = json.dumps(_to_jsonable(v), separators=(",", ":"))
     else:
         s = str(v)
     if s == "":

@@ -64,14 +64,30 @@ class Catalog:
     (xdump/sqlite.py:67-69): all FK metadata is resolved once, up front.
     """
 
-    def __init__(self, tables: dict[str, DataFrame], foreign_keys: list[ForeignKey] | None = None):
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        foreign_keys: list[ForeignKey] | None = None,
+        primary_keys: dict[str, str] | None = None,
+    ):
         self.tables: dict[str, DataFrame] = dict(tables)
         self.foreign_keys: list[ForeignKey] = list(foreign_keys or [])
+        # Explicit per-table serial-key metadata (the reference reads this
+        # from the DB's sequence catalog, xdump/postgresql.py:136-146).
+        # Needed for LEAF tables: referenced-column inference can't see a
+        # serial key nothing points at, and its sequence state would
+        # silently be lost on dump (new inserts after load would collide).
+        self.primary_keys: dict[str, str] = dict(primary_keys or {})
         for fk in self.foreign_keys:
             if fk.table not in self.tables:
                 raise ValueError(f"FK references unknown table {fk.table!r}")
             if fk.foreign_table not in self.tables:
                 raise ValueError(f"FK references unknown table {fk.foreign_table!r}")
+        for t, col in self.primary_keys.items():
+            if t not in self.tables:
+                raise ValueError(f"primary key declared for unknown table {t!r}")
+            if col not in self.tables[t].columns:
+                raise ValueError(f"primary key column {col!r} not in table {t!r}")
 
     # -- graph accessors ---------------------------------------------------
     def outgoing(self, table: str) -> list[ForeignKey]:
@@ -83,9 +99,12 @@ class Catalog:
     def incoming(self, table: str) -> list[ForeignKey]:
         return [fk for fk in self.foreign_keys if fk.foreign_table == table]
 
-    def primary_key(self, table: str) -> str | None:
-        """The column other tables reference — used as the row identity for
-        key-set accumulation. None if nothing references ``table``."""
+    def referenced_key(self, table: str) -> str | None:
+        """The column other tables reference — the row identity the closure
+        planner accumulates key-sets on. None if nothing references
+        ``table``. Always FK-derived: an explicitly declared primary key
+        plays no role in closure propagation (the semi-joins must run on
+        the column the edges actually point at)."""
         cols = {fk.foreign_column for fk in self.incoming(table)}
         if not cols:
             return None
@@ -96,6 +115,14 @@ class Catalog:
             )
         return next(iter(cols))
 
+    def primary_key(self, table: str) -> str | None:
+        """The table's serial-key column for sequence-state capture:
+        explicit declaration first, referenced-column inference as the
+        fallback (so leaf tables keep their counter when declared)."""
+        if table in self.primary_keys:
+            return self.primary_keys[table]
+        return self.referenced_key(table)
+
     # -- convenience -------------------------------------------------------
     def register_views(self, spark: SparkSession, suffix: str = "") -> None:
         """Expose every table as a temp view so user seed SQL can run
@@ -104,10 +131,19 @@ class Catalog:
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name + suffix)
 
-    def with_table(self, name: str, df: DataFrame, fks: list[ForeignKey] | None = None) -> "Catalog":
+    def with_table(
+        self,
+        name: str,
+        df: DataFrame,
+        fks: list[ForeignKey] | None = None,
+        primary_key: str | None = None,
+    ) -> "Catalog":
         tables = dict(self.tables)
         tables[name] = df
-        return Catalog(tables, self.foreign_keys + list(fks or []))
+        pks = dict(self.primary_keys)
+        if primary_key is not None:
+            pks[name] = primary_key
+        return Catalog(tables, self.foreign_keys + list(fks or []), primary_keys=pks)
 
 
 # FK graph of the driver's TPC-H-ish testdata (TESTDATA.md); same graph
@@ -121,6 +157,22 @@ TPCH_FOREIGN_KEYS: list[ForeignKey] = [
     ForeignKey("lineitem", "l_partkey", "part", "p_partkey"),
     ForeignKey("lineitem", "l_suppkey", "supplier", "s_suppkey"),
 ]
+
+# Serial-key declarations for the testdata tables (the reference reads
+# these from the DB catalog). Includes LEAF tables (documents, embeddings,
+# events) whose counters referenced-column inference cannot see; lineitem
+# has a composite key — no single serial to capture.
+TPCH_PRIMARY_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
 TPCH_TABLES = [
     "region",
@@ -170,4 +222,5 @@ def load_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
         else:
             dfs[name] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     fks = [fk for fk in TPCH_FOREIGN_KEYS if fk.table in dfs and fk.foreign_table in dfs]
-    return Catalog(dfs, fks)
+    pks = {t: c for t, c in TPCH_PRIMARY_KEYS.items() if t in dfs}
+    return Catalog(dfs, fks, primary_keys=pks)

@@ -237,6 +237,11 @@ class SparkDumpEngine:
 def _coerce(v: str | None, dt: T.DataType):
     if v is None:
         return None
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        # complex cells are embedded as JSON by format_csv_value
+        import json
+
+        return _from_jsonable(json.loads(v), dt)
     if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
         return int(v)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
@@ -261,6 +266,31 @@ def _coerce(v: str | None, dt: T.DataType):
             return bytes.fromhex(v[2:])
         return v.encode("utf-8")
     return v
+
+
+def _from_jsonable(o, dt: T.DataType):
+    """Type a JSON-decoded complex cell back to what createDataFrame
+    expects for ``dt`` (inverse of archive._to_jsonable): containers
+    recurse; scalar leaves arrive either natively typed from JSON
+    (int/float/bool) or as the string encodings _coerce already parses
+    (temporals, decimals, bytes)."""
+    if o is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        return [_from_jsonable(x, dt.elementType) for x in o]
+    if isinstance(dt, T.MapType):
+        return {_coerce(k, dt.keyType): _from_jsonable(x, dt.valueType) for k, x in o.items()}
+    if isinstance(dt, T.StructType):
+        return {f.name: _from_jsonable(o.get(f.name), f.dataType) for f in dt.fields}
+    if isinstance(o, str):
+        return _coerce(o, dt)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(o)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(str(o))
+    return o
 
 
 class LoadedDump:

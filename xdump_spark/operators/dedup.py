@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -256,13 +255,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
     )
     if verify == "exact":
-        # normed feeds both the shingle sets and the signature UDF: persist
-        # it so the scan + normalization run once, then the character
-        # shingle SETS (JVM-side) once more for both sides of the pair join.
-        normed = normed.persist(StorageLevel.MEMORY_AND_DISK)
+        # normed feeds both the shingle sets and the signature UDF; the
+        # shingle sets feed both sides of the pair join. Eager
+        # localCheckpoint (not persist): it materializes once, parallel
+        # stages of one job cannot race-recompute it, and the blocks are
+        # released by the ContextCleaner when the frame is unreferenced —
+        # a persist here leaked storage across repeated calls in a
+        # long-lived session until executors evicted.
+        normed = normed.localCheckpoint(eager=True)
         docs = normed.select(
             "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
-        ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+        ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
     # Signatures have three consumers (banding + both sides of pair
     # verification) and the frame is tiny (num_perm longs per doc):
     # eagerly checkpoint so every consumer reads materialized blocks — a
@@ -497,9 +500,12 @@ def ngram_jaccard_pairs(
     tokenized = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     )
+    # eager localCheckpoint, not persist: three consumers (postings + both
+    # verify sides), no recompute races, blocks freed on dereference (a
+    # persist leaked storage across repeated calls)
     docs = tokenized.select(
         "id", _grams_of_tokens(F.col("_toks"), n).alias("grams")
-    ).filter(F.size("grams") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.size("grams") > 0).localCheckpoint(eager=True)
     postings = docs.select("id", F.explode("grams").alias("gram"))
     if max_posting is not None:
         postings = (

@@ -13,9 +13,12 @@ arithmetic so results are engine-portable (and oracle-checkable).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -154,43 +157,72 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+@dataclass
+class IVFIndex:
+    """A built inverted-file index: driver-small centroids plus the
+    cell-assigned corpus. Build once, search many — the reference pattern
+    for repeated query batches (re-fitting KMeans per query batch would
+    make the fit the dominant cost at corpus scale)."""
+
+    centers: list[list[float]]   # n_cells × dim, plan-literal-small
+    assigned: DataFrame          # (neighbor_id, cv, cn, cell), persisted
+    n_cells: int
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: KMeans partitions
-    the corpus into ``n_cells`` cells; each query probes its ``n_probe``
-    nearest cells and re-ranks exactly within them.
+    sample_fraction: float | None = None,
+) -> IVFIndex:
+    """Build the IVF index: fit KMeans (optionally on a sample — centroids
+    only need a representative subset, so at 1e9 vectors fit on ~1e6), then
+    assign every corpus vector to its cell in ONE model-transform pass.
 
-    Scale shape: the index assignment is one KMeans fit (sample-able) plus
-    a model transform; the search joins queries to only n_probe/n_cells of
-    the corpus — at 1e9 vectors with 4096 cells / 64 probes that is a
-    ~1.5% corpus scan per query batch instead of 100% (brute force).
-    Centroids are driver-small (n_cells × dim floats) and enter the query
-    plan as literals, so probe selection is pure JVM expression work."""
+    The assigned frame is persisted MEMORY_AND_DISK: it is the index, read
+    by every subsequent search. At true scale it would instead be written
+    out partitioned by cell so searches prune files; the in-session persist
+    is the local analog."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
+    fit_input = c.sample(sample_fraction, seed=seed) if sample_fraction else c
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_feat")
-    model = km.fit(c.withColumn("_feat", array_to_vector("cv")))
+    model = km.fit(fit_input.withColumn("_feat", array_to_vector("cv")))
     centers = [ctr.tolist() for ctr in model.clusterCenters()]
 
-    assigned = model.transform(c.withColumn("_feat", array_to_vector("cv"))).select(
-        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
+    assigned = (
+        model.transform(c.withColumn("_feat", array_to_vector("cv")))
+        .select("neighbor_id", "cv", "cn", F.col("prediction").alias("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    assigned.count()   # materialize eagerly: searches must not re-run the fit pipeline
+    return IVFIndex(centers=centers, assigned=assigned, n_cells=n_cells)
 
-    # per-query n_probe nearest centroids (squared L2, matching KMeans
-    # assignment); centers are literals → no join, no UDF
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: each query probes its ``n_probe`` nearest
+    cells (squared L2, matching KMeans assignment) and re-ranks exactly
+    within them — with 4096 cells / 64 probes that is a ~1.5% corpus scan
+    per query batch instead of 100% (brute force). Centroids enter the
+    query plan as literals, so probe selection is pure JVM expression
+    work: no join, no UDF."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -208,7 +240,7 @@ def ivf_topk(
                 ).alias("d"),
                 F.lit(i).alias("cell"),
             )
-            for i, ctr in enumerate(centers)
+            for i, ctr in enumerate(index.centers)
         ]
     )
     probed = q.withColumn(
@@ -216,7 +248,7 @@ def ivf_topk(
     )
 
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
+        index.assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
@@ -230,6 +262,26 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """One-shot convenience: ``ivf_build`` + ``ivf_search``. Callers with
+    repeated query batches should build once and search the index."""
+    index = ivf_build(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed,
+        max_iter=max_iter,
+    )
+    return ivf_search(index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
 
 
 def embedding_neardup_pairs(

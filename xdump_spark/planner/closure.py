@@ -183,7 +183,7 @@ def compute_closure(
             # Full tables never accumulate keys (edges into them are
             # skipped), so don't resolve a key column for them — a full
             # table referenced through two different columns is legal.
-            key = catalog.primary_key(table) if needs_key else None
+            key = catalog.referenced_key(table) if needs_key else None
             state[table] = _Selection(key_col=key)
         return state[table]
 
