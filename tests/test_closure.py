@@ -209,3 +209,25 @@ class TestRecursiveCTE:
             spark=spark,
         )
         assert ids(loop["employees"]) == ids(got)
+
+
+class TestSeedProjection:
+    """Seed-shape semantics: the reference's per-table SQL unions the seed
+    with full-shape related pulls, so a projected seed on a referenced
+    table is a column-count error there too (xdump/base.py:142-146)."""
+
+    def test_projected_seed_on_referenced_table_rejected(self, spark, employees_catalog):
+        seed = employees_catalog.tables["employees"].select("id", "first_name")
+        with pytest.raises(ValueError, match="must select all base columns"):
+            compute_closure(employees_catalog, partial_tables={"employees": seed})
+
+    def test_projected_seed_on_unreferenced_table_exports_seed_shape(
+        self, spark, employees_catalog
+    ):
+        # tickets: leaf table — its seed rows ARE the export, shape intact
+        seed = employees_catalog.tables["tickets"].select("id", "author_id").filter("id <= 2")
+        out = compute_closure(employees_catalog, partial_tables={"tickets": seed})
+        assert out["tickets"].columns == ["id", "author_id"]
+        assert ids(out["tickets"]) == {1, 2}
+        # the projection still propagates: authors of tickets 1-2 pulled
+        assert ids(out["employees"]) == {1, 2}

@@ -357,3 +357,42 @@ def test_roundtrip_complex_columns(tmp_path, spark):
     assert by_id[2].meta.asDict() == {"w": None, "tag": None}
     assert by_id[2].props == {}
     assert by_id[3].emb is None and by_id[3].meta is None and by_id[3].props is None
+
+
+def test_snapshot_staging_hides_mid_dump_mutation(tmp_path, spark, employees_catalog):
+    """The reference proves a concurrent insert mid-dump is invisible
+    (REPEATABLE READ, tests/test_backend.py:111-127); the Spark analog is
+    stage-then-plan: a source mutated AFTER staging must not leak into the
+    dump."""
+    import os
+
+    from xdump_spark.sources.jdbc import stage_catalog
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    src = str(tmp_path / "livedb")
+    for name, df in employees_catalog.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    live = ParquetDatabase(spark, src)
+    live.write_fk_config(employees_catalog.foreign_keys)
+
+    staged = stage_catalog(live.catalog(), str(tmp_path / "stage"))
+
+    # "concurrent insert": a sixth employee lands in the live source
+    extra = employees_catalog.tables["employees"].limit(0).sparkSession.createDataFrame(
+        [(6, "Eve", "Late", None, None, 1)],
+        employees_catalog.tables["employees"].schema,
+    )
+    employees_catalog.tables["employees"].unionByName(extra).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "employees") + "_new")
+    # atomic-ish swap, as a DB write would be
+    os.rename(os.path.join(src, "employees"), os.path.join(src, "employees") + "_old")
+    os.rename(os.path.join(src, "employees") + "_new", os.path.join(src, "employees"))
+
+    out = str(tmp_path / "snap.zip")
+    counts = SparkDumpEngine(spark, staged).dump(out, full_tables=["employees", "groups"])
+    assert counts["employees"] == 5   # t0 snapshot, not 6
+    loaded = SparkDumpEngine(spark, staged).load(out)
+    assert ids(loaded.frames["employees"]) == {1, 2, 3, 4, 5}
+    # while the live source really does see the new row
+    assert live.catalog().tables["employees"].count() == 6

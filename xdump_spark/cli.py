@@ -17,6 +17,35 @@ import sys
 from xdump_spark.archive import COMPRESSION
 
 
+# The reference resolves backends from importable strings
+# (xdump/cli/utils.py:12-22); same extensibility surface here. A backend
+# class takes (spark, path) and provides catalog() plus the maintenance
+# hooks truncate()/recreate()/write_fk_config() (see
+# sources/parquet_db.py:23-80, the default).
+DEFAULT_BACKEND = "xdump_spark.sources.parquet_db:ParquetDatabase"
+
+
+def resolve_backend(spec: str):
+    """'pkg.module:Class' (or 'pkg.module.Class') → the class object."""
+    import importlib
+
+    mod_name, sep, cls_name = spec.partition(":")
+    if not sep:
+        mod_name, _, cls_name = spec.rpartition(".")
+    if not mod_name or not cls_name:
+        raise argparse.ArgumentTypeError(
+            f"backend must look like 'pkg.module:Class', got {spec!r}"
+        )
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError as e:
+        raise argparse.ArgumentTypeError(f"cannot import backend module {mod_name!r}: {e}")
+    try:
+        return getattr(mod, cls_name)
+    except AttributeError:
+        raise argparse.ArgumentTypeError(f"module {mod_name!r} has no attribute {cls_name!r}")
+
+
 def parse_partial(value: str) -> tuple[str, str]:
     """'table:SELECT ...' → (table, sql); bad format is a usage error
     (reference: xdump/cli/dump.py:16-29, tests/cli/test_dump.py:52-58)."""
@@ -48,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--compression", choices=sorted(COMPRESSION), default="deflated")
     d.add_argument("--no-schema", action="store_true", dest="no_schema")
     d.add_argument("--no-data", action="store_true", dest="no_data")
+    d.add_argument(
+        "--backend", type=resolve_backend, default=None,
+        help=f"source class as 'pkg.module:Class' (default {DEFAULT_BACKEND})",
+    )
 
     ld = sub.add_parser("load", help="load a dump into a parquet database")
     ld.add_argument("-i", "--input", required=True, help="dump zip path")
@@ -55,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument(
         "--cleanup-method", choices=["recreate", "truncate"], default=None,
         help="clean the target before loading (reference: xdump/cli/load.py:25-37)",
+    )
+    ld.add_argument(
+        "--backend", type=resolve_backend, default=None,
+        help=f"target class as 'pkg.module:Class' (default {DEFAULT_BACKEND})",
     )
     return p
 
@@ -64,12 +101,12 @@ def run(args, spark) -> int:
     ``main`` so tests can drive the CLI without owning session lifecycle)."""
     from xdump_spark.catalog import Catalog
     from xdump_spark.engine import SparkDumpEngine
-    from xdump_spark.sources.parquet_db import ParquetDatabase
     from xdump_spark.timing import configure
 
     configure(getattr(args, "verbosity", 0))
+    backend_cls = getattr(args, "backend", None) or resolve_backend(DEFAULT_BACKEND)
     if args.command == "dump":
-        db = ParquetDatabase(spark, args.input_db)
+        db = backend_cls(spark, args.input_db)
         engine = SparkDumpEngine(spark, db.catalog())
         counts = engine.dump(
             args.output,
@@ -83,14 +120,15 @@ def run(args, spark) -> int:
             print(f"{table}: {counts[table]} rows")
         print(f"wrote {args.output}")
     else:
-        db = ParquetDatabase(spark, args.output_db)
+        db = backend_cls(spark, args.output_db)
         if args.cleanup_method == "recreate":
             db.recreate()
         elif args.cleanup_method == "truncate":
             db.truncate()
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
         loaded = engine.load(args.input)
-        order = loaded.write_parquet_db(args.output_db, mode="overwrite")
+        order = loaded.load_order()
+        db.load_tables(loaded.frames, order, mode="overwrite")
         db.write_fk_config(loaded.foreign_keys)
         print(f"loaded tables (FK order): {', '.join(order)}")
     return 0

@@ -239,6 +239,21 @@ def compute_closure(
         pending.setdefault(t, []).append(catalog.tables[t])
     for t, seed_df in seeds.items():
         s = sel(t)
+        if s.key_col is not None and set(seed_df.columns) != set(catalog.tables[t].columns):
+            # A REFERENCED table is materialized by key semi-join against
+            # the base (full base shape) — a projected seed would silently
+            # export more columns than the user selected. The reference has
+            # the same constraint de facto: its per-table SQL is the seed
+            # UNIONed with `SELECT * FROM t WHERE pk IN (...)` pulls, which
+            # errors on a column-count mismatch (xdump/base.py:142-146,
+            # 154-171). Projected seeds stay legal for tables nothing
+            # references (their seed rows ARE the export, F-shape intact).
+            raise ValueError(
+                f"seed for referenced table {t!r} must select all base columns "
+                f"(got {sorted(seed_df.columns)}, need "
+                f"{sorted(catalog.tables[t].columns)}); project after the dump, "
+                "or seed an unreferenced table"
+            )
         s.seed_dfs.append(seed_df)
         prop_cols = propagation_columns(t)
         if s.key_col is not None or prop_cols:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xdump_spark.catalog import Catalog, ForeignKey, load_sf_dir
-from xdump_spark.planner.closure import compute_closure
+from xdump_spark.planner.closure import compute_closure, recursive_pull
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -286,6 +286,61 @@ def xd_closure_recursive_multi(spark, sf_dir):
     )
     seed = sh.orderBy(F.desc("s_suppkey")).limit(1)
     return compute_closure(sub, (), {"sh": seed})["sh"]
+
+
+@query(
+    "xd_closure_recursive_sql",
+    """
+WITH RECURSIVE sh AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey > 1 THEN CAST(s_suppkey // 2 AS BIGINT) END AS mgr
+  FROM supplier
+), seedq AS (SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1),
+r AS (
+  SELECT * FROM seedq
+  UNION
+  SELECT sh.* FROM sh JOIN r ON r.mgr = sh.s_suppkey
+)
+SELECT * FROM r
+""",
+)
+def xd_closure_recursive_sql(spark, sf_dir):
+    """The single-statement ``WITH RECURSIVE`` twin of
+    xd_closure_recursive_chain (planner/closure.py recursive_pull — the
+    reference's RECURSIVE_QUERY_TEMPLATE, xdump/base.py:253-262), under
+    the same oracle as the semi-naive loop."""
+    cat = _cat(spark, sf_dir)
+    sh = _supplier_hierarchy(cat).drop("referrer")
+    sub = Catalog({"sh": sh}, [ForeignKey("sh", "mgr", "sh", "s_suppkey")])
+    return recursive_pull(
+        spark, sub, "sh", "SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1"
+    )
+
+
+@query(
+    "xd_dump_load_roundtrip",
+    f"SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM ({_SEED_TOP2}))",
+)
+def xd_dump_load_roundtrip(spark, sf_dir):
+    """O10-O15 under the hash gate: dump the orders-top2 closure into a
+    zip archive (schema manifest + COPY-style CSV members), load it back
+    through the typed-coercion path, and return the LOADED customer table
+    — rows, schema, and values must survive archive round-tripping
+    bit-exactly (reference round-trips: tests/test_backend.py:129-207)."""
+    import os
+    import tempfile
+
+    from xdump_spark.engine import SparkDumpEngine
+
+    cat = _cat(spark, sf_dir)
+    eng = SparkDumpEngine(spark, cat)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "dump.zip")
+        eng.dump(path, (), {"orders": _SEED_TOP2})
+        loaded = SparkDumpEngine(spark, cat).load(path)
+        # loaded frames are LocalRelations (typed rows parsed driver-side):
+        # safe to use after the archive file is gone
+        return loaded.frames["customer"]
 
 
 # --------------------------------------------------------------------------

@@ -101,6 +101,21 @@ def introspect_foreign_keys(spark: SparkSession, options: dict[str, str]) -> lis
     ]
 
 
+def stage_catalog(catalog: Catalog, stage_dir: str) -> Catalog:
+    """Materialize every table of a catalog to parquet at t0 and return a
+    new Catalog over the staged (immutable) copies — the snapshot-
+    consistency answer for ANY mutable source (the reference pins one
+    REPEATABLE READ / BEGIN IMMEDIATE transaction instead,
+    xdump/postgresql.py:75-83, xdump/sqlite.py:63-65; proven by its
+    mid-dump-insert test, tests/test_backend.py:111-127). Mutations to
+    the original source after staging are invisible to the dump."""
+    dfs: dict[str, DataFrame] = {}
+    for t, df in catalog.tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(stage_dir, t))
+        dfs[t] = df.sparkSession.read.parquet(os.path.join(stage_dir, t))
+    return Catalog(dfs, catalog.foreign_keys, primary_keys=catalog.primary_keys)
+
+
 def stage_snapshot(
     spark: SparkSession,
     options: dict[str, str],
@@ -108,13 +123,6 @@ def stage_snapshot(
     stage_dir: str,
     fks: list[ForeignKey] | None = None,
 ) -> Catalog:
-    """Materialize all tables to parquet at t0, then build the Catalog
-    over the staged (immutable) copies — the snapshot-consistency answer
-    for mutable JDBC sources."""
-    dfs: dict[str, DataFrame] = {}
-    for t in tables:
-        read_table(spark, options, t).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, t)
-        )
-        dfs[t] = spark.read.parquet(os.path.join(stage_dir, t))
-    return Catalog(dfs, fks or [])
+    """JDBC form of ``stage_catalog``: read all tables at t0 and stage."""
+    dfs = {t: read_table(spark, options, t) for t in tables}
+    return stage_catalog(Catalog(dfs, fks or []), stage_dir)

@@ -74,6 +74,13 @@ class ParquetDatabase:
             shutil.rmtree(self.path)
         os.makedirs(self.path, exist_ok=True)
 
+    def load_tables(
+        self, frames: dict[str, DataFrame], order: list[str], mode: str = "overwrite"
+    ) -> None:
+        """Backend load hook the CLI drives: write frames in FK order."""
+        for table in order:
+            frames[table].write.mode(mode).parquet(os.path.join(self.path, table))
+
     def write_fk_config(self, fks: list[ForeignKey]) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, FK_CONFIG), "w") as f:
