@@ -250,3 +250,68 @@ def test_salted_join_rejects_spelling_variants(spark):
     for how in ("RIGHT", "Full_Outer", "OUTER", "rightouter"):
         with _pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(left, right, "k", how=how)
+
+
+# ------------------------------------------------- recall floors (ANN) ----
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _mean_recall(exact, approx):
+    return sum(
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ) / len(exact)
+
+
+def test_lsh_topk_recall_floor_on_real_embeddings(spark):
+    """Pinned floor for the knn_cosine_lsh entry's parameters (6 planes ×
+    16 tables; measured 0.60-0.68 mean recall at sf0.001/sf0.01 — top-k
+    neighbors sit at moderate similarity, where IVF is the better tool;
+    this floor documents what sign-LSH delivers there)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = _topk_sets(S.cosine_topk(emb, q, k=5))
+    approx = _topk_sets(S.lsh_topk(emb, q, k=5, n_planes=6, n_tables=16))
+    assert _mean_recall(exact, approx) >= 0.5
+
+
+def test_ivf_default_params_recall_floor(spark):
+    """Pinned floor for the knn_cosine_ivf entry's defaults (16 cells,
+    4 probes; measured 0.76-0.80 mean recall). Exercises the
+    build-once/search API: two searches reuse one index and agree."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = _topk_sets(S.cosine_topk(emb, q, k=5))
+    index = S.ivf_build(emb)
+    first = S.ivf_search(index, q, k=5)
+    approx = _topk_sets(first)
+    assert _mean_recall(exact, approx) >= 0.6
+    again = _topk_sets(S.ivf_search(index, q, k=5))
+    assert again == approx   # same index, same answer
+    index.unpersist()
+
+
+def test_embed_neardup_lsh_scurve_recall_floor(spark):
+    """Pinned floor for the embed_neardup_lsh entry: S-curve-derived
+    plane/table counts at τ=0.4 (sign_lsh_tables targets 0.9; measured
+    0.93-0.97 against the exact pair set)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nt = S.sign_lsh_tables(0.4, n_planes=4)
+    ex = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(emb, threshold=0.4, exact=True).collect()}
+    ap = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs(
+            emb, threshold=0.4, exact=False, n_planes=4, n_tables=nt
+        ).collect()
+    }
+    assert len(ex & ap) / len(ex) >= 0.85
+
+
+def test_sign_lsh_tables_scurve():
+    # high threshold: few tables; moderate: many (the documented regime)
+    assert S.sign_lsh_tables(0.95, n_planes=8) <= 6
+    assert S.sign_lsh_tables(0.4, n_planes=8) > 50
+    assert S.sign_lsh_tables(1.0, n_planes=8) == 1

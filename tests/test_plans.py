@@ -115,3 +115,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_salted_closure_materialization_equivalent(spark, employees_catalog):
+    """salt_materialize spreads the final semi-join over salt sub-keys
+    (operators/skew.py) without changing the selected rows, and the salt
+    column really is in the join."""
+    from xdump_spark.planner.closure import compute_closure
+
+    seeds = {"employees": "SELECT * FROM employees ORDER BY id DESC LIMIT 2"}
+    plain = compute_closure(employees_catalog, partial_tables=seeds, spark=spark)
+    salted = compute_closure(
+        employees_catalog, partial_tables=seeds, spark=spark, salt_materialize=4
+    )
+    for t in plain:
+        assert {tuple(r) for r in plain[t].collect()} == {
+            tuple(r) for r in salted[t].collect()
+        }, t
+    assert "__salt" in salted["employees"]._jdf.queryExecution().toString()

@@ -83,6 +83,24 @@ def cosine_topk(
     )
 
 
+def sign_lsh_tables(threshold: float, n_planes: int = 8, recall_target: float = 0.9) -> int:
+    """Number of hash tables for a target recall at a given cosine
+    threshold (random-hyperplane S-curve): a pair at similarity τ agrees
+    on one hyperplane bit with p = 1 - arccos(τ)/π, collides in one table
+    with p^planes, and in ≥1 of T tables with 1-(1-p^planes)^T.
+
+    Sign-LSH is a HIGH-threshold tool: at τ=0.95 four 8-plane tables reach
+    ~0.9 recall, while τ=0.4 would need ~90 tables — for moderate-
+    similarity search use the IVF index instead (ivf_build/ivf_search)."""
+    import math
+
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p_bit**n_planes
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_table)))
+
+
 def _bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     """Vectorized sign-LSH signatures for all hash tables in one Arrow
     batch: a (batch × dim) @ (dim × tables·planes) matmul, bits packed per

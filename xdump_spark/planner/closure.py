@@ -152,6 +152,7 @@ def compute_closure(
     partial_tables: dict[str, DataFrame | str] | None = None,
     spark: SparkSession | None = None,
     max_steps: int = 10_000,
+    salt_materialize: int | None = None,
 ) -> dict[str, DataFrame]:
     """Compute the referentially-closed subset for a dump.
 
@@ -161,6 +162,14 @@ def compute_closure(
     for every table reached by the closure (full tables map to the whole
     table). Matches the golden semantics of the reference's TestAutoSelect
     matrix (reference: tests/test_backend.py:243-335).
+
+    ``salt_materialize``: spread each final semi-join over this many salt
+    sub-keys (operators/skew.py). For when the key-set exceeds the
+    broadcast limit AND the referenced column is hot/non-unique in the
+    base table (e.g. an FK onto a non-unique column where one value
+    dominates) — a shuffled semi-join would then hash every hot-key row
+    into one task. Unneeded for unique referenced columns: their shuffle
+    is uniform by construction.
     """
     partial_tables = partial_tables or {}
     validate_tables(catalog, full_tables, partial_tables)
@@ -350,9 +359,17 @@ def compute_closure(
         parts: list[DataFrame] = []
         if s.key_col is not None and s.all_keys() is not None:
             keys = s.all_keys()
-            if s.n_keys <= BROADCAST_KEY_LIMIT:
-                keys = F.broadcast(keys)
-            parts.append(base.join(keys, on=s.key_col, how="left_semi"))
+            if salt_materialize:
+                from xdump_spark.operators.skew import salted_join
+
+                parts.append(
+                    salted_join(base, keys, on=s.key_col,
+                                n_salt=salt_materialize, how="left_semi")
+                )
+            else:
+                if s.n_keys <= BROADCAST_KEY_LIMIT:
+                    keys = F.broadcast(keys)
+                parts.append(base.join(keys, on=s.key_col, how="left_semi"))
             # Seed rows are recovered by the pk semi-join (their keys were
             # added at init), so seeds need direct inclusion only for
             # tables nothing references.

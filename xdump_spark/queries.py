@@ -984,18 +984,30 @@ def embed_neardup_exact(spark, sf_dir):
 
 @query("embed_neardup_lsh", None)
 def embed_neardup_lsh(spark, sf_dir):
-    """Sign-LSH bucketed near-dup pairs ≥ 0.4 (approximate recall —
-    rows-only check; compare against embed_neardup_exact for recall)."""
+    """Sign-LSH bucketed near-dup pairs ≥ 0.4, with plane/table counts
+    derived from the S-curve for ~0.9 target recall at that threshold
+    (sign_lsh_tables; measured 0.93-0.97 vs embed_neardup_exact, floor
+    pinned in tests). Low thresholds force short bucket prefixes — the
+    documented cost of the regime; high-τ dedup needs far fewer tables.
+    Approximate recall → rows-only check."""
+    thr, planes = 0.4, 4
     return S.embedding_neardup_pairs(
-        _cat(spark, sf_dir).tables["embeddings"], threshold=0.4, exact=False
+        _cat(spark, sf_dir).tables["embeddings"], threshold=thr, exact=False,
+        n_planes=planes, n_tables=S.sign_lsh_tables(thr, n_planes=planes),
     )
 
 
 @query("knn_cosine_lsh", None)
 def knn_cosine_lsh(spark, sf_dir):
-    """Approximate top-5 via sign-LSH buckets (rows-only check)."""
+    """Approximate top-5 via sign-LSH buckets (rows-only check; recall
+    floor pinned in tests). Top-k neighbors sit at moderate similarity,
+    so recall needs shorter bucket prefixes and more tables than the
+    near-dup regime (6 planes × 16 tables ≈ 0.88 predicted recall at
+    τ≈0.6)."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
-    return S.lsh_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+    return S.lsh_topk(
+        emb, emb.filter("vec_id % 100 = 0"), k=5, n_planes=6, n_tables=16
+    )
 
 
 # IVF index built once per (session, sf_dir) — searches reuse it; the
