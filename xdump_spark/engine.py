@@ -50,12 +50,17 @@ def toposort_tables(tables: list[str], fks: list[ForeignKey]) -> list[str]:
 
 
 def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[str, int]:
-    """Per-table max referenced-key — the analog of dumping PostgreSQL
+    """Per-table max serial-key — the analog of dumping PostgreSQL
     sequence positions so a loaded database continues numbering correctly
-    (reference: xdump/postgresql.py:136-146)."""
-    out: dict[str, int] = {}
+    (reference: xdump/postgresql.py:136-146). Covers LEAF tables through
+    the catalog's explicit primary keys.
+
+    All per-table max aggregates run as ONE unioned Spark job (each leg is
+    a map-side max over its own scan) instead of a driver loop of one
+    collect per table."""
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    for table, df in selections.items():
+    parts: list[DataFrame] = []
+    for table, df in sorted(selections.items()):
         pk = catalog.primary_key(table)
         if pk is None:
             continue
@@ -69,10 +74,22 @@ def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[s
             or (isinstance(dt, T.DecimalType) and dt.scale == 0)
         ):
             continue
-        row = df.agg(F.max(pk).alias("m")).collect()[0]
-        if row.m is not None:
-            out[table] = int(row.m)
-    return out
+        parts.append(
+            df.agg(
+                F.lit(table).alias("table_name"),
+                F.max(pk).cast("long").alias("max_key"),
+            )
+        )
+    if not parts:
+        return {}
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return {
+        r["table_name"]: int(r["max_key"])
+        for r in merged.collect()
+        if r["max_key"] is not None
+    }
 
 
 class SparkDumpEngine:

@@ -38,17 +38,7 @@ _MERSENNE = (1 << 61) - 1
 _BROADCAST_SIG_LIMIT = 500_000
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow scan out to the cluster before CPU-heavy expression
-    evaluation. A small parquet file arrives as ONE partition, and the
-    shingle/signature map stage runs BEFORE any shuffle — without this it
-    executes on a single core regardless of cluster size. No-op (returns
-    df) when the scan already has enough partitions, so wide 100 TB inputs
-    are never collapsed."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from xdump_spark.operators.sizing import spread as _spread  # noqa: E402
 
 
 # --------------------------------------------------------------------------

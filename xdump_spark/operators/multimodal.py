@@ -185,11 +185,19 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return flat.mapInPandas(expand, schema=_FRAME_SCHEMA)
 
 
-def repartition_by_bytes(media: DataFrame, target_partition_bytes: int = 128 << 20) -> DataFrame:
+def repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 128 << 20, blob_col: str = "blob"
+) -> DataFrame:
     """Size-aware repartition before a Python stage: blob tables are skewed
     by byte size, not row count, so pick the partition count from total
-    payload bytes. One aggregate scan (cheap: octet_length only) then a
-    round-robin repartition."""
-    total = media.select(F.sum(F.octet_length("blob"))).first()[0] or 0
+    payload bytes. Volume comes from input-file METADATA when the frame
+    scans files (operators/sizing.py — at 100 TB an extra sizing scan of
+    the blob column would itself be the cost); only file-less derived
+    frames fall back to one octet_length aggregate scan."""
+    from xdump_spark.operators.sizing import input_bytes
+
+    total = input_bytes(media)
+    if total is None:
+        total = media.select(F.sum(F.octet_length(blob_col))).first()[0] or 0
     n = max(1, int(total / target_partition_bytes) + 1)
     return media.repartition(n)

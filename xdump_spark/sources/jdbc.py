@@ -7,10 +7,13 @@ impossible mid-stream; the idiomatic equivalent implemented here is
 STAGE-THEN-PLAN: materialize every source table once at t0 (to parquet or
 cache) and run the closure from the staged snapshot (SURVEY.md §1.4).
 
-Requires a reachable database plus its JDBC driver jar on the Spark
-classpath — neither exists in this container, so this module is exercised
-only up to option assembly in tests; the read/write calls are standard
-``spark.read.jdbc`` / ``DataFrameWriter.jdbc``.
+Live execution is exercised end-to-end in tests against EMBEDDED Apache
+Derby (on every Spark classpath — the Hive-metastore dependency): DDL +
+inserts through the driver JVM, metadata FK introspection, partitioned
+reads, snapshot staging, closure, dump/load, and a JDBC write-back
+(tests/test_jdbc_live.py). Networked databases additionally need their
+driver jar and a reachable server; the PG-specific FK query below covers
+the reference's PostgreSQL catalog shape.
 """
 
 from __future__ import annotations
@@ -75,8 +78,10 @@ def read_table(spark: SparkSession, options: dict[str, str], table: str,
                 .load()
                 .first()
             )
-            lower_bound = probe["mn"] if lower_bound is None else lower_bound
-            upper_bound = probe["mx"] if upper_bound is None else upper_bound
+            # positional access: engines fold unquoted aliases differently
+            # (Derby → MN/MX, PG → mn/mx)
+            lower_bound = probe[0] if lower_bound is None else lower_bound
+            upper_bound = probe[1] if upper_bound is None else upper_bound
         if lower_bound is None or upper_bound is None:   # empty table
             return reader.load()
         reader = (
@@ -99,6 +104,55 @@ def introspect_foreign_keys(spark: SparkSession, options: dict[str, str]) -> lis
         ForeignKey(r["table"], r["column"], r["foreign_table"], r["foreign_column"], r["name"])
         for r in df.collect()
     ]
+
+
+def introspect_foreign_keys_metadata(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str] | None = None,
+    schema_pattern: str | None = None,
+) -> list[ForeignKey]:
+    """Portable FK introspection through ``java.sql.DatabaseMetaData``
+    (driven in the driver JVM via the py4j gateway): `getImportedKeys` is
+    part of the JDBC spec, so this works against ANY JDBC source —
+    including embedded Derby — where the information_schema query above is
+    PostgreSQL-shaped. Identifiers are folded to lowercase so catalogs
+    built over `spark.read.jdbc` frames and these edges agree on names.
+
+    One driver-side metadata connection; no executor involvement — this is
+    O(tables) catalog traffic, the same shape as the reference's one-shot
+    FK query (xdump/postgresql.py:19-62)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        if k != "url":
+            props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        meta = conn.getMetaData()
+        tables: list[str] = []
+        rs = meta.getTables(None, schema_pattern, "%", None)
+        while rs.next():
+            if rs.getString("TABLE_TYPE") == "TABLE":
+                tables.append(rs.getString("TABLE_NAME"))
+        rs.close()
+        fks: list[ForeignKey] = []
+        for t in tables:
+            rs = meta.getImportedKeys(None, schema_pattern, t)
+            while rs.next():
+                fks.append(
+                    ForeignKey(
+                        table=rs.getString("FKTABLE_NAME").lower(),
+                        column=rs.getString("FKCOLUMN_NAME").lower(),
+                        foreign_table=rs.getString("PKTABLE_NAME").lower(),
+                        foreign_column=rs.getString("PKCOLUMN_NAME").lower(),
+                        name=(rs.getString("FK_NAME") or None),
+                    )
+                )
+            rs.close()
+        return fks
+    finally:
+        conn.close()
 
 
 def stage_catalog(catalog: Catalog, stage_dir: str) -> Catalog:
