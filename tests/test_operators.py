@@ -315,3 +315,25 @@ def test_sign_lsh_tables_scurve():
     assert S.sign_lsh_tables(0.95, n_planes=8) <= 6
     assert S.sign_lsh_tables(0.4, n_planes=8) > 50
     assert S.sign_lsh_tables(1.0, n_planes=8) == 1
+
+
+# ------------------------------------------------------------ winnowing ----
+def test_winnow_shared_run_guarantee(spark):
+    """Two docs sharing a run of window+n-1 = 6 tokens must share a
+    fingerprint (the winnowing guarantee); a doc with < n tokens drops
+    out; a short doc (< window grams) still yields one fingerprint."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "XX YY alpha beta gamma delta epsilon zeta"),   # shared 6-run
+            (3, "one two"),                                     # < n tokens
+            (4, "a b c d"),                                     # 2 grams < window
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in TX.winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]          # shared window min
+    assert 3 not in fps
+    assert len(fps[4]) == 1         # single truncated window

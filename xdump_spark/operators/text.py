@@ -155,3 +155,52 @@ def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     the exact-dedup key (stable across engines and runs)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the rolling-window scheme of MOSS,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every word n-gram, slide a
+    ``window``-wide frame over the hash sequence, keep each frame's
+    minimum; the DISTINCT minima are the document's fingerprint set.
+    Guarantees any shared run of ``window + n - 1`` tokens between two
+    documents shares a fingerprint — the local-dedup primitive between
+    exact hashing and MinHash.
+
+    Plan shape (scale): posexplode → two ROW-frame window passes
+    partitioned by document — everything whole-stage-codegen column work
+    (md5, lead, min), ONE shuffle on doc_id; no higher-order-function
+    interpretation, no UDF. Short documents (< window grams) contribute
+    the min of the grams they have; docs with < n tokens drop out.
+    Returns (doc_id, fp) distinct."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)]
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(gram).alias("h"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("_ok"),
+    ).where("_ok")
+    wm = grams.select(
+        F.col(id_col),
+        F.min("h").over(w.rowsBetween(0, window - 1)).alias("fp"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy(id_col)).alias("_ng"),
+    )
+    return (
+        wm.where(F.col("_rn") <= F.greatest(F.col("_ng") - (window - 1), F.lit(1)))
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+    )

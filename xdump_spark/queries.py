@@ -642,6 +642,163 @@ def tpch_q18_big(spark, sf_dir):
 
 
 @query(
+    "tpch_q7_volume",
+    """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume(spark, sf_dir):
+    """Bidirectional nation-pair shipping volume by year (TPC-H Q7
+    shape): the same dimension joined twice under different roles. Both
+    nation legs broadcast; the disjunctive nation-pair predicate lands
+    after the broadcast joins so only two nations' rows survive into the
+    fact aggregation."""
+    cat = _cat(spark, sf_dir)
+    n1 = cat.tables["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.tables["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    li = cat.tables["lineitem"].select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            F.broadcast(
+                cat.tables["supplier"]
+                .select("s_suppkey", "s_nationkey")
+                .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(cat.tables["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.tables["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q10_returns",
+    """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returns(spark, sf_dir):
+    """Top customers by returned-item revenue in a quarter (TPC-H Q10
+    shape): date + returnflag filters push to the scans, nation
+    broadcasts, top-k orders only the aggregated rows."""
+    cat = _cat(spark, sf_dir)
+    orders = cat.tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = cat.tables["lineitem"].filter("l_returnflag = 'R'").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.tables["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19_disjunct",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunct(spark, sf_dir):
+    """Disjunctive multi-attribute predicate over a fact⋈dim join (TPC-H
+    Q19 shape, adapted to this schema's columns): Catalyst extracts the
+    common constraints (the union of brand/size/quantity ranges) as
+    pushable conjuncts for both scans, and the dim side broadcasts."""
+    cat = _cat(spark, sf_dir)
+    part = cat.tables["part"].select("p_partkey", "p_brand", "p_size")
+    li = cat.tables["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
     "anti_parts_quiet",
     """
 SELECT p_partkey, p_name, p_type
@@ -873,6 +1030,41 @@ def text_token_counts(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Normalized-text md5 fingerprint (the exact-dedup key)."""
     return TX.fingerprint_frame(_cat(spark, sf_dir).tables["documents"])
+
+
+@query(
+    "text_winnow",
+    r"""
+WITH docs0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (
+  SELECT doc_id, arr[i] AS tok, i - 1 AS pos
+  FROM docs0, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS h,
+         lead(tok, 2) OVER w IS NOT NULL AS ok
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams WHERE ok
+)
+SELECT DISTINCT doc_id, fp FROM wm WHERE rn <= greatest(ng - 3, 1)
+""",
+)
+def text_winnow(spark, sf_dir):
+    """Winnowing (rolling-window min-hash) fingerprints over word
+    3-grams, window 4 — oracle recomputes the identical scheme with
+    DuckDB window functions over md5 hashes (bit-identical hex)."""
+    return TX.winnow_fingerprints(_cat(spark, sf_dir).tables["documents"])
 
 
 # --------------------------------------------------------------------------

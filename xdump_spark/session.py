@@ -25,7 +25,7 @@ def get_spark(app_name: str = "xdump_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("XDUMP_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("XDUMP_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
