@@ -133,3 +133,38 @@ def test_salted_closure_materialization_equivalent(spark, employees_catalog):
             tuple(r) for r in salted[t].collect()
         }, t
     assert "__salt" in salted["employees"]._jdf.queryExecution().toString()
+
+
+def test_q19_disjunct_extracted_to_both_scans(spark):
+    """Catalyst must extract each side's union-of-ranges from the
+    OR-of-ANDs predicate and push it into that side's parquet scan — a
+    disjunctive filter evaluated only post-join re-reads both tables in
+    full at scale."""
+    plan = plan_of(spark, "tpch_q19_disjunct")
+    pushed = plan.split("PushedFilters")
+    li_pushed = [s for s in pushed[1:] if "l_quantity" in s.splitlines()[0]]
+    part_pushed = [s for s in pushed[1:] if "p_brand" in s.splitlines()[0]]
+    assert li_pushed, "lineitem scan lost the quantity-range disjunction"
+    assert part_pushed, "part scan lost the brand/size disjunction"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_filters_pushed(spark):
+    plan = plan_of(spark, "tpch_q10_returns")
+    pushed = plan.split("PushedFilters")
+    assert any("l_returnflag,R" in s.splitlines()[0] for s in pushed[1:])
+    assert any("o_orderdate" in s.splitlines()[0] for s in pushed[1:])
+
+
+def test_winnow_single_shuffle_no_udf(spark):
+    """The winnowing pipeline must stay JVM-side (no Python evaluation)
+    and shuffle once on the document key — both window passes and the
+    distinct reuse the doc_id hash partitioning."""
+    plan = plan_of(spark, "text_winnow")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly one exchange: explode + both window passes + the final
+    # distinct all reuse the doc_id hash partitioning
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan

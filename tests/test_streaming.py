@@ -206,3 +206,43 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert 5 in emitted2, "on-time session did not emit"
     assert 3 not in emitted2, "late event survived the watermark"
     assert 4 not in emitted2, "open session emitted early"
+
+
+def test_stream_dedup_drops_redelivered_events(spark, events_batch, events_dir, tmp_path):
+    """At-least-once redelivery: feed every event file TWICE (distinct
+    file names, duplicate contents); the watermarked dropDuplicates
+    stream must emit each (event_id, ts) once, matching the single-copy
+    batch aggregate (itself DuckDB-oracle-checked as events_dedup)."""
+    import os
+
+    from xdump_spark.streaming.events import dedup_counts, dedup_events
+
+    redelivered = str(tmp_path / "redelivered")
+    os.makedirs(redelivered)
+    for i, f in enumerate(sorted(glob.glob(f"{events_dir}/part-*.parquet"))):
+        shutil.copy(f, os.path.join(redelivered, f"a{i}.parquet"))
+        shutil.copy(f, os.path.join(redelivered, f"b{i}.parquet"))
+
+    stream = read_events_stream(spark, f"{redelivered}/*.parquet", max_files_per_trigger=3)
+    # watermark=None: redelivered copies here arrive ARBITRARILY out of
+    # event-time order (files span the whole range), so a horizon would
+    # also drop genuinely-late originals. Production with in-order
+    # sources sets the watermark to the max redelivery lag to bound state
+    # (see dedup_events docstring).
+    deduped = dedup_events(
+        stream.select("event_id", "ts", "event_type", "value"), watermark=None
+    )
+    q = run_to_memory(deduped, "dedup_stream", output_mode="append")
+    try:
+        got = spark.table("dedup_stream")
+        # every event exactly once, despite 2x delivery
+        assert got.count() == events_batch.count()
+        want = rows_set(
+            dedup_counts(events_batch.select("event_id", "ts", "event_type", "value"))
+        )
+        agg = got.groupBy("event_type").agg(
+            F.count("*").alias("n_unique"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        assert rows_set(agg) == want
+    finally:
+        q.stop()

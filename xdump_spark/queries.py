@@ -937,6 +937,28 @@ def events_user_totals(spark, sf_dir):
     )
 
 
+@query(
+    "events_dedup",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique,
+       ROUND(SUM(value), 2) AS sum_value
+FROM (SELECT DISTINCT event_id, ts, event_type, value FROM events)
+GROUP BY event_type
+""",
+)
+def events_dedup(spark, sf_dir):
+    """Batch twin of the streaming exactly-once dedup (dropDuplicates on
+    (event_id, ts) within the watermark horizon — streaming/events.py
+    dedup_events); the stream test re-delivers every event and asserts
+    the deduped result equals this single-copy aggregate."""
+    from xdump_spark.streaming.events import dedup_counts
+
+    ev = _cat(spark, sf_dir).tables["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return dedup_counts(ev)
+
+
 # --------------------------------------------------------------------------
 # Extension operators: text analysis (oracle-checked bit-for-bit)
 # --------------------------------------------------------------------------

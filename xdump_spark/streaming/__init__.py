@@ -1,5 +1,7 @@
 from xdump_spark.streaming.events import (
     EVENTS_SCHEMA,
+    dedup_counts,
+    dedup_events,
     hourly_rollup,
     read_events_stream,
     run_to_memory,
@@ -9,6 +11,8 @@ from xdump_spark.streaming.events import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "dedup_counts",
+    "dedup_events",
     "hourly_rollup",
     "read_events_stream",
     "run_to_memory",

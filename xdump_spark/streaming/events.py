@@ -135,6 +135,39 @@ def sessionize(
     )
 
 
+def dedup_events(
+    events: DataFrame, keys: list[str] | None = None, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Exactly-once-ify an at-least-once event stream: drop redelivered
+    events by key within the watermark horizon (``dropDuplicates`` keyed
+    state, expired as the watermark advances — the streaming twin of the
+    corpus exact-dedup operator). In batch the same call is a plain
+    keyed dedup, so a SQL oracle can check the semantics.
+
+    The event-time column must be part of ``keys`` (or a watermark alone
+    cannot bound state): default key is (event_id, ts).
+
+    Watermark semantics caveat: ``dropDuplicates`` + watermark drops any
+    event OLDER than the horizon, duplicate or not — so the horizon must
+    cover the source's redelivery lag *in event time*. For sources that
+    redeliver arbitrarily out of order, pass ``watermark=None``
+    (unbounded state, exact batch semantics)."""
+    keys = keys or ["event_id", "ts"]
+    src = _maybe_watermark(events, watermark)
+    return src.dropDuplicates(keys)
+
+
+def dedup_counts(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Aggregated view of ``dedup_events`` suitable for a value-hash
+    oracle regardless of which duplicate survives: per event_type, the
+    number of distinct event ids and the distinct-id value sum."""
+    deduped = dedup_events(events, watermark=watermark)
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 
 _TOTALS_OUT = StructType(
