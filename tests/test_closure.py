@@ -6,6 +6,7 @@ compares CSV content as sets (tests/conftest.py:133-136)."""
 import pytest
 from pyspark.sql import functions as F
 
+from xdump_spark.catalog import ForeignKey
 from xdump_spark.planner.closure import compute_closure, pull_related, validate_tables
 
 from .conftest import ids
@@ -231,3 +232,67 @@ class TestSeedProjection:
         assert ids(out["tickets"]) == {1, 2}
         # the projection still propagates: authors of tickets 1-2 pulled
         assert ids(out["employees"]) == {1, 2}
+
+
+class TestPointerDoubling:
+    """recursive_ancestors_doubling: O(log depth) twin of the semi-naive
+    loop for single-edge self-FK hierarchies."""
+
+    def test_matches_seminaive_on_manager_chain(self, spark, employees_catalog):
+        from xdump_spark.catalog import Catalog
+        from xdump_spark.planner.closure import recursive_ancestors_doubling
+
+        emp = employees_catalog.tables["employees"]
+        sub = Catalog(
+            {"employees": emp},
+            [ForeignKey("employees", "manager_id", "employees", "id")],
+        )
+        seed = emp.filter("id = 5")
+        got = recursive_ancestors_doubling(sub, "employees", seed)
+        loop = compute_closure(sub, partial_tables={"employees": seed})
+        assert ids(got) == ids(loop["employees"]) == {1, 3, 5}
+
+    def test_deep_chain_in_log_rounds(self, spark):
+        """A 4096-deep linked-list chain (node k -> k-1) closes in ~12
+        doubling rounds — the semi-naive loop would need 4096. The round
+        count is observable via max_rounds: 15 suffices, 10 must not."""
+        from pyspark.sql import functions as SF
+
+        from xdump_spark.catalog import Catalog
+        from xdump_spark.planner.closure import recursive_ancestors_doubling
+
+        n = 4096
+        chain = spark.range(1, n + 1).select(
+            SF.col("id").alias("node"),
+            SF.when(SF.col("id") > 1, SF.col("id") - 1).alias("prev"),
+        )
+        sub = Catalog({"chain": chain}, [ForeignKey("chain", "prev", "chain", "node")])
+        seed = chain.filter(SF.col("node") == n)
+        got = recursive_ancestors_doubling(sub, "chain", seed, max_rounds=15)
+        assert got.count() == n
+        with pytest.raises(RuntimeError, match="did not converge"):
+            recursive_ancestors_doubling(sub, "chain", seed, max_rounds=10)
+
+    def test_cycle_terminates(self, spark):
+        from pyspark.sql import functions as SF
+
+        from xdump_spark.catalog import Catalog
+        from xdump_spark.planner.closure import recursive_ancestors_doubling
+
+        # 1 -> 2 -> 3 -> 1 cycle plus a tail 4 -> 3
+        cyc = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 3)], "node long, nxt long"
+        )
+        sub = Catalog({"cyc": cyc}, [ForeignKey("cyc", "nxt", "cyc", "node")])
+        got = recursive_ancestors_doubling(sub, "cyc", cyc.filter("node = 4"))
+        assert ids(got, "node") == {1, 2, 3, 4}
+
+    def test_multi_edge_rejected(self, spark, employees_catalog):
+        from xdump_spark.planner.closure import recursive_ancestors_doubling
+
+        with pytest.raises(ValueError, match="exactly one self-FK"):
+            recursive_ancestors_doubling(
+                employees_catalog,
+                "employees",
+                employees_catalog.tables["employees"].filter("id = 5"),
+            )

@@ -421,6 +421,72 @@ def recursive_pull(
     return spark.sql(sql)
 
 
+def recursive_ancestors_doubling(
+    catalog: Catalog,
+    table: str,
+    seed_df: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Ancestor closure over a single FUNCTIONAL self-FK in O(log depth)
+    rounds by pointer jumping (path doubling): ``jump`` maps every key to
+    its 2^r-th ancestor and squares each round; ``reached`` holds all
+    ancestors within 2^r - 1 steps and extends by one jump per round.
+
+    This is the deep-hierarchy twin of ``compute_closure``'s semi-naive
+    loop: the loop does O(depth) rounds of tiny frontier joins — right
+    for shallow graphs — while a 10^5-deep chain (linked-list-shaped
+    hierarchies) finishes here in 17 rounds at O(n log depth) total rows
+    shuffled (the squaring join touches the full edge set per round; at
+    scale pre-bucket the table by key so those joins co-locate).
+    Functional means one recursive edge whose child column holds at most
+    one parent per row — exactly Spark-representable self-FKs. Cycles
+    terminate: ``reached`` saturates and the round adds nothing new.
+
+    Semantics match the reference's recursive pull (xdump/base.py:253-262)
+    = ``compute_closure`` on the same single-edge catalog; equivalence is
+    pinned in tests and by the shared WITH RECURSIVE oracle."""
+    edges = [fk for fk in catalog.outgoing(table) if fk.is_recursive]
+    if len(edges) != 1:
+        raise ValueError(
+            f"pointer doubling needs exactly one self-FK on {table!r}; "
+            f"got {len(edges)} — use compute_closure for multi-edge recursion"
+        )
+    fk = edges[0]
+    key, child = fk.foreign_column, fk.column
+    base = catalog.tables[table]
+    jump = (
+        base.select(F.col(key).alias("src"), F.col(child).alias("dst"))
+        .where(F.col(child).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    reached = (
+        seed_df.select(F.col(key).alias("src")).distinct().localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = (
+            reached.join(jump, "src")
+            .select(F.col("dst").alias("src"))
+            .distinct()
+            .join(reached, "src", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        reached = reached.union(nxt).localCheckpoint(eager=True)
+        a, b = jump.alias("a"), jump.alias("b")
+        jump = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"doubling did not converge within {max_rounds} rounds")
+    keys = reached.withColumnRenamed("src", key)
+    if reached.count() <= BROADCAST_KEY_LIMIT:
+        keys = F.broadcast(keys)
+    return base.join(keys, on=key, how="left_semi")
+
+
 def closure_summary(result: dict[str, DataFrame]) -> list[tuple[str, int]]:
     """(table, selected-row-count) pairs, sorted by table name."""
     return sorted((name, df.count()) for name, df in result.items())

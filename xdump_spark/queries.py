@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xdump_spark.catalog import Catalog, ForeignKey, load_sf_dir
-from xdump_spark.planner.closure import compute_closure, recursive_pull
+from xdump_spark.planner.closure import (
+    compute_closure,
+    recursive_ancestors_doubling,
+    recursive_pull,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -315,6 +319,34 @@ def xd_closure_recursive_sql(spark, sf_dir):
     return recursive_pull(
         spark, sub, "sh", "SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1"
     )
+
+
+@query(
+    "xd_closure_recursive_doubling",
+    """
+WITH RECURSIVE sh AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey > 1 THEN CAST(s_suppkey // 2 AS BIGINT) END AS mgr
+  FROM supplier
+), seedq AS (SELECT * FROM sh ORDER BY s_suppkey DESC LIMIT 1),
+r AS (
+  SELECT * FROM seedq
+  UNION
+  SELECT sh.* FROM sh JOIN r ON r.mgr = sh.s_suppkey
+)
+SELECT * FROM r
+""",
+)
+def xd_closure_recursive_doubling(spark, sf_dir):
+    """O(log depth) pointer-jumping ancestors over the single-edge
+    supplier hierarchy (planner/closure.py recursive_ancestors_doubling)
+    — third implementation of the same semantics, same oracle as the
+    semi-naive loop and the WITH RECURSIVE twin."""
+    cat = _cat(spark, sf_dir)
+    sh = _supplier_hierarchy(cat).drop("referrer")
+    sub = Catalog({"sh": sh}, [ForeignKey("sh", "mgr", "sh", "s_suppkey")])
+    seed = sh.orderBy(F.desc("s_suppkey")).limit(1)
+    return recursive_ancestors_doubling(sub, "sh", seed)
 
 
 @query(
