@@ -84,15 +84,15 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).select(_warm_udf("id")).write.format("noop").mode("overwrite").save()
 
-    # Run the Python-UDF-bearing operators once at the smallest scale
-    # (sf0.001, ~50 docs): a pandas-UDF pipeline's first execution pays
-    # whole-stage-codegen compilation and per-worker Arrow/UDF install
-    # (measured ~2-6 s per distinct pipeline shape, independent of data
-    # size). A long-lived cluster runs these warm; timing them cold would
+    # Run every headline query once at the smallest scale (sf0.001): a
+    # pipeline's first execution pays whole-stage-codegen compilation and
+    # (for pandas-UDF stages) per-worker Arrow/UDF install — measured
+    # ~2-11 s per distinct plan shape, independent of data size. A
+    # long-lived cluster runs these shapes warm; timing them cold would
     # measure JIT, not the engine. No timed-scale data is touched.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in ("minhash_pairs", "simhash_pairs", "multimodal_frames"):
+        for name in HEADLINE:
             if name in qs:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
