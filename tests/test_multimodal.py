@@ -64,3 +64,43 @@ def test_repartition_by_bytes(media):
     small = M.repartition_by_bytes(media, target_partition_bytes=10_000)
     total = media.select(F.sum(F.octet_length("blob"))).first()[0]
     assert small.rdd.getNumPartitions() == total // 10_000 + 1
+
+
+def test_sniff_real_headers(spark):
+    """Handcrafted REAL container headers: PNG (big-endian IHDR), GIF89a
+    (little-endian logical screen), BMP (little-endian BITMAPINFOHEADER),
+    and junk — parsed by pure JVM expressions."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    from xdump_spark.operators.multimodal import sniff_image_meta
+
+    png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 1024, 768)
+    )
+    rows = [(1, png), (2, gif), (3, bmp), (4, b"not an image at all")]
+    st = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in sniff_image_meta(spark.createDataFrame(rows, st)).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 1024, 768)
+    assert got[4] == ("unknown", None, None)
+
+
+def test_sniff_is_pure_codegen(spark):
+    from xdump_spark.operators.multimodal import sniff_image_meta, wrap_png
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan = sniff_image_meta(wrap_png(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

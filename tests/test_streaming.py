@@ -246,3 +246,30 @@ def test_stream_dedup_drops_redelivered_events(spark, events_batch, events_dir, 
         assert rows_set(agg) == want
     finally:
         q.stop()
+
+
+def test_sessionize_on_rocksdb_state_store(spark, events_batch, events_dir):
+    """The production state-store provider (RocksDB, bundled with Spark)
+    must hold the session/window state — same results as the default
+    HDFS-backed provider and as the batch anchor."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, f"{events_dir}/part-*.parquet",
+                                    max_files_per_trigger=2)
+        q = run_to_memory(sessionize(stream), "sess_rocks", output_mode="complete")
+        try:
+            got = rows_set(spark.table("sess_rocks"))
+            want = rows_set(sessionize(events_batch))
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

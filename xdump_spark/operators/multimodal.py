@@ -88,6 +88,101 @@ def blob_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# -- binary header parsing (REAL, pure JVM) ---------------------------------
+
+
+def _be32(col):
+    """Integer → 4-byte big-endian binary (JVM expressions only)."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+
+
+def _read_be32(blob, pos: int):
+    """Big-endian uint32 at 1-based byte offset ``pos``."""
+    return F.conv(F.hex(F.substring(blob, pos, 4)), 16, 10).cast("long")
+
+
+def _read_le16(blob, pos: int):
+    """Little-endian uint16 at 1-based byte offset ``pos``."""
+    return F.conv(
+        F.concat(F.hex(F.substring(blob, pos + 1, 1)), F.hex(F.substring(blob, pos, 1))),
+        16,
+        10,
+    ).cast("long")
+
+
+def _read_le32(blob, pos: int):
+    return F.conv(
+        F.concat(
+            *[F.hex(F.substring(blob, pos + i, 1)) for i in (3, 2, 1, 0)]
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+_PNG_MAGIC = "89504E470D0A1A0A"
+
+
+def wrap_png(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build REAL PNG-container blobs around the text payload, entirely
+    JVM-side: magic + IHDR length/tag + big-endian width/height derived
+    from the id (so an oracle can predict them arithmetically) + payload.
+    The ingest twin for exercising ``sniff_image_meta`` without image
+    libraries — the bytes are a valid PNG signature + IHDR prefix."""
+    wid = (F.col(id_col) % 1920 + 1).cast("long")
+    hgt = (F.col(id_col) % 1080 + 1).cast("long")
+    blob = F.concat(
+        F.unhex(F.lit(_PNG_MAGIC)),
+        F.unhex(F.lit("0000000D")),          # IHDR chunk length 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        _be32(wid),
+        _be32(hgt),
+        F.encode(F.col(text_col), "UTF-8"),  # stand-in for the pixel stream
+    )
+    return docs.select(F.col(id_col), blob.alias("blob"))
+
+
+def sniff_image_meta(media: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """Detect image container format and dimensions from the BINARY HEADER
+    with pure whole-stage-codegen expressions — no Python, no codec
+    library, no full-blob decode: only the first ~26 bytes of each blob
+    are touched. Supports PNG (big-endian IHDR dims), GIF87a/89a
+    (little-endian logical-screen dims), and BMP (little-endian
+    BITMAPINFOHEADER dims); anything else → format 'unknown', null dims.
+
+    This is the scan-side metadata pass a 100 TB media pipeline runs
+    BEFORE any Python decode stage — at full codegen speed with column
+    pruning (id + blob prefix only)."""
+    b = F.col(blob_col)
+    head8 = F.hex(F.substring(b, 1, 8))
+    is_png = head8 == _PNG_MAGIC
+    sig3 = F.substring(b, 1, 3)
+    is_gif = sig3 == F.encode(F.lit("GIF"), "UTF-8")
+    is_bmp = F.substring(b, 1, 2) == F.encode(F.lit("BM"), "UTF-8")
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(is_png, _read_be32(b, 17))
+        .when(is_gif, _read_le16(b, 7))
+        .when(is_bmp, _read_le32(b, 19))
+    )
+    height = (
+        F.when(is_png, _read_be32(b, 21))
+        .when(is_gif, _read_le16(b, 9))
+        .when(is_bmp, _read_le32(b, 23))
+    )
+    return media.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+    )
+
+
 # -- decode (STUBBED codec) -------------------------------------------------
 
 _DECODE_SCHEMA = StructType(

@@ -1309,6 +1309,25 @@ def multimodal_blob_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_sniff",
+    """
+SELECT doc_id, 'png' AS format,
+       CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 1080 + 1 AS BIGINT) AS height
+FROM documents
+""",
+)
+def multimodal_sniff(spark, sf_dir):
+    """Binary header parsing, pure codegen: wrap each document in a REAL
+    PNG signature + IHDR prefix (dims derived from doc_id), then recover
+    format/width/height by PARSING THE BYTES (operators/multimodal.py
+    sniff_image_meta). The oracle predicts the dims arithmetically — a
+    parser bug (endianness, offset, magic) breaks the value hash."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    return M.sniff_image_meta(M.wrap_png(docs))
+
+
+@query(
     "multimodal_frames",
     """
 SELECT d.doc_id,
