@@ -337,3 +337,45 @@ def test_winnow_shared_run_guarantee(spark):
     assert fps[1] & fps[2]          # shared window min
     assert 3 not in fps
     assert len(fps[4]) == 1         # single truncated window
+
+
+# ------------------------------------------------------------- asof join ----
+def test_asof_join_semantics(spark):
+    from xdump_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 35, 102), (2, 5, 200)],
+        "user_id long, t long, event_id long",
+    ).select("event_id", "user_id", "t")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 30, 3.0), (2, 6, 9.9)],
+        "user_id long, t long, value double",
+    )
+    out = {r.event_id: (r.r_t, r.r_value)
+           for r in asof_join(left, right, on="t", by=["user_id"]).collect()}
+    assert out[100] == (10, 1.0)    # equal time IS visible (<=)
+    assert out[101] == (10, 1.0)    # latest prior, not a later one
+    assert out[102] == (30, 3.0)
+    assert out[200] == (None, None) # no prior right row → nulls kept
+
+
+def test_asof_join_single_shuffle(spark):
+    import re
+
+    from xdump_spark.operators.temporal import asof_join
+
+    left = spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("user_id"),
+        (F.col("id") * 5).alias("t"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") % 3).alias("user_id"), (F.col("id") * 7).alias("t"),
+        F.col("id").cast("double").alias("value"),
+    )
+    plan_df = asof_join(left, right, on="t", by=["user_id"])
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

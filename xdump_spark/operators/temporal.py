@@ -1,0 +1,61 @@
+"""Temporal joins over event tables: as-of join.
+
+Spark has no native ASOF JOIN (DuckDB, kdb+, pandas do). The naive
+formulation — equi-join on the group key plus an inequality on time, then
+keep the max — plans as a per-group product with a post-filter:
+O(|L|·|R|) within every group. The implementation here is the
+union-tag + last-carry-forward shape: both sides merge into one frame,
+sort per group by (time, side-tag), and a running ``last(ignorenulls)``
+window carries each right row's payload forward to the left rows that
+follow it. ONE shuffle on the group key, O((|L|+|R|) log) sort — the
+standard scale-out ASOF strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the LATEST right row
+    with ``right.on <= left.on`` in the same ``by`` group (DuckDB
+    ``ASOF LEFT JOIN`` semantics — left rows with no prior right row keep
+    nulls). Right payload columns come back prefixed with
+    ``right_prefix``; the matched right time is ``{prefix}{on}``.
+
+    A right row at exactly the left row's time IS visible (<=): the right
+    side sorts before the left at equal times. Among multiple right rows
+    at the same (group, time) the surviving one is unspecified — dedupe
+    first if that matters.
+    """
+    by = list(by)
+    rvals = [c for c in right.columns if c not in by + [on]]
+    payload = F.struct(
+        F.col(on).alias(f"{right_prefix}{on}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rvals],
+    )
+    r = right.select(
+        *by, F.col(on), payload.alias("__r"), F.lit(0).alias("__tag")
+    )
+    l = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r.schema["__r"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = u.where(F.col("__tag") == 1)
+    r_cols = [
+        F.col(f"__r.{right_prefix}{on}").alias(f"{right_prefix}{on}")
+    ] + [F.col(f"__r.{right_prefix}{c}").alias(f"{right_prefix}{c}") for c in rvals]
+    return out.select(*[F.col(c) for c in left.columns], *r_cols)

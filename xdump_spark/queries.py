@@ -970,6 +970,44 @@ def events_user_totals(spark, sf_dir):
 
 
 @query(
+    "events_asof",
+    """
+WITH c AS (SELECT event_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.t AS click_us,
+       p.t AS purchase_us, p.value AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+""",
+)
+def events_asof(spark, sf_dir):
+    """As-of join: each click event attached to the user's latest
+    prior-or-equal purchase (operators/temporal.py asof_join — union-tag
+    + carry-forward, one shuffle). Oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN over the same microsecond epochs (µs, not ns: DuckDB truncates
+    parquet ns timestamps to µs) — two independent implementations of
+    the semantics must agree bit-for-bit."""
+    from xdump_spark.operators.temporal import asof_join
+
+    ev = _cat(spark, sf_dir).tables["events"]
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("t")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.expr("ts_ns div 1000").alias("t"), "value"
+    )
+    out = asof_join(clicks, purchases, on="t", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("click_us"),
+        F.col("r_t").alias("purchase_us"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
+@query(
     "events_dedup",
     """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique,
