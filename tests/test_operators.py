@@ -379,3 +379,25 @@ def test_asof_join_single_shuffle(spark):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_point_in_interval_join_boundaries(spark):
+    """Inclusive bounds, cross-bin intervals, multi-interval points —
+    each (point, interval) pair must appear exactly once."""
+    from xdump_spark.operators.temporal import point_in_interval_join
+
+    pts = spark.createDataFrame([(0,), (10,), (15,), (20,), (99,)], "p long")
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 5, 99)], "iid long, s long, e long"
+    )
+    got = sorted(
+        (r.p, r.iid)
+        for r in point_in_interval_join(pts, iv, "p", "s", "e", bin_width=7).collect()
+    )
+    want = sorted(
+        (p, iid)
+        for p in [0, 10, 15, 20, 99]
+        for iid, s, e in [(1, 0, 10), (2, 10, 20), (3, 5, 99)]
+        if s <= p <= e
+    )
+    assert got == want

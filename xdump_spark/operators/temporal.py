@@ -1,4 +1,5 @@
-"""Temporal joins over event tables: as-of join.
+"""Temporal joins over event tables: as-of join, point-in-interval range
+join.
 
 Spark has no native ASOF JOIN (DuckDB, kdb+, pandas do). The naive
 formulation — equi-join on the group key plus an inequality on time, then
@@ -59,3 +60,45 @@ def asof_join(
         F.col(f"__r.{right_prefix}{on}").alias(f"{right_prefix}{on}")
     ] + [F.col(f"__r.{right_prefix}{c}").alias(f"{right_prefix}{c}") for c in rvals]
     return out.select(*[F.col(c) for c in left.columns], *r_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner join of points to every interval containing them
+    (``start <= point <= end``) with NO equi key — the case Spark plans
+    as a nested-loop product. Binning makes it an equi-join: intervals
+    explode to the ``bin_width``-sized bins they overlap, points map to
+    their single bin, the join runs on the bin id, and the exact range
+    predicate filters within the bin. Each (point, interval) pair meets
+    in exactly ONE bin (the point's), so no dedup pass is needed.
+
+    Cost: |intervals| × (span/bin_width + 1) replicated rows + one hash
+    shuffle — pick ``bin_width`` near the typical interval span so the
+    replication factor stays ~2. Point/start/end must be numeric (epoch
+    numbers; cast timestamps first). A degenerate bin (all points in one
+    bin) is ordinary join skew — AQE's skew-join split applies."""
+    bin_of_point = F.floor(F.col(point_col) / bin_width)
+    b = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width),
+                F.floor(F.col(end_col) / bin_width),
+            )
+        ),
+    )
+    p = points.withColumn("__bin", bin_of_point)
+    return (
+        p.join(b, "__bin")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

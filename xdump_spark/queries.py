@@ -1008,6 +1008,39 @@ def events_asof(spark, sf_dir):
 
 
 @query(
+    "range_join_ship_windows",
+    """
+WITH iv AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS s
+            FROM orders WHERE o_orderkey % 97 = 0),
+p AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) AS p FROM lineitem)
+SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ship
+FROM p JOIN iv ON p.p >= iv.s AND p.p <= iv.s + 604800
+GROUP BY o_orderkey
+""",
+)
+def range_join_ship_windows(spark, sf_dir):
+    """Point-in-interval range join with NO equi key (how many lineitems
+    shipped inside each sampled order's 7-day window): Spark would plan
+    the raw inequality join as a nested-loop product, so the operator
+    bins both sides (operators/temporal.py point_in_interval_join) into
+    an equi-join + in-bin filter. Oracle is DuckDB's native inequality
+    join over the same epoch seconds."""
+    from xdump_spark.operators.temporal import point_in_interval_join
+
+    cat = _cat(spark, sf_dir)
+    week = 7 * 86400
+    pts = cat.tables["lineitem"].select(F.unix_timestamp("l_shipdate").alias("p"))
+    iv = (
+        cat.tables["orders"]
+        .filter("o_orderkey % 97 = 0")
+        .select("o_orderkey", F.unix_timestamp("o_orderdate").alias("s"))
+        .withColumn("e", F.col("s") + week)
+    )
+    joined = point_in_interval_join(pts, iv, "p", "s", "e", bin_width=week)
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))
+
+
+@query(
     "events_dedup",
     """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique,
