@@ -396,3 +396,42 @@ def test_snapshot_staging_hides_mid_dump_mutation(tmp_path, spark, employees_cat
     assert ids(loaded.frames["employees"]) == {1, 2, 3, 4, 5}
     # while the live source really does see the new row
     assert live.catalog().tables["employees"].count() == 6
+
+
+def test_roundtrip_boolean_map_keys(tmp_path, spark):
+    """Map keys use the scalar value encodings: {True: 1} must not load
+    as {False: 1} (str(True)='True' vs the boolean encoding 'true')."""
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("flags", T.MapType(T.BooleanType(), T.LongType()), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, {True: 7, False: 3})], st)
+    cat = Catalog({"m": df}, [])
+    out = str(tmp_path / "bk.zip")
+    SparkDumpEngine(spark, cat).dump(out, full_tables=["m"])
+    got = SparkDumpEngine(spark, cat).load(out).frames["m"].collect()[0]
+    assert got.flags == {True: 7, False: 3}
+
+
+def test_sequence_state_beyond_long_range(spark):
+    """decimal(38,0) serial keys past the long range must survive capture
+    exactly (a long cast would overflow or null the sequence out)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from xdump_spark.catalog import Catalog
+    from xdump_spark.engine import sequence_state
+
+    big = Decimal(2**70)
+    df = spark.createDataFrame(
+        [(big,)], T.StructType([T.StructField("id", T.DecimalType(38, 0), False)])
+    )
+    cat = Catalog({"t": df}, [], primary_keys={"t": "id"})
+    assert sequence_state({"t": df}, cat) == {"t": 2**70}

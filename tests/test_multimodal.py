@@ -104,3 +104,21 @@ def test_sniff_is_pure_codegen(spark):
     docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     plan = sniff_image_meta(wrap_png(docs))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sniff_topdown_bmp_negative_height(spark):
+    import struct
+
+    from pyspark.sql import types as T
+
+    from xdump_spark.operators.multimodal import sniff_image_meta
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 1024, -768)
+    )
+    st = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    r = sniff_image_meta(spark.createDataFrame([(1, bmp)], st)).collect()[0]
+    assert (r.format, r.width, r.height) == ("bmp", 1024, 768)

@@ -401,3 +401,34 @@ def test_point_in_interval_join_boundaries(spark):
         if s <= p <= e
     )
     assert got == want
+
+
+def test_asof_join_null_right_time_never_matches(spark):
+    from xdump_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 50)], "event_id long, user_id long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 9.9), (1, 100, 1.0)], "user_id long, t long, value double"
+    )
+    row = asof_join(left, right, on="t", by=["user_id"]).collect()[0]
+    assert row.r_t is None and row.r_value is None   # not the phantom 9.9
+
+
+def test_sizing_scan_detection(spark, tmp_path):
+    from xdump_spark.operators import sizing
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id", "sha2(cast(id AS string), 256) AS s"
+    ).write.parquet(p)
+    scan = spark.read.parquet(p).select("id", "s")
+    assert sizing._is_simple_scan(scan)
+    derived = scan.groupBy("id").count()
+    assert not sizing._is_simple_scan(derived)
+    # both metadata probes work without any data scan; the footer number
+    # is pre-compression (>= is data-dependent only through encoding, so
+    # just pin both are positive and footer >= is not required)
+    unc = sizing.input_uncompressed_bytes(scan)
+    disk = sizing.input_bytes(scan)
+    assert unc is not None and unc > 0
+    assert disk is not None and disk > 0

@@ -33,6 +33,22 @@ COMPRESSION = {
 }
 
 
+def _key_to_str(k) -> str:
+    """Map keys as JSON object keys, using the SAME scalar encodings as
+    values so the load-side coercion round-trips them: str(True) would
+    load as False ('true' is the boolean encoding) and str(b'..') would
+    load as the bytes of a Python repr."""
+    if isinstance(k, bool):
+        return "true" if k else "false"
+    if isinstance(k, datetime):
+        return k.isoformat(sep=" ")
+    if isinstance(k, date):
+        return k.isoformat()
+    if isinstance(k, (bytes, bytearray)):
+        return "\\x" + bytes(k).hex()
+    return str(k)
+
+
 def _to_jsonable(v):
     """Recursively convert a Spark-collected cell (lists, Rows, dicts,
     temporals, bytes, Decimals) to a JSON-serializable shape. Scalar
@@ -49,7 +65,7 @@ def _to_jsonable(v):
     if hasattr(v, "asDict"):   # pyspark Row (struct cell) without importing pyspark
         return {k: _to_jsonable(x) for k, x in v.asDict().items()}
     if isinstance(v, dict):
-        return {str(k): _to_jsonable(x) for k, x in v.items()}
+        return {_key_to_str(k): _to_jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_to_jsonable(x) for x in v]
     return str(v)   # Decimal and anything else with a faithful str form

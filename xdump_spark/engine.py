@@ -77,7 +77,10 @@ def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[s
         parts.append(
             df.agg(
                 F.lit(table).alias("table_name"),
-                F.max(pk).cast("long").alias("max_key"),
+                # decimal(38,0), not long: a decimal(38,0) serial key can
+                # exceed the long range, where a long cast overflows
+                # (ANSI error) or silently nulls the sequence out
+                F.max(pk).cast(T.DecimalType(38, 0)).alias("max_key"),
             )
         )
     if not parts:
@@ -86,7 +89,7 @@ def sequence_state(selections: dict[str, DataFrame], catalog: Catalog) -> dict[s
     for p in parts[1:]:
         merged = merged.unionByName(p)
     return {
-        r["table_name"]: int(r["max_key"])
+        r["table_name"]: int(r["max_key"])   # exact: Python ints are unbounded
         for r in merged.collect()
         if r["max_key"] is not None
     }

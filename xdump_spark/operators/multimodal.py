@@ -120,6 +120,14 @@ def _read_le32(blob, pos: int):
     ).cast("long")
 
 
+def _read_le32_signed_abs(blob, pos: int):
+    """|signed little-endian int32| — BITMAPINFOHEADER dims are SIGNED
+    (negative height = top-down row order, occasionally negative width in
+    the wild); the magnitude is the pixel dimension."""
+    v = _read_le32(blob, pos)
+    return F.abs(F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32)).otherwise(v))
+
+
 _PNG_MAGIC = "89504E470D0A1A0A"
 
 
@@ -168,12 +176,12 @@ def sniff_image_meta(media: DataFrame, blob_col: str = "blob", id_col: str = "do
     width = (
         F.when(is_png, _read_be32(b, 17))
         .when(is_gif, _read_le16(b, 7))
-        .when(is_bmp, _read_le32(b, 19))
+        .when(is_bmp, _read_le32_signed_abs(b, 19))
     )
     height = (
         F.when(is_png, _read_be32(b, 21))
         .when(is_gif, _read_le16(b, 9))
-        .when(is_bmp, _read_le32(b, 23))
+        .when(is_bmp, _read_le32_signed_abs(b, 23))
     )
     return media.select(
         F.col(id_col),
@@ -285,13 +293,15 @@ def repartition_by_bytes(
 ) -> DataFrame:
     """Size-aware repartition before a Python stage: blob tables are skewed
     by byte size, not row count, so pick the partition count from total
-    payload bytes. Volume comes from input-file METADATA when the frame
-    scans files (operators/sizing.py — at 100 TB an extra sizing scan of
-    the blob column would itself be the cost); only file-less derived
-    frames fall back to one octet_length aggregate scan."""
-    from xdump_spark.operators.sizing import input_bytes
+    payload bytes. Volume comes from parquet footer metadata — the
+    UNCOMPRESSED row-group sizes, because partitions must fit the decoded
+    payload in memory and on-disk compressed sizes understate it several-
+    fold (at 100 TB an extra sizing scan of the blob column would itself
+    be the cost); non-parquet/file-less frames fall back to one
+    octet_length aggregate scan."""
+    from xdump_spark.operators.sizing import input_uncompressed_bytes
 
-    total = input_bytes(media)
+    total = input_uncompressed_bytes(media)
     if total is None:
         total = media.select(F.sum(F.octet_length(blob_col))).first()[0] or 0
     n = max(1, int(total / target_partition_bytes) + 1)

@@ -198,15 +198,18 @@ def ivf_build(
     seed: int = 42,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    persist: bool = True,
 ) -> IVFIndex:
     """Build the IVF index: fit KMeans (optionally on a sample — centroids
     only need a representative subset, so at 1e9 vectors fit on ~1e6), then
     assign every corpus vector to its cell in ONE model-transform pass.
 
-    The assigned frame is persisted MEMORY_AND_DISK: it is the index, read
-    by every subsequent search. At true scale it would instead be written
-    out partitioned by cell so searches prune files; the in-session persist
-    is the local analog."""
+    With ``persist`` (the build-once/search-many contract) the assigned
+    frame is cached MEMORY_AND_DISK and the caller owns releasing it via
+    ``IVFIndex.unpersist`` — persisted frames are NOT freed by GC, so an
+    unreleased index leaks executor storage. At true scale it would
+    instead be written out partitioned by cell so searches prune files;
+    the in-session persist is the local analog."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -218,12 +221,12 @@ def ivf_build(
     model = km.fit(fit_input.withColumn("_feat", array_to_vector("cv")))
     centers = [ctr.tolist() for ctr in model.clusterCenters()]
 
-    assigned = (
-        model.transform(c.withColumn("_feat", array_to_vector("cv")))
-        .select("neighbor_id", "cv", "cn", F.col("prediction").alias("cell"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = model.transform(c.withColumn("_feat", array_to_vector("cv"))).select(
+        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
     )
-    assigned.count()   # materialize eagerly: searches must not re-run the fit pipeline
+    if persist:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()   # materialize eagerly: searches must not re-run the fit
     return IVFIndex(centers=centers, assigned=assigned, n_cells=n_cells)
 
 
@@ -294,10 +297,13 @@ def ivf_topk(
     max_iter: int = 5,
 ) -> DataFrame:
     """One-shot convenience: ``ivf_build`` + ``ivf_search``. Callers with
-    repeated query batches should build once and search the index."""
+    repeated query batches should build once and search the index. Built
+    WITHOUT persisting the assignment (nobody would ever release it —
+    persisted frames leak storage across repeated one-shot calls); the
+    single search evaluates the lazy assignment once anyway."""
     index = ivf_build(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed,
-        max_iter=max_iter,
+        max_iter=max_iter, persist=False,
     )
     return ivf_search(index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
 

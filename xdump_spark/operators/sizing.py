@@ -30,6 +30,49 @@ def input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def input_uncompressed_bytes(df: DataFrame) -> int | None:
+    """Total PRE-COMPRESSION byte size of the frame's parquet inputs, from
+    row-group footer metadata (no data scan). On-disk compressed sizes
+    understate what a partition holds in memory by the codec ratio; the
+    footer's total_byte_size removes the codec (it is still post-ENCODING,
+    so dictionary/RLE-heavy columns remain a lower bound on decoded
+    memory). Memory-bound partitioning should prefer this over
+    ``input_bytes``. None for non-parquet / non-local inputs (callers
+    fall back to an exact payload aggregate)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", "") or not f.endswith(".parquet"):
+            return None
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(unquote(u.path)).metadata
+        total += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    return total
+
+
+# Logical-plan node names whose presence means the frame's runtime
+# partitioning is NOT the file scan's (shuffles/coalesces in between), so
+# file-metadata estimates would lie about it.
+_NON_SCAN_NODES = (
+    "Join", "Aggregate", "Repartition", "Sort", "Window", "Deduplicate",
+    "Union", "GlobalLimit", "Expand", "Generate",
+)
+
+
+def _is_simple_scan(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return not any(node in plan for node in _NON_SCAN_NODES)
+
+
 def estimated_scan_partitions(df: DataFrame) -> int | None:
     """How many partitions Spark's file scan will produce, estimated from
     file count and total bytes vs spark.sql.files.maxPartitionBytes.
@@ -54,10 +97,15 @@ def spread(df: DataFrame) -> DataFrame:
     stage then runs on a single core regardless of cluster size. No-op
     when the scan is already wide enough (estimated from file METADATA —
     ``df.rdd.getNumPartitions()`` forced a plan-to-RDD conversion per
-    call; the RDD probe remains only as the fallback for file-less
-    frames), so wide 100 TB inputs are never collapsed."""
+    call), so wide 100 TB inputs are never collapsed.
+
+    The metadata estimate only describes the FILE SCAN's partitioning, so
+    it applies only to plans that are pure scan+project+filter; anything
+    with a shuffle in between (join/agg output, possibly AQE-coalesced to
+    a few partitions) falls back to the RDD probe, which reports the real
+    runtime partitioning."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    est = estimated_scan_partitions(df)
+    est = estimated_scan_partitions(df) if _is_simple_scan(df) else None
     if est is None:
         est = df.rdd.getNumPartitions()
     if est >= target:

@@ -42,7 +42,9 @@ def asof_join(
         F.col(on).alias(f"{right_prefix}{on}"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in rvals],
     )
-    r = right.select(
+    # A NULL right time never matches (ASOF semantics; NULLs would
+    # otherwise sort first and be carried forward as phantom matches).
+    r = right.where(F.col(on).isNotNull()).select(
         *by, F.col(on), payload.alias("__r"), F.lit(0).alias("__tag")
     )
     l = left.withColumn("__tag", F.lit(1)).withColumn(
