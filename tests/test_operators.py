@@ -432,3 +432,16 @@ def test_sizing_scan_detection(spark, tmp_path):
     disk = sizing.input_bytes(scan)
     assert unc is not None and unc > 0
     assert disk is not None and disk > 0
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry durian")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.rn): (r.term, r.tf, r.df) for r in TX.tfidf_top_terms(df, k=2).collect()}
+    # doc 1: 'apple' tf=2 df=1 dominates; 'banana' tf=1 df=2 second
+    assert rows[(1, 1)] == ("apple", 2, 1)
+    assert rows[(1, 2)] == ("banana", 1, 2)
+    # doc 3: 'durian' (df=1) outscores 'cherry' (df=2)
+    assert rows[(3, 1)][0] == "durian"

@@ -157,6 +157,50 @@ def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (the term-weighting /
+    vocabulary primitive of a text pipeline), fully deterministic and
+    SQL-exact: tf = in-doc occurrences, idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style), ties broken by term. Returns
+    (doc_id, term, tf, df, score, rn).
+
+    Plan shape: explode → two keyed aggregations (map-side combined) →
+    broadcast the per-term document frequencies (vocabulary ≪ corpus)
+    back onto the per-doc counts → per-doc top-k window. The only
+    all-corpus products here are aggregates; nothing quadratic."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rn")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

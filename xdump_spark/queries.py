@@ -1158,6 +1158,36 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "text_tfidf_top3",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS INT) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+""",
+)
+def text_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    term tie-break) — exact on both engines, double-precision ln and
+    round(6) included."""
+    return TX.tfidf_top_terms(_cat(spark, sf_dir).tables["documents"], k=3)
+
+
+@query(
     "text_winnow",
     r"""
 WITH docs0 AS (
