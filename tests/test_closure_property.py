@@ -105,3 +105,51 @@ def test_closure_matches_python_reference(spark, sc):
     want = py_closure(rows, seeds, full)
     got_ids = {t: ids(df) for t, df in got.items()}
     assert got_ids == want, f"seeds={seeds} full={full} rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# pointer-doubling ancestors vs python reachability on random functional
+# graphs (each node has at most one parent; cycles allowed)
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(st.data())
+def test_doubling_matches_python_reference(spark, data):
+    from xdump_spark.planner.closure import recursive_ancestors_doubling
+
+    n = data.draw(st.integers(2, 16))
+    # parent pointer per node: None or any node (self-loops and cycles ok)
+    parent = {
+        i: data.draw(
+            st.one_of(st.none(), st.integers(0, n - 1)), label=f"parent[{i}]"
+        )
+        for i in range(n)
+    }
+    seeds = data.draw(
+        st.sets(st.integers(0, n - 1), min_size=1, max_size=3), label="seeds"
+    )
+
+    want = set(seeds)
+    frontier = set(seeds)
+    while frontier:
+        nxt = {parent[x] for x in frontier if parent[x] is not None} - want
+        want |= nxt
+        frontier = nxt
+
+    df = spark.createDataFrame(
+        [(i, parent[i]) for i in range(n)],
+        T.StructType(
+            [
+                T.StructField("node", T.IntegerType(), False),
+                T.StructField("par", T.IntegerType(), True),
+            ]
+        ),
+    )
+    cat = Catalog({"g": df}, [ForeignKey("g", "par", "g", "node")])
+    got = recursive_ancestors_doubling(
+        cat, "g", df.filter(df["node"].isin(list(seeds)))
+    )
+    assert ids(got, "node") == want, f"parent={parent} seeds={seeds}"
