@@ -273,3 +273,23 @@ def test_sessionize_on_rocksdb_state_store(spark, events_batch, events_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_batch, events_dir):
+    """Stream-static dimension join: the streaming aggregate over
+    enriched events must equal the batch twin (itself oracle-checked as
+    events_enriched_segment)."""
+    from xdump_spark.streaming.events import enrich_by_segment
+
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    stream = read_events_stream(spark, f"{events_dir}/part-*.parquet",
+                                max_files_per_trigger=2)
+    q = run_to_memory(
+        enrich_by_segment(stream, customers), "enrich_stream", output_mode="complete"
+    )
+    try:
+        got = rows_set(spark.table("enrich_stream"))
+        want = rows_set(enrich_by_segment(events_batch, customers))
+        assert got == want
+    finally:
+        q.stop()

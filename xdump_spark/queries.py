@@ -1008,6 +1008,26 @@ def events_asof(spark, sf_dir):
 
 
 @query(
+    "events_enriched_segment",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def events_enriched_segment(spark, sf_dir):
+    """Batch twin of the stream-static enrichment join (streaming/
+    events.py enrich_by_segment): events joined to the broadcast customer
+    dimension, aggregated per market segment; the stream test runs the
+    identical code path incrementally."""
+    from xdump_spark.streaming.events import enrich_by_segment
+
+    cat = _cat(spark, sf_dir)
+    return enrich_by_segment(cat.tables["events"], cat.tables["customer"])
+
+
+@query(
     "range_join_ship_windows",
     """
 WITH iv AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS s

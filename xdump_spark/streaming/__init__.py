@@ -2,6 +2,7 @@ from xdump_spark.streaming.events import (
     EVENTS_SCHEMA,
     dedup_counts,
     dedup_events,
+    enrich_by_segment,
     hourly_rollup,
     read_events_stream,
     run_to_memory,
@@ -13,6 +14,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "dedup_counts",
     "dedup_events",
+    "enrich_by_segment",
     "hourly_rollup",
     "read_events_stream",
     "run_to_memory",

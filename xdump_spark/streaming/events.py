@@ -168,6 +168,29 @@ def dedup_counts(events: DataFrame, watermark: str | None = "2 hours") -> DataFr
     )
 
 
+def enrich_by_segment(
+    events: DataFrame, customers: DataFrame, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a STATIC
+    dimension (customer, broadcast — the static side is re-read per
+    micro-batch but never shuffles the stream) and aggregate per market
+    segment. The canonical streaming-enrichment pattern: stream-static
+    joins need no watermark on the static side and no state beyond the
+    aggregation's."""
+    src = _maybe_watermark(events, watermark)
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 
 _TOTALS_OUT = StructType(
