@@ -46,6 +46,8 @@ HEADLINE = [
     "simhash_pairs",                  # 64-bit simhash band blocking
     "text_token_counts",              # ws + BPE-ish regex token counts
     "text_winnow",                    # rolling-window fingerprints (2 window passes)
+    "events_asof",                    # as-of join: union-tag + carry-forward
+    "range_join_ship_windows",        # keyless interval join via binning
 ]
 
 
