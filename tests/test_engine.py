@@ -435,3 +435,16 @@ def test_sequence_state_beyond_long_range(spark):
     )
     cat = Catalog({"t": df}, [], primary_keys={"t": "id"})
     assert sequence_state({"t": df}, cat) == {"t": 2**70}
+
+
+def test_dump_enforces_small_selection_contract(tmp_path, engine):
+    """dump() collects to the driver; an oversized selection must raise
+    (pointing at dump_distributed) BEFORE any collect happens."""
+    with pytest.raises(ValueError, match="dump_distributed"):
+        engine.dump(
+            str(tmp_path / "big.zip"), full_tables=["groups"], max_driver_rows=1
+        )
+    # opting out restores the old behavior
+    out = str(tmp_path / "ok.zip")
+    engine.dump(out, full_tables=["groups"], max_driver_rows=None)
+    assert DumpArchive(out).namelist()

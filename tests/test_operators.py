@@ -445,3 +445,68 @@ def test_tfidf_top_terms(spark):
     assert rows[(1, 2)] == ("banana", 1, 2)
     # doc 3: 'durian' (df=1) outscores 'cherry' (df=2)
     assert rows[(3, 1)][0] == "durian"
+
+
+def test_ivf_256_cells_plan_stays_bounded(spark):
+    """Probe selection is driver-side numpy, so the search plan must stay
+    SMALL at any cell count (the round-2 literal-array formulation put
+    ~n_cells structs into one expression tree — ~262k literals at the
+    documented 4096-cell/64-probe scale). 256 cells over sf0.01 here:
+    the plan may contain only the probed-cell isin list, no per-centroid
+    literals and no interpreted HOF kernel."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    index = S.ivf_build(emb, n_cells=256, max_iter=2, persist=False)
+    out = S.ivf_search(index, q, k=5, n_probe=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("extended")
+    plan = buf.getvalue()
+    assert "zip_with" not in plan and "aggregate(" not in plan
+    assert len(plan) < 60_000, f"plan blew up to {len(plan)} chars"
+    assert out.count() > 0
+
+
+def test_ivf_write_read_roundtrip(spark, tmp_path):
+    """The true-scale layout: index written partitioned-by-cell, read
+    back, searched — same answers as the in-memory index, and the scan
+    of the read index prunes to the probed cells (PartitionFilters)."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    index = S.ivf_build(emb, persist=False)
+    mem = _topk_sets(S.ivf_search(index, q, k=5))
+
+    S.ivf_write(index, str(tmp_path / "ivf"))
+    loaded = S.ivf_read(spark, str(tmp_path / "ivf"))
+    assert loaded.n_cells == index.n_cells
+    out = S.ivf_search(loaded, q, k=5)
+    assert _topk_sets(out) == mem
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_sizing_models_file_bin_packing(spark, tmp_path):
+    """Many small files bin-pack into few scan partitions; the metadata
+    estimate must model that (a bare len(files) overestimates and makes
+    spread() skip a needed repartition). The estimate must match Spark's
+    REAL scan partitioning."""
+    from xdump_spark.operators import sizing
+
+    p = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(20).write.parquet(p)
+    scan = spark.read.parquet(p)
+    est = sizing.estimated_scan_partitions(scan)
+    real = scan.rdd.getNumPartitions()
+    assert est == real
+    # and specifically NOT the file count: 20 tiny files pack much tighter
+    assert est < len(scan.inputFiles())

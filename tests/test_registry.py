@@ -53,3 +53,29 @@ def test_pruned_builders_still_run(spark):
 
     decoded = Q.multimodal_decode_stub(spark, SF_DIR)
     assert decoded.count() > 0
+
+
+def test_evict_stale_drops_dead_session_entries():
+    """Cache entries keyed by a dead session's applicationId are evicted
+    on the next access, and evicted IVF indexes are unpersisted."""
+
+    class FakeIndex:
+        released = False
+
+        def unpersist(self):
+            self.released = True
+
+    fake = FakeIndex()
+    Q._cat_cache[("dead-app", "/x")] = "stale"
+    Q._closure_cache[("dead-app", "/x", "s")] = {}
+    Q._ivf_cache[("dead-app", "/x")] = fake
+    try:
+        Q._evict_stale("live-app")
+        assert ("dead-app", "/x") not in Q._cat_cache
+        assert ("dead-app", "/x", "s") not in Q._closure_cache
+        assert ("dead-app", "/x") not in Q._ivf_cache
+        assert fake.released
+    finally:
+        for cache in (Q._cat_cache, Q._closure_cache, Q._ivf_cache):
+            cache.pop(("dead-app", "/x"), None)
+            cache.pop(("dead-app", "/x", "s"), None)

@@ -293,3 +293,20 @@ def test_stream_static_enrichment_matches_batch(spark, events_batch, events_dir)
         assert got == want
     finally:
         q.stop()
+
+
+def test_dedup_counts_survivor_independent(spark):
+    """Rows that share (event_id, ts) but differ in value are DISTINCT
+    events (matching the SQL DISTINCT oracle), not duplicates — the
+    aggregate must not depend on which physical copy survives."""
+    from xdump_spark.streaming.events import dedup_counts
+
+    rows = [
+        (1, 1000, "click", 1.0),
+        (1, 1000, "click", 1.0),   # exact redelivery: dropped
+        (1, 1000, "click", 9.0),   # same key, different value: kept
+        (2, 2000, "view", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, event_type string, value double")
+    got = {r.event_type: (r.n_unique, r.sum_value) for r in dedup_counts(ev, watermark=None).collect()}
+    assert got == {"click": (2, 10.0), "view": (1, 5.0)}

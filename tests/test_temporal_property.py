@@ -75,3 +75,36 @@ def test_range_join_matches_python_reference(spark, pts, ivs, bin_width):
         for r in point_in_interval_join(pdf, idf, "p", "s", "e", bin_width).collect()
     )
     assert got == expect
+
+
+def test_asof_join_null_by_key_never_matches(spark):
+    """NULL group keys never match (DuckDB ASOF equality semantics): a
+    NULL-keyed left row must NOT receive a NULL-keyed right row's payload
+    — but it stays in the output (left join)."""
+    ldf = spark.createDataFrame(
+        [(1, None, 10), (2, 7, 10)], "event_id long, user_id long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(None, 5, 1.0), (7, 5, 2.0)], "user_id long, t long, value double"
+    )
+    got = {r.event_id: r.r_value for r in asof_join(ldf, rdf, on="t", by=["user_id"]).collect()}
+    assert got == {1: None, 2: 2.0}
+
+
+def test_range_join_exact_bins_beyond_2_53(spark):
+    """Nanosecond-magnitude epochs (> 2^53): bin ids must use exact
+    integer arithmetic — double division would misalign bins. The pair
+    set must equal the trivially-correct loop."""
+    base = 1 << 54
+    pts = [(i, base + v) for i, v in enumerate([1, 3, 5, 6, 7, 1001, 1002])]
+    ivs = [(j, base + s, base + e) for j, (s, e) in enumerate([(3, 6), (0, 1), (1000, 1002)])]
+    expect = {
+        (i, j) for i, p in pts for j, s, e in ivs if s <= p <= e
+    }
+    pdf = spark.createDataFrame(pts, "pid long, t long")
+    idf = spark.createDataFrame(ivs, "iid long, s long, e long")
+    out = point_in_interval_join(pdf, idf, "t", "s", "e", bin_width=4)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == expect
+    # bin column must be exact: 2^54 div 4 is representable, (2^54+2)/4.0 is not
+    assert len(got) == len(out.collect())

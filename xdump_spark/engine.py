@@ -117,21 +117,42 @@ class SparkDumpEngine:
         dump_schema: bool = True,
         dump_data: bool = True,
         compression: str = "deflated",
+        max_driver_rows: int | None = 1_000_000,
     ) -> dict[str, int]:
         """Write the closure of (full_tables, partial_tables) as a zip.
         Returns {table: rows written}. Mirrors backend.dump flags
         (reference: xdump/base.py:87-106; tests/test_backend.py:142-162).
         Total and per-table wall time is logged like the reference's
-        verbosity surface (xdump/base.py:24-35,98)."""
+        verbosity surface (xdump/base.py:24-35,98).
+
+        Archive dumps collect each selected table to the driver — valid
+        because partial dumps are small by construction, and ENFORCED by
+        ``max_driver_rows``: any table whose selection exceeds it raises
+        (checked with a limit+count probe BEFORE collecting, so an
+        oversized selection cannot OOM the driver first). Use
+        ``dump_distributed`` for large selections, or pass
+        ``max_driver_rows=None`` to opt out."""
         with log_time("total dump"):
             return self._dump(
-                filename, full_tables, partial_tables, dump_schema, dump_data, compression
+                filename, full_tables, partial_tables, dump_schema, dump_data,
+                compression, max_driver_rows,
             )
 
     def _dump(
-        self, filename, full_tables, partial_tables, dump_schema, dump_data, compression
+        self, filename, full_tables, partial_tables, dump_schema, dump_data,
+        compression, max_driver_rows=None,
     ) -> dict[str, int]:
         selections = self._select(full_tables, partial_tables)
+        if dump_data and max_driver_rows is not None:
+            for table, df in selections.items():
+                if df.limit(max_driver_rows + 1).count() > max_driver_rows:
+                    raise ValueError(
+                        f"dump() collects to the driver and the selection for "
+                        f"table {table!r} exceeds max_driver_rows="
+                        f"{max_driver_rows}; use dump_distributed() for large "
+                        "selections (executors write partitioned parquet/CSV) "
+                        "or raise max_driver_rows explicitly"
+                    )
         schema = None
         sequences = None
         if dump_schema:

@@ -74,9 +74,14 @@ def _is_simple_scan(df: DataFrame) -> bool:
 
 
 def estimated_scan_partitions(df: DataFrame) -> int | None:
-    """How many partitions Spark's file scan will produce, estimated from
-    file count and total bytes vs spark.sql.files.maxPartitionBytes.
-    None when the frame has no file inputs."""
+    """How many partitions Spark's file scan will produce, modelling the
+    planner's actual bin-packing (FilePartition.maxSplitBytes): each file
+    is padded with openCostInBytes, the split size is
+    min(maxPartitionBytes, max(openCost, paddedTotal / minPartitionNum)),
+    and padded bytes are packed into splits. A bare max(len(files), ...)
+    would OVERESTIMATE for many small files — Spark packs several per
+    partition — and make ``spread`` skip a needed repartition. None when
+    the frame has no file inputs."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -84,11 +89,17 @@ def estimated_scan_partitions(df: DataFrame) -> int | None:
     if not files:
         return None
     spark = df.sparkSession
-    max_bytes = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
-    )
+    as_bytes = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_bytes = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    try:
+        min_parts = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        min_parts = spark.sparkContext.defaultParallelism
     total = input_bytes(df) or 0
-    return max(len(files), -(-total // max(1, max_bytes)))
+    padded = total + len(files) * open_cost
+    max_split = min(max_bytes, max(open_cost, -(-padded // max(1, min_parts))))
+    return max(1, -(-padded // max(1, max_split)))
 
 
 def spread(df: DataFrame) -> DataFrame:

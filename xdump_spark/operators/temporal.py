@@ -35,6 +35,12 @@ def asof_join(
     side sorts before the left at equal times. Among multiple right rows
     at the same (group, time) the surviving one is unspecified — dedupe
     first if that matters.
+
+    NULL ``by`` keys never match (DuckDB ASOF equality semantics): right
+    rows with a NULL key are dropped before the union — otherwise the
+    window's partition-by would group left and right NULL keys together
+    and hand NULL-keyed left rows phantom matches. NULL-keyed LEFT rows
+    are kept (it is a left join) and simply get no match.
     """
     by = list(by)
     rvals = [c for c in right.columns if c not in by + [on]]
@@ -43,10 +49,12 @@ def asof_join(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in rvals],
     )
     # A NULL right time never matches (ASOF semantics; NULLs would
-    # otherwise sort first and be carried forward as phantom matches).
-    r = right.where(F.col(on).isNotNull()).select(
-        *by, F.col(on), payload.alias("__r"), F.lit(0).alias("__tag")
-    )
+    # otherwise sort first and be carried forward as phantom matches),
+    # and neither does a NULL right group key.
+    r = right.where(F.col(on).isNotNull())
+    for key in by:
+        r = r.where(F.col(key).isNotNull())
+    r = r.select(*by, F.col(on), payload.alias("__r"), F.lit(0).alias("__tag"))
     l = left.withColumn("__tag", F.lit(1)).withColumn(
         "__r", F.lit(None).cast(r.schema["__r"].dataType)
     )
@@ -84,18 +92,30 @@ def point_in_interval_join(
     shuffle — pick ``bin_width`` near the typical interval span so the
     replication factor stays ~2. Point/start/end must be numeric (epoch
     numbers; cast timestamps first). A degenerate bin (all points in one
-    bin) is ordinary join skew — AQE's skew-join split applies."""
-    bin_of_point = F.floor(F.col(point_col) / bin_width)
+    bin) is ordinary join skew — AQE's skew-join split applies.
+
+    For integral time columns, bin ids use EXACT integer floor division
+    ((x - pmod(x, w)) div w), not ``floor(x / w)``: Spark's ``/`` is
+    double division, which above 2^53 (nanosecond epochs) rounds x before
+    flooring and misaligns bins. Fractional time columns keep the double
+    formulation (their values cannot exceed 2^53 exactly anyway) — for
+    them the input-magnitude contract is |x| < 2^53."""
+    integral = {"byte", "short", "int", "bigint", "smallint", "tinyint"}
+
+    def _bin(df: DataFrame, col_name: str):
+        if df.schema[col_name].dataType.simpleString() in integral:
+            return F.expr(
+                f"((`{col_name}` - pmod(`{col_name}`, {bin_width})) div {bin_width})"
+            )
+        return F.floor(F.col(col_name) / bin_width)
+
     b = intervals.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bin_width),
-                F.floor(F.col(end_col) / bin_width),
-            )
+            F.sequence(_bin(intervals, start_col), _bin(intervals, end_col))
         ),
     )
-    p = points.withColumn("__bin", bin_of_point)
+    p = points.withColumn("__bin", _bin(points, point_col))
     return (
         p.join(b, "__bin")
         .where(

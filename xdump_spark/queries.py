@@ -59,7 +59,25 @@ _cat_cache: dict[tuple[str, str], Catalog] = {}
 _closure_cache: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
 
 
+def _evict_stale(current_app: str) -> None:
+    """Drop cache entries from dead sessions (a long-lived process that
+    cycles SparkSessions would otherwise accumulate dead-session frames),
+    and unpersist evicted IVF assignments — persisted frames are not
+    freed by GC. Unpersist on a stopped session raises; that storage died
+    with the session, so swallow it."""
+    for cache in (_cat_cache, _closure_cache):
+        for key in [k for k in cache if k[0] != current_app]:
+            del cache[key]
+    for key in [k for k in _ivf_cache if k[0] != current_app]:
+        index = _ivf_cache.pop(key)
+        try:
+            index.unpersist()
+        except Exception:
+            pass
+
+
 def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    _evict_stale(spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _cat_cache:
         _cat_cache[key] = load_sf_dir(spark, sf_dir)

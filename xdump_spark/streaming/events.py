@@ -159,9 +159,13 @@ def dedup_events(
 
 def dedup_counts(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
     """Aggregated view of ``dedup_events`` suitable for a value-hash
-    oracle regardless of which duplicate survives: per event_type, the
-    number of distinct event ids and the distinct-id value sum."""
-    deduped = dedup_events(events, watermark=watermark)
+    oracle regardless of which physical duplicate survives: dedup keys
+    are EVERY projected column (exact full-row dedup — the same set the
+    SQL DISTINCT oracle uses), so rows sharing (event_id, ts) but
+    differing in value/event_type count as distinct events rather than
+    leaving sum_value survivor-dependent. Redelivered copies are
+    byte-identical, so this is still the exactly-once view."""
+    deduped = dedup_events(events, keys=list(events.columns), watermark=watermark)
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n_unique"),
         F.round(F.sum("value"), 2).alias("sum_value"),
