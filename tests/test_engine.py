@@ -448,3 +448,27 @@ def test_dump_enforces_small_selection_contract(tmp_path, engine):
     out = str(tmp_path / "ok.zip")
     engine.dump(out, full_tables=["groups"], max_driver_rows=None)
     assert DumpArchive(out).namelist()
+
+
+def test_parquet_db_sequence_manifest_and_allocation(tmp_path, spark, engine):
+    """write_parquet_db lands the dumped counters in sequences.json and
+    allocate_keys continues numbering from the dumped max."""
+    from xdump_spark.sources.parquet_db import ParquetDatabase
+
+    out = str(tmp_path / "dump.zip")
+    engine.dump(
+        out,
+        full_tables=["groups"],
+        partial_tables={"employees": "SELECT * FROM employees ORDER BY id DESC LIMIT 2"},
+    )
+    loaded = engine.load(out)
+    db_dir = str(tmp_path / "pdb")
+    loaded.write_parquet_db(db_dir)
+
+    db = ParquetDatabase(spark, db_dir)
+    seqs = db.sequences()
+    assert seqs["employees"] == 5 and seqs["groups"] == 2
+    assert db.allocate_keys("employees", 2) == [6, 7]
+    assert db.allocate_keys("employees") == [8]          # persisted advance
+    assert db.sequences()["employees"] == 8
+    assert db.allocate_keys("tickets") == [1]            # unknown table starts fresh

@@ -5,8 +5,13 @@ source.
     python -m xdump_spark.cli dump -i DBDIR -o dump.zip \
         -f groups -p "employees:SELECT * FROM employees WHERE id = 1" \
         --compression deflated [--no-schema] [--no-data]
+    python -m xdump_spark.cli dump --jdbc-url jdbc:postgresql://host/db \
+        [-U user] [-W password] [--jdbc-driver CLASS] [--stage-dir DIR] \
+        -o dump.zip -f groups -p "employees:SELECT ..."
     python -m xdump_spark.cli load -i dump.zip -o DBDIR \
         [--cleanup-method {recreate,truncate}]
+    python -m xdump_spark.cli load -i dump.zip --jdbc-url jdbc:... \
+        [-U user] [-W password] [--jdbc-driver CLASS]
 """
 
 from __future__ import annotations
@@ -67,7 +72,29 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("dump", help="make a consistent partial dump")
-    d.add_argument("-i", "--input-db", required=True, help="parquet database directory")
+    src = d.add_mutually_exclusive_group(required=True)
+    src.add_argument("-i", "--input-db", help="parquet database directory")
+    src.add_argument(
+        "--jdbc-url",
+        help="live-database source, e.g. jdbc:postgresql://host/db or "
+        "jdbc:derby:/path;create=true (the reference's -U/-H/-P/-D "
+        "connection surface, xdump/cli/dump.py:41-74, folded into one URL)",
+    )
+    d.add_argument("-U", "--jdbc-user", default=None)
+    d.add_argument(
+        "-W", "--jdbc-password", default=None,
+        help="falls back to $PGPASSWORD (reference: xdump/postgresql.py:85-89)",
+    )
+    d.add_argument("--jdbc-driver", default=None, help="JDBC driver class name")
+    d.add_argument(
+        "--jdbc-table", action="append", default=[], dest="jdbc_tables",
+        help="restrict to these tables (repeatable; default: all user tables)",
+    )
+    d.add_argument(
+        "--stage-dir", default=None,
+        help="parquet snapshot directory for consistent live-DB dumps "
+        "(default: a temp dir; staged at t0 so concurrent writers are invisible)",
+    )
     d.add_argument("-o", "--output", required=True, help="output zip path")
     d.add_argument("-f", "--full-table", action="append", default=[], dest="full_tables")
     d.add_argument(
@@ -84,7 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     ld = sub.add_parser("load", help="load a dump into a parquet database")
     ld.add_argument("-i", "--input", required=True, help="dump zip path")
-    ld.add_argument("-o", "--output-db", required=True, help="target parquet db dir")
+    dst = ld.add_mutually_exclusive_group(required=True)
+    dst.add_argument("-o", "--output-db", help="target parquet db dir")
+    dst.add_argument(
+        "--jdbc-url",
+        help="live-database target: tables are written FK-toposorted over "
+        "JDBC and serial counters restarted at max+1 "
+        "(reference: xdump/cli/load.py:13-22 + base.py:220-250)",
+    )
+    ld.add_argument("-U", "--jdbc-user", default=None)
+    ld.add_argument("-W", "--jdbc-password", default=None)
+    ld.add_argument("--jdbc-driver", default=None, help="JDBC driver class name")
     ld.add_argument(
         "--cleanup-method", choices=["recreate", "truncate"], default=None,
         help="clean the target before loading (reference: xdump/cli/load.py:25-37)",
@@ -106,8 +143,25 @@ def run(args, spark) -> int:
     configure(getattr(args, "verbosity", 0))
     backend_cls = getattr(args, "backend", None) or resolve_backend(DEFAULT_BACKEND)
     if args.command == "dump":
-        db = backend_cls(spark, args.input_db)
-        engine = SparkDumpEngine(spark, db.catalog())
+        if getattr(args, "jdbc_url", None):
+            import tempfile
+
+            from xdump_spark.sources.jdbc import jdbc_catalog
+
+            stage = args.stage_dir or tempfile.mkdtemp(prefix="xdump_stage_")
+            catalog = jdbc_catalog(
+                spark,
+                args.jdbc_url,
+                user=args.jdbc_user,
+                password=args.jdbc_password,
+                driver=args.jdbc_driver,
+                tables=args.jdbc_tables or None,
+                stage_dir=stage,
+            )
+        else:
+            db = backend_cls(spark, args.input_db)
+            catalog = db.catalog()
+        engine = SparkDumpEngine(spark, catalog)
         counts = engine.dump(
             args.output,
             full_tables=args.full_tables,
@@ -120,16 +174,31 @@ def run(args, spark) -> int:
             print(f"{table}: {counts[table]} rows")
         print(f"wrote {args.output}")
     else:
-        db = backend_cls(spark, args.output_db)
-        if args.cleanup_method == "recreate":
-            db.recreate()
-        elif args.cleanup_method == "truncate":
-            db.truncate()
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
         loaded = engine.load(args.input)
-        order = loaded.load_order()
-        db.load_tables(loaded.frames, order, mode="overwrite")
-        db.write_fk_config(loaded.foreign_keys)
+        if getattr(args, "jdbc_url", None):
+            from xdump_spark.sources.jdbc import jdbc_options
+
+            props = {
+                k: v
+                for k, v in jdbc_options(
+                    args.jdbc_url, user=args.jdbc_user,
+                    password=args.jdbc_password, driver=args.jdbc_driver,
+                ).items()
+                if k != "url"
+            }
+            order = loaded.write_jdbc(args.jdbc_url, props, mode="append")
+        else:
+            db = backend_cls(spark, args.output_db)
+            if args.cleanup_method == "recreate":
+                db.recreate()
+            elif args.cleanup_method == "truncate":
+                db.truncate()
+            order = loaded.load_order()
+            db.load_tables(loaded.frames, order, mode="overwrite")
+            db.write_fk_config(loaded.foreign_keys)
+            if loaded.sequences and hasattr(db, "write_sequences"):
+                db.write_sequences({t: int(v) for t, v in loaded.sequences.items()})
         print(f"loaded tables (FK order): {', '.join(order)}")
     return 0
 

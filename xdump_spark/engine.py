@@ -348,16 +348,37 @@ class LoadedDump:
         return toposort_tables(sorted(self.frames), self.foreign_keys)
 
     def write_parquet_db(self, db_dir: str, mode: str = "errorifexists") -> list[str]:
-        """Replay into a parquet-directory database, parents first."""
+        """Replay into a parquet-directory database, parents first. Dumped
+        sequence state lands in the database's counter manifest
+        (``sequences.json``) so ``ParquetDatabase.allocate_keys`` continues
+        numbering after the load — the file-backend analog of the
+        reference's sequences.sql replay (xdump/base.py:227-237)."""
         order = self.load_order()
         for table in order:
             self.frames[table].write.mode(mode).parquet(os.path.join(db_dir, table))
+        if self.sequences:
+            from xdump_spark.sources.parquet_db import ParquetDatabase
+
+            ParquetDatabase(None, db_dir).write_sequences(
+                {t: int(v) for t, v in self.sequences.items()}
+            )
         return order
 
-    def write_jdbc(self, url: str, properties: dict, mode: str = "append") -> list[str]:
-        """Replay into a JDBC database in FK order (requires a reachable
-        DB + driver jar; untested in this container by necessity)."""
+    def write_jdbc(
+        self, url: str, properties: dict, mode: str = "append",
+        apply_sequences: bool = True,
+    ) -> list[str]:
+        """Replay into a JDBC database in FK order, then restart the
+        target's serial counters at max_key + 1 (``apply_sequences_jdbc``)
+        so post-load inserts continue numbering — the reference applies
+        sequences.sql on load and verifies currval advanced
+        (xdump/base.py:227-237, tests/test_backend.py:138-140)."""
         order = self.load_order()
         for table in order:
             self.frames[table].write.jdbc(url, table, mode=mode, properties=properties)
+        if apply_sequences and self.sequences:
+            from xdump_spark.sources.jdbc import apply_sequences_jdbc
+
+            spark = next(iter(self.frames.values())).sparkSession
+            apply_sequences_jdbc(spark, url, self.sequences, properties)
         return order

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from xdump_spark.catalog import Catalog, ForeignKey
 
 FK_CONFIG = "fk_config.json"
+SEQ_CONFIG = "sequences.json"
 
 
 class ParquetDatabase:
@@ -85,3 +86,30 @@ class ParquetDatabase:
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, FK_CONFIG), "w") as f:
             json.dump([fk.to_dict() for fk in fks], f, indent=2)
+
+    # -- sequence counters (O13 replay; reference xdump/base.py:227-237) --
+    def sequences(self) -> dict[str, int]:
+        """Per-table LAST-USED serial key (same convention as
+        ``engine.sequence_state``: the dumped value is the max key)."""
+        cfg = os.path.join(self.path, SEQ_CONFIG)
+        if not os.path.exists(cfg):
+            return {}
+        with open(cfg) as f:
+            return {t: int(v) for t, v in json.load(f).items()}
+
+    def write_sequences(self, sequences: dict[str, int]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, SEQ_CONFIG), "w") as f:
+            json.dump({t: int(v) for t, v in sequences.items()}, f, indent=2)
+
+    def allocate_keys(self, table: str, n: int = 1) -> list[int]:
+        """Hand out the next ``n`` serial keys for ``table`` and persist
+        the advanced counter — the insert-after-load path that proves the
+        replayed sequence state continues numbering (the reference's
+        currval test, tests/test_backend.py:138-140)."""
+        seq = self.sequences()
+        last = seq.get(table, 0)
+        keys = list(range(last + 1, last + n + 1))
+        seq[table] = last + n
+        self.write_sequences(seq)
+        return keys
