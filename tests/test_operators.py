@@ -510,3 +510,58 @@ def test_sizing_models_file_bin_packing(spark, tmp_path):
     assert est == real
     # and specifically NOT the file count: 20 tiny files pack much tighter
     assert est < len(scan.inputFiles())
+
+
+# ------------------------------------------------ golden signatures ----
+# minhash_pairs / simhash_pairs are rows-only in the driver's correctness
+# gate (approximate by construction), so a semantic drift in the signature
+# kernels would pass unnoticed there. These goldens pin the DETERMINISTIC
+# outputs for the fixed seeds: tiny handcrafted signatures plus the exact
+# sf0.001 pair sets (as sha256 of the sorted pair list).
+
+def test_minhash_signature_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumped over the lazy dog"),
+         (3, "completely different text about spark engines")],
+        "doc_id long, text string")
+    normed = docs.select(F.col("doc_id").alias("id"), D._norm_text(F.col("text")).alias("_norm"))
+    sigs = {r.id: list(r.sig) for r in D.minhash_signatures(normed, 16, 5).collect()}
+    assert sigs[1][:4] == [
+        64009939208797230, 32340965495090430, 354928968869218987, 1191644584994244657,
+    ]
+    # near-dup docs agree on most permutation minima, far docs on none
+    agree12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree12 == 13 and agree13 == 0
+    assert sigs[2][0] == 182660785335251622 and sigs[3][0] == 14379551861337144
+
+
+def test_simhash_signature_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumped over the lazy dog"),
+         (3, "completely different text about spark engines")],
+        "doc_id long, text string")
+    sigs = {r.id: r.sig for r in D.simhash_frame(docs).collect()}
+    assert sigs == {
+        1: -7573889167326994222,
+        2: -7591894778356981510,
+        3: 5350831066032636337,
+    }
+
+
+def test_lsh_pair_sets_golden_sf0001(spark):
+    import hashlib
+
+    d001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mp = sorted((r.id_a, r.id_b) for r in D.minhash_lsh_pairs(d001, threshold=0.5).collect())
+    sp = sorted((r.id_a, r.id_b) for r in D.simhash_pairs(d001).collect())
+    assert len(mp) == 191
+    assert hashlib.sha256(repr(mp).encode()).hexdigest() == (
+        "73d85e13e5fd841c14c07250a50fbf82c963bf864ff37f8b03e7265c0c302f38"
+    )
+    assert len(sp) == 401
+    assert hashlib.sha256(repr(sp).encode()).hexdigest() == (
+        "4254f32618ce90ab4f9d1ca6a0b47abf5fec2e6b33ebf6c3e91d55a63cec7212"
+    )
