@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Synthesize an sf1-scale soak dataset (10x sf0.1) under .soak/sf1.
+
+The driver testdata stops at sf0.1; the soak run needs one decade more to
+surface memory/plan problems the 2x bar can't. Scaling is replication
+with structure-preserving perturbation so operator COST scales while
+operator SEMANTICS don't degenerate:
+
+- fixed-cardinality dims (region, nation) stay as-is (TPC-H scaling);
+- fact/dim keys get a per-copy offset so FK integrity holds and key
+  spaces stay disjoint;
+- document text goes through a per-copy alphabet rotation (translate) —
+  changes every shingle, so copies are NOT near-duplicates of each other
+  and pair outputs stay linear in corpus size;
+- embeddings rotate their dimensions per copy — norms preserved,
+  neighbors changed, so ANN outputs stay top-k-sized.
+
+Usage: python tools/make_soak_sf1.py [--copies 10] [--out .soak/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import string
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+
+KEY_OFFSETS = {
+    # table -> {column: keyspace} ; offset = copy * 10 * max(keyspace)
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "customer"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default=".soak/sf1")
+    args = ap.parse_args()
+
+    from xdump_spark.session import get_spark
+
+    spark = get_spark("make_soak", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    os.makedirs(args.out, exist_ok=True)
+    tables = {}
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        tables[name] = spark.read.parquet(f"{SRC}/{name}.parquet")
+
+    # keyspace strides: one decade above the source max keeps copies disjoint
+    strides = {}
+    for space, (tbl, col) in {
+        "customer": ("customer", "c_custkey"),
+        "supplier": ("supplier", "s_suppkey"),
+        "part": ("part", "p_partkey"),
+        "orders": ("orders", "o_orderkey"),
+        "events": ("events", "event_id"),
+        "documents": ("documents", "doc_id"),
+        "embeddings": ("embeddings", "vec_id"),
+    }.items():
+        strides[space] = 10 * int(tables[tbl].agg(F.max(col)).first()[0])
+
+    alpha = string.ascii_lowercase
+
+    for name, df in tables.items():
+        out_path = os.path.join(args.out, f"{name}.parquet")
+        if name in ("region", "nation"):
+            df.write.mode("overwrite").parquet(out_path)
+            print(f"{name}: copied as-is")
+            continue
+        copies = []
+        for i in range(args.copies):
+            c = df
+            for col, space in KEY_OFFSETS[name].items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * strides[space]))
+            if name == "documents" and i > 0:
+                rot = alpha[i:] + alpha[:i]
+                c = c.withColumn(
+                    "text", F.translate(F.col("text"), alpha + alpha.upper(),
+                                        rot + rot.upper())
+                )
+            if name == "embeddings" and i > 0:
+                dim = len(df.select("embedding").first()[0])
+                k = i % dim or 1
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), k + 1, dim - k),
+                        F.slice(F.col("embedding"), 1, k),
+                    ),
+                )
+            copies.append(c)
+        merged = copies[0]
+        for c in copies[1:]:
+            merged = merged.unionByName(c)
+        merged.write.mode("overwrite").parquet(out_path)
+        print(f"{name}: {args.copies}x -> {out_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
