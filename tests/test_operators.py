@@ -565,3 +565,59 @@ def test_lsh_pair_sets_golden_sf0001(spark):
     assert hashlib.sha256(repr(sp).encode()).hexdigest() == (
         "4254f32618ce90ab4f9d1ca6a0b47abf5fec2e6b33ebf6c3e91d55a63cec7212"
     )
+
+
+# ------------------------------------------- connected components ----
+def test_connected_components_handcrafted(spark):
+    from xdump_spark.operators.components import connected_components, dedup_survivors
+
+    # chain 1-2-3, pair 10-11, isolated 99 (via vertices)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "v long")
+    out = {
+        r.vertex: r.component
+        for r in connected_components(edges, vertices=verts, vertex_col="v").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    comp_df = connected_components(edges, vertices=verts, vertex_col="v")
+    assert {r.survivor for r in dedup_survivors(comp_df).collect()} == {1, 10, 99}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random graphs vs a trivially-correct python union-find."""
+    import random
+
+    from xdump_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id per component
+    expect = {}
+    for v in range(n):
+        root = find(v)
+        expect.setdefault(root, []).append(v)
+    want = {v: min(vs) for root, vs in expect.items() for v in vs}
+
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edf, vertices=vdf, vertex_col="v").collect()
+    }
+    assert got == want

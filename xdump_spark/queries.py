@@ -1389,6 +1389,47 @@ def embed_neardup_exact(spark, sf_dir):
     )
 
 
+_COMPONENTS_SQL = """
+WITH RECURSIVE
+cvecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM cvecs a JOIN cvecs b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS m FROM reach GROUP BY node)
+SELECT e.vec_id AS vec_id,
+       CAST(COALESCE(LEAST(c.node, c.m), e.vec_id) AS BIGINT) AS component
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
+@query("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the exact
+    embedding near-dup pair graph, min-id canonical representative,
+    singletons included — the keep/drop decision step of a corpus dedup
+    pipeline (operators/components.py, hash-to-min + pointer jumping).
+    The oracle recomputes components as a recursive-CTE transitive
+    closure."""
+    from xdump_spark.operators.components import connected_components
+
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    edges = S.embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+    out = connected_components(edges, vertices=emb, vertex_col="vec_id")
+    return out.select(
+        F.col("vertex").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def embed_neardup_lsh(spark, sf_dir):
     """Sign-LSH bucketed near-dup pairs ≥ 0.4, with plane/table counts
     derived from the S-curve for ~0.9 target recall at that threshold
