@@ -101,26 +101,30 @@ def main() -> None:
     # Each query is timed twice and the BEST run is reported: a single
     # shot can absorb a multi-second JIT/GC pause (observed: the same
     # pure-JVM query at 1.3 s and 19.8 s across whole-bench runs), and a
-    # long-lived cluster runs these steady-state. Result caches that would
-    # let the second run skip the actual work (closure key-set propagation,
-    # the IVF index) are cleared between runs so both runs do the full
-    # computation.
+    # long-lived cluster runs these steady-state. The two passes are
+    # INTERLEAVED (all queries once, then all queries again) so a noisy
+    # host window poisons at most one pass of a query, not both — the
+    # back-to-back formulation recorded a 12.5 s reading for a ~1 s query
+    # when a co-tenant burst spanned both its runs. Result caches that
+    # would let the second pass skip the actual work (closure key-set
+    # propagation, the IVF index) are cleared before every run so both
+    # passes do the full computation.
     from xdump_spark import queries as Q
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        best: float | None = None
-        for _ in range(2):
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in qs:
+                continue
             Q._closure_cache.clear()
             Q._ivf_cache.clear()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

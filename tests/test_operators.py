@@ -621,3 +621,13 @@ def test_connected_components_random_vs_union_find(spark):
         for r in connected_components(edf, vertices=vdf, vertex_col="v").collect()
     }
     assert got == want
+
+
+def test_cosine_topk_query_batch_guard(spark, vecs, monkeypatch):
+    """The query-batch collect is contract-guarded: oversized query sides
+    must raise with a pointer at the bucketed pair path."""
+    monkeypatch.setattr(S, "MAX_QUERY_BATCH_ROWS", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        S.cosine_topk(vecs, vecs, k=2)

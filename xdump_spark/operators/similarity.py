@@ -100,9 +100,22 @@ def _pair_cosine_udf(round_to: int = 6):
     return cos
 
 
+# A query batch is the broadcast side by contract; at 64 dims this caps
+# the driver matrix at ~100 MB. Bigger "query" sides mean the caller is
+# doing an all-pairs scan, which is embedding_neardup_pairs' job.
+MAX_QUERY_BATCH_ROWS = 200_000
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     """Driver-collect the query batch (it is the broadcast side by
-    contract: a query batch is small; the corpus is the big side)."""
+    contract: a query batch is small; the corpus is the big side — the
+    contract is ENFORCED with a limit+count probe before collecting)."""
+    if queries.limit(MAX_QUERY_BATCH_ROWS + 1).count() > MAX_QUERY_BATCH_ROWS:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_BATCH_ROWS={MAX_QUERY_BATCH_ROWS}; "
+            "for corpus-vs-corpus similarity use embedding_neardup_pairs "
+            "(bucketed) or split the query side into batches"
+        )
     rows = queries.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
     if rows:
