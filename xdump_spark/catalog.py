@@ -10,10 +10,69 @@ planner (planner/closure.py).
 
 from __future__ import annotations
 
+from collections.abc import Callable, MutableMapping
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class LazyTables(MutableMapping):
+    """name → DataFrame mapping that builds each frame on first access.
+
+    One broken source must fail only the queries that read it, not the
+    whole catalog (round-3 lesson: an events schema drift zeroed all 50
+    correctness entries because load_sf_dir was eager). Loader errors
+    propagate on access and are retried on the next access — nothing is
+    cached for a failed build.
+    """
+
+    def __init__(
+        self,
+        loaders: dict[str, Callable[[], DataFrame]] | None = None,
+        materialized: dict[str, DataFrame] | None = None,
+    ):
+        self._loaders: dict[str, Callable[[], DataFrame]] = dict(loaders or {})
+        self._dfs: dict[str, DataFrame] = dict(materialized or {})
+
+    def __getitem__(self, key: str) -> DataFrame:
+        if key not in self._dfs:
+            if key not in self._loaders:
+                raise KeyError(key)
+            self._dfs[key] = self._loaders[key]()
+        return self._dfs[key]
+
+    def __setitem__(self, key: str, value: DataFrame) -> None:
+        self._dfs[key] = value
+        self._loaders.pop(key, None)
+
+    def __delitem__(self, key: str) -> None:
+        found = key in self._dfs or key in self._loaders
+        self._dfs.pop(key, None)
+        self._loaders.pop(key, None)
+        if not found:
+            raise KeyError(key)
+
+    def __contains__(self, key) -> bool:
+        # MutableMapping's default __contains__ calls __getitem__, which
+        # would materialize (and couple table health to membership tests).
+        return key in self._dfs or key in self._loaders
+
+    def __iter__(self):
+        # Materialized first (insertion order), then pending loaders.
+        seen = dict.fromkeys(self._dfs)
+        seen.update(dict.fromkeys(k for k in self._loaders if k not in seen))
+        return iter(seen)
+
+    def __len__(self) -> int:
+        return len(set(self._dfs) | set(self._loaders))
+
+    def peek(self, key: str) -> DataFrame | None:
+        """The materialized frame, or None if not yet built (no side effects)."""
+        return self._dfs.get(key)
+
+    def copy(self) -> "LazyTables":
+        return LazyTables(self._loaders, self._dfs)
 
 
 @dataclass(frozen=True)
@@ -66,11 +125,15 @@ class Catalog:
 
     def __init__(
         self,
-        tables: dict[str, DataFrame],
+        tables: MutableMapping[str, DataFrame],
         foreign_keys: list[ForeignKey] | None = None,
         primary_keys: dict[str, str] | None = None,
     ):
-        self.tables: dict[str, DataFrame] = dict(tables)
+        # A LazyTables mapping is kept as-is (copying would force every
+        # loader); a plain dict is defensively copied as before.
+        self.tables: MutableMapping[str, DataFrame] = (
+            tables.copy() if isinstance(tables, LazyTables) else dict(tables)
+        )
         self.foreign_keys: list[ForeignKey] = list(foreign_keys or [])
         # Explicit per-table serial-key metadata (the reference reads this
         # from the DB's sequence catalog, xdump/postgresql.py:136-146).
@@ -83,10 +146,15 @@ class Catalog:
                 raise ValueError(f"FK references unknown table {fk.table!r}")
             if fk.foreign_table not in self.tables:
                 raise ValueError(f"FK references unknown table {fk.foreign_table!r}")
+        lazy = isinstance(self.tables, LazyTables)
         for t, col in self.primary_keys.items():
             if t not in self.tables:
                 raise ValueError(f"primary key declared for unknown table {t!r}")
-            if col not in self.tables[t].columns:
+            # Column validation must not force a lazy load (that would
+            # re-couple every table's health); unmaterialized frames are
+            # validated on first real access by their own readers.
+            df = self.tables.peek(t) if lazy else self.tables[t]
+            if df is not None and col not in df.columns:
                 raise ValueError(f"primary key column {col!r} not in table {t!r}")
 
     # -- graph accessors ---------------------------------------------------
@@ -138,7 +206,7 @@ class Catalog:
         fks: list[ForeignKey] | None = None,
         primary_key: str | None = None,
     ) -> "Catalog":
-        tables = dict(self.tables)
+        tables = self.tables.copy() if isinstance(self.tables, LazyTables) else dict(self.tables)
         tables[name] = df
         pks = dict(self.primary_keys)
         if primary_key is not None:
@@ -189,20 +257,53 @@ TPCH_TABLES = [
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries nanosecond parquet timestamps, which Spark
-    refuses by default; read them as longs and convert to microsecond
-    timestamps JVM-side (no UDF)."""
+    """Read the events table, normalizing ``ts`` across parquet layouts.
+
+    Contract (everything downstream — queries.py ``events_*`` builders and
+    streaming/events.py — depends on it): the returned frame exposes
+      * ``ts``    TIMESTAMP (session tz, pinned UTC in session.py), and
+      * ``ts_ns`` LONG nanoseconds-since-epoch,
+    regardless of how the file stores the column. Two layouts are accepted:
+
+      * ``timestamp[us]``/``timestamp[ns]`` parquet timestamps — current
+        driver testdata. ``nanosAsLong`` (set before the read; a no-op for
+        µs columns) surfaces ns columns as long so the read never throws;
+        µs columns arrive as timestamp/timestamp_ntz and are cast to
+        TIMESTAMP (micros-identity under the UTC session tz), with
+        ``ts_ns = unix_micros(ts) * 1000``.
+      * int64 nanoseconds — older layouts and tools/make_soak_sf1.py
+        output. Converted with integer ``div``, not ``/``: ns epochs
+        (~1.7e18) exceed double's 53-bit mantissa, so float division
+        mis-rounds ~12% of rows by 1 µs and breaks bit parity with
+        DuckDB's exact ns→µs truncation.
+
+    Any other ``ts`` dtype fails HERE with a clear message rather than as
+    dozens of cryptic downstream oracle errors (round-3 lesson).
+    """
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    # Integer `div`, not `/`: ns epochs (~1.7e18) exceed double's 53-bit
-    # mantissa, so float division mis-rounds ~12% of rows by 1 µs; DuckDB
-    # truncates ns→µs exactly, and the oracle compare needs bit parity.
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    return normalize_events_ts(df, source=f"events.parquet at {sf_dir!r}")
+
+
+def normalize_events_ts(df: DataFrame, source: str = "events") -> DataFrame:
+    """Apply the read_events ts contract to an already-read events frame
+    (shared by the batch reader above and streaming/events.py)."""
+    ts_type = dict(df.dtypes).get("ts", "<missing>")
+    if ts_type.startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000)).withColumn("ts", ts)
+    if ts_type == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    raise ValueError(
+        f"{source}: unsupported ts dtype {ts_type!r}; "
+        "expected a parquet timestamp or int64 nanoseconds "
+        "(see read_events contract: downstream requires ts TIMESTAMP + ts_ns LONG)"
     )
 
 
@@ -215,12 +316,16 @@ def load_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     mutable sources see sources/jdbc.py staging.
     """
     names = tables or TPCH_TABLES
-    dfs: dict[str, DataFrame] = {}
-    for name in names:
+
+    def loader(name: str) -> Callable[[], DataFrame]:
         if name == "events":
-            dfs[name] = read_events(spark, sf_dir)
-        else:
-            dfs[name] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            return lambda: read_events(spark, sf_dir)
+        return lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    # Lazy per table: one broken source fails only the queries that read it
+    # (round-3 regression: an eager loop here turned one bad table into 50
+    # red correctness entries).
+    dfs = LazyTables({name: loader(name) for name in names})
     fks = [fk for fk in TPCH_FOREIGN_KEYS if fk.table in dfs and fk.foreign_table in dfs]
     pks = {t: c for t, c in TPCH_PRIMARY_KEYS.items() if t in dfs}
     return Catalog(dfs, fks, primary_keys=pks)

@@ -33,18 +33,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming import StreamingQuery
 
-# Explicit source schema: the driver's events parquet stores nanosecond
-# timestamps, which Spark reads as long under
-# spark.sql.legacy.parquet.nanosAsLong (see catalog.read_events).
+# Reference source schema for the CURRENT driver events layout (ts stored
+# as a parquet µs timestamp). Kept for callers that construct compatible
+# streams; read_events_stream probes the real files instead of trusting it,
+# because the layout has changed once already (int64 ns → timestamp[us]).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns epoch; converted below
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -58,6 +60,15 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over event parquet files (``path`` may be a glob).
 
+    Schema inference is disabled on file streams, so the source schema is
+    taken from a one-off BATCH probe of the same path (footers only — no
+    data scan). That keeps the stream layout-adaptive the same way
+    ``catalog.read_events`` is: both the current timestamp[us] layout and
+    the older int64-ns layout normalize to ts TIMESTAMP + ts_ns LONG via
+    ``catalog.normalize_events_ts``. New files appearing later must match
+    the layout present at stream definition time — standard file-source
+    semantics (the schema is fixed per stream).
+
     ``maxFilesPerTrigger`` splits the backlog into multiple micro-batches —
     used by tests to exercise true incremental state; production would point
     at an arriving-files directory or swap in a Kafka reader.
@@ -65,19 +76,19 @@ def read_events_stream(
     NOTE: sets ``spark.sql.legacy.parquet.nanosAsLong`` for the *session*
     and leaves it set — the conf must hold for every micro-batch of the
     returned stream, so it cannot be save/restored here (batch reads use
-    ``catalog.read_events``, which does restore it). Nanosecond-timestamp
-    parquet read elsewhere in the same session will yield LongType instead
-    of erroring while a stream is live.
+    ``catalog.read_events``, which does restore it). It is a no-op for
+    µs-timestamp files; for ns files it surfaces ts as long instead of
+    erroring.
     """
+    from xdump_spark.catalog import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    probe = spark.read.parquet(path)
+    reader = spark.readStream.schema(probe.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    # integer div: exact ns→µs floor (see catalog.read_events rationale)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(df, source=f"events stream at {path!r}")
 
 
 def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
