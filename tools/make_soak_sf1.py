@@ -57,6 +57,11 @@ def main() -> int:
     from xdump_spark.session import get_spark
 
     spark = get_spark("make_soak", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    # Layout-agnostic pass-through for events.ts: nanosAsLong surfaces an
+    # int64-ns column as long (old layout) and is a no-op for timestamp[us]
+    # (current layout). Either way the perturbation below never touches ts,
+    # so the soak output preserves the source layout and read_events'
+    # adaptive branches handle it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     os.makedirs(args.out, exist_ok=True)

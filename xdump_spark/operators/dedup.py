@@ -498,11 +498,19 @@ def ngram_jaccard_pairs(
     ).filter(F.size("grams") > 0).localCheckpoint(eager=True)
     postings = docs.select("id", F.explode("grams").alias("gram"))
     if max_posting is not None:
-        postings = (
-            postings.withColumn("psize", F.count("*").over(W.partitionBy("gram")))
-            .filter(F.col("psize") <= max_posting)
-            .drop("psize")
+        # Hot grams via map-side-combined groupBy + broadcast anti-join —
+        # the same discipline as the LSH hot-bucket guard above. A window
+        # count here would shuffle the FULL posting table on `gram`; this
+        # shuffles only per-gram counts. Checkpointed because both sides
+        # of the self-join below read the filtered postings.
+        hot = (
+            postings.groupBy("gram")
+            .agg(F.count("*").alias("psize"))
+            .filter(F.col("psize") > max_posting)
+            .select("gram")
+            .localCheckpoint(eager=True)
         )
+        postings = postings.join(F.broadcast(hot), "gram", "left_anti")
     l, r = postings.alias("l"), postings.alias("r")
     cand = (
         l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
