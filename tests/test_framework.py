@@ -1,0 +1,150 @@
+"""Framework-integration tests: settings-derived backends and the
+dump/load command pair (the analog of the reference's Django management
+commands, reference: xdump/extra/django/xdump/management/core.py:7-74,
+commands/xdump.py, commands/xload.py; exercised there by
+tests/django/test_commands.py)."""
+
+import os
+
+import pytest
+
+from xdump_spark.framework import (
+    ENGINE_BACKENDS,
+    JdbcBackend,
+    dump_command,
+    get_xdump_backend,
+    load_command,
+)
+from xdump_spark.sources.parquet_db import ParquetDatabase
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def parquet_settings(spark, employees_catalog, tmp_path):
+    src = str(tmp_path / "srcdb")
+    for name, df in employees_catalog.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    db = ParquetDatabase(spark, src)
+    db.write_fk_config(employees_catalog.foreign_keys)
+    dst = str(tmp_path / "dstdb")
+    for name, df in employees_catalog.tables.items():
+        df.limit(0).write.parquet(os.path.join(dst, name))
+    return {
+        "DATABASES": {
+            "default": {"ENGINE": "xdump_spark.parquet", "NAME": src},
+            "target": {"ENGINE": "xdump_spark.parquet", "NAME": dst},
+        },
+        "XDUMP": {
+            "FULL_TABLES": ["groups"],
+            "PARTIAL_TABLES": {"employees": "SELECT * FROM employees WHERE id = 2"},
+        },
+    }
+
+
+def test_backend_from_engine(spark, parquet_settings):
+    db = get_xdump_backend(spark, parquet_settings)
+    assert isinstance(db, ParquetDatabase)
+
+
+def test_backend_precedence_and_errors(spark, parquet_settings):
+    # explicit argument beats the ENGINE mapping (importable string, like
+    # the reference's --backend flag)
+    db = get_xdump_backend(
+        spark, parquet_settings, backend="xdump_spark.sources.parquet_db:ParquetDatabase"
+    )
+    assert isinstance(db, ParquetDatabase)
+    # XDUMP['BACKEND'] beats the ENGINE mapping
+    s = {
+        "DATABASES": parquet_settings["DATABASES"],
+        "XDUMP": {**parquet_settings["XDUMP"], "BACKEND": ENGINE_BACKENDS["xdump_spark.parquet"]},
+    }
+    assert isinstance(get_xdump_backend(spark, s), ParquetDatabase)
+    with pytest.raises(ValueError, match="no database configuration"):
+        get_xdump_backend(spark, parquet_settings, alias="missing")
+    bad = {"DATABASES": {"default": {"ENGINE": "django.db.backends.oracle", "NAME": "x"}}}
+    with pytest.raises(ValueError, match="unsupported ENGINE"):
+        get_xdump_backend(spark, bad)
+
+
+def test_dump_load_roundtrip_parquet_profile(spark, parquet_settings, tmp_path):
+    """Settings-driven dump from 'default', load into 'target' with
+    truncate cleanup — employee 2 pulls its manager chain 2→1, groups full."""
+    zip_path = str(tmp_path / "dump.zip")
+    counts = dump_command(spark, parquet_settings, zip_path)
+    assert counts == {"groups": 2, "employees": 2}
+
+    order = load_command(
+        spark, parquet_settings, zip_path, alias="target", cleanup_method="truncate"
+    )
+    assert order.index("groups") < order.index("employees")
+    dst = parquet_settings["DATABASES"]["target"]["NAME"]
+    emp = spark.read.parquet(os.path.join(dst, "employees"))
+    assert {r.id for r in emp.collect()} == {1, 2}
+    assert spark.read.parquet(os.path.join(dst, "groups")).count() == 2
+
+
+def test_unknown_cleanup_method(spark, parquet_settings, tmp_path):
+    zip_path = str(tmp_path / "d.zip")
+    dump_command(spark, parquet_settings, zip_path)
+    with pytest.raises(ValueError, match="unknown cleanup_method"):
+        load_command(spark, parquet_settings, zip_path, alias="target", cleanup_method="drop")
+
+
+def test_jdbc_profile_dump_and_load(spark, tmp_path):
+    """A 'live' alias (embedded Derby) round-trip: settings-derived
+    JdbcBackend stages a t0 snapshot for the dump, and the load writes
+    FK-toposorted into a second Derby DB."""
+    from tests.test_jdbc_live import derby_db  # fixture function, reused directly
+
+    url = derby_db.__wrapped__(spark, tmp_path)
+    dst_url = f"jdbc:derby:{tmp_path}/dstdb;create=true"
+    settings = {
+        "DATABASES": {
+            "default": {
+                "ENGINE": "xdump_spark.jdbc",
+                "NAME": url,
+                "DRIVER": DERBY_DRIVER,
+                "STAGE_DIR": str(tmp_path / "stage"),
+            },
+            "target": {"ENGINE": "xdump_spark.jdbc", "NAME": dst_url, "DRIVER": DERBY_DRIVER},
+        },
+        "XDUMP": {
+            "FULL_TABLES": ["groups"],
+            "PARTIAL_TABLES": {"employees": "SELECT * FROM employees WHERE id = 2"},
+        },
+    }
+    db = get_xdump_backend(spark, settings)
+    assert isinstance(db, JdbcBackend)
+
+    zip_path = str(tmp_path / "dump.zip")
+    counts = dump_command(spark, settings, zip_path)
+    assert counts == {"groups": 2, "employees": 2}
+
+    order = load_command(spark, settings, zip_path, alias="target")
+    assert order.index("groups") < order.index("employees")
+    got = spark.read.format("jdbc").options(
+        url=dst_url, dbtable="employees", driver=DERBY_DRIVER
+    ).load()
+    assert {r.id for r in got.collect()} == {1, 2}
+
+
+def test_jdbc_truncate_reverse_fk_order(spark, tmp_path):
+    """JdbcBackend.truncate deletes children before parents so FK
+    constraints never fire."""
+    from tests.test_jdbc_live import derby_db
+
+    url = derby_db.__wrapped__(spark, tmp_path)
+    settings = {
+        "DATABASES": {
+            "default": {"ENGINE": "xdump_spark.jdbc", "NAME": url, "DRIVER": DERBY_DRIVER}
+        },
+        "XDUMP": {"FULL_TABLES": [], "PARTIAL_TABLES": {}},
+    }
+    db = get_xdump_backend(spark, settings)
+    db.truncate()
+    for t in ("groups", "employees"):
+        got = spark.read.format("jdbc").options(
+            url=url, dbtable=t, driver=DERBY_DRIVER
+        ).load()
+        assert got.count() == 0, t
