@@ -1,0 +1,102 @@
+"""Unit tests for the training-data curation operators
+(operators/curation.py); the registry entry curation_doc_signals
+cross-checks the same operators value-exactly against DuckDB."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.curation import (
+    _hex_threshold,
+    contamination_screen,
+    mixture_stats,
+    repetition_frame,
+    source_cap,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a a a a", "en", "s1"),          # maximally repetitive
+        (2, "a b c d", "en", "s1"),          # all distinct
+        (3, "x y x y x", "de", "s2"),        # alternating
+        (4, "one", "de", "s2"),              # single token (no bigrams)
+        (5, "p q r p q r p q r", "fr", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_metrics(spark, docs):
+    got = {r.doc_id: r for r in repetition_frame(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_distinct, r1.ttr, r1.top_token_frac) == (4, 1, 0.25, 1.0)
+    assert r1.dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)  # 3 bigrams, 1 distinct
+    r2 = got[2]
+    assert (r2.ttr, r2.top_token_frac, r2.dup_bigram_frac) == (1.0, 0.25, 0.0)
+    r4 = got[4]
+    assert (r4.n_tokens, r4.dup_bigram_frac) == (1, 0.0)
+
+
+def test_hex_threshold_edges():
+    assert _hex_threshold(0.0, 4) == "0000"       # keeps nothing
+    assert _hex_threshold(0.5, 4) == "8000"
+    assert _hex_threshold(1.0, 4) == "gggg"       # sorts after all hex → keeps all
+    assert _hex_threshold(0.2, 4) == "3333"
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, docs):
+    out1 = stratified_sample(docs, {"en": 1.0, "de": 0.0})
+    ids1 = {r.doc_id for r in out1.collect()}
+    assert ids1 == {1, 2}            # en keep-all; de rate 0 drops; fr absent drops
+    # determinism: identical on re-run
+    assert {r.doc_id for r in stratified_sample(docs, {"en": 1.0, "de": 0.0}).collect()} == ids1
+    # rate ~0.5 on a bigger frame lands near half, deterministic
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    n = stratified_sample(big, {"en": 0.5}).count()
+    assert 400 < n < 600
+    assert stratified_sample(big, {"en": 0.5}).count() == n
+
+
+def test_contamination_screen(spark, docs):
+    bench = docs.filter("doc_id = 5")     # grams: 'p q r', 'q r p', 'r p q'
+    corpus = docs.filter("doc_id <> 5")
+    out = {r.doc_id: r.n_shared for r in contamination_screen(corpus, bench, n=3).collect()}
+    assert out == {}                      # nothing shares a 3-gram with doc 5
+    bench2 = docs.filter("doc_id = 1")    # gram: 'a a a'
+    corpus2 = spark.createDataFrame(
+        [(10, "z a a a z", "en", "s1"), (11, "b b b", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out2 = {r.doc_id: r.n_shared for r in contamination_screen(corpus2, bench2, n=3).collect()}
+    assert out2 == {10: 1}
+
+
+def test_source_cap_two_phase_matches_single_window(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    got = {r.doc_id for r in source_cap(df, 7, salt_partitions=8).collect()}
+    # reference: plain single-window top-k by the same deterministic order
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    want = {
+        r.doc_id
+        for r in df.withColumn("r", F.row_number().over(w)).filter("r <= 7").collect()
+    }
+    assert got == want and len(got) == 21
+
+
+def test_source_cap_under_cap_keeps_all(spark, docs):
+    assert source_cap(docs, 100).count() == docs.count()
+
+
+def test_mixture_stats(spark, docs):
+    out = {r.source: r for r in mixture_stats(docs).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 8
+    assert out["s2"].n_docs == 3 and out["s2"].n_tokens == 15
+    total_share = sum(r.token_share for r in out.values())
+    assert total_share == pytest.approx(1.0, abs=1e-5)

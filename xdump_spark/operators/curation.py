@@ -1,0 +1,222 @@
+"""Training-data curation operators: the selection/filtering layer a
+large-scale LLM data pipeline runs between raw ingest and tokenization.
+
+The reference engine curates rows via seed SQL + FK closure (its notion
+of "take a consistent, representative subset", xdump/base.py:87-106);
+this module is the corpus-level counterpart for the documents table:
+
+- repetition/quality signals in the style of the Gopher rules
+  (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1) and
+  C4 (Raffel et al. 2020): type-token ratio, top-token dominance,
+  duplicate-bigram fraction;
+- deterministic hash-bucket sampling, stratified per language (the
+  reproducible alternative to rand() sampling — re-runs select the SAME
+  documents, so a pipeline restart doesn't reshuffle the corpus);
+- benchmark-contamination screening by n-gram overlap (the standard
+  eval-decontamination step, e.g. GPT-3 App. C / PaLM §7);
+- per-source caps (domain caps in CC-style pipelines) with a two-phase
+  distributed top-k;
+- per-source mixture statistics for weighting.
+
+Everything is JVM-side codegen (split/transform/filter/windows) — no
+Python UDFs; every operator states its 100 TB shuffle story inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# repetition / quality signals
+# --------------------------------------------------------------------------
+def repetition_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals: (id, n_tokens, n_distinct, ttr,
+    top_token_frac, dup_bigram_frac).
+
+    - ttr: type-token ratio (distinct/total — low = repetitive);
+    - top_token_frac: most frequent token's share (Gopher caps this);
+    - dup_bigram_frac: 1 − distinct-bigrams/bigrams (Gopher's duplicate
+      n-gram fraction, n=2).
+
+    Scale: narrow map — zero shuffles, one pass, all whole-stage codegen.
+    The per-doc top-frequency scan is O(distinct × tokens) per row with
+    no memory beyond the token array. At 100 TB this is scan-bound.
+    """
+    # Project the split ONCE: lambda bodies referencing a split(...) column
+    # re-evaluate it per element (same hazard dedup._shingles_of_norm
+    # documents); a prior select pins it to one evaluation.
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(F.col(id_col), t.alias("t")).filter(F.size("t") > 0)
+    distinct = F.array_distinct(F.col("t"))
+    n = F.size("t")
+    n_dist = F.size(distinct)
+    top_freq = F.array_max(
+        F.transform(distinct, lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.withColumn("_bg", bigrams)
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            n_dist.alias("n_distinct"),
+            F.round(n_dist / n, 6).alias("ttr"),
+            F.round(top_freq / n, 6).alias("top_token_frac"),
+            F.when(F.size("_bg") > 0, F.round(1 - F.size(F.array_distinct("_bg")) / F.size("_bg"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling
+# --------------------------------------------------------------------------
+def _hex_threshold(rate: float, digits: int) -> str:
+    """rate ∈ [0,1] → lowercase hex cutoff of ``digits`` chars; keep a row
+    iff its hex bucket string < threshold. Resolution is 16^digits."""
+    space = 16 ** digits
+    cut = min(space, max(0, int(round(rate * space))))
+    return format(cut, f"0{digits + 1}x")[-digits:] if cut < space else "g" * digits
+    # 'g' sorts after every hex digit → keep-all sentinel
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    hex_digits: int = 4,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row survives iff the
+    first ``hex_digits`` hex chars of md5(id) sort below the stratum's
+    cutoff. Same inputs → same sample, on any cluster, any partitioning,
+    any run — unlike rand()-based sampling, a restarted 100 TB pipeline
+    reproduces itself bit-for-bit. Strata absent from ``rates`` drop.
+
+    Scale: narrow filter, no shuffle, no state; md5 is codegen'd.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits)
+    thr = F.lit(None).cast("string")
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(_hex_threshold(rate, hex_digits))).otherwise(thr)
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_thr", thr)
+        .filter(F.col("_thr").isNotNull() & (F.col("_bucket") < F.col("_thr")))
+        .drop("_thr")
+        .withColumnRenamed("_bucket", "sample_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination screening
+# --------------------------------------------------------------------------
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Documents sharing ≥ ``min_shared`` distinct word n-grams with ANY
+    benchmark document: (id, n_shared). The eval-decontamination join —
+    training docs overlapping the eval set get flagged before training.
+
+    Scale: the benchmark gram set is dedup'd FIRST (distinct on one
+    string column — the only benchmark-sized shuffle) and broadcast; the
+    corpus side is a narrow explode → broadcast-hash join → per-doc
+    count. The 100 TB corpus never shuffles on gram. For benchmark sets
+    too big to broadcast (rare — eval sets are small), drop the
+    broadcast hint and this becomes a sort-merge join on gram, still
+    linear.
+    """
+    from xdump_spark.operators.dedup import word_ngrams
+
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram")).distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        # word_ngrams is per-doc distinct, so count(*) == distinct shared grams
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source caps (domain caps)
+# --------------------------------------------------------------------------
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source, chosen by deterministic
+    hash order (md5 of the id — an unbiased, reproducible draw rather
+    than "first N by id"). Two-phase top-k so a hot source cannot pin a
+    single task at 100 TB:
+
+      phase 1: rank within (source, salt) — ``salt_partitions`` ways —
+               and keep ``cap`` per salt slice: a source's candidate set
+               shrinks to ≤ salt_partitions × cap rows *before* …
+      phase 2: … the exact global per-source rank runs on the survivors.
+
+    Phase 2's window sees a bounded row count per source regardless of
+    corpus size; the full corpus only ever shuffles by (source, salt),
+    which the salt spreads evenly.
+    """
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_partitions))
+    local = W.partitionBy(part_col, salt).orderBy(rank_key, F.col(id_col))
+    survivors = (
+        df.withColumn("_rk", rank_key)
+        .withColumn("_r1", F.row_number().over(local))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    final = W.partitionBy(part_col).orderBy(F.col("_rk"), F.col(id_col))
+    return (
+        survivors.withColumn("_r2", F.row_number().over(final))
+        .filter(F.col("_r2") <= cap)
+        .drop("_rk", "_r2")
+    )
+
+
+# --------------------------------------------------------------------------
+# mixture statistics
+# --------------------------------------------------------------------------
+def mixture_stats(df: DataFrame, part_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source corpus composition: (source, n_docs, n_tokens,
+    token_share) — the inputs to mixture weighting (how much of each
+    source a training run sees). token_share sums to 1.
+
+    Scale: one map-side-combined groupBy on the source key (tiny
+    cardinality), then a broadcast of the single-row total. No wide
+    shuffle of document rows.
+    """
+    per = df.groupBy(part_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("token_share", F.round(F.col("n_tokens") / F.col("_total"), 6))
+        .drop("_total")
+    )

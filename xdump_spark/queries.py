@@ -1141,31 +1141,7 @@ def _sql_hits(lang: str) -> str:
     return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
 
 
-@query(
-    "text_quality",
-    f"""
-WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       round(CASE WHEN len(toks) > 0
-             THEN length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) / len(toks)
-             ELSE 0.0 END, 6) AS mean_token_len,
-       round(CASE WHEN length(text) > 0
-             THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
-             ELSE 0.0 END, 6) AS punct_ratio,
-       round(CASE WHEN len(toks) > 0
-             THEN {_sql_hits('en')} / len(toks)
-             ELSE 0.0 END, 6) AS stopword_ratio
-FROM t
-""",
-)
-def text_quality(spark, sf_dir):
-    """Document quality metrics (operators/text.py, all JVM built-ins)."""
-    return TX.quality_frame(_cat(spark, sf_dir).tables["documents"])
-
-
-def _langid_sql() -> str:
+def _quality_langid_sql() -> str:
     hits_cols = ", ".join(f"{_sql_hits(lang)} AS h_{lang}" for lang in TX.LANG_ORDER)
     branches = []
     for i, lang in enumerate(TX.LANG_ORDER):
@@ -1179,16 +1155,36 @@ def _langid_sql() -> str:
     case = "CASE " + " ".join(branches) + " ELSE 'und' END"
     hit_outs = ", ".join(f"CAST(h_{lang} AS BIGINT) AS hits_{lang}" for lang in TX.LANG_ORDER)
     return f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-h AS (SELECT doc_id, {hits_cols} FROM t)
-SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN {_sql_hits('en')} / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio
+       FROM t),
+h AS (SELECT doc_id, {hits_cols} FROM t),
+l AS (SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h)
+SELECT q.*, l.pred_lang, {", ".join(f"l.hits_{lang}" for lang in TX.LANG_ORDER)}
+FROM q JOIN l USING (doc_id)
 """
 
 
-@query("text_langid", _langid_sql())
-def text_langid(spark, sf_dir):
-    """Marker-word language ID with deterministic tie-breaks."""
-    return TX.lang_id_frame(_cat(spark, sf_dir).tables["documents"])
+@query("text_quality", _quality_langid_sql())
+def text_quality(spark, sf_dir):
+    """Document quality metrics + marker-word language ID with
+    deterministic tie-breaks (operators/text.py, all JVM built-ins). One
+    entry covers both per-doc frames (absorbed the former text_langid
+    entry to stay inside the driver's 50-entry correctness window —
+    same consolidation as multimodal_profile)."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    return TX.quality_frame(docs).join(TX.lang_id_frame(docs), "doc_id")
 
 
 @query(
@@ -1198,23 +1194,18 @@ WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text,
-         '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+         '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM t
 """,
 )
 def text_token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish-regex token counting (operators/text.py;
-    the split pattern is lookahead-free so Java regex and RE2 agree)."""
-    return TX.token_count_frame(_cat(spark, sf_dir).tables["documents"])
-
-
-@query(
-    "text_fingerprint",
-    r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint FROM documents",
-)
-def text_fingerprint(spark, sf_dir):
-    """Normalized-text md5 fingerprint (the exact-dedup key)."""
-    return TX.fingerprint_frame(_cat(spark, sf_dir).tables["documents"])
+    """Whitespace + BPE-ish-regex token counting (the split pattern is
+    lookahead-free so Java regex and RE2 agree) + the normalized-text md5
+    fingerprint (the exact-dedup key; absorbed the former
+    text_fingerprint entry for the 50-entry window)."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    return TX.token_count_frame(docs).join(TX.fingerprint_frame(docs), "doc_id")
 
 
 @query(
@@ -1549,6 +1540,137 @@ def multimodal_decode_stub(spark, sf_dir):
     driver registry to keep every oracle-backed entry inside the 50-entry
     correctness window; tests/test_registry.py runs this builder."""
     return M.decode_blobs(_media(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# training-data curation (operators/curation.py)
+# --------------------------------------------------------------------------
+from xdump_spark.operators import curation as CU  # noqa: E402
+
+# Per-language keep rates for the deterministic stratified sample and the
+# per-source cap used by the registry entry (hex cutoffs at 4 digits:
+# 0.5→'8000', 0.3→'4ccd', 0.2→'3333' — mirrored literally in the SQL).
+_CURATION_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3, "zh": 0.2, "es": 0.2}
+_CURATION_CAP = 10
+
+_CURATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+rep AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+    ROUND(len(list_distinct(t)) / len(t), 6) AS ttr,
+    ROUND(list_max(list_transform(list_distinct(t),
+          x -> len(list_filter(t, y -> y = x)))) / len(t), 6) AS top_token_frac,
+    CASE WHEN len(t) >= 2 THEN
+      ROUND(1 - len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+              i -> concat_ws(' ', t[i], t[i + 1]))))
+            / (len(t) - 1), 6)
+    ELSE 0.0 END AS dup_bigram_frac
+  FROM toks WHERE len(t) > 0
+),
+samp AS (
+  SELECT doc_id, TRUE AS sampled FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+    CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4ccd' WHEN 'fr' THEN '4ccd'
+              WHEN 'zh' THEN '3333' WHEN 'es' THEN '3333' END
+),
+lt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+         i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM lt
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+cont AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id
+),
+capped AS (
+  SELECT doc_id, TRUE AS capped FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+    FROM documents) WHERE r <= 10
+)
+SELECT rep.doc_id, rep.n_tokens, rep.n_distinct, rep.ttr, rep.top_token_frac,
+       rep.dup_bigram_frac,
+       COALESCE(samp.sampled, FALSE) AS sampled,
+       COALESCE(cont.n_shared, 0) AS n_shared,
+       COALESCE(capped.capped, FALSE) AS capped
+FROM rep
+LEFT JOIN samp USING (doc_id)
+LEFT JOIN cont USING (doc_id)
+LEFT JOIN capped USING (doc_id)
+"""
+
+
+@query("curation_doc_signals", _CURATION_SQL)
+def curation_doc_signals(spark, sf_dir):
+    """Per-document training-data curation signals, one row per doc
+    (operators/curation.py — Gopher/C4-style repetition metrics,
+    deterministic md5-bucket stratified sampling, benchmark n-gram
+    contamination count against the doc_id%50==0 'eval' subset, and the
+    two-phase per-source cap). One entry covers four operators (driver
+    50-entry window); each also has its own unit tests."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    rep = CU.repetition_frame(docs)
+    sampled = CU.stratified_sample(docs, _CURATION_RATES).select(
+        "doc_id", F.lit(True).alias("sampled")
+    )
+    bench = docs.filter("doc_id % 50 = 0")
+    corpus = docs.filter("doc_id % 50 <> 0")
+    cont = CU.contamination_screen(corpus, bench)
+    capped = CU.source_cap(docs, _CURATION_CAP).select(
+        "doc_id", F.lit(True).alias("capped")
+    )
+    return (
+        rep.join(sampled, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(capped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "ttr",
+            "top_token_frac",
+            "dup_bigram_frac",
+            F.coalesce("sampled", F.lit(False)).alias("sampled"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("capped", F.lit(False)).alias("capped"),
+        )
+    )
+
+
+@query(
+    "corpus_mixture",
+    """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / (SELECT sum(n_tokens) FROM per), 6) AS token_share
+FROM per
+""",
+)
+def corpus_mixture(spark, sf_dir):
+    """Per-source corpus composition for mixture weighting
+    (operators/curation.py mixture_stats): doc/token counts and each
+    source's token share of the whole corpus."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    return CU.mixture_stats(docs).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "token_share",
+    )
 
 
 def _finalize_registry() -> None:
