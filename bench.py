@@ -48,6 +48,8 @@ HEADLINE = [
     "text_winnow",                    # rolling-window fingerprints (2 window passes)
     "events_asof",                    # as-of join: union-tag + carry-forward
     "range_join_ship_windows",        # keyless interval join via binning
+    "curation_doc_signals",           # added r4: repetition + sample + contamination + cap
+    "corpus_mixture",                 # added r4: per-source mixture stats
 ]
 
 

@@ -44,11 +44,19 @@ def repetition_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     The per-doc top-frequency scan is O(distinct × tokens) per row with
     no memory beyond the token array. At 100 TB this is scan-bound.
     """
+    from xdump_spark.operators.sizing import spread
+
     # Project the split ONCE: lambda bodies referencing a split(...) column
     # re-evaluate it per element (same hazard dedup._shingles_of_norm
-    # documents); a prior select pins it to one evaluation.
+    # documents); a prior select pins it to one evaluation. spread() fans
+    # a single-partition small-file scan across cores first (no-op at
+    # scale).
     t = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = df.select(F.col(id_col), t.alias("t")).filter(F.size("t") > 0)
+    toks = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), t.alias("t"))
+        .filter(F.size("t") > 0)
+    )
     distinct = F.array_distinct(F.col("t"))
     n = F.size("t")
     n_dist = F.size(distinct)
@@ -140,14 +148,25 @@ def contamination_screen(
     broadcast hint and this becomes a sort-merge join on gram, still
     linear.
     """
-    from xdump_spark.operators.dedup import word_ngrams
+    from xdump_spark.operators.dedup import _grams_of_tokens
+    from xdump_spark.operators.sizing import spread
+    from xdump_spark.operators.text import tokens
 
-    corpus_grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram")).distinct()
-    )
+    def grams_of(df: DataFrame) -> DataFrame:
+        # Project the token array BEFORE the n-gram transform: feeding
+        # tokens(text) straight into the per-element lambda re-evaluates
+        # the split per gram (O(tokens²) per doc — measured 6× the whole
+        # operator). spread() fans the small-file single-partition scan
+        # out before the CPU-heavy gram build; no-op on wide inputs.
+        toked = spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        )
+        return toked.select(
+            F.col(id_col), F.explode(_grams_of_tokens(F.col("_toks"), n)).alias("gram")
+        )
+
+    corpus_grams = grams_of(docs)
+    bench_grams = grams_of(benchmark).select("gram").distinct()
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         # word_ngrams is per-doc distinct, so count(*) == distinct shared grams
