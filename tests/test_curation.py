@@ -94,6 +94,66 @@ def test_source_cap_under_cap_keeps_all(spark, docs):
     assert source_cap(docs, 100).count() == docs.count()
 
 
+def test_pack_sequences_budget_and_determinism(spark):
+    from xdump_spark.operators.curation import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # doc i has (i % 7) + 1 tokens
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 7 + 1).cast("int"))).alias(
+            "text"
+        ),
+    )
+    out = pack_sequences(df, budget=10, partitions=8).collect()
+    # every doc appears exactly once
+    packed = [d for r in out for d in r.doc_ids]
+    assert sorted(packed) == list(range(200))
+    # no sequence exceeds the budget unless it is a single long doc
+    for r in out:
+        assert r.total_tokens <= 10 or r.n_docs == 1
+        assert r.n_docs == len(r.doc_ids)
+    # deterministic across runs
+    again = pack_sequences(df, budget=10, partitions=8).collect()
+    assert sorted((r.seq_id, tuple(r.doc_ids)) for r in out) == sorted(
+        (r.seq_id, tuple(r.doc_ids)) for r in again
+    )
+
+
+def test_pack_sequences_oversized_doc_is_singleton(spark):
+    from xdump_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, " ".join(["w"] * 50)), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=10, partitions=1).collect()
+    big = [r for r in out if 2 in r.doc_ids]
+    assert len(big) == 1 and big[0].n_docs == 1 and big[0].total_tokens == 50
+
+
+def test_fk_orphans(spark, employees_catalog):
+    from xdump_spark.operators.curation import fk_orphans
+
+    out = {
+        (r.table, r.column): r.n_orphans for r in fk_orphans(employees_catalog).collect()
+    }
+    # the fixture is referentially consistent
+    assert set(out.values()) == {0}
+    assert ("employees", "manager_id") in out and ("tickets", "author_id") in out
+    # break it: a ticket pointing at a missing employee
+    broken = employees_catalog.with_table(
+        "tickets",
+        employees_catalog.tables["tickets"].unionByName(
+            spark.createDataFrame(
+                [(99, 42, "s", "m")], employees_catalog.tables["tickets"].schema
+            )
+        ),
+    )
+    out2 = {(r.table, r.column): r.n_orphans for r in fk_orphans(broken).collect()}
+    assert out2[("tickets", "author_id")] == 1
+    assert out2[("employees", "manager_id")] == 0
+
+
 def test_mixture_stats(spark, docs):
     out = {r.source: r for r in mixture_stats(docs).collect()}
     assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 8

@@ -218,6 +218,124 @@ def source_cap(
 
 
 # --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into token-budget-bounded
+    training sequences: (seq_id, doc_ids array<long>, n_docs, total_tokens).
+    Documents longer than ``budget`` become singleton (truncation-needed)
+    sequences. The packing step every pretraining pipeline runs between
+    curation and tokenization.
+
+    Packing is a SEQUENTIAL bin-fill, so it runs per partition
+    (``applyInPandas`` over a hash bucket of doc ids): global packing
+    would serialize the corpus through one task, and training does not
+    need globally-optimal bins — only bounded waste. Determinism: bucket
+    assignment is a pure hash of the id and docs are packed in id order
+    within each bucket, so re-runs reproduce the same sequences on any
+    cluster layout. seq_id = (bucket << 32) | local_index, collision-free
+    for < 2^32 sequences per bucket.
+
+    Scale: one shuffle (the bucket groupBy); state per task is one open
+    bin — O(1) memory beyond the Arrow batch.
+    """
+    import pandas as pd
+
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tok"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_parts)).alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        bucket = int(pdf["bucket"].iloc[0])
+        seqs: list[tuple[int, list[int], int]] = []  # (seq_id, ids, tokens)
+        cur_ids: list[int] = []
+        cur_tok = 0
+        nxt = 0
+
+        def flush():
+            nonlocal cur_ids, cur_tok, nxt
+            if cur_ids:
+                seqs.append(((bucket << 32) | nxt, cur_ids, cur_tok))
+                nxt += 1
+                cur_ids, cur_tok = [], 0
+
+        for _id, n in zip(pdf["id"], pdf["n_tok"]):
+            if cur_tok + n > budget and cur_ids:
+                flush()
+            cur_ids.append(int(_id))
+            cur_tok += int(n)
+            if cur_tok >= budget:
+                flush()
+        flush()
+        return pd.DataFrame(
+            {
+                "seq_id": [s[0] for s in seqs],
+                "doc_ids": [s[1] for s in seqs],
+                "n_docs": [len(s[1]) for s in seqs],
+                "total_tokens": [s[2] for s in seqs],
+            }
+        )
+
+    schema = "seq_id long, doc_ids array<long>, n_docs int, total_tokens long"
+    return toks.groupBy("bucket").applyInPandas(pack, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# referential-integrity audit
+# --------------------------------------------------------------------------
+def fk_orphans(catalog) -> DataFrame:
+    """Orphan counts per FK edge: (table, column, foreign_table,
+    foreign_column, n_orphans) — child rows whose non-null FK value has no
+    parent. The reference delegates integrity to the database's enforced
+    constraints (xdump/postgresql.py:19-62 reads them from the catalog);
+    a parquet lake enforces nothing, so closure correctness silently
+    depends on this audit passing.
+
+    Scale: one left-anti join per edge against the parent's DISTINCT key
+    column (keys-only shuffle; broadcast when small). Edges evaluate
+    independently — at 100 TB run them as separate jobs.
+    """
+    spark = None
+    pieces = []
+    for fk in catalog.foreign_keys:
+        child = catalog.tables[fk.table]
+        parent = catalog.tables[fk.foreign_table]
+        spark = child.sparkSession
+        keys = parent.select(F.col(fk.foreign_column).alias("_k")).distinct()
+        orphans = (
+            child.filter(F.col(fk.column).isNotNull())
+            .select(F.col(fk.column).alias("_k"))
+            .join(keys, "_k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(
+                F.lit(fk.table).alias("table"),
+                F.lit(fk.column).alias("column"),
+                F.lit(fk.foreign_table).alias("foreign_table"),
+                F.lit(fk.foreign_column).alias("foreign_column"),
+                "n_orphans",
+            )
+        )
+        pieces.append(orphans)
+    if not pieces:
+        raise ValueError("catalog has no foreign keys to audit")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
 # mixture statistics
 # --------------------------------------------------------------------------
 def mixture_stats(df: DataFrame, part_col: str = "source", text_col: str = "text") -> DataFrame:
