@@ -157,6 +157,79 @@ def fingerprint_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+def token_fingerprint_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """token_count_frame + fingerprint_frame columns in ONE projection —
+    the registry's merged text_token_counts entry. A join of the two
+    frames would scan the table twice for what is a single narrow map."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), _WS, " "))
+    return df.select(
+        F.col(id_col),
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens(t)).cast("long").alias("n_bpe_tokens"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def quality_langid_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """quality_frame + lang_id_frame columns in ONE scan (the registry's
+    merged text_quality entry). Same two-stage projection discipline as
+    the parts: tokenization/regex once into real columns, hit counts
+    into real columns, then the metric/CASE expressions over those."""
+    t = F.col(text_col)
+    pre = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("_len"),
+        tokens(t).alias("_toks"),
+        punct_count(t).cast("long").alias("_punct"),
+        F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
+    )
+
+    def _hit_count(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
+
+    counted = pre.select(
+        "*", *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER]
+    )
+    n_tok = F.size("_toks")
+    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
+    pred = F.lit("und")
+    branches = []
+    for i, lang in enumerate(LANG_ORDER):
+        cond = hits[lang] > 0
+        for j, other in enumerate(LANG_ORDER):
+            if i == j:
+                continue
+            cond = cond & (
+                (hits[lang] > hits[other]) if j < i else (hits[lang] >= hits[other])
+            )
+        branches.append((cond, lang))
+    for cond, lang in reversed(branches):
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return counted.select(
+        F.col(id_col),
+        F.col("_len").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.when(n_tok > 0, F.col("_nsp") / n_tok).otherwise(F.lit(0.0)), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(
+            F.when(F.col("_len") > 0, F.col("_punct") / F.col("_len")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_tok > 0, hits["en"] / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -1182,9 +1182,11 @@ def text_quality(spark, sf_dir):
     deterministic tie-breaks (operators/text.py, all JVM built-ins). One
     entry covers both per-doc frames (absorbed the former text_langid
     entry to stay inside the driver's 50-entry correctness window —
-    same consolidation as multimodal_profile)."""
+    same consolidation as multimodal_profile). Single scan, single
+    projection (operators/text.py quality_langid_frame) — a join of the
+    two per-doc frames would read the table twice."""
     docs = _cat(spark, sf_dir).tables["documents"]
-    return TX.quality_frame(docs).join(TX.lang_id_frame(docs), "doc_id")
+    return TX.quality_langid_frame(docs)
 
 
 @query(
@@ -1203,9 +1205,10 @@ def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish-regex token counting (the split pattern is
     lookahead-free so Java regex and RE2 agree) + the normalized-text md5
     fingerprint (the exact-dedup key; absorbed the former
-    text_fingerprint entry for the 50-entry window)."""
+    text_fingerprint entry for the 50-entry window). Single scan
+    (operators/text.py token_fingerprint_frame)."""
     docs = _cat(spark, sf_dir).tables["documents"]
-    return TX.token_count_frame(docs).join(TX.fingerprint_frame(docs), "doc_id")
+    return TX.token_fingerprint_frame(docs)
 
 
 @query(
