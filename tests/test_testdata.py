@@ -26,12 +26,35 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+# Columns the engine's queries/oracles actually reference, per table: a
+# driver-side rename/retype of any of these must fail HERE with a named
+# table, not as dozens of opaque oracle errors (round-3 lesson, where the
+# events.ts drift surfaced as 50 unrelated failures).
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_regionkey", "n_name"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey", "p_type", "p_brand", "p_container", "p_size"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"},
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate", "l_returnflag",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "ts_ns"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding"},
+}
+
+
 def test_every_table_loads_and_has_rows(spark):
     cat = load_sf_dir(spark, SF_DIR)
     assert set(TPCH_TABLES) <= set(cat.tables)
     for name in TPCH_TABLES:
         # .first() touches real data (schema resolution + one row decoded).
         assert cat.tables[name].first() is not None, name
+        missing = EXPECTED_COLUMNS[name] - set(cat.tables[name].columns)
+        assert not missing, f"{name}: driver testdata dropped/renamed {sorted(missing)}"
 
 
 def test_events_ts_contract(spark):
