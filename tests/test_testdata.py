@@ -35,7 +35,7 @@ EXPECTED_COLUMNS = {
     "nation": {"n_nationkey", "n_regionkey", "n_name"},
     "customer": {"c_custkey", "c_nationkey"},
     "supplier": {"s_suppkey", "s_nationkey"},
-    "part": {"p_partkey", "p_type", "p_brand", "p_container", "p_size"},
+    "part": {"p_partkey", "p_type", "p_brand", "p_size"},
     "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"},
     "lineitem": {
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
