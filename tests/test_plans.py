@@ -22,6 +22,29 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+def test_no_entry_plans_cartesian_or_row_udf(spark):
+    """Registry-wide scale-smell sweep: no entry's physical plan may
+    contain a CartesianProduct (unbounded pair blowup) or BatchEvalPython
+    (row-at-a-time Python UDF — only Arrow-batched ArrowEvalPython /
+    mapInPandas stages are allowed in hot paths). Catches a regression in
+    ANY entry, not just the individually-pinned plans below.
+
+    BroadcastNestedLoopJoin is tolerated: it only appears for broadcast
+    one-row frames (e.g. the mixture total), which is bounded by the
+    broadcast size check."""
+    offenders = {}
+    for name in Q.queries():
+        plan = plan_of(spark, name)
+        smells = [
+            s
+            for s in ("CartesianProduct", "BatchEvalPython")
+            if s in plan
+        ]
+        if smells:
+            offenders[name] = smells
+    assert not offenders, f"scale smells in plans: {offenders}"
+
+
 def test_q6_filters_pushed_to_scan(spark):
     plan = plan_of(spark, "tpch_q6")
     assert "PushedFilters" in plan
