@@ -129,6 +129,21 @@ def test_jdbc_profile_dump_and_load(spark, tmp_path):
     assert {r.id for r in got.collect()} == {1, 2}
 
 
+def test_jdbc_truncate_missing_table_raises(spark, tmp_path):
+    from tests.test_jdbc_live import derby_db
+
+    url = derby_db.__wrapped__(spark, tmp_path)
+    settings = {
+        "DATABASES": {
+            "default": {"ENGINE": "xdump_spark.jdbc", "NAME": url, "DRIVER": DERBY_DRIVER}
+        },
+        "XDUMP": {"FULL_TABLES": [], "PARTIAL_TABLES": {}},
+    }
+    db = get_xdump_backend(spark, settings)
+    with pytest.raises(RuntimeError, match="truncate failed for table 'ghost'"):
+        db.truncate(tables=["ghost"])
+
+
 def test_jdbc_truncate_reverse_fk_order(spark, tmp_path):
     """JdbcBackend.truncate deletes children before parents so FK
     constraints never fire."""

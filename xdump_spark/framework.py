@@ -120,13 +120,23 @@ class JdbcBackend:
         try:
             st = conn.createStatement()
             for t in order:
-                # Try the driver's case folds the same way apply_sequences_jdbc does.
+                # Try the driver's case folds the same way apply_sequences_jdbc
+                # does — but a table that fails under EVERY fold must raise:
+                # a silently-skipped truncate turns the subsequent load into
+                # row duplication.
+                last_exc: Exception | None = None
                 for cand in (t, t.upper(), t.lower()):
                     try:
                         st.execute(f'DELETE FROM "{cand}"')
+                        last_exc = None
                         break
-                    except Exception:
-                        continue
+                    except Exception as exc:
+                        last_exc = exc
+                if last_exc is not None:
+                    raise RuntimeError(
+                        f"truncate failed for table {t!r} under every identifier "
+                        f"case fold"
+                    ) from last_exc
             st.close()
         finally:
             conn.close()
