@@ -1,0 +1,72 @@
+"""Streaming corpus monitor: the stream twins must agree with their
+batch anchors over the same documents (multi-micro-batch drain)."""
+
+import glob
+import shutil
+
+import pytest
+
+from xdump_spark.streaming.corpus import mixture_stream, quality_monitor_stream
+from xdump_spark.streaming.events import run_to_memory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_batch(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    out = str(d / "parts")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(4).write.parquet(out)
+    yield out
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def _stream(spark, docs_stream_dir):
+    schema = spark.read.parquet(docs_stream_dir).schema
+    assert len(glob.glob(f"{docs_stream_dir}/part-*.parquet")) == 4
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # 4 true micro-batches
+        .parquet(f"{docs_stream_dir}/part-*.parquet")
+    )
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_mixture_stream_matches_batch(spark, docs_batch, docs_stream_dir):
+    stream = _stream(spark, docs_stream_dir)
+    q = run_to_memory(mixture_stream(stream), "mix_stream", output_mode="complete")
+    try:
+        got = rows_set(spark.table("mix_stream"))
+        want = rows_set(mixture_stream(docs_batch))
+        assert got == want and len(got) > 1
+    finally:
+        q.stop()
+
+
+def test_quality_monitor_stream_matches_batch(spark, docs_batch, docs_stream_dir):
+    stream = _stream(spark, docs_stream_dir)
+    q = run_to_memory(
+        quality_monitor_stream(stream), "qual_stream", output_mode="complete"
+    )
+    try:
+        got = {r.lang: r for r in spark.table("qual_stream").collect()}
+        want = {r.lang: r for r in quality_monitor_stream(docs_batch).collect()}
+        assert set(got) == set(want) and len(got) == 5  # the 5 languages
+        for lang in want:
+            assert got[lang].n_docs == want[lang].n_docs
+            # means are summed in micro-batch order on the stream side —
+            # compare with a float tolerance, not bitwise
+            assert got[lang].mean_ttr == pytest.approx(want[lang].mean_ttr, abs=1e-5)
+            assert got[lang].mean_top_frac == pytest.approx(
+                want[lang].mean_top_frac, abs=1e-5
+            )
+    finally:
+        q.stop()
