@@ -63,6 +63,11 @@ def main() -> None:
 
     spark = get_spark("xdump_spark_bench")
     qs = entry_mod.queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        # A silently-skipped headline query would shrink the total and
+        # masquerade as a speedup round-over-round.
+        raise SystemExit(f"headline queries missing from the registry: {missing}")
 
     # warm the session and catalog metadata (JVM start, parquet footer
     # reads, view registration) outside the timings — per-query numbers
