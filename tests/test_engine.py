@@ -97,6 +97,10 @@ def test_roundtrip_into_parquet_db(tmp_path, spark, engine):
     db = ParquetDatabase(spark, db_dir)
     assert set(db.tables()) == {"groups", "employees", "tickets"}
     assert db.catalog().tables["tickets"].count() == 5
+    # reference parity (test_non_existent_db): a missing source is an
+    # error, never a silently-empty catalog/dump
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        ParquetDatabase(db.spark, str(tmp_path / "no_such_db")).catalog()
     assert ids(db.catalog().tables["employees"]) == {1, 2, 3}  # authors only
     db.truncate(["tickets"])
     assert set(db.tables()) == {"groups", "employees"}

@@ -45,6 +45,14 @@ class ParquetDatabase:
             return [ForeignKey.from_dict(d) for d in json.load(f)]
 
     def catalog(self) -> Catalog:
+        # A missing source must be an ERROR, not an empty catalog — a
+        # typo'd path would otherwise dump an empty archive that loads
+        # "successfully" (reference parity: connecting to a non-existent
+        # database fails, tests/test_backend.py test_non_existent_db).
+        if not os.path.isdir(self.path):
+            raise FileNotFoundError(
+                f"parquet database directory does not exist: {self.path!r}"
+            )
         dfs: dict[str, DataFrame] = {}
         for name in self.tables():
             p = os.path.join(self.path, name)
