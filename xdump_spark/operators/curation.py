@@ -344,16 +344,15 @@ def mixture_stats(df: DataFrame, part_col: str = "source", text_col: str = "text
     source a training run sees). token_share sums to 1.
 
     Scale: one map-side-combined groupBy on the source key (tiny
-    cardinality), then a broadcast of the single-row total. No wide
-    shuffle of document rows.
+    cardinality), then the corpus total via an unpartitioned window over
+    the AGGREGATED frame — |sources| rows through one extra exchange. A
+    ``per.agg(...)`` + crossJoin total would re-run the full scan and
+    groupBy a second time (Spark does not materialize ``per`` across the
+    two consumers).
     """
     per = df.groupBy(part_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("n_tokens"),
     )
-    total = per.agg(F.sum("n_tokens").alias("_total"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .withColumn("token_share", F.round(F.col("n_tokens") / F.col("_total"), 6))
-        .drop("_total")
-    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return per.withColumn("token_share", F.round(F.col("n_tokens") / total, 6))
