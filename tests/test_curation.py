@@ -154,6 +154,52 @@ def test_fk_orphans(spark, employees_catalog):
     assert out2[("employees", "manager_id")] == 0
 
 
+def test_unigram_surprisal_matches_duckdb(spark):
+    """Exact cross-check of the smoothed unigram scorer against a DuckDB
+    recomputation over the real documents table (pytest-level oracle —
+    the registry's 50-entry window is full)."""
+    import duckdb
+
+    from xdump_spark.operators.curation import unigram_surprisal_frame
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.n_tokens, r.mean_surprisal)
+           for r in unigram_surprisal_frame(docs).collect()}
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+          FROM read_parquet('{sf}/documents.parquet') WHERE length(trim(text)) > 0
+        ),
+        vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        tot AS (SELECT sum(n) AS N, count(*) AS V FROM vocab)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT),
+               ROUND(avg(-ln((v.n + 1) / (tot.N + tot.V))), 6)
+        FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+        GROUP BY t.doc_id
+        """
+    ).fetchall()
+    assert len(want) == len(got) == 500
+    for doc_id, n, s in want:
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(s, abs=2e-6), doc_id
+
+
+def test_unigram_surprisal_oov_floor(spark):
+    from xdump_spark.operators.curation import unigram_surprisal_frame
+
+    corpus = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 3)], "tok string, n long")
+    out = unigram_surprisal_frame(corpus, vocab=vocab).collect()[0]
+    # N=3, V=1; p(a)=(3+1)/4=1.0 → s=0; OOV b → -ln(1/4)
+    import math
+
+    want = round((3 * 0.0 + -math.log(1 / 4)) / 4, 6)
+    assert out.n_tokens == 4 and out.mean_surprisal == pytest.approx(want, abs=1e-6)
+
+
 def test_mixture_stats(spark, docs):
     out = {r.source: r for r in mixture_stats(docs).collect()}
     assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 8

@@ -218,6 +218,61 @@ def source_cap(
 
 
 # --------------------------------------------------------------------------
+# unigram surprisal (LM-filter proxy)
+# --------------------------------------------------------------------------
+def unigram_surprisal_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram surprisal: (id, n_tokens,
+    mean_surprisal) where surprisal(tok) = −ln p(tok) under an add-one-
+    smoothed unigram model. The cheap proxy for an LM quality filter
+    (CCNet-style): word salads of rare tokens score high, natural
+    high-frequency text scores low. Deterministic — no training, the
+    "model" is corpus token counts.
+
+    ``vocab``: optional (token, n) frequency frame to score against
+    (e.g. fitted on a reference corpus or a sample); defaults to ``df``
+    itself. OOV tokens get the smoothed floor p = 1/(N + V).
+
+    Scale: one groupBy on token for the vocab (map-side combined), one
+    broadcast join of the (small) vocab against the exploded corpus,
+    one per-doc re-aggregation keyed by id. The corpus never shuffles on
+    token; at 100 TB fit the vocab on a sample and broadcast it the
+    same way.
+    """
+    from xdump_spark.operators.sizing import spread
+    from xdump_spark.operators.text import tokens
+
+    exploded = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    if vocab is None:
+        vocab = exploded.groupBy("tok").agg(F.count("*").alias("n"))
+    # _total/_vsize, not N/V: Spark's default case-insensitive resolution
+    # would make `N` collide with the vocab's `n` column.
+    totals = vocab.agg(F.sum("n").alias("_total"), F.count("*").alias("_vsize"))
+    scored = (
+        exploded.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        # add-one smoothing; OOV (null n) floors at 1/(N+V)
+        .withColumn(
+            "_s",
+            -F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                / (F.col("_total") + F.col("_vsize"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )
+
+
+# --------------------------------------------------------------------------
 # sequence packing
 # --------------------------------------------------------------------------
 def pack_sequences(
