@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -58,9 +59,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        # Driver testdata ships single files `{t}.parquet`; Spark-written
+        # datasets (e.g. the sf1 soak) are DIRECTORIES of part files.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     names = args.names or list(qs)
     n_pass = n_fail = n_weak = 0

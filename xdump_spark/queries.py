@@ -7,10 +7,13 @@ the oracle's aliases exactly (the driver sorts columns by name before value
 hashing). Oracle-less entries get a weaker rows-only check (reserved for
 genuinely non-SQL-expressible or approximate operators).
 
-Float policy: aggregates over doubles are rounded identically on both
-sides (sums of ~1e6-scale money to 2 decimals; averages to 6) so the
-bit-level nondeterminism of parallel summation cannot flip the hash.
-Raw column values pass through both engines untouched and match exactly.
+Float policy: every money/value SUM the oracle compares rounded goes
+through ``_msum`` — per-addend cast to DECIMAL(20,6) (bit-identical on
+both engines), exact associative decimal summation, presented as double.
+Rounding alone was not enough: at sf1 a double q7 revenue sum landed
+within the parallel-reorder error of a .005 tie and flipped the printed
+cent. Averages divide the exact sum by the exact count; raw column
+values pass through both engines untouched and match exactly.
 """
 
 from __future__ import annotations
@@ -113,6 +116,42 @@ def _closure(spark: SparkSession, sf_dir: str, scenario: str) -> dict[str, DataF
 # SQL fragment for the orders_top2 seed, shared by several oracles.
 _SEED_TOP2 = "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 2"
 _SEED_LI = "SELECT * FROM lineitem WHERE l_orderkey <= 64"
+
+
+def _msum(col, scale: int = 2):
+    """Order-independent money sum, presentation-rounded IN DECIMAL.
+    Per-addend cast to DECIMAL(20,6), decimal summation is associative —
+    ANY partitioning/merge order yields the same bits — and rounding
+    happens on the exact decimal (HALF_UP on both engines, tie cases
+    verified) BEFORE the double conversion.
+
+    Scale 6 is load-bearing: the source money columns are exact 2-decimal
+    values, so every product here (price×(1−disc) → 4dp, ×(1+tax) → 6dp)
+    is EXACTLY representable at scale 6, and the double→decimal cast
+    lands on it identically in both engines (double error ~1e-11 ≪ the
+    5e-7 tie distance). At scale 4 the 6dp charge addends sat ON ties,
+    where Spark (rounds the shortest decimal repr) and DuckDB (rounds
+    the binary value) disagree — observed as q1 sum_charge .90 vs .89.
+    Three failure modes this kills, all observed: that per-addend tie, a
+    double sum within parallel-reorder error of a .005 tie (q7 at sf1:
+    68204131.87 vs .86), and a .x95 total tie rounded as a double."""
+    return F.round(F.sum(col.cast("decimal(20,6)")), scale).cast("double")
+
+
+def _msum_sql(expr: str, scale: int = 2) -> str:
+    """The DuckDB mirror of ``_msum`` (textual SQL)."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(20,6))), {scale}) AS DOUBLE)"
+
+
+def _msum_raw(col):
+    """Exact decimal sum presented as unrounded double — for ratios and
+    averages whose DIVISION must see the exact total (q1 averages, q14
+    promo percentage)."""
+    return F.sum(col.cast("decimal(20,6)")).cast("double")
+
+
+def _msum_raw_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE)"
 
 
 # --------------------------------------------------------------------------
@@ -477,14 +516,14 @@ def xd_table_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 @query(
     "tpch_q1",
-    """
+    f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       round({_msum_sql('l_quantity')}, 2) AS sum_qty,
+       round({_msum_sql('l_extendedprice')}, 2) AS sum_base_price,
+       round({_msum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
+       round({_msum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
+       round({_msum_raw_sql('l_quantity')} / count(*), 6) AS avg_qty,
+       round({_msum_raw_sql('l_discount')} / count(*), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -493,25 +532,19 @@ GROUP BY l_returnflag, l_linestatus
 )
 def tpch_q1(spark, sf_dir):
     li = _cat(spark, sf_dir).tables["lineitem"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = rev * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(_msum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_msum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_msum(rev), 2).alias("sum_disc_price"),
+            F.round(_msum(charge), 2).alias("sum_charge"),
+            # averages share the exact-sum policy: exact total / exact count
+            F.round(_msum_raw(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_msum_raw(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -519,9 +552,9 @@ def tpch_q1(spark, sf_dir):
 
 @query(
     "tpch_q3",
-    """
+    f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round({_msum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -548,7 +581,7 @@ def tpch_q3(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -560,8 +593,8 @@ def tpch_q3(spark, sf_dir):
 
 @query(
     "tpch_q5",
-    """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+SELECT n_name, round({_msum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -598,7 +631,7 @@ def tpch_q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -607,8 +640,8 @@ def tpch_q5(spark, sf_dir):
 
 @query(
     "tpch_q6",
-    """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+SELECT round({_msum_sql('l_extendedprice * l_discount')}, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -623,7 +656,7 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(F.round(_msum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
 @query(
@@ -652,11 +685,11 @@ def tpch_q4_exists(spark, sf_dir):
 
 @query(
     "tpch_q14_promo",
-    """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    f"""
+SELECT round(100.0 * {_msum_raw_sql(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )}
+             / {_msum_raw_sql('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
 )
@@ -673,8 +706,8 @@ def tpch_q14_promo(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * _msum_raw(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / _msum_raw(rev),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -683,11 +716,12 @@ def tpch_q14_promo(spark, sf_dir):
 
 @query(
     "tpch_q18_big",
-    """
+    f"""
 SELECT c_name, o.o_orderkey, o_totalprice, round(t.sum_qty, 2) AS sum_qty
 FROM orders o
-JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+JOIN (SELECT l_orderkey, {_msum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_msum_sql('l_quantity')} > 150) t
   ON o.o_orderkey = t.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """,
@@ -695,12 +729,15 @@ JOIN customer ON c_custkey = o_custkey
 def tpch_q18_big(spark, sf_dir):
     """Agg-subquery + HAVING + join (TPC-H Q18 shape): lineitem pre-
     aggregates map-side to one row per orderkey BEFORE joining, so the
-    join input shrinks ~4× and the HAVING filter prunes further."""
+    join input shrinks ~4× and the HAVING filter prunes further. The
+    HAVING boundary runs on the exact decimal sum (_msum) — a float sum
+    within reorder error of 150 would otherwise flip row MEMBERSHIP, not
+    just a printed digit."""
     cat = _cat(spark, sf_dir)
     big = (
         cat.tables["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(_msum(F.col("l_quantity")).alias("sum_qty"))
         .filter("sum_qty > 150")
     )
     return (
@@ -715,8 +752,8 @@ def tpch_q18_big(spark, sf_dir):
 
 @query(
     "tpch_q7_volume",
-    """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    f"""
+SELECT supp_nation, cust_nation, l_year, round({_msum_sql('volume')}, 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -773,7 +810,7 @@ def tpch_q7_volume(spark, sf_dir):
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -782,8 +819,8 @@ def tpch_q7_volume(spark, sf_dir):
 
 @query(
     "tpch_q10_returns",
-    """
-SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+SELECT c_custkey, c_name, round({_msum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -816,7 +853,7 @@ def tpch_q10_returns(spark, sf_dir):
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -828,8 +865,8 @@ def tpch_q10_returns(spark, sf_dir):
 
 @query(
     "tpch_q19_disjunct",
-    """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+SELECT round({_msum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -863,7 +900,7 @@ def tpch_q19_disjunct(spark, sf_dir):
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -916,11 +953,11 @@ def win_top3_orders_per_customer(spark, sf_dir):
 
 @query(
     "events_hourly",
-    """
+    f"""
 SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round({_msum_sql('value')}, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -936,14 +973,14 @@ def events_hourly(spark, sf_dir):
         .groupBy("bucket_hour", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_msum(F.col("value")), 2).alias("sum_value"),
         )
     )
 
 
 @query(
     "events_sessionize",
-    """
+    f"""
 WITH e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
 ),
@@ -968,7 +1005,7 @@ SELECT user_id,
        CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
        CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND({_msum_sql('value')}, 2) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
 )
@@ -991,10 +1028,10 @@ def events_sessionize(spark, sf_dir):
 
 @query(
     "events_user_totals",
-    """
+    f"""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND({_msum_sql('value')}, 2) AS total_value
 FROM events GROUP BY user_id
 """,
 )
@@ -1005,7 +1042,7 @@ def events_user_totals(spark, sf_dir):
     ev = _cat(spark, sf_dir).tables["events"]
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(_msum(F.col("value")), 2).alias("total_value"),
     )
 
 
@@ -1049,9 +1086,9 @@ def events_asof(spark, sf_dir):
 
 @query(
     "events_enriched_segment",
-    """
+    f"""
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND({_msum_sql('value')}, 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -1102,9 +1139,9 @@ def range_join_ship_windows(spark, sf_dir):
 
 @query(
     "events_dedup",
-    """
+    f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND({_msum_sql('value')}, 2) AS sum_value
 FROM (SELECT DISTINCT event_id, ts, event_type, value FROM events)
 GROUP BY event_type
 """,

@@ -39,6 +39,17 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming import StreamingQuery
 
+
+def _vsum():
+    """Order-independent value sum (same policy as queries._msum): exact
+    decimal accumulation — associative, so micro-batch merge order and
+    batch partitioning give identical bits — rounded to cents IN DECIMAL
+    (HALF_UP matches DuckDB; rounding the double instead diverges on
+    .x95 representational ties), then presented as double. Keeps the
+    stream twins bit-equal to their batch anchors at any scale. The
+    outer F.round at call sites is an identity on scale-2 values."""
+    return F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2).cast("double")
+
 # Reference source schema for the CURRENT driver events layout (ts stored
 # as a parquet µs timestamp). Kept for callers that construct compatible
 # streams; read_events_stream probes the real files instead of trusting it,
@@ -110,7 +121,7 @@ def hourly_rollup(events: DataFrame, watermark: str | None = "2 hours") -> DataF
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_vsum(), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -134,7 +145,7 @@ def sessionize(
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_vsum(), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -179,7 +190,7 @@ def dedup_counts(events: DataFrame, watermark: str | None = "2 hours") -> DataFr
     deduped = dedup_events(events, keys=list(events.columns), watermark=watermark)
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n_unique"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(_vsum(), 2).alias("sum_value"),
     )
 
 
@@ -201,7 +212,7 @@ def enrich_by_segment(
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_vsum(), 2).alias("sum_value"),
         )
     )
 
