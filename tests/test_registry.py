@@ -40,6 +40,19 @@ def test_every_oracle_name_is_a_query():
     assert set(Q.oracle_sql()) <= set(Q.queries())
 
 
+def test_curation_sql_thresholds_match_rates():
+    """The stratified-sample hex cutoffs are hard-coded in the DuckDB
+    oracle SQL; they must track _CURATION_RATES via _hex_threshold or
+    the two engines silently sample different documents."""
+    from xdump_spark.operators.curation import _hex_threshold
+
+    for lang, rate in Q._CURATION_RATES.items():
+        expected = _hex_threshold(rate, 4)
+        assert f"WHEN '{lang}' THEN '{expected}'" in Q._CURATION_SQL, (
+            f"oracle SQL cutoff for {lang!r} does not match rate {rate}"
+        )
+
+
 def test_pruned_builders_still_run(spark):
     """The three pruned rows-only builders (not registry entries any more)
     still produce non-empty, stable-schema results at sf0.001."""
