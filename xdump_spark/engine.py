@@ -143,6 +143,14 @@ class SparkDumpEngine:
         compression, max_driver_rows=None,
     ) -> dict[str, int]:
         selections = self._select(full_tables, partial_tables)
+        return self._export(
+            filename, selections, dump_schema, dump_data, compression, max_driver_rows
+        )
+
+    def _export(
+        self, filename, selections, dump_schema, dump_data, compression,
+        max_driver_rows=None,
+    ) -> dict[str, int]:
         if dump_data and max_driver_rows is not None:
             for table, df in selections.items():
                 if df.limit(max_driver_rows + 1).count() > max_driver_rows:
@@ -180,6 +188,60 @@ class SparkDumpEngine:
                 logger.debug("%s: %d rows", table, counts[table])
         DumpArchive(filename).write(schema, sequences, data, compression)
         return counts
+
+    def dump_incremental(
+        self,
+        filename: str,
+        since: str,
+        full_tables: list[str] | tuple[str, ...] = (),
+        partial_tables: dict[str, DataFrame | str] | None = None,
+        dump_schema: bool = True,
+        dump_data: bool = True,
+        compression: str = "deflated",
+        max_driver_rows: int | None = 1_000_000,
+    ) -> dict[str, int]:
+        """Delta dump: the ``dump`` selection MINUS every row already
+        captured by the ``since`` archive — the scale extension of the
+        reference's snapshot dump (re-exporting a 100 TB source per run
+        is not a plan; exporting the day's delta is).
+
+        New rows are identified per table by serial key: key > the
+        since-archive's recorded sequence position (the reference dumps
+        exactly this state to continue numbering after load,
+        xdump/postgresql.py:136-146 — reused here as a high-watermark, so
+        the filter PUSHES DOWN to the scan and old rows are never read).
+        Tables without a recorded counter (no single serial key, e.g. a
+        composite-key fact table) fall back to an exact full-row
+        anti-join against the since-archive's rows.
+
+        Tables with no new rows are OMITTED from the archive; the load
+        path's skip-if-absent rule makes the delta loadable standalone
+        onto a previously-loaded target (append). Referential integrity
+        of the union holds by construction: a new child may reference an
+        old parent, and the old parent is already in the target.
+        """
+        prev = DumpArchive(since)
+        prev_seq = prev.read_sequences()
+        prev_loaded: LoadedDump | None = None
+        selections = self._select(full_tables, partial_tables or {})
+        delta: dict[str, DataFrame] = {}
+        for table, df in selections.items():
+            pk = self.catalog.primary_key(table)
+            if pk is not None and table in prev_seq:
+                delta[table] = df.filter(F.col(pk) > int(prev_seq[table]))
+            else:
+                if prev_loaded is None:
+                    prev_loaded = self.load(since)
+                if table in prev_loaded.frames:
+                    delta[table] = df.join(
+                        prev_loaded.frames[table], on=list(df.columns), how="left_anti"
+                    )
+                else:
+                    delta[table] = df
+        delta = {t: d for t, d in delta.items() if d.limit(1).count() > 0}
+        return self._export(
+            filename, delta, dump_schema, dump_data, compression, max_driver_rows
+        )
 
     def dump_distributed(
         self,
