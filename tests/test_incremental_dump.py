@@ -98,6 +98,31 @@ def test_incremental_with_no_changes_is_empty(tmp_path, spark, engine):
     assert loaded.frames == {}
 
 
+def test_cli_since_flag(tmp_path, spark, engine, employees_catalog):
+    """`dump --since prev.zip` routes through dump_incremental."""
+    import os
+
+    from xdump_spark import cli
+
+    src = str(tmp_path / "srcdb")
+    grown = _with_new_rows(spark, employees_catalog)
+    for name, df in grown.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    ParquetDatabase(spark, src).write_fk_config(grown.foreign_keys)
+
+    base_zip = str(tmp_path / "base.zip")
+    engine.dump(base_zip, full_tables=["groups", "tickets"])
+    delta_zip = str(tmp_path / "delta.zip")
+    args = cli.build_parser().parse_args(
+        ["dump", "-i", src, "-o", delta_zip, "-f", "groups", "-f", "tickets",
+         "--since", base_zip]
+    )
+    assert cli.run(args, spark) == 0
+    loaded = SparkDumpEngine(spark, employees_catalog.__class__({})).load(delta_zip)
+    assert ids(loaded.frames["groups"]) == {3}
+    assert ids(loaded.frames["tickets"]) == {6}
+
+
 def test_incremental_anti_join_fallback_without_sequence(tmp_path, spark, engine, employees_catalog):
     """A table absent from the since-archive's sequence state (simulated
     by stripping it) falls back to the exact full-row anti-join."""

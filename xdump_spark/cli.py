@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--no-schema", action="store_true", dest="no_schema")
     d.add_argument("--no-data", action="store_true", dest="no_data")
     d.add_argument(
+        "--since", default=None, metavar="PREV_ZIP",
+        help="incremental dump: export only rows not captured by this "
+        "prior archive (its sequence state is the high-watermark; the "
+        "delta loads append-style onto a previously-loaded target)",
+    )
+    d.add_argument(
         "--backend", type=resolve_backend, default=None,
         help=f"source class as 'pkg.module:Class' (default {DEFAULT_BACKEND})",
     )
@@ -162,14 +168,17 @@ def run(args, spark) -> int:
             db = backend_cls(spark, args.input_db)
             catalog = db.catalog()
         engine = SparkDumpEngine(spark, catalog)
-        counts = engine.dump(
-            args.output,
+        kwargs = dict(
             full_tables=args.full_tables,
             partial_tables=dict(args.partial),
             dump_schema=not args.no_schema,
             dump_data=not args.no_data,
             compression=args.compression,
         )
+        if getattr(args, "since", None):
+            counts = engine.dump_incremental(args.output, since=args.since, **kwargs)
+        else:
+            counts = engine.dump(args.output, **kwargs)
         for table in sorted(counts):
             print(f"{table}: {counts[table]} rows")
         print(f"wrote {args.output}")
