@@ -123,6 +123,39 @@ def test_cli_since_flag(tmp_path, spark, engine, employees_catalog):
     assert ids(loaded.frames["tickets"]) == {6}
 
 
+def test_config_and_framework_since(tmp_path, spark, engine, employees_catalog):
+    """`since` flows through the config-file and framework surfaces too."""
+    import json
+    import os
+
+    from xdump_spark.config import dump_from_config
+    from xdump_spark.framework import dump_command
+
+    src = str(tmp_path / "srcdb")
+    grown = _with_new_rows(spark, employees_catalog)
+    for name, df in grown.tables.items():
+        df.write.parquet(os.path.join(src, name))
+    ParquetDatabase(spark, src).write_fk_config(grown.foreign_keys)
+    base_zip = str(tmp_path / "base.zip")
+    engine.dump(base_zip, full_tables=["groups"])
+
+    cfg = {
+        "db": src, "output": str(tmp_path / "d1.zip"),
+        "full_tables": ["groups"], "since": base_zip,
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    assert dump_from_config(spark, cfg_path) == {"groups": 1}
+
+    settings = {
+        "DATABASES": {"default": {"ENGINE": "xdump_spark.parquet", "NAME": src}},
+        "XDUMP": {"FULL_TABLES": ["groups"], "PARTIAL_TABLES": {}},
+    }
+    counts = dump_command(spark, settings, str(tmp_path / "d2.zip"), since=base_zip)
+    assert counts == {"groups": 1}
+
+
 def test_incremental_anti_join_fallback_without_sequence(tmp_path, spark, engine, employees_catalog):
     """A table absent from the since-archive's sequence state (simulated
     by stripping it) falls back to the exact full-row anti-join."""

@@ -31,7 +31,7 @@ def load_config(path: str) -> dict:
             raise ValueError(f"config missing required key {key!r}")
     unknown = set(cfg) - {
         "db", "output", "full_tables", "partial_tables",
-        "compression", "dump_schema", "dump_data",
+        "compression", "dump_schema", "dump_data", "since",
     }
     if unknown:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
@@ -46,11 +46,14 @@ def dump_from_config(spark: SparkSession, path: str) -> dict[str, int]:
 
     cfg = load_config(path)
     engine = SparkDumpEngine(spark, ParquetDatabase(spark, cfg["db"]).catalog())
-    return engine.dump(
-        cfg["output"],
+    kwargs = dict(
         full_tables=cfg.get("full_tables", []),
         partial_tables=cfg.get("partial_tables", {}),
         dump_schema=cfg.get("dump_schema", True),
         dump_data=cfg.get("dump_data", True),
         compression=cfg.get("compression", "deflated"),
     )
+    if cfg.get("since"):
+        # incremental: export only rows newer than the prior archive
+        return engine.dump_incremental(cfg["output"], since=cfg["since"], **kwargs)
+    return engine.dump(cfg["output"], **kwargs)

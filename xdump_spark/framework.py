@@ -218,21 +218,25 @@ def dump_command(
     dump_data: bool = True,
     dump_schema: bool = True,
     compression: str = "deflated",
+    since: str | None = None,
 ) -> dict[str, int]:
     """The ``xdump`` management command (commands/xdump.py:5-32): dump the
     configured table sets from the aliased database to ``filename``.
-    Returns per-table row counts."""
+    ``since`` switches to an incremental dump against a prior archive
+    (engine.dump_incremental). Returns per-table row counts."""
     from xdump_spark.engine import SparkDumpEngine
 
     db = get_xdump_backend(spark, settings, alias, backend)
     engine = SparkDumpEngine(spark, db.catalog())
-    return engine.dump(
-        filename,
+    kwargs = dict(
         dump_schema=dump_schema,
         dump_data=dump_data,
         compression=compression,
         **get_dump_kwargs(settings),
     )
+    if since:
+        return engine.dump_incremental(filename, since=since, **kwargs)
+    return engine.dump(filename, **kwargs)
 
 
 def load_command(
