@@ -434,7 +434,17 @@ class LoadedDump:
         target's serial counters at max_key + 1 (``apply_sequences_jdbc``)
         so post-load inserts continue numbering — the reference applies
         sequences.sql on load and verifies currval advanced
-        (xdump/base.py:227-237, tests/test_backend.py:138-140)."""
+        (xdump/base.py:227-237, tests/test_backend.py:138-140).
+
+        PostgreSQL targets and ``search_path`` (CVE-2018-1058 context): the
+        reference saves/restores ``search_path`` around schema replay because
+        ``pg_dump`` emits ``SELECT pg_catalog.set_config('search_path', '',
+        false)`` (xdump/postgresql.py:179-188). This path writes bare table
+        names, so each JDBC connection resolves them through the connecting
+        role's ``search_path``. Against a hardened PG target whose
+        search_path was emptied, qualify the names (``schema.table``) or set
+        ``currentSchema=<schema>`` in the JDBC url — the engine deliberately
+        does not override the connection's resolution rules."""
         order = self.load_order()
         for table in order:
             self.frames[table].write.jdbc(url, table, mode=mode, properties=properties)
