@@ -1,0 +1,163 @@
+"""Span-level exact substring dedup (operators/spans.py).
+
+Semantics pinned on crafted fixtures (known shared phrases, owner policy,
+overlap merging) and cross-checked wholesale against an independent
+DuckDB recomputation over the real driver testdata (pytest-level oracle —
+the registry's 50-entry correctness window is full)."""
+
+import duckdb
+import pytest
+
+from xdump_spark.operators.spans import duplicated_spans, strip_duplicated_spans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# crafted-fixture semantics
+# ---------------------------------------------------------------------------
+def test_shared_phrase_found_in_both_docs(spark):
+    shared = "one two three four five six seven eight nine ten"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta {shared} eta theta iota kappa"),
+            (3, "completely different words with no overlap here at all"),
+        ],
+    )
+    spans = {r.doc_id: r for r in duplicated_spans(df, k=8).collect()}
+    # doc 1: shared tokens at positions [2, 12); doc 2: [1, 11)
+    assert set(spans) == {1, 2}
+    assert (spans[1].span_start, spans[1].span_end) == (2, 12)
+    assert (spans[2].span_start, spans[2].span_end) == (1, 11)
+    # a 10-token shared run has 10-8+1 = 3 duplicated 8-windows
+    assert spans[1].n_windows == spans[2].n_windows == 3
+    assert spans[1].span_tokens == 10
+
+
+def test_within_doc_repeat_not_flagged(spark):
+    phrase = "p1 p2 p3 p4 p5 p6 p7 p8"
+    df = _docs(spark, [(1, f"{phrase} filler {phrase}"), (2, "unrelated text entirely")])
+    assert duplicated_spans(df, k=8).count() == 0
+
+
+def test_min_docs_threshold(spark):
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = _docs(
+        spark,
+        [(1, f"a {shared}"), (2, f"b {shared}"), (3, f"c {shared}"), (4, "no overlap at all here")],
+    )
+    assert duplicated_spans(df, k=8, min_docs=3).count() == 3
+    assert duplicated_spans(df, k=8, min_docs=4).count() == 0
+
+
+def test_strip_keeps_owner_copy_only(spark):
+    shared = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (5, f"alpha {shared} omega"),
+            (2, f"start {shared} finish"),  # smaller doc_id => owner
+            (9, f"{shared} tail1 tail2"),
+        ],
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(df, k=8).collect()}
+    assert out[2].text == f"start {shared} finish"  # owner untouched
+    assert out[2].n_removed_tokens == 0
+    assert out[5].text == "alpha omega"
+    assert out[5].n_removed_tokens == 8
+    assert out[9].text == "tail1 tail2"
+    assert out[9].n_removed_tokens == 8
+
+
+def test_strip_untouched_doc_text_is_byte_identical(spark):
+    weird = "  spaced\tout   text with no  duplicates anywhere at all  "
+    df = _docs(spark, [(1, weird), (2, "other words that do not repeat the first document")])
+    out = {r.doc_id: r.text for r in strip_duplicated_spans(df, k=8).collect()}
+    assert out[1] == weird  # no-cut docs keep original bytes (incl. whitespace)
+
+
+def test_overlapping_spans_merge(spark):
+    # doc 1 shares one phrase with doc 2 and an overlapping phrase with
+    # doc 3; coverage in doc 1 must merge into a single maximal interval.
+    df = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            (2, "x w1 w2 w3 w4 w5 w6 w7 w8 y"),
+            (3, "z w5 w6 w7 w8 w9 w10 w11 w12 q"),
+        ],
+    )
+    spans = [r for r in duplicated_spans(df, k=8).collect() if r.doc_id == 1]
+    assert len(spans) == 1
+    assert (spans[0].span_start, spans[0].span_end) == (0, 12)
+
+
+# ---------------------------------------------------------------------------
+# independent DuckDB recomputation on real testdata
+# ---------------------------------------------------------------------------
+def test_duplicated_spans_match_duckdb_on_testdata(spark):
+    k = 8
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(docs, k=k).collect()
+    }
+    con = duckdb.connect()
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS t
+          FROM read_parquet('{SF}/documents.parquet')
+          WHERE len(string_split(trim(text), ' ')) >= {k}
+        ),
+        wins AS (
+          SELECT doc_id, p AS pos, array_to_string(t[p+1:p+{k}], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-{k})) AS p)
+        ),
+        dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT doc_id, pos, pos + {k} AS e FROM wins JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM cov
+        ),
+        i AS (
+          SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM m
+        )
+        SELECT doc_id, min(pos), max(e), CAST(count(*) AS BIGINT)
+        FROM i GROUP BY doc_id, isl
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) > 20  # the synthetic corpus genuinely shares 8-gram spans
+
+
+def test_strip_removes_exactly_the_nonowner_coverage(spark):
+    # Conservation on real data: removed token counts must equal each
+    # doc's non-owner coverage, and re-running span detection on the
+    # stripped corpus at the same k finds strictly less duplication.
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    orig_tokens = {r.doc_id: len(r.text.split()) for r in docs.collect()}
+    before = duplicated_spans(docs, k=8).agg({"span_tokens": "sum"}).collect()[0][0]
+    stripped = strip_duplicated_spans(docs, k=8)
+    rows = stripped.collect()
+    assert sum(r.n_removed_tokens for r in rows) > 0
+    for r in rows:  # token conservation: kept + removed == original
+        kept = len(r.text.split()) if r.text.strip() else 0
+        assert kept + r.n_removed_tokens == orig_tokens[r.doc_id], r.doc_id
+    after = duplicated_spans(stripped, k=8).agg({"span_tokens": "sum"}).collect()[0][0] or 0
+    assert after < before

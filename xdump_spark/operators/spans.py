@@ -1,0 +1,217 @@
+"""Span-level exact substring deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better" — the
+suffix-array "remove repeated substrings >= N tokens" step, re-expressed
+for Spark).
+
+A suffix array is inherently a single-machine structure; the
+shuffle-friendly equivalent used here is ANCHOR WINDOWS: every k-token
+window of every document is hashed, windows whose hash occurs in >=
+``min_docs`` distinct documents are "duplicated", and the union of
+duplicated window positions — merged into maximal intervals per document
+— is exactly the set of token positions covered by some >= k-token
+substring shared across documents. This recovers the suffix-array
+semantics at k-token granularity: every shared substring of length >= k
+is found in full (all its k-windows are duplicated); substrings shorter
+than k are deliberately below the threshold, which is the same knob as
+Lee et al.'s length cutoff.
+
+Relation to the rest of the dedup toolkit: dedup.py finds WHOLE
+near-duplicate documents (MinHash/SimHash/Jaccard); this module finds
+PARTIAL overlap — boilerplate, quotations, licence blocks — inside
+otherwise-distinct documents, and can strip it.
+
+Scale story (100 TB):
+- window rows are narrow (doc_id, pos, two 64-bit hashes) — the token
+  text never leaves the projection that hashes it;
+- duplicated-hash detection is a map-side-combinable groupBy on the hash
+  (count_distinct/min both combine); no skew trap — a stopword-ish gram
+  contributes ONE row to the dup side however often it occurs;
+- the windows ⋈ dup-hashes equi-join shuffles on the hash key; AQE's
+  skew-join split handles pathological grams;
+- interval merging is two window passes PARTITIONED BY doc_id (pure
+  codegen, no cross-doc traffic);
+- the window frame is deliberately COMPUTED TWICE (once under the dup
+  groupBy, once for the coverage join) rather than persisted: at 10^13
+  windows, re-tokenizing from the column-pruned scan is cheaper than
+  materializing the window table to storage;
+- text rebuild in :func:`strip_duplicated_spans` is per-document array
+  work, O(tokens x removed-intervals) worst case.
+
+Hashing: two independent xxhash64 seeds (128 bits effective). A single
+64-bit hash would see ~millions of birthday collisions at 10^13 windows;
+at 128 bits the expected count is ~0, so "same hash pair" is "same gram"
+for dedup purposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _window_hashes(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, h1, h2) — one row per k-token window.
+
+    Grams are built inside an array ``transform`` and exploded AFTER
+    hashing, so exploded rows never carry gram text or the token array.
+    Tokens are raw whitespace tokens (no lowercasing): span dedup is an
+    exact-substring notion, and case-folding before comparison would
+    merge substrings the corpus actually distinguishes.
+    """
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(k)),
+        lambda p: F.concat_ws(" ", F.slice(F.col("toks"), p + F.lit(1), F.lit(k))),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.xxhash64(F.lit(1), g).alias("h1"), F.xxhash64(F.lit(2), g).alias("h2")
+        ),
+    )
+    return base.select("doc_id", F.posexplode(hashes).alias("pos", "h")).select(
+        "doc_id", "pos", "h.h1", "h.h2"
+    )
+
+
+def _duplicated_hashes(wins: DataFrame, min_docs: int) -> DataFrame:
+    """(h1, h2, n_docs, n_occurrences, owner{doc_id,pos}) for every window
+    hash seen in >= min_docs distinct documents. The owner — the globally
+    smallest (doc_id, pos) occurrence — is the deterministic "copy to
+    keep" used by :func:`strip_duplicated_spans` (Lee et al. keep one
+    occurrence of each duplicated substring; min-id is the reproducible
+    choice, same spirit as dedup.exact_dedup's min-id survivor)."""
+    return (
+        wins.groupBy("h1", "h2")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("owner"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def _merge_islands(cov: DataFrame, k: int) -> DataFrame:
+    """Merge window positions into maximal [span_start, span_end) token
+    intervals per doc (gaps-and-islands: an island breaks where a window
+    starts past the running max end of everything before it)."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("end").over(w.rowsBetween(W.unboundedPreceding, -1))
+    new_island = (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int")
+    return (
+        cov.withColumn("island", F.sum(new_island).over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal token intervals covered by some >= k-token substring that
+    also occurs in >= min_docs-1 OTHER documents.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_windows):
+    token positions [span_start, span_end) of each merged span plus the
+    number of duplicated k-windows inside it. Within-document repeats are
+    NOT flagged (distinct-doc counting) — that is repetition_frame's
+    territory (curation.py); this operator is cross-document contagion.
+    """
+    wins = _window_hashes(df, k, text_col, id_col)
+    dup = _duplicated_hashes(wins, min_docs)
+    cov = wins.join(dup.select("h1", "h2"), ["h1", "h2"]).select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")
+    )
+    return _merge_islands(cov, k)
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document duplicated spans, keeping ONE copy corpus-wide.
+
+    Policy: for each duplicated window hash the globally-smallest
+    (doc_id, pos) occurrence is the owner; every other occurrence is
+    removable. A token goes iff it is covered by at least one removable
+    window — so the owner document keeps its copy verbatim, and every
+    other document loses the whole shared span. Greedy edge case (shared
+    with Lee et al.'s implementation): when a kept and a removed span
+    overlap inside one document, removal wins for the overlapping tokens.
+
+    Returns the input frame with ``text_col`` rewritten (tokens outside
+    removed intervals re-joined with single spaces; untouched documents
+    keep their original text byte-for-byte) plus ``n_removed_tokens``.
+    Rebuild cost is per-document: O(tokens x removed-intervals).
+    """
+    wins = _window_hashes(df, k, text_col, id_col)
+    dup = _duplicated_hashes(wins, min_docs)
+    removable = (
+        wins.join(dup.select("h1", "h2", "owner"), ["h1", "h2"])
+        .filter(
+            ~((F.col("doc_id") == F.col("owner.doc_id")) & (F.col("pos") == F.col("owner.pos")))
+        )
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
+    )
+    cuts = (
+        _merge_islands(removable, k)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("cut")
+        )
+        .withColumnRenamed("doc_id", "_cut_doc_id")
+    )
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    n = F.size(toks)
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: ~F.exists(
+            F.col("cut"),
+            lambda iv: (i >= iv.span_start) & (i < iv.span_end),
+        ),
+    )
+    rebuilt = F.concat_ws(" ", F.transform(keep_idx, lambda i: F.element_at(toks, i + F.lit(1))))
+    out_cols = [
+        F.when(F.col("cut").isNull(), F.col(text_col)).otherwise(rebuilt).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    removed = F.when(F.col("cut").isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            F.col("cut"),
+            F.lit(0),
+            lambda acc, iv: acc + (iv.span_end - iv.span_start),
+        )
+    )
+    return (
+        df.join(cuts, df[id_col] == cuts["_cut_doc_id"], "left")
+        .select(*out_cols, removed.alias("n_removed_tokens"))
+    )
