@@ -1,0 +1,98 @@
+"""Cleaning operators (operators/cleaning.py): PII redaction audited
+against an independent Python-re recomputation, normalization invariants,
+and shuffle reproducibility across partitionings."""
+
+import re
+
+import pytest
+
+from xdump_spark.operators.cleaning import (
+    DEFAULT_PII_PATTERNS,
+    deterministic_shuffle,
+    normalize_text,
+    redact_pii,
+)
+
+SF = "/root/testdata/sf0.001"
+
+PII_ROWS = [
+    (1, "contact john.doe+spam@example.co.uk or admin@host.io today"),
+    (2, "ssn 123-45-6789 leaked with card 4111 1111-1111 1111 details"),
+    (3, "server at 192.168.0.254 and 8.8.8.8 but not 999.999.1.1 ok"),
+    (4, "call +1 (555) 123-4567 or 030-1234-5678 about the offer"),
+    (5, "plain text with version 1.2.3 and year 2024 untouched"),
+    (6, "edge: a@b.cd 000-00-0000 0000-0000-0000-0000 0.0.0.0"),
+]
+
+
+def _pii(spark):
+    return spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+
+
+def test_redact_counts_match_python_re(spark):
+    """Category counts agree with an independent Python re recomputation
+    of the same patterns applied in the same order (Java and Python regex
+    dialects agree on these constructs)."""
+    got = {r.doc_id: r for r in redact_pii(_pii(spark)).collect()}
+    for doc_id, text in PII_ROWS:
+        cur = text
+        for name, pat, tok in DEFAULT_PII_PATTERNS:
+            want_n = len(re.findall(pat, cur))
+            assert got[doc_id][f"n_{name}"] == want_n, (doc_id, name)
+            cur = re.sub(pat, tok, cur)
+        assert got[doc_id].text == cur, doc_id
+
+
+def test_redact_replaces_with_placeholders(spark):
+    got = {r.doc_id: r.text for r in redact_pii(_pii(spark)).collect()}
+    assert got[1] == "contact <EMAIL> or <EMAIL> today"
+    assert "<SSN>" in got[2] and "<CARD>" in got[2] and "123-45-6789" not in got[2]
+    assert got[3].count("<IP>") == 2 and "999.999.1.1" in got[3]
+    assert got[4].count("<PHONE>") == 2
+    # no false positives on version strings / years
+    assert got[5] == PII_ROWS[4][1]
+
+
+def test_redact_preserves_other_columns_and_rowcount(spark):
+    out = redact_pii(_pii(spark))
+    assert out.count() == len(PII_ROWS)
+    assert set(out.columns) == {"doc_id", "text"} | {
+        f"n_{n}" for n, _, _ in DEFAULT_PII_PATTERNS
+    }
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  hello\t\tworld\x00\x07 \n\n again\u00a0there  "), (2, "clean")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == "hello world again there"
+    assert got[2] == "clean"
+    # idempotent
+    again = {r.doc_id: r.text for r in normalize_text(normalize_text(df)).collect()}
+    assert again == got
+
+
+def test_normalize_lowercase_flag(spark):
+    df = spark.createDataFrame([(1, "MiXeD Case")], "doc_id long, text string")
+    assert normalize_text(df, lowercase=True).collect()[0].text == "mixed case"
+
+
+def test_shuffle_reproducible_across_partitionings(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs.repartition(7), seed=42).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs.repartition(2), seed=42).collect()]
+    assert a == b and len(a) == 500
+    assert a != sorted(a)  # actually shuffled, not id order
+
+
+def test_shuffle_seed_changes_order_and_partitions_pin_files(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs, seed=1).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs, seed=2).collect()]
+    assert a != b and sorted(a) == sorted(b)
+    parted = deterministic_shuffle(docs, seed=1, partitions=3)
+    assert parted.rdd.getNumPartitions() == 3
+    # concatenated partition order == the global orderBy order
+    assert [r.doc_id for r in parted.collect()] == a
