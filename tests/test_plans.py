@@ -191,3 +191,50 @@ def test_winnow_single_shuffle_no_udf(spark):
 
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
+
+
+def _plan_of_df(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_span_dedup_plan_shape(spark):
+    """duplicated_spans' scale contract: duplicated-hash detection is
+    map-side combined (partial HashAggregate before its exchange), the
+    island-merge windows are doc_id-partitioned (an UNPARTITIONED window
+    would drag every window row to one task), and nothing leaves the JVM."""
+    from xdump_spark.operators.spans import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of_df(duplicated_spans(docs, k=8))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # pure codegen, no Python at all
+    assert plan.count("HashAggregate") >= 4  # partial+final for dup detect
+    import re
+
+    # every Window node must be partitioned by doc_id
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "doc_id" in m.group(1), plan
+
+
+def test_redact_and_normalize_zero_shuffle(spark):
+    """The cleaning hot path is a pure projection: no exchange, no Python."""
+    from xdump_spark.operators.cleaning import normalize_text, redact_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of_df(normalize_text(redact_pii(docs)))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_deterministic_shuffle_single_range_exchange(spark):
+    from xdump_spark.operators.cleaning import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of_df(deterministic_shuffle(docs, seed=3))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" in plan, plan
