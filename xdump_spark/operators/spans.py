@@ -81,21 +81,37 @@ def _window_hashes(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFra
 
 
 def _duplicated_hashes(wins: DataFrame, min_docs: int) -> DataFrame:
-    """(h1, h2, n_docs, n_occurrences, owner{doc_id,pos}) for every window
-    hash seen in >= min_docs distinct documents. The owner — the globally
+    """(h1, h2, n_occurrences, owner{doc_id,pos}) for every window hash
+    seen in >= min_docs distinct documents. The owner — the globally
     smallest (doc_id, pos) occurrence — is the deterministic "copy to
     keep" used by :func:`strip_duplicated_spans` (Lee et al. keep one
     occurrence of each duplicated substring; min-id is the reproducible
-    choice, same spirit as dedup.exact_dedup's min-id survivor)."""
-    return (
-        wins.groupBy("h1", "h2")
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
-            F.min(F.struct("doc_id", "pos")).alias("owner"),
+    choice, same spirit as dedup.exact_dedup's min-id survivor).
+
+    For the default min_docs=2, ">= 2 distinct docs" is exactly
+    "min(doc_id) != max(doc_id)" — min/max stay single-phase
+    map-side-combinable, where count_distinct pays a distinct expansion
+    (two extra aggregate phases over the full window table; measured
+    ~40% of the dup-detection stage at the sf1 soak)."""
+    base_aggs = [
+        F.count("*").alias("n_occurrences"),
+        F.min(F.struct("doc_id", "pos")).alias("owner"),
+    ]
+    if min_docs <= 2:
+        agg = wins.groupBy("h1", "h2").agg(
+            *base_aggs,
+            F.min("doc_id").alias("_min_doc"),
+            F.max("doc_id").alias("_max_doc"),
         )
-        .filter(F.col("n_docs") >= min_docs)
+        return agg.filter(F.col("_min_doc") != F.col("_max_doc")).drop(
+            "_min_doc", "_max_doc"
+        )
+    # general threshold: exact distinct-doc counting (distinct expansion —
+    # pricier, but min_docs > 2 is the rare configuration)
+    agg = wins.groupBy("h1", "h2").agg(
+        *base_aggs, F.count_distinct("doc_id").alias("_n_docs")
     )
+    return agg.filter(F.col("_n_docs") >= min_docs).drop("_n_docs")
 
 
 def _merge_islands(cov: DataFrame, k: int) -> DataFrame:
