@@ -43,7 +43,7 @@ HEADLINE = [
     "tpch_q18_big",                   # pre-aggregated HAVING subquery join
     "tpch_q19_disjunct",              # OR-of-ANDs predicate extraction
     "anti_parts_quiet",               # NOT EXISTS → left-anti
-    "simhash_pairs",                  # 64-bit simhash band blocking
+    "dedup_spans",                    # added r4: span-level substring dedup (oracle-backed; replaced rows-only simhash_pairs)
     "text_token_counts",              # ws + BPE-ish regex token counts
     "text_winnow",                    # rolling-window fingerprints (2 window passes)
     "events_asof",                    # as-of join: union-tag + carry-forward

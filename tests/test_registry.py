@@ -54,7 +54,7 @@ def test_curation_sql_thresholds_match_rates():
 
 
 def test_pruned_builders_still_run(spark):
-    """The three pruned rows-only builders (not registry entries any more)
+    """The pruned rows-only builders (not registry entries any more)
     still produce non-empty, stable-schema results at sf0.001."""
     lsh_pairs = Q.embed_neardup_lsh(spark, SF_DIR)
     assert set(lsh_pairs.columns) == {"id_a", "id_b", "cosine_sim"}
@@ -66,6 +66,11 @@ def test_pruned_builders_still_run(spark):
 
     decoded = Q.multimodal_decode_stub(spark, SF_DIR)
     assert decoded.count() > 0
+
+    # pruned r4 (slot went to the oracle-backed dedup_spans)
+    sh = Q.simhash_pairs(spark, SF_DIR)
+    assert {"id_a", "id_b", "hamming"} <= set(sh.columns)
+    assert sh.count() > 0
 
 
 def test_evict_stale_drops_dead_session_entries():

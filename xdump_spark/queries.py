@@ -1358,6 +1358,52 @@ def dedup_ngram_pairs(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators/spans.py::duplicated_spans (k=8, min_docs=2):
+# identical anchor-window + gaps-and-islands construction on gram STRINGS
+# (the Spark side's 128-bit hashing is an implementation detail the oracle
+# proves collision-free on this data by matching exactly).
+_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 8
+),
+wins AS (
+  SELECT doc_id, p AS pos, array_to_string(t[p+1:p+8], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS p)
+),
+dup AS (
+  SELECT gram FROM wins GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+),
+cov AS (SELECT doc_id, pos, pos + 8 AS e FROM wins JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM cov
+),
+i AS (
+  SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM m
+)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       max(e) - min(pos) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows
+FROM i GROUP BY doc_id, isl
+"""
+
+
+@query("dedup_spans", _SPANS_SQL)
+def dedup_spans(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2022's suffix-array
+    step at k-token anchor granularity): maximal token intervals covered
+    by any >=8-token substring shared across documents. Hash-checked
+    against a DuckDB recomputation on gram strings."""
+    from xdump_spark.operators import spans as SP
+
+    return SP.duplicated_spans(_cat(spark, sf_dir).tables["documents"], k=8)
+
+
 @query("minhash_pairs", None)
 def minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs at estimated Jaccard ≥ 0.5 (signature-
@@ -1368,9 +1414,12 @@ def minhash_pairs(spark, sf_dir):
     )
 
 
-@query("simhash_pairs", None)
 def simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs, Hamming ≤ 8 (rows-only check)."""
+    """SimHash banded near-dup pairs, Hamming ≤ 8. Pruned from the
+    registry in r4 to keep the driver's 50-entry window oracle-dense
+    (the slot went to the hash-checked ``dedup_spans``); the operator
+    stays fully covered by golden-signature + pair-set tests
+    (tests/test_operators.py) and the pruned-builder run below."""
     return D.simhash_pairs(_cat(spark, sf_dir).tables["documents"])
 
 
