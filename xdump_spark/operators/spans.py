@@ -163,6 +163,48 @@ def duplicated_spans(
     return _merge_islands(cov, k)
 
 
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """WHERE a corpus document verbatim-contains a >= k-token benchmark
+    substring: (doc_id, span_start, span_end, span_tokens, n_windows).
+
+    The span-level companion to curation.contamination_screen: the
+    set-overlap screen says WHICH docs overlap the eval set; this one
+    localizes the overlap to exact token intervals, which is what you
+    need to decide strip-the-span vs drop-the-doc (GPT-3 App. C removes
+    overlapped WINDOWS, not whole documents).
+
+    Scale: the benchmark side is windows of an EVAL SET — small by
+    nature — hashed, distinct'd, and broadcast; the corpus side is the
+    same narrow window projection as :func:`duplicated_spans` consumed by
+    a broadcast LEFT SEMI join, so the 100 TB corpus never shuffles on
+    the hash. Set ``broadcast_benchmark=False`` for an abnormally large
+    benchmark (falls back to a sort-merge semi-join, still linear).
+    """
+    cw = _window_hashes(docs, k, text_col, id_col)
+    bw = (
+        _window_hashes(
+            benchmark, k, bench_text_col or text_col, bench_id_col or id_col
+        )
+        .select("h1", "h2")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bw = F.broadcast(bw)
+    cov = cw.join(bw, ["h1", "h2"], "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")
+    )
+    return _merge_islands(cov, k)
+
+
 def strip_duplicated_spans(
     df: DataFrame,
     k: int = 8,
