@@ -1,0 +1,64 @@
+"""Property test: duplicated_spans against a trivially-correct pure-Python
+reference on random small corpora (same style as test_closure_property /
+test_temporal_property). A tiny vocabulary forces dense gram collisions,
+boundary-kissing overlaps, and whole-doc coverage — the regimes where the
+island merge and the min!=max dup detection could silently diverge."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xdump_spark.operators.spans import duplicated_spans
+
+K = 3
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14),
+    min_size=0,
+    max_size=6,
+)
+
+
+def _reference_spans(token_docs: list[list[str]], k: int) -> set[tuple]:
+    """(doc_id, start, end, span_tokens, n_windows) by direct enumeration."""
+    grams: dict[tuple, set[int]] = {}
+    for doc_id, toks in enumerate(token_docs):
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[p : p + k]), set()).add(doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = set()
+    for doc_id, toks in enumerate(token_docs):
+        cover = [
+            (p, p + k)
+            for p in range(len(toks) - k + 1)
+            if tuple(toks[p : p + k]) in dup
+        ]
+        cur = None
+        for p, e in cover:  # positions ascend; merge islands
+            if cur is None or p > cur[1]:
+                if cur is not None:
+                    out.add((doc_id, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+                cur = (p, e, 1)
+            else:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1)
+        if cur is not None:
+            out.add((doc_id, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=docs_strategy)
+def test_duplicated_spans_matches_python_reference(spark, token_docs):
+    want = _reference_spans(token_docs, K)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in duplicated_spans(df, k=K).collect()
+    }
+    assert got == want
