@@ -585,6 +585,34 @@ def test_connected_components_handcrafted(spark):
     assert {r.survivor for r in dedup_survivors(comp_df).collect()} == {1, 10, 99}
 
 
+def test_semantic_dedup_end_to_end(spark):
+    """SemDeDup composition: near-identical embedding directions cluster,
+    one survivor per cluster, singletons survive themselves."""
+    from xdump_spark.operators.components import semantic_dedup
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        (1, v(1, 0, 0, 0)),
+        (2, v(0.999, 0.001, 0, 0)),   # ~same direction as 1
+        (3, v(0.998, -0.002, 0, 0)),  # ~same direction as 1
+        (10, v(0, 1, 0, 0)),
+        (11, v(0, 0.999, 0.001, 0)),  # ~same direction as 10
+        (99, v(0, 0, 0, 1)),          # isolated
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vertex: (r.component, r.is_survivor)
+        for r in semantic_dedup(corpus, threshold=0.99, dim=4, exact=True).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        99: (99, True),
+    }
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Random graphs vs a trivially-correct python union-find."""
     import random

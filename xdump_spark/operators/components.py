@@ -111,3 +111,38 @@ def dedup_survivors(
     return components.filter(F.col("vertex") == F.col("component")).select(
         F.col("vertex").alias("survivor")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    documents whose EMBEDDINGS are near-identical (cosine >= threshold),
+    keep one representative per cluster.
+
+    Composition of the toolkit's scale-safe pieces — sign-LSH-bucketed
+    embedding near-dup pairs (similarity.embedding_neardup_pairs; pass
+    ``exact=True`` through ``neardup_kwargs`` for the guarded small-n
+    exact path), connected components (hash-to-min + pointer jumping,
+    O(log diameter) rounds), min-id survivors — so it inherits each
+    stage's 100 TB posture. Returns (vertex, component, is_survivor):
+    every input id with its cluster representative; filter
+    ``is_survivor`` to materialize the deduplicated corpus.
+    """
+    from xdump_spark.operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col, **neardup_kwargs
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=corpus,
+        vertex_col=id_col,
+    )
+    return comp.withColumn(
+        "is_survivor", F.col("vertex") == F.col("component")
+    )
