@@ -70,3 +70,20 @@ def test_quality_monitor_stream_matches_batch(spark, docs_batch, docs_stream_dir
             )
     finally:
         q.stop()
+
+
+def test_cleaning_stage_is_stream_compatible(spark, docs_batch, docs_stream_dir):
+    """redact_pii + normalize_text are stateless projections, so the SAME
+    operator code runs unchanged inside a stream and agrees with its
+    batch run row-for-row (the ingest-time cleaning deployment mode)."""
+    from xdump_spark.operators.cleaning import normalize_text, redact_pii
+
+    stream = _stream(spark, docs_stream_dir)
+    cleaned = normalize_text(redact_pii(stream))
+    q = run_to_memory(cleaned, "clean_stream", output_mode="append")
+    try:
+        got = rows_set(spark.table("clean_stream"))
+        want = rows_set(normalize_text(redact_pii(docs_batch)))
+        assert got == want and len(got) == 500
+    finally:
+        q.stop()
