@@ -253,3 +253,89 @@ def test_contamination_spans_duckdb_crosscheck(spark):
         )
     )
     assert got == want and len(got) >= 20
+
+
+# ---------------------------------------------------------------------------
+# incremental + streaming span dedup
+# ---------------------------------------------------------------------------
+def test_incremental_span_flags_two_batches(spark, tmp_path):
+    from xdump_spark.operators.spans import (
+        WindowHashStore,
+        duplicated_spans,
+        incremental_span_flags,
+    )
+
+    phrase = "i1 i2 i3 i4 i5 i6 i7 i8 i9 i10"
+    b1 = _docs(
+        spark,
+        [
+            (1, f"aa bb {phrase} cc dd"),
+            (2, "unrelated first batch text with enough words here"),
+        ],
+    )
+    b2 = _docs(
+        spark,
+        [
+            (10, f"xx {phrase} yy zz"),       # duplicates batch-1 doc 1 via store
+            (11, "q1 q2 q3 q4 q5 q6 q7 q8"),   # \
+            (12, "q1 q2 q3 q4 q5 q6 q7 q8"),   # / within-batch pair
+            (13, "fresh words nothing shared with anything else at all"),
+        ],
+    )
+    store = WindowHashStore(spark, str(tmp_path / "winstore"))
+
+    f1 = incremental_span_flags(b1, store, k=8)
+    # batch 1 against an empty store: only intra-batch dups => none
+    assert f1.count() == 0
+    assert store.exists()
+
+    f2 = {(r.doc_id, r.span_start, r.span_end) for r in incremental_span_flags(b2, store, k=8).collect()}
+    # doc 10's quote of the stored phrase at [1, 11); the 11/12 pair in full
+    assert f2 == {(10, 1, 11), (11, 0, 8), (12, 0, 8)}
+
+    # precise equivalence: batch-2 increments == one-shot spans over the
+    # union corpus RESTRICTED to batch-2 docs (incremental never
+    # retro-flags the stored copy — documented semantics)
+    union_spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(b1.unionByName(b2), k=8).collect()
+        if r.doc_id >= 10
+    }
+    assert f2 == union_spans
+
+
+def test_incremental_span_flags_no_store_update_flag(spark, tmp_path):
+    from xdump_spark.operators.spans import WindowHashStore, incremental_span_flags
+
+    store = WindowHashStore(spark, str(tmp_path / "ws2"))
+    b = _docs(spark, [(1, "z1 z2 z3 z4 z5 z6 z7 z8 z9")])
+    incremental_span_flags(b, store, k=8, update_store=False)
+    assert not store.exists()
+
+
+def test_streaming_span_dedup(spark, tmp_path):
+    from xdump_spark.operators.spans import WindowHashStore, streaming_span_dedup
+
+    phrase = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, f"lead {phrase} tail"), (2, "other unrelated words entirely here")]).coalesce(1).write.parquet(src)
+    _docs(spark, [(20, f"{phrase} suffix words")]).coalesce(1).write.mode("append").parquet(src)
+
+    store = WindowHashStore(spark, str(tmp_path / "ws3"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part-*.parquet")
+    )
+    q = streaming_span_dedup(
+        stream, store, str(tmp_path / "ckpt"), str(tmp_path / "flags"), k=8
+    )
+    q.awaitTermination(120)
+    flags = spark.read.parquet(str(tmp_path / "flags"))
+    got = {(r.doc_id, r.span_start, r.span_end) for r in flags.collect()}
+    # whichever micro-batch arrived second gets flagged against the first;
+    # the two files are separate batches (maxFilesPerTrigger=1), so exactly
+    # one of the two phrase copies is flagged
+    assert got == {(20, 0, 9)} or got == {(1, 1, 10)}
+    assert store.exists()

@@ -45,7 +45,9 @@ for dedup purposes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 _WS = r"\s+"
@@ -161,6 +163,123 @@ def duplicated_spans(
         "doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")
     )
     return _merge_islands(cov, k)
+
+
+class WindowHashStore:
+    """Parquet-backed (band, h1, h2) store of the accepted corpus's window
+    hashes — the persistent state for INCREMENTAL span dedup (new shards
+    checked against everything already ingested without re-reading text).
+
+    Honest sizing note: unlike the MinHash SignatureStore (~0.5 KB/doc),
+    exact substring dedup needs per-WINDOW state — ~16 bytes/token, i.e.
+    the same order as the tokenized text itself. That is inherent to the
+    problem (a suffix array is no smaller); what the store buys is no
+    re-tokenization, columnar compression, and an equi-joinable layout.
+    ``band = pmod(h1, n_bands)`` bounds file count and spreads writes;
+    increments probe it with one broadcast-hash join (store never
+    shuffles).
+    """
+
+    N_BANDS = 64
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame | None:
+        return self.spark.read.parquet(self.path) if self.exists() else None
+
+    def append(self, wins: DataFrame) -> None:
+        wins.select(
+            F.pmod("h1", F.lit(self.N_BANDS)).alias("band"), "h1", "h2"
+        ).write.mode("append").partitionBy("band").parquet(self.path)
+
+
+def incremental_span_flags(
+    new_docs: DataFrame,
+    store: WindowHashStore,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = True,
+) -> DataFrame:
+    """One increment of span-level dedup: spans of the NEW batch that
+    duplicate the persistent store (everything previously ingested) or
+    another document of the same batch.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_windows) over
+    the new batch only — flag semantics; acceptance/stripping policy is
+    the caller's (pair with :func:`strip_duplicated_spans`-style rebuild
+    or drop-the-doc). With ``update_store`` the batch's windows are
+    appended afterwards, so the next increment sees this one.
+
+    Scale: the batch side is window-hashed once and localCheckpoint'd
+    (narrow, batch-sized); the store-probe join BROADCASTS the batch's
+    distinct hashes and streams store partitions through a broadcast-hash
+    join — the store is scanned, never shuffled, exactly the
+    incremental.py probe discipline. Within-batch duplication reuses the
+    min!=max detection of :func:`duplicated_spans`.
+    """
+    wins = _window_hashes(new_docs, k, text_col, id_col).localCheckpoint(eager=True)
+
+    covs = []
+    stored = store.read()
+    if stored is not None:
+        probe = wins.select("h1", "h2").distinct()
+        hit_hashes = (
+            stored.join(F.broadcast(probe), ["h1", "h2"])
+            .select("h1", "h2")
+            .distinct()
+        )
+        covs.append(
+            wins.join(F.broadcast(hit_hashes), ["h1", "h2"]).select("doc_id", "pos")
+        )
+    intra = _duplicated_hashes(wins, 2).select("h1", "h2")
+    covs.append(wins.join(intra, ["h1", "h2"]).select("doc_id", "pos"))
+
+    cov = covs[0] if len(covs) == 1 else covs[0].unionByName(covs[1]).distinct()
+    spans = _merge_islands(
+        cov.select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")), k
+    ).localCheckpoint(eager=True)
+    if update_store:
+        store.append(wins)
+    return spans
+
+
+def streaming_span_dedup(
+    doc_stream: DataFrame,
+    store: WindowHashStore,
+    checkpoint_dir: str,
+    flags_out_dir: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming ingest span dedup: each micro-batch runs one
+    :func:`incremental_span_flags` increment via ``foreachBatch``; flagged
+    spans land in ``flags_out_dir`` (parquet, appended per batch). State =
+    the window store + the stream checkpoint — restart-safe, same
+    deployment shape as incremental.streaming_neardup_dedup."""
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = incremental_span_flags(
+            batch_df, store, k=k, text_col=text_col, id_col=id_col
+        )
+        flags.write.mode("append").parquet(flags_out_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def contamination_spans(
