@@ -1,0 +1,87 @@
+"""End-to-end corpus preparation (pipeline.prepare_training_corpus):
+the whole stage chain over the real driver testdata, with the audit
+trail, the reproducibility contract, and every stage's visible effect
+asserted in one place."""
+
+import pytest
+
+from xdump_spark.pipeline import prepare_training_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_full_pipeline_on_real_docs(spark, docs, tmp_path):
+    # Benchmark docs must survive BOTH sampling (en-only) and span
+    # stripping (text unchanged) or decontamination legitimately finds
+    # nothing — stripping already removed the cross-doc copies. Pick 5
+    # en docs whose text the strip stage provably leaves intact.
+    from xdump_spark.operators.cleaning import normalize_text, redact_pii
+    from xdump_spark.operators.spans import strip_duplicated_spans
+
+    pre = strip_duplicated_spans(redact_pii(normalize_text(docs)), k=8)
+    intact_en = (
+        pre.filter("n_removed_tokens = 0 AND lang = 'en'")
+        .select("doc_id")
+        .limit(5)
+    )
+    bench = docs.join(intact_en, "doc_id").selectExpr("doc_id", "text")
+    n_bench = bench.count()
+    assert n_bench == 5
+
+    out = str(tmp_path / "corpus")
+    res = prepare_training_corpus(
+        docs,
+        span_k=8,
+        min_tokens=5,
+        sample_rates={"en": 1.0},
+        benchmark=bench,
+        shuffle_seed=7,
+        pack_budget=256,
+        out_dir=out,
+        partition_by=("source",),
+    )
+    a = res.audit
+    assert a["input"] == 500
+    assert a["cleaned"] == 500                      # cleaning never drops rows
+    assert a["span_stripped"] == 500                # stripping rewrites, keeps rows
+    assert a["quality_gated"] <= a["span_stripped"]
+    assert 0 < a["sampled"] <= a["quality_gated"]
+    # the benchmark docs contaminate at least themselves
+    assert a["decontaminated"] <= a["sampled"] - n_bench
+
+    # written corpus round-trips with the same rows as the final frame
+    written = spark.read.parquet(out)
+    assert written.count() == a["decontaminated"]
+    assert set(r.source for r in written.select("source").distinct().collect())
+
+    # packed sequences cover every surviving doc exactly once within budget
+    seqs = res.sequences.collect()
+    packed_ids = [d for r in seqs for d in r.doc_ids]
+    assert sorted(packed_ids) == sorted(
+        r.doc_id for r in res.corpus.select("doc_id").collect()
+    )
+    assert all(r.total_tokens <= 256 or r.n_docs == 1 for r in seqs)
+
+
+def test_pipeline_reproducible(spark, docs):
+    kw = dict(span_k=8, min_tokens=5, shuffle_seed=3, audit=False)
+    a = [r.doc_id for r in prepare_training_corpus(docs, **kw).corpus.collect()]
+    b = [
+        r.doc_id
+        for r in prepare_training_corpus(docs.repartition(7), **kw).corpus.collect()
+    ]
+    assert a == b and len(a) > 0  # same docs, same ORDER, any partitioning
+
+
+def test_pipeline_stages_optional(spark, docs):
+    res = prepare_training_corpus(
+        docs, span_k=None, sample_rates=None, benchmark=None, audit=True
+    )
+    assert set(res.audit) == {"input", "cleaned", "quality_gated"}
+    assert res.sequences is None
+    assert res.corpus.count() == res.audit["quality_gated"]

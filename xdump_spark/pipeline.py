@@ -1,0 +1,132 @@
+"""End-to-end corpus preparation: the standard pretraining data pipeline
+as ONE composition of the toolkit's stages.
+
+raw documents
+  → normalize_text        (whitespace/control canonicalization)
+  → redact_pii            (typed placeholders + audit counts)
+  → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
+  → quality gate          (token-count floor after cleaning)
+  → stratified_sample     (deterministic per-language rates, optional)
+  → contamination drop    (docs verbatim-overlapping an eval set, optional)
+  → deterministic_shuffle (reproducible training order)
+  → write_corpus          (size-disciplined partitioned parquet)
+plus pack_sequences over the shuffled survivors when a token budget is
+given.
+
+Every stage is individually oracle/pytest-pinned (see COVERAGE.md); this
+module adds the glue a user would otherwise rewrite, and an audit dict
+(docs in/out per stage) — the numbers a data card reports. Each stage is
+optional via its parameter so the composition degrades to any subset.
+
+Scale: the composition inherits each stage's posture — the only
+shuffles are span dedup's hash groupBy/join, sampling-independent
+stratification (none), the shuffle sort, and the sink's bucketed
+repartition. Stage counts (the audit) each add one count job; pass
+``audit=False`` to skip them on production runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.cleaning import (
+    deterministic_shuffle,
+    normalize_text,
+    redact_pii,
+)
+from xdump_spark.operators.spans import contamination_spans, strip_duplicated_spans
+
+
+@dataclass
+class CorpusResult:
+    """The prepared corpus plus the per-stage audit a data card needs."""
+
+    corpus: DataFrame                     # cleaned, selected, shuffled docs
+    sequences: DataFrame | None           # pack_sequences output (if budget)
+    audit: dict = field(default_factory=dict)  # stage -> doc count
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int | None = 8,
+    min_tokens: int = 5,
+    sample_rates: dict[str, float] | None = None,
+    strata_col: str = "lang",
+    benchmark: DataFrame | None = None,
+    shuffle_seed: int = 0,
+    pack_budget: int | None = None,
+    out_dir: str | None = None,
+    partition_by: tuple[str, ...] = (),
+    audit: bool = True,
+) -> CorpusResult:
+    """Run the full preparation pipeline (see module docstring).
+
+    - ``span_k=None`` skips span dedup; ``sample_rates=None`` skips
+      sampling; ``benchmark=None`` skips contamination dropping;
+      ``pack_budget=None`` skips packing; ``out_dir=None`` skips the sink.
+    - Contamination policy is DROP-the-doc (the conservative eval-hygiene
+      default); for strip-the-span semantics run
+      :func:`~xdump_spark.operators.spans.contamination_spans` directly
+      and rebuild, as strip_duplicated_spans does.
+    - The audit counts docs after each stage — each entry is one count
+      job over a narrow plan; disable on production runs.
+    """
+    counts: dict = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if audit:
+            counts[stage] = df.count()
+        return df
+
+    cur = note("input", docs)
+    cur = note("cleaned", redact_pii(normalize_text(cur, text_col), text_col))
+
+    if span_k is not None:
+        cur = strip_duplicated_spans(cur, k=span_k, text_col=text_col, id_col=id_col)
+        cur = note("span_stripped", cur.drop("n_removed_tokens"))
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    cur = note(
+        "quality_gated",
+        cur.filter((F.length(F.trim(F.col(text_col))) > 0) & (n_tok >= min_tokens)),
+    )
+
+    if sample_rates is not None:
+        from xdump_spark.operators.curation import stratified_sample
+
+        cur = note(
+            "sampled",
+            stratified_sample(cur, sample_rates, strata_col=strata_col, id_col=id_col),
+        )
+
+    if benchmark is not None:
+        k = span_k if span_k is not None else 8
+        dirty = contamination_spans(
+            cur, benchmark, k=k, text_col=text_col, id_col=id_col
+        ).select(F.col("doc_id").alias("_dirty_id")).distinct()
+        cur = note(
+            "decontaminated",
+            cur.join(dirty, cur[id_col] == dirty["_dirty_id"], "left_anti"),
+        )
+
+    cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
+
+    sequences = None
+    if pack_budget is not None:
+        from xdump_spark.operators.curation import pack_sequences
+
+        sequences = pack_sequences(
+            cur, budget=pack_budget, text_col=text_col, id_col=id_col
+        )
+
+    if out_dir is not None:
+        from xdump_spark.sources.corpus_sink import write_corpus
+
+        write_corpus(cur, out_dir, partition_by=partition_by)
+
+    return CorpusResult(corpus=cur, sequences=sequences, audit=counts)
