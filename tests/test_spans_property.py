@@ -62,3 +62,49 @@ def test_duplicated_spans_matches_python_reference(spark, token_docs):
         for r in duplicated_spans(df, k=K).collect()
     }
     assert got == want
+
+
+def _reference_strip(token_docs: list[list[str]], k: int) -> dict[int, tuple[str, int]]:
+    """doc_id -> (rebuilt_text, n_removed) by direct enumeration of the
+    owner policy: globally-min (doc_id, pos) occurrence of each cross-doc
+    duplicated gram is kept; every token covered by any other occurrence
+    is removed."""
+    occs: dict[tuple, list[tuple[int, int]]] = {}
+    for doc_id, toks in enumerate(token_docs):
+        for p in range(len(toks) - k + 1):
+            occs.setdefault(tuple(toks[p : p + k]), []).append((doc_id, p))
+    out = {}
+    removable: dict[int, set[int]] = {}
+    for g, lst in occs.items():
+        if len({d for d, _ in lst}) < 2:
+            continue
+        owner = min(lst)
+        for d, p in lst:
+            if (d, p) != owner:
+                removable.setdefault(d, set()).update(range(p, p + k))
+    for doc_id, toks in enumerate(token_docs):
+        cut = removable.get(doc_id, set())
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        out[doc_id] = (" ".join(kept) if cut else " ".join(toks), len(cut))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=docs_strategy)
+def test_strip_matches_python_reference(spark, token_docs):
+    from xdump_spark.operators.spans import strip_duplicated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs) if toks]
+    if not rows:
+        return
+    want = _reference_strip(token_docs, K)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in strip_duplicated_spans(df, k=K).collect()
+    }
+    assert got == {i: want[i] for i in got}
