@@ -96,3 +96,54 @@ def test_shuffle_seed_changes_order_and_partitions_pin_files(spark):
     assert parted.rdd.getNumPartitions() == 3
     # concatenated partition order == the global orderBy order
     assert [r.doc_id for r in parted.collect()] == a
+
+
+def test_strip_markup(spark):
+    rows = [
+        (1, 'before <a href="http://x">link text</a> after'),
+        (2, "keep &amp;amp; single-decode &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (3, "<!-- comment --> body <div class='x'>inner</div> <br/> end"),
+        (4, "math: 3 < 5 and 7 > 2 stays"),
+        (5, "<script>var x = 1;</script> visible"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from xdump_spark.operators.cleaning import normalize_text, strip_markup
+
+    got = {r.doc_id: r.text for r in normalize_text(strip_markup(df)).collect()}
+    assert got[1] == "before link text after"
+    assert got[2] == 'keep &amp; single-decode <tag> "q" \'s\''
+    assert got[3] == "body inner end"
+    assert got[4] == "math: 3 < 5 and 7 > 2 stays"
+    assert got[5] == "var x = 1; visible"  # tags gone, text kept (documented)
+
+
+def test_c4_line_filter(spark):
+    doc1 = "\n".join(
+        [
+            "This line is a proper sentence.",   # keep
+            "short",                             # < 3 words
+            "No terminal punctuation here",      # no punct
+            "Another full sentence stays!",      # keep
+        ]
+    )
+    doc2 = "ok.\nok."                            # all lines < 3 words -> doc dropped
+    doc3 = "This text contains Lorem Ipsum filler, sadly."  # marker -> dropped
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    from xdump_spark.operators.cleaning import c4_line_filter
+
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert set(got) == {1}
+    assert got[1].text == "This line is a proper sentence.\nAnother full sentence stays!"
+    assert (got[1].n_lines_kept, got[1].n_lines_dropped) == (2, 2)
+
+
+def test_c4_line_filter_relaxed_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "three words here\nanother three words")], "doc_id long, text string"
+    )
+    from xdump_spark.operators.cleaning import c4_line_filter
+
+    out = c4_line_filter(df, require_terminal_punct=False).collect()
+    assert len(out) == 1 and out[0].n_lines_kept == 2

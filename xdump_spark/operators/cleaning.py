@@ -86,6 +86,83 @@ def normalize_text(
     return df.withColumn(text_col, t)
 
 
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: otherwise "&amp;lt;" would double-decode
+]
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove HTML/XML tags and decode the common entities — the markup
+    hygiene web-crawl text needs before any token-level stage.
+
+    Deliberately NOT a parser: `<script>/<style>` elements lose their
+    tags but keep their text (full DOM handling is an extraction concern
+    upstream of this engine); comments and well-formed tags (including
+    attributes spanning whitespace) are removed, stray ``<`` that never
+    closes is left alone. Entities decode in fixed order with ``&amp;``
+    last, so double-encoded text single-decodes (the C4 behavior).
+    Pure projection, zero shuffles.
+    """
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"<!--.*?-->", " ")  # comments (non-greedy, DOTALL off)
+    t = F.regexp_replace(t, r"</?[A-Za-z][^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    return df.withColumn(text_col, t)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_markers: tuple[str, ...] = ("lorem ipsum", "javascript"),
+) -> DataFrame:
+    """C4-style line-level filtering (Raffel et al. 2020 §2.2): keep only
+    lines with >= min_words words and (optionally) terminal punctuation;
+    drop the whole document if any retained line carries a boilerplate
+    marker. Adds ``n_lines_kept``/``n_lines_dropped``; documents whose
+    every line fails are removed.
+
+    Array codegen per row (split → filter → exists → concat) — zero
+    shuffles, same deployment shape as the other cleaning stages.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
+    keep = lambda l: (  # noqa: E731
+        (F.length(F.trim(l)) > 0)
+        & (n_words(l) >= min_words)
+        & (
+            F.trim(l).rlike(r"[.!?\"']$")
+            if require_terminal_punct
+            else F.lit(True)
+        )
+    )
+    kept = F.filter(lines, keep)
+
+    def _has_marker(l):
+        cond = F.lit(False)
+        for m in drop_markers:
+            cond = cond | F.lower(l).contains(m)
+        return cond
+
+    marker_hit = F.exists(kept, _has_marker) if drop_markers else F.lit(False)
+    out = (
+        df.withColumn("_kept", kept)
+        .withColumn("n_lines_kept", F.size("_kept"))
+        .withColumn("n_lines_dropped", F.size(lines) - F.size("_kept"))
+        .filter((F.size("_kept") > 0) & ~marker_hit)
+        .withColumn(text_col, F.concat_ws("\n", "_kept"))
+        .drop("_kept")
+    )
+    return out
+
+
 def deterministic_shuffle(
     df: DataFrame,
     seed: int = 0,
