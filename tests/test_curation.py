@@ -206,3 +206,104 @@ def test_mixture_stats(spark, docs):
     assert out["s2"].n_docs == 3 and out["s2"].n_tokens == 15
     total_share = sum(r.token_share for r in out.values())
     assert total_share == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bigram_surprisal_matches_duckdb(spark):
+    """Exact cross-check of the smoothed bigram scorer against a DuckDB
+    recomputation over the real documents table."""
+    import duckdb
+
+    from xdump_spark.operators.curation import bigram_surprisal_frame
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.n_bigrams, r.mean_surprisal)
+           for r in bigram_surprisal_frame(docs).collect()}
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+          FROM read_parquet('{sf}/documents.parquet') WHERE length(trim(text)) > 0
+        ),
+        pairs AS (
+          SELECT doc_id, toks[i+1] AS u, toks[i+2] AS w
+          FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks)-2)) AS i)
+          WHERE len(toks) >= 2
+        ),
+        uni AS (SELECT unnest(toks) AS tok FROM t),
+        ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+        bcnt AS (SELECT u, w, count(*) AS n FROM pairs GROUP BY u, w),
+        v AS (SELECT count(*) AS vsize FROM ucnt)
+        SELECT p.doc_id, CAST(count(*) AS BIGINT),
+               ROUND(avg(-ln((b.n + 1) / (uc.n + v.vsize))), 6)
+        FROM pairs p
+        JOIN bcnt b USING (u, w)
+        JOIN ucnt uc ON uc.tok = p.u
+        CROSS JOIN v
+        GROUP BY p.doc_id
+        """
+    ).fetchall()
+    assert len(want) == len(got) == 500
+    for doc_id, n, s in want:
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(s, abs=2e-6), doc_id
+
+
+def test_bigram_surprisal_external_model_and_oov(spark):
+    import math
+
+    from xdump_spark.operators.curation import bigram_surprisal_frame
+
+    corpus = spark.createDataFrame([(1, "a b z")], "doc_id long, text string")
+    bigrams = spark.createDataFrame([("a", "b", 3)], "u string, w string, n long")
+    unigrams = spark.createDataFrame(
+        [("a", 4), ("b", 4)], "tok string, n long"
+    )
+    out = bigram_surprisal_frame(corpus, bigrams=bigrams, unigrams=unigrams).collect()[0]
+    # V=2; (a,b): -ln((3+1)/(4+2)); (b,z) OOV bigram: -ln((0+1)/(4+2))
+    want = round((-math.log(4 / 6) + -math.log(1 / 6)) / 2, 6)
+    assert out.n_bigrams == 2 and out.mean_surprisal == pytest.approx(want, abs=1e-6)
+
+
+def test_bigram_surprisal_shuffled_text_scores_higher(spark):
+    """The discriminative property the scorer exists for: natural word
+    ORDER scores lower than the same tokens shuffled (identical unigram
+    counts, so the unigram scorer cannot tell them apart)."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.curation import bigram_surprisal_frame
+    from xdump_spark.operators.text import tokens
+
+    natural = "the cat sat on the mat " * 10
+    shuffled = "mat the on sat the cat " * 10   # same unigram counts
+    model_src = spark.createDataFrame(
+        [(i, natural) for i in range(20)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100, natural), (101, shuffled)], "doc_id long, text string"
+    )
+    # fit the model on the natural corpus, score both probes against it
+    t = model_src.select(tokens(F.col("text")).alias("_t"))
+    unigrams = (
+        t.select(F.explode("_t").alias("tok")).groupBy("tok").agg(F.count("*").alias("n"))
+    )
+    bigrams = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_t)-2), i -> struct(_t[i] as u, _t[i+1] as w))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.w")
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    scores = {
+        r.doc_id: r.mean_surprisal
+        for r in bigram_surprisal_frame(
+            probe, bigrams=bigrams, unigrams=unigrams
+        ).collect()
+    }
+    assert scores[101] > scores[100]

@@ -272,6 +272,83 @@ def unigram_surprisal_frame(
     )
 
 
+def bigram_surprisal_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: DataFrame | None = None,
+    unigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal: (id, n_bigrams,
+    mean_surprisal) where surprisal(u→w) = −ln p(w|u) under add-one
+    smoothing, p(w|u) = (c(u,w)+1)/(c(u)+V). The next step up from
+    :func:`unigram_surprisal_frame` as an LM-filter proxy — catches
+    locally-implausible word ORDER that unigram frequency cannot see
+    (shuffled natural text scores high here, low there).
+
+    ``bigrams`` (u, w, n) and ``unigrams`` (tok, n) optionally supply an
+    external model; defaults fit on ``df`` itself. Docs with < 2 tokens
+    drop (no bigram to score).
+
+    Scale: the scoring joins BROADCAST the model (bigram table of a
+    reference model / sample fit — bounded), so the corpus never
+    shuffles on the bigram key; a self-fit on the full 100 TB corpus
+    would make the model corpus-sized, so at scale fit on a sample
+    exactly as the unigram docstring prescribes.
+    """
+    from xdump_spark.operators.sizing import spread
+    from xdump_spark.operators.text import tokens
+
+    toked = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at("_toks", i + F.lit(1)).alias("u"),
+            F.element_at("_toks", i + F.lit(2)).alias("w"),
+        ),
+    )
+    pairs = toked.filter(F.size("_toks") >= 2).select(
+        "id", F.explode(pair_arr).alias("p")
+    ).select("id", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
+
+    if unigrams is None:
+        unigrams = (
+            toked.select(F.explode("_toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("n"))
+        )
+    if bigrams is None:
+        bigrams = pairs.groupBy("u", "w").agg(F.count("*").alias("n"))
+
+    vsize = unigrams.agg(F.count("*").alias("_vsize"))
+    scored = (
+        pairs.join(
+            F.broadcast(bigrams.select("u", "w", F.col("n").alias("_nb"))),
+            ["u", "w"],
+            "left",
+        )
+        .join(
+            F.broadcast(unigrams.select(F.col("tok").alias("u"), F.col("n").alias("_nu"))),
+            "u",
+            "left",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "_s",
+            -F.log(
+                (F.coalesce(F.col("_nb"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("_nu"), F.lit(0)) + F.col("_vsize"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )
+
+
 # --------------------------------------------------------------------------
 # sequence packing
 # --------------------------------------------------------------------------
