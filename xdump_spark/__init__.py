@@ -20,6 +20,7 @@ Layout:
 
 from xdump_spark.catalog import Catalog, ForeignKey, TPCH_FOREIGN_KEYS, load_sf_dir
 from xdump_spark.engine import SparkDumpEngine
+from xdump_spark.pipeline import prepare_training_corpus
 from xdump_spark.planner.closure import compute_closure
 
 __version__ = "0.1.0"
@@ -31,5 +32,6 @@ __all__ = [
     "TPCH_FOREIGN_KEYS",
     "load_sf_dir",
     "compute_closure",
+    "prepare_training_corpus",
     "__version__",
 ]
