@@ -122,3 +122,55 @@ def test_sniff_topdown_bmp_negative_height(spark):
     )
     r = sniff_image_meta(spark.createDataFrame([(1, bmp)], st)).collect()[0]
     assert (r.format, r.width, r.height) == ("bmp", 1024, 768)
+
+
+def test_resize_blobs_stub_plumbing(spark):
+    from xdump_spark.operators.multimodal import attach_blobs, resize_blobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = attach_blobs(docs)
+    out = resize_blobs(media, 64, 48)
+    rows = out.collect()
+    assert len(rows) == 40
+    want_len = max(16, (64 * 48) // 64)
+    assert all(r.width == 64 and r.height == 48 for r in rows)
+    assert all(len(r.blob) == want_len for r in rows)
+    # deterministic across partitionings
+    rows2 = {r.doc_id: bytes(r.blob) for r in resize_blobs(media.repartition(5), 64, 48).collect()}
+    assert {r.doc_id: bytes(r.blob) for r in rows} == rows2
+
+
+def test_resize_blobs_real_codec_raises(spark):
+    from xdump_spark.operators.multimodal import attach_blobs, resize_blobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(2)
+    with pytest.raises(NotImplementedError):
+        resize_blobs(attach_blobs(docs), 8, 8, use_real_codec=True)
+
+
+def test_extract_features_unit_norm_and_knn_integration(spark):
+    from xdump_spark.operators.multimodal import attach_blobs, extract_features
+    from xdump_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    feats = extract_features(attach_blobs(docs), dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60 and all(len(r.feature) == 16 for r in rows)
+    import math
+
+    for r in rows[:5]:
+        assert math.isclose(sum(x * x for x in r.feature), 1.0, rel_tol=1e-3)
+    # the extractor output feeds the similarity toolkit directly
+    queries = feats.limit(3).selectExpr("doc_id AS vec_id", "feature AS embedding")
+    corpus = feats.selectExpr("doc_id AS vec_id", "feature AS embedding")
+    topk = cosine_topk(corpus, queries, k=3)
+    got = topk.collect()
+    assert len(got) == 9  # 3 queries x k=3 (self-pairs excluded by design)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 3
+    for q, hits in by_q.items():
+        assert len(hits) == 3
+        assert all(h.neighbor_id != q for h in hits)  # self excluded
+        assert all(-1.0 <= h.cosine_sim <= 1.0 for h in hits)

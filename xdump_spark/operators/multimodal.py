@@ -27,8 +27,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -286,6 +288,107 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
     flat = media.select("doc_id", "blob", F.col("meta.n_frames").alias("n_frames"))
     return flat.mapInPandas(expand, schema=_FRAME_SCHEMA)
+
+
+# -- resize + feature extraction (stubbed codec, real plumbing) ------------
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+
+def resize_blobs(
+    media: DataFrame, width: int, height: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize every image blob to (width, height) via ``mapInPandas``.
+
+    Codec honesty (same contract as :func:`decode_blobs`): the real
+    resample needs Pillow, absent here — ``use_real_codec=True`` raises
+    NotImplementedError; the default emits a deterministic stand-in blob
+    (md5-of-source payload, length scaled to the target pixel count) so
+    the Spark-side plumbing — binary column through Arrow batches, output
+    schema, downstream writability — is real and tested. Batch memory is
+    bounded: output blobs are built per Arrow batch, never collected.
+    """
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "real resize needs Pillow, which is not installed; "
+                "run with use_real_codec=False for the deterministic stub"
+            ) from exc
+        raise NotImplementedError("real codec path not wired in this build")
+
+    target_len = max(16, (width * height) // 64)  # stand-in byte budget
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["blob"]:
+                seed = hashlib.md5(bytes(b)).digest()
+                reps = target_len // len(seed) + 1
+                out.append((seed * reps)[:target_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "blob": out,
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(resize, schema=_RESIZE_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, use_real_codec: bool = False
+) -> DataFrame:
+    """Per-blob feature vector (doc_id, feature array<float>, unit-norm) —
+    the embedding-extraction stage that feeds the similarity toolkit
+    (``cosine_topk``/``semantic_dedup`` accept the output directly).
+
+    Stub contract as above: a real extractor (CLIP-style encoder) is not
+    in this container; the deterministic stand-in derives ``dim`` floats
+    from the blob's md5 stream and L2-normalizes, so vectors are stable
+    across runs/partitionings and the full extract→index→search pipeline
+    is exercisable end to end.
+    """
+    if use_real_codec:
+        raise NotImplementedError(
+            "real feature extraction needs an image encoder, not installed; "
+            "run with use_real_codec=False for the deterministic stub"
+        )
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf["blob"]:
+                raw = b""
+                seed = bytes(b)
+                while len(raw) < dim * 2:
+                    seed = hashlib.md5(seed).digest()
+                    raw += seed
+                v = np.frombuffer(raw[: dim * 2], dtype=np.uint16).astype(np.float32)
+                v = v - v.mean()
+                n = float(np.linalg.norm(v))
+                vecs.append((v / n if n else v).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+    return media.select("doc_id", "blob").mapInPandas(feats, schema=schema)
 
 
 def repartition_by_bytes(
