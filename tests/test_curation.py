@@ -307,3 +307,56 @@ def test_bigram_surprisal_shuffled_text_scores_higher(spark):
         ).collect()
     }
     assert scores[101] > scores[100]
+
+
+def test_build_vocab_and_tokenize_roundtrip(spark):
+    from xdump_spark.operators.curation import build_vocab, tokenize_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "unseen glyph"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs.filter("doc_id <= 2"))  # fit on docs 1-2 only
+    v = {r.tok: (r.token_id, r.n) for r in vocab.collect()}
+    # frequency-then-token deterministic ids, 1-based
+    assert v["the"] == (1, 3) and v["sat"] == (2, 2)
+    assert set(v) == {"the", "cat", "sat", "on", "mat", "dog"}
+
+    out = {r.doc_id: r for r in tokenize_frame(docs, vocab).collect()}
+    ids = {t: i for t, (i, _) in v.items()}
+    assert out[1].ids == [ids["the"], ids["cat"], ids["sat"], ids["on"], ids["the"], ids["mat"]]
+    assert out[1].n_tokens == 6 and out[1].n_oov == 0
+    assert out[3].ids == [0, 0] and out[3].n_oov == 2  # OOV -> unk id 0
+
+    # decode round-trip: non-OOV ids map back to the original tokens
+    rev = {i: t for t, i in ids.items()}
+    decoded = [rev[i] for i in out[2].ids]
+    assert decoded == ["the", "dog", "sat"]
+
+
+def test_tokenize_matches_token_counts_on_real_docs(spark):
+    """n_tokens from the encoder must agree with the oracle-checked
+    token_count_frame on the real documents table (same tokenizer)."""
+    from xdump_spark.operators.curation import build_vocab, tokenize_frame
+    from xdump_spark.operators.text import token_count_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    vocab = build_vocab(docs)
+    got = {r.doc_id: (r.n_tokens, r.n_oov) for r in tokenize_frame(docs, vocab).collect()}
+    want = {r.doc_id: r.n_ws_tokens for r in token_count_frame(docs).collect()}
+    assert {d: n for d, (n, _) in got.items()} == want
+    assert all(o == 0 for _, o in got.values())  # full vocab -> no OOV
+
+
+def test_tokenize_zero_shuffle_plan(spark):
+    from xdump_spark.operators.curation import build_vocab, tokenize_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = build_vocab(docs.limit(50))
+    plan = tokenize_frame(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, not row-at-a-time

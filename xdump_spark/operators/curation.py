@@ -24,6 +24,8 @@ Python UDFs; every operator states its 100 TB shuffle story inline.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -346,6 +348,78 @@ def bigram_surprisal_frame(
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenization to ids
+# --------------------------------------------------------------------------
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int = 65_536,
+    min_count: int = 1,
+) -> DataFrame:
+    """(tok, token_id, n) word vocabulary from a corpus: ids assigned by
+    descending frequency (ties broken by token string, so the mapping is
+    deterministic), 1-based — id 0 is reserved for OOV/<unk>. One
+    map-side-combined groupBy + a top-``max_size`` sort; at 100 TB fit on
+    a sample exactly like the surprisal models."""
+    from xdump_spark.operators.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = W.orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= max_size)
+        .select("tok", "token_id", "n")
+    )
+
+
+def tokenize_frame(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """(id, ids array<int>, n_tokens, n_oov): each document's tokens
+    mapped to vocabulary ids IN ORDER — the encode step between curation
+    and sequence building (whitespace-word granularity; a trained
+    subword/BPE merge table would slot into the same broadcast-dict
+    shape).
+
+    Why a Pandas UDF and not a join: order-preserving encode via explode
+    + broadcast-join + collect_list(sort) would re-shuffle the whole
+    corpus on doc_id just to restore an order every row already had.
+    The vocab is bounded (``build_vocab`` caps it), so a broadcast dict
+    + one Arrow-batched map per partition keeps the corpus NARROW —
+    zero shuffles, and the dict lookup is the same cost the join's hash
+    probe would pay, without the exchange.
+    """
+    vmap = {r["tok"]: r["token_id"] for r in vocab.select("tok", "token_id").collect()}
+    b_vmap = df.sparkSession.sparkContext.broadcast(vmap)
+
+    @F.pandas_udf("array<int>")
+    def encode(texts: pd.Series) -> pd.Series:
+        m = b_vmap.value
+        return texts.map(
+            lambda t: [m.get(w, unk_id) for w in t.strip().lower().split()]
+            if t and t.strip()
+            else []
+        )
+
+    out = df.select(F.col(id_col), encode(F.col(text_col)).alias("ids"))
+    return out.select(
+        id_col,
+        "ids",
+        F.size("ids").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i == F.lit(unk_id))).alias("n_oov"),
     )
 
 
