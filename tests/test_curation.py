@@ -360,3 +360,28 @@ def test_tokenize_zero_shuffle_plan(spark):
     plan = tokenize_frame(docs, vocab)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-batched, not row-at-a-time
+
+
+def test_training_shards_end_to_end(spark):
+    from xdump_spark.operators.curation import (
+        build_vocab,
+        pack_sequences,
+        tokenize_frame,
+        training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    vocab = build_vocab(docs)
+    shards = training_shards(docs, vocab, budget=256).collect()
+
+    # every doc's tokens appear exactly once, concatenated in pack order
+    packs = {r.seq_id: list(r.doc_ids) for r in pack_sequences(docs, 256).collect()}
+    ids_by_doc = {r.doc_id: list(r.ids) for r in tokenize_frame(docs, vocab).collect()}
+    assert {r.seq_id for r in shards} == set(packs)
+    for r in shards:
+        want = [i for d in packs[r.seq_id] for i in ids_by_doc[d]]
+        assert list(r.input_ids) == want, r.seq_id
+        assert r.n_tokens == len(want)
+        assert r.n_tokens <= 256 or r.n_docs == 1  # budget bound (oversize singleton)
+    total = sum(len(v) for v in ids_by_doc.values())
+    assert sum(r.n_tokens for r in shards) == total  # exactly-once coverage

@@ -497,6 +497,55 @@ def pack_sequences(
     return toks.groupBy("bucket").applyInPandas(pack, schema=schema)
 
 
+def training_shards(
+    df: DataFrame,
+    vocab: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The terminal stage: (seq_id, input_ids array<int>, n_docs,
+    n_tokens) — token-id sequences ready to write as training shards.
+
+    Composes :func:`tokenize_frame` (order-preserving encode) with
+    :func:`pack_sequences` (budget-bounded doc packing): documents inside
+    a sequence concatenate in the pack's doc order; both stages count
+    tokens with the same whitespace tokenizer, so ``n_tokens`` ==
+    ``len(input_ids)`` exactly.
+
+    Scale: one equi-join of (seq slot, doc_id) against the encoded docs
+    (shuffle on doc_id) and one groupBy seq_id that re-assembles each
+    sequence from its ≤budget-token pieces — per-sequence state is
+    bounded by the budget, never by the corpus.
+    """
+    tok = tokenize_frame(df, vocab, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("_doc"), "ids"
+    )
+    packs = pack_sequences(df, budget, text_col=text_col, id_col=id_col)
+    slots = packs.select(
+        "seq_id", "n_docs", F.posexplode("doc_ids").alias("slot", "_doc")
+    )
+    return (
+        slots.join(tok, "_doc")
+        .groupBy("seq_id")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "ids"))),
+                    lambda x: x.ids,
+                )
+            ).alias("input_ids"),
+        )
+        .select(
+            "seq_id",
+            "input_ids",
+            "n_docs",
+            F.size("input_ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # referential-integrity audit
 # --------------------------------------------------------------------------
