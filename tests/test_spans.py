@@ -339,3 +339,18 @@ def test_streaming_span_dedup(spark, tmp_path):
     # one of the two phrase copies is flagged
     assert got == {(20, 0, 9)} or got == {(1, 1, 10)}
     assert store.exists()
+
+
+def test_hot_gram_many_identical_docs(spark):
+    """Skew path: one 8-gram shared by 300 documents. The dup side stays
+    ONE row per hash (min!=max aggregation), the coverage join fans back
+    out to 300 rows — no pair blowup, full-coverage spans, and strip
+    keeps exactly the min-id copy."""
+    phrase = "h1 h2 h3 h4 h5 h6 h7 h8"
+    df = _docs(spark, [(i, phrase) for i in range(300)])
+    spans = duplicated_spans(df, k=8).collect()
+    assert len(spans) == 300
+    assert all((r.span_start, r.span_end, r.n_windows) == (0, 8, 1) for r in spans)
+    stripped = {r.doc_id: r for r in strip_duplicated_spans(df, k=8).collect()}
+    assert stripped[0].text == phrase and stripped[0].n_removed_tokens == 0
+    assert sum(1 for r in stripped.values() if r.n_removed_tokens == 8) == 299

@@ -108,3 +108,40 @@ def test_strip_matches_python_reference(spark, token_docs):
         for r in strip_duplicated_spans(df, k=K).collect()
     }
     assert got == {i: want[i] for i in got}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=docs_strategy, split=st.integers(0, 6))
+def test_incremental_equals_oneshot_restriction(spark, token_docs, split, tmp_path_factory):
+    """For ANY corpus and ANY 2-batch split: incremental flags over batch
+    2 == one-shot duplicated_spans over the union restricted to batch-2
+    docs, and batch-1 flags == one-shot spans over batch 1 alone."""
+    from xdump_spark.operators.spans import (
+        WindowHashStore,
+        duplicated_spans,
+        incremental_span_flags,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs) if toks]
+    b1_rows = [r for r in rows if r[0] < split]
+    b2_rows = [r for r in rows if r[0] >= split]
+    if not b1_rows or not b2_rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = spark.createDataFrame(b1_rows, "doc_id long, text string")
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    store = WindowHashStore(spark, str(tmp_path_factory.mktemp("ws") / "s"))
+
+    f1 = {(r.doc_id, r.span_start, r.span_end)
+          for r in incremental_span_flags(b1, store, k=K).collect()}
+    f2 = {(r.doc_id, r.span_start, r.span_end)
+          for r in incremental_span_flags(b2, store, k=K).collect()}
+    want1 = {(r.doc_id, r.span_start, r.span_end)
+             for r in duplicated_spans(b1, k=K).collect()}
+    want2 = {(r.doc_id, r.span_start, r.span_end)
+             for r in duplicated_spans(df, k=K).collect() if r.doc_id >= split}
+    assert f1 == want1 and f2 == want2
