@@ -147,3 +147,60 @@ def test_c4_line_filter_relaxed_punct(spark):
 
     out = c4_line_filter(df, require_terminal_punct=False).collect()
     assert len(out) == 1 and out[0].n_lines_kept == 2
+
+
+def test_dedup_lines_global_keep_first(spark):
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    boiler = "all rights reserved contact us for details"
+    df = spark.createDataFrame(
+        [
+            (3, f"unique three\n{boiler}\nclosing line three"),
+            (1, f"unique one\n{boiler}\nclosing line one"),   # owner (min doc_id)
+            (2, f"{boiler}\nunique two"),
+            (9, boiler),                                      # only the dup line -> doc drops
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].text == f"unique one\n{boiler}\nclosing line one"
+    assert got[1].n_lines_removed == 0
+    assert got[3].text == "unique three\nclosing line three"
+    assert got[3].n_lines_removed == 1
+    assert got[2].text == "unique two" and got[2].n_lines_removed == 1
+
+
+def test_dedup_lines_blank_and_whitespace_variants(spark):
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me.\n\n  spaced dup line  \ntail one"),
+            (2, "spaced dup line\nother text here"),  # trim-equal to doc 1's line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(df).collect()}
+    # doc 1 owns the trimmed-equal line; doc 2 loses it; blank lines untouched
+    assert got[1].text == "keep me.\n\n  spaced dup line  \ntail one"
+    assert got[2].text == "other text here" and got[2].n_lines_removed == 1
+
+
+def test_dedup_lines_matches_python_reference_on_real_docs(spark):
+    """Real-data cross-check vs a direct Python recomputation (docs are
+    single-line, so this exercises the whole-doc-as-line path: exact doc
+    dedup keep-first)."""
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted((r.doc_id, r.text) for r in docs.collect())
+    seen, keep = set(), {}
+    for did, text in rows:
+        t = text.strip()
+        if t and t not in seen:
+            seen.add(t)
+            keep[did] = text
+    got = {r.doc_id: (r.text, r.n_lines_removed) for r in dedup_lines(docs).collect()}
+    assert set(got) == set(keep)
+    assert all(got[d][0] == keep[d] and got[d][1] == 0 for d in keep)

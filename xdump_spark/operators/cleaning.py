@@ -163,6 +163,71 @@ def c4_line_filter(
     return out
 
 
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global exact LINE dedup (the C4 rule: a line occurring more than
+    once in the corpus is kept once, at its first occurrence): every
+    other occurrence is removed and documents are reassembled with their
+    remaining lines in order. Docs left with zero lines drop. Adds
+    ``n_lines_removed``.
+
+    First occurrence = globally smallest (doc_id, line_idx) — the same
+    deterministic min-owner convention as spans.strip_duplicated_spans.
+    Whitespace-trimmed comparison; blank lines are ignored (neither
+    deduped nor counted).
+
+    Scale: lines explode narrow (doc_id, idx, xxhash64×2 of the trimmed
+    line — text itself never shuffles); owner detection is one
+    map-side-combinable groupBy on the hash; the only other exchange is
+    the per-doc reassembly groupBy. Line text is re-sliced from the
+    original document at rebuild, so hash collisions can only merge
+    IDENTICAL-hash lines (128-bit pair, ~zero at any real scale).
+    """
+    lines_arr = F.split(F.col(text_col), r"\n")
+    base = df.select(F.col(id_col).alias("_did"), lines_arr.alias("_lines"))
+    hashed = F.transform(
+        "_lines",
+        lambda l: F.struct(
+            F.xxhash64(F.lit(1), F.trim(l)).alias("h1"),
+            F.xxhash64(F.lit(2), F.trim(l)).alias("h2"),
+            (F.length(F.trim(l)) == 0).alias("blank"),
+        ),
+    )
+    occ = (
+        base.select("_did", F.posexplode(hashed).alias("idx", "h"))
+        .select("_did", "idx", "h.h1", "h.h2", "h.blank")
+        .filter(~F.col("blank"))
+    )
+    owners = occ.groupBy("h1", "h2").agg(F.min(F.struct("_did", "idx")).alias("own"))
+    removable = (
+        occ.join(owners, ["h1", "h2"])
+        .filter(~((F.col("_did") == F.col("own._did")) & (F.col("idx") == F.col("own.idx"))))
+        .groupBy("_did")
+        .agg(F.collect_set("idx").alias("_cut"))
+    )
+    joined = df.join(
+        removable, df[id_col] == removable["_did"], "left"
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.size(lines_arr) - F.lit(1)),
+        lambda i: ~F.array_contains(F.coalesce(F.col("_cut"), F.array().cast("array<int>")), i),
+    )
+    rebuilt = F.concat_ws(
+        "\n", F.transform(keep_idx, lambda i: F.element_at(lines_arr, i + F.lit(1)))
+    )
+    out_cols = [
+        F.when(F.col("_cut").isNull(), F.col(text_col)).otherwise(rebuilt).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    n_removed = F.coalesce(F.size("_cut"), F.lit(0)).alias("n_lines_removed")
+    out = joined.select(*out_cols, n_removed)
+    # drop docs whose every non-blank line was removed
+    return out.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     seed: int = 0,
