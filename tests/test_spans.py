@@ -354,3 +354,29 @@ def test_hot_gram_many_identical_docs(spark):
     stripped = {r.doc_id: r for r in strip_duplicated_spans(df, k=8).collect()}
     assert stripped[0].text == phrase and stripped[0].n_removed_tokens == 0
     assert sum(1 for r in stripped.values() if r.n_removed_tokens == 8) == 299
+
+
+def test_window_store_compaction(spark, tmp_path):
+    import glob
+
+    from xdump_spark.operators.spans import WindowHashStore, incremental_span_flags
+
+    store = WindowHashStore(spark, str(tmp_path / "wsc"))
+    for i in range(3):  # three appends -> three file sets
+        b = _docs(spark, [(i * 10 + j, f"w{i} x{j} c d e f g h i j") for j in range(3)])
+        incremental_span_flags(b, store, k=8)
+    files_before = len(glob.glob(f"{store.path}/band=*/*.parquet"))
+    rows_before = store.read().count()
+    distinct_before = store.read().distinct().count()
+
+    store.compact()
+    files_after = len(glob.glob(f"{store.path}/band=*/*.parquet"))
+    assert files_after < files_before
+    assert store.read().distinct().count() == distinct_before
+    assert store.read().count() <= rows_before  # dup hash rows collapsed
+
+    # the compacted store still works as dedup state
+    flags = incremental_span_flags(
+        _docs(spark, [(99, "w0 x0 c d e f g h i j")]), store, k=8
+    )
+    assert flags.count() == 1

@@ -199,6 +199,35 @@ class WindowHashStore:
             F.pmod("h1", F.lit(self.N_BANDS)).alias("band"), "h1", "h2"
         ).write.mode("append").partitionBy("band").parquet(self.path)
 
+    def compact(self, files_per_band: int = 1) -> None:
+        """Rewrite the store to ``files_per_band`` files per band and drop
+        duplicate hash rows (re-appended shards accumulate them; dedup
+        semantics only need existence). Every foreachBatch increment
+        appends a file set, so a long-running stream degrades into a
+        small-file store — run this between increments (NOT concurrently
+        with one: the swap below replaces the directory). The rewrite
+        lands beside the store and swaps in via two renames, so a crash
+        leaves either the old or the new store, never a mix."""
+        import shutil
+
+        df = self.read()
+        if df is None:
+            return
+        tmp = self.path.rstrip("/") + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.select("band", "h1", "h2")
+            .distinct()
+            .repartition(self.N_BANDS * files_per_band, "band")
+            .write.partitionBy("band")
+            .parquet(tmp)
+        )
+        old = self.path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
 
 def incremental_span_flags(
     new_docs: DataFrame,
