@@ -238,3 +238,13 @@ def test_deterministic_shuffle_single_range_exchange(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_dedup_lines_plan_no_python_no_cartesian(spark):
+    """dedup_lines stays JVM-side: line text never shuffles (only hashes
+    and indices), no Python evaluation, no cartesian."""
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of_df(dedup_lines(docs))
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
