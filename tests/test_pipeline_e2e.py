@@ -85,3 +85,44 @@ def test_pipeline_stages_optional(spark, docs):
     assert set(res.audit) == {"input", "cleaned", "quality_gated"}
     assert res.sequences is None
     assert res.corpus.count() == res.audit["quality_gated"]
+
+
+def test_pipeline_web_crawl_stages_and_shards(spark, tmp_path):
+    """The crawl-shaped path: markup -> line filter -> line dedup -> span
+    strip -> shuffle -> tokenized training shards."""
+    boiler = "subscribe to our newsletter for updates today."
+    rows = [
+        (
+            i,
+            f"<div>Document number {i} has plenty of proper sentence words here.</div>\n"
+            f"{boiler}\n"
+            "short\n"
+            f"Another unique closing sentence for document {i} follows now.",
+            "en",
+            "web",
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    res = prepare_training_corpus(
+        docs,
+        markup=True,
+        line_filter=True,
+        line_dedup=True,
+        span_k=None,
+        min_tokens=3,
+        pack_budget=128,
+        tokenize=True,
+        audit=True,
+    )
+    a = res.audit
+    assert a["input"] == 30
+    assert a["line_filtered"] == 30           # every doc keeps its long lines
+    assert a["line_deduped"] == 30            # boilerplate line removed, docs survive
+    corpus = {r.doc_id: r.text for r in res.corpus.collect()}
+    assert sum(boiler in t for t in corpus.values()) == 1  # kept once, globally
+    assert all("<div>" not in t for t in corpus.values())
+    # tokenized shards cover every surviving doc's tokens exactly once
+    assert res.vocab is not None
+    total_tokens = sum(len(t.split()) for t in corpus.values())
+    assert sum(r.n_tokens for r in res.sequences.collect()) == total_tokens

@@ -2,6 +2,8 @@
 as ONE composition of the toolkit's stages.
 
 raw documents
+  → strip_markup / c4_line_filter / dedup_lines (optional crawl-shaped
+    line-granular stages — BEFORE normalization, which collapses newlines)
   → normalize_text        (whitespace/control canonicalization)
   → redact_pii            (typed placeholders + audit counts)
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
@@ -45,14 +47,18 @@ class CorpusResult:
     """The prepared corpus plus the per-stage audit a data card needs."""
 
     corpus: DataFrame                     # cleaned, selected, shuffled docs
-    sequences: DataFrame | None           # pack_sequences output (if budget)
+    sequences: DataFrame | None           # pack/shard output (if budget)
     audit: dict = field(default_factory=dict)  # stage -> doc count
+    vocab: DataFrame | None = None        # build_vocab output (if tokenizing)
 
 
 def prepare_training_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    markup: bool = False,
+    line_filter: bool = False,
+    line_dedup: bool = False,
     span_k: int | None = 8,
     min_tokens: int = 5,
     sample_rates: dict[str, float] | None = None,
@@ -60,6 +66,8 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     shuffle_seed: int = 0,
     pack_budget: int | None = None,
+    tokenize: bool = False,
+    vocab_size: int = 65_536,
     out_dir: str | None = None,
     partition_by: tuple[str, ...] = (),
     audit: bool = True,
@@ -69,6 +77,13 @@ def prepare_training_corpus(
     - ``span_k=None`` skips span dedup; ``sample_rates=None`` skips
       sampling; ``benchmark=None`` skips contamination dropping;
       ``pack_budget=None`` skips packing; ``out_dir=None`` skips the sink.
+    - Web-crawl stages, off by default (the driver corpus is plain text):
+      ``markup`` strips tags/entities BEFORE cleaning; ``line_filter``
+      applies the C4 per-line gates; ``line_dedup`` removes corpus-wide
+      duplicate lines keep-first (both before span dedup — the C4 order).
+    - ``tokenize=True`` (with ``pack_budget``) upgrades the sequence
+      output from doc-id packs to (seq_id, input_ids) training shards,
+      with ``res.vocab`` carrying the fitted ``build_vocab`` table.
     - Contamination policy is DROP-the-doc (the conservative eval-hygiene
       default); for strip-the-span semantics run
       :func:`~xdump_spark.operators.spans.contamination_spans` directly
@@ -84,6 +99,27 @@ def prepare_training_corpus(
         return df
 
     cur = note("input", docs)
+    # Line-granular stages run FIRST: normalize_text collapses newlines,
+    # so markup/line filtering/line dedup must see the raw line structure
+    # (the C4 order — line gates before document-level cleanup).
+    if markup:
+        from xdump_spark.operators.cleaning import strip_markup
+
+        cur = strip_markup(cur, text_col)
+    if line_filter:
+        from xdump_spark.operators.cleaning import c4_line_filter
+
+        cur = note(
+            "line_filtered",
+            c4_line_filter(cur, text_col).drop("n_lines_kept", "n_lines_dropped"),
+        )
+    if line_dedup:
+        from xdump_spark.operators.cleaning import dedup_lines
+
+        cur = note(
+            "line_deduped",
+            dedup_lines(cur, text_col, id_col).drop("n_lines_removed"),
+        )
     cur = note("cleaned", redact_pii(normalize_text(cur, text_col), text_col))
 
     if span_k is not None:
@@ -117,16 +153,25 @@ def prepare_training_corpus(
     cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
 
     sequences = None
+    vocab = None
     if pack_budget is not None:
-        from xdump_spark.operators.curation import pack_sequences
+        if tokenize:
+            from xdump_spark.operators.curation import build_vocab, training_shards
 
-        sequences = pack_sequences(
-            cur, budget=pack_budget, text_col=text_col, id_col=id_col
-        )
+            vocab = build_vocab(cur, text_col=text_col, max_size=vocab_size)
+            sequences = training_shards(
+                cur, vocab, budget=pack_budget, text_col=text_col, id_col=id_col
+            )
+        else:
+            from xdump_spark.operators.curation import pack_sequences
+
+            sequences = pack_sequences(
+                cur, budget=pack_budget, text_col=text_col, id_col=id_col
+            )
 
     if out_dir is not None:
         from xdump_spark.sources.corpus_sink import write_corpus
 
         write_corpus(cur, out_dir, partition_by=partition_by)
 
-    return CorpusResult(corpus=cur, sequences=sequences, audit=counts)
+    return CorpusResult(corpus=cur, sequences=sequences, audit=counts, vocab=vocab)
