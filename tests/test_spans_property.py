@@ -145,3 +145,59 @@ def test_incremental_equals_oneshot_restriction(spark, token_docs, split, tmp_pa
     want2 = {(r.doc_id, r.span_start, r.span_end)
              for r in duplicated_spans(df, k=K).collect() if r.doc_id >= split}
     assert f1 == want1 and f2 == want2
+
+
+line_docs_strategy = st.lists(
+    st.lists(  # doc = list of lines
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=3).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=0,
+    max_size=5,
+)
+
+
+def _reference_line_dedup(line_docs):
+    """doc_id -> (text, n_removed); global keep-first on trimmed nonblank
+    lines, docs with no remaining nonblank text drop."""
+    owner = {}
+    for did, lines in enumerate(line_docs):
+        for idx, l in enumerate(lines):
+            t = l.strip()
+            if t and t not in owner:
+                owner[t] = (did, idx)
+    out = {}
+    for did, lines in enumerate(line_docs):
+        keep, removed = [], 0
+        for idx, l in enumerate(lines):
+            t = l.strip()
+            if t and owner[t] != (did, idx):
+                removed += 1
+            else:
+                keep.append(l)
+        text = "\n".join(keep)
+        if text.strip():
+            out[did] = (text, removed)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(line_docs=line_docs_strategy)
+def test_dedup_lines_matches_python_reference(spark, line_docs):
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(line_docs) if lines]
+    if not rows:
+        return
+    present = {i for i, _ in rows}
+    want = {d: v for d, v in _reference_line_dedup(line_docs).items() if d in present}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines_removed) for r in dedup_lines(df).collect()}
+    assert got == want

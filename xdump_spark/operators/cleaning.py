@@ -224,8 +224,11 @@ def dedup_lines(
     ]
     n_removed = F.coalesce(F.size("_cut"), F.lit(0)).alias("n_lines_removed")
     out = joined.select(*out_cols, n_removed)
-    # drop docs whose every non-blank line was removed
-    return out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    # drop docs with no non-whitespace text left (F.trim strips only
+    # spaces — a doc of blank lines would survive as "\n" otherwise)
+    return out.filter(
+        F.length(F.regexp_replace(F.col(text_col), r"[\p{IsWhite_Space}]", "")) > 0
+    )
 
 
 def deterministic_shuffle(
