@@ -77,3 +77,37 @@ def test_profile_unknown_column(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(df, ["nope"])
+
+
+def test_profile_quantiles_match_duckdb(spark):
+    """Requested quantiles appear per numeric column and, at sketch
+    accuracy 10000 over 500 rows, equal DuckDB's exact lower-rank
+    quantile (percentile_approx returns an actual data value at rank
+    error <= 1/accuracy, i.e. exact here)."""
+    import duckdb
+
+    from xdump_spark.operators.profile import profile_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    prof = profile_table(docs, columns=["n_chars"], quantiles=(0.25, 0.5, 0.75))
+    got = {r.metric: r.value for r in prof.collect() if r.metric.startswith("p")}
+    assert set(got) == {"p25", "p50", "p75"}
+    con = duckdb.connect()
+    for pct, m in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+        want = con.execute(
+            f"SELECT quantile_disc(n_chars, {pct}) FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert got[m] == float(want), (m, got[m], want)
+
+
+def test_profile_single_job_with_quantiles(spark):
+    """Quantiles must not add extra scan passes: still one aggregation."""
+    from xdump_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        profile_table(docs, quantiles=(0.5,))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1

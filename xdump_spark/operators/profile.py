@@ -30,12 +30,17 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_distinct: bool = False,
+    quantiles: tuple[float, ...] = (),
+    quantile_accuracy: int = 10_000,
 ) -> DataFrame:
     """(column, metric, value) statistics. For every selected column:
     ``count`` (non-null), ``nulls``, ``distinct``; numeric columns add
-    ``min``, ``max``, ``mean``, ``stddev`` (sample). Non-numeric min/max
-    are omitted rather than coerced (a lexicographic min cast to double
-    would be noise)."""
+    ``min``, ``max``, ``mean``, ``stddev`` (sample) and, when
+    ``quantiles`` is non-empty, one ``p<pct>`` metric per requested
+    fraction via ``percentile_approx`` (Greenwald-Khanna sketch —
+    mergeable, stays inside the same single-pass agg; accuracy 10000 ⇒
+    rank error ≤ 1/10000). Non-numeric min/max are omitted rather than
+    coerced (a lexicographic min cast to double would be noise)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     names = columns or list(fields)
     unknown = [c for c in names if c not in fields]
@@ -62,6 +67,12 @@ def profile_table(
             add(c, "max", F.max(F.col(c)))
             add(c, "mean", F.avg(F.col(c)))
             add(c, "stddev", F.stddev_samp(F.col(c)))
+            for q in quantiles:
+                add(
+                    c,
+                    f"p{round(q * 100):02d}",
+                    F.percentile_approx(F.col(c), F.lit(q), F.lit(quantile_accuracy)),
+                )
 
     wide = df.agg(*aggs)
     # One-row wide frame → long format via stack (JVM-side, no shuffle).
