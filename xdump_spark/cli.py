@@ -51,6 +51,21 @@ def resolve_backend(spec: str):
         raise argparse.ArgumentTypeError(f"module {mod_name!r} has no attribute {cls_name!r}")
 
 
+def parse_sample_rate(value: str) -> tuple[str, float]:
+    if "=" not in value:
+        raise argparse.ArgumentTypeError(
+            f"expected LANG=RATE (e.g. en=0.5), got {value!r}"
+        )
+    lang, _, rate = value.partition("=")
+    try:
+        r = float(rate)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"rate {rate!r} is not a number")
+    if not 0.0 <= r <= 1.0:
+        raise argparse.ArgumentTypeError(f"rate {r} outside [0, 1]")
+    return lang, r
+
+
 def parse_partial(value: str) -> tuple[str, str]:
     """'table:SELECT ...' → (table, sql); bad format is a usage error
     (reference: xdump/cli/dump.py:16-29, tests/cli/test_dump.py:52-58)."""
@@ -136,6 +151,49 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", type=resolve_backend, default=None,
         help=f"target class as 'pkg.module:Class' (default {DEFAULT_BACKEND})",
     )
+
+    c = sub.add_parser(
+        "curate",
+        help="prepare a training corpus from a documents table "
+        "(pipeline.prepare_training_corpus from the shell)",
+    )
+    c.add_argument("-i", "--input", required=True, help="documents parquet path")
+    c.add_argument("-o", "--output", required=True, help="output corpus directory")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--markup", action="store_true", help="strip HTML tags/entities first")
+    c.add_argument("--line-filter", action="store_true", help="C4 per-line gates")
+    c.add_argument("--line-dedup", action="store_true", help="global keep-first line dedup")
+    c.add_argument(
+        "--span-k", type=int, default=8,
+        help="strip cross-doc substrings of >= K tokens (0 disables)",
+    )
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument(
+        "--sample", action="append", default=[], type=parse_sample_rate,
+        metavar="LANG=RATE", help="per-stratum deterministic rate (repeatable)",
+    )
+    c.add_argument(
+        "--benchmark", default=None,
+        help="parquet of eval docs; overlapping corpus docs are dropped",
+    )
+    c.add_argument("--seed", type=int, default=0, help="shuffle seed")
+    c.add_argument(
+        "--pack-budget", type=int, default=None,
+        help="pack documents into sequences of <= N tokens",
+    )
+    c.add_argument(
+        "--tokenize", action="store_true",
+        help="with --pack-budget: emit (seq_id, input_ids) token shards",
+    )
+    c.add_argument(
+        "--shards-out", default=None,
+        help="write the pack/shard table as parquet here",
+    )
+    c.add_argument(
+        "--partition-by", action="append", default=[],
+        help="hive-partition the output corpus by these columns (repeatable)",
+    )
     return p
 
 
@@ -181,6 +239,34 @@ def run(args, spark) -> int:
             counts = engine.dump(args.output, **kwargs)
         for table in sorted(counts):
             print(f"{table}: {counts[table]} rows")
+        print(f"wrote {args.output}")
+    elif args.command == "curate":
+        from xdump_spark.pipeline import prepare_training_corpus
+
+        docs = spark.read.parquet(args.input)
+        benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        res = prepare_training_corpus(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            markup=args.markup,
+            line_filter=args.line_filter,
+            line_dedup=args.line_dedup,
+            span_k=args.span_k or None,
+            min_tokens=args.min_tokens,
+            sample_rates=dict(args.sample) or None,
+            benchmark=benchmark,
+            shuffle_seed=args.seed,
+            pack_budget=args.pack_budget,
+            tokenize=args.tokenize,
+            out_dir=args.output,
+            partition_by=tuple(args.partition_by),
+        )
+        for stage, n in res.audit.items():
+            print(f"{stage}: {n} docs")
+        if res.sequences is not None and args.shards_out:
+            res.sequences.write.parquet(args.shards_out)
+            print(f"wrote sequences to {args.shards_out}")
         print(f"wrote {args.output}")
     else:
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog

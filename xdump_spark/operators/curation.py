@@ -518,10 +518,20 @@ def training_shards(
     sequence from its ≤budget-token pieces — per-sequence state is
     bounded by the budget, never by the corpus.
     """
-    tok = tokenize_frame(df, vocab, text_col=text_col, id_col=id_col).select(
+    # Materialize a narrow (id, text) source BEFORE the encode UDF. When
+    # the incoming frame carries its own expression pipeline (e.g.
+    # strip_duplicated_spans' rebuild), Spark 4.1 leaves the pandas UDF
+    # un-extracted in this join+aggregate shape and a task dies with
+    # INTERNAL_ERROR "Cannot evaluate expression: encode(...)"; the
+    # checkpoint turns the UDF input into a leaf column, which plans
+    # correctly. (Checkpointing AFTER the UDF doesn't work —
+    # localCheckpoint on a UDF-bearing frame trips the same bug.) Cost:
+    # these are exactly the rows both downstream stages re-read anyway.
+    src = df.select(F.col(id_col), F.col(text_col)).localCheckpoint(eager=True)
+    tok = tokenize_frame(src, vocab, text_col=text_col, id_col=id_col).select(
         F.col(id_col).alias("_doc"), "ids"
     )
-    packs = pack_sequences(df, budget, text_col=text_col, id_col=id_col)
+    packs = pack_sequences(src, budget, text_col=text_col, id_col=id_col)
     slots = packs.select(
         "seq_id", "n_docs", F.posexplode("doc_ids").alias("slot", "_doc")
     )
