@@ -385,3 +385,22 @@ def test_training_shards_end_to_end(spark):
         assert r.n_tokens <= 256 or r.n_docs == 1  # budget bound (oversize singleton)
     total = sum(len(v) for v in ids_by_doc.values())
     assert sum(r.n_tokens for r in shards) == total  # exactly-once coverage
+
+
+def test_training_shards_over_span_stripped_input(spark, tmp_path):
+    """Regression: composing training_shards directly onto
+    strip_duplicated_spans output used to die in task execution with
+    INTERNAL_ERROR 'Cannot evaluate expression: encode(...)' — Spark 4.1
+    leaves the pandas UDF un-extracted when its input is the strip
+    rebuild expression (and checkpointing the UDF-bearing frame trips
+    the same bug). The narrow-source checkpoint inside training_shards
+    must keep this composition writable."""
+    from xdump_spark.operators.curation import build_vocab, training_shards
+    from xdump_spark.operators.spans import strip_duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    cur = strip_duplicated_spans(docs, k=8).drop("n_removed_tokens")
+    vocab = build_vocab(cur)
+    out = str(tmp_path / "shards")
+    training_shards(cur, vocab, budget=256).write.parquet(out)
+    assert spark.read.parquet(out).count() > 0

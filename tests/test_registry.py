@@ -67,10 +67,14 @@ def test_pruned_builders_still_run(spark):
     decoded = Q.multimodal_decode_stub(spark, SF_DIR)
     assert decoded.count() > 0
 
-    # pruned r4 (slot went to the oracle-backed dedup_spans)
+    # pruned r4 (slots went to the oracle-backed dedup_spans / dedup_lines_docs)
     sh = Q.simhash_pairs(spark, SF_DIR)
     assert {"id_a", "id_b", "hamming"} <= set(sh.columns)
     assert sh.count() > 0
+
+    ivf = Q.knn_cosine_ivf(spark, SF_DIR)
+    assert {"query_id", "neighbor_id", "cosine_sim"} <= set(ivf.columns)
+    assert ivf.count() > 0
 
 
 def test_evict_stale_drops_dead_session_entries():

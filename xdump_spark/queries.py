@@ -1549,14 +1549,43 @@ def _ivf_index(spark, sf_dir):
     return _ivf_cache[key]
 
 
-@query("knn_cosine_ivf", None)
 def knn_cosine_ivf(spark, sf_dir):
     """Approximate top-5 via an IVF index (KMeans cells, n_probe nearest
-    cells re-ranked exactly; rows-only check — recall anchored against
-    knn_cosine_top5 in tests). The index is built once and cached; this
-    entry measures search."""
+    cells re-ranked exactly). Pruned from the registry in r4 to keep the
+    driver's 50-entry window oracle-dense (the slot went to the
+    hash-checked ``dedup_lines_docs``); recall floors stay pinned in
+    tests and the builder runs in test_registry's pruned-builder pass.
+    The index is built once per session and cached."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
     return S.ivf_search(_ivf_index(spark, sf_dir), emb.filter("vec_id % 100 = 0"), k=5)
+
+
+# DuckDB twin of operators/cleaning.py::dedup_lines over the documents
+# table (single-line docs, so line dedup == whole-doc keep-first dedup:
+# the global min doc_id per trimmed text survives with original bytes).
+_LINE_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, n_chars, trim(text) AS _tt
+  FROM documents
+),
+owner AS (
+  SELECT _tt, min(doc_id) AS _own FROM t WHERE _tt <> '' GROUP BY _tt
+)
+SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars,
+       0 AS n_lines_removed
+FROM t JOIN owner ON t._tt = owner._tt AND t.doc_id = owner._own
+"""
+
+
+@query("dedup_lines_docs", _LINE_DEDUP_SQL)
+def dedup_lines_docs(spark, sf_dir):
+    """Global keep-first line dedup (C4 duplicate-line rule) over the
+    documents table — single-line docs make it whole-doc keep-first
+    dedup, which the oracle recomputes exactly (owner = min doc_id per
+    trimmed text; survivors keep original bytes)."""
+    from xdump_spark.operators.cleaning import dedup_lines
+
+    return dedup_lines(_cat(spark, sf_dir).tables["documents"])
 
 
 # --------------------------------------------------------------------------
