@@ -212,3 +212,19 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     ).collect()[0][0]
     shard_tokens = seqs.select(F.sum("n_tokens")).collect()[0][0]
     assert corpus_tokens == shard_tokens
+
+
+def test_cli_curate_overwrite(spark, tmp_path):
+    from xdump_spark import cli
+
+    out = str(tmp_path / "c")
+    base = [
+        "curate", "-i", "/root/testdata/sf0.001/documents.parquet", "-o", out,
+        "--span-k", "0", "--min-tokens", "1",
+    ]
+    assert cli.run(cli.build_parser().parse_args(base), spark) == 0
+    # second run without --overwrite fails on the existing dir
+    with pytest.raises(Exception):
+        cli.run(cli.build_parser().parse_args(base), spark)
+    assert cli.run(cli.build_parser().parse_args(base + ["--overwrite"]), spark) == 0
+    assert spark.read.parquet(out).count() == 500

@@ -194,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--partition-by", action="append", default=[],
         help="hive-partition the output corpus by these columns (repeatable)",
     )
+    c.add_argument(
+        "--overwrite", action="store_true",
+        help="replace existing output directories instead of failing",
+    )
     return p
 
 
@@ -261,11 +265,13 @@ def run(args, spark) -> int:
             tokenize=args.tokenize,
             out_dir=args.output,
             partition_by=tuple(args.partition_by),
+            out_mode="overwrite" if args.overwrite else "errorifexists",
         )
         for stage, n in res.audit.items():
             print(f"{stage}: {n} docs")
         if res.sequences is not None and args.shards_out:
-            res.sequences.write.parquet(args.shards_out)
+            mode = "overwrite" if args.overwrite else "errorifexists"
+            res.sequences.write.mode(mode).parquet(args.shards_out)
             print(f"wrote sequences to {args.shards_out}")
         print(f"wrote {args.output}")
     else:

@@ -70,6 +70,7 @@ def prepare_training_corpus(
     vocab_size: int = 65_536,
     out_dir: str | None = None,
     partition_by: tuple[str, ...] = (),
+    out_mode: str = "errorifexists",
     audit: bool = True,
 ) -> CorpusResult:
     """Run the full preparation pipeline (see module docstring).
@@ -172,6 +173,6 @@ def prepare_training_corpus(
     if out_dir is not None:
         from xdump_spark.sources.corpus_sink import write_corpus
 
-        write_corpus(cur, out_dir, partition_by=partition_by)
+        write_corpus(cur, out_dir, partition_by=partition_by, mode=out_mode)
 
     return CorpusResult(corpus=cur, sequences=sequences, audit=counts, vocab=vocab)
