@@ -204,3 +204,79 @@ def test_dedup_lines_matches_python_reference_on_real_docs(spark):
     got = {r.doc_id: (r.text, r.n_lines_removed) for r in dedup_lines(docs).collect()}
     assert set(got) == set(keep)
     assert all(got[d][0] == keep[d] and got[d][1] == 0 for d in keep)
+
+
+def test_c4_line_filter_matches_python_reference(spark):
+    """Randomized-ish cross-check: the operator's per-line gates agree
+    with a direct Python reimplementation over crafted multi-line docs."""
+    import re
+
+    from xdump_spark.operators.cleaning import c4_line_filter
+
+    docs = []
+    lines_pool = [
+        "A proper sentence with enough words.",
+        "short",
+        "No punctuation but has many words here",
+        "Ends with a question mark?",
+        "tiny.",
+        "",
+        "   ",
+        'Quoted line ends with a quote."',
+        "This one mentions javascript sadly.",
+        "Another good line to keep around!",
+    ]
+    for i in range(12):
+        picked = [lines_pool[(i * 3 + j) % len(lines_pool)] for j in range(1 + i % 5)]
+        docs.append((i, "\n".join(picked)))
+
+    def ref(text):
+        kept, dropped = [], 0
+        for l in text.split("\n"):
+            t = l.strip()
+            ok = bool(t) and len(t.split()) >= 3 and re.search(r"[.!?\"']$", t)
+            if ok:
+                kept.append(l)
+            else:
+                dropped += 1
+        if not kept:
+            return None
+        if any(m in l.lower() for l in kept for m in ("lorem ipsum", "javascript")):
+            return None
+        return "\n".join(kept), len(kept), dropped
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in c4_line_filter(df).collect()
+    }
+    want = {i: ref(t) for i, t in docs}
+    want = {i: v for i, v in want.items() if v is not None}
+    assert got == want and len(got) > 0
+
+
+def test_strip_markup_matches_python_reference(spark):
+    import re
+
+    from xdump_spark.operators.cleaning import strip_markup
+
+    docs = [
+        (1, '<p class="x">hello</p> <br/> world <!-- hidden --> tail'),
+        (2, "a &lt; b &amp;&amp; c &gt; d &quot;quoted&quot; &#39;s&#39; &nbsp;end"),
+        (3, "unclosed < bracket and 1<2 stays <em>emph</em>"),
+        (4, "<a\nhref='multi\nline'>anchor text</a> done"),
+    ]
+
+    def ref(t):
+        t = re.sub(r"<!--.*?-->", " ", t)
+        t = re.sub(r"</?[A-Za-z][^>]*>", " ", t)
+        for ent, rep in [
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ]:
+            t = t.replace(ent, rep)
+        return t
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in strip_markup(df).collect()}
+    assert got == {i: ref(t) for i, t in docs}
