@@ -280,3 +280,34 @@ def test_strip_markup_matches_python_reference(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.text for r in strip_markup(df).collect()}
     assert got == {i: ref(t) for i, t in docs}
+
+
+def test_dedup_lines_oracle_sql_holds_on_multiline_docs(spark, tmp_path):
+    """The registry oracle (_LINE_DEDUP_SQL) implements FULL per-line
+    semantics, not a single-line shortcut: run Spark and DuckDB over the
+    same MULTI-line table and compare exactly (layout-drift insurance —
+    if the driver testdata ever ships multi-line documents, the gate
+    entry must keep matching)."""
+    import duckdb
+
+    from xdump_spark.operators.cleaning import dedup_lines
+    from xdump_spark.queries import _LINE_DEDUP_SQL
+
+    rows = [
+        (1, "a b c\ndup line x\ntail one", "en", "s1", 10),
+        (2, "dup line x\nunique y", "de", "s2", 11),
+        (3, "\n   ", "en", "s1", 2),
+        (4, "unique z\ndup line x", "fr", "s3", 12),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    got = {
+        tuple(r)
+        for r in dedup_lines(spark.read.parquet(p)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = {tuple(r) for r in con.execute(_LINE_DEDUP_SQL).fetchall()}
+    assert got == want and len(got) == 3

@@ -1560,20 +1560,50 @@ def knn_cosine_ivf(spark, sf_dir):
     return S.ivf_search(_ivf_index(spark, sf_dir), emb.filter("vec_id % 100 = 0"), k=5)
 
 
-# DuckDB twin of operators/cleaning.py::dedup_lines over the documents
-# table (single-line docs, so line dedup == whole-doc keep-first dedup:
-# the global min doc_id per trimmed text survives with original bytes).
+# DuckDB twin of operators/cleaning.py::dedup_lines — FULL per-line
+# semantics (keep-first by (doc_id, line_idx) per trimmed non-blank line,
+# reassemble, drop whitespace-only docs), deliberately NOT simplified to
+# whole-doc dedup even though current testdata is single-line: a testdata
+# regeneration with multi-line documents must not break the oracle
+# (round-3 lesson: schema/layout drift reached the gate unseen).
 _LINE_DEDUP_SQL = r"""
 WITH t AS (
-  SELECT doc_id, text, lang, source, n_chars, trim(text) AS _tt
+  SELECT doc_id, text, lang, source, n_chars,
+         string_split(text, chr(10)) AS ls
   FROM documents
 ),
-owner AS (
-  SELECT _tt, min(doc_id) AS _own FROM t WHERE _tt <> '' GROUP BY _tt
+occ AS (
+  SELECT doc_id, i - 1 AS idx, trim(ls[i]) AS tt
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+  WHERE trim(ls[i]) <> ''
+),
+ranked AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY tt ORDER BY doc_id, idx) AS rn
+  FROM occ
+),
+rem AS (
+  SELECT doc_id, list(idx ORDER BY idx) AS cut
+  FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         CASE WHEN rem.cut IS NULL THEN t.text
+              ELSE array_to_string(
+                     list_transform(
+                       list_filter(generate_series(1, len(t.ls)),
+                                   i -> NOT list_contains(rem.cut, i - 1)),
+                       i -> t.ls[i]),
+                     chr(10))
+         END AS text,
+         t.lang, t.source, t.n_chars,
+         coalesce(len(rem.cut), 0) AS n_lines_removed
+  FROM t LEFT JOIN rem USING (doc_id)
 )
-SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars,
-       0 AS n_lines_removed
-FROM t JOIN owner ON t._tt = owner._tt AND t.doc_id = owner._own
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(n_lines_removed AS INT) AS n_lines_removed
+FROM rebuilt
+WHERE regexp_replace(text, '[\s]', '', 'g') <> ''
 """
 
 
