@@ -1364,9 +1364,9 @@ def dedup_ngram_pairs(spark, sf_dir):
 # proves collision-free on this data by matching exactly).
 _SPANS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
   FROM documents
-  WHERE len(string_split(trim(text), ' ')) >= 8
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8
 ),
 wins AS (
   SELECT doc_id, p AS pos, array_to_string(t[p+1:p+8], ' ') AS gram
@@ -1703,7 +1703,7 @@ _CURATION_CAP = 10
 
 _CURATION_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
 ),
 rep AS (
   SELECT doc_id,
@@ -1725,7 +1725,7 @@ samp AS (
     CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4ccd' WHEN 'fr' THEN '4ccd'
               WHEN 'zh' THEN '3333' WHEN 'es' THEN '3333' END
 ),
-lt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+lt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
 grams AS (
   SELECT doc_id, unnest(CASE WHEN len(t) >= 3
     THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -1800,7 +1800,7 @@ def curation_doc_signals(spark, sf_dir):
     """
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
