@@ -404,3 +404,26 @@ def test_training_shards_over_span_stripped_input(spark, tmp_path):
     out = str(tmp_path / "shards")
     training_shards(cur, vocab, budget=256).write.parquet(out)
     assert spark.read.parquet(out).count() > 0
+
+
+def test_mixture_drift(spark):
+    from xdump_spark.operators.curation import mixture_drift, mixture_stats
+
+    before = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s2"), (3, "f g h i", "s2")],
+        "doc_id long, text string, source string",
+    )
+    after = spark.createDataFrame(
+        [(1, "a b c", "s1"), (4, "x y z w v", "s3")],
+        "doc_id long, text string, source string",
+    )
+    drift = {
+        r.source: r
+        for r in mixture_drift(mixture_stats(before), mixture_stats(after)).collect()
+    }
+    assert set(drift) == {"s1", "s2", "s3"}
+    assert drift["s2"].n_tokens_before == 6 and drift["s2"].n_tokens_after == 0
+    assert drift["s3"].share_before == 0.0 and drift["s3"].n_tokens_after == 5
+    assert drift["s1"].share_delta == pytest.approx(3 / 8 - 3 / 9, abs=1e-5)
+    total_delta = sum(r.share_delta for r in drift.values())
+    assert total_delta == pytest.approx(0.0, abs=1e-5)

@@ -126,3 +126,22 @@ def test_pipeline_web_crawl_stages_and_shards(spark, tmp_path):
     assert res.vocab is not None
     total_tokens = sum(len(t.split()) for t in corpus.values())
     assert sum(r.n_tokens for r in res.sequences.collect()) == total_tokens
+
+
+def test_pipeline_empty_input(spark, tmp_path):
+    """An empty corpus flows through every stage without crashing:
+    empty corpus out, empty shards, zero audit counts."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    res = prepare_training_corpus(
+        empty,
+        span_k=8,
+        sample_rates={"en": 1.0},
+        pack_budget=128,
+        tokenize=True,
+        audit=True,
+    )
+    assert res.audit["input"] == 0
+    assert res.corpus.count() == 0
+    assert res.sequences.count() == 0

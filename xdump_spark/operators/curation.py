@@ -274,6 +274,39 @@ def unigram_surprisal_frame(
     )
 
 
+def mixture_drift(
+    before: DataFrame, after: DataFrame, part_col: str = "source"
+) -> DataFrame:
+    """Compare two :func:`mixture_stats` outputs (corpus snapshots):
+    per-source (n_docs_before/after, n_tokens_before/after,
+    share_before/after, share_delta) — the composition-drift report a
+    pipeline runs between crawl snapshots to catch a source silently
+    exploding or vanishing. Sources absent from one side appear with
+    zeros. Full outer join on the (tiny) aggregated frames — cost is
+    |sources|, not corpus-sized."""
+    b = before.select(
+        part_col,
+        F.col("n_docs").alias("n_docs_before"),
+        F.col("n_tokens").alias("n_tokens_before"),
+        F.col("token_share").alias("share_before"),
+    )
+    a = after.select(
+        part_col,
+        F.col("n_docs").alias("n_docs_after"),
+        F.col("n_tokens").alias("n_tokens_after"),
+        F.col("token_share").alias("share_after"),
+    )
+    out = b.join(a, part_col, "full_outer")
+    zero = {
+        "n_docs_before": 0, "n_tokens_before": 0, "share_before": 0.0,
+        "n_docs_after": 0, "n_tokens_after": 0, "share_after": 0.0,
+    }
+    out = out.fillna(zero)
+    return out.withColumn(
+        "share_delta", F.round(F.col("share_after") - F.col("share_before"), 6)
+    )
+
+
 def bigram_surprisal_frame(
     df: DataFrame,
     text_col: str = "text",
