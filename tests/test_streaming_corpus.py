@@ -87,3 +87,32 @@ def test_cleaning_stage_is_stream_compatible(spark, docs_batch, docs_stream_dir)
         assert got == want and len(got) == 500
     finally:
         q.stop()
+
+
+def test_mixture_drift_stream_matches_batch(spark, docs_batch, docs_stream_dir):
+    """Stream-vs-batch: after draining all micro-batches, the finished
+    drift table equals the batch mixture_drift over the same frames."""
+    from xdump_spark.operators.curation import mixture_drift, mixture_stats
+    from xdump_spark.streaming.corpus import finish_drift, mixture_drift_stream
+
+    baseline = docs_batch.filter("doc_id < 250")
+    stream = _stream(spark, docs_stream_dir)
+    q = run_to_memory(
+        mixture_drift_stream(stream, baseline), "drift_stream", output_mode="complete"
+    )
+    try:
+        got = {
+            r.source: (r.n_docs_after, r.n_tokens_after, r.share_before,
+                       r.share_after, r.share_delta)
+            for r in finish_drift(spark.table("drift_stream")).collect()
+        }
+        want = {
+            r.source: (r.n_docs_after, r.n_tokens_after, r.share_before,
+                       r.share_after, r.share_delta)
+            for r in mixture_drift(
+                mixture_stats(baseline), mixture_stats(docs_batch)
+            ).collect()
+        }
+        assert got == want and len(got) > 1
+    finally:
+        q.stop()

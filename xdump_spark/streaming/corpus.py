@@ -62,3 +62,60 @@ def quality_monitor_stream(
         F.round(F.avg("_ttr"), 6).alias("mean_ttr"),
         F.round(F.avg("_topf"), 6).alias("mean_top_frac"),
     )
+
+
+def mixture_drift_stream(
+    docs: DataFrame,
+    baseline: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Running composition drift of an ARRIVING stream against a static
+    baseline snapshot: (source, counts after, counts/share before).
+
+    The incremental mixture aggregate is stream-static LEFT-joined
+    against the precomputed baseline mixture (tiny, one row per source —
+    broadcast into every micro-batch). Share ratios need the stream-wide
+    token total, which is not an incrementally-mergeable per-row value —
+    the same constraint that makes ``mixture_stream`` defer its share
+    division — so the DRIFT shares are a read-time projection: run
+    :func:`finish_drift` over the (tiny) complete-mode result table.
+    Baseline-only sources appear once the batch-side report runs
+    (``curation.mixture_drift``); the stream carries keys it has seen.
+
+    State: one row per source, same bound as ``mixture_stream``.
+    """
+    from xdump_spark.operators.curation import mixture_stats
+
+    base = mixture_stats(baseline, part_col=source_col, text_col=text_col).select(
+        F.col(source_col),
+        F.col("n_docs").alias("n_docs_before"),
+        F.col("n_tokens").alias("n_tokens_before"),
+        F.col("token_share").alias("share_before"),
+    )
+    run = mixture_stream(docs, source_col=source_col, text_col=text_col).select(
+        source_col,
+        F.col("n_docs").alias("n_docs_after"),
+        F.col("n_tokens").alias("n_tokens_after"),
+    )
+    return run.join(F.broadcast(base), source_col, "left").fillna(
+        {"n_docs_before": 0, "n_tokens_before": 0, "share_before": 0.0}
+    )
+
+
+def finish_drift(drift_table: DataFrame) -> DataFrame:
+    """Read-time share projection over a ``mixture_drift_stream`` result
+    table (a BATCH frame — e.g. ``spark.table(<memory sink>)``): adds
+    share_after and share_delta. |sources| rows through one window."""
+    from pyspark.sql import Window as W
+
+    total_after = F.sum("n_tokens_after").over(W.partitionBy())
+    return (
+        drift_table.withColumn(
+            "share_after", F.round(F.col("n_tokens_after") / total_after, 6)
+        )
+        .withColumn(
+            "share_delta",
+            F.round(F.col("share_after") - F.col("share_before"), 6),
+        )
+    )
