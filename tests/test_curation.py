@@ -427,3 +427,12 @@ def test_mixture_drift(spark):
     assert drift["s1"].share_delta == pytest.approx(3 / 8 - 3 / 9, abs=1e-5)
     total_delta = sum(r.share_delta for r in drift.values())
     assert total_delta == pytest.approx(0.0, abs=1e-5)
+
+
+def test_tokenize_rejects_malformed_vocab(spark):
+    from xdump_spark.operators.curation import tokenize_frame
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bad = spark.createDataFrame([("a", 1)], "word string, wid long")
+    with pytest.raises(ValueError, match="tok"):
+        tokenize_frame(docs, bad)

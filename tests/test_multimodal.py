@@ -174,3 +174,27 @@ def test_extract_features_unit_norm_and_knn_integration(spark):
         assert len(hits) == 3
         assert all(h.neighbor_id != q for h in hits)  # self excluded
         assert all(-1.0 <= h.cosine_sim <= 1.0 for h in hits)
+
+
+def test_extract_features_through_ivf_index(spark):
+    """Full multimodal ANN path: blobs -> stub features -> IVF index ->
+    search; every query's neighbors come back with sane cosines."""
+    from xdump_spark.operators.multimodal import attach_blobs, extract_features
+    from xdump_spark.operators.similarity import ivf_build, ivf_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    feats = extract_features(attach_blobs(docs), dim=16).selectExpr(
+        "doc_id AS vec_id", "feature AS embedding"
+    )
+    idx = ivf_build(feats, n_cells=8)
+    try:
+        queries = feats.limit(5)
+        got = ivf_search(idx, queries, k=3).collect()
+        assert len(got) == 15
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.cosine_sim)
+        assert len(by_q) == 5
+        assert all(all(-1.0 <= s <= 1.0 for s in sims) for sims in by_q.values())
+    finally:
+        idx.unpersist()

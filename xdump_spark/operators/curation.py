@@ -435,6 +435,12 @@ def tokenize_frame(
     zero shuffles, and the dict lookup is the same cost the join's hash
     probe would pay, without the exchange.
     """
+    missing = {"tok", "token_id"} - set(vocab.columns)
+    if missing:
+        raise ValueError(
+            f"vocab frame is missing column(s) {sorted(missing)}; expected the "
+            "(tok, token_id, n) shape build_vocab produces"
+        )
     vmap = {r["tok"]: r["token_id"] for r in vocab.select("tok", "token_id").collect()}
     b_vmap = df.sparkSession.sparkContext.broadcast(vmap)
 
