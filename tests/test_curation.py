@@ -436,3 +436,41 @@ def test_tokenize_rejects_malformed_vocab(spark):
     bad = spark.createDataFrame([("a", 1)], "word string, wid long")
     with pytest.raises(ValueError, match="tok"):
         tokenize_frame(docs, bad)
+
+
+def test_gopher_filter_rules(spark):
+    from xdump_spark.operators.curation import gopher_filter
+
+    good = ("the quick brown fox jumps over a lazy dog and keeps running through "
+            "green fields while many different common words vary nicely across "
+            "sentences that describe weather, travel, music, food, science and "
+            "history with enough breadth to pass every repetition gate easily, "
+            "because natural prose rarely repeats itself in such short spans")
+    rows = [
+        (1, good),
+        (2, "too short."),                                  # min_tokens
+        (3, "zz " * 60),                                    # repetition + stopwords
+        (4, ("1 2 3 4 5 6 7 8 9 10 " * 10)),                # alpha fraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert out[1].kept and out[1].drop_reasons == []
+    assert not out[2].kept and "min_tokens" in out[2].drop_reasons
+    assert not out[3].kept
+    assert {"min_ttr", "max_top_token_frac", "min_stopword_hits"} <= set(out[3].drop_reasons)
+    assert not out[4].kept and "min_alpha_word_frac" in out[4].drop_reasons
+    # schema: original columns preserved, plus kept + drop_reasons
+    assert set(out[1].asDict()) == {"doc_id", "text", "kept", "drop_reasons"}
+
+
+def test_gopher_filter_overrides_and_plan(spark):
+    from xdump_spark.operators.curation import gopher_filter
+
+    df = spark.createDataFrame([(1, "the and of to in is that with done here now")],
+                               "doc_id long, text string")
+    strict = gopher_filter(df).collect()[0]
+    assert not strict.kept and "min_tokens" in strict.drop_reasons
+    relaxed = gopher_filter(df, rules={"min_tokens": 5}).collect()[0]
+    assert relaxed.kept, relaxed.drop_reasons
+    plan = gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -274,6 +274,115 @@ def unigram_surprisal_frame(
     )
 
 
+# Default thresholds for gopher_filter. Sources: Rae et al. 2021
+# (Gopher), Appendix A1.1 — token-count window, mean-word-length window,
+# alphabetic-word fraction, and the >=2-stopwords rule are verbatim;
+# the repetition caps (ttr floor, top-token share, duplicate-bigram
+# fraction) are this engine's adaptation of the paper's duplicate-n-gram
+# family to the signals repetition_frame computes.
+DEFAULT_GOPHER_RULES: dict[str, float] = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "min_ttr": 0.2,
+    "max_top_token_frac": 0.2,
+    "max_dup_bigram_frac": 0.2,
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: dict[str, float] | None = None,
+) -> DataFrame:
+    """Apply the Gopher document-quality rules as a gate: the input frame
+    plus ``kept`` (boolean) and ``drop_reasons`` (array of failed rule
+    names, empty when kept). The caller filters on ``kept``; keeping the
+    reasons makes the gate auditable (what fraction fell to which rule is
+    ``explode(drop_reasons)`` + groupBy — the data-card number).
+
+    Signals are computed FUSED in one two-stage projection (not by
+    joining quality_frame ⋈ repetition_frame — that would scan the text
+    twice and shuffle on id for signals a single pass produces): zero
+    shuffles, pure codegen. Override any threshold via ``rules``
+    (merged over :data:`DEFAULT_GOPHER_RULES`).
+    """
+    from xdump_spark.operators.text import LANG_MARKERS, tokens
+
+    r = {**DEFAULT_GOPHER_RULES, **(rules or {})}
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+
+    toked = df.withColumn("_t", tokens(F.col(text_col)))
+    n = F.size("_t")
+    nsp = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
+    mean_len = F.when(n > 0, nsp / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter("_t", lambda x: x.rlike("[a-z]"))) / n,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct("_t"), markers)
+    )
+    distinct = F.array_distinct("_t")
+    ttr = F.when(n > 0, F.size(distinct) / n).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(distinct, lambda x: F.size(F.filter("_t", lambda y: y == x)))
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_t", i), F.element_at("_t", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bi = F.when(
+        F.size(bigrams) > 0,
+        1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+
+    sig = toked.withColumns(
+        {
+            "_n": n,
+            "_mean_len": mean_len,
+            "_alpha": alpha_frac,
+            "_stop": stop_hits,
+            "_ttr": ttr,
+            "_top": top_frac,
+            "_dupbi": dup_bi,
+        }
+    )
+    checks = [
+        ("min_tokens", F.col("_n") >= F.lit(r["min_tokens"])),
+        ("max_tokens", F.col("_n") <= F.lit(r["max_tokens"])),
+        ("min_mean_token_len", F.col("_mean_len") >= F.lit(r["min_mean_token_len"])),
+        ("max_mean_token_len", F.col("_mean_len") <= F.lit(r["max_mean_token_len"])),
+        ("min_alpha_word_frac", F.col("_alpha") >= F.lit(r["min_alpha_word_frac"])),
+        ("min_stopword_hits", F.col("_stop") >= F.lit(r["min_stopword_hits"])),
+        ("min_ttr", F.col("_ttr") >= F.lit(r["min_ttr"])),
+        ("max_top_token_frac", F.col("_top") <= F.lit(r["max_top_token_frac"])),
+        ("max_dup_bigram_frac", F.col("_dupbi") <= F.lit(r["max_dup_bigram_frac"])),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(~ok, F.lit(name)).otherwise(F.lit(None)) for name, ok in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        sig.withColumn("drop_reasons", reasons)
+        .withColumn("kept", F.size("drop_reasons") == 0)
+        .drop("_t", "_n", "_mean_len", "_alpha", "_stop", "_ttr", "_top", "_dupbi")
+    )
+
+
 def mixture_drift(
     before: DataFrame, after: DataFrame, part_col: str = "source"
 ) -> DataFrame:
