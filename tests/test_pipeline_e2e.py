@@ -145,3 +145,17 @@ def test_pipeline_empty_input(spark, tmp_path):
     assert res.audit["input"] == 0
     assert res.corpus.count() == 0
     assert res.sequences.count() == 0
+
+
+def test_pipeline_gopher_stage(spark):
+    """The Gopher gate drops the synthetic word-salad corpus (no real
+    stopword structure) and the audit records the stage; relaxed rules
+    would keep docs — proven at the operator level, here we pin the
+    stage wiring + helper-column cleanup."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    res = prepare_training_corpus(
+        docs, span_k=None, gopher=True, min_tokens=1, audit=True
+    )
+    assert "gopher_gated" in res.audit
+    assert res.audit["gopher_gated"] <= res.audit["quality_gated"]
+    assert "drop_reasons" not in res.corpus.columns and "kept" not in res.corpus.columns

@@ -170,6 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher quality rules (curation.gopher_filter)",
+    )
+    c.add_argument(
         "--sample", action="append", default=[], type=parse_sample_rate,
         metavar="LANG=RATE", help="per-stratum deterministic rate (repeatable)",
     )
@@ -258,6 +262,7 @@ def run(args, spark) -> int:
             line_dedup=args.line_dedup,
             span_k=args.span_k or None,
             min_tokens=args.min_tokens,
+            gopher=args.gopher,
             sample_rates=dict(args.sample) or None,
             benchmark=benchmark,
             shuffle_seed=args.seed,

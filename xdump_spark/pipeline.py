@@ -61,6 +61,7 @@ def prepare_training_corpus(
     line_dedup: bool = False,
     span_k: int | None = 8,
     min_tokens: int = 5,
+    gopher: bool = False,
     sample_rates: dict[str, float] | None = None,
     strata_col: str = "lang",
     benchmark: DataFrame | None = None,
@@ -132,6 +133,15 @@ def prepare_training_corpus(
         "quality_gated",
         cur.filter((F.length(F.trim(F.col(text_col))) > 0) & (n_tok >= min_tokens)),
     )
+    if gopher:
+        from xdump_spark.operators.curation import gopher_filter
+
+        cur = note(
+            "gopher_gated",
+            gopher_filter(cur, text_col, id_col)
+            .filter("kept")
+            .drop("kept", "drop_reasons"),
+        )
 
     if sample_rates is not None:
         from xdump_spark.operators.curation import stratified_sample
