@@ -26,3 +26,33 @@ def test_documented_modules_exist():
     for m in sorted(mods):
         hits = list(root.glob(f"*/{m}.py"))
         assert hits, f"COVERAGE.md references {m}.py but no such module exists"
+
+
+def test_bench_headline_subset_of_registry():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import HEADLINE
+
+    missing = [n for n in HEADLINE if n not in Q.queries()]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
+def test_every_oracle_parses_in_duckdb():
+    """Fast syntax gate: every oracle_sql() runs against EMPTY views with
+    the real testdata schemas — a SQL typo fails here in milliseconds
+    instead of at the driver's correctness run."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet') LIMIT 0"
+        )
+    for name, sql in Q.oracle_sql().items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name!r} failed on empty views: {e}")
