@@ -8,12 +8,14 @@ raw documents
   → redact_pii            (typed placeholders + audit counts)
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
   → quality gate          (token-count floor after cleaning)
+  → gopher_filter         (the Gopher rules as a gate, optional)
   → stratified_sample     (deterministic per-language rates, optional)
   → contamination drop    (docs verbatim-overlapping an eval set, optional)
   → deterministic_shuffle (reproducible training order)
   → write_corpus          (size-disciplined partitioned parquet)
-plus pack_sequences over the shuffled survivors when a token budget is
-given.
+plus pack_sequences — or, with ``tokenize=True``, full
+(seq_id, input_ids) training shards — over the shuffled survivors when a
+token budget is given.
 
 Every stage is individually oracle/pytest-pinned (see COVERAGE.md); this
 module adds the glue a user would otherwise rewrite, and an audit dict
