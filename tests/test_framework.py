@@ -163,3 +163,40 @@ def test_jdbc_truncate_reverse_fk_order(spark, tmp_path):
             url=url, dbtable=t, driver=DERBY_DRIVER
         ).load()
         assert got.count() == 0, t
+
+
+def test_curate_from_config(spark, tmp_path):
+    import json
+
+    from xdump_spark.config import curate_from_config, load_curate_config
+
+    out = str(tmp_path / "corpus")
+    shards = str(tmp_path / "shards")
+    cfg = {
+        "input": "/root/testdata/sf0.001/documents.parquet",
+        "output": out,
+        "span_k": 8,
+        "sample_rates": {"en": 1.0},
+        "pack_budget": 256,
+        "tokenize": True,
+        "shards_out": shards,
+        "partition_by": ["source"],
+    }
+    p = str(tmp_path / "curate.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    res = curate_from_config(spark, p)
+    assert res.audit["input"] == 500
+    written = spark.read.parquet(out)
+    assert written.count() == res.audit["sampled"]  # last dropping stage
+    assert written.count() > 0
+    assert spark.read.parquet(shards).count() > 0
+
+    # unknown keys are a config error, not silence
+    bad = dict(cfg, typo_key=1)
+    with open(p, "w") as f:
+        json.dump(bad, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="typo_key"):
+        load_curate_config(p)

@@ -57,3 +57,70 @@ def dump_from_config(spark: SparkSession, path: str) -> dict[str, int]:
         # incremental: export only rows newer than the prior archive
         return engine.dump_incremental(cfg["output"], since=cfg["since"], **kwargs)
     return engine.dump(cfg["output"], **kwargs)
+
+
+_CURATE_KEYS = {
+    "input", "output", "text_col", "id_col", "markup", "line_filter",
+    "line_dedup", "span_k", "min_tokens", "gopher", "sample_rates",
+    "strata_col", "benchmark", "shuffle_seed", "pack_budget", "tokenize",
+    "vocab_size", "partition_by", "overwrite", "shards_out",
+}
+
+
+def load_curate_config(path: str) -> dict:
+    with open(path) as f:
+        cfg = json.load(f)
+    for key in ("input", "output"):
+        if key not in cfg:
+            raise ValueError(f"curate config missing required key {key!r}")
+    unknown = set(cfg) - _CURATE_KEYS
+    if unknown:
+        raise ValueError(f"unknown curate config keys: {sorted(unknown)}")
+    return cfg
+
+
+def curate_from_config(spark: SparkSession, path: str):
+    """Run corpus preparation as described by a JSON config file — the
+    settings-driven invocation mode (same shape as ``dump_from_config``),
+    so a scheduled pipeline run carries its full stage configuration in
+    one reviewable artifact instead of a flag soup:
+
+        {
+          "input": "raw_docs.parquet", "output": "/data/corpus",
+          "markup": true, "line_dedup": true, "span_k": 8,
+          "sample_rates": {"en": 0.5}, "pack_budget": 4096,
+          "tokenize": true, "shards_out": "/data/shards"
+        }
+
+    Returns the :class:`~xdump_spark.pipeline.CorpusResult`.
+    """
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    cfg = load_curate_config(path)
+    mode = "overwrite" if cfg.get("overwrite") else "errorifexists"
+    res = prepare_training_corpus(
+        spark.read.parquet(cfg["input"]),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        markup=cfg.get("markup", False),
+        line_filter=cfg.get("line_filter", False),
+        line_dedup=cfg.get("line_dedup", False),
+        span_k=cfg.get("span_k", 8) or None,
+        min_tokens=cfg.get("min_tokens", 5),
+        gopher=cfg.get("gopher", False),
+        sample_rates=cfg.get("sample_rates"),
+        strata_col=cfg.get("strata_col", "lang"),
+        benchmark=(
+            spark.read.parquet(cfg["benchmark"]) if cfg.get("benchmark") else None
+        ),
+        shuffle_seed=cfg.get("shuffle_seed", 0),
+        pack_budget=cfg.get("pack_budget"),
+        tokenize=cfg.get("tokenize", False),
+        vocab_size=cfg.get("vocab_size", 65_536),
+        out_dir=cfg["output"],
+        partition_by=tuple(cfg.get("partition_by", ())),
+        out_mode=mode,
+    )
+    if res.sequences is not None and cfg.get("shards_out"):
+        res.sequences.write.mode(mode).parquet(cfg["shards_out"])
+    return res
