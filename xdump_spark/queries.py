@@ -1701,7 +1701,7 @@ from xdump_spark.operators import curation as CU  # noqa: E402
 _CURATION_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3, "zh": 0.2, "es": 0.2}
 _CURATION_CAP = 10
 
-_CURATION_SQL = """
+_CURATION_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
 ),
@@ -1797,7 +1797,7 @@ def curation_doc_signals(spark, sf_dir):
 
 @query(
     "corpus_mixture",
-    """
+    r"""
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
