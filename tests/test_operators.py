@@ -613,6 +613,40 @@ def test_semantic_dedup_end_to_end(spark):
     }
 
 
+def test_fuzzy_dedup_end_to_end(spark):
+    """MinHash-LSH fuzzy-dedup composition: near-identical texts cluster
+    transitively, one survivor per cluster, distinct docs survive."""
+    from xdump_spark.operators.components import fuzzy_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under the pale autumn moon and nobody notices the rain"
+    )
+    rows = [
+        (1, base),
+        (2, base + " at all"),            # near-dup of 1
+        (3, base.replace("autumn", "winter")),  # near-dup of 1
+        (10, "completely different text about spark physical plans and "
+             "shuffle exchanges broadcast joins and adaptive query execution "
+             "at terabyte scale with partition pruning"),
+        (11, "completely different text about spark physical plans and "
+             "shuffle exchanges broadcast joins and adaptive query execution "
+             "at petabyte scale with partition pruning"),  # near-dup of 10
+        (99, "an entirely unrelated short note on sourdough starters and "
+             "the hydration ratio of rye flour in cold kitchens overnight"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.vertex: (r.component, r.is_survivor)
+        for r in fuzzy_dedup(corpus, threshold=0.7, verify="exact").collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        99: (99, True),
+    }
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Random graphs vs a trivially-correct python union-find."""
     import random

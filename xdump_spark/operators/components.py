@@ -113,6 +113,47 @@ def dedup_survivors(
     )
 
 
+def fuzzy_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """MinHash-LSH fuzzy deduplication, end to end — the standard
+    near-dup pipeline of large-corpus preparation (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4.1;
+    the same composition GPT-3/The Pile/RefinedWeb describe): shingle →
+    MinHash signatures → banded LSH candidate pairs → transitive
+    clusters → one survivor per cluster.
+
+    Composition of the toolkit's scale-safe pieces — banded candidate
+    generation with hot-bucket guards (dedup.minhash_lsh_pairs; tune
+    num_perm/bands/shingle_k/verify through ``minhash_kwargs``),
+    connected components (hash-to-min + pointer jumping, O(log
+    diameter) rounds), min-id survivors — so it inherits each stage's
+    100 TB posture: no all-pairs path, edges never grow, per-round
+    state is one (vertex, label) frame.
+
+    Returns (vertex, component, is_survivor) covering EVERY input id;
+    filter ``is_survivor`` to materialize the deduplicated corpus, or
+    join back on ``vertex`` to audit what each dropped doc duplicated.
+    """
+    from xdump_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        corpus, text_col=text_col, id_col=id_col, threshold=threshold, **minhash_kwargs
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=corpus,
+        vertex_col=id_col,
+    )
+    return comp.withColumn(
+        "is_survivor", F.col("vertex") == F.col("component")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
