@@ -474,3 +474,71 @@ def test_gopher_filter_overrides_and_plan(spark):
     assert relaxed.kept, relaxed.drop_reasons
     plan = gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------------ mixture_resample ----
+def test_mixture_resample_hits_target_shares(spark):
+    from xdump_spark.operators.curation import mixture_resample
+
+    # web 6000, code 3000, books 1000
+    base = (
+        spark.range(10000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("some sample words here").alias("text"),
+            F.when(F.col("id") < 6000, "web")
+            .when(F.col("id") < 9000, "code")
+            .otherwise("books")
+            .alias("source"),
+        )
+    )
+    target = {"web": 0.5, "code": 0.3, "books": 0.2}
+    sampled, rates = mixture_resample(base, target)
+    # books is binding: current share 0.1 vs target 0.2 → c = 0.5, books keeps all
+    assert rates["books"] == 1.0
+    assert rates["web"] == pytest.approx(0.5 * 0.5 / 0.6, abs=1e-9)
+    assert rates["code"] == pytest.approx(0.5 * 0.3 / 0.3, abs=1e-9)
+    got = {r["source"]: r["n"] for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    for s, share in target.items():
+        assert got[s] / total == pytest.approx(share, abs=0.03)
+    # determinism across runs
+    again, _ = mixture_resample(base, target)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in sampled.collect()}
+
+
+def test_mixture_resample_strict_and_renormalize(spark):
+    from xdump_spark.operators.curation import mixture_resample
+
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.when(F.col("id") < 50, "a").otherwise("b").alias("source"),
+    )
+    with pytest.raises(ValueError, match="missing from corpus"):
+        mixture_resample(base, {"a": 0.5, "zz": 0.5})
+    # renormalized: zz ignored, a takes its full weight; b (no target) drops
+    sampled, rates = mixture_resample(base, {"a": 0.5, "zz": 0.5}, strict=False)
+    assert set(rates) == {"a"} and rates["a"] == 1.0
+    assert {r.source for r in sampled.select("source").distinct().collect()} == {"a"}
+    assert sampled.count() == 50
+
+
+def test_mixture_resample_by_tokens(spark):
+    from xdump_spark.operators.curation import mixture_resample
+
+    # a-docs are 4x longer: token shares a=0.8, b=0.2 at equal doc counts
+    base = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "w w w w w w w w").otherwise("w w").alias("text"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    sampled, rates = mixture_resample(base, {"a": 0.5, "b": 0.5}, by_tokens=True)
+    assert rates["b"] == 1.0 and rates["a"] == pytest.approx(0.25, abs=1e-9)
+    toks = (
+        sampled.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t"))
+        .collect()
+    )
+    got = {r.source: r.t for r in toks}
+    assert got["a"] / (got["a"] + got["b"]) == pytest.approx(0.5, abs=0.05)

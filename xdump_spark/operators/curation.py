@@ -751,6 +751,87 @@ def fk_orphans(catalog) -> DataFrame:
 # --------------------------------------------------------------------------
 # mixture statistics
 # --------------------------------------------------------------------------
+def mixture_resample(
+    df: DataFrame,
+    target: dict[str, float],
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by_tokens: bool = False,
+    strict: bool = True,
+    hex_digits: int = 6,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample the corpus so its per-source composition matches
+    ``target`` (shares summing to 1) — the mixture-rebalancing stage
+    between curation and tokenization (the "sampling weights" knob of
+    Pile/ROOTS/DoReMi-style recipes, applied as a materialized
+    downsample rather than a loader-side reweight).
+
+    Downsample-only: the keep-rate for source ``s`` is
+    ``min(1, c · target_s / current_s)`` with ``c`` chosen as the
+    LARGEST scale at which no source needs upsampling
+    (``c = min_s current_s / target_s``). The binding source keeps rate
+    1.0 and every other source is trimmed to match — the biggest corpus
+    whose expected composition is exactly ``target``. Sources with
+    target share 0 (or absent from ``target``) drop entirely.
+
+    ``by_tokens`` measures shares in whitespace tokens instead of doc
+    counts (rates still apply per document, so the match is exact in
+    expectation under within-source length homogeneity — the standard
+    approximation; re-run mixture_stats on the output to audit).
+
+    ``strict`` raises when a target source is missing from the corpus
+    (its share is unachievable); ``strict=False`` renormalizes the
+    target over the present sources instead.
+
+    Returns ``(sampled_df, rates)`` — the survivors plus the per-source
+    keep-rates actually applied, for the pipeline audit/data card.
+
+    Scale: one map-side-combined groupBy on the source key (|sources|
+    rows to the driver — mixture cardinality, not corpus), then the
+    same zero-shuffle deterministic md5-bucket filter as
+    stratified_sample: restart-reproducible on any cluster at any
+    partitioning, no rand(), no state.
+    """
+    total = sum(target.values())
+    if total <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    tgt = {s: w / total for s, w in target.items() if w > 0}
+
+    weight = (
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        if by_tokens
+        else F.count("*")
+    )
+    current = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(part_col).alias("s")).agg(weight.alias("w")).collect()
+    }
+    missing = sorted(set(tgt) - set(current))
+    if missing:
+        if strict:
+            raise ValueError(
+                f"target sources missing from corpus: {missing}; "
+                "pass strict=False to renormalize over present sources"
+            )
+        tgt = {s: w for s, w in tgt.items() if s in current}
+        renorm = sum(tgt.values())
+        if renorm <= 0:
+            raise ValueError("no target source present in the corpus")
+        tgt = {s: w / renorm for s, w in tgt.items()}
+
+    grand = sum(current.values())
+    if grand <= 0:
+        return df.limit(0), {}
+    # largest c with every rate <= 1
+    c = min(current[s] / grand / w for s, w in tgt.items())
+    rates = {s: min(1.0, c * w / (current[s] / grand)) for s, w in tgt.items()}
+    sampled = stratified_sample(
+        df, rates, strata_col=part_col, id_col=id_col, hex_digits=hex_digits
+    ).drop("sample_bucket")
+    return sampled, rates
+
+
 def mixture_stats(df: DataFrame, part_col: str = "source", text_col: str = "text") -> DataFrame:
     """Per-source corpus composition: (source, n_docs, n_tokens,
     token_share) — the inputs to mixture weighting (how much of each
