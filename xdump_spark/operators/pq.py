@@ -1,0 +1,312 @@
+"""Product quantization (PQ) for embedding columns: compressed ANN.
+
+Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search":
+split each d-dim vector into ``m`` subvectors, k-means each subspace to
+``k`` centroids, and store a vector as m one-byte-ish codes. At dim 64 /
+float32 that is 256 bytes → m bytes per vector (32× at m=8) — the
+difference between an embedding corpus that fits in cluster memory and
+one that doesn't. Search uses asymmetric distance computation (ADC): the
+query stays exact, each corpus vector is scored from a per-query (m × k)
+lookup table of subspace dot products.
+
+Division of labor at 100 TB (same posture as ivf_build/ivf_search):
+
+* TRAIN: driver-side numpy k-means on a DETERMINISTIC md5-bucket-capped
+  sample — codebooks need thousands of vectors, not the corpus; fixed
+  stride init + fixed Lloyd rounds mean a re-run fits the identical
+  codebook. The codebook is plain data (JSON round-trip) and ~m·k·dsub
+  floats — broadcast-trivial.
+* ENCODE: one Arrow-batched pass (mapInPandas), each batch one numpy
+  distance computation per subspace — narrow, no shuffle; write the
+  codes once, scan them forever.
+* SEARCH: the per-query ADC tables are built driver-side from the tiny
+  codebook, then each CODES partition is scored with numpy table
+  lookups and reduced to a per-query local top-k BEFORE the exchange —
+  the shuffle carries n_partitions × n_q × k tiny rows, exactly the
+  cosine_topk discipline, but each corpus row read is m bytes, not the
+  raw vector.
+
+Vectors are L2-normalized at train/encode/search time, so the ADC score
+approximates COSINE similarity and results are comparable with
+cosine_topk (the recall oracle in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from xdump_spark.operators.similarity import (
+    _collect_queries,
+    _id_type,
+    _matrix,
+    _norms,
+)
+
+
+@dataclass(frozen=True)
+class PQCodebook:
+    """Per-subspace centroids: ``centroids[s]`` is (k × dsub) for
+    subspace ``s``; dim == m · dsub. Plain-data serializable."""
+
+    dim: int
+    m: int
+    k: int
+    centroids: tuple  # tuple of m (k × dsub) float tuples
+
+    def matrices(self) -> list[np.ndarray]:
+        return [np.asarray(c, dtype=np.float64) for c in self.centroids]
+
+    def to_dict(self) -> dict:
+        return {
+            "dim": self.dim,
+            "m": self.m,
+            "k": self.k,
+            "centroids": [np.asarray(c).tolist() for c in self.centroids],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PQCodebook":
+        return cls(
+            dim=int(d["dim"]),
+            m=int(d["m"]),
+            k=int(d["k"]),
+            centroids=tuple(
+                tuple(tuple(float(x) for x in row) for row in c) for c in d["centroids"]
+            ),
+        )
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    n = _norms(M)
+    n[n == 0] = 1.0
+    return M / n[:, None]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    iters: int = 20,
+) -> PQCodebook:
+    """Fit the m-subspace codebook on a deterministic sample.
+
+    Init is stride-based over the sample sorted by id (no RNG): a re-run
+    on the same corpus fits bit-identical centroids. Lloyd runs a fixed
+    ``iters`` rounds; a cluster that empties keeps its previous centroid
+    (standard small-sample guard).
+    """
+    sel = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n_total = sel.count()
+    if n_total == 0:
+        raise ValueError("cannot train a PQ codebook on an empty corpus")
+    if n_total > max_rows:
+        from xdump_spark.operators.curation import _hex_threshold
+
+        thr = _hex_threshold(max_rows / n_total, 6)
+        sel = sel.filter(
+            F.substring(F.md5(F.col("_id").cast("string")), 1, 6) < F.lit(thr)
+        )
+    pdf = sel.orderBy("_id").toPandas()
+    X = _normalize_rows(_matrix(pdf["_v"]))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    kk = min(k, X.shape[0])
+    dsub = dim // m
+    cents = []
+    for s in range(m):
+        Z = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic stride init over the id-sorted sample
+        idx = (np.arange(kk) * Z.shape[0]) // kk
+        C = Z[idx].copy()
+        for _ in range(iters):
+            # nearest centroid per point (squared L2)
+            d2 = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Z[mask].mean(axis=0)
+        cents.append(tuple(tuple(float(x) for x in row) for row in C))
+    return PQCodebook(dim=dim, m=m, k=kk, centroids=tuple(cents))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>) — each vector compressed to m codes.
+
+    One Arrow-batched narrow pass; per batch, each subspace is one
+    (batch × k) distance computation. No shuffle — encode where the
+    vectors already live, persist the codes, drop the floats.
+    """
+    m, dsub = codebook.m, codebook.dim // codebook.m
+    cents = codebook.matrices()
+    out_schema = f"{id_col} {_id_type(corpus, id_col)}, codes array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _normalize_rows(_matrix(pdf[vec_col]))
+            if X.shape[1] != codebook.dim:
+                raise ValueError(
+                    f"vector dim {X.shape[1]} != codebook dim {codebook.dim}"
+                )
+            codes = np.empty((X.shape[0], m), dtype=np.int16)
+            for s in range(m):
+                Z = X[:, s * dsub : (s + 1) * dsub]
+                C = cents[s]
+                # argmin ||z-c||² == argmax (z·c − ½||c||²)
+                scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
+                codes[:, s] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via ADC over the code table.
+
+    Returns (query_id, neighbor_id, pq_sim, rn) — ``pq_sim`` is the ADC
+    approximation of cosine (exact query × quantized corpus). Same
+    pre-shuffle local-top-k plan shape as cosine_topk; the corpus side
+    reads m smallints per row instead of the raw vector.
+    """
+    qids, Q, _qn = _collect_queries(queries, id_col, vec_col)
+    m, dsub = codebook.m, codebook.dim // codebook.m
+    cents = codebook.matrices()
+    out_schema = (
+        f"query_id {_id_type(queries, id_col)}, "
+        f"neighbor_id {_id_type(codes, id_col)}, pq_sim double"
+    )
+    spark = codes.sparkSession
+    if not qids:
+        empty = spark.createDataFrame([], out_schema)
+        return _finish_pq_topk(empty, k)
+    Qn = _normalize_rows(Q)
+    # ADC tables: T[q, s, c] = <q_sub, centroid_c>; cosine ≈ Σ_s T[q, s, code_s]
+    T = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ cents[s].T for s in range(m)], axis=1
+    )  # (n_q, m, k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_mat = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            nid = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                s = np.round(
+                    T[j, np.arange(m)[None, :], codes_mat].sum(axis=1), round_to
+                )
+                sj = np.where(nid == qid, -np.inf, s)
+                order = np.lexsort((nid, -sj))[:k]
+                keep = order[np.isfinite(sj[order])]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(nid[keep])
+                out_s.extend(sj[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "pq_sim": out_s}
+                )
+
+    scored = codes.select(id_col, "codes").mapInPandas(score, out_schema)
+    return _finish_pq_topk(scored, k)
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the standard accuracy recovery
+    (IVFADC+R family): ADC over the code table retrieves ``rerank``
+    candidates per query, then ONLY those n_q × rerank rows are rescored
+    against their raw vectors with exact cosine. The full corpus is still
+    read as m-byte codes; the float vectors are touched for the
+    candidate sliver via a broadcast-hash semi-join on the id. Returns
+    (query_id, neighbor_id, cosine_sim, rn) — exact scores, directly
+    comparable with cosine_topk.
+    """
+    qids, Q, qn = _collect_queries(queries, id_col, vec_col)
+    if not qids:
+        empty = corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {_id_type(queries, id_col)}, "
+            f"neighbor_id {_id_type(corpus, id_col)}, cosine_sim double",
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+        return (
+            empty.withColumn("rn", F.row_number().over(w))
+            .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+        )
+    shortlist = pq_topk(
+        codes, codebook, queries, k=max(k, rerank),
+        id_col=id_col, vec_col=vec_col, round_to=round_to,
+    ).select("query_id", "neighbor_id")
+    qmap = {qid: (Q[j], qn[j]) for j, qid in enumerate(qids)}
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+
+    @pandas_udf("double")
+    def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
+        N = _matrix(nv)
+        nn = _norms(N)
+        nn[nn == 0] = 1.0
+        out = np.empty(len(qid_s))
+        for i, qid in enumerate(qid_s):
+            qv, qnorm = qmap[qid]
+            out[i] = N[i] @ qv / (nn[i] * (qnorm or 1.0))
+        return pd.Series(np.round(out, round_to))
+
+    scored = cand.select(
+        "query_id", "neighbor_id", exact_cos("query_id", "_nv").alias("cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _finish_pq_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "pq_sim", F.col("rn").cast("int").alias("rn"))
+    )
