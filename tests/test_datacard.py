@@ -1,0 +1,87 @@
+"""Data-card tests (operators/datacard.py + the datacard CLI
+subcommand): exact totals/shares on a crafted corpus, DuckDB
+cross-check on real testdata, graceful section skipping."""
+
+import json
+
+import duckdb
+import pytest
+
+from xdump_spark.operators.datacard import data_card
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "one two three four", "en", "web"),
+        (2, "five six", "en", "web"),
+        (3, "sept huit neuf", "fr", "books"),
+        (4, "zehn", "de", "books"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_data_card_exact_values(spark, corpus):
+    card = data_card(corpus)
+    assert card["n_docs"] == 4
+    assert card["n_tokens"] == 10
+    assert card["n_chars"] == sum(len(t) for t in
+                                  ("one two three four", "five six", "sept huit neuf", "zehn"))
+    src = {s["source"]: s for s in card["sources"]}
+    assert src["web"]["n_docs"] == 2 and src["web"]["n_tokens"] == 6
+    assert src["books"]["n_tokens"] == 4
+    assert src["web"]["token_share"] == pytest.approx(0.6, abs=1e-6)
+    langs = {l["lang"]: l for l in card["languages"]}
+    assert langs["en"]["n_docs"] == 2 and langs["en"]["doc_share"] == 0.5
+    # signal stats exist for every feature, with the quantile metrics
+    assert set(card["signals"]) >= {"n_tokens", "ttr", "punct_ratio"}
+    assert {"mean", "p10", "p50", "p90"} <= set(card["signals"]["n_tokens"])
+    assert card["signals"]["n_tokens"]["mean"] == pytest.approx(2.5)
+    # plain data: must serialize
+    json.dumps(card)
+
+
+def test_data_card_skips_absent_sections(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    card = data_card(docs)
+    assert "sources" not in card and "languages" not in card
+    assert card["n_docs"] == 1 and card["n_tokens"] == 3
+    with pytest.raises(ValueError, match="not in corpus"):
+        data_card(docs, text_col="missing")
+
+
+def test_data_card_real_testdata_vs_duckdb(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = data_card(docs)
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    n_docs, n_tokens, n_chars, n_langs, n_sources = con.execute(
+        r"""select count(*),
+                  sum(len(regexp_split_to_array(trim(text), '\s+'))),
+                  sum(length(text)),
+                  count(distinct lang), count(distinct source)
+           from documents"""
+    ).fetchone()
+    assert card["n_docs"] == n_docs
+    assert card["n_tokens"] == n_tokens
+    assert card["n_chars"] == n_chars
+    assert len(card["languages"]) == n_langs
+    assert len(card["sources"]) == n_sources
+    assert sum(s["n_docs"] for s in card["sources"]) == n_docs
+    share_sum = sum(s["token_share"] for s in card["sources"])
+    assert share_sum == pytest.approx(1.0, abs=1e-3)
+
+
+def test_datacard_cli(spark, tmp_path):
+    from xdump_spark.cli import build_parser, run
+
+    out = tmp_path / "card.json"
+    args = build_parser().parse_args(
+        ["datacard", "-i", "/root/testdata/sf0.001/documents.parquet", "-o", str(out)]
+    )
+    assert run(args, spark) == 0
+    card = json.loads(out.read_text())
+    assert card["n_docs"] == 500 and "sources" in card

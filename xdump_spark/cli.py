@@ -202,6 +202,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--overwrite", action="store_true",
         help="replace existing output directories instead of failing",
     )
+
+    dc = sub.add_parser(
+        "datacard",
+        help="emit a corpus data card (composition/quality datasheet) as JSON",
+    )
+    dc.add_argument("-i", "--input", required=True, help="documents parquet path")
+    dc.add_argument(
+        "-o", "--output", default=None,
+        help="write the JSON card here (default: stdout)",
+    )
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--source-col", default="source")
+    dc.add_argument("--lang-col", default="lang")
     return p
 
 
@@ -279,6 +293,25 @@ def run(args, spark) -> int:
             res.sequences.write.mode(mode).parquet(args.shards_out)
             print(f"wrote sequences to {args.shards_out}")
         print(f"wrote {args.output}")
+    elif args.command == "datacard":
+        import json
+
+        from xdump_spark.operators.datacard import data_card
+
+        card = data_card(
+            spark.read.parquet(args.input),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            source_col=args.source_col,
+            lang_col=args.lang_col,
+        )
+        payload = json.dumps(card, indent=2, sort_keys=True)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(payload + "\n")
+            print(f"wrote {args.output}")
+        else:
+            print(payload)
     else:
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
         loaded = engine.load(args.input)

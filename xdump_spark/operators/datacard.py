@@ -1,0 +1,105 @@
+"""Data card: the corpus datasheet as one JSON-safe dict.
+
+"Datasheets for Datasets" (Gebru et al. 2021) / the model-card appendix
+every LLM release ships: what's in the corpus, from where, in which
+languages, and what the quality signals look like. (The reference
+engine's nearest analog is its dump manifest of table row counts,
+xdump/base.py:128-142; this is the corpus-level generalization.)
+
+Composition of existing single-pass pieces, so the whole card costs
+THREE corpus passes regardless of corpus size — each one a single
+map-side-combined aggregation whose result is sources/langs/metrics-
+sized, never corpus-sized:
+
+1. quality_feature_frame → profile_table: every quality/repetition
+   signal's count/mean/stddev/min/max + requested quantiles in ONE
+   fused aggregation (GK sketches keep quantiles in the same pass);
+2. mixture_stats: per-source doc/token counts and token shares;
+3. the language distribution groupBy.
+
+The returned dict is plain data (json.dumps-able) — the artifact a
+pipeline run attaches next to its output corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.classifier import QUALITY_FEATURES, quality_feature_frame
+from xdump_spark.operators.curation import mixture_stats
+from xdump_spark.operators.profile import profile_table
+
+
+def data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    lang_col: str | None = "lang",
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> dict:
+    """Build the corpus data card.
+
+    ``source_col``/``lang_col`` sections are skipped (not errored) when
+    the column is absent or the argument is None — crawl snapshots
+    before language-ID have no lang column, and the card should still
+    render.
+    """
+    cols = set(docs.columns)
+    for required in (text_col, id_col):
+        if required not in cols:
+            raise ValueError(f"column {required!r} not in corpus")
+
+    feats = quality_feature_frame(docs, text_col=text_col, id_col=id_col)
+    prof = profile_table(
+        feats, columns=list(QUALITY_FEATURES), quantiles=quantiles
+    ).collect()
+    signals: dict[str, dict[str, float]] = {}
+    n_docs = 0
+    for r in prof:
+        signals.setdefault(r["column"], {})[r["metric"]] = (
+            None if r["value"] is None else float(r["value"])
+        )
+        if r["column"] == "n_tokens" and r["metric"] == "count":
+            n_docs = int(r["value"])
+    # totals derivable from the same pass: Σ tokens = mean·count
+    n_tokens = int(round((signals["n_tokens"]["mean"] or 0) * n_docs))
+    n_chars = int(round((signals["n_chars"]["mean"] or 0) * n_docs))
+
+    card: dict = {
+        "n_docs": n_docs,
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "signals": signals,
+    }
+
+    if source_col and source_col in cols:
+        card["sources"] = [
+            {
+                "source": r[source_col],
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "token_share": float(r["token_share"]),
+            }
+            for r in mixture_stats(docs, part_col=source_col, text_col=text_col)
+            .orderBy(F.desc("n_tokens"), source_col)
+            .collect()
+        ]
+    if lang_col and lang_col in cols:
+        per = (
+            docs.groupBy(lang_col)
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), lang_col)
+            .collect()
+        )
+        total = sum(r["n_docs"] for r in per) or 1
+        card["languages"] = [
+            {
+                "lang": r[lang_col],
+                "n_docs": int(r["n_docs"]),
+                "doc_share": round(r["n_docs"] / total, 6),
+            }
+            for r in per
+        ]
+    return card
