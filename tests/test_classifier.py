@@ -146,3 +146,34 @@ def test_fit_caps_sample_deterministically(spark):
     m1 = fit_linear_classifier(big, max_rows=500)
     m2 = fit_linear_classifier(big, max_rows=500)
     assert m1 == m2
+
+
+def test_filter_on_score_not_pushed_into_signal_tree(spark):
+    """Regression (round 4): filter(quality_score >= x) above the scoring
+    projection must NOT be substituted below it — pushdown re-inlines the
+    pinned token array into every per-element lambda of the predicate
+    (measured 50× at 500 docs, unbounded at scale). The barrier keeps the
+    Filter's condition a plain attribute reference."""
+    from xdump_spark.operators.cleaning import normalize_text, redact_pii
+    from xdump_spark.operators.classifier import with_quality_score
+    from xdump_spark.operators.curation import gopher_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chain = redact_pii(normalize_text(docs))
+    m = LinearModel(
+        features=QUALITY_FEATURES,
+        weights=tuple([0.3] * len(QUALITY_FEATURES)),
+        bias=-0.1,
+        mean=tuple([0.5] * len(QUALITY_FEATURES)),
+        std=tuple([1.0] * len(QUALITY_FEATURES)),
+    )
+    for gated in (
+        with_quality_score(chain, m).filter("quality_score >= 0.5"),
+        gopher_filter(chain).filter("kept"),
+    ):
+        plan = gated._jdf.queryExecution().optimizedPlan().toString()
+        filter_lines = [l for l in plan.splitlines() if l.lstrip().startswith(("Filter", "+- Filter", ":- Filter"))]
+        assert filter_lines, plan[:500]
+        # the predicate must reference the derived column, not its
+        # inlined definition (lambda machinery = the blowup signature)
+        assert all("lambdafunction" not in l for l in filter_lines), filter_lines

@@ -159,3 +159,89 @@ def test_pipeline_gopher_stage(spark):
     assert "gopher_gated" in res.audit
     assert res.audit["gopher_gated"] <= res.audit["quality_gated"]
     assert "drop_reasons" not in res.corpus.columns and "kept" not in res.corpus.columns
+
+
+def test_pipeline_classifier_mixture_and_card(spark, docs, tmp_path):
+    """The round-4 selection stages composed: classifier gate ->
+    mixture rebalance -> data card, with the audit recording each."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.classifier import (
+        fit_linear_classifier,
+        quality_feature_frame,
+    )
+
+    # weak labels from the corpus's own median TTR (both classes present)
+    feats = quality_feature_frame(docs)
+    med = feats.approxQuantile("ttr", [0.5], 0.0)[0]
+    labeled = feats.withColumn("label", (F.col("ttr") > med).cast("int"))
+    model = fit_linear_classifier(labeled)
+
+    present = [r.source for r in docs.select("source").distinct().collect()]
+    target = {s: 1.0 / len(present) for s in present}
+
+    res = prepare_training_corpus(
+        docs,
+        span_k=None,
+        min_tokens=1,
+        quality_model=model,
+        quality_score_min=0.5,
+        target_mixture=target,
+        make_card=True,
+        out_dir=str(tmp_path / "corpus"),
+    )
+    assert "classifier_gated" in res.audit and "mixture_rebalanced" in res.audit
+    assert 0 < res.audit["classifier_gated"] < res.audit["input"]
+    assert res.audit["mixture_rebalanced"] <= res.audit["classifier_gated"]
+    # rates cover every surviving source; at least one source is binding
+    assert res.mixture_rates and max(res.mixture_rates.values()) == 1.0
+    assert all(0 < r <= 1.0 for r in res.mixture_rates.values())
+    # the card describes the OUTPUT corpus and is JSON-serializable
+    assert res.card["n_docs"] == res.audit["mixture_rebalanced"]
+    json.dumps(res.card)
+    # classifier gate actually selects high-TTR docs
+    kept = res.corpus.join(labeled.select("doc_id", "label"), "doc_id")
+    frac_pos = kept.filter("label = 1").count() / kept.count()
+    assert frac_pos > 0.8
+
+
+def test_curate_cli_quality_and_mixture_flags(spark, tmp_path):
+    """CLI round-trip: --quality-model + --mixture + --card-out."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.cli import build_parser, run
+    from xdump_spark.operators.classifier import (
+        fit_linear_classifier,
+        quality_feature_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = quality_feature_frame(docs)
+    med = feats.approxQuantile("ttr", [0.5], 0.0)[0]
+    model = fit_linear_classifier(
+        feats.withColumn("label", (F.col("ttr") > med).cast("int"))
+    )
+    model_path = tmp_path / "model.json"
+    model_path.write_text(json.dumps(model.to_dict()))
+
+    src = [r.source for r in docs.select("source").distinct().limit(3).collect()]
+    card_path = tmp_path / "card.json"
+    args = build_parser().parse_args(
+        [
+            "curate", "-i", f"{SF}/documents.parquet", "-o", str(tmp_path / "corpus"),
+            "--span-k", "0", "--min-tokens", "1",
+            "--quality-model", str(model_path), "--quality-min", "0.5",
+            "--mixture", f"{src[0]}=0.4", "--mixture", f"{src[1]}=0.3",
+            "--mixture", f"{src[2]}=0.3",
+            "--card-out", str(card_path),
+        ]
+    )
+    assert run(args, spark) == 0
+    card = json.loads(card_path.read_text())
+    assert set(s["source"] for s in card["sources"]) <= set(src)
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert out.count() == card["n_docs"] > 0

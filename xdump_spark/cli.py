@@ -178,6 +178,22 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="LANG=RATE", help="per-stratum deterministic rate (repeatable)",
     )
     c.add_argument(
+        "--quality-model", default=None, metavar="MODEL_JSON",
+        help="LinearModel JSON (classifier.fit_linear_classifier output); "
+        "docs scoring below --quality-min are dropped",
+    )
+    c.add_argument("--quality-min", type=float, default=0.5)
+    c.add_argument(
+        "--mixture", action="append", default=[], type=parse_sample_rate,
+        metavar="SOURCE=SHARE",
+        help="target mixture share per source (repeatable); the corpus is "
+        "downsampled so its composition matches (curation.mixture_resample)",
+    )
+    c.add_argument(
+        "--card-out", default=None, metavar="CARD_JSON",
+        help="write the output corpus's data card JSON here",
+    )
+    c.add_argument(
         "--benchmark", default=None,
         help="parquet of eval docs; overlapping corpus docs are dropped",
     )
@@ -267,6 +283,11 @@ def run(args, spark) -> int:
 
         docs = spark.read.parquet(args.input)
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        quality_model = None
+        if args.quality_model:
+            from xdump_spark.config import _load_quality_model
+
+            quality_model = _load_quality_model(args.quality_model)
         res = prepare_training_corpus(
             docs,
             text_col=args.text_col,
@@ -277,7 +298,10 @@ def run(args, spark) -> int:
             span_k=args.span_k or None,
             min_tokens=args.min_tokens,
             gopher=args.gopher,
+            quality_model=quality_model,
+            quality_score_min=args.quality_min,
             sample_rates=dict(args.sample) or None,
+            target_mixture=dict(args.mixture) or None,
             benchmark=benchmark,
             shuffle_seed=args.seed,
             pack_budget=args.pack_budget,
@@ -285,9 +309,18 @@ def run(args, spark) -> int:
             out_dir=args.output,
             partition_by=tuple(args.partition_by),
             out_mode="overwrite" if args.overwrite else "errorifexists",
+            make_card=bool(args.card_out),
         )
         for stage, n in res.audit.items():
             print(f"{stage}: {n} docs")
+        if res.mixture_rates is not None:
+            print(f"mixture rates: {res.mixture_rates}")
+        if args.card_out:
+            import json
+
+            with open(args.card_out, "w") as fh:
+                json.dump(res.card, fh, indent=2, sort_keys=True)
+            print(f"wrote data card to {args.card_out}")
         if res.sequences is not None and args.shards_out:
             mode = "overwrite" if args.overwrite else "errorifexists"
             res.sequences.write.mode(mode).parquet(args.shards_out)

@@ -79,6 +79,14 @@ def load_curate_config(path: str) -> dict:
     return cfg
 
 
+def _load_quality_model(path: str):
+    """A LinearModel JSON file (classifier.LinearModel.to_dict) → model."""
+    from xdump_spark.operators.classifier import LinearModel
+
+    with open(path) as fh:
+        return LinearModel.from_dict(json.load(fh))
+
+
 def curate_from_config(spark: SparkSession, path: str):
     """Run corpus preparation as described by a JSON config file — the
     settings-driven invocation mode (same shape as ``dump_from_config``),
@@ -108,8 +116,16 @@ def curate_from_config(spark: SparkSession, path: str):
         span_k=cfg.get("span_k", 8) or None,
         min_tokens=cfg.get("min_tokens", 5),
         gopher=cfg.get("gopher", False),
+        quality_model=(
+            _load_quality_model(cfg["quality_model"])
+            if cfg.get("quality_model")
+            else None
+        ),
+        quality_score_min=cfg.get("quality_score_min", 0.5),
         sample_rates=cfg.get("sample_rates"),
         strata_col=cfg.get("strata_col", "lang"),
+        target_mixture=cfg.get("target_mixture"),
+        mixture_col=cfg.get("mixture_col", "source"),
         benchmark=(
             spark.read.parquet(cfg["benchmark"]) if cfg.get("benchmark") else None
         ),

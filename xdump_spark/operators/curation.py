@@ -376,9 +376,15 @@ def gopher_filter(
         ),
         lambda x: x.isNotNull(),
     )
+    from xdump_spark.operators.sizing import pushdown_barrier
+
     return (
         sig.withColumn("drop_reasons", reasons)
-        .withColumn("kept", F.size("drop_reasons") == 0)
+        # barrier: the caller's filter("kept") must stay ABOVE this
+        # projection — pushdown would substitute the whole fused signal
+        # tree (token array re-inlined per lambda element) into the
+        # predicate (see sizing.pushdown_barrier)
+        .withColumn("kept", pushdown_barrier(F.size("drop_reasons") == 0))
         .drop("_t", "_n", "_mean_len", "_alpha", "_stop", "_ttr", "_top", "_dupbi")
     )
 

@@ -122,3 +122,30 @@ def spread(df: DataFrame) -> DataFrame:
     if est >= target:
         return df
     return df.repartition(target)
+
+
+def pushdown_barrier(col):
+    """Value-identical wrapper that BLOCKS predicate pushdown through the
+    projection defining ``col``.
+
+    The trap (measured 15× on a 500-doc corpus, unbounded at scale):
+    Catalyst's PushDownPredicates substitutes project aliases into a
+    pushed filter with no cost model, so ``filter(score >= x)`` above a
+    fused signal projection re-inlines the pinned token array into every
+    per-element lambda of the predicate — the exact re-evaluation the
+    pinning projection exists to prevent (classifier.with_quality_score,
+    curation.gopher_filter). Wrapping the derived gate column as
+    ``shuffle(array(col))[0]`` marks its alias nondeterministic — which
+    substitution must not cross — while the value is bit-identical: a
+    permutation of ONE element is that element, on every run, under any
+    seed. (A ``rand() >= 0``-style guard does NOT survive: the optimizer
+    knows rand's value range and folds the guard away, re-enabling
+    pushdown — verified on Spark 4.1.)
+
+    Use ONLY on expensive derived columns users will filter on: the
+    barrier also stops UNRELATED cheap predicates from reaching the scan
+    through this projection, so never wrap plain passthrough columns.
+    """
+    from pyspark.sql import functions as F
+
+    return F.shuffle(F.array(col)).getItem(0)

@@ -9,13 +9,18 @@ raw documents
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
   → quality gate          (token-count floor after cleaning)
   → gopher_filter         (the Gopher rules as a gate, optional)
+  → classifier gate       (trained LinearModel score floor, optional)
   → stratified_sample     (deterministic per-language rates, optional)
   → contamination drop    (docs verbatim-overlapping an eval set, optional)
+  → mixture_resample      (rebalance to a target source mixture, optional —
+    last among selection stages, since every earlier gate shifts the
+    composition it corrects; applied rates land in ``res.mixture_rates``)
   → deterministic_shuffle (reproducible training order)
   → write_corpus          (size-disciplined partitioned parquet)
 plus pack_sequences — or, with ``tokenize=True``, full
 (seq_id, input_ids) training shards — over the shuffled survivors when a
-token budget is given.
+token budget is given, and ``make_card=True`` attaches the output's
+data card (operators/datacard.py) to ``res.card``.
 
 Every stage is individually oracle/pytest-pinned (see COVERAGE.md); this
 module adds the glue a user would otherwise rewrite, and an audit dict
@@ -52,6 +57,8 @@ class CorpusResult:
     sequences: DataFrame | None           # pack/shard output (if budget)
     audit: dict = field(default_factory=dict)  # stage -> doc count
     vocab: DataFrame | None = None        # build_vocab output (if tokenizing)
+    mixture_rates: dict | None = None     # applied keep-rates (if rebalancing)
+    card: dict | None = None              # data card of the output (if asked)
 
 
 def prepare_training_corpus(
@@ -64,8 +71,12 @@ def prepare_training_corpus(
     span_k: int | None = 8,
     min_tokens: int = 5,
     gopher: bool = False,
+    quality_model=None,
+    quality_score_min: float = 0.5,
     sample_rates: dict[str, float] | None = None,
     strata_col: str = "lang",
+    target_mixture: dict[str, float] | None = None,
+    mixture_col: str = "source",
     benchmark: DataFrame | None = None,
     shuffle_seed: int = 0,
     pack_budget: int | None = None,
@@ -75,6 +86,7 @@ def prepare_training_corpus(
     partition_by: tuple[str, ...] = (),
     out_mode: str = "errorifexists",
     audit: bool = True,
+    make_card: bool = False,
 ) -> CorpusResult:
     """Run the full preparation pipeline (see module docstring).
 
@@ -145,6 +157,16 @@ def prepare_training_corpus(
             .drop("kept", "drop_reasons"),
         )
 
+    if quality_model is not None:
+        from xdump_spark.operators.classifier import with_quality_score
+
+        cur = note(
+            "classifier_gated",
+            with_quality_score(cur, quality_model, text_col=text_col)
+            .filter(F.col("quality_score") >= quality_score_min)
+            .drop("quality_score"),
+        )
+
     if sample_rates is not None:
         from xdump_spark.operators.curation import stratified_sample
 
@@ -162,6 +184,18 @@ def prepare_training_corpus(
             "decontaminated",
             cur.join(dirty, cur[id_col] == dirty["_dirty_id"], "left_anti"),
         )
+
+    mixture_rates = None
+    if target_mixture is not None:
+        from xdump_spark.operators.curation import mixture_resample
+
+        # Runs LAST among selection stages: every earlier gate changes
+        # the composition the rebalance has to correct.
+        cur, mixture_rates = mixture_resample(
+            cur, target_mixture, part_col=mixture_col,
+            id_col=id_col, text_col=text_col,
+        )
+        cur = note("mixture_rebalanced", cur)
 
     cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
 
@@ -187,4 +221,13 @@ def prepare_training_corpus(
 
         write_corpus(cur, out_dir, partition_by=partition_by, mode=out_mode)
 
-    return CorpusResult(corpus=cur, sequences=sequences, audit=counts, vocab=vocab)
+    card = None
+    if make_card:
+        from xdump_spark.operators.datacard import data_card
+
+        card = data_card(cur, text_col=text_col, id_col=id_col)
+
+    return CorpusResult(
+        corpus=cur, sequences=sequences, audit=counts, vocab=vocab,
+        mixture_rates=mixture_rates, card=card,
+    )
