@@ -311,3 +311,64 @@ def test_dedup_lines_oracle_sql_holds_on_multiline_docs(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
     want = {tuple(r) for r in con.execute(_LINE_DEDUP_SQL).fetchall()}
     assert got == want and len(got) == 3
+
+
+# ------------------------------------------------------ blocklist_filter ----
+def test_blocklist_token_mode(spark):
+    from xdump_spark.operators.cleaning import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly fine document about cats"),
+            (2, "contains the badword here"),
+            (3, "BADWORD in caps and also verboten twice verboten"),
+            (4, "badwordsuffix should not match in token mode"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocklist_hits, r.blocked)
+           for r in blocklist_filter(docs, ["badword", "verboten"]).collect()}
+    assert out == {1: (0, False), 2: (1, True), 3: (2, True), 4: (0, False)}
+    # case-sensitive: caps variant no longer matches
+    cs = {r.doc_id: r.blocked
+          for r in blocklist_filter(docs, ["badword"], case_sensitive=True).collect()}
+    assert cs == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_blocklist_substring_mode_and_validation(spark):
+    import pytest as _pytest
+
+    from xdump_spark.operators.cleaning import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "multi word phrase inside"), (2, "nothing to see"),
+         (3, "xbadwordy embedded")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.blocked
+           for r in blocklist_filter(docs, ["word phrase", "badword"],
+                                     mode="substring").collect()}
+    assert out == {1: True, 2: False, 3: True}
+    with _pytest.raises(ValueError, match="empty blocklist"):
+        blocklist_filter(docs, [])
+    with _pytest.raises(ValueError, match="mode"):
+        blocklist_filter(docs, ["x"], mode="regex")
+
+
+def test_blocklist_filter_not_pushed_into_token_tree(spark):
+    """filter(~blocked) must stay above the projection (pushdown
+    barrier), and the gate composes with the cleaning chain."""
+    from xdump_spark.operators.cleaning import (
+        blocklist_filter,
+        normalize_text,
+        redact_pii,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chain = redact_pii(normalize_text(docs))
+    gated = blocklist_filter(chain, ["zzzznotpresent"]).filter("NOT blocked")
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [l for l in plan.splitlines()
+                    if l.lstrip().startswith(("Filter", "+- Filter", ":- Filter"))]
+    assert filter_lines and all("array_intersect" not in l for l in filter_lines)
+    assert gated.count() == docs.count()  # nothing matches a nonsense term

@@ -245,3 +245,16 @@ def test_curate_cli_quality_and_mixture_flags(spark, tmp_path):
     assert set(s["source"] for s in card["sources"]) <= set(src)
     out = spark.read.parquet(str(tmp_path / "corpus"))
     assert out.count() == card["n_docs"] > 0
+
+
+def test_pipeline_blocklist_stage(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "good clean words here today"), (2, "this has a banned term inside"),
+         (3, "more good text for the corpus run")],
+        "doc_id long, text string",
+    )
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, blocklist=["banned"],
+    )
+    assert res.audit["blocklist_gated"] == 2
+    assert {r.doc_id for r in res.corpus.collect()} == {1, 3}

@@ -174,6 +174,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="apply the Gopher quality rules (curation.gopher_filter)",
     )
     c.add_argument(
+        "--blocklist", default=None, metavar="TERMS_FILE",
+        help="drop docs containing any term from this file (one per line; "
+        "C4 banned-word semantics, cleaning.blocklist_filter)",
+    )
+    c.add_argument(
+        "--blocklist-mode", choices=["token", "substring"], default="token",
+    )
+    c.add_argument(
         "--sample", action="append", default=[], type=parse_sample_rate,
         metavar="LANG=RATE", help="per-stratum deterministic rate (repeatable)",
     )
@@ -297,6 +305,16 @@ def run(args, spark) -> int:
             line_dedup=args.line_dedup,
             span_k=args.span_k or None,
             min_tokens=args.min_tokens,
+            blocklist=(
+                [
+                    line.strip()
+                    for line in open(args.blocklist)
+                    if line.strip()
+                ]
+                if args.blocklist
+                else None
+            ),
+            blocklist_mode=args.blocklist_mode,
             gopher=args.gopher,
             quality_model=quality_model,
             quality_score_min=args.quality_min,

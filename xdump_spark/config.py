@@ -115,6 +115,8 @@ def curate_from_config(spark: SparkSession, path: str):
         line_dedup=cfg.get("line_dedup", False),
         span_k=cfg.get("span_k", 8) or None,
         min_tokens=cfg.get("min_tokens", 5),
+        blocklist=cfg.get("blocklist"),
+        blocklist_mode=cfg.get("blocklist_mode", "token"),
         gopher=cfg.get("gopher", False),
         quality_model=(
             _load_quality_model(cfg["quality_model"])

@@ -257,3 +257,49 @@ def deterministic_shuffle(
             key, F.col(id_col)
         )
     return df.orderBy(key, F.col(id_col))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    mode: str = "token",
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 drop any page
+    containing a word from a banned-word list): the input frame plus
+    ``n_blocklist_hits`` (distinct matched terms) and ``blocked``. The
+    caller filters on ``~blocked``; keeping the count makes the gate
+    auditable (the data-card number).
+
+    * ``mode="token"``: a term matches as a whole whitespace token —
+      ``array_intersect`` between the token array and the broadcast
+      literal term array, pure codegen, O(tokens + terms) per row.
+    * ``mode="substring"``: a term matches anywhere — one ``contains``
+      per term, O(terms × len) per row; the C4 list semantics for
+      multi-word phrases. Prefer ``token`` unless phrases are needed.
+
+    Scale: zero shuffles, one narrow pass; the term list rides in the
+    plan as a literal array (fine to ~10⁴ terms — beyond that, explode
+    tokens and broadcast-join a terms table instead). ``blocked`` is
+    pushdown-barrier-wrapped: a ``filter(~blocked)`` stays above the
+    projection rather than re-inlining the token machinery per term
+    (see sizing.pushdown_barrier).
+    """
+    from xdump_spark.operators.sizing import pushdown_barrier
+
+    if mode not in ("token", "substring"):
+        raise ValueError(f"mode must be 'token' or 'substring', got {mode!r}")
+    if not terms:
+        raise ValueError("empty blocklist")
+    canon = terms if case_sensitive else sorted({t.lower() for t in terms})
+    t = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
+    arr = F.array(*[F.lit(x) for x in canon])
+    if mode == "token":
+        toks = F.split(F.trim(t), r"\s+")
+        hits = F.size(F.array_intersect(F.array_distinct(toks), arr))
+    else:
+        hits = F.size(F.filter(arr, lambda term: t.contains(term)))
+    return df.withColumn("n_blocklist_hits", hits).withColumn(
+        "blocked", pushdown_barrier(F.col("n_blocklist_hits") > 0)
+    )

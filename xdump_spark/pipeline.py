@@ -8,6 +8,7 @@ raw documents
   → redact_pii            (typed placeholders + audit counts)
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
   → quality gate          (token-count floor after cleaning)
+  → blocklist_filter      (C4 banned-term gate, optional)
   → gopher_filter         (the Gopher rules as a gate, optional)
   → classifier gate       (trained LinearModel score floor, optional)
   → stratified_sample     (deterministic per-language rates, optional)
@@ -70,6 +71,8 @@ def prepare_training_corpus(
     line_dedup: bool = False,
     span_k: int | None = 8,
     min_tokens: int = 5,
+    blocklist: list[str] | None = None,
+    blocklist_mode: str = "token",
     gopher: bool = False,
     quality_model=None,
     quality_score_min: float = 0.5,
@@ -147,6 +150,16 @@ def prepare_training_corpus(
         "quality_gated",
         cur.filter((F.length(F.trim(F.col(text_col))) > 0) & (n_tok >= min_tokens)),
     )
+    if blocklist:
+        from xdump_spark.operators.cleaning import blocklist_filter
+
+        cur = note(
+            "blocklist_gated",
+            blocklist_filter(cur, blocklist, text_col=text_col, mode=blocklist_mode)
+            .filter(~F.col("blocked"))
+            .drop("blocked", "n_blocklist_hits"),
+        )
+
     if gopher:
         from xdump_spark.operators.curation import gopher_filter
 
