@@ -586,6 +586,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     partitions: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy first-fit packing of documents into token-budget-bounded
     training sequences: (seq_id, doc_ids array<long>, n_docs, total_tokens).
@@ -609,10 +610,19 @@ def pack_sequences(
 
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
 
-    toks = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tok"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_parts)).alias("bucket"),
+    # ``counts`` overrides the whitespace token counter: an (id, n_tok)
+    # frame in ANOTHER tokenizer's units (e.g. bpe_encode_frame's
+    # n_bpe_tokens) packs sequences against that budget instead —
+    # budget semantics must match whatever encoder fills the sequences.
+    base = (
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tok"))
+        if counts is None
+        else counts.select(F.col(id_col).cast("long").alias("id"),
+                           F.col("n_tok").cast("int").alias("n_tok"))
+    )
+    toks = base.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_parts))
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
