@@ -116,3 +116,43 @@ def test_mixture_drift_stream_matches_batch(spark, docs_batch, docs_stream_dir):
         assert got == want and len(got) > 1
     finally:
         q.stop()
+
+
+def test_stream_quality_scoring_matches_batch(spark, tmp_path):
+    """with_quality_score is a pure projection, so it applies to a
+    structured stream unchanged — live quality scoring of an ingest
+    stream. Drained stream scores must equal the batch scores exactly
+    (the pushdown barrier is value-identical under streaming too)."""
+    from xdump_spark.operators.classifier import (
+        QUALITY_FEATURES,
+        LinearModel,
+        with_quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    docs.write.parquet(src)
+    m = LinearModel(
+        features=QUALITY_FEATURES,
+        weights=tuple([0.5] * len(QUALITY_FEATURES)),
+        bias=-0.2,
+        mean=tuple([0.5] * len(QUALITY_FEATURES)),
+        std=tuple([1.0] * len(QUALITY_FEATURES)),
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        with_quality_score(stream, m)
+        .select("doc_id", "quality_score")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.quality_score for r in spark.read.parquet(sink).collect()}
+    want = {
+        r.doc_id: r.quality_score
+        for r in with_quality_score(docs, m).select("doc_id", "quality_score").collect()
+    }
+    assert got == want and len(got) == 50
