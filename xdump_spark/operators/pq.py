@@ -130,13 +130,17 @@ def pq_train(
         idx = (np.arange(kk) * Z.shape[0]) // kk
         C = Z[idx].copy()
         for _ in range(iters):
-            # nearest centroid per point (squared L2)
-            d2 = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(kk):
-                mask = assign == c
-                if mask.any():
-                    C[c] = Z[mask].mean(axis=0)
+            # nearest centroid via argmax(z·c − ½‖c‖²) ≡ argmin ‖z−c‖²:
+            # one BLAS matmul (n × k), never the (n × k × dsub)
+            # broadcast temp — that temp is 1.6 GB per subspace at the
+            # 100k-sample cap and made training 15× slower at sf1
+            scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
+            assign = scores.argmax(axis=1)
+            counts = np.bincount(assign, minlength=kk)
+            sums = np.zeros((kk, dsub))
+            np.add.at(sums, assign, Z)
+            nz = counts > 0  # emptied clusters keep their old centroid
+            C[nz] = sums[nz] / counts[nz, None]
         cents.append(tuple(tuple(float(x) for x in row) for row in C))
     return PQCodebook(dim=dim, m=m, k=kk, centroids=tuple(cents))
 
