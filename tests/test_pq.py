@@ -118,3 +118,65 @@ def test_validation_errors(spark, embs):
     )
     with pytest.raises(Exception, match="codebook dim"):
         pq_encode(bad, cb).collect()
+
+
+# ---------------------------------------------------------------- IVFADC ----
+def test_ivfpq_recall_and_rerank(spark, embs):
+    """IVF cells prune the scan, PQ codes shrink it, exact rerank
+    recovers accuracy (measured: n_probe=8 rerank 0.87; full-probe
+    rerank 1.0; full-probe ADC 0.64 == plain pq_topk)."""
+    from xdump_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    queries = embs.limit(20)
+    idx = ivfpq_build(embs, n_cells=16)
+    idx.codes.cache().count()
+    try:
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(embs, queries, k=5).collect()
+        }
+        adc_full = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_search(idx, queries, k=5, n_probe=16).collect()
+        }
+        assert len(adc_full & exact) / len(exact) >= 0.5
+        rr8 = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_search(
+                idx, queries, k=5, n_probe=8, rerank=50, corpus=embs
+            ).collect()
+        }
+        assert len(rr8 & exact) / len(exact) >= 0.75
+        rr_full = ivfpq_search(
+            idx, queries, k=5, n_probe=16, rerank=50, corpus=embs
+        )
+        pairs = {(r.query_id, r.neighbor_id): r.cosine_sim for r in rr_full.collect()}
+        assert len(set(pairs) & exact) / len(exact) >= 0.9
+        # reranked scores are exact cosine (same rounding as cosine_topk)
+        ex_scores = {
+            (r.query_id, r.neighbor_id): r.cosine_sim
+            for r in cosine_topk(embs, queries, k=5).collect()
+        }
+        shared = set(pairs) & set(ex_scores)
+        assert shared and all(
+            pairs[p] == pytest.approx(ex_scores[p], abs=1e-9) for p in shared
+        )
+    finally:
+        idx.codes.unpersist()
+
+
+def test_ivfpq_probed_cells_prune_the_scan(spark, embs):
+    """A search must only read rows of probed cells: the code-table
+    filter carries the isin(cell) predicate (partition pruning when the
+    index is stored partitioned by cell)."""
+    from xdump_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    idx = ivfpq_build(embs, n_cells=16)
+    out = ivfpq_search(idx, embs.limit(2), k=3, n_probe=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "cell" in plan and "IN" in plan.upper()
+    rows = out.collect()
+    assert rows and all(r.rn <= 3 for r in rows)
+    # rerank without the corpus frame is a usage error
+    with pytest.raises(ValueError, match="rerank requires"):
+        ivfpq_search(idx, embs.limit(2), k=3, rerank=10)

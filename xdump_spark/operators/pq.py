@@ -314,3 +314,190 @@ def _finish_pq_topk(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "pq_sim", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------- IVFADC ----
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class IVFPQIndex:
+    """IVF cells over PQ codes — the FAISS "IVFADC" layout (Jégou et al.
+    2011 §V): the cell assignment prunes WHICH rows a search reads, the
+    codes shrink WHAT it reads. At 10⁹ × dim-64 float32 vectors the raw
+    corpus is ~256 GB; this index is ~8 GB of codes + a cell column."""
+
+    centers: list          # n_cells × dim (driver-side)
+    codebook: PQCodebook
+    codes: DataFrame       # (neighbor_id, codes array<smallint>, cell int)
+    n_cells: int
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 256,
+    seed: int = 42,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+) -> IVFPQIndex:
+    """Fit cells (KMeans, sample-able) + PQ codebook, then produce the
+    (id, codes, cell) table in ONE encode pass over the cell-assigned
+    corpus — no join glues codes to cells. Write the result partitioned
+    by cell (like ivf_write) for file-pruned searches at scale."""
+    from xdump_spark.operators.similarity import ivf_build
+
+    ivf = ivf_build(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        seed=seed, max_iter=max_iter, sample_fraction=sample_fraction,
+        persist=False,
+    )
+    codebook = pq_train(corpus, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    mm, dsub = codebook.m, codebook.dim // codebook.m
+    cents = codebook.matrices()
+    out_schema = (
+        f"neighbor_id {_id_type(ivf.assigned, 'neighbor_id')}, "
+        "codes array<smallint>, cell int"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _normalize_rows(_matrix(pdf["cv"]))
+            codes = np.empty((X.shape[0], mm), dtype=np.int16)
+            for s in range(mm):
+                Z = X[:, s * dsub : (s + 1) * dsub]
+                C = cents[s]
+                scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
+                codes[:, s] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "codes": list(codes),
+                    "cell": pdf["cell"].to_numpy(),
+                }
+            )
+
+    codes = ivf.assigned.select("neighbor_id", "cv", "cell").mapInPandas(
+        encode, out_schema
+    )
+    return IVFPQIndex(
+        centers=ivf.centers, codebook=codebook, codes=codes, n_cells=n_cells
+    )
+
+
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC search restricted to each query's ``n_probe`` nearest cells:
+    probe selection is driver-side over the tiny centroid matrix, the
+    probed-cell set prunes the code table with a plain isin filter
+    (partition/file pruning when the index is stored partitioned by
+    cell), and each batch is scored by table lookups with a per-query
+    local top-k before the shuffle. With ``rerank`` (and ``corpus``),
+    the PQ shortlist is exactly rescored against raw vectors for the
+    n_q × rerank sliver — exact scores at code-table scan cost.
+    """
+    from types import SimpleNamespace
+
+    from xdump_spark.operators.similarity import ivf_probe_cells
+
+    qids, Q, qn = _collect_queries(queries, id_col, vec_col)
+    mm, dsub = index.codebook.m, index.codebook.dim // index.codebook.m
+    cents = index.codebook.matrices()
+    out_schema = (
+        f"query_id {_id_type(queries, id_col)}, "
+        f"neighbor_id {_id_type(index.codes, 'neighbor_id')}, pq_sim double"
+    )
+    spark = index.codes.sparkSession
+    if not qids:
+        return _finish_pq_topk(spark.createDataFrame([], out_schema), k)
+
+    Qn = _normalize_rows(Q)
+    T = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ cents[s].T for s in range(mm)], axis=1
+    )
+    probes = ivf_probe_cells(
+        SimpleNamespace(centers=index.centers), Q, n_probe
+    )
+    cell_to_q: dict[int, list[int]] = {}
+    for j, cells in enumerate(probes):
+        for cell in cells:
+            cell_to_q.setdefault(int(cell), []).append(j)
+    probed_cells = sorted(cell_to_q)
+    shortlist_k = max(k, rerank or 0)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_s = [], [], []
+            for cell, sub in pdf.groupby("cell"):
+                qidx = cell_to_q.get(int(cell))
+                if not qidx:
+                    continue
+                codes_mat = np.vstack(sub["codes"].to_numpy()).astype(np.int64)
+                nid = sub["neighbor_id"].to_numpy()
+                for j in qidx:
+                    s = np.round(
+                        T[j, np.arange(mm)[None, :], codes_mat].sum(axis=1),
+                        round_to,
+                    )
+                    sj = np.where(nid == qids[j], -np.inf, s)
+                    order = np.lexsort((nid, -sj))[:shortlist_k]
+                    keep = order[np.isfinite(sj[order])]
+                    out_q.extend([qids[j]] * len(keep))
+                    out_n.extend(nid[keep])
+                    out_s.extend(sj[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "pq_sim": out_s}
+                )
+
+    pruned = index.codes.filter(F.col("cell").isin(probed_cells))
+    scored = pruned.select("neighbor_id", "codes", "cell").mapInPandas(
+        score, out_schema
+    )
+    if rerank is None:
+        return _finish_pq_topk(scored, k)
+    if corpus is None:
+        raise ValueError("rerank requires the raw corpus frame")
+    shortlist = _finish_pq_topk(scored, shortlist_k).select("query_id", "neighbor_id")
+    qmap = {qid: (Qn[j], 1.0) for j, qid in enumerate(qids)}
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+
+    @pandas_udf("double")
+    def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
+        N = _matrix(nv)
+        nn = _norms(N)
+        nn[nn == 0] = 1.0
+        out = np.empty(len(qid_s))
+        for i, qid in enumerate(qid_s):
+            qv, _ = qmap[qid]
+            out[i] = N[i] @ qv / nn[i]
+        return pd.Series(np.round(out, round_to))
+
+    rescored = cand.select(
+        "query_id", "neighbor_id", exact_cos("query_id", "_nv").alias("cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
