@@ -177,3 +177,28 @@ def test_filter_on_score_not_pushed_into_signal_tree(spark):
         # the predicate must reference the derived column, not its
         # inlined definition (lambda machinery = the blowup signature)
         assert all("lambdafunction" not in l for l in filter_lines), filter_lines
+
+
+def test_train_quality_cli_roundtrip(spark, tmp_path, labeled):
+    """train-quality writes a model JSON the curate stage can consume."""
+    import json
+
+    from xdump_spark.cli import build_parser, run
+    from xdump_spark.config import _load_quality_model
+
+    src = str(tmp_path / "labeled.parquet")
+    labeled.write.parquet(src)
+    out = tmp_path / "model.json"
+    args = build_parser().parse_args(
+        ["train-quality", "-i", src, "-o", str(out)]
+    )
+    assert run(args, spark) == 0
+    m = _load_quality_model(str(out))
+    assert m.features == QUALITY_FEATURES
+    # the CLI-trained model separates its training corpus
+    scored = score_frame(
+        quality_feature_frame(labeled).join(labeled.select("doc_id", "label"), "doc_id"),
+        m,
+    ).collect()
+    acc = sum((r.quality_score >= 0.5) == (r.label == 1) for r in scored) / len(scored)
+    assert acc >= 0.9

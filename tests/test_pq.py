@@ -180,3 +180,36 @@ def test_ivfpq_probed_cells_prune_the_scan(spark, embs):
     # rerank without the corpus frame is a usage error
     with pytest.raises(ValueError, match="rerank requires"):
         ivfpq_search(idx, embs.limit(2), k=3, rerank=10)
+
+
+def test_ivfpq_write_read_roundtrip(spark, embs, tmp_path):
+    """Stored index searches identically to the in-session one, and the
+    on-disk layout is partitioned by cell (file-pruned probes)."""
+    import os
+
+    from xdump_spark.operators.pq import ivfpq_build, ivfpq_read, ivfpq_search, ivfpq_write
+
+    queries = embs.limit(5)
+    idx = ivfpq_build(embs, n_cells=8)
+    want = {
+        (r.query_id, r.rn): (r.neighbor_id, r.pq_sim)
+        for r in ivfpq_search(idx, queries, k=3, n_probe=4).collect()
+    }
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(idx, path)
+    assert any(d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes")))
+    idx2 = ivfpq_read(spark, path)
+    assert idx2.codebook == idx.codebook and idx2.n_cells == 8
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.pq_sim)
+        for r in ivfpq_search(idx2, queries, k=3, n_probe=4).collect()
+    }
+    assert got == want
+    # the stored-layout search plan actually prunes partitions
+    plan = (
+        ivfpq_search(idx2, queries, k=3, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan

@@ -227,6 +227,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="replace existing output directories instead of failing",
     )
 
+    tq = sub.add_parser(
+        "train-quality",
+        help="fit the quality classifier on labeled docs and write the "
+        "model JSON (classifier.fit_linear_classifier)",
+    )
+    tq.add_argument(
+        "-i", "--input", required=True,
+        help="parquet of labeled docs (text + 0/1 label column)",
+    )
+    tq.add_argument("-o", "--output", required=True, help="model JSON path")
+    tq.add_argument("--text-col", default="text")
+    tq.add_argument("--id-col", default="doc_id")
+    tq.add_argument("--label-col", default="label")
+    tq.add_argument(
+        "--max-rows", type=int, default=100_000,
+        help="deterministic md5-bucket cap on the driver-side fit sample",
+    )
+
     dc = sub.add_parser(
         "datacard",
         help="emit a corpus data card (composition/quality datasheet) as JSON",
@@ -344,6 +362,31 @@ def run(args, spark) -> int:
             res.sequences.write.mode(mode).parquet(args.shards_out)
             print(f"wrote sequences to {args.shards_out}")
         print(f"wrote {args.output}")
+    elif args.command == "train-quality":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from xdump_spark.operators.classifier import (
+            fit_linear_classifier,
+            quality_feature_frame,
+        )
+
+        docs = spark.read.parquet(args.input)
+        if args.label_col not in docs.columns:
+            raise SystemExit(f"label column {args.label_col!r} not in {args.input}")
+        feats = quality_feature_frame(
+            docs, text_col=args.text_col, id_col=args.id_col
+        ).join(
+            docs.select(args.id_col, F.col(args.label_col).alias("label")),
+            args.id_col,
+        )
+        model = fit_linear_classifier(
+            feats, id_col=args.id_col, max_rows=args.max_rows
+        )
+        with open(args.output, "w") as fh:
+            json.dump(model.to_dict(), fh, indent=2)
+        print(f"wrote {args.output} (features: {', '.join(model.features)})")
     elif args.command == "datacard":
         import json
 

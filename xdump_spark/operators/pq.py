@@ -501,3 +501,41 @@ def ivfpq_search(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def ivfpq_write(index: IVFPQIndex, path: str) -> None:
+    """Persist the IVFADC index: the code table parquet PARTITIONED BY
+    CELL (a search probing 64 of 4096 cells reads ~1.5% of the files via
+    partition pruning — same layout contract as similarity.ivf_write),
+    plus centroids + codebook as tiny JSON alongside."""
+    import json
+    import os
+
+    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    spark = index.codes.sparkSession
+    meta = json.dumps(
+        {
+            "centers": index.centers,
+            "n_cells": index.n_cells,
+            "codebook": index.codebook.to_dict(),
+        }
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(os.path.join(path, "meta"))
+
+
+def ivfpq_read(spark, path: str) -> IVFPQIndex:
+    import json
+    import os
+
+    meta = json.loads(spark.read.json(os.path.join(path, "meta")).first()["meta"])
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IVFPQIndex(
+        centers=meta["centers"],
+        codebook=PQCodebook.from_dict(meta["codebook"]),
+        codes=codes,
+        n_cells=int(meta["n_cells"]),
+    )
