@@ -258,3 +258,36 @@ def test_pipeline_blocklist_stage(spark, tmp_path):
     )
     assert res.audit["blocklist_gated"] == 2
     assert {r.doc_id for r in res.corpus.collect()} == {1, 3}
+
+
+def test_pipeline_contamination_strip_policy(spark):
+    """strip policy removes only the overlapped spans; the doc survives
+    (vs the default drop policy which removes it entirely)."""
+    quote = "one two three four five six seven eight"
+    doc = ("useful original content comes first in this document then "
+           f"{quote} and then much more useful original content follows after")
+    docs = spark.createDataFrame(
+        [(1, doc), (2, "a fully clean document with many original tokens in it")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, quote)], "doc_id long, text string")
+
+    dropped = prepare_training_corpus(
+        docs, span_k=8, min_tokens=1, benchmark=bench,
+    )
+    assert dropped.audit["decontaminated"] == 1  # doc 1 dropped
+
+    stripped = prepare_training_corpus(
+        docs, span_k=8, min_tokens=1, benchmark=bench,
+        contamination_policy="strip",
+    )
+    assert stripped.audit["decontaminated"] == 2  # doc 1 survives, cut
+    texts = {r.doc_id: r.text for r in stripped.corpus.collect()}
+    assert "eight" not in texts[1].split() and "useful" in texts[1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contamination_policy"):
+        prepare_training_corpus(
+            docs, span_k=8, benchmark=bench, contamination_policy="quarantine"
+        )

@@ -380,3 +380,28 @@ def test_window_store_compaction(spark, tmp_path):
         _docs(spark, [(99, "w0 x0 c d e f g h i j")]), store, k=8
     )
     assert flags.count() == 1
+
+
+def test_strip_contaminated_spans_surgical(spark):
+    """Only the benchmark-overlapping >= k-token span is cut; the rest of
+    the doc and clean docs survive byte-for-byte."""
+    from xdump_spark.operators.spans import strip_contaminated_spans
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    doc1 = f"intro words here then the quote {quote} and a long informative tail continues onward"
+    doc2 = "a completely clean document with plenty of its own original words inside"
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, f"eval item says {quote} exactly")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.text, r.n_removed_tokens)
+           for r in strip_contaminated_spans(docs, bench, k=8).collect()}
+    assert out[2] == (doc2, 0)                       # untouched, byte-for-byte
+    text1, removed1 = out[1]
+    assert removed1 >= 8
+    for w in quote.split():
+        assert w not in text1.split()
+    assert text1.startswith("intro words here")      # head survives
+    assert "onward" in text1                          # tail survives

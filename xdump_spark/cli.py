@@ -203,7 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument(
         "--benchmark", default=None,
-        help="parquet of eval docs; overlapping corpus docs are dropped",
+        help="parquet of eval docs; overlapping corpus docs are dropped "
+        "(or span-stripped with --contamination-policy strip)",
+    )
+    c.add_argument(
+        "--contamination-policy", choices=["drop", "strip"], default="drop",
     )
     c.add_argument("--seed", type=int, default=0, help="shuffle seed")
     c.add_argument(
@@ -339,6 +343,7 @@ def run(args, spark) -> int:
             sample_rates=dict(args.sample) or None,
             target_mixture=dict(args.mixture) or None,
             benchmark=benchmark,
+            contamination_policy=args.contamination_policy,
             shuffle_seed=args.seed,
             pack_budget=args.pack_budget,
             tokenize=args.tokenize,

@@ -64,6 +64,8 @@ _CURATE_KEYS = {
     "line_dedup", "span_k", "min_tokens", "gopher", "sample_rates",
     "strata_col", "benchmark", "shuffle_seed", "pack_budget", "tokenize",
     "vocab_size", "partition_by", "overwrite", "shards_out",
+    "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
+    "target_mixture", "mixture_col", "contamination_policy",
 }
 
 
@@ -131,6 +133,7 @@ def curate_from_config(spark: SparkSession, path: str):
         benchmark=(
             spark.read.parquet(cfg["benchmark"]) if cfg.get("benchmark") else None
         ),
+        contamination_policy=cfg.get("contamination_policy", "drop"),
         shuffle_seed=cfg.get("shuffle_seed", 0),
         pack_budget=cfg.get("pack_budget"),
         tokenize=cfg.get("tokenize", False),

@@ -384,8 +384,19 @@ def strip_duplicated_spans(
         )
         .select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
     )
+    return _strip_intervals(df, _merge_islands(removable, k), text_col, id_col)
+
+
+def _strip_intervals(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rewrite ``text_col`` removing each doc's (span_start, span_end)
+    token intervals (from a _merge_islands-shaped frame): tokens outside
+    removed intervals re-join with single spaces; documents with no
+    intervals keep their original text byte-for-byte. Shared rebuild of
+    strip_duplicated_spans and strip_contaminated_spans."""
     cuts = (
-        _merge_islands(removable, k)
+        spans
         .groupBy("doc_id")
         .agg(
             F.sort_array(
@@ -421,3 +432,34 @@ def strip_duplicated_spans(
         df.join(cuts, df[id_col] == cuts["_cut_doc_id"], "left")
         .select(*out_cols, removed.alias("n_removed_tokens"))
     )
+
+
+def strip_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Strip-the-overlap decontamination (GPT-3 App. C semantics: remove
+    the overlapped WINDOWS, keep the document): every >= k-token span a
+    corpus doc shares verbatim with the benchmark is cut out and the
+    text rebuilt; untouched docs keep their text byte-for-byte. Returns
+    the input frame with ``text_col`` rewritten + ``n_removed_tokens``.
+
+    The surgical alternative to the pipeline's default drop-the-doc
+    policy — keeps the rest of a long document that merely quotes an
+    eval item. Composition of the two existing primitives:
+    contamination_spans (broadcast semi-join localization — the corpus
+    never shuffles on the window hash) and the per-doc interval rebuild
+    shared with strip_duplicated_spans.
+    """
+    spans = contamination_spans(
+        docs, benchmark, k=k, text_col=text_col, id_col=id_col,
+        bench_text_col=bench_text_col, bench_id_col=bench_id_col,
+        broadcast_benchmark=broadcast_benchmark,
+    ).select("doc_id", "span_start", "span_end")
+    return _strip_intervals(docs, spans, text_col, id_col)

@@ -12,7 +12,8 @@ raw documents
   → gopher_filter         (the Gopher rules as a gate, optional)
   → classifier gate       (trained LinearModel score floor, optional)
   → stratified_sample     (deterministic per-language rates, optional)
-  → contamination drop    (docs verbatim-overlapping an eval set, optional)
+  → decontamination       (docs verbatim-overlapping an eval set: drop the
+    doc, or strip just the overlapped spans — ``contamination_policy``)
   → mixture_resample      (rebalance to a target source mixture, optional —
     last among selection stages, since every earlier gate shifts the
     composition it corrects; applied rates land in ``res.mixture_rates``)
@@ -81,6 +82,7 @@ def prepare_training_corpus(
     target_mixture: dict[str, float] | None = None,
     mixture_col: str = "source",
     benchmark: DataFrame | None = None,
+    contamination_policy: str = "drop",
     shuffle_seed: int = 0,
     pack_budget: int | None = None,
     tokenize: bool = False,
@@ -103,10 +105,11 @@ def prepare_training_corpus(
     - ``tokenize=True`` (with ``pack_budget``) upgrades the sequence
       output from doc-id packs to (seq_id, input_ids) training shards,
       with ``res.vocab`` carrying the fitted ``build_vocab`` table.
-    - Contamination policy is DROP-the-doc (the conservative eval-hygiene
-      default); for strip-the-span semantics run
-      :func:`~xdump_spark.operators.spans.contamination_spans` directly
-      and rebuild, as strip_duplicated_spans does.
+    - ``contamination_policy``: ``"drop"`` (default — the conservative
+      eval-hygiene choice: any overlapping doc is removed) or
+      ``"strip"`` (GPT-3 App. C: only the overlapped >= span_k-token
+      spans are cut, the doc survives if it still clears
+      ``min_tokens``).
     - The audit counts docs after each stage — each entry is one count
       job over a narrow plan; disable on production runs.
     """
@@ -190,13 +193,34 @@ def prepare_training_corpus(
 
     if benchmark is not None:
         k = span_k if span_k is not None else 8
-        dirty = contamination_spans(
-            cur, benchmark, k=k, text_col=text_col, id_col=id_col
-        ).select(F.col("doc_id").alias("_dirty_id")).distinct()
-        cur = note(
-            "decontaminated",
-            cur.join(dirty, cur[id_col] == dirty["_dirty_id"], "left_anti"),
-        )
+        if contamination_policy == "strip":
+            # GPT-3 App. C semantics: cut the overlapped spans, keep the
+            # document (the surgical choice for long docs quoting an
+            # eval item); re-apply the token floor since a heavily-cut
+            # doc may fall below it.
+            from xdump_spark.operators.spans import strip_contaminated_spans
+
+            stripped = strip_contaminated_spans(
+                cur, benchmark, k=k, text_col=text_col, id_col=id_col
+            ).drop("n_removed_tokens")
+            cur = note(
+                "decontaminated",
+                stripped.filter(
+                    F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= min_tokens
+                ),
+            )
+        elif contamination_policy == "drop":
+            dirty = contamination_spans(
+                cur, benchmark, k=k, text_col=text_col, id_col=id_col
+            ).select(F.col("doc_id").alias("_dirty_id")).distinct()
+            cur = note(
+                "decontaminated",
+                cur.join(dirty, cur[id_col] == dirty["_dirty_id"], "left_anti"),
+            )
+        else:
+            raise ValueError(
+                f"contamination_policy must be 'drop' or 'strip', got {contamination_policy!r}"
+            )
 
     mixture_rates = None
     if target_mixture is not None:
