@@ -200,3 +200,56 @@ def test_curate_from_config(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="typo_key"):
         load_curate_config(p)
+
+
+def test_curate_from_config_session2_keys(spark, tmp_path):
+    """Every session-2 stage key is accepted and takes effect through the
+    settings path (regression: the key whitelist silently lagged the
+    pipeline surface and rejected valid configs)."""
+    import json
+
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.operators.classifier import (
+        fit_linear_classifier,
+        quality_feature_frame,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = quality_feature_frame(docs)
+    med = feats.approxQuantile("ttr", [0.5], 0.0)[0]
+    model = fit_linear_classifier(
+        feats.withColumn("label", (F.col("ttr") > med).cast("int"))
+    )
+    model_path = str(tmp_path / "model.json")
+    with open(model_path, "w") as f:
+        json.dump(model.to_dict(), f)
+    srcs = [r.source for r in docs.select("source").distinct().limit(4).collect()]
+
+    cfg = {
+        "input": "/root/testdata/sf0.001/documents.parquet",
+        "output": str(tmp_path / "corpus"),
+        "span_k": 0,
+        "min_tokens": 1,
+        "blocklist": ["zzzznotpresent"],
+        "blocklist_mode": "token",
+        "quality_model": model_path,
+        "quality_score_min": 0.5,
+        "target_mixture": {s: 1.0 / len(srcs) for s in srcs},
+        "mixture_col": "source",
+        "contamination_policy": "strip",
+        "benchmark": "/root/testdata/sf0.001/documents.parquet",
+    }
+    p = str(tmp_path / "curate2.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    res = curate_from_config(spark, p)
+    for stage in ("blocklist_gated", "classifier_gated", "decontaminated",
+                  "mixture_rebalanced"):
+        assert stage in res.audit, res.audit
+    assert res.mixture_rates and set(res.mixture_rates) <= set(srcs)
+    # benchmark == the corpus itself + strip policy: every doc's text is
+    # fully cross-doc duplicated with the benchmark, so survivors are the
+    # short ones that fall below the k window (none here) — decontaminated
+    # may legitimately be 0; the point is the stage RAN under the policy.
+    assert res.audit["decontaminated"] >= 0
