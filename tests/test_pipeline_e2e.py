@@ -291,3 +291,21 @@ def test_pipeline_contamination_strip_policy(spark):
         prepare_training_corpus(
             docs, span_k=8, benchmark=bench, contamination_policy="quarantine"
         )
+
+
+def test_pipeline_strip_policy_drops_fully_stripped_docs(spark):
+    """A doc whose text is ENTIRELY benchmark-covered rewrites to empty
+    and must not reach the corpus even at min_tokens=1 (regression:
+    split('') has size 1, so the token floor alone passes empty text)."""
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, "clean original words that stay put here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, quote)], "doc_id long, text string")
+    res = prepare_training_corpus(
+        docs, span_k=8, min_tokens=1, benchmark=bench,
+        contamination_policy="strip",
+    )
+    assert res.audit["decontaminated"] == 1
+    assert {r.doc_id for r in res.corpus.collect()} == {2}

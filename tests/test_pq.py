@@ -128,8 +128,7 @@ def test_ivfpq_recall_and_rerank(spark, embs):
     from xdump_spark.operators.pq import ivfpq_build, ivfpq_search
 
     queries = embs.limit(20)
-    idx = ivfpq_build(embs, n_cells=16)
-    idx.codes.cache().count()
+    idx = ivfpq_build(embs, n_cells=16)  # persists by default
     try:
         exact = {
             (r.query_id, r.neighbor_id)
@@ -162,7 +161,7 @@ def test_ivfpq_recall_and_rerank(spark, embs):
             pairs[p] == pytest.approx(ex_scores[p], abs=1e-9) for p in shared
         )
     finally:
-        idx.codes.unpersist()
+        idx.unpersist()
 
 
 def test_ivfpq_probed_cells_prune_the_scan(spark, embs):
@@ -171,7 +170,7 @@ def test_ivfpq_probed_cells_prune_the_scan(spark, embs):
     index is stored partitioned by cell)."""
     from xdump_spark.operators.pq import ivfpq_build, ivfpq_search
 
-    idx = ivfpq_build(embs, n_cells=16)
+    idx = ivfpq_build(embs, n_cells=16, persist=False)
     out = ivfpq_search(idx, embs.limit(2), k=3, n_probe=2)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "cell" in plan and "IN" in plan.upper()
@@ -190,7 +189,7 @@ def test_ivfpq_write_read_roundtrip(spark, embs, tmp_path):
     from xdump_spark.operators.pq import ivfpq_build, ivfpq_read, ivfpq_search, ivfpq_write
 
     queries = embs.limit(5)
-    idx = ivfpq_build(embs, n_cells=8)
+    idx = ivfpq_build(embs, n_cells=8, persist=False)
     want = {
         (r.query_id, r.rn): (r.neighbor_id, r.pq_sim)
         for r in ivfpq_search(idx, queries, k=3, n_probe=4).collect()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 from xdump_spark.archive import COMPRESSION
 
@@ -330,7 +331,7 @@ def run(args, spark) -> int:
             blocklist=(
                 [
                     line.strip()
-                    for line in open(args.blocklist)
+                    for line in Path(args.blocklist).read_text().splitlines()
                     if line.strip()
                 ]
                 if args.blocklist

@@ -282,7 +282,7 @@ def with_quality_score(
         .withColumn("_bg", _bigrams_expr())
         # barrier: a user's filter(score >= x) must NOT be pushed below
         # this projection — substitution would re-inline the pinned
-        # token array per lambda element (measured 15× even at 500 docs)
+        # token array per lambda element (measured 50× even at 500 docs)
         .withColumn(score_col, pushdown_barrier(score))
         .drop(*raw.keys(), "_bg")
     )

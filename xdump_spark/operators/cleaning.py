@@ -292,7 +292,7 @@ def blocklist_filter(
         raise ValueError(f"mode must be 'token' or 'substring', got {mode!r}")
     if not terms:
         raise ValueError("empty blocklist")
-    canon = terms if case_sensitive else sorted({t.lower() for t in terms})
+    canon = sorted(set(terms)) if case_sensitive else sorted({t.lower() for t in terms})
     t = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
     arr = F.array(*[F.lit(x) for x in canon])
     if mode == "token":

@@ -89,6 +89,63 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / n[:, None]
 
 
+def _assign_codes(X: np.ndarray, codebook: PQCodebook, cents: list) -> np.ndarray:
+    """(batch × dim) normalized vectors → (batch × m) int16 codes: per
+    subspace, argmin ‖z−c‖² computed as argmax(z·c − ½‖c‖²) — one BLAS
+    matmul, never a broadcast temp. Single source of truth for
+    pq_encode and ivfpq_build."""
+    if X.shape[1] != codebook.dim:
+        raise ValueError(f"vector dim {X.shape[1]} != codebook dim {codebook.dim}")
+    m, dsub = codebook.m, codebook.dim // codebook.m
+    codes = np.empty((X.shape[0], m), dtype=np.int16)
+    for s in range(m):
+        Z = X[:, s * dsub : (s + 1) * dsub]
+        C = cents[s]
+        scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
+        codes[:, s] = scores.argmax(axis=1)
+    return codes
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    qmap: dict,
+    k: int,
+    round_to: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rescore a (query_id, neighbor_id) shortlist with exact cosine
+    against the raw vectors and finish the top-k: the raw corpus is
+    touched only for the broadcast-joined candidate sliver. ``qmap``
+    maps query_id → (query_vector, query_norm). Shared by
+    pq_topk_rerank and ivfpq_search."""
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+
+    @pandas_udf("double")
+    def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
+        N = _matrix(nv)
+        nn = _norms(N)
+        nn[nn == 0] = 1.0
+        out = np.empty(len(qid_s))
+        for i, qid in enumerate(qid_s):
+            qv, qnorm = qmap[qid]
+            out[i] = N[i] @ qv / (nn[i] * (qnorm or 1.0))
+        return pd.Series(np.round(out, round_to))
+
+    scored = cand.select(
+        "query_id", "neighbor_id", exact_cos("query_id", "_nv").alias("cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -157,7 +214,6 @@ def pq_encode(
     (batch × k) distance computation. No shuffle — encode where the
     vectors already live, persist the codes, drop the floats.
     """
-    m, dsub = codebook.m, codebook.dim // codebook.m
     cents = codebook.matrices()
     out_schema = f"{id_col} {_id_type(corpus, id_col)}, codes array<smallint>"
 
@@ -166,17 +222,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             X = _normalize_rows(_matrix(pdf[vec_col]))
-            if X.shape[1] != codebook.dim:
-                raise ValueError(
-                    f"vector dim {X.shape[1]} != codebook dim {codebook.dim}"
-                )
-            codes = np.empty((X.shape[0], m), dtype=np.int16)
-            for s in range(m):
-                Z = X[:, s * dsub : (s + 1) * dsub]
-                C = cents[s]
-                # argmin ||z-c||² == argmax (z·c − ½||c||²)
-                scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
-                codes[:, s] = scores.argmax(axis=1)
+            codes = _assign_codes(X, codebook, cents)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
@@ -280,31 +326,7 @@ def pq_topk_rerank(
         id_col=id_col, vec_col=vec_col, round_to=round_to,
     ).select("query_id", "neighbor_id")
     qmap = {qid: (Q[j], qn[j]) for j, qid in enumerate(qids)}
-
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-    ).join(F.broadcast(shortlist), "neighbor_id")
-
-    @pandas_udf("double")
-    def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
-        N = _matrix(nv)
-        nn = _norms(N)
-        nn[nn == 0] = 1.0
-        out = np.empty(len(qid_s))
-        for i, qid in enumerate(qid_s):
-            qv, qnorm = qmap[qid]
-            out[i] = N[i] @ qv / (nn[i] * (qnorm or 1.0))
-        return pd.Series(np.round(out, round_to))
-
-    scored = cand.select(
-        "query_id", "neighbor_id", exact_cos("query_id", "_nv").alias("cosine_sim")
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
-    )
+    return _exact_rerank(shortlist, corpus, qmap, k, round_to, id_col, vec_col)
 
 
 def _finish_pq_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -317,20 +339,23 @@ def _finish_pq_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------- IVFADC ----
-from dataclasses import dataclass as _dataclass
-
-
-@_dataclass
+@dataclass
 class IVFPQIndex:
     """IVF cells over PQ codes — the FAISS "IVFADC" layout (Jégou et al.
     2011 §V): the cell assignment prunes WHICH rows a search reads, the
     codes shrink WHAT it reads. At 10⁹ × dim-64 float32 vectors the raw
-    corpus is ~256 GB; this index is ~8 GB of codes + a cell column."""
+    corpus is ~256 GB; this index is ~8 GB of codes + a cell column.
+    Built with ``persist=True`` (the build-once/search-many contract,
+    same as similarity.IVFIndex) the caller owns releasing the code
+    table via :meth:`unpersist`."""
 
     centers: list          # n_cells × dim (driver-side)
     codebook: PQCodebook
     codes: DataFrame       # (neighbor_id, codes array<smallint>, cell int)
     n_cells: int
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
 
 
 def ivfpq_build(
@@ -343,11 +368,21 @@ def ivfpq_build(
     seed: int = 42,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    persist: bool = True,
 ) -> IVFPQIndex:
     """Fit cells (KMeans, sample-able) + PQ codebook, then produce the
     (id, codes, cell) table in ONE encode pass over the cell-assigned
-    corpus — no join glues codes to cells. Write the result partitioned
-    by cell (like ivf_write) for file-pruned searches at scale."""
+    corpus — no join glues codes to cells.
+
+    With ``persist`` (the build-once/search-many contract, mirroring
+    ivf_build) the code table is cached MEMORY_AND_DISK and materialized
+    eagerly — otherwise every search/write re-runs the KMeans transform
+    AND the encode pass over the whole corpus; the caller owns releasing
+    it via ``IVFPQIndex.unpersist``. At true scale ``ivfpq_write`` the
+    index instead (partitioned by cell, file-pruned probes).
+    """
+    from pyspark import StorageLevel
+
     from xdump_spark.operators.similarity import ivf_build
 
     ivf = ivf_build(
@@ -356,7 +391,6 @@ def ivfpq_build(
         persist=False,
     )
     codebook = pq_train(corpus, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    mm, dsub = codebook.m, codebook.dim // codebook.m
     cents = codebook.matrices()
     out_schema = (
         f"neighbor_id {_id_type(ivf.assigned, 'neighbor_id')}, "
@@ -368,12 +402,7 @@ def ivfpq_build(
             if not len(pdf):
                 continue
             X = _normalize_rows(_matrix(pdf["cv"]))
-            codes = np.empty((X.shape[0], mm), dtype=np.int16)
-            for s in range(mm):
-                Z = X[:, s * dsub : (s + 1) * dsub]
-                C = cents[s]
-                scores = Z @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)[None, :]
-                codes[:, s] = scores.argmax(axis=1)
+            codes = _assign_codes(X, codebook, cents)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
@@ -385,6 +414,9 @@ def ivfpq_build(
     codes = ivf.assigned.select("neighbor_id", "cv", "cell").mapInPandas(
         encode, out_schema
     )
+    if persist:
+        codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+        codes.count()  # materialize: searches must not re-run fit+encode
     return IVFPQIndex(
         centers=ivf.centers, codebook=codebook, codes=codes, n_cells=n_cells
     )
@@ -476,31 +508,7 @@ def ivfpq_search(
         raise ValueError("rerank requires the raw corpus frame")
     shortlist = _finish_pq_topk(scored, shortlist_k).select("query_id", "neighbor_id")
     qmap = {qid: (Qn[j], 1.0) for j, qid in enumerate(qids)}
-
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-    ).join(F.broadcast(shortlist), "neighbor_id")
-
-    @pandas_udf("double")
-    def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
-        N = _matrix(nv)
-        nn = _norms(N)
-        nn[nn == 0] = 1.0
-        out = np.empty(len(qid_s))
-        for i, qid in enumerate(qid_s):
-            qv, _ = qmap[qid]
-            out[i] = N[i] @ qv / nn[i]
-        return pd.Series(np.round(out, round_to))
-
-    rescored = cand.select(
-        "query_id", "neighbor_id", exact_cos("query_id", "_nv").alias("cosine_sim")
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        rescored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("int").alias("rn"))
-    )
+    return _exact_rerank(shortlist, corpus, qmap, k, round_to, id_col, vec_col)
 
 
 def ivfpq_write(index: IVFPQIndex, path: str) -> None:

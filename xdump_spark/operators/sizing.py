@@ -128,7 +128,7 @@ def pushdown_barrier(col):
     """Value-identical wrapper that BLOCKS predicate pushdown through the
     projection defining ``col``.
 
-    The trap (measured 15× on a 500-doc corpus, unbounded at scale):
+    The trap (measured 50× on a 500-doc corpus, unbounded at scale):
     Catalyst's PushDownPredicates substitutes project aliases into a
     pushed filter with no cost model, so ``filter(score >= x)`` above a
     fused signal projection re-inlines the pinned token array into every

@@ -206,7 +206,8 @@ def prepare_training_corpus(
             cur = note(
                 "decontaminated",
                 stripped.filter(
-                    F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= min_tokens
+                    (F.length(F.trim(F.col(text_col))) > 0)
+                    & (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= min_tokens)
                 ),
             )
         elif contamination_policy == "drop":
