@@ -225,6 +225,12 @@ def test_curate_from_config_session2_keys(spark, tmp_path):
     with open(model_path, "w") as f:
         json.dump(model.to_dict(), f)
     srcs = [r.source for r in docs.select("source").distinct().limit(4).collect()]
+    # a SMALL benchmark: strip policy fully strips only its 3 members
+    # (benchmark == whole corpus would empty every doc, which the
+    # empty-text recheck now correctly drops — leaving no sources for
+    # the mixture stage to hit)
+    bench_path = str(tmp_path / "bench.parquet")
+    docs.limit(3).write.parquet(bench_path)
 
     cfg = {
         "input": "/root/testdata/sf0.001/documents.parquet",
@@ -238,7 +244,7 @@ def test_curate_from_config_session2_keys(spark, tmp_path):
         "target_mixture": {s: 1.0 / len(srcs) for s in srcs},
         "mixture_col": "source",
         "contamination_policy": "strip",
-        "benchmark": "/root/testdata/sf0.001/documents.parquet",
+        "benchmark": bench_path,
     }
     p = str(tmp_path / "curate2.json")
     with open(p, "w") as f:
@@ -248,8 +254,5 @@ def test_curate_from_config_session2_keys(spark, tmp_path):
                   "mixture_rebalanced"):
         assert stage in res.audit, res.audit
     assert res.mixture_rates and set(res.mixture_rates) <= set(srcs)
-    # benchmark == the corpus itself + strip policy: every doc's text is
-    # fully cross-doc duplicated with the benchmark, so survivors are the
-    # short ones that fall below the k window (none here) — decontaminated
-    # may legitimately be 0; the point is the stage RAN under the policy.
-    assert res.audit["decontaminated"] >= 0
+    # strip policy: only the <=3 fully-covered benchmark members drop
+    assert res.audit["decontaminated"] >= res.audit["classifier_gated"] - 3
