@@ -105,6 +105,16 @@ def main() -> None:
             if name in qs:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # One THROWAWAY run at the timed scale before the timed loop: the
+    # first timed query otherwise absorbs the cold first read of the big
+    # tables (OS page cache) that every later query gets for free — r4
+    # read tpch_q1 as a 2.7× "regression" purely from running first.
+    # Every other query in the loop already runs against a warm page
+    # cache, so this levels the field rather than tilting it.
+    Q0 = "tpch_q1"
+    if Q0 in qs:
+        qs[Q0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Each query is timed twice and the BEST run is reported: a single
     # shot can absorb a multi-second JIT/GC pause (observed: the same
     # pure-JVM query at 1.3 s and 19.8 s across whole-bench runs), and a

@@ -248,3 +248,18 @@ def test_dedup_lines_plan_no_python_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan_of_df(dedup_lines(docs))
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_build_vocab_bounds_window_with_take_ordered(spark):
+    """build_vocab must never window over the unbounded distinct-word
+    table: the plan has to bound it first via TakeOrderedAndProject
+    (orderBy+limit), with the single-partition row_number Window applied
+    only to the ≤max_size survivor set."""
+    from xdump_spark.operators.curation import build_vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan_of_df(build_vocab(docs, max_size=1000))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window node must sit ABOVE the TakeOrderedAndProject (applied to
+    # the bounded result), i.e. appear before it in the top-down plan text
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan

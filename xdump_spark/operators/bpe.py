@@ -221,17 +221,20 @@ def bpe_encode_frame(
     """(id, ids array<int>, n_bpe_tokens, n_oov): order-preserving
     subword encode. Same shape/contract as tokenize_frame — broadcast
     merge table, one Arrow-batched narrow pass, zero shuffles — plus a
-    per-executor word→ids memo (Zipf: the cache absorbs almost every
-    lookup, so the merge loop runs once per DISTINCT word per executor,
-    not once per occurrence)."""
+    per-worker word→ids memo (Zipf: the cache absorbs almost every
+    lookup, so the merge loop runs once per DISTINCT word per Python
+    worker process, not once per occurrence). The memo lives at closure
+    level, OUTSIDE the udf body, so it survives across Arrow batches
+    within one worker — a dict created inside the body would be rebuilt
+    per batch and never amortize anything."""
     sc = df.sparkSession.sparkContext
     b_ranks = sc.broadcast(tok.merge_ranks())
     b_vmap = sc.broadcast(tok.vocab_map())
+    cache: dict = {}  # deserialized once per worker, shared across batches
 
     @F.pandas_udf("array<int>")
     def encode(texts: pd.Series) -> pd.Series:
         ranks, vmap = b_ranks.value, b_vmap.value
-        cache: dict = {}
 
         def word_ids(wd: str) -> list[int]:
             got = cache.get(wd)

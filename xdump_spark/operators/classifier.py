@@ -188,7 +188,10 @@ def fit_linear_classifier(
     cols = [F.col(c).cast("double") for c in feature_cols]
     lab = F.col(label_col).cast("double")
     sel = features.select(lab.alias("_y"), F.col(id_col), *cols)
-    n_total = sel.count()
+    # id-only count: column pruning keeps label/features out of the sizing
+    # pass, so the fit reads the feature columns exactly once (see
+    # pq_train for why single-scan sample-first is not scale-safe)
+    n_total = sel.select(id_col).count()
     if n_total == 0:
         raise ValueError("no labeled rows to fit on")
     if n_total > max_rows:

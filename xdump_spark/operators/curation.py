@@ -510,9 +510,16 @@ def build_vocab(
 ) -> DataFrame:
     """(tok, token_id, n) word vocabulary from a corpus: ids assigned by
     descending frequency (ties broken by token string, so the mapping is
-    deterministic), 1-based — id 0 is reserved for OOV/<unk>. One
-    map-side-combined groupBy + a top-``max_size`` sort; at 100 TB fit on
-    a sample exactly like the surprisal models."""
+    deterministic), 1-based — id 0 is reserved for OOV/<unk>.
+
+    Scale contract: the distinct-word table is unbounded (billions of rows
+    at 100 TB), so id assignment must NOT window over it. ``limit`` after
+    ``orderBy`` plans as TakeOrderedAndProject — per-partition top-K heaps,
+    then a single ≤``max_size``-row merge on the driver side — and ONLY the
+    bounded survivor set flows through the ``row_number`` window (same
+    discipline as ``bpe_train``, bpe.py). Ids are identical to the old
+    global-window formulation because the window's sort key equals the
+    limit's sort key."""
     from xdump_spark.operators.text import tokens
 
     counts = (
@@ -521,10 +528,10 @@ def build_vocab(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+    top = counts.orderBy(F.desc("n"), "tok").limit(max_size)
     w = W.orderBy(F.desc("n"), "tok")
     return (
-        counts.withColumn("token_id", F.row_number().over(w))
-        .filter(F.col("token_id") <= max_size)
+        top.withColumn("token_id", F.row_number().over(w))
         .select("tok", "token_id", "n")
     )
 

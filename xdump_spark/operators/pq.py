@@ -163,7 +163,13 @@ def pq_train(
     (standard small-sample guard).
     """
     sel = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n_total = sel.count()
+    # Size the sample from an ID-ONLY count: column pruning keeps the wide
+    # vector column out of this pass (~0.3% of the bytes for 768-dim
+    # embeddings), so the fit costs ~one scan of the vector data. A
+    # single-scan sample-first scheme is NOT scale-safe here: a fixed
+    # threshold guess transfers f·n rows (unbounded in n), and bottom-k
+    # TakeOrderedAndProject funnels P×K rows through one reducer.
+    n_total = sel.select("_id").count()
     if n_total == 0:
         raise ValueError("cannot train a PQ codebook on an empty corpus")
     if n_total > max_rows:
@@ -454,7 +460,27 @@ def ivfpq_search(
         f"neighbor_id {_id_type(index.codes, 'neighbor_id')}, pq_sim double"
     )
     spark = index.codes.sparkSession
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the raw corpus frame")
     if not qids:
+        if rerank is not None:
+            # match the non-empty rerank path's schema (cosine_sim, not
+            # pq_sim) so downstream column selection is branch-independent
+            empty = spark.createDataFrame(
+                [],
+                f"query_id {_id_type(queries, id_col)}, "
+                f"neighbor_id {_id_type(index.codes, 'neighbor_id')}, "
+                "cosine_sim double",
+            )
+            w = W.partitionBy("query_id").orderBy(
+                F.desc("cosine_sim"), F.asc("neighbor_id")
+            )
+            return empty.withColumn("rn", F.row_number().over(w)).select(
+                "query_id",
+                "neighbor_id",
+                "cosine_sim",
+                F.col("rn").cast("int").alias("rn"),
+            )
         return _finish_pq_topk(spark.createDataFrame([], out_schema), k)
 
     Qn = _normalize_rows(Q)
@@ -504,8 +530,6 @@ def ivfpq_search(
     )
     if rerank is None:
         return _finish_pq_topk(scored, k)
-    if corpus is None:
-        raise ValueError("rerank requires the raw corpus frame")
     shortlist = _finish_pq_topk(scored, shortlist_k).select("query_id", "neighbor_id")
     qmap = {qid: (Qn[j], 1.0) for j, qid in enumerate(qids)}
     return _exact_rerank(shortlist, corpus, qmap, k, round_to, id_col, vec_col)
