@@ -33,8 +33,8 @@ HEADLINE = [
     "xd_closure_recursive_multi",     # iterative recursive closure
     "dedup_exact_docs",
     "text_quality",
-    "minhash_pairs",
-    "knn_cosine_top5",
+    "neardup_pairs_panel",          # r5: minhash exact-verify + md5 simhash, both oracle-backed (replaced rows-only minhash_pairs)
+    "knn_topk_panel",               # r5: exact brute-force + full-probe IVF (replaced knn_cosine_top5)
     "events_sessionize",              # session_window gap sessionization
     "multimodal_frames",              # Arrow mapInPandas 1→N explode
     "tpch_q4_exists",                 # EXISTS → left-semi

@@ -253,8 +253,20 @@ def minhash_lsh_pairs(
         # a persist here leaked storage across repeated calls in a
         # long-lived session until executors evicted.
         normed = normed.localCheckpoint(eager=True)
+        # Verify on HASHED shingles: xxhash64 per distinct shingle makes
+        # the per-pair array_intersect probe 8-byte long equality instead
+        # of 5-char string equality and shrinks the doc-side frame ~5×
+        # (under the broadcast threshold, so the candidate pairs never
+        # shuffle through the verify joins). Set sizes are preserved —
+        # distinct strings stay distinct under the hash short of a 64-bit
+        # collision (~1e-8 across the whole corpus, and the value-hash
+        # oracle would surface one) — so the Jaccard is still exact.
         docs = normed.select(
-            "id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
+            "id",
+            F.transform(
+                _shingles_of_norm(F.col("_norm"), shingle_k),
+                lambda s: F.xxhash64(s),
+            ).alias("shingles"),
         ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
     # Signatures have three consumers (banding + both sides of pair
     # verification) and the frame is tiny (num_perm longs per doc):
@@ -314,8 +326,8 @@ def minhash_lsh_pairs(
         a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
         return (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
+            cand.join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
             .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
             .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
@@ -350,7 +362,11 @@ def minhash_lsh_pairs(
 # SimHash near-dup pairs
 # --------------------------------------------------------------------------
 def simhash_frame(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) with a 64-bit SimHash per document. Token hashes stay
     JVM-side (xxhash64 over a single-level transform of the split-token
@@ -360,11 +376,27 @@ def simhash_frame(
     whole-stage-codegen field budget (interpreted fallback, ~2× slower
     measured at sf0.1). Signature values are identical: bit b is set iff
     2·(count of tokens with hash bit b) > n_tokens. Token-less docs drop
-    out."""
+    out.
+
+    ``hash_fn="md5"`` swaps the token hash for the first 60 bits of
+    md5 (``conv(substr(md5(t),1,15),16,10)``) — slower, but exactly
+    reproducible in DuckDB (``('0x'||substr(md5(t),1,15))::UBIGINT``),
+    which makes the whole signature, and therefore the pair set,
+    oracle-checkable. Bits 60-63 of every token hash are then zero, so
+    those signature bits are zero on both sides; Hamming distances are
+    unaffected."""
     sig_udf = _simhash_sig_udf(bits)
+    if hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    elif hash_fn == "md5":
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("h"),
+        F.transform(tokens(F.col(text_col)), tok_hash).alias("h"),
     ).filter(F.size("h") > 0)
     return hashed.select("id", sig_udf("h").alias("sig"))
 
@@ -396,17 +428,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
     blocked on exact match of any of four 16-bit bands (finds all pairs
     with ≤3 differing bits for sure; probabilistic beyond — standard
     SimHash blocking). Returns (id_a, id_b, hamming).
 
+    With ``max_hamming ≤ 3`` the banding is EXHAUSTIVE by pigeonhole
+    (≤3 differing bits cannot touch all 4 bands), so the result equals
+    the all-pairs Hamming filter exactly — combined with
+    ``hash_fn="md5"`` (DuckDB-reproducible token hashes, see
+    simhash_frame) that makes the output oracle-checkable.
+
     The signature frame (two longs per doc) is eagerly checkpointed: the
     band self-join reads it twice, the 64-vote aggregation behind it is
     the dominant cost, and a lazy persist lets parallel stages of the
     same job race and recompute it per consumer."""
-    sigs = simhash_frame(df, text_col, id_col).localCheckpoint(eager=True)
+    sigs = simhash_frame(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(
+        eager=True
+    )
     bands = sigs.select(
         "id",
         "sig",

@@ -1404,48 +1404,184 @@ def dedup_spans(spark, sf_dir):
     return SP.duplicated_spans(_cat(spark, sf_dir).tables["documents"], k=8)
 
 
-@query("minhash_pairs", None)
+# DuckDB twin of the near-dup panel below. Two independent recomputations:
+# (a) minhash side — ALL pairs with exact char-5-shingle Jaccard ≥ 0.6 on
+#     normalized text (the Spark side's LSH banding at r=2,b=32 has miss
+#     probability (1-j²)^32 ≤ 6e-7 at the threshold, and the qualifying
+#     pairs in this corpus sit far above it — verified exact-equal at
+#     sf0.01 AND sf0.1);
+# (b) simhash side — ALL pairs at Hamming ≤ 3 over md5-token SimHash
+#     signatures recomputed bit-for-bit in SQL (60-bit md5-prefix token
+#     hashes are identical in Spark and DuckDB; 4-band blocking is
+#     EXHAUSTIVE for ≤3 differing bits by pigeonhole, so banded == all-
+#     pairs deterministically, not probabilistically).
+_NEARDUP_PANEL_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents WHERE doc_id % 3 = 0
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(nm) >= 5
+              THEN list_distinct(list_transform(range(1, length(nm) - 3),
+                                                i -> nm[i:i+4]))
+              WHEN length(nm) > 0 THEN [nm]
+              ELSE []::VARCHAR[] END AS shingles
+  FROM norm
+),
+shd AS (SELECT * FROM sh WHERE len(shingles) > 0),
+mh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS score
+  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+),
+toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks
+),
+nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+votes AS (
+  SELECT doc_id, b, count(*) FILTER (((h >> b) & 1) = 1) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT votes.doc_id,
+         sum(CASE WHEN 2 * v > n THEN (1::UBIGINT << b) ELSE 0 END)::UBIGINT AS s
+  FROM votes JOIN nt USING (doc_id) GROUP BY votes.doc_id
+),
+sp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.s, b.s))::DOUBLE AS score
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT 'minhash' AS method, id_a, id_b, score FROM mh WHERE score >= 0.6
+UNION ALL
+SELECT 'simhash' AS method, id_a, id_b, score FROM sp WHERE score <= 3
+""".replace("{toks}", _SQL_TOKS)
+
+
+@query("neardup_pairs_panel", _NEARDUP_PANEL_SQL)
+def neardup_pairs_panel(spark, sf_dir):
+    """Oracle-backed near-dup panel, (method, id_a, id_b, score):
+
+    * ``minhash`` — MinHash-LSH candidates (num_perm=64, r=2, b=32)
+      verified with EXACT shingle-set Jaccard ≥ 0.6 (the operator's
+      ``verify="exact"`` mode — estimate mode stays the scale default
+      and keeps its golden-signature tests).
+    * ``simhash`` — SimHash pairs at Hamming ≤ 3 with md5 token hashes:
+      banding is pigeonhole-exhaustive at ≤3 bits, so the banded result
+      equals the all-pairs filter the oracle computes.
+
+    Folded into one entry (r5) so BOTH approximate-dedup operators run
+    hash-checked inside the driver's 50-entry correctness window; the
+    previous rows-only ``minhash_pairs`` entry is retired."""
+    docs = _cat(spark, sf_dir).tables["documents"]
+    # minhash side runs on a deterministic 1/3 subset: exact-verify cost
+    # is candidate-pair-bound and r=2 banding (needed for bulletproof
+    # recall at the threshold — miss prob (1-j²)^32 ≈ 6e-17 at the
+    # corpus's weakest qualifying pair) is a permissive candidate
+    # generator, so n² matters; the subset cuts candidates 9× while the
+    # oracle applies the identical filter. Estimate mode on the full
+    # corpus stays the scale path.
+    mh = D.minhash_lsh_pairs(
+        docs.filter("doc_id % 3 = 0"),
+        threshold=0.6,
+        num_perm=64,
+        bands=32,
+        verify="exact",
+    ).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    sh = D.simhash_pairs(docs, max_hamming=3, hash_fn="md5").select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
 def minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs at estimated Jaccard ≥ 0.5 (signature-
-    component agreement, Spark-ML-MinHashLSH-style verification;
-    approximate by construction → rows-only check)."""
+    component agreement, Spark-ML-MinHashLSH-style verification — the
+    scale path: pair verification touches only signatures, never shingle
+    sets). Superseded in the registry (r5) by ``neardup_pairs_panel``'s
+    exact-verify mode, which the driver can hash-check; the estimate
+    path stays covered by golden-signature + pair-set sha256 tests and
+    the pruned-builder run in tests/test_registry.py."""
     return D.minhash_lsh_pairs(
         _cat(spark, sf_dir).tables["documents"], threshold=0.5
     )
 
 
 def simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs, Hamming ≤ 8. Pruned from the
-    registry in r4 to keep the driver's 50-entry window oracle-dense
-    (the slot went to the hash-checked ``dedup_spans``); the operator
-    stays fully covered by golden-signature + pair-set tests
-    (tests/test_operators.py) and the pruned-builder run below."""
+    """SimHash banded near-dup pairs, Hamming ≤ 8, xxhash64 token hashes
+    (the fast scale default). The md5-hash variant runs oracle-checked
+    inside ``neardup_pairs_panel``; this builder stays covered by
+    golden-signature + pair-set tests (tests/test_operators.py) and the
+    pruned-builder run in tests/test_registry.py."""
     return D.simhash_pairs(_cat(spark, sf_dir).tables["documents"])
 
 
 # --------------------------------------------------------------------------
 # Extension operators: similarity search over embeddings
 # --------------------------------------------------------------------------
-_KNN_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 100 = 0),
+_KNN_PANEL_SQL = """
+WITH q AS (SELECT CASE WHEN vec_id % 100 = 0 THEN 'exact'
+                       ELSE 'ivf_full_probe' END AS method,
+                  vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 100 IN (0, 1)),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-s AS (SELECT query_id, neighbor_id,
+s AS (SELECT method, query_id, neighbor_id,
              round(list_dot_product(qv, cv) /
                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-r AS (SELECT query_id, neighbor_id, cosine_sim,
+r AS (SELECT method, query_id, neighbor_id, cosine_sim,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rn
       FROM s)
-SELECT query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 5
+SELECT method, query_id, neighbor_id, cosine_sim, rn FROM r WHERE rn <= 5
 """
 
 
-@query("knn_cosine_top5", _KNN_SQL)
+@query("knn_topk_panel", _KNN_PANEL_SQL)
+def knn_topk_panel(spark, sf_dir):
+    """Top-5 cosine neighbors, (method, query_id, neighbor_id,
+    cosine_sim, rn):
+
+    * ``exact`` — brute-force cosine_topk for every 100th vector
+      (broadcast query side, one corpus pass with pre-shuffle local
+      top-k) — the r1-r4 ``knn_cosine_top5`` entry, renamed with the
+      method tag.
+    * ``ivf_full_probe`` — the IVF index searched with n_probe ==
+      n_cells over a disjoint query set (vec_id % 100 = 1): probing
+      every cell makes IVF exact, so the ANN code path (k-means build,
+      driver-side probe selection, cell-pruned scan, per-cell scoring)
+      runs hash-checked against the same brute-force oracle. Pruned-
+      probe recall floors stay pytest-gated (tests/test_operators.py).
+
+    Folded (r5) so the IVF operator runs inside the driver's 50-entry
+    correctness window without evicting an oracle-backed row."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    exact = S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+    ivf = S.ivf_topk(
+        emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=16
+    )
+    return exact.select(F.lit("exact").alias("method"), *exact.columns).unionByName(
+        ivf.select(F.lit("ivf_full_probe").alias("method"), *ivf.columns)
+    )
+
+
 def knn_cosine_top5(spark, sf_dir):
     """Exact brute-force cosine top-5 for every 100th vector (broadcast
-    query side, one corpus pass)."""
+    query side, one corpus pass). Renamed into ``knn_topk_panel``'s
+    ``exact`` method (r5); kept as a plain builder for tests."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
     return S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
 
