@@ -139,3 +139,42 @@ def test_lazy_tables_mapping_semantics():
     del lt["c"]
     with pytest.raises(KeyError):
         lt["c"]
+
+
+def test_dtype_manifest_matches_real_testdata(spark):
+    """validate_sf_dir pins the dtype of every engine-referenced column in
+    ALL ten tables (r5, extending the r4 events-only net): a driver-side
+    retype in any table fails here with the table and column named."""
+    from xdump_spark.catalog import validate_sf_dir
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if os.path.isdir(d):
+            validate_sf_dir(spark, d)  # must not raise
+
+
+def test_dtype_manifest_flags_mutated_table(spark, tmp_path):
+    """A deliberately-retyped column produces ONE clear reader-level error
+    naming table.column — not downstream oracle noise."""
+    from xdump_spark.catalog import validate_sf_dir
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # region with r_regionkey retyped int → string
+    spark.read.parquet(f"{SF_DIR}/region.parquet").withColumn(
+        "r_regionkey", F.col("r_regionkey").cast("string")
+    ).write.parquet(f"{d}/region.parquet")
+    with pytest.raises(ValueError, match=r"region\.r_regionkey.*expected int.*got string"):
+        validate_sf_dir(spark, d, tables=["region"])
+    # a missing column is reported as <missing>
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").drop("n_chars").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    with pytest.raises(ValueError, match=r"documents\.n_chars.*<missing>"):
+        validate_sf_dir(spark, d, tables=["documents"])
+    # an unreadable table is reported per-table, not as a crash
+    os.makedirs(f"{d}/embeddings.parquet")
+    with open(f"{d}/embeddings.parquet/part-0.parquet", "w") as fh:
+        fh.write("not parquet")
+    with pytest.raises(ValueError, match=r"embeddings: unreadable"):
+        validate_sf_dir(spark, d, tables=["embeddings"])

@@ -256,6 +256,89 @@ TPCH_TABLES = [
 ]
 
 
+# Recorded dtype manifest for the driver testdata (TESTDATA.md), as seen
+# through the engine's readers (events via read_events, so its row states
+# the ts TIMESTAMP + ts_ns LONG contract, not the raw file layout — any
+# raw layout the reader accepts is fine). A value may be a tuple of
+# accepted dtypes: the generator already flip-flopped timestamp layouts
+# once (round 3), so tz-naive/tz-aware variants of the date columns are
+# both accepted — session tz is pinned UTC, values are identical.
+# validate_sf_dir turns any drift into ONE reader-level error naming the
+# table and column instead of dozens of opaque oracle failures.
+EXPECTED_DTYPES: dict[str, dict[str, str | tuple[str, ...]]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": ("timestamp_ntz", "timestamp"),
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": ("timestamp_ntz", "timestamp"),
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "ts_ns": "bigint",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+}
+
+
+def validate_sf_dir(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Check every table's dtypes against EXPECTED_DTYPES, raising ONE
+    ValueError that lists all drifted/missing/unreadable columns with
+    their table names. Run this when a testdata layout change is
+    suspected (tests/test_testdata.py runs it against the real driver
+    data every round)."""
+    cat = load_sf_dir(spark, sf_dir, tables)
+    problems: list[str] = []
+    for name, want in EXPECTED_DTYPES.items():
+        if tables is not None and name not in tables:
+            continue
+        try:
+            got_types = dict(cat.tables[name].dtypes)
+        except Exception as exc:  # surface per-table read errors in one place
+            problems.append(f"{name}: unreadable ({type(exc).__name__}: {exc})")
+            continue
+        for col, accept in want.items():
+            accepted = (accept,) if isinstance(accept, str) else accept
+            got = got_types.get(col, "<missing>")
+            if got not in accepted:
+                problems.append(
+                    f"{name}.{col}: expected {' or '.join(accepted)}, got {got}"
+                )
+    if problems:
+        raise ValueError(
+            f"testdata schema drift at {sf_dir!r} — "
+            f"{len(problems)} problem(s); fix the reader contract or "
+            "regenerate the manifest (catalog.EXPECTED_DTYPES): "
+            + "; ".join(problems)
+        )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, normalizing ``ts`` across parquet layouts.
 
