@@ -42,9 +42,13 @@ def test_decode_stub_deterministic(spark, media):
     assert all(0.0 <= luma <= 1.0 for _, luma in a)
 
 
-def test_decode_real_codec_raises(media):
-    with pytest.raises(NotImplementedError):
-        M.decode_blobs(media, use_real_codec=True)
+def test_decode_real_codec_nulls_synthetic_payloads(media):
+    """r5: the real codec path is implemented (pure-numpy PNG/BMP,
+    tests/test_imagecodec.py). attach_blobs payloads are text bytes, not
+    decodable images — the real path must null those rows per the mixed-
+    corpus degradation contract, not raise."""
+    rows = M.decode_blobs(media, use_real_codec=True).collect()
+    assert rows and all(r.mean_luma is None and r.width is None for r in rows)
 
 
 def test_sample_frames_shape(media):
@@ -140,12 +144,18 @@ def test_resize_blobs_stub_plumbing(spark):
     assert {r.doc_id: bytes(r.blob) for r in rows} == rows2
 
 
-def test_resize_blobs_real_codec_raises(spark):
+def test_resize_blobs_real_codec_rejects_nonimage_payloads(spark):
+    """r5: resize is an explicit transform — undecodable payloads FAIL
+    the job (unlike decode_blobs' per-row nulls), surfacing the
+    UnsupportedImageError at action time."""
+    from py4j.protocol import Py4JJavaError
+
     from xdump_spark.operators.multimodal import attach_blobs, resize_blobs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(2)
-    with pytest.raises(NotImplementedError):
-        resize_blobs(attach_blobs(docs), 8, 8, use_real_codec=True)
+    out = resize_blobs(attach_blobs(docs), 8, 8, use_real_codec=True)
+    with pytest.raises((Py4JJavaError, Exception), match="UnsupportedImageError|unknown image"):
+        out.collect()
 
 
 def test_extract_features_unit_norm_and_knn_integration(spark):

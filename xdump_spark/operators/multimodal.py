@@ -5,11 +5,17 @@ anywhere); this is the brief's scale extension: treat media as opaque
 ``binary`` columns with typed metadata, and run decode / feature-extract /
 frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio libraries, so the actual codec step is a
-STUB: ``decode_blobs`` tries Pillow and, when absent, falls back to a
-clearly-marked deterministic fake decoder. Everything around the stub —
-schema convention, partition-size control, UDF signatures, 1→N frame
-explode, Arrow batch shapes — is real and tested.
+The container has no image libraries, so the real-codec path
+(``use_real_codec=True``, r5) is a pure-numpy implementation
+(operators/imagecodec.py): full PNG decode (all five scanline filters,
+the 8-bit color types) + encode, 24-bit BMP decode, nearest-neighbor
+resize, and a luma-histogram feature extractor — actual pixels end to
+end. GIF pixel decode (LZW) and exotic encodings remain out of scope
+and error clearly. The default deterministic STUB path is kept for
+hermetic plumbing tests and for synthetic text-payload corpora
+(attach_blobs). Schema convention, partition-size control, UDF
+signatures, 1→N frame explode, and Arrow batch shapes are identical on
+both paths.
 
 At 100 TB: blobs dominate partition size, so operators here repartition by
 byte budget (not row count) before Python stages, keep each Arrow batch
@@ -215,20 +221,51 @@ def _fake_luma(blob: bytes) -> float:
 def decode_blobs(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode each blob to (width, height, mean_luma) via ``mapInPandas``.
 
-    ``use_real_codec=True`` requires Pillow and raises NotImplementedError
-    here (codec libs absent in this environment) — the Spark-side plumbing
-    (Arrow batches, schema, partitioning) is identical either way, which is
-    the point of the stub.
+    ``use_real_codec=True`` (r5) runs the REAL pure-numpy codec
+    (operators/imagecodec.py): PNG (all five scanline filters, the
+    common 8-bit color types) and 24-bit BMP decode to actual pixel
+    arrays, with width/height/mean_luma computed from those pixels —
+    not from metadata. Blobs outside the codec's documented coverage
+    (GIF pixel data, synthetic stand-in payloads) yield NULL
+    width/height/mean_luma rather than failing the batch, so a mixed
+    corpus degrades per-row. The default stub path stays for hermetic
+    plumbing tests and for corpora wrapped by attach_blobs (whose
+    payloads are not real images).
     """
     if use_real_codec:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "real image decode needs Pillow, which is not installed; "
-                "run with use_real_codec=False for the deterministic stub"
-            ) from exc
-        raise NotImplementedError("real codec path not wired in this build")
+        from xdump_spark.operators.imagecodec import (
+            UnsupportedImageError,
+            decode_image,
+            mean_luma,
+        )
+
+        import struct
+        import zlib
+
+        # Corrupt bytes at corpus scale must null the ROW, not kill the
+        # job: every parse failure mode of the codec is enumerated here.
+        _DECODE_ERRORS = (UnsupportedImageError, ValueError, zlib.error, struct.error, IndexError)
+
+        def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ws, hs, ls = [], [], []
+                for b in pdf["blob"]:
+                    try:
+                        img = decode_image(bytes(b))
+                        hs.append(img.shape[0])
+                        ws.append(img.shape[1])
+                        ls.append(mean_luma(img))
+                    except _DECODE_ERRORS:
+                        ws.append(None)
+                        hs.append(None)
+                        ls.append(None)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "mean_luma": ls}
+                )
+
+        return media.select("doc_id", "blob").mapInPandas(
+            decode_real, schema=_DECODE_SCHEMA
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -307,23 +344,45 @@ def resize_blobs(
 ) -> DataFrame:
     """Resize every image blob to (width, height) via ``mapInPandas``.
 
-    Codec honesty (same contract as :func:`decode_blobs`): the real
-    resample needs Pillow, absent here — ``use_real_codec=True`` raises
-    NotImplementedError; the default emits a deterministic stand-in blob
+    ``use_real_codec=True`` (r5) decodes with the pure-numpy codec,
+    resamples nearest-neighbor, and re-encodes PNG — real pixels in and
+    out. The default stub emits a deterministic stand-in blob
     (md5-of-source payload, length scaled to the target pixel count) so
     the Spark-side plumbing — binary column through Arrow batches, output
-    schema, downstream writability — is real and tested. Batch memory is
-    bounded: output blobs are built per Arrow batch, never collected.
+    schema, downstream writability — stays testable without real images.
+    Batch memory is bounded either way: output blobs are built per Arrow
+    batch, never collected.
     """
     if use_real_codec:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "real resize needs Pillow, which is not installed; "
-                "run with use_real_codec=False for the deterministic stub"
-            ) from exc
-        raise NotImplementedError("real codec path not wired in this build")
+        from xdump_spark.operators.imagecodec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
+        def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["blob"]:
+                    # decode → nearest-neighbor resample (deterministic
+                    # integer index math) → re-encode PNG. Undecodable
+                    # blobs propagate their error: a resize stage is an
+                    # explicit transform, unlike decode_blobs' per-row
+                    # profiling, so silent nulls would corrupt the sink.
+                    img = decode_image(bytes(b))
+                    out.append(encode_png(resize_nearest(img, width, height)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": width,
+                        "height": height,
+                        "blob": out,
+                    }
+                )
+
+        return media.select("doc_id", "blob").mapInPandas(
+            resize_real, schema=_RESIZE_SCHEMA
+        )
 
     target_len = max(16, (width * height) // 64)  # stand-in byte budget
 
@@ -353,16 +412,36 @@ def extract_features(
     the embedding-extraction stage that feeds the similarity toolkit
     (``cosine_topk``/``semantic_dedup`` accept the output directly).
 
-    Stub contract as above: a real extractor (CLIP-style encoder) is not
-    in this container; the deterministic stand-in derives ``dim`` floats
-    from the blob's md5 stream and L2-normalizes, so vectors are stable
-    across runs/partitionings and the full extract→index→search pipeline
-    is exercisable end to end.
+    ``use_real_codec=True`` (r5) decodes real pixels and emits the
+    mean-centered, L2-normalized luma histogram — a real pixel-statistics
+    descriptor; a learned (CLIP-style) encoder would slot into the same
+    (blob → float[dim]) kernel signature but is not in this container.
+    The default stub derives ``dim`` floats from the blob's md5 stream
+    and L2-normalizes, so vectors are stable across runs/partitionings
+    and the plumbing is exercisable without real images.
     """
     if use_real_codec:
-        raise NotImplementedError(
-            "real feature extraction needs an image encoder, not installed; "
-            "run with use_real_codec=False for the deterministic stub"
+        from xdump_spark.operators.imagecodec import (
+            decode_image,
+            luma_histogram_feature,
+        )
+
+        def feats_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vecs = [
+                    luma_histogram_feature(decode_image(bytes(b)), dim).tolist()
+                    for b in pdf["blob"]
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
+
+        real_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("feature", ArrayType(FloatType())),
+            ]
+        )
+        return media.select("doc_id", "blob").mapInPandas(
+            feats_real, schema=real_schema
         )
 
     import numpy as np
