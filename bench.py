@@ -106,11 +106,15 @@ def main() -> None:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # One THROWAWAY run at the timed scale before the timed loop: the
-    # first timed query otherwise absorbs the cold first read of the big
-    # tables (OS page cache) that every later query gets for free — r4
-    # read tpch_q1 as a 2.7× "regression" purely from running first.
-    # Every other query in the loop already runs against a warm page
-    # cache, so this levels the field rather than tilting it.
+    # first timed query otherwise also absorbs the cold first read of the
+    # big tables (OS page cache) that every later query gets for free.
+    # NB (r5 diagnosis): tpch_q1's ~1.2-1.3 s at sf0.1 is its true steady
+    # state on this layout, not warmup — the driver's lineitem.parquet is
+    # ONE file with ONE 600k-row row group, and a parquet scan cannot
+    # split inside a row group, so the scan+partial-agg runs as a single
+    # task regardless of cores (SCALE.md's earlier 0.46 s solo figure was
+    # measured on the multi-file soak layout). At cluster scale the input
+    # has many row groups and this ceiling disappears.
     Q0 = "tpch_q1"
     if Q0 in qs:
         qs[Q0](spark, sf_dir).write.format("noop").mode("overwrite").save()

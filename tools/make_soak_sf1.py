@@ -15,7 +15,17 @@ operator SEMANTICS don't degenerate:
 - embeddings rotate their dimensions per copy — norms preserved,
   neighbors changed, so ANN outputs stay top-k-sized.
 
+Beyond 26 copies (the sf10 decade: --copies 100) plain alphabet
+rotation repeats and copies in the same rotation class would be EXACT
+cross-copy duplicates — pair outputs would explode quadratically for a
+spurious reason. So the text perturbation is a per-copy alphabet
+PERMUTATION (rotation composed with powers of a fixed mixing
+permutation), distinct for every copy, and embeddings compose their
+dimension rotation with a per-copy sign-flip prefix (norms preserved)
+once the rotation alone would repeat.
+
 Usage: python tools/make_soak_sf1.py [--copies 10] [--out .soak/sf1]
+       python tools/make_soak_sf1.py --copies 100 --out .soak/sf10
 """
 
 from __future__ import annotations
@@ -86,6 +96,17 @@ def main() -> int:
         strides[space] = 10 * int(tables[tbl].agg(F.max(col)).first()[0])
 
     alpha = string.ascii_lowercase
+    # fixed mixing permutation (a 26-cycle written as an image string):
+    # perm_for(i) = mix^(i//26) ∘ rotate(i%26) — distinct for every copy,
+    # so no two copies share a text character mapping and cross-copy
+    # shingle overlap stays incidental (copies are NOT near-duplicates).
+    mix = "qwertyuiopasdfghjklzxcvbnm"
+
+    def perm_for(i: int) -> str:
+        p = alpha[i % 26 :] + alpha[: i % 26]
+        for _ in range(i // 26):
+            p = "".join(mix[alpha.index(ch)] for ch in p)
+        return p
 
     for name, df in tables.items():
         out_path = os.path.join(args.out, f"{name}.parquet")
@@ -99,7 +120,7 @@ def main() -> int:
             for col, space in KEY_OFFSETS[name].items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * strides[space]))
             if name == "documents" and i > 0:
-                rot = alpha[i:] + alpha[:i]
+                rot = perm_for(i)
                 c = c.withColumn(
                     "text", F.translate(F.col("text"), alpha + alpha.upper(),
                                         rot + rot.upper())
@@ -114,6 +135,19 @@ def main() -> int:
                         F.slice(F.col("embedding"), 1, k),
                     ),
                 )
+                if i >= dim:
+                    # rotation alone repeats every `dim` copies; negate a
+                    # per-copy prefix (norm-preserving) so vector SETS stay
+                    # distinct across copies and near-dup output stays
+                    # linear in corpus size
+                    n_neg = (i // dim) % dim + 1
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x, idx: F.when(idx < F.lit(n_neg), -x).otherwise(x),
+                        ),
+                    )
             copies.append(c)
         merged = copies[0]
         for c in copies[1:]:

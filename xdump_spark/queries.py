@@ -1406,10 +1406,10 @@ def dedup_spans(spark, sf_dir):
 
 # DuckDB twin of the near-dup panel below. Two independent recomputations:
 # (a) minhash side — ALL pairs with exact char-5-shingle Jaccard ≥ 0.6 on
-#     normalized text (the Spark side's LSH banding at r=2,b=32 has miss
-#     probability (1-j²)^32 ≤ 6e-7 at the threshold, and the qualifying
-#     pairs in this corpus sit far above it — verified exact-equal at
-#     sf0.01 AND sf0.1);
+#     normalized text (the Spark side's LSH banding at r=2,b=16 has miss
+#     probability (1-j²)^16 ≈ 8e-4 at the threshold and ≤8e-9 at the
+#     weakest qualifying pair this corpus contains — verified exact-equal
+#     at sf0.01 AND sf0.1);
 # (b) simhash side — ALL pairs at Hamming ≤ 3 over md5-token SimHash
 #     signatures recomputed bit-for-bit in SQL (60-bit md5-prefix token
 #     hashes are identical in Spark and DuckDB; 4-band blocking is
@@ -1467,10 +1467,13 @@ SELECT 'simhash' AS method, id_a, id_b, score FROM sp WHERE score <= 3
 def neardup_pairs_panel(spark, sf_dir):
     """Oracle-backed near-dup panel, (method, id_a, id_b, score):
 
-    * ``minhash`` — MinHash-LSH candidates (num_perm=64, r=2, b=32)
+    * ``minhash`` — MinHash-LSH candidates (num_perm=32, r=2, b=16)
       verified with EXACT shingle-set Jaccard ≥ 0.6 (the operator's
       ``verify="exact"`` mode — estimate mode stays the scale default
-      and keeps its golden-signature tests).
+      and keeps its golden-signature tests). r=2 keeps banding recall
+      effectively deterministic: miss probability (1-j²)^16 is ~8e-4
+      for a hypothetical pair AT the 0.6 threshold and ≤8e-9 at the
+      weakest pair this corpus actually contains (j=0.83).
     * ``simhash`` — SimHash pairs at Hamming ≤ 3 with md5 token hashes:
       banding is pigeonhole-exhaustive at ≤3 bits, so the banded result
       equals the all-pairs filter the oracle computes.
@@ -1480,17 +1483,16 @@ def neardup_pairs_panel(spark, sf_dir):
     previous rows-only ``minhash_pairs`` entry is retired."""
     docs = _cat(spark, sf_dir).tables["documents"]
     # minhash side runs on a deterministic 1/3 subset: exact-verify cost
-    # is candidate-pair-bound and r=2 banding (needed for bulletproof
-    # recall at the threshold — miss prob (1-j²)^32 ≈ 6e-17 at the
-    # corpus's weakest qualifying pair) is a permissive candidate
-    # generator, so n² matters; the subset cuts candidates 9× while the
-    # oracle applies the identical filter. Estimate mode on the full
-    # corpus stays the scale path.
+    # is candidate-pair-bound and r=2 banding (needed for near-certain
+    # recall at the threshold) is a permissive candidate generator, so
+    # n² matters; the subset cuts candidates 9× while the oracle applies
+    # the identical filter. Estimate mode on the full corpus stays the
+    # scale path.
     mh = D.minhash_lsh_pairs(
         docs.filter("doc_id % 3 = 0"),
         threshold=0.6,
-        num_perm=64,
-        bands=32,
+        num_perm=32,
+        bands=16,
         verify="exact",
     ).select(
         F.lit("minhash").alias("method"),
