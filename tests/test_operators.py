@@ -693,3 +693,80 @@ def test_cosine_topk_query_batch_guard(spark, vecs, monkeypatch):
 
     with _pytest.raises(ValueError, match="embedding_neardup_pairs"):
         S.cosine_topk(vecs, vecs, k=2)
+
+
+# ------------------------------------------------ IVF append maintenance ---
+def test_ivf_assign_matches_kmeans_transform(spark):
+    """ivf_assign (no-refit numpy assignment) must agree with the cell
+    ids ivf_build produced via Spark ML KMeans.transform for every
+    vector."""
+    from xdump_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = S.ivf_build(emb, n_cells=8, persist=False)
+    want = {r.neighbor_id: r.cell for r in idx.assigned.collect()}
+    got = {
+        r.neighbor_id: r.cell
+        for r in S.ivf_assign(idx.centers, emb).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_and_balance(spark, tmp_path):
+    from xdump_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 150")
+    extra = emb.filter("vec_id >= 150")
+    n_extra = extra.count()
+    assert n_extra > 0
+    path = str(tmp_path / "ivf")
+    idx = S.ivf_build(base, n_cells=8, persist=False)
+    S.ivf_write(idx, path)
+
+    S.ivf_append(spark, path, extra)
+    idx2 = S.ivf_read(spark, path)
+    assert idx2.assigned.count() == base.count() + n_extra
+    # appended rows are assigned exactly as a fresh no-refit assignment
+    want = {r.neighbor_id: r.cell for r in S.ivf_assign(idx.centers, extra).collect()}
+    got = {
+        r.neighbor_id: r.cell
+        for r in idx2.assigned.join(
+            extra.select(F.col("vec_id").alias("neighbor_id")), "neighbor_id"
+        ).collect()
+    }
+    assert got == want
+
+    # full-probe search over the appended index is EXACT: a query that is
+    # itself an appended vector finds itself-adjacent neighbors from the
+    # whole corpus (cosine parity with brute force)
+    q = emb.filter("vec_id = 180")
+    full = S.ivf_search(idx2, q, k=3, n_probe=8)
+    brute = S.cosine_topk(emb, q, k=3)
+    assert [(r.neighbor_id, r.cosine_sim) for r in full.collect()] == [
+        (r.neighbor_id, r.cosine_sim) for r in brute.collect()
+    ]
+
+    bal = S.ivf_balance(idx2)
+    assert bal["n_vectors"] == 500 and bal["n_cells"] == 8
+    assert bal["retrain_recommended"] in (False, True)
+
+    # skewed append: pile many copies of ONE vector into the index — the
+    # hot cell must trip the retrain trigger
+    one = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    many = one
+    for i in range(1, 12):
+        many = many.unionByName(
+            one.select((F.col("vec_id") + i).alias("vec_id"), "embedding")
+        )
+    big = many
+    for i in range(5):  # 12 * 6 = 72 more copies of the same point
+        big = big.unionByName(
+            many.select((F.col("vec_id") + 100 * (i + 1)).alias("vec_id"), "embedding")
+        )
+    S.ivf_append(spark, path, big)
+    bal2 = S.ivf_balance(S.ivf_read(spark, path), hot_cell_factor=2.0)
+    assert bal2["retrain_recommended"] is True
+    assert bal2["max_over_mean"] > bal["max_over_mean"]

@@ -365,6 +365,111 @@ def ivf_read(spark, path: str) -> IVFIndex:
     )
 
 
+def ivf_assign(
+    centers: list[list[float]],
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to EXISTING centroids without refitting:
+    (neighbor_id, cv, cn, cell) in one Arrow-batched pass — each batch is
+    a single (batch × n_cells) distance matmul against the broadcast
+    centroid matrix, argmin with the same squared-L2 + lowest-cell-index
+    tie-break as KMeans transform / ivf_probe_cells. This is the
+    maintenance half of the build-once contract: appended data reuses the
+    trained centroids, so an append never rescans the existing corpus."""
+    Cent = np.asarray(centers, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", Cent, Cent)
+    spark = vectors.sparkSession
+    b_cent = spark.sparkContext.broadcast((Cent, c2))
+
+    out_schema = (
+        f"neighbor_id {_id_type(vectors, id_col)}, cv array<double>, "
+        "cn double, cell int"
+    )
+
+    def assign(batches):
+        C, cc2 = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _matrix(pdf["cv"])
+            d2 = -2.0 * (V @ C.T) + cc2[None, :]  # ||v||² is rank-constant
+            cells = np.arange(C.shape[0])
+            cell = np.array([np.lexsort((cells, d2[i]))[0] for i in range(len(V))])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cv": pdf["cv"],
+                    "cn": _norms(V),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    return c.mapInPandas(assign, out_schema)
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a STORED index (the ivf_write layout)
+    without a rebuild: assign against the saved centroids and append
+    parquet files INSIDE the per-cell partition directories — existing
+    files are untouched, searches keep pruning by cell, and the
+    append's cost is one pass over the new vectors only. Centroids are
+    unchanged by design; monitor ``ivf_balance`` to decide when drift
+    warrants a retrain."""
+    import json
+    import os
+
+    meta = json.loads(spark.read.json(os.path.join(path, "meta")).first()["meta"])
+    assigned = ivf_assign(meta["centers"], new_vectors, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "assigned")
+    )
+
+
+def ivf_balance(
+    index: IVFIndex, hot_cell_factor: float = 4.0, max_empty_frac: float = 0.25
+) -> dict:
+    """Cell-occupancy health check — the retrain trigger for an
+    append-maintained index. Appended data drifting off the trained
+    distribution shows up as occupancy skew, which directly degrades
+    probe pruning (a hot cell is scanned by most queries, an empty cell
+    wastes a probe). One map-side-combined groupBy over the cell column
+    (never the vectors); returns per-decision scalars:
+
+    ``retrain_recommended`` = max cell > ``hot_cell_factor``× the mean
+    or more than ``max_empty_frac`` of cells are empty."""
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in index.assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    n_cells = index.n_cells
+    mean = n_total / n_cells if n_cells else 0.0
+    max_n = max(counts.values(), default=0)
+    empty = n_cells - len(counts)
+    return {
+        "n_vectors": n_total,
+        "n_cells": n_cells,
+        "empty_cells": empty,
+        "max_cell": max_n,
+        "max_over_mean": round(max_n / mean, 4) if mean else 0.0,
+        "retrain_recommended": bool(
+            (mean and max_n > hot_cell_factor * mean)
+            or (n_cells and empty / n_cells > max_empty_frac)
+        ),
+    }
+
+
 def ivf_probe_cells(
     index: IVFIndex, Q: np.ndarray, n_probe: int
 ) -> list[np.ndarray]:
