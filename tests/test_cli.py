@@ -228,3 +228,92 @@ def test_cli_curate_overwrite(spark, tmp_path):
         cli.run(cli.build_parser().parse_args(base), spark)
     assert cli.run(cli.build_parser().parse_args(base + ["--overwrite"]), spark) == 0
     assert spark.read.parquet(out).count() == 500
+
+
+def test_cli_select_dsir(spark, tmp_path, capsys):
+    cook = ["bake bread with yeast", "simmer garlic butter", "knead dough and bake"]
+    legal = ["the contract clause governs", "the court finds liability",
+             "pursuant to the statute"]
+    raw_rows = [(i, (cook[i % 3] if i % 5 == 0 else legal[i % 3]) + f" v{i}")
+                for i in range(40)]
+    raw_p = str(tmp_path / "raw.parquet")
+    tgt_p = str(tmp_path / "target.parquet")
+    out_p = str(tmp_path / "selected.parquet")
+    spark.createDataFrame(raw_rows, "doc_id long, text string").write.parquet(raw_p)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cook)], "doc_id long, text string"
+    ).write.parquet(tgt_p)
+    args = cli.build_parser().parse_args(
+        ["select", "-i", raw_p, "--target", tgt_p, "-o", out_p, "-n", "6",
+         "--buckets", "2048", "--scores-out", str(tmp_path / "scores.parquet")]
+    )
+    assert cli.run(args, spark) == 0
+    sel = spark.read.parquet(out_p)
+    assert sel.count() == 6
+    picked = [r.doc_id for r in sel.collect()]
+    # the cooking minority must be enriched (8/40 raw → most of the pick)
+    assert len([i for i in picked if i % 5 == 0]) >= 4
+    scores = spark.read.parquet(str(tmp_path / "scores.parquet"))
+    assert scores.count() == 40 and "dsir_logw" in scores.columns
+
+
+@pytest.mark.parametrize("algo", ["bpe", "unigram"])
+def test_cli_train_tokenizer(spark, tmp_path, capsys, algo):
+    import json
+
+    docs_p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "unhappy unkind untested kindly clearly tested") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(docs_p)
+    out = str(tmp_path / f"{algo}.json")
+    args = cli.build_parser().parse_args(
+        ["train-tokenizer", "-i", docs_p, "-o", out, "--algo", algo,
+         "--vocab-size", "64"]
+    )
+    assert cli.run(args, spark) == 0
+    payload = json.loads(open(out).read())
+    assert payload["algo"] == algo
+    if algo == "bpe":
+        from xdump_spark.operators.bpe import BPETokenizer, bpe_encode
+
+        tok = BPETokenizer.from_dict(payload)
+        assert bpe_encode("unhappy", tok)
+    else:
+        from xdump_spark.operators.unigram import UnigramTokenizer, unigram_encode
+
+        tok = UnigramTokenizer.from_dict(payload)
+        assert unigram_encode("unhappy", tok)
+
+
+def test_cli_media_profile_image_and_audio(spark, tmp_path, capsys):
+    import numpy as np
+
+    from xdump_spark.operators.audiocodec import encode_wav
+    from xdump_spark.operators.imagecodec import encode_png
+
+    img_p = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(
+        [(1, encode_png(np.full((4, 6, 3), 200, dtype=np.uint8))), (2, b"junk")],
+        "doc_id long, blob binary",
+    ).write.parquet(img_p)
+    out_i = str(tmp_path / "img_prof.parquet")
+    assert cli.run(cli.build_parser().parse_args(
+        ["media-profile", "-i", img_p, "-o", out_i, "--kind", "image"]
+    ), spark) == 0
+    prof = {r.doc_id: r for r in spark.read.parquet(out_i).collect()}
+    assert prof[1].width == 6 and prof[1].height == 4
+    assert prof[2].width is None
+
+    aud_p = str(tmp_path / "auds.parquet")
+    t = np.arange(800) / 8000.0
+    wav = encode_wav(0.5 * np.sin(2 * 3.14159 * 440 * t), 8000)
+    spark.createDataFrame(
+        [(1, wav)], "doc_id long, blob binary"
+    ).write.parquet(aud_p)
+    out_a = str(tmp_path / "aud_prof.parquet")
+    assert cli.run(cli.build_parser().parse_args(
+        ["media-profile", "-i", aud_p, "-o", out_a, "--kind", "audio"]
+    ), spark) == 0
+    arow = spark.read.parquet(out_a).collect()[0]
+    assert arow.sample_rate == 8000 and arow.n_samples == 800

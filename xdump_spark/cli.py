@@ -250,6 +250,53 @@ def build_parser() -> argparse.ArgumentParser:
         help="deterministic md5-bucket cap on the driver-side fit sample",
     )
 
+    se = sub.add_parser(
+        "select",
+        help="DSIR importance resampling: select docs whose hashed n-gram "
+        "distribution matches a target corpus (operators/dsir.py)",
+    )
+    se.add_argument("-i", "--input", required=True, help="raw documents parquet")
+    se.add_argument("--target", required=True, help="target-domain documents parquet")
+    se.add_argument("-o", "--output", required=True, help="selected-docs parquet path")
+    se.add_argument("-n", type=int, required=True, help="number of documents to select")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--buckets", type=int, default=65_536)
+    se.add_argument("--temperature", type=float, default=1.0)
+    se.add_argument("--seed", type=int, default=0)
+    se.add_argument(
+        "--scores-out", default=None,
+        help="also write every doc's (id, n_grams, dsir_logw) parquet here",
+    )
+    se.add_argument("--overwrite", action="store_true")
+
+    tt = sub.add_parser(
+        "train-tokenizer",
+        help="fit a subword tokenizer on a documents table and write the "
+        "model JSON (operators/bpe.py or operators/unigram.py)",
+    )
+    tt.add_argument("-i", "--input", required=True, help="documents parquet path")
+    tt.add_argument("-o", "--output", required=True, help="tokenizer JSON path")
+    tt.add_argument("--algo", choices=["bpe", "unigram"], default="bpe")
+    tt.add_argument("--vocab-size", type=int, default=8192)
+    tt.add_argument("--text-col", default="text")
+    tt.add_argument(
+        "--max-words", type=int, default=100_000,
+        help="bound on the driver-side word-frequency table (top by count)",
+    )
+
+    mp = sub.add_parser(
+        "media-profile",
+        help="decode-profile a binary blob column (image or audio) with the "
+        "real codecs (operators/multimodal.py, operators/audio.py)",
+    )
+    mp.add_argument("-i", "--input", required=True, help="parquet with (id, blob)")
+    mp.add_argument("-o", "--output", required=True, help="profile parquet path")
+    mp.add_argument("--kind", choices=["image", "audio"], required=True)
+    mp.add_argument("--id-col", default="doc_id")
+    mp.add_argument("--blob-col", default="blob")
+    mp.add_argument("--overwrite", action="store_true")
+
     dc = sub.add_parser(
         "datacard",
         help="emit a corpus data card (composition/quality datasheet) as JSON",
@@ -393,6 +440,68 @@ def run(args, spark) -> int:
         with open(args.output, "w") as fh:
             json.dump(model.to_dict(), fh, indent=2)
         print(f"wrote {args.output} (features: {', '.join(model.features)})")
+    elif args.command == "select":
+        from xdump_spark.operators.dsir import dsir_resample, dsir_score, fit_dsir
+
+        raw = spark.read.parquet(args.input)
+        target = spark.read.parquet(args.target)
+        model = fit_dsir(
+            target, raw, text_col=args.text_col, num_buckets=args.buckets
+        )
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        if args.scores_out:
+            dsir_score(raw, model, args.text_col, args.id_col).write.mode(
+                mode
+            ).parquet(args.scores_out)
+            print(f"wrote scores to {args.scores_out}")
+        picked = dsir_resample(
+            raw, model, n=args.n, text_col=args.text_col, id_col=args.id_col,
+            temperature=args.temperature, seed=args.seed,
+        )
+        out = raw.join(picked.select(args.id_col), args.id_col, "left_semi")
+        out.write.mode(mode).parquet(args.output)
+        print(f"selected {picked.count()} of {raw.count()} docs -> {args.output}")
+    elif args.command == "train-tokenizer":
+        import json
+
+        docs = spark.read.parquet(args.input)
+        if args.algo == "bpe":
+            from xdump_spark.operators.bpe import bpe_train
+
+            tok = bpe_train(
+                docs, vocab_size=args.vocab_size, text_col=args.text_col,
+                max_words=args.max_words,
+            )
+            size = len(tok.vocab)
+        else:
+            from xdump_spark.operators.unigram import unigram_train
+
+            tok = unigram_train(
+                docs, vocab_size=args.vocab_size, text_col=args.text_col,
+                max_words=args.max_words,
+            )
+            size = len(tok.pieces)
+        with open(args.output, "w") as fh:
+            json.dump({"algo": args.algo, **tok.to_dict()}, fh)
+        print(f"wrote {args.output} ({args.algo}, {size} entries)")
+    elif args.command == "media-profile":
+        from pyspark.sql import functions as F
+
+        media = spark.read.parquet(args.input).select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.blob_col).alias("blob")
+        )
+        if args.kind == "image":
+            from xdump_spark.operators.multimodal import decode_blobs
+
+            prof = decode_blobs(media, use_real_codec=True)
+        else:
+            from xdump_spark.operators.audio import decode_audio
+
+            prof = decode_audio(media)
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        prof.write.mode(mode).parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"profiled {n} blobs -> {args.output}")
     elif args.command == "datacard":
         import json
 
