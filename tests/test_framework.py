@@ -256,3 +256,31 @@ def test_curate_from_config_session2_keys(spark, tmp_path):
     assert res.mixture_rates and set(res.mixture_rates) <= set(srcs)
     # strip policy: only the <=3 fully-covered benchmark members drop
     assert res.audit["decontaminated"] >= res.audit["classifier_gated"] - 3
+
+
+def test_curate_from_config_dsir_keys(spark, tmp_path):
+    """The r5 DSIR selection keys flow through the settings path and the
+    stage shows in the audit with the requested size."""
+    import json
+
+    from xdump_spark.config import curate_from_config
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt_path = str(tmp_path / "target.parquet")
+    docs.filter("doc_id % 7 = 0").write.parquet(tgt_path)
+    cfg = {
+        "input": "/root/testdata/sf0.001/documents.parquet",
+        "output": str(tmp_path / "corpus"),
+        "span_k": 0,
+        "min_tokens": 1,
+        "dsir_target": tgt_path,
+        "dsir_n": 20,
+        "dsir_buckets": 4096,
+        "dsir_temperature": 0.5,
+        "dsir_seed": 11,
+    }
+    p = str(tmp_path / "curate_dsir.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    res = curate_from_config(spark, p)
+    assert res.audit.get("dsir_selected") == 20, res.audit

@@ -193,6 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--quality-min", type=float, default=0.5)
     c.add_argument(
+        "--dsir-target", default=None, metavar="TARGET_PARQUET",
+        help="DSIR selection stage: importance-resample toward this "
+        "target corpus's hashed n-gram distribution (with --dsir-n)",
+    )
+    c.add_argument("--dsir-n", type=int, default=None)
+    c.add_argument("--dsir-temperature", type=float, default=1.0)
+    c.add_argument(
         "--mixture", action="append", default=[], type=parse_sample_rate,
         metavar="SOURCE=SHARE",
         help="target mixture share per source (repeatable); the corpus is "
@@ -388,6 +395,11 @@ def run(args, spark) -> int:
             gopher=args.gopher,
             quality_model=quality_model,
             quality_score_min=args.quality_min,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target) if args.dsir_target else None
+            ),
+            dsir_n=args.dsir_n,
+            dsir_temperature=args.dsir_temperature,
             sample_rates=dict(args.sample) or None,
             target_mixture=dict(args.mixture) or None,
             benchmark=benchmark,

@@ -66,6 +66,7 @@ _CURATE_KEYS = {
     "vocab_size", "partition_by", "overwrite", "shards_out",
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
     "target_mixture", "mixture_col", "contamination_policy",
+    "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
 }
 
 
@@ -126,6 +127,13 @@ def curate_from_config(spark: SparkSession, path: str):
             else None
         ),
         quality_score_min=cfg.get("quality_score_min", 0.5),
+        dsir_target=(
+            spark.read.parquet(cfg["dsir_target"]) if cfg.get("dsir_target") else None
+        ),
+        dsir_n=cfg.get("dsir_n"),
+        dsir_temperature=cfg.get("dsir_temperature", 1.0),
+        dsir_buckets=cfg.get("dsir_buckets", 65_536),
+        dsir_seed=cfg.get("dsir_seed", 0),
         sample_rates=cfg.get("sample_rates"),
         strata_col=cfg.get("strata_col", "lang"),
         target_mixture=cfg.get("target_mixture"),

@@ -77,6 +77,11 @@ def prepare_training_corpus(
     gopher: bool = False,
     quality_model=None,
     quality_score_min: float = 0.5,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_buckets: int = 65_536,
+    dsir_seed: int = 0,
     sample_rates: dict[str, float] | None = None,
     strata_col: str = "lang",
     target_mixture: dict[str, float] | None = None,
@@ -181,6 +186,29 @@ def prepare_training_corpus(
             with_quality_score(cur, quality_model, text_col=text_col)
             .filter(F.col("quality_score") >= quality_score_min)
             .drop("quality_score"),
+        )
+
+    if dsir_target is not None:
+        # Importance resampling toward the target distribution (Xie et
+        # al. 2023) — a SELECTION stage, so it runs with the other
+        # selectors: after the per-doc quality gates (select from the
+        # cleaned pool), before stratified sampling / decontamination /
+        # mixture rebalance, which correct the composition of whatever
+        # survives selection.
+        if dsir_n is None:
+            raise ValueError("dsir_target requires dsir_n (selection size)")
+        from xdump_spark.operators.dsir import dsir_resample, fit_dsir
+
+        model = fit_dsir(
+            dsir_target, cur, text_col=text_col, num_buckets=dsir_buckets
+        )
+        picked = dsir_resample(
+            cur, model, n=dsir_n, text_col=text_col, id_col=id_col,
+            temperature=dsir_temperature, seed=dsir_seed,
+        )
+        cur = note(
+            "dsir_selected",
+            cur.join(picked.select(id_col), id_col, "left_semi"),
         )
 
     if sample_rates is not None:
