@@ -156,3 +156,23 @@ def test_stream_quality_scoring_matches_batch(spark, tmp_path):
         for r in with_quality_score(docs, m).select("doc_id", "quality_score").collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_dsir_score_stream_matches_batch(spark, docs_batch, docs_stream_dir):
+    """Stateless scoring: the streamed per-doc log-weights must equal the
+    batch dsir_score values exactly (same broadcast model, append mode)."""
+    from xdump_spark.operators.dsir import dsir_score, fit_dsir
+    from xdump_spark.streaming.corpus import dsir_score_stream
+
+    target = docs_batch.filter("doc_id % 9 = 0")
+    model = fit_dsir(target, docs_batch, num_buckets=4096)
+    stream = _stream(spark, docs_stream_dir)
+    q = run_to_memory(
+        dsir_score_stream(stream, model), "dsir_stream", output_mode="append"
+    )
+    try:
+        got = rows_set(spark.table("dsir_stream"))
+        want = rows_set(dsir_score(docs_batch, model))
+        assert got == want and len(got) == docs_batch.count()
+    finally:
+        q.stop()

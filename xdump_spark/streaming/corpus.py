@@ -119,3 +119,19 @@ def finish_drift(drift_table: DataFrame) -> DataFrame:
             F.round(F.col("share_after") - F.col("share_before"), 6),
         )
     )
+
+
+def dsir_score_stream(
+    docs: DataFrame, model, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document DSIR importance log-weights over an ARRIVING stream —
+    the ingest-side twin of ``operators.dsir.dsir_score``. The scoring is
+    a stateless projection (broadcast model + one zero-shuffle Arrow
+    pass), so the identical expression tree runs under append mode with
+    NO state store; a production ingest scores documents on arrival and
+    gates them with a threshold (keep ``dsir_logw >= tau``) — the
+    Gumbel-top-k resampling step needs the full population and stays a
+    batch job over the accumulated scores."""
+    from xdump_spark.operators.dsir import dsir_score
+
+    return dsir_score(docs, model, text_col=text_col, id_col=id_col)
