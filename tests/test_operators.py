@@ -770,3 +770,41 @@ def test_ivf_append_and_balance(spark, tmp_path):
     bal2 = S.ivf_balance(S.ivf_read(spark, path), hot_cell_factor=2.0)
     assert bal2["retrain_recommended"] is True
     assert bal2["max_over_mean"] > bal["max_over_mean"]
+
+
+def test_cluster_balanced_sample(spark):
+    """Quota semantics, determinism, and mode-capping: every cluster
+    contributes min(|cell|, quota) rows, results are identical across
+    partitionings, and a dominant cluster cannot exceed the quota."""
+    from xdump_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    quota = 5
+    out = S.cluster_balanced_sample(emb, n_per_cluster=quota, n_cells=8)
+    rows = out.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r.cluster_rank)
+    # cluster sizes from a fresh assignment with the same seed/fit
+    idx = S.ivf_build(emb, n_cells=8, persist=False)
+    sizes = {
+        r.cell: r.n
+        for r in idx.assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    for cell, ranks in per_cell.items():
+        assert sorted(ranks) == list(range(1, min(sizes[cell], quota) + 1))
+    assert len(rows) == sum(min(s, quota) for s in sizes.values())
+
+    # GIVEN centers, selection is bit-identical on any partitioning
+    # (a fresh fit is not: Spark ML k-means|| init is partition-dependent)
+    out2 = S.cluster_balanced_sample(
+        emb.repartition(11), n_per_cluster=quota, centers=idx.centers
+    )
+    out3 = S.cluster_balanced_sample(emb, n_per_cluster=quota, centers=idx.centers)
+    assert {(r.vec_id, r.cell) for r in out3.collect()} == {
+        (r.vec_id, r.cell) for r in out2.collect()
+    }
+    # the fresh-fit run above shares the same fit input, so it matches too
+    assert {(r.vec_id, r.cell) for r in rows} == {
+        (r.vec_id, r.cell) for r in out3.collect()
+    }

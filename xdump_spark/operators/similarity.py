@@ -470,6 +470,57 @@ def ivf_balance(
     }
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    n_per_cluster: int,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """Diversity-preserving selection over an embedding column: k-means
+    clusters (fresh ``ivf_build`` fit, or reuse ``centers`` from an
+    existing index so sampling and search share one geometry), then a
+    deterministic per-cluster quota — the cluster-balanced counterpart
+    of ``curation.stratified_sample``'s label strata, used to keep
+    boilerplate-dominated embedding modes from flooding a training
+    sample while guaranteeing tail-cluster representation (the
+    density-balancing step of the SemDeDup/D4 curation family).
+
+    Returns (id, cell, cluster_rank) for the selected rows. The
+    within-cluster order is md5(id, seed) — uniform, reproducible on any
+    partitioning — and the rank window partitions BY CELL, so per-task
+    state is one cluster's rows, never a global sort. Selected size =
+    Σ min(|cell|, n_per_cluster) ≤ n_cells · n_per_cluster.
+
+    Reproducibility scope: GIVEN centers, the selection is bit-identical
+    on any input partitioning. A fresh fit inherits Spark ML KMeans'
+    k-means|| init, whose seed semantics are partition-DEPENDENT — for
+    cross-layout reproducibility (or to share geometry with an existing
+    index), fit once and pass ``centers``."""
+    if centers is None:
+        idx = ivf_build(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            seed=seed, persist=False,
+        )
+        assigned = idx.assigned
+    else:
+        assigned = ivf_assign(centers, corpus, id_col=id_col, vec_col=vec_col)
+    order = F.md5(F.concat_ws("|", F.col("neighbor_id"), F.lit(str(seed))))
+    w = W.partitionBy("cell").orderBy(order, "neighbor_id")
+    return (
+        assigned.select("neighbor_id", "cell")
+        .withColumn("cluster_rank", F.row_number().over(w))
+        .filter(F.col("cluster_rank") <= n_per_cluster)
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "cell",
+            F.col("cluster_rank").cast("int").alias("cluster_rank"),
+        )
+    )
+
+
 def ivf_probe_cells(
     index: IVFIndex, Q: np.ndarray, n_probe: int
 ) -> list[np.ndarray]:
