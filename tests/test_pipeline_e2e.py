@@ -309,3 +309,36 @@ def test_pipeline_strip_policy_drops_fully_stripped_docs(spark):
     )
     assert res.audit["decontaminated"] == 1
     assert {r.doc_id for r in res.corpus.collect()} == {2}
+
+
+def test_pipeline_doc_dedup_stages(spark):
+    """Both doc-level dedup modes: exact removes normalized duplicates
+    keep-min-id; fuzzy additionally collapses near-duplicate docs."""
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),   # exact dup
+        (3, "  THE quick  brown fox jumps over the lazy dog tonight"),  # dup mod ws/case
+        (4, "the quick brown fox jumps over the sleepy dog tonight"),  # near dup
+        (5, "completely different text about apples oranges and pears"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, doc_dedup="exact"
+    )
+    kept = {r.doc_id for r in exact.corpus.collect()}
+    assert kept == {1, 4, 5}
+    assert exact.audit["doc_deduped"] == 3
+
+    fuzzy = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, doc_dedup="fuzzy", fuzzy_threshold=0.5
+    )
+    kept_f = {r.doc_id for r in fuzzy.corpus.collect()}
+    assert kept_f == {1, 5}   # 4 joins 1's near-dup cluster at tau=0.5
+    assert fuzzy.audit["doc_deduped"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc_dedup"):
+        prepare_training_corpus(docs, span_k=None, doc_dedup="nope")

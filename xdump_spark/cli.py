@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--span-k", type=int, default=8,
         help="strip cross-doc substrings of >= K tokens (0 disables)",
     )
+    c.add_argument(
+        "--doc-dedup", choices=["exact", "fuzzy"], default=None,
+        help="document-level dedup stage (exact fingerprint or MinHash-LSH "
+        "fuzzy clusters, components.fuzzy_dedup)",
+    )
+    c.add_argument("--fuzzy-threshold", type=float, default=0.8)
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument(
         "--gopher", action="store_true",
@@ -381,6 +387,8 @@ def run(args, spark) -> int:
             line_filter=args.line_filter,
             line_dedup=args.line_dedup,
             span_k=args.span_k or None,
+            doc_dedup=args.doc_dedup,
+            fuzzy_threshold=args.fuzzy_threshold,
             min_tokens=args.min_tokens,
             blocklist=(
                 [

@@ -67,6 +67,7 @@ _CURATE_KEYS = {
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
+    "doc_dedup", "fuzzy_threshold",
 }
 
 
@@ -117,6 +118,8 @@ def curate_from_config(spark: SparkSession, path: str):
         line_filter=cfg.get("line_filter", False),
         line_dedup=cfg.get("line_dedup", False),
         span_k=cfg.get("span_k", 8) or None,
+        doc_dedup=cfg.get("doc_dedup"),
+        fuzzy_threshold=cfg.get("fuzzy_threshold", 0.8),
         min_tokens=cfg.get("min_tokens", 5),
         blocklist=cfg.get("blocklist"),
         blocklist_mode=cfg.get("blocklist_mode", "token"),

@@ -7,6 +7,9 @@ raw documents
   → normalize_text        (whitespace/control canonicalization)
   → redact_pii            (typed placeholders + audit counts)
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
+  → doc-level dedup       (exact fingerprint keep-min-id, or MinHash-LSH
+    fuzzy_dedup clusters — optional; after canonicalization so duplicates
+    are visible, before selection so every gate sees one copy)
   → quality gate          (token-count floor after cleaning)
   → blocklist_filter      (C4 banned-term gate, optional)
   → gopher_filter         (the Gopher rules as a gate, optional)
@@ -71,6 +74,8 @@ def prepare_training_corpus(
     line_filter: bool = False,
     line_dedup: bool = False,
     span_k: int | None = 8,
+    doc_dedup: str | None = None,
+    fuzzy_threshold: float = 0.8,
     min_tokens: int = 5,
     blocklist: list[str] | None = None,
     blocklist_mode: str = "token",
@@ -152,6 +157,30 @@ def prepare_training_corpus(
     if span_k is not None:
         cur = strip_duplicated_spans(cur, k=span_k, text_col=text_col, id_col=id_col)
         cur = note("span_stripped", cur.drop("n_removed_tokens"))
+
+    if doc_dedup is not None:
+        # Document-level dedup AFTER cleaning/span-stripping (Lee et al.
+        # 2022 order: canonicalized text makes duplicates visible) and
+        # BEFORE the quality/selection gates, so every later stage sees
+        # one copy per document.
+        if doc_dedup == "exact":
+            from xdump_spark.operators.dedup import exact_dedup
+
+            cur = note("doc_deduped", exact_dedup(cur, text_col, id_col))
+        elif doc_dedup == "fuzzy":
+            from xdump_spark.operators.components import fuzzy_dedup
+
+            survivors = fuzzy_dedup(
+                cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
+            ).filter("is_survivor").select(F.col("vertex").alias("_keep_id"))
+            cur = note(
+                "doc_deduped",
+                cur.join(survivors, cur[id_col] == survivors["_keep_id"], "left_semi"),
+            )
+        else:
+            raise ValueError(
+                f"doc_dedup must be 'exact' or 'fuzzy', got {doc_dedup!r}"
+            )
 
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     cur = note(
