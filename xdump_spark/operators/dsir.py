@@ -209,7 +209,13 @@ def dsir_resample(
     The Gumbel noise is md5-derived from (id, seed): u ∈ (0,1) from the
     first 15 hex chars, g = −log(−log u) — bit-reproducible on any
     cluster/partitioning, and the selection plans as
-    TakeOrderedAndProject (bounded), never a global sort or window.
+    TakeOrderedAndProject (per-partition top-n heaps), never a global
+    sort or window. Scale note: TakeOrderedAndProject materializes the
+    n winners on the driver (~30 bytes/row here) — fine up to tens of
+    millions; for larger selections gate on a log-weight THRESHOLD
+    instead (``dsir_score`` + filter, the streaming-ingest formulation
+    in streaming/corpus.py), which selects a softmax-equivalent
+    expected fraction with zero driver state.
     Returns (id, dsir_logw, gumbel_key) for the selected docs."""
     scored = dsir_score(df, model, text_col, id_col).select(id_col, "dsir_logw")
     u = (
