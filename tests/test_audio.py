@@ -231,3 +231,13 @@ def test_audio_partition_invariance(spark):
         for r in decode_audio(_media(spark, items).repartition(7)).collect()
     }
     assert a == b
+
+
+def test_extract_audio_features_on_undecodable_modes(spark):
+    from xdump_spark.operators.audio import extract_audio_features
+
+    media = _media(spark, [(1, encode_wav(sine(300), 8000)), (2, b"junk")])
+    with pytest.raises(Exception, match="UnsupportedAudioError|RIFF"):
+        extract_audio_features(media, dim=8).collect()
+    kept = extract_audio_features(media, dim=8, on_undecodable="skip").collect()
+    assert [r.doc_id for r in kept] == [1] and len(kept[0].feature) == 8

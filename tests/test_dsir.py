@@ -148,3 +148,17 @@ def test_model_roundtrip():
     assert np.array_equal(m.log_ratio, m2.log_ratio)
     assert (m2.num_buckets, m2.hash_fn) == (2, "md5")
     assert DEFAULT_BUCKETS == 65_536
+
+
+def test_score_null_and_empty_text(spark, corpora):
+    """Null text must score 0.0 like an empty doc — not kill the job
+    (JSONL corpora routinely carry rows with a missing text field)."""
+    target, raw = corpora
+    model = fit_dsir(target, raw, num_buckets=1024)
+    df = spark.createDataFrame(
+        [(1, "bake the bread"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_grams, r.dsir_logw) for r in dsir_score(df, model).collect()}
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[1][0] > 0

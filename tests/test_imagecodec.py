@@ -301,3 +301,24 @@ def test_stub_and_real_paths_share_schema(spark):
         extract_features(media, dim=8).schema
         == extract_features(real_media, dim=8, use_real_codec=True).schema
     )
+
+
+def test_extract_features_on_undecodable_modes(spark):
+    """raise (default) fails loudly on a mixed corpus; skip DROPS the
+    undecodable rows (never a null vector)."""
+    import numpy as np
+
+    from xdump_spark.operators.multimodal import extract_features
+
+    rows = [
+        (1, encode_png(np.full((4, 4, 3), 9, dtype=np.uint8))),
+        (2, b"not an image"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    with pytest.raises(Exception, match="UnsupportedImageError|unknown image"):
+        extract_features(media, dim=8, use_real_codec=True).collect()
+    kept = extract_features(
+        media, dim=8, use_real_codec=True, on_undecodable="skip"
+    ).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert len(kept[0].feature) == 8

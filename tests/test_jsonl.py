@@ -32,7 +32,10 @@ def test_read_quarantines_malformed_lines(spark, tmp_path):
     assert clean.columns == [f.name for f in DOCUMENTS_SCHEMA]
     bad = [r.line for r in corrupt.collect()]
     assert len(bad) == 2
-    assert any("not json" in b for b in bad)
+    # the quarantine carries the ORIGINAL lines verbatim — both the
+    # unparsable one and the valid-JSON wrong-shape one
+    assert "this is not json at all {{{" in bad
+    assert json.dumps({"completely": "wrong-shape"}) in bad
 
 
 def test_roundtrip_real_documents(spark, tmp_path):
@@ -80,3 +83,21 @@ def test_read_requires_no_inference_pass(spark, tmp_path):
     clean, corrupt = read_jsonl_corpus(spark, p)
     assert [r.doc_id for r in clean.collect()] == [7]
     assert corrupt.count() == 5
+
+
+def test_partitioned_write_respects_file_budget(spark, tmp_path):
+    """The row-identity bucket: a partitioned write with a small file
+    target must produce MULTIPLE data files inside a big partition dir,
+    not one giant file per partition value."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    out = str(tmp_path / "bucketed")
+    write_jsonl_corpus(docs, out, partition_by=("lang",), target_file_mb=0.2)
+    import collections
+
+    per_dir = collections.Counter()
+    for d in os.listdir(out):
+        if d.startswith("lang="):
+            per_dir[d] = len(
+                [f for f in os.listdir(os.path.join(out, d)) if f.startswith("part-")]
+            )
+    assert max(per_dir.values()) > 1, per_dir

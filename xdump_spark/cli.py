@@ -480,7 +480,10 @@ def run(args, spark) -> int:
         )
         out = raw.join(picked.select(args.id_col), args.id_col, "left_semi")
         out.write.mode(mode).parquet(args.output)
-        print(f"selected {picked.count()} of {raw.count()} docs -> {args.output}")
+        # count the WRITTEN parquet (footer metadata — no recompute of the
+        # scoring/top-n job, which an uncached picked.count() would redo)
+        n_sel = spark.read.parquet(args.output).count()
+        print(f"selected {n_sel} of {raw.count()} docs -> {args.output}")
     elif args.command == "train-tokenizer":
         import json
 

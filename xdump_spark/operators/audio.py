@@ -149,20 +149,43 @@ def resample_audio(media: DataFrame, rate: int, id_col: str = "doc_id") -> DataF
 
 
 def extract_audio_features(
-    media: DataFrame, dim: int = 16, id_col: str = "doc_id"
+    media: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    on_undecodable: str = "raise",
 ) -> DataFrame:
     """(id, feature array<float>, unit-norm): banded log-magnitude
     spectrum of real samples — feeds cosine_topk/semantic_dedup
-    directly, the audio twin of the image luma-histogram descriptor."""
-    from xdump_spark.operators.audiocodec import decode_wav, spectral_feature
+    directly, the audio twin of the image luma-histogram descriptor.
+
+    ``on_undecodable``: ``"raise"`` (default — holes in an embedding
+    column corrupt downstream ANN joins) or ``"skip"`` — DROP
+    undecodable rows, the mixed-corpus choice."""
+    import struct as _struct
+
+    from xdump_spark.operators.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+        spectral_feature,
+    )
+
+    _errs = (UnsupportedAudioError, ValueError, _struct.error, IndexError)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
-            for b in pdf["blob"]:
-                x, rate = decode_wav(bytes(b))
+            ids, vecs = [], []
+            for i, b in zip(pdf[id_col], pdf["blob"]):
+                try:
+                    x, rate = decode_wav(bytes(b))
+                except _errs:
+                    if on_undecodable == "raise":
+                        raise
+                    continue
+                ids.append(i)
                 vecs.append(spectral_feature(x, rate, dim).tolist())
-            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": vecs})
+            if ids:  # an all-skipped batch yields nothing: Arrow cannot
+                # type an empty object column as list<float>
+                yield pd.DataFrame({"doc_id": ids, "feature": vecs})
 
     schema = StructType(
         [

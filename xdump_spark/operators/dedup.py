@@ -37,6 +37,12 @@ _MERSENNE = (1 << 61) - 1
 # beyond that the candidate pairs go through shuffled joins instead).
 _BROADCAST_SIG_LIMIT = 500_000
 
+# verify="exact" broadcasts every doc's hashed shingle set (~8 B/shingle,
+# a few KB/doc) into BOTH candidate joins; cap the corpus it accepts so
+# the broadcast cannot silently approach Spark's hard limit — estimate
+# mode is the scale path past this.
+MAX_EXACT_VERIFY_DOCS = 250_000
+
 
 from xdump_spark.operators.sizing import spread as _spread  # noqa: E402
 
@@ -216,7 +222,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     verify: str = "estimate",
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band with Jaccard ≥ threshold.
@@ -236,7 +242,14 @@ def minhash_lsh_pairs(
     num_perm/bands give rows-per-band r = num_perm/bands; the usual
     S-curve threshold ≈ (1/bands)^(1/r). Buckets larger than
     ``max_bucket`` are dropped (skew guard — at corpus scale a degenerate
-    shingle bucket would otherwise emit |bucket|² candidates)."""
+    shingle bucket would otherwise emit |bucket|² candidates); pass
+    ``max_bucket=None`` to disable when oracle-exact candidate coverage
+    matters more than bounded cost (the correctness panel does).
+
+    ``verify="exact"`` is the small-corpus oracle path: every doc's
+    hashed shingle set is broadcast to the candidate joins, so it is
+    guarded at ``MAX_EXACT_VERIFY_DOCS`` rows — beyond that use the
+    estimate mode (signature-only verification, the scale default)."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm
     assert verify in ("estimate", "exact")
@@ -268,6 +281,14 @@ def minhash_lsh_pairs(
                 lambda s: F.xxhash64(s),
             ).alias("shingles"),
         ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
+        n_docs = docs.count()  # checkpointed: metadata-cheap
+        if n_docs > MAX_EXACT_VERIFY_DOCS:
+            raise ValueError(
+                f"verify='exact' broadcasts every doc's shingle set: corpus "
+                f"has {n_docs} docs > MAX_EXACT_VERIFY_DOCS="
+                f"{MAX_EXACT_VERIFY_DOCS}; use verify='estimate' "
+                "(signature-only verification) at scale"
+            )
     # Signatures have three consumers (banding + both sides of pair
     # verification) and the frame is tiny (num_perm longs per doc):
     # eagerly checkpoint so every consumer reads materialized blocks — a
@@ -297,14 +318,15 @@ def minhash_lsh_pairs(
     # read by both sides of the self-join below); `banded` itself stays
     # lazy — re-deriving explode+anti-join from the materialized signature
     # frame twice is cheaper than materializing bands × n_docs rows.
-    hot = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count("*").alias("bsize"))
-        .filter(F.col("bsize") > max_bucket)
-        .select("band", "bucket")
-        .localCheckpoint(eager=True)
-    )
-    banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsize"))
+            .filter(F.col("bsize") > max_bucket)
+            .select("band", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -427,19 +449,29 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates are
-    blocked on exact match of any of four 16-bit bands (finds all pairs
-    with ≤3 differing bits for sure; probabilistic beyond — standard
-    SimHash blocking). Returns (id_a, id_b, hamming).
+    blocked on exact match of any of four bands (finds all pairs with
+    ≤3 differing bits for sure; probabilistic beyond — standard SimHash
+    blocking). Returns (id_a, id_b, hamming).
 
-    With ``max_hamming ≤ 3`` the banding is EXHAUSTIVE by pigeonhole
-    (≤3 differing bits cannot touch all 4 bands), so the result equals
-    the all-pairs Hamming filter exactly — combined with
-    ``hash_fn="md5"`` (DuckDB-reproducible token hashes, see
-    simhash_frame) that makes the output oracle-checkable.
+    With ``max_hamming ≤ 3`` AND ``max_bucket=None`` the banding is
+    EXHAUSTIVE by pigeonhole (≤3 differing bits cannot touch all 4
+    bands), so the result equals the all-pairs Hamming filter exactly —
+    combined with ``hash_fn="md5"`` (DuckDB-reproducible token hashes,
+    see simhash_frame) that makes the output oracle-checkable. The
+    default ``max_bucket`` skew guard DROPS every pair inside a
+    >max_bucket bucket (a boilerplate-template cluster), trading those
+    pairs for bounded candidate cost — the scale default, but it voids
+    the exactness claim, so the oracle panel disables it.
+
+    Band layout follows the hash width: xxhash64 signatures band as
+    4×16 bits; md5 signatures carry only 60 meaningful bits (bits 60-63
+    are constant zero), so they band as 4×15 bits — banding all-zero
+    dead bits would shrink band 3's keyspace 16× and make hot buckets
+    (and the skew guard's pair loss) kick in far earlier.
 
     The signature frame (two longs per doc) is eagerly checkpointed: the
     band self-join reads it twice, the 64-vote aggregation behind it is
@@ -448,6 +480,8 @@ def simhash_pairs(
     sigs = simhash_frame(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(
         eager=True
     )
+    band_w = 15 if hash_fn == "md5" else 16
+    band_mask = (1 << band_w) - 1
     bands = sigs.select(
         "id",
         "sig",
@@ -456,7 +490,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        F.shiftright(F.col("sig"), band_w * i).bitwiseAND(F.lit(band_mask)).alias("bucket"),
                     )
                     for i in range(4)
                 ]
@@ -465,14 +499,15 @@ def simhash_pairs(
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # same skew-guard shape as minhash_lsh_pairs: aggregate counts, not a
     # full-row window shuffle
-    hot = (
-        bands.groupBy("band", "bucket")
-        .agg(F.count("*").alias("bsize"))
-        .filter(F.col("bsize") > max_bucket)
-        .select("band", "bucket")
-        .localCheckpoint(eager=True)
-    )
-    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsize"))
+            .filter(F.col("bsize") > max_bucket)
+            .select("band", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))

@@ -172,11 +172,15 @@ def dsir_score(
     @pandas_udf("double")
     def logw(buckets: pd.Series) -> pd.Series:
         ratio = b_ratio.value
-        return buckets.map(
-            lambda bs: float(np.round(ratio[np.asarray(bs, dtype=np.int64)].sum(), 6))
-            if len(bs)
-            else 0.0
-        )
+
+        def one(bs) -> float:
+            # null text → null bucket array (tokens() of null is null):
+            # score 0 like an empty doc instead of failing the job
+            if bs is None or len(bs) == 0:
+                return 0.0
+            return float(np.round(ratio[np.asarray(bs, dtype=np.int64)].sum(), round_to))
+
+        return buckets.map(one)
 
     grams = _grams(F.col(text_col))
     with_buckets = df.select(
@@ -187,8 +191,8 @@ def dsir_score(
     )
     return with_buckets.select(
         id_col,
-        F.size("_buckets").alias("n_grams"),
-        F.round(logw(F.col("_buckets")), round_to).alias("dsir_logw"),
+        F.coalesce(F.size("_buckets"), F.lit(0)).alias("n_grams"),
+        logw(F.col("_buckets")).alias("dsir_logw"),
     )
 
 

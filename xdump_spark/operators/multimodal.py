@@ -406,7 +406,10 @@ def resize_blobs(
 
 
 def extract_features(
-    media: DataFrame, dim: int = 16, use_real_codec: bool = False
+    media: DataFrame,
+    dim: int = 16,
+    use_real_codec: bool = False,
+    on_undecodable: str = "raise",
 ) -> DataFrame:
     """Per-blob feature vector (doc_id, feature array<float>, unit-norm) —
     the embedding-extraction stage that feeds the similarity toolkit
@@ -419,20 +422,40 @@ def extract_features(
     The default stub derives ``dim`` floats from the blob's md5 stream
     and L2-normalizes, so vectors are stable across runs/partitionings
     and the plumbing is exercisable without real images.
+
+    ``on_undecodable`` (real path only): ``"raise"`` (default — an
+    embedding column with silent holes corrupts downstream ANN joins) or
+    ``"skip"`` — DROP undecodable rows (never a null vector), the
+    mixed-corpus choice when a pre-filter on decode_blobs' nulls is not
+    already in place.
     """
     if use_real_codec:
+        import struct as _struct
+        import zlib as _zlib
+
         from xdump_spark.operators.imagecodec import (
+            UnsupportedImageError,
             decode_image,
             luma_histogram_feature,
         )
 
+        _errs = (UnsupportedImageError, ValueError, _zlib.error, _struct.error, IndexError)
+
         def feats_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                vecs = [
-                    luma_histogram_feature(decode_image(bytes(b)), dim).tolist()
-                    for b in pdf["blob"]
-                ]
-                yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
+                ids, vecs = [], []
+                for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                    try:
+                        v = luma_histogram_feature(decode_image(bytes(b)), dim)
+                    except _errs:
+                        if on_undecodable == "raise":
+                            raise
+                        continue  # "skip": drop the row, never a null vector
+                    ids.append(i)
+                    vecs.append(v.tolist())
+                if ids:  # an all-skipped batch yields nothing: Arrow cannot
+                    # type an empty object column as list<float>
+                    yield pd.DataFrame({"doc_id": ids, "feature": vecs})
 
         real_schema = StructType(
             [

@@ -395,8 +395,10 @@ def ivf_assign(
                 continue
             V = _matrix(pdf["cv"])
             d2 = -2.0 * (V @ C.T) + cc2[None, :]  # ||v||² is rank-constant
-            cells = np.arange(C.shape[0])
-            cell = np.array([np.lexsort((cells, d2[i]))[0] for i in range(len(V))])
+            # vectorized argmin; ties break to the LOWEST cell index by
+            # numpy's first-occurrence rule — identical to the lexsort
+            # tie-break in ivf_probe_cells, without a per-row Python loop
+            cell = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"],

@@ -1494,13 +1494,16 @@ def neardup_pairs_panel(spark, sf_dir):
         num_perm=32,
         bands=16,
         verify="exact",
+        max_bucket=None,  # the skew guard drops hot-bucket pairs, which
+                          # would void oracle exactness; bounded here by
+                          # the subset size, not needed
     ).select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
         F.col("jaccard").cast("double").alias("score"),
     )
-    sh = D.simhash_pairs(docs, max_hamming=3, hash_fn="md5").select(
+    sh = D.simhash_pairs(docs, max_hamming=3, hash_fn="md5", max_bucket=None).select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",

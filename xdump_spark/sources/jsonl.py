@@ -7,19 +7,24 @@ Read contract, built for dirty data at scale:
 * an EXPLICIT schema is required (or derived from the standard documents
   shape) — schema inference over 100 TB of JSONL is a full extra pass
   and is disabled here by design;
-* malformed lines do not fail the job: PERMISSIVE mode routes them to a
-  ``_corrupt_record`` column, and the reader returns (clean_frame,
-  corrupt_frame) so the pipeline can quarantine instead of crash;
+* malformed lines do not fail the job: each line parses through
+  ``from_json``, and the reader returns (clean_frame, corrupt_frame)
+  where ``corrupt`` carries the ORIGINAL line verbatim (a quarantine you
+  can actually sample and debug, not a re-serialized null husk);
+* hive-partitioned layouts work: directory-derived columns (e.g.
+  ``lang=en/``) fill their schema fields via coalesce;
 * compressed inputs (.gz/.zst per-file) are handled by Spark's codec
   discovery — no flag needed (note: gzip files are unsplittable, so at
   scale prefer many medium files over one giant one).
 
-The sink writes one JSON object per line via Spark's json writer with
-the same file-count discipline as corpus_sink (metadata-derived, no
-sizing scan).
+The sink writes one JSON object per line with corpus_sink's file-count
+discipline — including the row-identity bucket column that keeps a
+partitioned write from producing ONE file per partition value.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,32 +49,46 @@ def read_jsonl_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL document corpus → (clean, corrupt).
 
-    ``clean`` has exactly the schema's columns (no corrupt column);
-    ``corrupt`` is (line string) for every row the parser rejected —
+    ``clean`` has exactly the schema's columns; ``corrupt`` is
+    (line string) holding the ORIGINAL text of every rejected line —
     count it, sample it, quarantine it, but never let it fail the read.
-    A row is corrupt when the parser flags it OR when every schema
-    column is null (PERMISSIVE's signature for structurally-valid JSON
-    of the wrong shape)."""
+
+    Mechanics: lines are read as text (which preserves them verbatim and
+    picks up hive partition columns from the directory layout), then
+    parsed per-row with ``from_json``. A line is corrupt when it fails
+    to parse OR parses to all-null schema fields (structurally-valid
+    JSON of the wrong shape); partition-derived columns fill their
+    schema fields via coalesce and do not count toward the all-null
+    test (they are always present)."""
     schema = schema or DOCUMENTS_SCHEMA
-    with_corrupt = T.StructType(
-        list(schema) + [T.StructField("_corrupt_record", T.StringType())]
+    raw = spark.read.text(path)
+    part_cols = [c for c in raw.columns if c != "value"]
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(F.col("value"), schema).alias("_d"),
+        *part_cols,
     )
-    raw = (
-        spark.read.schema(with_corrupt)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-    )
-    cols = [f.name for f in schema]
+    # from_json: malformed input → null struct (its PERMISSIVE default).
+    # Wrong-shape = struct non-null but every PAYLOAD field null
+    # (partition-derived fields excluded — they are always present).
+    payload = [f.name for f in schema if f.name not in part_cols]
     all_null = None
-    for c in cols:
-        cond = F.col(c).isNull()
+    for c in payload:
+        cond = F.col(f"_d.{c}").isNull()
         all_null = cond if all_null is None else (all_null & cond)
-    is_corrupt = F.col("_corrupt_record").isNotNull() | all_null
-    clean = raw.filter(~is_corrupt).select(*cols)
-    corrupt = raw.filter(is_corrupt).select(
-        F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct(*cols))).alias("line")
+    is_corrupt = F.col("_d").isNull() | (
+        all_null if all_null is not None else F.lit(False)
     )
+    cols = []
+    for f in schema:
+        if f.name in part_cols:
+            cols.append(
+                F.coalesce(F.col(f"_d.{f.name}"), F.col(f.name).cast(f.dataType)).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f"_d.{f.name}").alias(f.name))
+    clean = parsed.filter(~is_corrupt).select(*cols)
+    corrupt = parsed.filter(is_corrupt).select(F.col("value").alias("line"))
     return clean, corrupt
 
 
@@ -77,25 +96,29 @@ def write_jsonl_corpus(
     df: DataFrame,
     path: str,
     partition_by: tuple[str, ...] = (),
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     mode: str = "errorifexists",
     compression: str | None = None,
 ) -> None:
     """Write a corpus as JSONL with corpus_sink's file-count discipline:
-    the file budget comes from input-file metadata (no sizing scan),
-    rows are repartitioned to it, and ``compression`` ("gzip", "zstd",
-    ...) applies per output file."""
-    import math
-
+    the file budget comes from input-file metadata (no sizing scan) and
+    a partitioned write repartitions on the partition keys PLUS a
+    row-identity bucket — without the bucket, repartition(partition_by)
+    would hash rows on the partition columns alone and write ONE file
+    per partition value regardless of size (one task writing a ~300 GB
+    unsplittable gzip is exactly the failure mode)."""
     from xdump_spark.operators.sizing import input_bytes
 
     total = input_bytes(df) or 0
     # JSON is ~3× the parquet bytes; aim the partition count at that
-    n_files = max(1, math.ceil(3 * total / (target_file_mb << 20)))
-    out = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
-    writer = out.write.mode(mode)
+    n_files = max(1, math.ceil(3 * total / (target_file_mb * (1 << 20))))
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        bucket = F.pmod(F.monotonically_increasing_id(), F.lit(n_files))
+        out = df.repartition(n_files, *partition_by, bucket.alias("_b"))
+        writer = out.write.partitionBy(*partition_by)
+    else:
+        writer = df.repartition(n_files).write
+    writer = writer.mode(mode)
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
