@@ -67,11 +67,15 @@ def _bucket_expr(gram_col, num_buckets: int, hash_fn: str):
     return F.pmod(h, F.lit(num_buckets))
 
 
-def _grams(text_col):
-    """Word uni+bigrams of lowercased whitespace tokens (the paper's
-    feature set), as ONE array column. Pre-projected tokens: expressions
-    inside higher-order-function lambdas re-evaluate per element."""
-    toks = tokens(text_col)
+def _grams_of_toks(toks):
+    """Word uni+bigrams from an already-PROJECTED token-array COLUMN.
+    The input must be a plain column reference, never an inline
+    ``tokens(text)`` expression: expressions captured inside a
+    higher-order-function lambda re-evaluate PER ELEMENT, so an inlined
+    split would re-run its regex once per bigram — measured 20× slower
+    on the r5 soak (24 s → ~1 s for the fit aggregation at sf0.1).
+    ``toks`` is referenced several times, which also keeps
+    CollapseProject from re-inlining the alias."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -91,7 +95,18 @@ def hashed_ngram_counts(
     """(bucket, n) hashed-gram counts over a corpus — one explode of
     bucket IDS (ints, never gram strings) into a map-side-combined
     groupBy; the shuffle carries ≤ num_buckets rows per partition."""
-    g = df.select(_grams(F.col(text_col)).alias("_g"))
+    from xdump_spark.operators.sizing import pushdown_barrier
+
+    # pushdown_barrier: explode makes the optimizer infer a
+    # `size(_g) > 0 AND isnotnull(_g)` filter and push it BELOW the
+    # projections, re-inlining the whole gram expression (including the
+    # per-element token split) into the predicate — the measured
+    # pushdown-inlining trap (sizing.pushdown_barrier). The barrier is
+    # shuffle(array(col))[0]: a permutation of one element, value-
+    # identical, but nondeterministic so substitution cannot cross it.
+    g = df.select(tokens(F.col(text_col)).alias("_toks")).select(
+        pushdown_barrier(_grams_of_toks(F.col("_toks"))).alias("_g")
+    )
     return (
         g.select(F.explode("_g").alias("_gram"))
         .select(_bucket_expr(F.col("_gram"), num_buckets, hash_fn).alias("bucket"))
@@ -182,11 +197,13 @@ def dsir_score(
 
         return buckets.map(one)
 
-    grams = _grams(F.col(text_col))
     with_buckets = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.transform(
-            grams, lambda g: _bucket_expr(g, model.num_buckets, model.hash_fn)
+            _grams_of_toks(F.col("_toks")),
+            lambda g: _bucket_expr(g, model.num_buckets, model.hash_fn),
         ).alias("_buckets"),
     )
     return with_buckets.select(
