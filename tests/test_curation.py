@@ -542,3 +542,43 @@ def test_mixture_resample_by_tokens(spark):
     )
     got = {r.source: r.t for r in toks}
     assert got["a"] / (got["a"] + got["b"]) == pytest.approx(0.5, abs=0.05)
+
+
+def test_compression_ratio_frame(spark):
+    """Repetitive text compresses far better than high-entropy text;
+    values cross-checked against Python zlib directly."""
+    import zlib
+
+    from xdump_spark.operators.curation import compression_ratio_frame
+
+    rows = [
+        (1, "spam ham " * 200),                      # highly redundant
+        (2, "k9#xQ!v7$mZp2@wL5&nR8*cT4^bY6%hU3(jF"),  # high entropy
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio_frame(df).collect()}
+    assert got[1].compression_ratio < 0.05
+    assert got[2].compression_ratio > 0.5
+    assert got[3].compression_ratio == 1.0 and got[3].n_bytes == 0
+    for i, t in rows[:2]:
+        b = t.encode()
+        assert got[i].n_compressed == len(zlib.compress(b, 6))
+        assert abs(got[i].compression_ratio - len(zlib.compress(b, 6)) / len(b)) < 1e-6
+
+
+def test_readability_frame(spark):
+    from xdump_spark.operators.text import readability_frame
+
+    rows = [
+        (1, "The cat sat. The dog ran. It was fun."),       # easy: short words
+        (2, "Incomprehensibility characterizes multisyllabic terminological considerations."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_frame(df).collect()}
+    assert got[1].n_sentences == 3 and got[1].n_words == 9
+    assert got[1].flesch > 90          # simple prose scores high
+    assert got[2].flesch < 0           # dense jargon goes negative
+    # plan: pure codegen, no Python stage
+    plan = readability_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -18,8 +18,10 @@ this module is the corpus-level counterpart for the documents table:
   distributed top-k;
 - per-source mixture statistics for weighting.
 
-Everything is JVM-side codegen (split/transform/filter/windows) — no
-Python UDFs; every operator states its 100 TB shuffle story inline.
+Everything is JVM-side codegen (split/transform/filter/windows) except
+the Arrow-batched kernels with no JVM-expression equivalent (the
+order-preserving token encode, the zlib compression-ratio signal);
+every operator states its 100 TB shuffle story inline.
 """
 
 from __future__ import annotations
@@ -496,6 +498,46 @@ def bigram_surprisal_frame(
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )
+
+
+
+def compression_ratio_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, compression_ratio): per-document zlib
+    compression ratio — the redundancy gate production pipelines run
+    alongside the repetition signals (RefinedWeb/MassiveText family:
+    highly-compressible docs are boilerplate/template/repeated content;
+    ratio ≈ 1 is incompressible noise). compressed/raw bytes, so LOWER
+    means MORE redundant.
+
+    One Arrow-batched narrow pass (zlib has no JVM-expression
+    equivalent); empty docs get ratio 1.0. Complements
+    curation.repetition_frame: n-gram signals see within-line repeats,
+    compression sees cross-line and long-range structure."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_bytes: long, n_compressed: long>")
+    def comp(texts: pd.Series) -> pd.DataFrame:
+        nb, nc = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            nb.append(len(b))
+            nc.append(len(zlib.compress(b, level)) if b else 0)
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    out = df.select(F.col(id_col), comp(F.col(text_col)).alias("_c"))
+    return out.select(
+        id_col,
+        F.col("_c.n_bytes").alias("n_bytes"),
+        F.col("_c.n_compressed").alias("n_compressed"),
+        F.when(F.col("_c.n_bytes") > 0,
+               F.round(F.col("_c.n_compressed") / F.col("_c.n_bytes"), 6))
+        .otherwise(F.lit(1.0))
+        .alias("compression_ratio"),
     )
 
 

@@ -321,3 +321,48 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("fp"))
         .distinct()
     )
+
+
+def readability_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_sentences, n_words, n_syllables, flesch): Flesch reading
+    ease with the standard vowel-group syllable heuristic — a text-
+    complexity quality signal (very low or very high scores flag
+    word-salad and boilerplate respectively).
+
+    Everything is whole-stage-codegen JVM expressions: sentences =
+    [.!?]+ runs (min 1), words = whitespace tokens, syllables per word =
+    vowel-group count via a pre-projected token array (the per-element
+    re-evaluation trap — see the dsir featurization note) with a
+    silent-e correction, floored at 1. flesch = 206.835 − 1.015·(W/S) −
+    84.6·(syll/W), rounded to 3."""
+    toks = tokens(F.col(text_col))
+    projected = df.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.size(F.split(F.regexp_replace(w, "e$", ""), "[aeiouy]+", -1)) - 1,
+        F.lit(1),
+    )
+    n_sent = F.greatest(
+        F.size(F.split(F.trim(F.col(text_col)), r"[.!?]+", -1)) - 1, F.lit(1)
+    )
+    out = projected.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        F.size("_toks").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("_toks"), syl_of), F.lit(0), lambda acc, x: acc + x
+        ).alias("n_syllables"),
+    )
+    return out.withColumn(
+        "flesch",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                3,
+            ),
+        ),
+    )
