@@ -342,3 +342,18 @@ def test_pipeline_doc_dedup_stages(spark):
 
     with _pytest.raises(ValueError, match="doc_dedup"):
         prepare_training_corpus(docs, span_k=None, doc_dedup="nope")
+
+
+def test_pipeline_compression_gate(spark):
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    rows = [
+        (1, "spam ham eggs " * 100),      # redundant → low ratio → dropped
+        (2, "k9#xQ v7$mZ p2@wL n5&rB c8*dT y4^fH u6%gJ w3(kM"),  # incompressible
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, compression_min=0.2
+    )
+    assert {r.doc_id for r in res.corpus.collect()} == {2}
+    assert res.audit["compression_gated"] == 1

@@ -193,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="LANG=RATE", help="per-stratum deterministic rate (repeatable)",
     )
     c.add_argument(
+        "--compression-min", type=float, default=None,
+        help="drop docs whose zlib compression ratio falls below this "
+        "floor (redundancy gate, curation.compression_ratio_frame)",
+    )
+    c.add_argument(
         "--quality-model", default=None, metavar="MODEL_JSON",
         help="LinearModel JSON (classifier.fit_linear_classifier output); "
         "docs scoring below --quality-min are dropped",
@@ -401,6 +406,7 @@ def run(args, spark) -> int:
             ),
             blocklist_mode=args.blocklist_mode,
             gopher=args.gopher,
+            compression_min=args.compression_min,
             quality_model=quality_model,
             quality_score_min=args.quality_min,
             dsir_target=(

@@ -13,6 +13,8 @@ raw documents
   → quality gate          (token-count floor after cleaning)
   → blocklist_filter      (C4 banned-term gate, optional)
   → gopher_filter         (the Gopher rules as a gate, optional)
+  → compression gate      (zlib-ratio floor: RefinedWeb-style redundancy
+    cut for cross-line boilerplate, optional)
   → classifier gate       (trained LinearModel score floor, optional)
   → stratified_sample     (deterministic per-language rates, optional)
   → decontamination       (docs verbatim-overlapping an eval set: drop the
@@ -80,6 +82,7 @@ def prepare_training_corpus(
     blocklist: list[str] | None = None,
     blocklist_mode: str = "token",
     gopher: bool = False,
+    compression_min: float | None = None,
     quality_model=None,
     quality_score_min: float = 0.5,
     dsir_target: DataFrame | None = None,
@@ -205,6 +208,25 @@ def prepare_training_corpus(
             gopher_filter(cur, text_col, id_col)
             .filter("kept")
             .drop("kept", "drop_reasons"),
+        )
+
+    if compression_min is not None:
+        # RefinedWeb-style redundancy gate: docs whose zlib ratio falls
+        # below the floor are boilerplate/template/repeated content the
+        # n-gram signals can miss (cross-line structure). Runs with the
+        # other per-doc gates; the signal is one Arrow-batched pass.
+        from xdump_spark.operators.curation import compression_ratio_frame
+
+        ratios = compression_ratio_frame(cur, text_col, id_col).select(
+            F.col(id_col).alias("_cr_id"), "compression_ratio"
+        )
+        cur = note(
+            "compression_gated",
+            cur.join(
+                ratios.filter(F.col("compression_ratio") >= compression_min),
+                cur[id_col] == F.col("_cr_id"),
+                "left_semi",
+            ),
         )
 
     if quality_model is not None:
