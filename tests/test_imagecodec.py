@@ -18,6 +18,7 @@ import pytest
 from xdump_spark.operators.imagecodec import (
     UnsupportedImageError,
     decode_bmp,
+    decode_gif,
     decode_image,
     decode_png,
     encode_png,
@@ -181,12 +182,169 @@ def test_bmp_unsupported_depth_errors():
         decode_bmp(bytes(blob))
 
 
+# ----------------------------------------------------------------- GIF -----
+def _lzw_encode(min_code_size, indices):
+    """Spec-forward GIF LZW compressor (test-side reference writer — the
+    production code only decodes). Variable code width, clear/end codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    next_code = end + 1
+    table = {bytes([i]): i for i in range(clear)}
+    buf, nbits, out = 0, 0, bytearray()
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([int(k)])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        w = bytes([int(k)])
+    if w:
+        emit(table[w])
+        # the decoder appends one entry after this code and may grow the
+        # width before reading END — mirror that
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_ROWS = lambda h: np.concatenate(  # noqa: E731
+    [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+)
+
+
+def _make_gif(
+    img,
+    interlace=False,
+    version=b"GIF89a",
+    local_table=False,
+    screen=None,
+    offset=(0, 0),
+    bg_idx=0,
+    with_extension=False,
+):
+    """RGB (H, W, 3) uint8 → GIF bytes via palette quantization on the
+    image's (≤256) unique colors."""
+    h, w = img.shape[:2]
+    colors, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    assert len(colors) <= 256, "test image must have <=256 unique colors"
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << pal_bits
+    palette = np.zeros((n_pal, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inv.reshape(h, w).astype(np.uint8)
+    if interlace:
+        idx = idx[_INTERLACE_ROWS(h)]
+    mcs = max(2, pal_bits)
+    sw, sh = screen if screen else (w, h)
+    left, top = offset
+    out = bytearray()
+    out += version + struct.pack("<HH", sw, sh)
+    if local_table:
+        out += bytes([0x00, bg_idx, 0])  # no global table
+    else:
+        out += bytes([0x80 | (pal_bits - 1), bg_idx, 0])
+        out += palette.tobytes()
+    if with_extension:  # a Graphics Control Extension to skip over
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+    ipacked = (0x40 if interlace else 0) | (0x80 | (pal_bits - 1) if local_table else 0)
+    out += bytes([ipacked])
+    if local_table:
+        out += palette.tobytes()
+    out += bytes([mcs])
+    data = _lzw_encode(mcs, idx.ravel())
+    for i in range(0, len(data), 255):
+        blockette = data[i : i + 255]
+        out += bytes([len(blockette)]) + blockette
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_basic():
+    img = _rng(21).integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(_make_gif(img)), img)
+    # full dispatch path too
+    assert np.array_equal(decode_image(_make_gif(img)), img)
+
+
+def test_gif_roundtrip_interlaced():
+    img = _rng(22).integers(0, 8, size=(17, 5, 3), dtype=np.uint8) * 31
+    assert np.array_equal(decode_gif(_make_gif(img, interlace=True)), img)
+
+
+def test_gif_local_table_extension_and_87a():
+    img = _rng(23).integers(0, 4, size=(6, 6, 3), dtype=np.uint8) * 80
+    blob = _make_gif(img, version=b"GIF87a", local_table=True, with_extension=True)
+    assert np.array_equal(decode_gif(blob), img)
+
+
+def test_gif_frame_composed_onto_screen():
+    img = np.full((2, 3, 3), 200, dtype=np.uint8)
+    img[0, 0] = (10, 20, 30)  # ensure 2 colors so bg != frame fill
+    blob = _make_gif(img, screen=(6, 5), offset=(2, 1), bg_idx=0)
+    out = decode_gif(blob)
+    assert out.shape == (5, 6, 3)
+    assert np.array_equal(out[1:3, 2:5], img)
+    # background fill is palette[bg_idx] = first unique color
+    colors = np.unique(img.reshape(-1, 3), axis=0)
+    assert np.array_equal(out[0, 0], colors[0])
+
+
+def test_gif_truncated_and_malformed_error():
+    with pytest.raises(UnsupportedImageError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(UnsupportedImageError, match="signature"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    img = _rng(24).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    blob = _make_gif(img)
+    with pytest.raises(UnsupportedImageError):
+        decode_gif(blob[: len(blob) // 2])
+
+
+def test_gif_property_roundtrip():
+    """Many shapes × palette sizes × interlace: the decoder must invert
+    the spec-forward writer everywhere."""
+    rng = _rng(25)
+    for trial in range(20):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        n_colors = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, n_colors, size=(h, w))]
+        inter = bool(rng.integers(0, 2))
+        assert np.array_equal(decode_gif(_make_gif(img, interlace=inter)), img), (
+            h, w, n_colors, inter,
+        )
+
+
 # ------------------------------------------------------------- dispatch ----
-def test_decode_image_dispatch_and_gif_honesty():
+def test_decode_image_dispatch():
     img = _rng(5).integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_png(img)), img)
     assert np.array_equal(decode_image(_make_bmp24(img)), img)
-    with pytest.raises(UnsupportedImageError, match="LZW"):
+    # truncated GIF raises rather than fabricating pixels
+    with pytest.raises(UnsupportedImageError):
         decode_image(b"GIF89a" + b"\x00" * 20)
     with pytest.raises(UnsupportedImageError, match="unknown"):
         decode_image(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08")
@@ -290,15 +448,15 @@ def test_stub_and_real_paths_share_schema(spark):
         [(1, encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))], "doc_id long, blob binary"
     )
     assert (
-        decode_blobs(media).schema
+        decode_blobs(media, use_real_codec=False).schema
         == decode_blobs(real_media, use_real_codec=True).schema
     )
     assert (
-        resize_blobs(media, 4, 4).schema
+        resize_blobs(media, 4, 4, use_real_codec=False).schema
         == resize_blobs(real_media, 4, 4, use_real_codec=True).schema
     )
     assert (
-        extract_features(media, dim=8).schema
+        extract_features(media, dim=8, use_real_codec=False).schema
         == extract_features(real_media, dim=8, use_real_codec=True).schema
     )
 

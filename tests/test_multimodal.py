@@ -35,7 +35,7 @@ def test_blob_stats_matches_python(media):
 
 
 def test_decode_stub_deterministic(spark, media):
-    one = M.decode_blobs(media.filter("doc_id <= 10"))
+    one = M.decode_blobs(media.filter("doc_id <= 10"), use_real_codec=False)
     a = {(r.doc_id, r.mean_luma) for r in one.collect()}
     b = {(r.doc_id, r.mean_luma) for r in one.collect()}
     assert a == b and len(a) > 0
@@ -133,14 +133,14 @@ def test_resize_blobs_stub_plumbing(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     media = attach_blobs(docs)
-    out = resize_blobs(media, 64, 48)
+    out = resize_blobs(media, 64, 48, use_real_codec=False)
     rows = out.collect()
     assert len(rows) == 40
     want_len = max(16, (64 * 48) // 64)
     assert all(r.width == 64 and r.height == 48 for r in rows)
     assert all(len(r.blob) == want_len for r in rows)
     # deterministic across partitionings
-    rows2 = {r.doc_id: bytes(r.blob) for r in resize_blobs(media.repartition(5), 64, 48).collect()}
+    rows2 = {r.doc_id: bytes(r.blob) for r in resize_blobs(media.repartition(5), 64, 48, use_real_codec=False).collect()}
     assert {r.doc_id: bytes(r.blob) for r in rows} == rows2
 
 
@@ -163,7 +163,7 @@ def test_extract_features_unit_norm_and_knn_integration(spark):
     from xdump_spark.operators.similarity import cosine_topk
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
-    feats = extract_features(attach_blobs(docs), dim=16)
+    feats = extract_features(attach_blobs(docs), dim=16, use_real_codec=False)
     rows = feats.collect()
     assert len(rows) == 60 and all(len(r.feature) == 16 for r in rows)
     import math
@@ -193,7 +193,7 @@ def test_extract_features_through_ivf_index(spark):
     from xdump_spark.operators.similarity import ivf_build, ivf_search
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
-    feats = extract_features(attach_blobs(docs), dim=16).selectExpr(
+    feats = extract_features(attach_blobs(docs), dim=16, use_real_codec=False).selectExpr(
         "doc_id AS vec_id", "feature AS embedding"
     )
     idx = ivf_build(feats, n_cells=8)

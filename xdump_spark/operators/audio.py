@@ -161,6 +161,11 @@ def extract_audio_features(
     ``on_undecodable``: ``"raise"`` (default — holes in an embedding
     column corrupt downstream ANN joins) or ``"skip"`` — DROP
     undecodable rows, the mixed-corpus choice."""
+    if on_undecodable not in ("raise", "skip"):
+        # A typo like 'fail'/'Raise' must not silently mean 'skip'.
+        raise ValueError(
+            f"on_undecodable must be 'raise' or 'skip', got {on_undecodable!r}"
+        )
     import struct as _struct
 
     from xdump_spark.operators.audiocodec import (

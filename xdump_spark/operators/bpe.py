@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 #: convention — lets "est</w>" in "lowest" differ from "est" in "estimate")
 EOW = "</w>"
 UNK_ID = 0
+# Per-worker encode-memo bound: the Zipf head fits comfortably under 1M
+# entries and absorbs nearly all lookups; the unbounded tail must not
+# accumulate in a long-lived Python worker.
+ENCODE_MEMO_CAP = 1_000_000
 
 
 @dataclass(frozen=True)
@@ -226,7 +230,12 @@ def bpe_encode_frame(
     worker process, not once per occurrence). The memo lives at closure
     level, OUTSIDE the udf body, so it survives across Arrow batches
     within one worker — a dict created inside the body would be rebuilt
-    per batch and never amortize anything."""
+    per batch and never amortize anything. The memo is size-capped
+    (ENCODE_MEMO_CAP): distinct-word count is unbounded at corpus scale
+    (the Zipf TAIL dominates distinct counts), so an uncapped dict in a
+    long-lived worker grows without limit; past the cap we stop
+    inserting — the Zipf HEAD, which absorbs nearly all lookups, is
+    already resident."""
     sc = df.sparkSession.sparkContext
     b_ranks = sc.broadcast(tok.merge_ranks())
     b_vmap = sc.broadcast(tok.vocab_map())
@@ -240,7 +249,8 @@ def bpe_encode_frame(
             got = cache.get(wd)
             if got is None:
                 got = [vmap.get(s, UNK_ID) for s in _apply_merges(wd, ranks)]
-                cache[wd] = got
+                if len(cache) < ENCODE_MEMO_CAP:
+                    cache[wd] = got
             return got
 
         def enc(t):

@@ -42,6 +42,14 @@ _BROADCAST_SIG_LIMIT = 500_000
 # the broadcast cannot silently approach Spark's hard limit — estimate
 # mode is the scale path past this.
 MAX_EXACT_VERIFY_DOCS = 250_000
+# The broadcast size is driven by TOTAL shingle bytes, not doc count:
+# 250k docs of ~10 KB each would be a ~20 GB broadcast — past Spark's
+# 8 GB hard limit — so the doc-count cap alone measures the wrong
+# quantity. Each hashed shingle is one long (8 B) plus array overhead;
+# budget ~16 B/shingle and cap well under the 8 GB broadcast limit
+# (the set is broadcast into TWO joins).
+MAX_EXACT_VERIFY_SHINGLE_BYTES = 2 << 30  # 2 GiB
+_EXACT_VERIFY_BYTES_PER_SHINGLE = 16
 
 
 from xdump_spark.operators.sizing import spread as _spread  # noqa: E402
@@ -281,13 +289,28 @@ def minhash_lsh_pairs(
                 lambda s: F.xxhash64(s),
             ).alias("shingles"),
         ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
-        n_docs = docs.count()  # checkpointed: metadata-cheap
+        # One cheap agg over the checkpointed frame guards BOTH axes: doc
+        # count (join fan-out) and total shingle bytes (broadcast size —
+        # the quantity that actually hits Spark's 8 GB broadcast limit).
+        stats = docs.agg(
+            F.count("*").alias("n"), F.sum(F.size("shingles")).alias("sh")
+        ).collect()[0]
+        n_docs, n_shingles = stats["n"], stats["sh"] or 0
         if n_docs > MAX_EXACT_VERIFY_DOCS:
             raise ValueError(
                 f"verify='exact' broadcasts every doc's shingle set: corpus "
                 f"has {n_docs} docs > MAX_EXACT_VERIFY_DOCS="
                 f"{MAX_EXACT_VERIFY_DOCS}; use verify='estimate' "
                 "(signature-only verification) at scale"
+            )
+        est_bytes = n_shingles * _EXACT_VERIFY_BYTES_PER_SHINGLE
+        if est_bytes > MAX_EXACT_VERIFY_SHINGLE_BYTES:
+            raise ValueError(
+                f"verify='exact' would broadcast ~{est_bytes >> 20} MiB of "
+                f"hashed shingles ({n_shingles} shingles x "
+                f"{_EXACT_VERIFY_BYTES_PER_SHINGLE} B) > "
+                f"{MAX_EXACT_VERIFY_SHINGLE_BYTES >> 20} MiB cap; use "
+                "verify='estimate' (signature-only verification) at scale"
             )
     # Signatures have three consumers (banding + both sides of pair
     # verification) and the frame is tiny (num_perm longs per doc):

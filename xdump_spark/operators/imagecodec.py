@@ -11,8 +11,12 @@ honest and documented:
   filter-0 scanlines. Round-trips bit-exact.
 * **BMP** — decode for the uncompressed 24-bit BITMAPINFOHEADER layout
   (bottom-up or top-down), the overwhelmingly common interchange form.
-* **GIF** — header metadata only (``sniff_image_meta``); pixel decode
-  (LZW) is NOT implemented and raises ``UnsupportedImageError``.
+* **GIF** — r6: real pixel decode for the 87a/89a baseline — LZW
+  (variable code width up to 12 bits, clear/end codes, deferred clear),
+  global and local color tables, interlaced and non-interlaced, first
+  frame composed onto the logical-screen canvas (background-filled).
+  Later frames / animation disposal are out of scope and ignored
+  (first frame only, like a thumbnailer).
 
 Scale note: these kernels are per-image CPU work invoked from Arrow
 batches inside ``mapInPandas`` — the parallelism is across blobs
@@ -35,6 +39,7 @@ __all__ = [
     "encode_png",
     "decode_png",
     "decode_bmp",
+    "decode_gif",
     "resize_nearest",
     "mean_luma",
     "luma_histogram_feature",
@@ -194,19 +199,173 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return px[:, :, ::-1].copy()  # BGR → RGB
 
 
+# ---------------------------------------------------------------- GIF ------
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-flavored LZW: variable code width starting at min_code_size+1,
+    growing through 12 bits; CLEAR resets the table, END terminates.
+    Stops once ``max_pixels`` indices are produced (a conforming stream
+    ends there; a padded one must not over-allocate)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # table maps code → byte string of pixel indices
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    buf = 0  # LSB-first bit reservoir
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise UnsupportedImageError("GIF LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedImageError("GIF LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+            # grow the code width; 12 bits is the GIF maximum (deferred
+            # clear: past 4096 entries codes just stop growing)
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3) uint8 RGB: the FIRST image frame, LZW-
+    decoded (interlaced or not, global or local color table) and composed
+    onto the logical-screen canvas (background-color-filled — frames may
+    be smaller than the screen). Animation disposal/later frames are out
+    of scope. Malformed/truncated streams raise UnsupportedImageError."""
+    try:
+        return _decode_gif(blob)
+    except UnsupportedImageError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        # out-of-bounds reads on truncated streams surface as the one
+        # documented error type, so per-row null degradation catches them
+        raise UnsupportedImageError(f"GIF malformed: {e}")
+
+
+def _decode_gif(blob: bytes) -> np.ndarray:
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedImageError("not a GIF (bad signature)")
+    if len(blob) < 13:
+        raise UnsupportedImageError("GIF truncated before screen descriptor")
+    sw, sh = struct.unpack("<HH", blob[6:10])
+    packed, bg_idx = blob[10], blob[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(blob):
+                raise UnsupportedImageError("GIF truncated in sub-blocks")
+            size = blob[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    while pos < len(blob):
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            raise UnsupportedImageError("GIF contains no image frame")
+        if marker == 0x21:  # extension: label byte + sub-blocks
+            pos = skip_subblocks(pos + 1)
+            continue
+        if marker != 0x2C:
+            raise UnsupportedImageError(f"GIF: unknown block marker 0x{marker:02x}")
+        # image descriptor
+        left, top, fw, fh = struct.unpack("<HHHH", blob[pos : pos + 8])
+        ipacked = blob[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                blob, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise UnsupportedImageError("GIF frame without any color table")
+        min_code_size = blob[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise UnsupportedImageError(f"GIF LZW minimum code size {min_code_size}")
+        chunks = []
+        while True:
+            size = blob[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(blob[pos : pos + size])
+            pos += size
+        idx = _lzw_decode(min_code_size, b"".join(chunks), fw * fh)
+        if len(idx) < fw * fh:
+            raise UnsupportedImageError(
+                f"GIF LZW stream yielded {len(idx)} of {fw * fh} pixels"
+            )
+        frame = np.frombuffer(bytes(idx[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+            deinterlaced = np.empty_like(frame)
+            rows = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            deinterlaced[rows] = frame
+            frame = deinterlaced
+        rgb = table[np.minimum(frame, len(table) - 1)]
+        # compose onto the logical screen (frames may be offset subregions)
+        if (left, top, fw, fh) == (0, 0, sw, sh):
+            return rgb.copy()
+        bg = table[bg_idx] if bg_idx < len(table) else np.zeros(3, dtype=np.uint8)
+        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        y1, x1 = min(top + fh, sh), min(left + fw, sw)
+        canvas[top:y1, left:x1] = rgb[: y1 - top, : x1 - left]
+        return canvas
+    raise UnsupportedImageError("GIF truncated before trailer")
+
+
 # ------------------------------------------------------------ dispatch -----
 def decode_image(blob: bytes) -> np.ndarray:
     """Sniff the container magic and decode to (H, W, C) uint8.
-    PNG and BMP are real decodes; GIF (and everything else) raises
-    UnsupportedImageError — the caller decides whether to null the row
-    or fail the job."""
+    PNG, BMP, and GIF (first frame) are real decodes; everything else
+    raises UnsupportedImageError — the caller decides whether to null
+    the row or fail the job."""
     b = bytes(blob)
     if b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:3] == b"GIF":
-        raise UnsupportedImageError("GIF pixel decode (LZW) not implemented")
+        return decode_gif(b)
     raise UnsupportedImageError("unknown image container")
 
 

@@ -10,12 +10,14 @@ The container has no image libraries, so the real-codec path
 (operators/imagecodec.py): full PNG decode (all five scanline filters,
 the 8-bit color types) + encode, 24-bit BMP decode, nearest-neighbor
 resize, and a luma-histogram feature extractor — actual pixels end to
-end. GIF pixel decode (LZW) and exotic encodings remain out of scope
-and error clearly. The default deterministic STUB path is kept for
-hermetic plumbing tests and for synthetic text-payload corpora
-(attach_blobs). Schema convention, partition-size control, UDF
-signatures, 1→N frame explode, and Arrow batch shapes are identical on
-both paths.
+end; r6 adds GIF87a/89a LZW decode (first frame) and makes the real
+codec the DEFAULT for decode/resize/extract. Exotic encodings remain
+out of scope and error clearly. The deterministic STUB path is
+explicit opt-in (``use_real_codec=False``) for hermetic plumbing tests
+and for synthetic text-payload corpora (attach_blobs) — it fabricates
+md5-derived values, so it must never run silently on real data. Schema
+convention, partition-size control, UDF signatures, 1→N frame explode,
+and Arrow batch shapes are identical on both paths.
 
 At 100 TB: blobs dominate partition size, so operators here repartition by
 byte budget (not row count) before Python stages, keep each Arrow batch
@@ -218,19 +220,20 @@ def _fake_luma(blob: bytes) -> float:
     return round((h[0] * 256 + h[1]) / 65535.0, 6)
 
 
-def decode_blobs(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def decode_blobs(media: DataFrame, use_real_codec: bool = True) -> DataFrame:
     """Decode each blob to (width, height, mean_luma) via ``mapInPandas``.
 
-    ``use_real_codec=True`` (r5) runs the REAL pure-numpy codec
+    The DEFAULT (r6) is the REAL pure-numpy codec
     (operators/imagecodec.py): PNG (all five scanline filters, the
-    common 8-bit color types) and 24-bit BMP decode to actual pixel
-    arrays, with width/height/mean_luma computed from those pixels —
-    not from metadata. Blobs outside the codec's documented coverage
-    (GIF pixel data, synthetic stand-in payloads) yield NULL
-    width/height/mean_luma rather than failing the batch, so a mixed
-    corpus degrades per-row. The default stub path stays for hermetic
-    plumbing tests and for corpora wrapped by attach_blobs (whose
-    payloads are not real images).
+    common 8-bit color types), 24-bit BMP, and GIF87a/89a (LZW, first
+    frame) decode to actual pixel arrays, with width/height/mean_luma
+    computed from those pixels — not from metadata. Blobs outside the
+    codec's documented coverage (exotic encodings, synthetic stand-in
+    payloads) yield NULL width/height/mean_luma rather than failing the
+    batch, so a mixed corpus degrades per-row. ``use_real_codec=False``
+    opts into the deterministic md5 STUB — hermetic plumbing tests and
+    attach_blobs text-payload corpora only; it fabricates plausible
+    numbers, so it must never be the silent default for real data.
     """
     if use_real_codec:
         from xdump_spark.operators.imagecodec import (
@@ -340,13 +343,13 @@ _RESIZE_SCHEMA = StructType(
 
 
 def resize_blobs(
-    media: DataFrame, width: int, height: int, use_real_codec: bool = False
+    media: DataFrame, width: int, height: int, use_real_codec: bool = True
 ) -> DataFrame:
     """Resize every image blob to (width, height) via ``mapInPandas``.
 
-    ``use_real_codec=True`` (r5) decodes with the pure-numpy codec,
-    resamples nearest-neighbor, and re-encodes PNG — real pixels in and
-    out. The default stub emits a deterministic stand-in blob
+    The DEFAULT (r6) decodes with the pure-numpy codec, resamples
+    nearest-neighbor, and re-encodes PNG — real pixels in and out.
+    ``use_real_codec=False`` opts into a stub that emits a deterministic stand-in blob
     (md5-of-source payload, length scaled to the target pixel count) so
     the Spark-side plumbing — binary column through Arrow batches, output
     schema, downstream writability — stays testable without real images.
@@ -408,18 +411,19 @@ def resize_blobs(
 def extract_features(
     media: DataFrame,
     dim: int = 16,
-    use_real_codec: bool = False,
+    use_real_codec: bool = True,
     on_undecodable: str = "raise",
 ) -> DataFrame:
     """Per-blob feature vector (doc_id, feature array<float>, unit-norm) —
     the embedding-extraction stage that feeds the similarity toolkit
     (``cosine_topk``/``semantic_dedup`` accept the output directly).
 
-    ``use_real_codec=True`` (r5) decodes real pixels and emits the
+    The DEFAULT (r6) decodes real pixels and emits the
     mean-centered, L2-normalized luma histogram — a real pixel-statistics
     descriptor; a learned (CLIP-style) encoder would slot into the same
     (blob → float[dim]) kernel signature but is not in this container.
-    The default stub derives ``dim`` floats from the blob's md5 stream
+    ``use_real_codec=False`` opts into a stub that derives ``dim`` floats
+    from the blob's md5 stream
     and L2-normalizes, so vectors are stable across runs/partitionings
     and the plumbing is exercisable without real images.
 
@@ -429,6 +433,12 @@ def extract_features(
     mixed-corpus choice when a pre-filter on decode_blobs' nulls is not
     already in place.
     """
+    if on_undecodable not in ("raise", "skip"):
+        # A typo like 'fail'/'Raise' must not silently mean 'skip' — the
+        # silent-hole outcome this parameter exists to prevent.
+        raise ValueError(
+            f"on_undecodable must be 'raise' or 'skip', got {on_undecodable!r}"
+        )
     if use_real_codec:
         import struct as _struct
         import zlib as _zlib

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 UNK_ID = 0
+# Per-worker encode-memo bound (same rationale as bpe.ENCODE_MEMO_CAP).
+ENCODE_MEMO_CAP = 1_000_000
 _UNK_PENALTY = 20.0  # logprob charged per unknown character
 
 
@@ -288,7 +290,8 @@ def unigram_encode_frame(
             got = cache.get(wd)
             if got is None:
                 got = [vmap.get(p, UNK_ID) for p in _viterbi(wd, logp, max_len)[0]]
-                cache[wd] = got
+                if len(cache) < ENCODE_MEMO_CAP:
+                    cache[wd] = got
             return got
 
         def enc(t):

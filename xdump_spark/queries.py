@@ -1827,8 +1827,9 @@ def multimodal_decode_stub(spark, sf_dir):
     absent in this environment; plumbing is real). Pytest-gated (not a
     registry entry): approximate/stub operators were pruned from the
     driver registry to keep every oracle-backed entry inside the 50-entry
-    correctness window; tests/test_registry.py runs this builder."""
-    return M.decode_blobs(_media(spark, sf_dir))
+    correctness window; tests/test_registry.py runs this builder. The
+    stub is explicit opt-in as of r6 (the default is the real codec)."""
+    return M.decode_blobs(_media(spark, sf_dir), use_real_codec=False)
 
 
 # --------------------------------------------------------------------------

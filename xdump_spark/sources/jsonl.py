@@ -109,9 +109,15 @@ def write_jsonl_corpus(
     unsplittable gzip is exactly the failure mode)."""
     from xdump_spark.operators.sizing import input_bytes
 
-    total = input_bytes(df) or 0
-    # JSON is ~3× the parquet bytes; aim the partition count at that
-    n_files = max(1, math.ceil(3 * total / (target_file_mb * (1 << 20))))
+    est = input_bytes(df)
+    if est is None:
+        # No file lineage (curated/shuffled in-memory output — the common
+        # case for pipeline results): fall back to one file per core like
+        # corpus_sink.write_corpus, never ONE giant unsplittable file.
+        n_files = df.sparkSession.sparkContext.defaultParallelism
+    else:
+        # JSON is ~3× the parquet bytes; aim the partition count at that
+        n_files = max(1, math.ceil(3 * est / (target_file_mb * (1 << 20))))
     if partition_by:
         bucket = F.pmod(F.monotonically_increasing_id(), F.lit(n_files))
         out = df.repartition(n_files, *partition_by, bucket.alias("_b"))
