@@ -1163,6 +1163,7 @@ def events_dedup(spark, sf_dir):
 # Extension operators: text analysis (oracle-checked bit-for-bit)
 # --------------------------------------------------------------------------
 from xdump_spark.operators import dedup as D  # noqa: E402
+from xdump_spark.operators import pq as PQ  # noqa: E402
 from xdump_spark.operators import similarity as S  # noqa: E402
 from xdump_spark.operators import text as TX  # noqa: E402
 
@@ -1539,9 +1540,10 @@ def simhash_pairs(spark, sf_dir):
 # --------------------------------------------------------------------------
 _KNN_PANEL_SQL = """
 WITH q AS (SELECT CASE WHEN vec_id % 100 = 0 THEN 'exact'
-                       ELSE 'ivf_full_probe' END AS method,
+                       WHEN vec_id % 100 = 1 THEN 'ivf_full_probe'
+                       ELSE 'pq_rerank_full' END AS method,
                   vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 100 IN (0, 1)),
+           FROM embeddings WHERE vec_id % 100 IN (0, 1, 2)),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 s AS (SELECT method, query_id, neighbor_id,
              round(list_dot_product(qv, cv) /
@@ -1570,16 +1572,32 @@ def knn_topk_panel(spark, sf_dir):
       driver-side probe selection, cell-pruned scan, per-cell scoring)
       runs hash-checked against the same brute-force oracle. Pruned-
       probe recall floors stay pytest-gated (tests/test_operators.py).
+    * ``pq_rerank_full`` (r6) — pq_train → pq_encode → pq_topk_rerank
+      with rerank ≥ corpus size on a third disjoint query set
+      (vec_id % 100 = 2): the ADC shortlist is then the ENTIRE corpus
+      (pq_topk excludes self-pairs by construction), so the exact-cosine
+      rerank provably equals brute force while the whole PQ code path —
+      deterministic codebook fit, Arrow-batched encode, ADC table scan,
+      broadcast shortlist join, rerank window — runs hash-checked.
+      Pruned-shortlist recall floors stay pytest-gated (tests/test_pq.py).
 
-    Folded (r5) so the IVF operator runs inside the driver's 50-entry
-    correctness window without evicting an oracle-backed row."""
+    Folded (r5, extended r6) so the IVF and PQ operators run inside the
+    driver's 50-entry correctness window without evicting an
+    oracle-backed row."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
     exact = S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
     ivf = S.ivf_topk(
         emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=16
     )
-    return exact.select(F.lit("exact").alias("method"), *exact.columns).unionByName(
-        ivf.select(F.lit("ivf_full_probe").alias("method"), *ivf.columns)
+    cb = PQ.pq_train(emb, m=8, k=64)
+    codes = PQ.pq_encode(emb, cb)
+    pq = PQ.pq_topk_rerank(
+        codes, emb, cb, emb.filter("vec_id % 100 = 2"), k=5, rerank=1_000_000
+    )
+    return (
+        exact.select(F.lit("exact").alias("method"), *exact.columns)
+        .unionByName(ivf.select(F.lit("ivf_full_probe").alias("method"), *ivf.columns))
+        .unionByName(pq.select(F.lit("pq_rerank_full").alias("method"), *pq.columns))
     )
 
 
@@ -1589,6 +1607,30 @@ def knn_cosine_top5(spark, sf_dir):
     ``exact`` method (r5); kept as a plain builder for tests."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
     return S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+
+def ivf_topk_pruned(spark, sf_dir):
+    """Pruned-probe IVF search (n_probe=4 of 16 cells) — the 100 TB scale
+    path the oracle panel's full-probe mode cannot time: only ~1/4 of the
+    corpus is scanned per query. Recall floors are pytest-pinned
+    (tests/test_operators.py); bench-only twin of ``knn_topk_panel``'s
+    ``ivf_full_probe`` method (r6, VERDICT #3)."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    return S.ivf_topk(emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=4)
+
+
+def pq_rerank_scale(spark, sf_dir):
+    """PQ ADC shortlist (rerank=50) + exact rerank of only the sliver —
+    the scale configuration of ``knn_topk_panel``'s ``pq_rerank_full``
+    method, which must shortlist the whole corpus to stay oracle-exact.
+    Recall floors are pytest-pinned (tests/test_pq.py); bench-only twin
+    (r6, VERDICT #3)."""
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    cb = PQ.pq_train(emb, m=8, k=64)
+    codes = PQ.pq_encode(emb, cb)
+    return PQ.pq_topk_rerank(
+        codes, emb, cb, emb.filter("vec_id % 100 = 2"), k=5, rerank=50
+    )
 
 
 @query(
