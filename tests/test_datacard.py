@@ -74,6 +74,58 @@ def test_data_card_real_testdata_vs_duckdb(spark):
     share_sum = sum(s["token_share"] for s in card["sources"])
     assert share_sum == pytest.approx(1.0, abs=1e-3)
 
+    # r6 sections: redundancy + readability, cross-checked against an
+    # INDEPENDENT driver-side recomputation from the same parquet (zlib
+    # is outside DuckDB's SQL surface; the texts come back via DuckDB)
+    import re
+    import zlib
+
+    texts = [t for (t,) in con.execute("select text from documents").fetchall()]
+    ratios = [
+        len(zlib.compress(t.encode(), 6)) / len(t.encode()) if t else 1.0
+        for t in texts
+    ]
+    assert card["signals"]["compression_ratio"]["count"] == n_docs
+    assert card["signals"]["compression_ratio"]["mean"] == pytest.approx(
+        sum(ratios) / len(ratios), abs=1e-4
+    )
+    assert {"p10", "p50", "p90"} <= set(card["signals"]["compression_ratio"])
+
+    def flesch_ref(t):
+        words = t.strip().lower().split()
+        n_sent = max(len(re.split(r"[.!?]+", t.strip())) - 1, 1)
+        syl = sum(
+            max(len(re.split("[aeiouy]+", re.sub("e$", "", w))) - 1, 1)
+            for w in words
+        )
+        if not words:
+            return None
+        return 206.835 - 1.015 * (len(words) / n_sent) - 84.6 * (syl / len(words))
+
+    refs = [f for f in (flesch_ref(t) for t in texts) if f is not None]
+    assert card["signals"]["flesch"]["mean"] == pytest.approx(
+        sum(refs) / len(refs), abs=1e-2
+    )
+
+
+def test_data_card_dsir_section(spark):
+    from xdump_spark.operators.dsir import dsir_score, fit_dsir
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter("lang = 'en'")
+    model = fit_dsir(target, docs)
+    card = data_card(docs, dsir_model=model)
+    assert {"mean", "p50", "count"} <= set(card["dsir"])
+    assert card["dsir"]["count"] == docs.count()
+    # the section must equal an independent aggregation of dsir_score
+    got_mean = (
+        dsir_score(docs, model).agg({"dsir_logw": "avg"}).collect()[0][0]
+    )
+    assert card["dsir"]["mean"] == pytest.approx(got_mean, abs=1e-6)
+    json.dumps(card)
+    # and the default card has no dsir section
+    assert "dsir" not in data_card(docs)
+
 
 def test_datacard_cli(spark, tmp_path):
     from xdump_spark.cli import build_parser, run

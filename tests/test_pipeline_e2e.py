@@ -357,3 +357,86 @@ def test_pipeline_compression_gate(spark):
     )
     assert {r.doc_id for r in res.corpus.collect()} == {2}
     assert res.audit["compression_gated"] == 1
+
+
+def test_pipeline_audio_gate_mixed_corpus(spark):
+    """r6 (VERDICT r5 #8): mixed text+WAV corpus through the audio gate —
+    real-codec duration/rms floors drop bad audio, blob-less text docs
+    pass through, audit counts are exact."""
+    import numpy as np
+
+    from xdump_spark.operators.audiocodec import encode_wav
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate  # 1.0 s
+    loud = encode_wav((0.5 * np.sin(2 * np.pi * 440 * t))[:, None], rate)
+    quiet = encode_wav((0.001 * np.sin(2 * np.pi * 440 * t))[:, None], rate)
+    short = encode_wav((0.5 * np.sin(2 * np.pi * 440 * t[: rate // 100]))[:, None], rate)
+    rows = [
+        (1, "a good doc with plenty of words here", bytearray(loud)),
+        (2, "quiet audio should be dropped by rms floor", bytearray(quiet)),
+        (3, "short audio should be dropped by duration", bytearray(short)),
+        (4, "corrupt audio drops the doc entirely too", bytearray(b"not audio")),
+        (5, "a text only document passes straight through", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, blob binary")
+    res = prepare_training_corpus(
+        docs,
+        span_k=None,
+        min_tokens=1,
+        audio_gate={"min_duration_s": 0.5, "min_rms": 0.01},
+    )
+    assert {r.doc_id for r in res.corpus.collect()} == {1, 5}
+    assert res.audit["audio_gated"] == 2
+
+    # keep_missing=False: the blob-less doc is dropped as well
+    strict = prepare_training_corpus(
+        docs,
+        span_k=None,
+        min_tokens=1,
+        audit=False,
+        audio_gate={"min_duration_s": 0.5, "min_rms": 0.01, "keep_missing": False},
+    )
+    assert {r.doc_id for r in strict.corpus.collect()} == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown audio_gate"):
+        prepare_training_corpus(docs, span_k=None, audio_gate={"min_rmz": 1})
+    with _pytest.raises(ValueError, match="blob column"):
+        prepare_training_corpus(
+            docs.drop("blob"), span_k=None, audio_gate={"min_rms": 0.01}
+        )
+
+
+def test_pipeline_audio_gate_from_config(spark, tmp_path):
+    """The audio gate rides in the curate config like every other stage."""
+    import json
+
+    import numpy as np
+
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.operators.audiocodec import encode_wav
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    good = encode_wav((0.4 * np.sin(2 * np.pi * 220 * t))[:, None], rate)
+    rows = [
+        (1, "doc with good audio attached to it", bytearray(good)),
+        (2, "doc with broken audio attached here", bytearray(b"junk")),
+    ]
+    src = str(tmp_path / "mixed.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, blob binary").write.parquet(src)
+    cfg = {
+        "input": src,
+        "output": str(tmp_path / "out"),
+        "span_k": None,
+        "min_tokens": 1,
+        "audio_gate": {"min_duration_s": 0.5},
+    }
+    cfg_path = tmp_path / "curate.json"
+    cfg_path.write_text(json.dumps(cfg))
+    res = curate_from_config(spark, str(cfg_path))
+    assert {r.doc_id for r in res.corpus.collect()} == {1}
+    assert res.audit["audio_gated"] == 1

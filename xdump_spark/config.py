@@ -67,7 +67,7 @@ _CURATE_KEYS = {
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
-    "doc_dedup", "fuzzy_threshold", "compression_min",
+    "doc_dedup", "fuzzy_threshold", "compression_min", "audio_gate",
 }
 
 
@@ -125,6 +125,7 @@ def curate_from_config(spark: SparkSession, path: str):
         blocklist_mode=cfg.get("blocklist_mode", "token"),
         gopher=cfg.get("gopher", False),
         compression_min=cfg.get("compression_min"),
+        audio_gate=cfg.get("audio_gate"),
         quality_model=(
             _load_quality_model(cfg["quality_model"])
             if cfg.get("quality_model")

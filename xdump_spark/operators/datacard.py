@@ -6,16 +6,27 @@ languages, and what the quality signals look like. (The reference
 engine's nearest analog is its dump manifest of table row counts,
 xdump/base.py:128-142; this is the corpus-level generalization.)
 
-Composition of existing single-pass pieces, so the whole card costs
-THREE corpus passes regardless of corpus size — each one a single
+Composition of existing single-pass pieces — each one a single
 map-side-combined aggregation whose result is sources/langs/metrics-
 sized, never corpus-sized:
 
 1. quality_feature_frame → profile_table: every quality/repetition
    signal's count/mean/stddev/min/max + requested quantiles in ONE
    fused aggregation (GK sketches keep quantiles in the same pass);
-2. mixture_stats: per-source doc/token counts and token shares;
-3. the language distribution groupBy.
+2. compression_ratio_frame → profile_table (r6): per-doc zlib
+   redundancy, one Arrow pass + one fused aggregation;
+3. readability_frame → profile_table (r6): Flesch reading ease, pure
+   codegen + one fused aggregation;
+4. mixture_stats: per-source doc/token counts and token shares;
+5. the language distribution groupBy;
+6. (optional, r6) dsir_score → profile_table when a ``dsir_model`` is
+   supplied: the importance log-weight distribution against the
+   caller's target corpus model.
+
+Each numbered item is an independent narrow-transform → fused-agg
+pipeline over the corpus (no joins between the signal frames — a
+doc_id join would shuffle the corpus just to co-locate columns that
+are immediately reduced away).
 
 The returned dict is plain data (json.dumps-able) — the artifact a
 pipeline run attaches next to its output corpus.
@@ -27,8 +38,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xdump_spark.operators.classifier import QUALITY_FEATURES, quality_feature_frame
-from xdump_spark.operators.curation import mixture_stats
+from xdump_spark.operators.curation import compression_ratio_frame, mixture_stats
 from xdump_spark.operators.profile import profile_table
+from xdump_spark.operators.text import readability_frame
+
+
+def _profile_into(
+    signals: dict, frame: DataFrame, columns: list[str], quantiles
+) -> None:
+    """Run profile_table on ``frame`` and merge (column → metric → value)
+    into ``signals`` — one fused aggregation per call."""
+    for r in profile_table(frame, columns=columns, quantiles=quantiles).collect():
+        signals.setdefault(r["column"], {})[r["metric"]] = (
+            None if r["value"] is None else float(r["value"])
+        )
 
 
 def data_card(
@@ -38,13 +61,16 @@ def data_card(
     source_col: str | None = "source",
     lang_col: str | None = "lang",
     quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+    dsir_model=None,
 ) -> dict:
     """Build the corpus data card.
 
     ``source_col``/``lang_col`` sections are skipped (not errored) when
     the column is absent or the argument is None — crawl snapshots
     before language-ID have no lang column, and the card should still
-    render.
+    render. ``dsir_model`` (a ``dsir.DSIRModel``, optional) adds the
+    importance log-weight distribution — the datasheet readers use to
+    judge how target-like the corpus is.
     """
     cols = set(docs.columns)
     for required in (text_col, id_col):
@@ -52,20 +78,27 @@ def data_card(
             raise ValueError(f"column {required!r} not in corpus")
 
     feats = quality_feature_frame(docs, text_col=text_col, id_col=id_col)
-    prof = profile_table(
-        feats, columns=list(QUALITY_FEATURES), quantiles=quantiles
-    ).collect()
     signals: dict[str, dict[str, float]] = {}
-    n_docs = 0
-    for r in prof:
-        signals.setdefault(r["column"], {})[r["metric"]] = (
-            None if r["value"] is None else float(r["value"])
-        )
-        if r["column"] == "n_tokens" and r["metric"] == "count":
-            n_docs = int(r["value"])
+    _profile_into(signals, feats, list(QUALITY_FEATURES), quantiles)
+    n_docs = int(signals["n_tokens"]["count"] or 0)
     # totals derivable from the same pass: Σ tokens = mean·count
     n_tokens = int(round((signals["n_tokens"]["mean"] or 0) * n_docs))
     n_chars = int(round((signals["n_chars"]["mean"] or 0) * n_docs))
+
+    # r6 signal families (VERDICT r5 #6): redundancy and readability
+    # belong in the published datasheet alongside the r4 quality signals
+    _profile_into(
+        signals,
+        compression_ratio_frame(docs, text_col=text_col, id_col=id_col),
+        ["compression_ratio"],
+        quantiles,
+    )
+    _profile_into(
+        signals,
+        readability_frame(docs, text_col=text_col, id_col=id_col),
+        ["flesch"],
+        quantiles,
+    )
 
     card: dict = {
         "n_docs": n_docs,
@@ -73,6 +106,18 @@ def data_card(
         "n_chars": n_chars,
         "signals": signals,
     }
+
+    if dsir_model is not None:
+        from xdump_spark.operators.dsir import dsir_score
+
+        dsir_signals: dict[str, dict[str, float]] = {}
+        _profile_into(
+            dsir_signals,
+            dsir_score(docs, dsir_model, text_col=text_col, id_col=id_col),
+            ["dsir_logw"],
+            quantiles,
+        )
+        card["dsir"] = dsir_signals["dsir_logw"]
 
     if source_col and source_col in cols:
         card["sources"] = [

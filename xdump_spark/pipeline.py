@@ -15,6 +15,9 @@ raw documents
   → gopher_filter         (the Gopher rules as a gate, optional)
   → compression gate      (zlib-ratio floor: RefinedWeb-style redundancy
     cut for cross-line boilerplate, optional)
+  → audio gate            (mixed text+WAV corpora: decode_audio profile
+    with duration/rms floors; undecodable audio drops the doc, blob-less
+    docs pass through — optional)
   → classifier gate       (trained LinearModel score floor, optional)
   → stratified_sample     (deterministic per-language rates, optional)
   → decontamination       (docs verbatim-overlapping an eval set: drop the
@@ -83,6 +86,7 @@ def prepare_training_corpus(
     blocklist_mode: str = "token",
     gopher: bool = False,
     compression_min: float | None = None,
+    audio_gate: dict | None = None,
     quality_model=None,
     quality_score_min: float = 0.5,
     dsir_target: DataFrame | None = None,
@@ -228,6 +232,47 @@ def prepare_training_corpus(
                 "left_semi",
             ),
         )
+
+    if audio_gate is not None:
+        # Mixed text+audio corpora (r6, VERDICT r5 #8): the audio twin of
+        # the compression gate — decode_audio profiles each WAV blob with
+        # the REAL codec (one Arrow pass over (id, blob)), and docs whose
+        # audio is undecodable or falls outside the duration/rms floors
+        # are dropped. Docs WITHOUT a blob pass through by default
+        # (keep_missing) — a text-only doc is not bad audio.
+        from xdump_spark.operators.audio import decode_audio
+
+        allowed = {
+            "blob_col", "min_duration_s", "max_duration_s",
+            "min_rms", "max_rms", "keep_missing",
+        }
+        unknown = set(audio_gate) - allowed
+        if unknown:
+            raise ValueError(f"unknown audio_gate keys: {sorted(unknown)}")
+        blob_col = audio_gate.get("blob_col", "blob")
+        if blob_col not in cur.columns:
+            raise ValueError(f"audio_gate blob column {blob_col!r} not in corpus")
+        with_blob = cur.filter(F.col(blob_col).isNotNull())
+        prof = decode_audio(
+            with_blob.select(F.col(id_col), F.col(blob_col).alias("blob")),
+            id_col=id_col,
+        )
+        cond = F.col("duration_s").isNotNull()  # undecodable rows null out
+        if "min_duration_s" in audio_gate:
+            cond &= F.col("duration_s") >= audio_gate["min_duration_s"]
+        if "max_duration_s" in audio_gate:
+            cond &= F.col("duration_s") <= audio_gate["max_duration_s"]
+        if "min_rms" in audio_gate:
+            cond &= F.col("rms") >= audio_gate["min_rms"]
+        if "max_rms" in audio_gate:
+            cond &= F.col("rms") <= audio_gate["max_rms"]
+        keep = prof.filter(cond).select(F.col(id_col).alias("_au_id"))
+        gated = with_blob.join(
+            keep, with_blob[id_col] == F.col("_au_id"), "left_semi"
+        )
+        if audio_gate.get("keep_missing", True):
+            gated = gated.unionByName(cur.filter(F.col(blob_col).isNull()))
+        cur = note("audio_gated", gated)
 
     if quality_model is not None:
         from xdump_spark.operators.classifier import with_quality_score
