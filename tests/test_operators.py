@@ -224,6 +224,34 @@ def test_salted_join_left_outer(spark):
     assert out == {(1, 10, "one"), (9, 90, None)}
 
 
+def test_topk_per_key_equals_plain_window(spark):
+    """Two-phase salted top-k returns byte-identical rows to the plain
+    window for ANY salt assignment (total order => unique top-k set)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.skew import topk_per_key
+
+    # Zipf-ish: key 0 owns half the rows
+    rows = [(i % 7 if i % 2 else 0, float((i * 37) % 1000), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, score double, uid long")
+    order = [F.desc("score"), F.asc("uid")]
+    w = W.partitionBy("k").orderBy(*order)
+    plain = {
+        (r.k, r.score, r.uid, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
+    }
+    for n_salt in (1, 4, 16):
+        got = {
+            (r.k, r.score, r.uid, r.rn)
+            for r in topk_per_key(df, "k", order, k=3, n_salt=n_salt).collect()
+        }
+        assert got == plain, n_salt
+    # k larger than any group: everything survives with full ranking
+    all_rows = topk_per_key(df, "k", order, k=10**6, n_salt=4)
+    assert all_rows.count() == 2000
+
+
 def test_salted_join_rejects_right_and_full_outer(spark):
     """Right/full outer would emit unmatched small-side rows once per salt;
     the API refuses instead of silently duplicating."""

@@ -157,6 +157,22 @@ def test_salted_closure_materialization_equivalent(spark, employees_catalog):
         }, t
     assert "__salt" in salted["employees"]._jdf.queryExecution().toString()
 
+    # r6: the dict form salts ONLY the named tables (the int form salts
+    # every reached table's materialize join — measured 7x overhead on a
+    # Zipf decade when the referenced keys are unique)
+    scoped = compute_closure(
+        employees_catalog, partial_tables=seeds, spark=spark,
+        salt_materialize={"employees": 4},
+    )
+    for t in plain:
+        assert {tuple(r) for r in plain[t].collect()} == {
+            tuple(r) for r in scoped[t].collect()
+        }, t
+    assert "__salt" in scoped["employees"]._jdf.queryExecution().toString()
+    for t in plain:
+        if t != "employees":
+            assert "__salt" not in scoped[t]._jdf.queryExecution().toString(), t
+
 
 def test_q19_disjunct_extracted_to_both_scans(spark):
     """Catalyst must extract each side's union-of-ranges from the

@@ -26,6 +26,22 @@ once the rotation alone would repeat.
 
 Usage: python tools/make_soak_sf1.py [--copies 10] [--out .soak/sf1]
        python tools/make_soak_sf1.py --copies 100 --out .soak/sf10
+       python tools/make_soak_sf1.py --copies 10 --skew --out .soak/skew1
+
+``--skew`` (r6, VERDICT r5 #1) builds the SKEW-STRESS decade: uniform
+replication measures scaling, but real 100 TB corpora have Zipf-hot FK
+keys and boilerplate-template document clusters. With the flag:
+
+- ``orders.o_custkey`` and ``events.user_id`` are redrawn from a
+  Zipf(s=1.2)-tailed distribution (deterministic inverse-CDF on
+  xxhash64; Pareto tail P(rank ≥ r) = r^(1-s), ranks past the keyspace
+  fall back uniform) over the COPY-0 keyspace — the hottest customer
+  owns ~13% of all orders, the top 10 ~38%. FK integrity holds (every
+  drawn key exists).
+- 5% of documents (doc_id % 20 == 0) become one boilerplate TEMPLATE
+  plus a per-doc unique suffix: near-duplicates (not exact), so
+  MinHash/SimHash banding sees one giant candidate cluster — the case
+  the ``max_bucket`` skew guards exist for.
 """
 
 from __future__ import annotations
@@ -58,10 +74,39 @@ KEY_OFFSETS = {
 }
 
 
+TEMPLATE = (
+    "terms of service please read these terms carefully before using the "
+    "site your access to and use of the service is conditioned on your "
+    "acceptance of and compliance with these terms these terms apply to "
+    "all visitors users and others who access or use the service by "
+    "accessing or using the service you agree to be bound by these terms "
+    "if you disagree with any part of the terms then you may not access "
+    "the service the content on this website is provided for general "
+    "information only and is subject to change without notice"
+)
+
+
+def zipf_key(col, n_keys: int, s: float = 1.2, seed: int = 0):
+    """Deterministic Zipf(s)-tailed key draw in [0, n_keys): inverse-CDF
+    of the Pareto approximation (P(rank >= r) = r^(1-s)) on a uniform
+    hash of ``col``; ranks past the keyspace fall back to a uniform
+    draw so no clamp-key hotspot appears at the boundary."""
+    u = (F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(999_983)).cast("double") + 1.0) / 999_984.0
+    rank = (F.floor(F.pow(u, F.lit(-1.0 / (s - 1.0)))) - 1).cast("bigint")
+    fallback = F.pmod(F.xxhash64(col, F.lit(seed + 1)), F.lit(n_keys)).cast("bigint")
+    return F.when(rank < n_keys, rank).otherwise(fallback)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default=".soak/sf1")
+    ap.add_argument("--skew", action="store_true",
+                    help="Zipf-hot FK keys + 5%% template docs (see module doc)")
+    ap.add_argument("--zipf-s", type=float, default=1.2,
+                    help="Zipf exponent for --skew: 1.2 gives a ~13%% hot key, "
+                         "2.0 a ~50%% hot key (the null/default-FK regime, e.g. "
+                         "guest-checkout customer 0)")
     args = ap.parse_args()
 
     from xdump_spark.session import get_spark
@@ -152,8 +197,34 @@ def main() -> int:
         merged = copies[0]
         for c in copies[1:]:
             merged = merged.unionByName(c)
+        if args.skew:
+            # applied AFTER the copy merge: drawn keys land in the COPY-0
+            # keyspace (guaranteed to exist), the template is byte-
+            # identical across copies (the per-copy alphabet permutation
+            # must not mangle it), and the unique suffix keeps template
+            # docs near- rather than exact duplicates.
+            if name == "orders":
+                n_cust = int(tables["customer"].agg(F.max("c_custkey")).first()[0]) + 1
+                merged = merged.withColumn(
+                    "o_custkey",
+                    zipf_key(F.col("o_orderkey"), n_cust, s=args.zipf_s, seed=11),
+                )
+            if name == "events":
+                n_users = int(tables["events"].agg(F.max("user_id")).first()[0]) + 1
+                merged = merged.withColumn(
+                    "user_id",
+                    zipf_key(F.col("event_id"), n_users, s=args.zipf_s, seed=23),
+                )
+            if name == "documents":
+                merged = merged.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 20 == 0,
+                        F.concat(F.lit(TEMPLATE + " u"), F.col("doc_id").cast("string")),
+                    ).otherwise(F.col("text")),
+                )
         merged.write.mode("overwrite").parquet(out_path)
-        print(f"{name}: {args.copies}x -> {out_path}")
+        print(f"{name}: {args.copies}x{' +skew' if args.skew else ''} -> {out_path}")
     spark.stop()
     return 0
 

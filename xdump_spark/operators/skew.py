@@ -50,3 +50,50 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return salted.join(replicated, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols: str | list[str],
+    order_cols: list,
+    k: int,
+    n_salt: int = 16,
+    rn_col: str = "rn",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-robust deterministic top-``k`` rows per key (row_number
+    semantics, ties broken by ``order_cols`` which must therefore be a
+    total order — include a unique id as the last column).
+
+    A plain ``row_number().over(partitionBy(key))`` puts EVERY row of a
+    hot key in one task — window functions get no AQE skew handling, so
+    a Zipf-hot key is a straggler a 1000-executor cluster cannot split.
+    This runs two bounded passes instead:
+
+    1. local: window over (key, salt) with a deterministic salt hashed
+       from the order columns — the hot key's rows spread over
+       ``n_salt`` tasks, each keeping ≤ k;
+    2. global: window over (key) on the ≤ k·n_salt survivors per key.
+
+    Top-k of the union of per-salt top-ks equals the global top-k, so
+    the result is IDENTICAL to the plain window (equivalence-tested) for
+    ANY assignment of rows to salts — which is why a uniform random salt
+    is safe here even though the repo's operators are otherwise
+    deterministic end-to-end: the salt only chooses which task pre-filters
+    a row, never whether it survives. ``n_salt`` bounds the stage-2
+    partition at k·n_salt rows per key regardless of how hot the key is."""
+    from pyspark.sql import Window as W
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    salt = F.floor(F.rand(seed) * n_salt).cast("int")
+    w1 = W.partitionBy(*keys, SALT_COL).orderBy(*order_cols)
+    w2 = W.partitionBy(*keys).orderBy(*order_cols)
+    local = (
+        df.withColumn(SALT_COL, salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop(SALT_COL, "_rn1")
+    )
+    return local.withColumn(rn_col, F.row_number().over(w2)).filter(
+        F.col(rn_col) <= k
+    )

@@ -152,7 +152,7 @@ def compute_closure(
     partial_tables: dict[str, DataFrame | str] | None = None,
     spark: SparkSession | None = None,
     max_steps: int = 10_000,
-    salt_materialize: int | None = None,
+    salt_materialize: int | dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Compute the referentially-closed subset for a dump.
 
@@ -163,13 +163,18 @@ def compute_closure(
     table). Matches the golden semantics of the reference's TestAutoSelect
     matrix (reference: tests/test_backend.py:243-335).
 
-    ``salt_materialize``: spread each final semi-join over this many salt
+    ``salt_materialize``: spread the final semi-join over this many salt
     sub-keys (operators/skew.py). For when the key-set exceeds the
     broadcast limit AND the referenced column is hot/non-unique in the
     base table (e.g. an FK onto a non-unique column where one value
     dominates) — a shuffled semi-join would then hash every hot-key row
     into one task. Unneeded for unique referenced columns: their shuffle
-    is uniform by construction.
+    is uniform by construction. Pass a ``{table: n_salt}`` dict to salt
+    ONLY the named tables (the r6 skew soak measured the int form —
+    which salts every reached table — at 7× the plain closure on a
+    Zipf-keyed decade, because the replicated-key-side shuffles are pure
+    overhead on the tables whose referenced key IS unique; the dict
+    scopes the mitigation to the table that needs it).
     """
     partial_tables = partial_tables or {}
     validate_tables(catalog, full_tables, partial_tables)
@@ -359,12 +364,17 @@ def compute_closure(
         parts: list[DataFrame] = []
         if s.key_col is not None and s.all_keys() is not None:
             keys = s.all_keys()
-            if salt_materialize:
+            n_salt = (
+                salt_materialize.get(table)
+                if isinstance(salt_materialize, dict)
+                else salt_materialize
+            )
+            if n_salt:
                 from xdump_spark.operators.skew import salted_join
 
                 parts.append(
                     salted_join(base, keys, on=s.key_col,
-                                n_salt=salt_materialize, how="left_semi")
+                                n_salt=n_salt, how="left_semi")
                 )
             else:
                 if s.n_keys <= BROADCAST_KEY_LIMIT:
