@@ -595,6 +595,59 @@ def test_lsh_pair_sets_golden_sf0001(spark):
     )
 
 
+def test_minhash_estimate_calibration(spark):
+    """r6 (VERDICT r5 #5): measured precision/recall floors for the
+    ESTIMATE verification path (the scale default) against ground truth
+    = exact shingle-set Jaccard on the SAME banded candidates
+    (max_bucket=None ⇒ identical candidate coverage, so this isolates
+    the estimator from banding recall, which is analytically pinned
+    elsewhere).
+
+    Everything is deterministic (xxhash64 permutations, seeded corpus),
+    so these floors are tight regressions, not flaky statistics. The
+    sf1-soak sweep (tools/minhash_calibration.py; SCALE.md) measured, on
+    50k docs with real near-threshold pair mass at threshold 0.6:
+    num_perm=64 → P=0.636 R=0.9988; 128 → P=0.968 R=1.0; 256 → P=R=1.0.
+    This test reproduces the confusion-zone behavior on a crafted corpus
+    whose pair Jaccards sweep the threshold (measured: 64 → P=0.774
+    R=0.854; 128 → P=0.85 R=1.0) and pins estimate == exact on the real
+    sf0.01 documents (no near-threshold mass there)."""
+    import random
+
+    rng = random.Random(0)
+    vocab = [f"w{rng.randrange(10**8):08d}" for _ in range(4000)]
+    rows, did = [], 0
+    for i in range(150):
+        n = 80
+        base = rng.sample(vocab, n)
+        keep = int(n * (0.35 + 0.6 * (i % 50) / 49))  # 35%..95% shared tokens
+        other = rng.sample([w for w in vocab if w not in base], n - keep)
+        rows.append((did, " ".join(base)))
+        rows.append((did + 1, " ".join(base[:keep] + other)))
+        did += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pr(frame, num_perm):
+        kw = dict(threshold=0.6, num_perm=num_perm, bands=16, max_bucket=None)
+        truth = {(r.id_a, r.id_b)
+                 for r in D.minhash_lsh_pairs(frame, verify="exact", **kw).collect()}
+        est = {(r.id_a, r.id_b)
+               for r in D.minhash_lsh_pairs(frame, verify="estimate", **kw).collect()}
+        tp = len(truth & est)
+        return (tp / len(est) if est else 1.0, tp / len(truth) if truth else 1.0,
+                truth, est)
+
+    p64, r64, _, _ = pr(df, 64)
+    p128, r128, _, _ = pr(df, 128)
+    assert p64 >= 0.70 and r64 >= 0.80, (p64, r64)
+    assert p128 >= 0.80 and r128 >= 0.95, (p128, r128)
+    assert p128 >= p64 and r128 >= r64  # more perms never hurts here
+
+    d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    _, _, truth01, est01 = pr(d01, 64)
+    assert truth01 == est01 and len(truth01) == 25
+
+
 # ------------------------------------------- connected components ----
 def test_connected_components_handcrafted(spark):
     from xdump_spark.operators.components import connected_components, dedup_survivors

@@ -243,7 +243,13 @@ def minhash_lsh_pairs(
       ``approxSimilarityJoin`` applies. Accuracy ±1/√num_perm; pair
       verification touches only the num_perm-long signatures, never the
       shingle sets (which on a template-heavy corpus are ~10× the bytes
-      and ~4× the end-to-end time).
+      and ~4× the end-to-end time). Calibrated against exact at soak
+      scale (r6, SCALE.md): at threshold 0.6 recall is ~1.0 at any
+      num_perm, but precision is 0.64 at num_perm=64 (±0.125 admits
+      pairs with true Jaccard ≥ ~0.48) vs 0.97 at num_perm=128 — at
+      corpus scale, where near-threshold pair mass is guaranteed,
+      prefer ``num_perm=128`` unless over-removing marginal near-dups
+      is acceptable.
     * ``"exact"``: exact shingle-set Jaccard per candidate pair — the
       oracle baseline; O(|doc|) per pair, fine at small n.
 
