@@ -111,3 +111,129 @@ def test_streaming_neardup_dedup(spark, tmp_path):
     assert 11 in kept
     assert len(kept) == 2
     assert kept[0] in (1, 10)
+
+# ------------------------------------------- exact hash store -------
+
+
+def _exact_store(spark, tmp_path, n_buckets=8):
+    import uuid
+
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    return ExactHashStore(
+        spark, name, n_buckets=n_buckets, path=str(tmp_path / name)
+    )
+
+
+def test_exact_store_increments_match_duckdb(spark, tmp_path):
+    """Accepted set across increments == DuckDB's keep-first-occurrence
+    over the concatenated history in ARRIVAL order (independent
+    recomputation, including the whitespace/case normalization). A
+    later increment re-sending an old text under a smaller id must NOT
+    win."""
+    import duckdb
+
+    from xdump_spark.operators.incremental import incremental_exact_dedup
+
+    store = _exact_store(spark, tmp_path)
+    batches = [
+        [(100, "Alpha beta  GAMMA"), (101, "alpha beta gamma"), (102, "delta")],
+        # 7 re-sends batch-0's text under a SMALLER id; 103 is new
+        [(7, "  alpha   beta gamma "), (103, "epsilon")],
+        [(104, "DELTA"), (105, "zeta"), (106, "zeta")],
+    ]
+    accepted = []
+    try:
+        for b in batches:
+            acc = incremental_exact_dedup(
+                spark.createDataFrame(b, "doc_id long, text string"), store
+            )
+            accepted.extend(sorted(r.id for r in acc.collect()))
+
+        con = duckdb.connect()
+        rows = [
+            (bi, did, txt) for bi, b in enumerate(batches) for did, txt in b
+        ]
+        con.execute(
+            "CREATE TABLE hist AS SELECT * FROM (VALUES "
+            + ",".join(
+                f"({bi}, {did}, '{t}')" for bi, did, t in rows
+            )
+            + ") t(batch, doc_id, text)"
+        )
+        want = [
+            r[0]
+            for r in con.execute(
+                """
+                SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (
+                    PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                    ORDER BY batch, doc_id) AS rn
+                  FROM hist) WHERE rn = 1 ORDER BY doc_id
+                """
+            ).fetchall()
+        ]
+        assert sorted(accepted) == want == [100, 102, 103, 105]
+        assert store.read().count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")
+
+
+def test_exact_store_equals_oneshot_exact_dedup(spark, tmp_path):
+    """With ascending ids across increments, the incremental accepted
+    set equals one-shot exact_dedup over the union."""
+    from xdump_spark.operators.dedup import exact_dedup
+    from xdump_spark.operators.incremental import incremental_exact_dedup
+
+    docs = [(i, f"text number {(i * 7) % 23}") for i in range(60)]
+    union = spark.createDataFrame(docs, "doc_id long, text string")
+    want = sorted(r.doc_id for r in exact_dedup(union).collect())
+
+    store = _exact_store(spark, tmp_path)
+    got = []
+    try:
+        for lo, hi in ((0, 20), (20, 45), (45, 60)):
+            acc = incremental_exact_dedup(
+                spark.createDataFrame(docs[lo:hi], "doc_id long, text string"),
+                store,
+            )
+            got.extend(r.id for r in acc.collect())
+        assert sorted(got) == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """foreachBatch twin: accepted parquet accumulates exactly the
+    first-arrival ids; the bucketed hash table carries state across
+    micro-batches."""
+    from xdump_spark.operators.incremental import streaming_exact_dedup
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], DOC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(10, "bbb"), (11, "ccc")], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store = _exact_store(spark, tmp_path)
+    out = str(tmp_path / "accepted")
+    try:
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_exact_dedup(
+            stream, store, checkpoint_dir=str(tmp_path / "ckpt"),
+            accepted_dir=out,
+        )
+        q.awaitTermination(120)
+        kept = sorted(r.id for r in spark.read.parquet(out).collect())
+        # one bbb survivor (whichever file triggered first) + aaa + ccc
+        assert len(kept) == 3 and 11 in kept
+        assert store.read().count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")

@@ -279,3 +279,54 @@ def test_build_vocab_bounds_window_with_take_ordered(spark):
     # the Window node must sit ABOVE the TakeOrderedAndProject (applied to
     # the bounded result), i.e. appear before it in the top-down plan text
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_exact_hash_store_antijoin_never_shuffles_history(spark, tmp_path):
+    """The 100 TB contract of ExactHashStore: the increment anti-join
+    exchanges ONLY the new batch (one Exchange, partitioned to the
+    store's bucket count on the hash cols); the history is read
+    pre-bucketed with no Exchange above its scan — so the store can
+    grow without bound while per-increment shuffle stays O(|batch|)."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        content_hashes,
+        incremental_exact_dedup,
+    )
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    store = ExactHashStore(spark, name, n_buckets=8,
+                           path=str(tmp_path / name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        b1 = spark.createDataFrame(
+            [(i, f"doc {i % 50}") for i in range(100)], "doc_id long, text string"
+        )
+        assert incremental_exact_dedup(b1, store).count() == 50
+
+        # at real scale neither side broadcasts — force the merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b2 = spark.createDataFrame(
+            [(1000 + i, f"doc {i % 80}") for i in range(160)],
+            "doc_id long, text string",
+        )
+        batch = (
+            content_hashes(b2)
+            .repartition(store.n_buckets, "h1", "h2")
+            .groupBy("h1", "h2")
+            .agg(F.min("id").alias("id"))
+        )
+        j = batch.join(store.read(), ["h1", "h2"], "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        assert len(exchanges) == 1, plan
+        assert "h1" in exchanges[0] and "h2" in exchanges[0] and ", 8)" in exchanges[0]
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 30
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

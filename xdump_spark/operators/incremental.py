@@ -179,6 +179,138 @@ def incremental_neardup(
     return IncrementResult(pairs=pairs, accepted=accepted, store_rows=n)
 
 
+class ExactHashStore:
+    """Hash-BUCKETED store of accepted documents' normalized content
+    hashes, for EXACT dedup of each new increment against the entire
+    history without ever shuffling the history.
+
+    State per accepted doc: a 128-bit content hash as two xxhash64
+    longs (h1, h2) of the normalized text — 16 bytes/doc, so 10 B docs
+    ≈ 160 GB of longs: scannable, and ~4 orders of magnitude smaller
+    than the text. Two independent 64-bit hashes put a corpus-wide
+    collision (a NEW doc silently dropped as a "dup" of a different
+    doc) at ~(n²/2)/2¹²⁸ ≈ 10⁻¹⁹ even at n = 10¹⁰ docs, where a single
+    64-bit hash would already be at ~10⁻³.
+
+    The store is written ``bucketBy(n_buckets, "h1", "h2")`` through
+    sources/bucketed.py's catalog-table discipline, which is the whole
+    point: the increment anti-join reads the store pre-partitioned
+    straight off storage, so Catalyst exchanges ONLY the (small) new
+    batch to the store's bucketing — plan-asserted in
+    tests/test_plans.py. Appends add files per bucket without
+    rewriting history. Contrast SignatureStore (near-dup, band-
+    partitioned): this store answers "byte-identical after
+    normalization", the signature store "similar"."""
+
+    def __init__(self, spark: SparkSession, table_name: str,
+                 n_buckets: int = 64, path: str | None = None):
+        self.spark = spark
+        self.table_name = table_name
+        self.n_buckets = n_buckets
+        self.path = path
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table_name)
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        from xdump_spark.sources.bucketed import read_bucketed
+
+        return read_bucketed(self.spark, self.table_name)
+
+    def append(self, hashes: DataFrame) -> None:
+        """``hashes``: (h1 long, h2 long), pre-deduplicated by caller."""
+        from xdump_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            hashes.select("h1", "h2"), self.table_name, ["h1", "h2"],
+            n_buckets=self.n_buckets, mode="append", path=self.path,
+        )
+        # the catalog caches the table's file listing per session; an
+        # append from another thread (foreachBatch) is invisible to
+        # readers until refreshed
+        self.spark.catalog.refreshTable(self.table_name)
+
+
+def content_hashes(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, h1, h2) per doc: two independent xxhash64 of the normalized
+    text (the same normalization exact_dedup groups on). Pure codegen."""
+    norm = _norm_text(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(norm).alias("h1"),
+        F.xxhash64(norm, F.lit(0x9E3779B9)).alias("h2"),
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store: ExactHashStore,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One EXACT-dedup increment: returns the accepted ids frame
+    (``id`` long) and appends their hashes to the store.
+
+    Semantics match ``exact_dedup`` run over the concatenated history in
+    arrival order: a doc is accepted iff its normalized text was never
+    accepted before — neither in any prior increment (store hit) nor
+    under a smaller id within its own batch (keep-first). DuckDB
+    cross-checked in tests.
+
+    Scale shape: ONE map-side-combinable groupBy over the new batch
+    (within-batch keep-first) + one left-anti join whose store side is
+    bucket-co-located — the only exchange moves the new batch's
+    ≤|batch| distinct hashes. History size never appears in any shuffle.
+    """
+    batch = content_hashes(new_docs, text_col, id_col)
+    # one exchange, straight to the store's bucketing: the groupBy's
+    # required distribution AND the anti-join's are both satisfied by
+    # hashpartitioning(h1, h2, n_buckets), so neither adds a shuffle
+    batch = batch.repartition(store.n_buckets, "h1", "h2")
+    first = batch.groupBy("h1", "h2").agg(F.min("id").alias("id"))
+    stored = store.read()
+    if stored is not None:
+        survivors = first.join(stored, ["h1", "h2"], "left_anti")
+    else:
+        survivors = first
+    survivors = survivors.localCheckpoint(eager=True)
+    store.append(survivors.select("h1", "h2"))
+    return survivors.select("id")
+
+
+def streaming_exact_dedup(
+    doc_stream: DataFrame,
+    store: ExactHashStore,
+    checkpoint_dir: str,
+    accepted_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming twin: each micro-batch runs one
+    ``incremental_exact_dedup`` increment via ``foreachBatch``; accepted
+    ids append to ``accepted_dir`` parquet. The bucketed hash table IS
+    the operator state — restart-safe the same way
+    ``streaming_neardup_dedup`` is."""
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        accepted = incremental_exact_dedup(
+            batch_df, store, text_col=text_col, id_col=id_col
+        )
+        accepted.write.mode("append").parquet(accepted_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_neardup_dedup(
     doc_stream: DataFrame,
     store: SignatureStore,
