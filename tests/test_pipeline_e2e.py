@@ -440,3 +440,113 @@ def test_pipeline_audio_gate_from_config(spark, tmp_path):
     res = curate_from_config(spark, str(cfg_path))
     assert {r.doc_id for r in res.corpus.collect()} == {1}
     assert res.audit["audio_gated"] == 1
+
+
+def test_pipeline_exact_dedup_store_increments(spark, tmp_path):
+    """doc_dedup='exact' + dedup_store: the second pipeline run drops
+    every doc whose (normalized) text was accepted by the first run —
+    the daily-crawl increment shape — and records its own survivors for
+    the next run. Misconfiguration (store without exact mode) raises."""
+    import uuid
+
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import ExactHashStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    store = ExactHashStore(spark, name, n_buckets=4,
+                           path=str(tmp_path / name))
+    day1 = spark.createDataFrame(
+        [
+            (1, "articles about distributed query engines and shuffles"),
+            (2, "articles about distributed query engines and shuffles"),
+            (3, "a second subject concerning parquet footers and row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            # re-crawl of day1's text — must drop even under NEW ids
+            (10, "Articles  about distributed query engines and SHUFFLES"),
+            (11, "a second subject concerning parquet footers and row groups"),
+            (12, "genuinely new content that only day two contains"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        r1 = prepare_training_corpus(
+            day1, span_k=None, min_tokens=1, doc_dedup="exact",
+            dedup_store=store,
+        )
+        assert {r.doc_id for r in r1.corpus.collect()} == {1, 3}
+        assert r1.audit["doc_deduped"] == 2
+
+        r2 = prepare_training_corpus(
+            day2, span_k=None, min_tokens=1, doc_dedup="exact",
+            dedup_store=store,
+        )
+        assert {r.doc_id for r in r2.corpus.collect()} == {12}
+        assert r2.audit["doc_deduped"] == 1
+        assert store.read().count() == 3  # two day-1 texts + one day-2
+
+        with _pytest.raises(ValueError, match="dedup_store"):
+            prepare_training_corpus(
+                day2, span_k=None, doc_dedup="fuzzy", dedup_store=store
+            )
+        with _pytest.raises(ValueError, match="dedup_store"):
+            prepare_training_corpus(day2, span_k=None, dedup_store=store)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pipeline_dedup_store_from_config(spark, tmp_path):
+    """dedup_store rides the curate JSON config: two scheduled runs of
+    the same config over different inputs behave as increments; bad
+    store configs fail loudly at load time."""
+    import json
+    import uuid
+
+    import pytest as _pytest
+
+    from xdump_spark.config import curate_from_config
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    spark.createDataFrame(
+        [(1, "first day content alpha"), (2, "first day content beta")],
+        "doc_id long, text string",
+    ).write.parquet(day1)
+    spark.createDataFrame(
+        [(10, "First  Day content ALPHA"), (11, "second day only gamma")],
+        "doc_id long, text string",
+    ).write.parquet(day2)
+
+    def cfg_for(inp, out):
+        return {
+            "input": inp, "output": str(tmp_path / out),
+            "span_k": None, "min_tokens": 1, "doc_dedup": "exact",
+            "dedup_store": {"table": name, "path": str(tmp_path / name),
+                            "n_buckets": 4},
+        }
+
+    try:
+        p1 = tmp_path / "c1.json"
+        p1.write_text(json.dumps(cfg_for(day1, "out1")))
+        r1 = curate_from_config(spark, str(p1))
+        assert {r.doc_id for r in r1.corpus.collect()} == {1, 2}
+
+        p2 = tmp_path / "c2.json"
+        p2.write_text(json.dumps(cfg_for(day2, "out2")))
+        r2 = curate_from_config(spark, str(p2))
+        assert {r.doc_id for r in r2.corpus.collect()} == {11}
+
+        bad = cfg_for(day2, "out3")
+        bad["dedup_store"] = {"tabel": name}
+        p3 = tmp_path / "c3.json"
+        p3.write_text(json.dumps(bad))
+        with _pytest.raises(ValueError, match="dedup_store config"):
+            curate_from_config(spark, str(p3))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -68,6 +68,7 @@ _CURATE_KEYS = {
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "compression_min", "audio_gate",
+    "dedup_store",
 }
 
 
@@ -110,6 +111,24 @@ def curate_from_config(spark: SparkSession, path: str):
 
     cfg = load_curate_config(path)
     mode = "overwrite" if cfg.get("overwrite") else "errorifexists"
+    dedup_store = None
+    if cfg.get("dedup_store"):
+        # {"table": str, "path": str (optional), "n_buckets": int
+        # (optional)} — the persistent exact-dedup hash store this run
+        # increments against (requires doc_dedup == "exact").
+        from xdump_spark.operators.incremental import ExactHashStore
+
+        sc = dict(cfg["dedup_store"])
+        unknown = set(sc) - {"table", "path", "n_buckets"}
+        if unknown or "table" not in sc:
+            raise ValueError(
+                "dedup_store config needs 'table' (+ optional 'path', "
+                f"'n_buckets'); got keys {sorted(cfg['dedup_store'])}"
+            )
+        dedup_store = ExactHashStore(
+            spark, sc["table"], n_buckets=sc.get("n_buckets", 64),
+            path=sc.get("path"),
+        )
     res = prepare_training_corpus(
         spark.read.parquet(cfg["input"]),
         text_col=cfg.get("text_col", "text"),
@@ -119,6 +138,7 @@ def curate_from_config(spark: SparkSession, path: str):
         line_dedup=cfg.get("line_dedup", False),
         span_k=cfg.get("span_k", 8) or None,
         doc_dedup=cfg.get("doc_dedup"),
+        dedup_store=dedup_store,
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.8),
         min_tokens=cfg.get("min_tokens", 5),
         blocklist=cfg.get("blocklist"),

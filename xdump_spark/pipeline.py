@@ -9,7 +9,10 @@ raw documents
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
   → doc-level dedup       (exact fingerprint keep-min-id, or MinHash-LSH
     fuzzy_dedup clusters — optional; after canonicalization so duplicates
-    are visible, before selection so every gate sees one copy)
+    are visible, before selection so every gate sees one copy; with
+    ``dedup_store`` the exact path runs as one INCREMENT against the
+    persistent ExactHashStore of every previously-accepted doc — the
+    daily-crawl shape, history never reshuffled)
   → quality gate          (token-count floor after cleaning)
   → blocklist_filter      (C4 banned-term gate, optional)
   → gopher_filter         (the Gopher rules as a gate, optional)
@@ -80,6 +83,7 @@ def prepare_training_corpus(
     line_dedup: bool = False,
     span_k: int | None = 8,
     doc_dedup: str | None = None,
+    dedup_store=None,
     fuzzy_threshold: float = 0.8,
     min_tokens: int = 5,
     blocklist: list[str] | None = None,
@@ -130,6 +134,11 @@ def prepare_training_corpus(
     - The audit counts docs after each stage — each entry is one count
       job over a narrow plan; disable on production runs.
     """
+    if dedup_store is not None and doc_dedup != "exact":
+        raise ValueError(
+            "dedup_store requires doc_dedup='exact' (the near-dup analog "
+            "is incremental.SignatureStore via incremental_neardup)"
+        )
     counts: dict = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -171,9 +180,28 @@ def prepare_training_corpus(
         # BEFORE the quality/selection gates, so every later stage sees
         # one copy per document.
         if doc_dedup == "exact":
-            from xdump_spark.operators.dedup import exact_dedup
+            if dedup_store is not None:
+                # Production increments (r6): dedup TODAY'S batch against
+                # every previously-accepted doc via the bucketed
+                # ExactHashStore — the history never shuffles, and this
+                # run's survivors are recorded for the next increment.
+                from xdump_spark.operators.incremental import (
+                    incremental_exact_dedup,
+                )
 
-            cur = note("doc_deduped", exact_dedup(cur, text_col, id_col))
+                accepted = incremental_exact_dedup(
+                    cur, dedup_store, text_col=text_col, id_col=id_col
+                ).select(F.col("id").alias("_keep_id"))
+                cur = note(
+                    "doc_deduped",
+                    cur.join(
+                        accepted, cur[id_col] == F.col("_keep_id"), "left_semi"
+                    ),
+                )
+            else:
+                from xdump_spark.operators.dedup import exact_dedup
+
+                cur = note("doc_deduped", exact_dedup(cur, text_col, id_col))
         elif doc_dedup == "fuzzy":
             from xdump_spark.operators.components import fuzzy_dedup
 
