@@ -550,3 +550,37 @@ def test_pipeline_dedup_store_from_config(spark, tmp_path):
             curate_from_config(spark, str(p3))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pipeline_fuzzy_kwargs_reach_minhash(spark, tmp_path):
+    """fuzzy_kwargs tunnels to minhash_lsh_pairs (the calibrated
+    num_perm=128 scale setting) through pipeline AND config."""
+    import json
+
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the sleepy dog tonight"),
+        (3, "completely different text about apples oranges and pears"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, doc_dedup="fuzzy",
+        fuzzy_threshold=0.5, fuzzy_kwargs={"num_perm": 128, "bands": 32},
+    )
+    assert {r.doc_id for r in res.corpus.collect()} == {1, 3}
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    cfg = {
+        "input": src, "output": str(tmp_path / "out"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "fuzzy",
+        "fuzzy_threshold": 0.5,
+        "fuzzy_kwargs": {"num_perm": 128, "bands": 32},
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    res2 = curate_from_config(spark, str(p))
+    assert {r.doc_id for r in res2.corpus.collect()} == {1, 3}

@@ -67,8 +67,8 @@ _CURATE_KEYS = {
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
-    "doc_dedup", "fuzzy_threshold", "compression_min", "audio_gate",
-    "dedup_store",
+    "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
+    "audio_gate", "dedup_store",
 }
 
 
@@ -140,6 +140,7 @@ def curate_from_config(spark: SparkSession, path: str):
         doc_dedup=cfg.get("doc_dedup"),
         dedup_store=dedup_store,
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.8),
+        fuzzy_kwargs=cfg.get("fuzzy_kwargs"),
         min_tokens=cfg.get("min_tokens", 5),
         blocklist=cfg.get("blocklist"),
         blocklist_mode=cfg.get("blocklist_mode", "token"),

@@ -85,6 +85,7 @@ def prepare_training_corpus(
     doc_dedup: str | None = None,
     dedup_store=None,
     fuzzy_threshold: float = 0.8,
+    fuzzy_kwargs: dict | None = None,
     min_tokens: int = 5,
     blocklist: list[str] | None = None,
     blocklist_mode: str = "token",
@@ -206,7 +207,11 @@ def prepare_training_corpus(
             from xdump_spark.operators.components import fuzzy_dedup
 
             survivors = fuzzy_dedup(
-                cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
+                cur, threshold=fuzzy_threshold, id_col=id_col,
+                text_col=text_col, **(fuzzy_kwargs or {}),
+                # fuzzy_kwargs reaches minhash_lsh_pairs: at corpus
+                # scale pass {"num_perm": 128} — the r6 calibration
+                # (SCALE.md) measured precision 0.64 → 0.97 over 64
             ).filter("is_survivor").select(F.col("vertex").alias("_keep_id"))
             cur = note(
                 "doc_deduped",
