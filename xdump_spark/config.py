@@ -68,7 +68,7 @@ _CURATE_KEYS = {
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
-    "audio_gate", "dedup_store",
+    "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
 }
 
 
@@ -133,6 +133,9 @@ def curate_from_config(spark: SparkSession, path: str):
         spark.read.parquet(cfg["input"]),
         text_col=cfg.get("text_col", "text"),
         id_col=cfg.get("id_col", "doc_id"),
+        url_col=cfg.get("url_col", "url"),
+        dedup_urls=cfg.get("dedup_urls", False),
+        domain_cap=cfg.get("domain_cap"),
         markup=cfg.get("markup", False),
         line_filter=cfg.get("line_filter", False),
         line_dedup=cfg.get("line_dedup", False),

@@ -2,6 +2,9 @@
 as ONE composition of the toolkit's stages.
 
 raw documents
+  → url_dedup / domain_cap  (optional URL-keyed stages, FIRST: re-crawl
+    removal by canonical URL and per-registrable-domain caps touch no
+    text at all — operators/web.py)
   → strip_markup / c4_line_filter / dedup_lines (optional crawl-shaped
     line-granular stages — BEFORE normalization, which collapses newlines)
   → normalize_text        (whitespace/control canonicalization)
@@ -78,6 +81,9 @@ def prepare_training_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str = "url",
+    dedup_urls: bool = False,
+    domain_cap: int | None = None,
     markup: bool = False,
     line_filter: bool = False,
     line_dedup: bool = False,
@@ -148,6 +154,24 @@ def prepare_training_corpus(
         return df
 
     cur = note("input", docs)
+    # URL-keyed stages run before anything touches the text: re-crawl
+    # removal by canonical URL is the cheapest dedup pass a crawl gets
+    # (no text ever shuffles), and the per-registrable-domain cap bounds
+    # every later stage's exposure to one mega-host's boilerplate
+    # (operators/web.py).
+    if dedup_urls or domain_cap is not None:
+        if url_col not in cur.columns:
+            raise ValueError(
+                f"url stages need column {url_col!r} (set url_col=)"
+            )
+    if dedup_urls:
+        from xdump_spark.operators.web import url_dedup
+
+        cur = note("url_deduped", url_dedup(cur, url_col, id_col))
+    if domain_cap is not None:
+        from xdump_spark.operators.web import domain_cap as _domain_cap
+
+        cur = note("domain_capped", _domain_cap(cur, domain_cap, url_col, id_col))
     # Line-granular stages run FIRST: normalize_text collapses newlines,
     # so markup/line filtering/line dedup must see the raw line structure
     # (the C4 order — line gates before document-level cleanup).
