@@ -317,3 +317,36 @@ def test_cli_media_profile_image_and_audio(spark, tmp_path, capsys):
     ), spark) == 0
     arow = spark.read.parquet(out_a).collect()[0]
     assert arow.sample_rate == 8000 and arow.n_samples == 800
+
+
+def test_cli_curate_url_stages(spark, tmp_path, capsys):
+    """--dedup-urls/--domain-cap reach the pipeline from the CLI."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://site"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".org/p"), (F.col("doc_id") % 40).cast("string"),
+            ),
+        )
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "corpus")
+    args = cli.build_parser().parse_args(
+        [
+            "curate", "-i", src, "-o", out,
+            "--span-k", "0", "--min-tokens", "1",
+            "--dedup-urls", "--domain-cap", "2",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "url_deduped: 40 docs" in printed
+    assert "domain_capped: 20 docs" in printed
+    assert spark.read.parquet(out).count() == 20

@@ -165,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--markup", action="store_true", help="strip HTML tags/entities first")
     c.add_argument("--line-filter", action="store_true", help="C4 per-line gates")
     c.add_argument("--line-dedup", action="store_true", help="global keep-first line dedup")
+    c.add_argument("--url-col", default="url")
+    c.add_argument("--dedup-urls", action="store_true",
+                   help="drop re-crawls by canonical URL (before any text stage)")
+    c.add_argument("--domain-cap", type=int, default=None,
+                   help="max docs per registrable domain (salted top-k)")
     c.add_argument(
         "--span-k", type=int, default=8,
         help="strip cross-doc substrings of >= K tokens (0 disables)",
@@ -388,6 +393,9 @@ def run(args, spark) -> int:
             docs,
             text_col=args.text_col,
             id_col=args.id_col,
+            url_col=args.url_col,
+            dedup_urls=args.dedup_urls,
+            domain_cap=args.domain_cap,
             markup=args.markup,
             line_filter=args.line_filter,
             line_dedup=args.line_dedup,
