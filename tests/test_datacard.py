@@ -137,3 +137,32 @@ def test_datacard_cli(spark, tmp_path):
     assert run(args, spark) == 0
     card = json.loads(out.read_text())
     assert card["n_docs"] == 500 and "sources" in card
+
+
+def test_data_card_domain_section(spark):
+    """A url column yields the domain-concentration section: distinct
+    registrable domains (NULL bucket included), top list sorted by doc
+    count with exact shares; section absent without the column."""
+    rows = [
+        (1, "t one", "http://a.example.com/x"),
+        (2, "t two", "http://b.example.com/y"),       # same registrable dom
+        (3, "t three", "https://other.org/z"),
+        (4, "t four", "not a url"),
+        (5, "t five", "http://other.org/w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    card = data_card(docs, source_col=None, lang_col=None)
+    d = card["domains"]
+    assert d["n_distinct"] == 3            # example.com, other.org, NULL
+    top = {e["domain"]: e for e in d["top"]}
+    assert top["example.com"]["n_docs"] == 2
+    assert top["other.org"]["n_docs"] == 2
+    assert top[None]["n_docs"] == 1
+    assert abs(top["example.com"]["doc_share"] - 0.4) < 1e-9
+
+    no_url = data_card(docs.drop("url"), source_col=None, lang_col=None)
+    assert "domains" not in no_url
+    # top_domains caps the list
+    capped = data_card(docs, source_col=None, lang_col=None, top_domains=1)
+    assert len(capped["domains"]["top"]) == 1
+    assert json.dumps(card)  # stays JSON-safe with a None domain key

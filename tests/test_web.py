@@ -173,3 +173,51 @@ def test_pipeline_url_stages(spark, tmp_path):
     res2 = curate_from_config(spark, str(p))
     assert res2.audit["url_deduped"] == 4
     assert res2.audit["domain_capped"] == 3
+
+
+def test_normalize_urls_matches_stdlib_reference(spark):
+    """Independent-implementation cross-check: the codegen
+    canonicalization equals a urllib.parse-based reference on a
+    generated URL population (mixed case, ports, params, fragments,
+    userinfo)."""
+    from urllib.parse import urlsplit
+
+    def ref_norm(u):
+        try:
+            s = urlsplit(u.strip())
+        except ValueError:
+            return None
+        if not s.scheme or not s.hostname:
+            return None
+        scheme = s.scheme.lower()
+        host = s.hostname.lower()
+        port = s.port
+        if (scheme, port) in (("http", 80), ("https", 443)):
+            port = None
+        out = f"{scheme}://{host}"
+        if port is not None:
+            out += f":{port}"
+        out += s.path if s.path else "/"
+        if s.query:
+            out += "?" + "&".join(sorted(s.query.split("&")))
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    urls = []
+    for i in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+        user = rng.choice(["", "u@", "u:p@"])
+        host = rng.choice(
+            ["Example.com", "a.B.example.ORG", "x-y.example.co.uk", "example.net"]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080", ":1234"])
+        path = rng.choice(["", "/", "/a", "/a/b%20c", "/p.html"])
+        q = rng.choice(["", "?b=2&a=1", "?a=1", "?z&y&x"])
+        frag = rng.choice(["", "#f", "#a/b"])
+        urls.append((i, f"{scheme}://{user}{host}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in normalize_urls(df).collect()}
+    for i, u in urls:
+        assert got[i] == ref_norm(u), (u, got[i], ref_norm(u))

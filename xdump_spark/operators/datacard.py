@@ -60,15 +60,17 @@ def data_card(
     id_col: str = "doc_id",
     source_col: str | None = "source",
     lang_col: str | None = "lang",
+    url_col: str | None = "url",
+    top_domains: int = 20,
     quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
     dsir_model=None,
 ) -> dict:
     """Build the corpus data card.
 
-    ``source_col``/``lang_col`` sections are skipped (not errored) when
-    the column is absent or the argument is None — crawl snapshots
-    before language-ID have no lang column, and the card should still
-    render. ``dsir_model`` (a ``dsir.DSIRModel``, optional) adds the
+    ``source_col``/``lang_col``/``url_col`` sections are skipped (not
+    errored) when the column is absent or the argument is None — crawl
+    snapshots before language-ID have no lang column, and the card
+    should still render. ``dsir_model`` (a ``dsir.DSIRModel``, optional) adds the
     importance log-weight distribution — the datasheet readers use to
     judge how target-like the corpus is.
     """
@@ -147,4 +149,37 @@ def data_card(
             }
             for r in per
         ]
+    if url_col and url_col in cols:
+        # Domain concentration (r6): the datasheet question a crawl
+        # corpus must answer — how much of it is a handful of hosts?
+        # One groupBy on the derived registrable domain; the top-k is
+        # a TakeOrderedAndProject, never a full sort.
+        from xdump_spark.operators.web import with_domain
+
+        dom = with_domain(docs.select(url_col), url_col, out_col="_dc_dom")
+        per_dom = (
+            dom.groupBy("_dc_dom").agg(F.count("*").alias("n_docs"))
+        )
+        agg = per_dom.agg(
+            F.count("*").alias("n_domains"),
+            F.sum("n_docs").alias("n_rows"),
+        ).collect()[0]
+        top = (
+            per_dom.orderBy(F.desc("n_docs"), "_dc_dom")
+            .limit(top_domains)
+            .collect()
+        )
+        total = int(agg["n_rows"]) or 1
+        card["domains"] = {
+            # n_domains counts the NULL (unparseable/IP) group if present
+            "n_distinct": int(agg["n_domains"]),
+            "top": [
+                {
+                    "domain": r["_dc_dom"],
+                    "n_docs": int(r["n_docs"]),
+                    "doc_share": round(r["n_docs"] / total, 6),
+                }
+                for r in top
+            ],
+        }
     return card
