@@ -1,0 +1,163 @@
+"""WARC/WET crawl-archive source: record parsing, multi-member gzip,
+quarantine contract, WET convenience reader, pipeline handoff."""
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.sources.warc import read_warc, read_wet, write_wet
+
+DOCS = [
+    {"url": "http://a.example.com/1", "date": "2026-01-02T03:04:05Z",
+     "text": "first extracted document text"},
+    {"url": "http://b.example.org/2", "date": "2026-01-02T03:04:06Z",
+     "text": "second text with unicode: café — ok"},
+    {"url": "http://a.example.com/3", "date": "2026-01-02T03:04:07Z",
+     "text": "third document\nwith two lines"},
+]
+
+
+@pytest.fixture()
+def wet_dir(tmp_path):
+    d = tmp_path / "wet"
+    d.mkdir()
+    write_wet(DOCS[:2], str(d / "part-0.warc.wet.gz"))
+    write_wet(DOCS[2:], str(d / "part-1.warc.wet.gz"))
+    return str(d)
+
+
+def test_read_wet_values_and_ids(spark, wet_dir):
+    docs, corrupt = read_wet(spark, wet_dir)
+    rows = {r.url: r for r in docs.collect()}
+    assert set(rows) == {d["url"] for d in DOCS}
+    for d in DOCS:
+        r = rows[d["url"]]
+        assert r.text == d["text"]
+        assert r.date == d["date"]
+    assert corrupt.count() == 0
+    # doc_id: 64-bit, deterministic across re-reads
+    ids1 = sorted(r.doc_id for r in docs.collect())
+    ids2 = sorted(r.doc_id for r in read_wet(spark, wet_dir)[0].collect())
+    assert ids1 == ids2 and len(set(ids1)) == 3
+
+
+def test_read_warc_full_schema_and_type_filter(spark, wet_dir, tmp_path):
+    recs, _ = read_warc(spark, wet_dir)
+    assert recs.count() == 3
+    r = recs.filter(F.col("target_uri") == DOCS[0]["url"]).collect()[0]
+    assert r.warc_type == "conversion"
+    assert r.content_type == "text/plain"
+    assert bytes(r.payload) == DOCS[0]["text"].encode()
+    # type filter drops everything when no record matches
+    none, _ = read_warc(spark, wet_dir, types=("response",))
+    assert none.count() == 0
+
+
+def test_uncompressed_warc_supported(spark, tmp_path):
+    """A plain (non-gzip) .warc file parses identically."""
+    gz = tmp_path / "a.wet.gz"
+    write_wet(DOCS[:1], str(gz))
+    raw = gzip.decompress(gz.read_bytes())
+    plain_dir = tmp_path / "plain"
+    plain_dir.mkdir()
+    (plain_dir / "a.warc").write_bytes(raw)
+    docs, corrupt = read_wet(spark, str(plain_dir))
+    assert corrupt.count() == 0
+    assert [r.text for r in docs.collect()] == [DOCS[0]["text"]]
+
+
+def test_corrupt_file_quarantines_not_fails(spark, tmp_path):
+    """A truncated member yields the good prefix + ONE corrupt row with
+    offset and reason; clean sibling files are unaffected."""
+    d = tmp_path / "wet"
+    d.mkdir()
+    write_wet(DOCS[:2], str(d / "good.wet.gz"))
+    # bad file: one good member, then a truncated gzip member
+    buf = io.BytesIO()
+    write_wet(DOCS[2:], str(d / "tmp.gz"))
+    good_member = (d / "tmp.gz").read_bytes()
+    (d / "tmp.gz").unlink()
+    (d / "bad.wet.gz").write_bytes(good_member + good_member[: len(good_member) // 2])
+
+    docs, corrupt = read_wet(spark, str(d))
+    assert docs.count() == 3  # 2 from good + the good prefix of bad
+    bad = corrupt.collect()
+    assert len(bad) == 1
+    assert bad[0].path.endswith("bad.wet.gz")
+    assert bad[0].n_good_records == 1
+    assert "truncated" in bad[0].reason
+    assert bad[0].byte_offset == len(good_member)
+
+
+def test_garbage_header_quarantines(spark, tmp_path):
+    d = tmp_path / "wet"
+    d.mkdir()
+    blob = io.BytesIO()
+    with gzip.GzipFile(fileobj=blob, mode="wb") as gz:
+        gz.write(b"HTTP/1.1 200 OK\r\n\r\nnot a warc at all")
+    (d / "x.wet.gz").write_bytes(blob.getvalue())
+    docs, corrupt = read_wet(spark, str(d))
+    assert docs.count() == 0
+    row = corrupt.collect()[0]
+    assert "expected WARC/" in row.reason and row.n_good_records == 0
+
+
+def test_wet_feeds_pipeline(spark, wet_dir):
+    """The crawl → curate handoff: read_wet output goes straight into
+    prepare_training_corpus with the URL stages on."""
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs, _ = read_wet(spark, wet_dir)
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, dedup_urls=True, domain_cap=1
+    )
+    # 3 distinct URLs; domain cap 1 keeps one per registrable domain
+    assert res.audit["url_deduped"] == 3
+    assert res.audit["domain_capped"] == 2   # example.com + example.org
+    assert res.corpus.count() == 2
+
+
+def test_cli_curate_from_wet(spark, wet_dir, tmp_path, capsys):
+    """One command from crawl files to curated corpus:
+    curate --input-format wet with URL stages."""
+    from xdump_spark import cli
+
+    out = str(tmp_path / "corpus")
+    args = cli.build_parser().parse_args(
+        [
+            "curate", "-i", wet_dir, "-o", out,
+            "--input-format", "wet",
+            "--span-k", "0", "--min-tokens", "1",
+            "--dedup-urls",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "url_deduped: 3 docs" in printed
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {"doc_id", "url", "date", "text"} <= set(got.columns)
+
+
+def test_config_curate_from_wet(spark, wet_dir, tmp_path):
+    import json
+
+    from xdump_spark.config import curate_from_config
+
+    cfg = {
+        "input": wet_dir, "input_format": "wet",
+        "output": str(tmp_path / "out"),
+        "span_k": None, "min_tokens": 1, "dedup_urls": True,
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    res = curate_from_config(spark, str(p))
+    assert res.audit["url_deduped"] == 3
+
+    bad = dict(cfg, input_format="csvish")
+    p2 = tmp_path / "c2.json"
+    p2.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="input_format"):
+        curate_from_config(spark, str(p2))

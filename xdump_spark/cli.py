@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(pipeline.prepare_training_corpus from the shell)",
     )
     c.add_argument("-i", "--input", required=True, help="documents parquet path")
+    c.add_argument(
+        "--input-format", choices=["parquet", "wet"], default="parquet",
+        help="'wet' reads Common-Crawl WET/WARC conversion records "
+             "(sources/warc.py) with (doc_id, url, date, text) columns; "
+             "corrupt files quarantine, never fail the run",
+    )
     c.add_argument("-o", "--output", required=True, help="output corpus directory")
     c.add_argument("--text-col", default="text")
     c.add_argument("--id-col", default="doc_id")
@@ -382,7 +388,17 @@ def run(args, spark) -> int:
     elif args.command == "curate":
         from xdump_spark.pipeline import prepare_training_corpus
 
-        docs = spark.read.parquet(args.input)
+        if getattr(args, "input_format", "parquet") == "wet":
+            from xdump_spark.sources.warc import read_wet
+
+            docs, corrupt = read_wet(spark, args.input)
+            n_corrupt = corrupt.count()
+            if n_corrupt:
+                print(f"quarantined {n_corrupt} corrupt WET file(s):")
+                for r in corrupt.collect():
+                    print(f"  {r.path} @byte {r.byte_offset}: {r.reason}")
+        else:
+            docs = spark.read.parquet(args.input)
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         quality_model = None
         if args.quality_model:

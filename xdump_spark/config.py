@@ -69,6 +69,7 @@ _CURATE_KEYS = {
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
+    "input_format",
 }
 
 
@@ -129,8 +130,18 @@ def curate_from_config(spark: SparkSession, path: str):
             spark, sc["table"], n_buckets=sc.get("n_buckets", 64),
             path=sc.get("path"),
         )
+    if cfg.get("input_format", "parquet") == "wet":
+        from xdump_spark.sources.warc import read_wet
+
+        input_docs, _wet_corrupt = read_wet(spark, cfg["input"])
+    elif cfg.get("input_format", "parquet") == "parquet":
+        input_docs = spark.read.parquet(cfg["input"])
+    else:
+        raise ValueError(
+            f"input_format must be 'parquet' or 'wet', got {cfg['input_format']!r}"
+        )
     res = prepare_training_corpus(
-        spark.read.parquet(cfg["input"]),
+        input_docs,
         text_col=cfg.get("text_col", "text"),
         id_col=cfg.get("id_col", "doc_id"),
         url_col=cfg.get("url_col", "url"),

@@ -1,0 +1,278 @@
+"""WARC / WET crawl-archive source (ISO 28500 — the Common Crawl
+layout).
+
+A web-scale corpus does not arrive as parquet: it arrives as ~100k
+WARC ("response" records: HTTP headers + raw HTML) or WET ("conversion"
+records: extracted text) files of ~1 GB each. This source reads them
+straight into DataFrames so the curation pipeline starts at the crawl,
+not at someone else's preprocessing.
+
+Scale shape — the unit of parallelism is the FILE, which is exactly how
+the format is built to be consumed: each crawl file is a sequence of
+independently-gzipped members (one per record), so the file splits
+nowhere but file boundaries. ``spark.read.format("binaryFile")`` gives
+one row per file (path, content) with no driver-side listing cost, and
+an Arrow-batched ``mapInPandas`` parses records member-by-member with
+``zlib.decompressobj`` — only ONE record is ever inflated at a time, so
+task memory is bounded by the largest single record plus the compressed
+file, not the decompressed file. At Common Crawl scale (segments of
+~45k WET files) the read is one narrow stage of 45k file-tasks; no
+shuffle anywhere.
+
+Malformed input follows the jsonl-source contract: a file that stops
+parsing mid-way yields its good prefix of records plus ONE quarantine
+row describing the failure (path + byte offset + reason) in the
+``_corrupt`` output — a crawl read must never fail the job 3 hours in
+because one member has a truncated gzip trailer.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("record_idx", LongType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("record_id", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+CORRUPT_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("byte_offset", LongType(), False),
+        StructField("n_good_records", LongType(), False),
+        StructField("reason", StringType(), False),
+    ]
+)
+
+
+def _iter_members(raw: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (byte_offset, decompressed_member) for multi-member gzip,
+    or the whole buffer once if it isn't gzip (uncompressed .warc)."""
+    if raw[:2] != b"\x1f\x8b":
+        yield 0, raw
+        return
+    pos = 0
+    view = memoryview(raw)
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        chunk = d.decompress(bytes(view[pos:]))
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: empty member cannot progress
+            raise ValueError(f"unprogressing gzip member at byte {pos}")
+        yield pos, chunk
+        pos += consumed
+
+
+_WANTED = {
+    b"warc-type": "warc_type",
+    b"warc-record-id": "record_id",
+    b"warc-target-uri": "target_uri",
+    b"warc-date": "warc_date",
+    b"content-type": "content_type",
+    b"content-length": "_len",
+}
+
+
+def _parse_records(buf: bytes, base_offset: int):
+    """Parse consecutive WARC records from one decompressed buffer.
+    Yields dicts; raises ValueError with a byte offset on malformed
+    structure."""
+    pos = 0
+    n = len(buf)
+    while True:
+        # skip inter-record CRLFs
+        while pos < n and buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"expected WARC/ version line at byte {base_offset + pos}"
+            )
+        head_end = buf.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(
+                f"unterminated record header at byte {base_offset + pos}"
+            )
+        fields: dict = {
+            "warc_type": None, "record_id": None, "target_uri": None,
+            "warc_date": None, "content_type": None, "_len": None,
+        }
+        for line in buf[pos:head_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                name = _WANTED.get(k.strip().lower())
+                if name:
+                    fields[name] = v.strip().decode("utf-8", "replace")
+        if fields["_len"] is None or not fields["_len"].isdigit():
+            raise ValueError(
+                f"missing Content-Length at byte {base_offset + pos}"
+            )
+        length = int(fields.pop("_len"))
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError(
+                f"payload overruns buffer at byte {base_offset + body_start}"
+            )
+        fields["payload"] = bytes(buf[body_start : body_start + length])
+        yield fields
+        pos = body_start + length
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] | None = None,
+    path_glob: str = "*",
+) -> tuple[DataFrame, DataFrame]:
+    """Read WARC/WET files under ``path`` → (records, corrupt).
+
+    ``records`` has WARC_SCHEMA (one row per record, payload as raw
+    bytes); ``types`` keeps only the named WARC-Types (e.g.
+    ``("response",)`` for WARC, ``("conversion",)`` for WET) —
+    filtering happens inside the parse task, before payload rows are
+    ever handed to Spark. ``corrupt`` has CORRUPT_SCHEMA: one row per
+    file whose parse stopped early (its good prefix is still in
+    ``records``).
+    """
+    wanted = set(types) if types else None
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    out_schema = StructType(
+        WARC_SCHEMA.fields
+        + [StructField("_err_offset", LongType(), True),
+           StructField("_err_reason", StringType(), True)]
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows, err = [], None
+                idx = 0
+                try:
+                    for off, member in _iter_members(bytes(content)):
+                        for rec in _parse_records(member, off):
+                            if wanted is None or rec["warc_type"] in wanted:
+                                rows.append(
+                                    {
+                                        "path": path_,
+                                        "record_idx": idx,
+                                        **rec,
+                                        "_err_offset": None,
+                                        "_err_reason": None,
+                                    }
+                                )
+                            idx += 1
+                except ValueError as ex:
+                    import re
+
+                    m = re.search(r"byte (\d+)", str(ex))
+                    err = {
+                        "path": path_,
+                        "record_idx": -1,
+                        "warc_type": None, "record_id": None,
+                        "target_uri": None, "warc_date": None,
+                        "content_type": None, "payload": None,
+                        "_err_offset": int(m.group(1)) if m else 0,
+                        "_err_reason": str(ex),
+                    }
+                if err is not None:
+                    rows.append(err)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    parsed = files.mapInPandas(parse, schema=out_schema)
+    records = parsed.filter(F.col("record_idx") >= 0).drop(
+        "_err_offset", "_err_reason"
+    )
+    good_counts = records.groupBy("path").agg(
+        F.count("*").alias("n_good_records")
+    )
+    corrupt = (
+        parsed.filter(F.col("record_idx") < 0)
+        .select(
+            "path",
+            F.col("_err_offset").alias("byte_offset"),
+            F.col("_err_reason").alias("reason"),
+        )
+        .join(good_counts, "path", "left")
+        .select(
+            "path", "byte_offset",
+            F.coalesce("n_good_records", F.lit(0)).alias("n_good_records"),
+            "reason",
+        )
+    )
+    return records, corrupt
+
+
+def read_wet(
+    spark: SparkSession, path: str, path_glob: str = "*"
+) -> tuple[DataFrame, DataFrame]:
+    """WET convenience: conversion records as (doc_id, url, date, text)
+    — ready for ``prepare_training_corpus`` (utf-8 with replacement; a
+    text extract is not allowed to kill the read over one bad byte).
+    ``doc_id`` is a deterministic 64-bit id hashed from (path,
+    record_idx) — stable across re-reads and cluster layouts."""
+    records, corrupt = read_warc(spark, path, types=("conversion",),
+                                 path_glob=path_glob)
+    docs = records.select(
+        F.xxhash64("path", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("date"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+    return docs, corrupt
+
+
+def write_wet(records, out_path: str) -> None:
+    """Test/round-trip helper: write (url, date, text) rows as ONE
+    multi-member-gzip WET file (driver-side — fixtures and golden
+    files, not a production sink; the corpus sink family covers that)."""
+    import gzip
+
+    with open(out_path, "wb") as fh:
+        for r in records:
+            payload = r["text"].encode("utf-8")
+            head = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
+                + f"WARC-Target-URI: {r['url']}\r\n".encode()
+                + f"WARC-Date: {r.get('date', '2026-01-01T00:00:00Z')}\r\n".encode()
+                + b"Content-Type: text/plain\r\n"
+                + f"Content-Length: {len(payload)}\r\n".encode()
+                + b"\r\n"
+            )
+            member = head + payload + b"\r\n\r\n"
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb") as gz:
+                gz.write(member)
+            fh.write(buf.getvalue())
