@@ -161,3 +161,32 @@ def test_config_curate_from_wet(spark, wet_dir, tmp_path):
     p2.write_text(json.dumps(bad))
     with pytest.raises(ValueError, match="input_format"):
         curate_from_config(spark, str(p2))
+
+
+def test_read_warc_html_response_records(spark, tmp_path):
+    """Full-WARC path: response records' HTTP header block is cut, the
+    HTML body survives verbatim, and markup=True in the pipeline strips
+    it to text."""
+    from xdump_spark.pipeline import prepare_training_corpus
+    from xdump_spark.sources.warc import read_warc_html
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    pages = [
+        {"url": "http://w.example.com/a",
+         "html": "<html><body><p>real page text one</p></body></html>"},
+        {"url": "http://w.example.com/b",
+         "html": "<html><body>second page &amp; entity</body></html>"},
+    ]
+    write_wet(pages, str(d / "crawl.warc.gz"))
+    docs, corrupt = read_warc_html(spark, str(d))
+    assert corrupt.count() == 0
+    rows = {r.url: r.text for r in docs.collect()}
+    assert rows["http://w.example.com/a"] == pages[0]["html"]
+    # WET reader sees no conversion records in a response-only file
+    assert read_wet(spark, str(d))[0].count() == 0
+
+    res = prepare_training_corpus(docs, span_k=None, min_tokens=1, markup=True)
+    texts = {r.text for r in res.corpus.collect()}
+    assert "real page text one" in texts
+    assert any("second page & entity" in t for t in texts)

@@ -253,21 +253,61 @@ def read_wet(
     return docs, corrupt
 
 
+def read_warc_html(
+    spark: SparkSession, path: str, path_glob: str = "*"
+) -> tuple[DataFrame, DataFrame]:
+    """Full-WARC convenience: ``response`` records as (doc_id, url,
+    date, text) where text is the RAW HTML body — the HTTP header block
+    (everything before the first CRLFCRLF of the ``application/http``
+    payload) is cut with one ``locate``+``substring``, and the body is
+    utf-8-decoded with replacement (charset sniffing is a transform
+    concern; the bytes survive in ``read_warc`` for callers that need
+    the original encoding). Feed the result to
+    ``prepare_training_corpus(markup=True, ...)`` to strip tags."""
+    records, corrupt = read_warc(spark, path, types=("response",),
+                                 path_glob=path_glob)
+    sep = F.locate("\r\n\r\n", F.decode(F.col("payload"), "UTF-8"))
+    body = F.when(
+        sep > 0,
+        F.substring(F.decode(F.col("payload"), "UTF-8"), sep + 4, 1 << 30),
+    ).otherwise(F.decode(F.col("payload"), "UTF-8"))
+    docs = records.select(
+        F.xxhash64("path", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("date"),
+        body.alias("text"),
+    )
+    return docs, corrupt
+
+
 def write_wet(records, out_path: str) -> None:
     """Test/round-trip helper: write (url, date, text) rows as ONE
     multi-member-gzip WET file (driver-side — fixtures and golden
     files, not a production sink; the corpus sink family covers that)."""
     import gzip
 
+    import gzip
+
     with open(out_path, "wb") as fh:
         for r in records:
-            payload = r["text"].encode("utf-8")
+            if "html" in r:
+                # a WARC "response" record: HTTP header block + body
+                body = r["html"].encode("utf-8")
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    + body
+                )
+                rec_type, ctype = b"response", b"application/http; msgtype=response"
+            else:
+                payload = r["text"].encode("utf-8")
+                rec_type, ctype = b"conversion", b"text/plain"
             head = (
                 b"WARC/1.0\r\n"
-                b"WARC-Type: conversion\r\n"
+                b"WARC-Type: " + rec_type + b"\r\n"
                 + f"WARC-Target-URI: {r['url']}\r\n".encode()
                 + f"WARC-Date: {r.get('date', '2026-01-01T00:00:00Z')}\r\n".encode()
-                + b"Content-Type: text/plain\r\n"
+                + b"Content-Type: " + ctype + b"\r\n"
                 + f"Content-Length: {len(payload)}\r\n".encode()
                 + b"\r\n"
             )
