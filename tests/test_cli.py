@@ -350,3 +350,36 @@ def test_cli_curate_url_stages(spark, tmp_path, capsys):
     assert "url_deduped: 40 docs" in printed
     assert "domain_capped: 20 docs" in printed
     assert spark.read.parquet(out).count() == 20
+
+
+def test_cli_curate_dedup_store_increments(spark, tmp_path):
+    """--dedup-store-* flags: two CLI runs behave as increments against
+    the persistent hash store."""
+    import uuid
+
+    from xdump_spark import cli
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    d1, d2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content")], "doc_id long, text string"
+    ).write.parquet(d1)
+    spark.createDataFrame(
+        [(10, "ALPHA   content"), (11, "gamma content")], "doc_id long, text string"
+    ).write.parquet(d2)
+    base = [
+        "curate", "--span-k", "0", "--min-tokens", "1",
+        "--doc-dedup", "exact",
+        "--dedup-store-table", name,
+        "--dedup-store-path", str(tmp_path / name),
+        "--dedup-store-buckets", "4",
+    ]
+    try:
+        assert cli.run(cli.build_parser().parse_args(
+            base + ["-i", d1, "-o", str(tmp_path / "o1")]), spark) == 0
+        assert cli.run(cli.build_parser().parse_args(
+            base + ["-i", d2, "-o", str(tmp_path / "o2")]), spark) == 0
+        out2 = spark.read.parquet(str(tmp_path / "o2"))
+        assert [r.doc_id for r in out2.collect()] == [11]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

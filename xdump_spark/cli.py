@@ -186,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
         "fuzzy clusters, components.fuzzy_dedup)",
     )
     c.add_argument("--fuzzy-threshold", type=float, default=0.8)
+    c.add_argument("--dedup-store-table", default=None,
+                   help="with --doc-dedup exact: persistent hash-store table; "
+                        "this run dedups against all previously-accepted docs "
+                        "and records its survivors (daily-crawl increments)")
+    c.add_argument("--dedup-store-path", default=None,
+                   help="external location for the hash-store table")
+    c.add_argument("--dedup-store-buckets", type=int, default=64)
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument(
         "--gopher", action="store_true",
@@ -400,6 +407,15 @@ def run(args, spark) -> int:
         else:
             docs = spark.read.parquet(args.input)
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        dedup_store = None
+        if args.dedup_store_table:
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            dedup_store = ExactHashStore(
+                spark, args.dedup_store_table,
+                n_buckets=args.dedup_store_buckets,
+                path=args.dedup_store_path,
+            )
         quality_model = None
         if args.quality_model:
             from xdump_spark.config import _load_quality_model
@@ -417,6 +433,7 @@ def run(args, spark) -> int:
             line_dedup=args.line_dedup,
             span_k=args.span_k or None,
             doc_dedup=args.doc_dedup,
+            dedup_store=dedup_store,
             fuzzy_threshold=args.fuzzy_threshold,
             min_tokens=args.min_tokens,
             blocklist=(
