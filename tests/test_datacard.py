@@ -166,3 +166,12 @@ def test_data_card_domain_section(spark):
     capped = data_card(docs, source_col=None, lang_col=None, top_domains=1)
     assert len(capped["domains"]["top"]) == 1
     assert json.dumps(card)  # stays JSON-safe with a None domain key
+
+
+def test_data_card_empty_corpus_with_url_col(spark):
+    """Zero rows + a url column: the domain section must not crash on
+    the NULL sum (int(None))."""
+    empty = spark.createDataFrame([], "doc_id long, text string, url string")
+    card = data_card(empty, source_col=None, lang_col=None)
+    assert card["n_docs"] == 0
+    assert card["domains"] == {"n_distinct": 0, "top": []}

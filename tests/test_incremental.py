@@ -237,3 +237,59 @@ def test_streaming_exact_dedup(spark, tmp_path):
         assert store.read().count() == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")
+
+
+def test_content_hashes_independent_seeds(spark):
+    """h2 must NOT be the seed-chained xxhash64(norm, lit) — Spark
+    chains the running hash as the next seed, which would make (h1,h2)
+    a 64-bit pair in 128-bit clothing. Pin the salt-first formula and
+    its non-equality with the chained form."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.dedup import _norm_text
+    from xdump_spark.operators.incremental import content_hashes
+
+    df = spark.createDataFrame(
+        [(i, f"text sample {i}") for i in range(20)], "doc_id long, text string"
+    )
+    norm = _norm_text(F.col("text"))
+    both = content_hashes(df).join(
+        df.select(
+            F.col("doc_id").alias("id"),
+            F.xxhash64(F.lit(0x9E3779B9), norm).alias("want_h2"),
+            F.xxhash64(norm, F.lit(0x9E3779B9)).alias("chained"),
+        ),
+        "id",
+    )
+    rows = both.collect()
+    assert all(r.h2 == r.want_h2 for r in rows)
+    assert all(r.h2 != r.chained for r in rows)
+
+
+def test_exact_store_defer_commit(spark, tmp_path):
+    """defer_commit returns (accepted, commit) without touching the
+    store; commit() is what persists — the failed-run-retry contract."""
+    from xdump_spark.operators.incremental import incremental_exact_dedup
+
+    store = _exact_store(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    try:
+        accepted, commit = incremental_exact_dedup(docs, store, defer_commit=True)
+        assert sorted(r.id for r in accepted.collect()) == [1, 2]
+        assert store.read() is None          # nothing persisted yet
+        # "retry" before commit sees an empty store -> same answer
+        again, commit2 = incremental_exact_dedup(docs, store, defer_commit=True)
+        assert sorted(r.id for r in again.collect()) == [1, 2]
+        commit2()
+        assert store.read().count() == 2
+        # double-commit (crash-after-commit redelivery) changes nothing
+        # semantically: duplicate hashes can't alter a left-anti join
+        commit()
+        b2 = spark.createDataFrame([(9, "aaa"), (10, "ccc")], "doc_id long, text string")
+        assert sorted(
+            r.id for r in incremental_exact_dedup(b2, store).collect()
+        ) == [10]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")

@@ -584,3 +584,53 @@ def test_pipeline_fuzzy_kwargs_reach_minhash(spark, tmp_path):
     p.write_text(json.dumps(cfg))
     res2 = curate_from_config(spark, str(p))
     assert {r.doc_id for r in res2.corpus.collect()} == {1, 3}
+
+
+def test_pipeline_store_commit_deferred_until_sink(spark, tmp_path):
+    """A run that fails at the sink must leave the ExactHashStore
+    untouched so the retry accepts the same batch (no poisoning)."""
+    import uuid
+
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import ExactHashStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    store = ExactHashStore(spark, name, n_buckets=4,
+                           path=str(tmp_path / name))
+    docs = spark.createDataFrame(
+        [(1, "day one alpha"), (2, "day one beta")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()          # occupied -> errorifexists fails
+    (tmp_path / "corpus" / "x").write_text("occupied")
+    try:
+        with _pytest.raises(Exception):
+            prepare_training_corpus(
+                docs, span_k=None, min_tokens=1, doc_dedup="exact",
+                dedup_store=store, out_dir=out, out_mode="errorifexists",
+            )
+        assert store.read() is None        # failed run recorded nothing
+
+        res = prepare_training_corpus(    # retry succeeds, full batch
+            docs, span_k=None, min_tokens=1, doc_dedup="exact",
+            dedup_store=store, out_dir=out, out_mode="overwrite",
+        )
+        assert res.audit["doc_deduped"] == 2
+        assert store.read().count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pipeline_fuzzy_kwargs_overlap_rejected(spark):
+    import pytest as _pytest
+
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="fuzzy_kwargs"):
+        prepare_training_corpus(
+            docs, span_k=None, doc_dedup="fuzzy",
+            fuzzy_kwargs={"threshold": 0.7},
+        )

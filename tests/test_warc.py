@@ -190,3 +190,45 @@ def test_read_warc_html_response_records(spark, tmp_path):
     texts = {r.text for r in res.corpus.collect()}
     assert "real page text one" in texts
     assert any("second page & entity" in t for t in texts)
+
+
+def test_bad_utf8_replaces_not_fails(spark, tmp_path):
+    """A malformed UTF-8 byte in one record must NOT kill the read
+    (Spark's own decode() raises in Spark 4): the parse-task decode
+    replaces and the record survives."""
+    d = tmp_path / "wet"
+    d.mkdir()
+    body = b"good text then bad byte \xff then more"
+    head = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x.example.com/bad\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+    )
+    blob = io.BytesIO()
+    with gzip.GzipFile(fileobj=blob, mode="wb") as gz:
+        gz.write(head + body + b"\r\n\r\n")
+    (d / "bad-bytes.wet.gz").write_bytes(blob.getvalue())
+
+    docs, corrupt = read_wet(spark, str(d))
+    assert corrupt.count() == 0
+    [r] = docs.collect()
+    assert r.text == body.decode("utf-8", "replace")
+    assert "�" in r.text
+
+
+def test_many_members_chunked_inflate(spark, tmp_path):
+    """1500 members in one file exercise the incremental (chunked)
+    member walk — offsets and record order must survive."""
+    d = tmp_path / "wet"
+    d.mkdir()
+    recs = [{"url": f"http://m.example.com/{i}", "text": f"doc {i} " + "x" * 50}
+            for i in range(1500)]
+    write_wet(recs, str(d / "many.wet.gz"))
+    docs, corrupt = read_wet(spark, str(d))
+    assert corrupt.count() == 0
+    rows = sorted(
+        (int(r.url.rsplit("/", 1)[1]), r.text) for r in docs.collect()
+    )
+    assert len(rows) == 1500
+    assert rows[0] == (0, recs[0]["text"]) and rows[1499] == (1499, recs[1499]["text"])

@@ -399,10 +399,12 @@ def run(args, spark) -> int:
             from xdump_spark.sources.warc import read_wet
 
             docs, corrupt = read_wet(spark, args.input)
-            n_corrupt = corrupt.count()
-            if n_corrupt:
-                print(f"quarantined {n_corrupt} corrupt WET file(s):")
-                for r in corrupt.collect():
+            # ONE collect (bounded: one row per corrupt FILE) — count()
+            # plus collect() would parse the whole crawl twice
+            corrupt_rows = corrupt.collect()
+            if corrupt_rows:
+                print(f"quarantined {len(corrupt_rows)} corrupt WET file(s):")
+                for r in corrupt_rows:
                     print(f"  {r.path} @byte {r.byte_offset}: {r.reason}")
         else:
             docs = spark.read.parquet(args.input)

@@ -133,7 +133,14 @@ def curate_from_config(spark: SparkSession, path: str):
     if cfg.get("input_format", "parquet") == "wet":
         from xdump_spark.sources.warc import read_wet
 
-        input_docs, _wet_corrupt = read_wet(spark, cfg["input"])
+        input_docs, wet_corrupt = read_wet(spark, cfg["input"])
+        # the quarantine contract is only useful if someone SEES it —
+        # one collect (one row per corrupt file, bounded)
+        corrupt_rows = wet_corrupt.collect()
+        if corrupt_rows:
+            print(f"quarantined {len(corrupt_rows)} corrupt WET file(s):")
+            for r in corrupt_rows:
+                print(f"  {r.path} @byte {r.byte_offset}: {r.reason}")
     elif cfg.get("input_format", "parquet") == "parquet":
         input_docs = spark.read.parquet(cfg["input"])
     else:

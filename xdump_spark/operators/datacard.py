@@ -169,7 +169,7 @@ def data_card(
             .limit(top_domains)
             .collect()
         )
-        total = int(agg["n_rows"]) or 1
+        total = int(agg["n_rows"] or 0) or 1  # sum over zero rows is NULL
         card["domains"] = {
             # n_domains counts the NULL (unparseable/IP) group if present
             "n_distinct": int(agg["n_domains"]),

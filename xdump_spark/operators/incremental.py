@@ -235,13 +235,21 @@ class ExactHashStore:
 
 def content_hashes(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """(id, h1, h2) per doc: two independent xxhash64 of the normalized
-    text (the same normalization exact_dedup groups on). Pure codegen."""
+    """(id, h1, h2) per doc: two independently-seeded xxhash64 of the
+    normalized text (the same normalization exact_dedup groups on).
+    Pure codegen.
+
+    Seed ordering matters: Spark chains multi-arg xxhash64 with the
+    running hash as the NEXT seed, so ``xxhash64(norm, lit)`` would be
+    a pure function of ``xxhash64(norm)`` — an h1 collision would force
+    an h2 collision and the pair would be 64 bits dressed as 128. With
+    the salt FIRST, h2 = XXH64(norm, seed=XXH64(salt, 42)): the same
+    text hashed under a different fixed seed, independent of h1."""
     norm = _norm_text(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.xxhash64(norm).alias("h1"),
-        F.xxhash64(norm, F.lit(0x9E3779B9)).alias("h2"),
+        F.xxhash64(F.lit(0x9E3779B9), norm).alias("h2"),
     )
 
 
@@ -250,7 +258,8 @@ def incremental_exact_dedup(
     store: ExactHashStore,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
+    defer_commit: bool = False,
+):
     """One EXACT-dedup increment: returns the accepted ids frame
     (``id`` long) and appends their hashes to the store.
 
@@ -259,6 +268,16 @@ def incremental_exact_dedup(
     accepted before — neither in any prior increment (store hit) nor
     under a smaller id within its own batch (keep-first). DuckDB
     cross-checked in tests.
+
+    ``defer_commit=True`` returns ``(accepted, commit)`` WITHOUT
+    touching the store; the caller invokes ``commit()`` once the run's
+    output is durably written. A multi-stage run that appended hashes
+    eagerly and then failed downstream would poison the store — the
+    retry would find every hash "previously accepted" and emit an empty
+    corpus. The survivor frame is checkpointed, so the deferred commit
+    appends exactly what was returned. (Re-committing the same hashes
+    after a crash is harmless: duplicate store rows cannot change a
+    left-anti join's answer.)
 
     Scale shape: ONE map-side-combinable groupBy over the new batch
     (within-batch keep-first) + one left-anti join whose store side is
@@ -277,8 +296,15 @@ def incremental_exact_dedup(
     else:
         survivors = first
     survivors = survivors.localCheckpoint(eager=True)
-    store.append(survivors.select("h1", "h2"))
-    return survivors.select("id")
+
+    def commit() -> None:
+        store.append(survivors.select("h1", "h2"))
+
+    accepted = survivors.select("id")
+    if defer_commit:
+        return accepted, commit
+    commit()
+    return accepted
 
 
 def streaming_exact_dedup(
@@ -293,15 +319,24 @@ def streaming_exact_dedup(
     ``incremental_exact_dedup`` increment via ``foreachBatch``; accepted
     ids append to ``accepted_dir`` parquet. The bucketed hash table IS
     the operator state — restart-safe the same way
-    ``streaming_neardup_dedup`` is."""
+    ``streaming_neardup_dedup`` is.
+
+    Delivery is at-least-once in the usual foreachBatch way, ordered so
+    a crash can only DUPLICATE, never lose: accepted ids are written
+    BEFORE the store commit. A redelivered batch recomputes the same
+    accepted set (the store gained nothing for it yet) and may append
+    the same ids twice — dedupable downstream by id — while committing
+    the same hashes twice cannot change any later anti-join."""
 
     def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        accepted = incremental_exact_dedup(
-            batch_df, store, text_col=text_col, id_col=id_col
+        accepted, commit = incremental_exact_dedup(
+            batch_df, store, text_col=text_col, id_col=id_col,
+            defer_commit=True,
         )
         accepted.write.mode("append").parquet(accepted_dir)
+        commit()
 
     return (
         doc_stream.writeStream.foreachBatch(_do_batch)

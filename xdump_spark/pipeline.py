@@ -146,7 +146,15 @@ def prepare_training_corpus(
             "dedup_store requires doc_dedup='exact' (the near-dup analog "
             "is incremental.SignatureStore via incremental_neardup)"
         )
+    if fuzzy_kwargs:
+        overlap = set(fuzzy_kwargs) & {"threshold", "id_col", "text_col"}
+        if overlap:
+            raise ValueError(
+                f"fuzzy_kwargs may not override {sorted(overlap)} — use "
+                "fuzzy_threshold / id_col / text_col parameters instead"
+            )
     counts: dict = {}
+    store_commit = None  # deferred ExactHashStore append (see dedup stage)
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if audit:
@@ -208,15 +216,20 @@ def prepare_training_corpus(
             if dedup_store is not None:
                 # Production increments (r6): dedup TODAY'S batch against
                 # every previously-accepted doc via the bucketed
-                # ExactHashStore — the history never shuffles, and this
-                # run's survivors are recorded for the next increment.
+                # ExactHashStore — the history never shuffles. The store
+                # commit is DEFERRED to the end of the run (after the
+                # sink write): an eager append would poison the store on
+                # a downstream failure, making the retry reject the
+                # whole batch as "previously accepted".
                 from xdump_spark.operators.incremental import (
                     incremental_exact_dedup,
                 )
 
-                accepted = incremental_exact_dedup(
-                    cur, dedup_store, text_col=text_col, id_col=id_col
-                ).select(F.col("id").alias("_keep_id"))
+                accepted, store_commit = incremental_exact_dedup(
+                    cur, dedup_store, text_col=text_col, id_col=id_col,
+                    defer_commit=True,
+                )
+                accepted = accepted.select(F.col("id").alias("_keep_id"))
                 cur = note(
                     "doc_deduped",
                     cur.join(
@@ -445,6 +458,11 @@ def prepare_training_corpus(
         from xdump_spark.operators.datacard import data_card
 
         card = data_card(cur, text_col=text_col, id_col=id_col)
+
+    if store_commit is not None:
+        # every stage (including the sink write) succeeded — record this
+        # run's accepted hashes for the next increment
+        store_commit()
 
     return CorpusResult(
         corpus=cur, sequences=sequences, audit=counts, vocab=vocab,

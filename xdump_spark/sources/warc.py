@@ -72,17 +72,29 @@ def _iter_members(raw: bytes) -> Iterator[tuple[int, bytes]]:
         yield 0, raw
         return
     pos = 0
+    n = len(raw)
     view = memoryview(raw)
-    while pos < len(raw):
+    CHUNK = 1 << 20
+    while pos < n:
+        # feed the member in fixed-size slices: a ~1 GB crawl file holds
+        # tens of thousands of members, and handing the whole remaining
+        # tail to each decompressobj would copy O(members × file) bytes
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        chunk = d.decompress(bytes(view[pos:]))
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at byte {pos}")
-        consumed = len(raw) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: empty member cannot progress
+        out = []
+        cur = pos
+        while True:
+            if cur >= n:
+                raise ValueError(f"truncated gzip member at byte {pos}")
+            piece = view[cur : cur + CHUNK]
+            out.append(d.decompress(piece))
+            cur += len(piece)
+            if d.eof:
+                cur -= len(d.unused_data)
+                break
+        if cur <= pos:  # defensive: empty member cannot progress
             raise ValueError(f"unprogressing gzip member at byte {pos}")
-        yield pos, chunk
-        pos += consumed
+        yield pos, b"".join(out)
+        pos = cur
 
 
 _WANTED = {
@@ -146,6 +158,7 @@ def read_warc(
     path: str,
     types: tuple[str, ...] | None = None,
     path_glob: str = "*",
+    decode_text: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Read WARC/WET files under ``path`` → (records, corrupt).
 
@@ -156,6 +169,13 @@ def read_warc(
     ever handed to Spark. ``corrupt`` has CORRUPT_SCHEMA: one row per
     file whose parse stopped early (its good prefix is still in
     ``records``).
+
+    ``decode_text=True`` adds a ``payload_text`` column decoded INSIDE
+    the parse task with ``errors="replace"``. Spark's own ``decode()``
+    RAISES on malformed bytes in Spark 4 — one bad byte in one record
+    would kill the whole crawl read, the exact failure the quarantine
+    contract forbids — so text decoding must happen here, where
+    replacement is cheap and per-record.
     """
     wanted = set(types) if types else None
     files = (
@@ -165,8 +185,12 @@ def read_warc(
         .select("path", "content")
     )
 
+    extra = (
+        [StructField("payload_text", StringType(), True)] if decode_text else []
+    )
     out_schema = StructType(
         WARC_SCHEMA.fields
+        + extra
         + [StructField("_err_offset", LongType(), True),
            StructField("_err_reason", StringType(), True)]
     )
@@ -182,6 +206,10 @@ def read_warc(
                     for off, member in _iter_members(bytes(content)):
                         for rec in _parse_records(member, off):
                             if wanted is None or rec["warc_type"] in wanted:
+                                if decode_text:
+                                    rec["payload_text"] = rec[
+                                        "payload"
+                                    ].decode("utf-8", "replace")
                                 rows.append(
                                     {
                                         "path": path_,
@@ -205,6 +233,8 @@ def read_warc(
                         "_err_offset": int(m.group(1)) if m else 0,
                         "_err_reason": str(ex),
                     }
+                    if decode_text:
+                        err["payload_text"] = None
                 if err is not None:
                     rows.append(err)
                 if rows:
@@ -243,12 +273,12 @@ def read_wet(
     ``doc_id`` is a deterministic 64-bit id hashed from (path,
     record_idx) — stable across re-reads and cluster layouts."""
     records, corrupt = read_warc(spark, path, types=("conversion",),
-                                 path_glob=path_glob)
+                                 path_glob=path_glob, decode_text=True)
     docs = records.select(
         F.xxhash64("path", "record_idx").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("date"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("payload_text").alias("text"),
     )
     return docs, corrupt
 
@@ -265,12 +295,11 @@ def read_warc_html(
     the original encoding). Feed the result to
     ``prepare_training_corpus(markup=True, ...)`` to strip tags."""
     records, corrupt = read_warc(spark, path, types=("response",),
-                                 path_glob=path_glob)
-    sep = F.locate("\r\n\r\n", F.decode(F.col("payload"), "UTF-8"))
+                                 path_glob=path_glob, decode_text=True)
+    sep = F.locate("\r\n\r\n", F.col("payload_text"))
     body = F.when(
-        sep > 0,
-        F.substring(F.decode(F.col("payload"), "UTF-8"), sep + 4, 1 << 30),
-    ).otherwise(F.decode(F.col("payload"), "UTF-8"))
+        sep > 0, F.substring(F.col("payload_text"), sep + 4, 1 << 30)
+    ).otherwise(F.col("payload_text"))
     docs = records.select(
         F.xxhash64("path", "record_idx").alias("doc_id"),
         F.col("target_uri").alias("url"),
@@ -284,8 +313,6 @@ def write_wet(records, out_path: str) -> None:
     """Test/round-trip helper: write (url, date, text) rows as ONE
     multi-member-gzip WET file (driver-side — fixtures and golden
     files, not a production sink; the corpus sink family covers that)."""
-    import gzip
-
     import gzip
 
     with open(out_path, "wb") as fh:
