@@ -106,6 +106,16 @@ def _assign_codes(X: np.ndarray, codebook: PQCodebook, cents: list) -> np.ndarra
     return codes
 
 
+# A shortlist broadcast collects n_q × rerank (query_id, neighbor_id)
+# rows to the driver first. The scale configuration (rerank ≈ 50-1000)
+# stays far under this; the ORACLE configuration (rerank ≥ corpus, so
+# the rerank provably equals brute force) exceeds it as soon as the
+# corpus grows — at soak scale that broadcast put >1 GB of task results
+# on the driver and aborted the job. Past the bound the sliver join
+# runs as a plain shuffle join: heavier, but scales.
+BROADCAST_SHORTLIST_ROWS = 5_000_000
+
+
 def _exact_rerank(
     shortlist: DataFrame,
     corpus: DataFrame,
@@ -114,15 +124,20 @@ def _exact_rerank(
     round_to: int,
     id_col: str,
     vec_col: str,
+    shortlist_rows: int | None = None,
 ) -> DataFrame:
     """Rescore a (query_id, neighbor_id) shortlist with exact cosine
     against the raw vectors and finish the top-k: the raw corpus is
-    touched only for the broadcast-joined candidate sliver. ``qmap``
+    touched only for the shortlist-joined candidate sliver (broadcast
+    when the caller's ``shortlist_rows`` bound fits
+    BROADCAST_SHORTLIST_ROWS, shuffle join otherwise). ``qmap``
     maps query_id → (query_vector, query_norm). Shared by
     pq_topk_rerank and ivfpq_search."""
+    small = shortlist_rows is not None and shortlist_rows <= BROADCAST_SHORTLIST_ROWS
+    sl = F.broadcast(shortlist) if small else shortlist
     cand = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-    ).join(F.broadcast(shortlist), "neighbor_id")
+    ).join(sl, "neighbor_id")
 
     @pandas_udf("double")
     def exact_cos(qid_s: pd.Series, nv: pd.Series) -> pd.Series:
@@ -332,7 +347,10 @@ def pq_topk_rerank(
         id_col=id_col, vec_col=vec_col, round_to=round_to,
     ).select("query_id", "neighbor_id")
     qmap = {qid: (Q[j], qn[j]) for j, qid in enumerate(qids)}
-    return _exact_rerank(shortlist, corpus, qmap, k, round_to, id_col, vec_col)
+    return _exact_rerank(
+        shortlist, corpus, qmap, k, round_to, id_col, vec_col,
+        shortlist_rows=len(qids) * max(k, rerank),
+    )
 
 
 def _finish_pq_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -532,7 +550,10 @@ def ivfpq_search(
         return _finish_pq_topk(scored, k)
     shortlist = _finish_pq_topk(scored, shortlist_k).select("query_id", "neighbor_id")
     qmap = {qid: (Qn[j], 1.0) for j, qid in enumerate(qids)}
-    return _exact_rerank(shortlist, corpus, qmap, k, round_to, id_col, vec_col)
+    return _exact_rerank(
+        shortlist, corpus, qmap, k, round_to, id_col, vec_col,
+        shortlist_rows=len(qids) * shortlist_k,
+    )
 
 
 def ivfpq_write(index: IVFPQIndex, path: str) -> None:
