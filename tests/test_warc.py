@@ -232,3 +232,51 @@ def test_many_members_chunked_inflate(spark, tmp_path):
     )
     assert len(rows) == 1500
     assert rows[0] == (0, recs[0]["text"]) and rows[1499] == (1499, recs[1499]["text"])
+
+
+def test_streaming_wet_ingest_e2e(spark, tmp_path):
+    """Continuous crawl ingestion: files land, stream-parse, dedup
+    against the persistent store, append to corpus parquet; a second
+    drain picks up ONLY new files, drops re-crawled texts, and
+    quarantines corrupt arrivals."""
+    import uuid
+
+    from xdump_spark.operators.incremental import ExactHashStore
+    from xdump_spark.sources.warc import streaming_wet_ingest
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "corpus")
+    bad_out = str(tmp_path / "corrupt")
+    ckpt = str(tmp_path / "ckpt")
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    store = ExactHashStore(spark, name, n_buckets=4,
+                           path=str(tmp_path / name))
+    try:
+        write_wet(DOCS[:2], str(inbox / "crawl-0.wet.gz"))
+        q = streaming_wet_ingest(
+            spark, str(inbox), store, out, ckpt, corrupt_dir=bad_out
+        )
+        q.awaitTermination(120)
+        first = spark.read.parquet(out)
+        assert first.count() == 2
+        assert store.read().count() == 2
+
+        # second drop: one re-crawl of DOCS[0] (new file, same text),
+        # one new doc, one corrupt file
+        write_wet([DOCS[0], DOCS[2]], str(inbox / "crawl-1.wet.gz"))
+        (inbox / "crawl-2.wet.gz").write_bytes(b"\x1f\x8b garbage")
+        q2 = streaming_wet_ingest(
+            spark, str(inbox), store, out, ckpt, corrupt_dir=bad_out
+        )
+        q2.awaitTermination(120)
+        final = spark.read.parquet(out)
+        assert final.count() == 3                       # only DOCS[2] added
+        assert sorted(r.url for r in final.collect()) == sorted(
+            d["url"] for d in DOCS
+        )
+        assert store.read().count() == 3
+        bad = spark.read.parquet(bad_out).collect()
+        assert len(bad) == 1 and bad[0].path.endswith("crawl-2.wet.gz")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

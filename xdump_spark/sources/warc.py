@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 WARC_SCHEMA = StructType(
@@ -86,7 +87,14 @@ def _iter_members(raw: bytes) -> Iterator[tuple[int, bytes]]:
             if cur >= n:
                 raise ValueError(f"truncated gzip member at byte {pos}")
             piece = view[cur : cur + CHUNK]
-            out.append(d.decompress(piece))
+            try:
+                out.append(d.decompress(piece))
+            except zlib.error as ex:
+                # corrupt member body (bad method/CRC/stream) — surface
+                # as the quarantine contract's ValueError, with offset
+                raise ValueError(
+                    f"bad gzip member at byte {pos}: {ex}"
+                ) from ex
             cur += len(piece)
             if d.eof:
                 cur -= len(d.unused_data)
@@ -177,14 +185,24 @@ def read_warc(
     contract forbids — so text decoding must happen here, where
     replacement is cheap and per-record.
     """
-    wanted = set(types) if types else None
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", path_glob)
         .load(path)
         .select("path", "content")
     )
+    return _split_parsed(files, types, decode_text)
 
+
+def _split_parsed(
+    files: DataFrame,
+    types: tuple[str, ...] | None,
+    decode_text: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(path, content) frame → (records, corrupt); the shared parse
+    core of the static readers and the streaming ingest (``files`` may
+    be a foreachBatch micro-batch — everything here is stateless)."""
+    wanted = set(types) if types else None
     extra = (
         [StructField("payload_text", StringType(), True)] if decode_text else []
     )
@@ -307,6 +325,79 @@ def read_warc_html(
         body.alias("text"),
     )
     return docs, corrupt
+
+
+# binaryFile's fixed schema — streaming sources must state it explicitly
+_BINARYFILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def streaming_wet_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    corrupt_dir: str | None = None,
+    path_glob: str = "*",
+    text_col: str = "text",
+    trigger: dict | None = None,
+):
+    """Continuous crawl ingestion: WET files LANDING in ``input_dir``
+    (a crawler drop directory) stream through parse → exact dedup
+    against the persistent ``store`` (ExactHashStore) → append to
+    ``out_dir`` parquet; corrupt files quarantine to ``corrupt_dir``.
+
+    This is the crawl front-door as one restart-safe query: the file
+    stream's checkpoint remembers which crawl files were consumed, the
+    bucketed hash store carries the dedup history, and the same ordered
+    at-least-once discipline as ``streaming_exact_dedup`` applies —
+    output parquet is written BEFORE the store commit, so a crash can
+    duplicate (dedupable by doc_id) but never lose. ``trigger``
+    defaults to ``{"availableNow": True}`` (drain-and-stop; pass
+    ``{"processingTime": "1 minute"}`` for the always-on mode)."""
+    from xdump_spark.operators.incremental import incremental_exact_dedup
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .schema(_BINARYFILE_SCHEMA)
+        .load(input_dir)
+        .select("path", "content")
+    )
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        records, corrupt = _split_parsed(batch_df, ("conversion",), True)
+        docs = records.select(
+            F.xxhash64("path", "record_idx").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("date"),
+            F.col("payload_text").alias(text_col),
+        ).localCheckpoint(eager=True)
+        if corrupt_dir is not None:
+            corrupt.write.mode("append").parquet(corrupt_dir)
+        accepted, commit = incremental_exact_dedup(
+            docs, store, text_col=text_col, id_col="doc_id",
+            defer_commit=True,
+        )
+        kept = docs.join(
+            accepted.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("append").parquet(out_dir)
+        commit()
+
+    writer = files.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
 
 
 def write_wet(records, out_path: str) -> None:
