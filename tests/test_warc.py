@@ -280,3 +280,37 @@ def test_streaming_wet_ingest_e2e(spark, tmp_path):
         assert len(bad) == 1 and bad[0].path.endswith("crawl-2.wet.gz")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_read_warc_html_honors_declared_charset(spark, tmp_path):
+    """A latin-1 page with its charset declared in the HTTP headers
+    decodes to the right characters; a garbage charset label falls back
+    to utf-8-replace instead of failing."""
+    from xdump_spark.sources.warc import read_warc_html
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    pages = [
+        {"url": "http://l1.example.com/", "charset": "latin-1",
+         "html": "<p>café and naïveté — ±</p>".replace("—", "-")},
+        {"url": "http://u8.example.com/", "html": "<p>utf-8 café</p>"},
+    ]
+    write_wet(pages, str(d / "crawl.warc.gz"))
+    docs, corrupt = read_warc_html(spark, str(d))
+    assert corrupt.count() == 0
+    rows = {r.url: r.text for r in docs.collect()}
+    assert rows["http://l1.example.com/"] == pages[0]["html"]
+    assert rows["http://u8.example.com/"] == pages[1]["html"]
+
+    # garbage charset label: falls back, never raises
+    raw = gzip.decompress((d / "crawl.warc.gz").read_bytes())
+    # same LENGTH as "utf-8" so the WARC Content-Length stays valid
+    patched = raw.replace(b"charset=utf-8", b"charset=zz-99")
+    d2 = tmp_path / "warc2"
+    d2.mkdir()
+    blob = io.BytesIO()
+    with gzip.GzipFile(fileobj=blob, mode="wb") as gz:
+        gz.write(patched)
+    (d2 / "x.warc.gz").write_bytes(blob.getvalue())
+    docs2, corrupt2 = read_warc_html(spark, str(d2))
+    assert corrupt2.count() == 0 and docs2.count() == 2

@@ -167,6 +167,7 @@ def read_warc(
     types: tuple[str, ...] | None = None,
     path_glob: str = "*",
     decode_text: bool = False,
+    decode_http: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Read WARC/WET files under ``path`` → (records, corrupt).
 
@@ -191,17 +192,44 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
-    return _split_parsed(files, types, decode_text)
+    return _split_parsed(files, types, decode_text, decode_http)
+
+
+_CHARSET_RE = None  # compiled lazily inside the worker
+
+
+def _http_body_text(payload: bytes) -> str:
+    """application/http payload → decoded BODY text: cut the HTTP
+    header block, honor its declared charset (falling back to UTF-8),
+    always with replacement — a mis-declared page must not kill a
+    crawl read. Runs inside the parse task (Python), never as a Spark
+    expression."""
+    import re
+
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        _CHARSET_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
+    sep = payload.find(b"\r\n\r\n")
+    head, body = (payload[:sep], payload[sep + 4 :]) if sep >= 0 else (b"", payload)
+    m = _CHARSET_RE.search(head)
+    enc = m.group(1).decode("ascii", "replace") if m else "utf-8"
+    try:
+        return body.decode(enc, "replace")
+    except LookupError:  # unknown/garbage charset label
+        return body.decode("utf-8", "replace")
 
 
 def _split_parsed(
     files: DataFrame,
     types: tuple[str, ...] | None,
     decode_text: bool,
+    decode_http: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(path, content) frame → (records, corrupt); the shared parse
     core of the static readers and the streaming ingest (``files`` may
-    be a foreachBatch micro-batch — everything here is stateless)."""
+    be a foreachBatch micro-batch — everything here is stateless).
+    ``decode_http`` makes ``payload_text`` the charset-aware HTTP BODY
+    (for ``response`` records) instead of the raw utf-8 payload."""
     wanted = set(types) if types else None
     extra = (
         [StructField("payload_text", StringType(), True)] if decode_text else []
@@ -225,9 +253,13 @@ def _split_parsed(
                         for rec in _parse_records(member, off):
                             if wanted is None or rec["warc_type"] in wanted:
                                 if decode_text:
-                                    rec["payload_text"] = rec[
-                                        "payload"
-                                    ].decode("utf-8", "replace")
+                                    rec["payload_text"] = (
+                                        _http_body_text(rec["payload"])
+                                        if decode_http
+                                        else rec["payload"].decode(
+                                            "utf-8", "replace"
+                                        )
+                                    )
                                 rows.append(
                                     {
                                         "path": path_,
@@ -305,24 +337,22 @@ def read_warc_html(
     spark: SparkSession, path: str, path_glob: str = "*"
 ) -> tuple[DataFrame, DataFrame]:
     """Full-WARC convenience: ``response`` records as (doc_id, url,
-    date, text) where text is the RAW HTML body — the HTTP header block
-    (everything before the first CRLFCRLF of the ``application/http``
-    payload) is cut with one ``locate``+``substring``, and the body is
-    utf-8-decoded with replacement (charset sniffing is a transform
-    concern; the bytes survive in ``read_warc`` for callers that need
-    the original encoding). Feed the result to
+    date, text) where text is the RAW HTML body — the HTTP header
+    block is cut and the body decoded with its DECLARED charset
+    (``Content-Type: ...; charset=...`` in the HTTP headers, falling
+    back to utf-8), always with replacement: a web crawl is ~1/3
+    non-UTF-8 and a mis-declared page must not kill the read. The raw
+    bytes survive in ``read_warc`` for callers needing the original
+    encoding. Feed the result to
     ``prepare_training_corpus(markup=True, ...)`` to strip tags."""
     records, corrupt = read_warc(spark, path, types=("response",),
-                                 path_glob=path_glob, decode_text=True)
-    sep = F.locate("\r\n\r\n", F.col("payload_text"))
-    body = F.when(
-        sep > 0, F.substring(F.col("payload_text"), sep + 4, 1 << 30)
-    ).otherwise(F.col("payload_text"))
+                                 path_glob=path_glob, decode_text=True,
+                                 decode_http=True)
     docs = records.select(
         F.xxhash64("path", "record_idx").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("date"),
-        body.alias("text"),
+        F.col("payload_text").alias("text"),
     )
     return docs, corrupt
 
@@ -409,10 +439,13 @@ def write_wet(records, out_path: str) -> None:
     with open(out_path, "wb") as fh:
         for r in records:
             if "html" in r:
-                # a WARC "response" record: HTTP header block + body
-                body = r["html"].encode("utf-8")
+                # a WARC "response" record: HTTP header block + body,
+                # optionally in a declared non-UTF-8 charset
+                cs = r.get("charset", "utf-8")
+                body = r["html"].encode(cs)
                 payload = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"HTTP/1.1 200 OK\r\n"
+                    + f"Content-Type: text/html; charset={cs}\r\n".encode()
                     + f"Content-Length: {len(body)}\r\n\r\n".encode()
                     + body
                 )
