@@ -257,7 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument(
         "--shards-out", default=None,
-        help="write the pack/shard table as parquet here",
+        help="write the pack/shard table here",
+    )
+    c.add_argument(
+        "--shards-format", choices=["parquet", "binary"], default="parquet",
+        help="'binary' writes mmap-ready .bin/.idx token shards + "
+             "manifest.json (sources/token_shards.py) instead of parquet "
+             "(requires --tokenize)",
     )
     c.add_argument(
         "--partition-by", action="append", default=[],
@@ -480,9 +486,23 @@ def run(args, spark) -> int:
                 json.dump(res.card, fh, indent=2, sort_keys=True)
             print(f"wrote data card to {args.card_out}")
         if res.sequences is not None and args.shards_out:
-            mode = "overwrite" if args.overwrite else "errorifexists"
-            res.sequences.write.mode(mode).parquet(args.shards_out)
-            print(f"wrote sequences to {args.shards_out}")
+            if args.shards_format == "binary":
+                if not args.tokenize:
+                    raise SystemExit(
+                        "--shards-format binary requires --tokenize "
+                        "(doc-id packs have no token ids to binarize)"
+                    )
+                from xdump_spark.sources.token_shards import write_binary_shards
+
+                m = write_binary_shards(res.sequences, args.shards_out)
+                print(
+                    f"wrote {m['n_shards']} binary shard(s), "
+                    f"{m['n_tokens']} tokens ({m['dtype']}) to {args.shards_out}"
+                )
+            else:
+                mode = "overwrite" if args.overwrite else "errorifexists"
+                res.sequences.write.mode(mode).parquet(args.shards_out)
+                print(f"wrote sequences to {args.shards_out}")
         print(f"wrote {args.output}")
     elif args.command == "train-quality":
         import json

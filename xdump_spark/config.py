@@ -63,7 +63,7 @@ _CURATE_KEYS = {
     "input", "output", "text_col", "id_col", "markup", "line_filter",
     "line_dedup", "span_k", "min_tokens", "gopher", "sample_rates",
     "strata_col", "benchmark", "shuffle_seed", "pack_budget", "tokenize",
-    "vocab_size", "partition_by", "overwrite", "shards_out",
+    "vocab_size", "partition_by", "overwrite", "shards_out", "shards_format",
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
@@ -198,5 +198,14 @@ def curate_from_config(spark: SparkSession, path: str):
         out_mode=mode,
     )
     if res.sequences is not None and cfg.get("shards_out"):
-        res.sequences.write.mode(mode).parquet(cfg["shards_out"])
+        if cfg.get("shards_format", "parquet") == "binary":
+            if not cfg.get("tokenize"):
+                raise ValueError(
+                    "shards_format 'binary' requires tokenize: true"
+                )
+            from xdump_spark.sources.token_shards import write_binary_shards
+
+            write_binary_shards(res.sequences, cfg["shards_out"])
+        else:
+            res.sequences.write.mode(mode).parquet(cfg["shards_out"])
     return res
