@@ -50,6 +50,8 @@ HEADLINE = [
     "range_join_ship_windows",        # keyless interval join via binning
     "curation_doc_signals",           # added r4: repetition + sample + contamination + cap
     "corpus_mixture",                 # added r4: per-source mixture stats
+    "retrieval_bm25",                 # added r6: inverted-index build + BM25 top-k
+    "corpus_diff",                    # added r6: snapshot delta, fingerprint full-outer join
 ]
 
 # Scale-path twins (r6, VERDICT #3): the two oracle panels above time

@@ -1,0 +1,146 @@
+"""BM25 retrieval: exact scores vs a pure-Python reference, invariants,
+and the plan shape that makes it scale."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.retrieval import (
+    bm25_search,
+    bm25_topk,
+    build_text_index,
+    terms_of,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick quick fox"),
+    (3, "lazy dogs sleep all day, lazy and slow"),
+    (4, "brown bears eat honey; the bears are brown"),
+    (5, "   "),  # zero-term doc: counts toward N and avgdl only
+    (6, "Fox! fox? FOX... fox"),
+]
+
+
+def _py_tokens(s):
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    """Independent pure-Python BM25 (same formula family, written from
+    the Robertson definition, not from the operator)."""
+    toks = {i: _py_tokens(t) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    qts = _py_tokens(query)
+    for term in set(qts):
+        qtf = qts.count(term)
+        if term not in df:
+            continue
+        idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if not tf:
+                continue
+            dl = len(ts)
+            part = qtf * idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            # the operator quantizes each per-term part to 1e-6
+            scores[i] = scores.get(i, 0.0) + round(part, 6)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_index_stats_count_zero_term_docs(spark, docs_df):
+    idx = build_text_index(docs_df)
+    assert idx.n_docs == 6
+    total_terms = sum(len(_py_tokens(t)) for _, t in DOCS)
+    assert idx.avgdl == pytest.approx(total_terms / 6)
+    # zero-term doc produces no postings
+    assert idx.postings.filter("id = 5").count() == 0
+
+
+def test_postings_tf_and_df(spark, docs_df):
+    idx = build_text_index(docs_df)
+    rows = {(r["term"], r["id"]): (r["tf"], r["dl"]) for r in idx.postings.collect()}
+    assert rows[("fox", 6)] == (4, 4)
+    assert rows[("quick", 2)] == (2, 4)
+    assert rows[("the", 1)][0] == 2
+    df = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    assert df["fox"] == 3 and df["brown"] == 2 and df["honey"] == 1
+
+
+def test_scores_match_pure_python(spark, docs_df):
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(spark, docs_df, ["quick fox", "lazy brown dog"], k=10).collect()
+    }
+    for qid, q in enumerate(["quick fox", "lazy brown dog"]):
+        expect = _py_bm25(DOCS, q)
+        mine = {d: s for (g, d), s in got.items() if g == qid}
+        assert set(mine) == set(expect)
+        for d, s in expect.items():
+            assert mine[d] == pytest.approx(s, abs=2e-6), (qid, d)
+
+
+def test_repeated_query_terms_weight_qtf(spark, docs_df):
+    one = bm25_search(spark, docs_df, ["honey"], k=10).collect()
+    twice = bm25_search(spark, docs_df, ["honey honey"], k=10).collect()
+    assert len(one) == len(twice) == 1
+    assert twice[0]["score"] == pytest.approx(2 * one[0]["score"], abs=2e-6)
+
+
+def test_topk_rank_and_tiebreak(spark, docs_df):
+    res = bm25_search(spark, docs_df, ["fox"], k=2).orderBy("rnk").collect()
+    assert [r["rnk"] for r in res] == [1, 2]
+    assert res[0]["score"] >= res[1]["score"]
+    # identical docs tie on score -> lower doc_id wins
+    dup = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "alpha beta"), (12, "gamma")],
+        "doc_id int, text string",
+    )
+    r = bm25_search(spark, dup, ["alpha"], k=1).collect()
+    assert r[0]["doc_id"] == 10
+
+
+def test_unknown_terms_and_empty_query(spark, docs_df):
+    assert bm25_search(spark, docs_df, ["zzz qqq"], k=5).count() == 0
+    assert bm25_search(spark, docs_df, ["!!!"], k=5).count() == 0
+
+
+def test_partition_invariance(spark, docs_df):
+    a = bm25_search(spark, docs_df, ["quick fox", "lazy dog"], k=10)
+    b_docs = docs_df.repartition(7, "text")
+    b = bm25_search(spark, b_docs, ["quick fox", "lazy dog"], k=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_plan_shape(spark, docs_df):
+    """Scale pins: both query-side joins broadcast, no cartesian product,
+    no Python eval anywhere (tokenizer is codegen)."""
+    idx = build_text_index(docs_df)
+    queries = spark.createDataFrame([(0, "quick fox")], "query_id int, query string")
+    plan = bm25_topk(idx, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_terms_of_matches_python(spark):
+    df = spark.createDataFrame(
+        [("Hello, World-42!  foo_bar",)], "t string"
+    ).select(terms_of(F.col("t")).alias("a"))
+    assert df.collect()[0]["a"] == ["hello", "world", "42", "foo", "bar"]
