@@ -57,6 +57,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xdump_spark.checkpointing import frame_fingerprint as _frame_fp
 from xdump_spark.operators.cleaning import (
     deterministic_shuffle,
     normalize_text,
@@ -75,6 +76,7 @@ class CorpusResult:
     vocab: DataFrame | None = None        # build_vocab output (if tokenizing)
     mixture_rates: dict | None = None     # applied keep-rates (if rebalancing)
     card: dict | None = None              # data card of the output (if asked)
+    resumed: list = field(default_factory=list)  # stages served from checkpoint
 
 
 def prepare_training_corpus(
@@ -120,6 +122,9 @@ def prepare_training_corpus(
     out_mode: str = "errorifexists",
     audit: bool = True,
     make_card: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_stages: set[str] | None = None,
+    resume: bool = True,
 ) -> CorpusResult:
     """Run the full preparation pipeline (see module docstring).
 
@@ -140,7 +145,25 @@ def prepare_training_corpus(
       ``min_tokens``).
     - The audit counts docs after each stage — each entry is one count
       job over a narrow plan; disable on production runs.
+    - ``checkpoint_dir`` makes the run RESTART-SAFE (see
+      ``xdump_spark/checkpointing.py``): each named stage's output is
+      materialized as parquet with a chained configuration fingerprint,
+      and a rerun with the same inputs/config loads the latest valid
+      stage instead of recomputing — changing a parameter invalidates
+      exactly the stages it feeds and everything after. Stage counts
+      come from the manifest on resume, so ``audit`` costs nothing for
+      resumed stages. ``checkpoint_stages`` restricts materialization to
+      a subset (the fingerprint chain still covers every stage);
+      ``resume=False`` rewrites everything. Incompatible with
+      ``dedup_store``: the store (its own restart-safe mechanism) must
+      observe every accepted batch, which a resumed skip would bypass.
     """
+    if checkpoint_dir is not None and dedup_store is not None:
+        raise ValueError(
+            "checkpoint_dir and dedup_store are incompatible: resuming "
+            "past the dedup stage would skip the store commit; the "
+            "ExactHashStore increment is itself the restart-safe path"
+        )
     if dedup_store is not None and doc_dedup != "exact":
         raise ValueError(
             "dedup_store requires doc_dedup='exact' (the near-dup analog "
@@ -156,10 +179,49 @@ def prepare_training_corpus(
     counts: dict = {}
     store_commit = None  # deferred ExactHashStore append (see dedup stage)
 
-    def note(stage: str, df: DataFrame) -> DataFrame:
+    ckpt = None
+    if checkpoint_dir is not None:
+        from xdump_spark.checkpointing import StageCheckpointer, input_fingerprint
+
+        ckpt = StageCheckpointer(
+            docs.sparkSession,
+            checkpoint_dir,
+            input_fingerprint(docs),
+            stages=checkpoint_stages,
+            resume=resume,
+        )
+
+    def note(stage: str, df: DataFrame, ck: dict | None = None) -> DataFrame:
+        """Count (audit) and, when checkpointing, materialize-or-load the
+        stage. ``ck`` = the stage's own parameters (its fingerprint
+        contribution); ck=None marks a stage that never checkpoints
+        (e.g. the input itself)."""
+        if ckpt is not None and ck is not None:
+            if ckpt.wants(stage):
+                df, n, _ = ckpt.stage(stage, ck, df)
+                if audit:
+                    counts[stage] = n
+                return df
+            ckpt.advance(stage, ck)  # unmaterialized stages still chain
         if audit:
             counts[stage] = df.count()
         return df
+
+    def note_lazy(stage: str, ck: dict, build, extra=None):
+        """Thunk form for stages whose CONSTRUCTION runs driver jobs
+        (DSIR fit, mixture-rate estimation): on a checkpoint hit the
+        thunk never runs. Returns (frame, extra_dict)."""
+        if ckpt is not None and ckpt.wants(stage):
+            df, n, x = ckpt.stage(stage, ck, build, extra)
+            if audit:
+                counts[stage] = n
+            return df, x
+        if ckpt is not None:
+            ckpt.advance(stage, ck)
+        df = build()
+        if audit:
+            counts[stage] = df.count()
+        return df, (extra() if callable(extra) else (extra or {}))
 
     cur = note("input", docs)
     # URL-keyed stages run before anything touches the text: re-crawl
@@ -175,11 +237,19 @@ def prepare_training_corpus(
     if dedup_urls:
         from xdump_spark.operators.web import url_dedup
 
-        cur = note("url_deduped", url_dedup(cur, url_col, id_col))
+        cur = note(
+            "url_deduped",
+            url_dedup(cur, url_col, id_col),
+            ck={"url_col": url_col, "id_col": id_col},
+        )
     if domain_cap is not None:
         from xdump_spark.operators.web import domain_cap as _domain_cap
 
-        cur = note("domain_capped", _domain_cap(cur, domain_cap, url_col, id_col))
+        cur = note(
+            "domain_capped",
+            _domain_cap(cur, domain_cap, url_col, id_col),
+            ck={"domain_cap": domain_cap, "url_col": url_col, "id_col": id_col},
+        )
     # Line-granular stages run FIRST: normalize_text collapses newlines,
     # so markup/line filtering/line dedup must see the raw line structure
     # (the C4 order — line gates before document-level cleanup).
@@ -187,12 +257,15 @@ def prepare_training_corpus(
         from xdump_spark.operators.cleaning import strip_markup
 
         cur = strip_markup(cur, text_col)
+        if ckpt is not None:
+            ckpt.advance("markup", {"text_col": text_col})
     if line_filter:
         from xdump_spark.operators.cleaning import c4_line_filter
 
         cur = note(
             "line_filtered",
             c4_line_filter(cur, text_col).drop("n_lines_kept", "n_lines_dropped"),
+            ck={"text_col": text_col},
         )
     if line_dedup:
         from xdump_spark.operators.cleaning import dedup_lines
@@ -200,12 +273,21 @@ def prepare_training_corpus(
         cur = note(
             "line_deduped",
             dedup_lines(cur, text_col, id_col).drop("n_lines_removed"),
+            ck={"text_col": text_col, "id_col": id_col},
         )
-    cur = note("cleaned", redact_pii(normalize_text(cur, text_col), text_col))
+    cur = note(
+        "cleaned",
+        redact_pii(normalize_text(cur, text_col), text_col),
+        ck={"text_col": text_col},
+    )
 
     if span_k is not None:
         cur = strip_duplicated_spans(cur, k=span_k, text_col=text_col, id_col=id_col)
-        cur = note("span_stripped", cur.drop("n_removed_tokens"))
+        cur = note(
+            "span_stripped",
+            cur.drop("n_removed_tokens"),
+            ck={"span_k": span_k, "text_col": text_col, "id_col": id_col},
+        )
 
     if doc_dedup is not None:
         # Document-level dedup AFTER cleaning/span-stripping (Lee et al.
@@ -239,7 +321,11 @@ def prepare_training_corpus(
             else:
                 from xdump_spark.operators.dedup import exact_dedup
 
-                cur = note("doc_deduped", exact_dedup(cur, text_col, id_col))
+                cur = note(
+                    "doc_deduped",
+                    exact_dedup(cur, text_col, id_col),
+                    ck={"doc_dedup": "exact", "text_col": text_col, "id_col": id_col},
+                )
         elif doc_dedup == "fuzzy":
             from xdump_spark.operators.components import fuzzy_dedup
 
@@ -253,6 +339,13 @@ def prepare_training_corpus(
             cur = note(
                 "doc_deduped",
                 cur.join(survivors, cur[id_col] == survivors["_keep_id"], "left_semi"),
+                ck={
+                    "doc_dedup": "fuzzy",
+                    "threshold": fuzzy_threshold,
+                    "kwargs": fuzzy_kwargs or {},
+                    "text_col": text_col,
+                    "id_col": id_col,
+                },
             )
         else:
             raise ValueError(
@@ -263,6 +356,7 @@ def prepare_training_corpus(
     cur = note(
         "quality_gated",
         cur.filter((F.length(F.trim(F.col(text_col))) > 0) & (n_tok >= min_tokens)),
+        ck={"min_tokens": min_tokens, "text_col": text_col},
     )
     if blocklist:
         from xdump_spark.operators.cleaning import blocklist_filter
@@ -272,6 +366,7 @@ def prepare_training_corpus(
             blocklist_filter(cur, blocklist, text_col=text_col, mode=blocklist_mode)
             .filter(~F.col("blocked"))
             .drop("blocked", "n_blocklist_hits"),
+            ck={"blocklist": sorted(blocklist), "mode": blocklist_mode},
         )
 
     if gopher:
@@ -282,6 +377,7 @@ def prepare_training_corpus(
             gopher_filter(cur, text_col, id_col)
             .filter("kept")
             .drop("kept", "drop_reasons"),
+            ck={"gopher": True, "text_col": text_col},
         )
 
     if compression_min is not None:
@@ -301,6 +397,7 @@ def prepare_training_corpus(
                 cur[id_col] == F.col("_cr_id"),
                 "left_semi",
             ),
+            ck={"compression_min": compression_min, "text_col": text_col},
         )
 
     if audio_gate is not None:
@@ -342,7 +439,7 @@ def prepare_training_corpus(
         )
         if audio_gate.get("keep_missing", True):
             gated = gated.unionByName(cur.filter(F.col(blob_col).isNull()))
-        cur = note("audio_gated", gated)
+        cur = note("audio_gated", gated, ck={"audio_gate": audio_gate})
 
     if quality_model is not None:
         from xdump_spark.operators.classifier import with_quality_score
@@ -352,6 +449,7 @@ def prepare_training_corpus(
             with_quality_score(cur, quality_model, text_col=text_col)
             .filter(F.col("quality_score") >= quality_score_min)
             .drop("quality_score"),
+            ck={"model": repr(quality_model), "score_min": quality_score_min},
         )
 
     if dsir_target is not None:
@@ -365,16 +463,30 @@ def prepare_training_corpus(
             raise ValueError("dsir_target requires dsir_n (selection size)")
         from xdump_spark.operators.dsir import dsir_resample, fit_dsir
 
-        model = fit_dsir(
-            dsir_target, cur, text_col=text_col, num_buckets=dsir_buckets
-        )
-        picked = dsir_resample(
-            cur, model, n=dsir_n, text_col=text_col, id_col=id_col,
-            temperature=dsir_temperature, seed=dsir_seed,
-        )
-        cur = note(
+        def _build_dsir(pool=cur):
+            model = fit_dsir(
+                dsir_target, pool, text_col=text_col, num_buckets=dsir_buckets
+            )
+            picked = dsir_resample(
+                pool, model, n=dsir_n, text_col=text_col, id_col=id_col,
+                temperature=dsir_temperature, seed=dsir_seed,
+            )
+            return pool.join(picked.select(id_col), id_col, "left_semi")
+
+        # thunk form: the DSIR fit runs driver jobs; a checkpoint hit
+        # must skip them, not just the materialization
+        target_fp = _frame_fp(dsir_target) if ckpt is not None else None
+        cur, _ = note_lazy(
             "dsir_selected",
-            cur.join(picked.select(id_col), id_col, "left_semi"),
+            {
+                "target": target_fp,
+                "n": dsir_n,
+                "temperature": dsir_temperature,
+                "buckets": dsir_buckets,
+                "seed": dsir_seed,
+                "text_col": text_col,
+            },
+            _build_dsir,
         )
 
     if sample_rates is not None:
@@ -383,6 +495,7 @@ def prepare_training_corpus(
         cur = note(
             "sampled",
             stratified_sample(cur, sample_rates, strata_col=strata_col, id_col=id_col),
+            ck={"rates": sample_rates, "strata_col": strata_col},
         )
 
     if benchmark is not None:
@@ -403,6 +516,10 @@ def prepare_training_corpus(
                     (F.length(F.trim(F.col(text_col))) > 0)
                     & (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= min_tokens)
                 ),
+                ck={
+                    "benchmark": _frame_fp(benchmark) if ckpt is not None else None,
+                    "policy": "strip", "k": k, "min_tokens": min_tokens,
+                },
             )
         elif contamination_policy == "drop":
             dirty = contamination_spans(
@@ -411,6 +528,10 @@ def prepare_training_corpus(
             cur = note(
                 "decontaminated",
                 cur.join(dirty, cur[id_col] == dirty["_dirty_id"], "left_anti"),
+                ck={
+                    "benchmark": _frame_fp(benchmark) if ckpt is not None else None,
+                    "policy": "drop", "k": k,
+                },
             )
         else:
             raise ValueError(
@@ -423,11 +544,23 @@ def prepare_training_corpus(
 
         # Runs LAST among selection stages: every earlier gate changes
         # the composition the rebalance has to correct.
-        cur, mixture_rates = mixture_resample(
-            cur, target_mixture, part_col=mixture_col,
-            id_col=id_col, text_col=text_col,
+        rates_box = {}
+
+        def _build_mixture(pool=cur):
+            rebalanced, rates = mixture_resample(
+                pool, target_mixture, part_col=mixture_col,
+                id_col=id_col, text_col=text_col,
+            )
+            rates_box["rates"] = rates
+            return rebalanced
+
+        cur, mix_extra = note_lazy(
+            "mixture_rebalanced",
+            {"target": target_mixture, "mixture_col": mixture_col},
+            _build_mixture,
+            extra=lambda: {"mixture_rates": rates_box["rates"]},
         )
-        cur = note("mixture_rebalanced", cur)
+        mixture_rates = mix_extra.get("mixture_rates", rates_box.get("rates"))
 
     cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
 
