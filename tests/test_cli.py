@@ -383,3 +383,33 @@ def test_cli_curate_dedup_store_increments(spark, tmp_path):
         assert [r.doc_id for r in out2.collect()] == [11]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_cli_curate_checkpoint_and_no_audit(spark, tmp_path, capsys):
+    """--checkpoint-dir resumes on the second run (printed); --no-audit
+    skips the per-stage counts."""
+    from xdump_spark import cli
+
+    ck = str(tmp_path / "ck")
+    base = [
+        "curate", "-i", "/root/testdata/sf0.001/documents.parquet",
+        "--span-k", "8", "--min-tokens", "5",
+        "--checkpoint-dir", ck,
+    ]
+    assert cli.run(cli.build_parser().parse_args(
+        base + ["-o", str(tmp_path / "o1")]), spark) == 0
+    assert "resumed from checkpoint" not in capsys.readouterr().out
+    assert cli.run(cli.build_parser().parse_args(
+        base + ["-o", str(tmp_path / "o2")]), spark) == 0
+    printed = capsys.readouterr().out
+    assert "resumed from checkpoint: cleaned, span_stripped, quality_gated" in printed
+    # --no-resume rewrites
+    assert cli.run(cli.build_parser().parse_args(
+        base + ["-o", str(tmp_path / "o3"), "--no-resume"]), spark) == 0
+    assert "resumed from checkpoint" not in capsys.readouterr().out
+    # --no-audit prints no stage counts
+    assert cli.run(cli.build_parser().parse_args(
+        ["curate", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", str(tmp_path / "o4"), "--span-k", "0", "--min-tokens", "1",
+         "--no-audit"]), spark) == 0
+    assert "input:" not in capsys.readouterr().out

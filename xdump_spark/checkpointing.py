@@ -17,13 +17,18 @@ Correctness model:
   stage name → that stage's own parameters → previous stage's
   fingerprint). A checkpoint is served only on an exact chain match, so
   a stale checkpoint can never silently feed a changed pipeline.
-* The input fingerprint hashes the source's file listing + schema
-  (``df.inputFiles()``). In-memory inputs (tests, notebooks) have no
-  file lineage and hash as ``opaque:<schema>`` — resume still works but
-  the caller owns input stability; production inputs are file-backed.
-* The manifest is written atomically (tmp + rename) AFTER each parquet
-  write succeeds, so a crash mid-write leaves the previous manifest
-  intact and the next run simply recomputes that stage.
+* The input fingerprint hashes the source's file listing + each file's
+  (size, mtime) + schema (``df.inputFiles()`` + one Hadoop
+  ``listStatus`` per parent dir) — an input file overwritten IN PLACE
+  under the same name (a re-dropped WET/CSV landing dir) invalidates,
+  not just an added/renamed file. In-memory inputs (tests, notebooks)
+  have no file lineage and fall back to a CONTENT fingerprint (one
+  count+hash-sum pass — see ``frame_fingerprint``).
+* The manifest is written atomically (tmp + rename, through the Hadoop
+  FileSystem API so ``hdfs://``/object-store checkpoint dirs work)
+  AFTER each parquet write succeeds, so a crash mid-write leaves the
+  previous manifest intact and the next run simply recomputes that
+  stage.
 * Loading a checkpoint truncates lineage (the downstream plan reads
   parquet, not the 12-stage upstream graph) — the durable analog of
   ``localCheckpoint``, which also keeps driver plans small on long
@@ -40,10 +45,11 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xdump_spark import fsutil
 
 MANIFEST = "manifest.json"
 
@@ -53,30 +59,73 @@ def _canon(obj) -> str:
     return json.dumps(obj, sort_keys=True, default=repr, separators=(",", ":"))
 
 
+def content_fingerprint(df: DataFrame) -> str:
+    """Order-independent CONTENT hash of a (small) frame: row count +
+    decimal sum of per-row ``xxhash64`` over all columns. Runs ONE Spark
+    job over the frame — meant for parameter frames (benchmark sets,
+    DSIR targets: thousands of rows), not the corpus. Stable across
+    sessions and partitionings: xxhash64 is seed-fixed, decimal addition
+    is associative/commutative, and decimal(38,0) cannot overflow below
+    ~10^19 rows. Unlike a logical-plan hash, identical DATA fingerprints
+    identically even when rebuilt in a new session (plan strings embed
+    per-session expression IDs) and different data never matches just
+    because the plan shape does (``createDataFrame`` plans don't print
+    their rows)."""
+    cols = [
+        F.to_json(F.struct(f.name)).alias(f.name)
+        if f.dataType.typeName() in ("map",)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    basis = f"content|{df.schema.json()}|{row['n']}|{row['s'] or 0}"
+    return "content:" + hashlib.sha256(basis.encode()).hexdigest()[:16]
+
+
+def _canonical_plan(df: DataFrame) -> str:
+    """Session-stable text of the analyzed plan: canonicalization
+    rewrites per-session expression IDs to positional ``none#N`` ids, so
+    the same derivation rebuilt in a new driver prints identically
+    (verified in tests; a raw plan string embeds ``col#123`` ids that
+    differ every session)."""
+    return df._jdf.queryExecution().analyzed().canonicalized().toString()
+
+
 def input_fingerprint(df: DataFrame) -> str:
-    """Hash of the source file listing + schema; ``opaque:<schema>`` when
-    the frame has no file lineage (see module docstring)."""
+    """Hash of the source file listing + per-file (size, mtime) +
+    schema + the canonicalized derivation plan; falls back to
+    :func:`content_fingerprint` when the frame has no file lineage (see
+    module docstring). The plan term matters: ``docs.filter(A)`` and
+    ``docs.filter(B)`` read the same files with the same schema — without
+    it they would share a fingerprint and resume each other's
+    checkpoints."""
     files = sorted(df.inputFiles())
     schema = df.schema.json()
     if not files:
-        return "opaque:" + hashlib.sha256(schema.encode()).hexdigest()[:16]
+        return content_fingerprint(df)
     h = hashlib.sha256(schema.encode())
-    for f in files:
-        h.update(f.encode())
+    h.update(_canonical_plan(df).encode())
+    for path, length, mtime in fsutil.file_statuses(df.sparkSession, files):
+        h.update(f"{path}|{length}|{mtime}".encode())
     return h.hexdigest()[:16]
 
 
 def frame_fingerprint(df: DataFrame | None) -> str:
     """Fingerprint for a DataFrame-valued PARAMETER (benchmark set, DSIR
-    target): file lineage when available, else the logical plan text —
-    enough to invalidate on a changed source or a changed derivation."""
+    target): file lineage when available (cheap — no data scan), else
+    the content fingerprint (one pass over the param frame). Either way
+    the fingerprint is stable across driver restarts — the resume-after-
+    crash scenario that a logical-plan hash breaks (expression IDs are
+    per-session)."""
     if df is None:
         return "none"
     files = sorted(df.inputFiles())
     if files:
         return input_fingerprint(df)
-    plan = df._jdf.queryExecution().logical().toString()
-    return "plan:" + hashlib.sha256(plan.encode()).hexdigest()[:16]
+    return content_fingerprint(df)
 
 
 class StageCheckpointer:
@@ -96,29 +145,27 @@ class StageCheckpointer:
         self.resume = resume
         self.resumed: list[str] = []
         self._chain = input_fp
-        os.makedirs(directory, exist_ok=True)
+        fsutil.mkdirs(spark, directory)
         self._manifest = self._read_manifest()
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
-        return os.path.join(self.dir, MANIFEST)
+        return fsutil.join(self.dir, MANIFEST)
 
     def _read_manifest(self) -> dict:
+        if not fsutil.exists(self.spark, self._manifest_path()):
+            return {"stages": {}}
         try:
-            with open(self._manifest_path()) as fh:
-                return json.load(fh)
-        except (FileNotFoundError, json.JSONDecodeError):
+            return json.loads(fsutil.read_text(self.spark, self._manifest_path()))
+        except (json.JSONDecodeError, OSError):
             return {"stages": {}}
 
     def _write_manifest(self) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".manifest.tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(self._manifest, fh, indent=1, sort_keys=True)
-            os.replace(tmp, self._manifest_path())
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        fsutil.write_text_atomic(
+            self.spark,
+            self._manifest_path(),
+            json.dumps(self._manifest, indent=1, sort_keys=True),
+        )
 
     # -- stages -----------------------------------------------------------
     def wants(self, stage: str) -> bool:
@@ -151,13 +198,13 @@ class StageCheckpointer:
         from the checkpoint parquet (lineage truncated either way).
         """
         fp = self.advance(stage, params)
-        path = os.path.join(self.dir, stage)
+        path = fsutil.join(self.dir, stage)
         entry = self._manifest["stages"].get(stage)
         if (
             self.resume
             and entry is not None
             and entry.get("fp") == fp
-            and os.path.isdir(path)
+            and fsutil.is_dir(self.spark, path)
         ):
             self.resumed.append(stage)
             return self.spark.read.parquet(path), entry["n"], entry.get("extra") or {}

@@ -216,6 +216,27 @@ def build_parser() -> argparse.ArgumentParser:
         "floor (redundancy gate, curation.compression_ratio_frame)",
     )
     c.add_argument(
+        "--no-audit", action="store_true",
+        help="skip per-stage doc counts (each is one count job; "
+        "production runs over a large crawl should skip them)",
+    )
+    c.add_argument(
+        "--checkpoint-dir", default=None,
+        help="restart-safe runs: materialize each stage under this dir "
+        "with a chained config fingerprint; a rerun resumes from the "
+        "latest still-valid stage (xdump_spark/checkpointing.py)",
+    )
+    c.add_argument(
+        "--checkpoint-stages", default=None, metavar="S1,S2",
+        help="comma-separated stage names to materialize (default all); "
+        "unlisted stages still chain into the fingerprint",
+    )
+    c.add_argument(
+        "--no-resume", action="store_true",
+        help="with --checkpoint-dir: rewrite every checkpoint instead "
+        "of resuming",
+    )
+    c.add_argument(
         "--quality-model", default=None, metavar="MODEL_JSON",
         help="LinearModel JSON (classifier.fit_linear_classifier output); "
         "docs scoring below --quality-min are dropped",
@@ -412,6 +433,11 @@ def run(args, spark) -> int:
                 print(f"quarantined {len(corrupt_rows)} corrupt WET file(s):")
                 for r in corrupt_rows:
                     print(f"  {r.path} @byte {r.byte_offset}: {r.reason}")
+            # materialize the parse ONCE: without this every pipeline
+            # action (each audit count, each stage with multiple
+            # consumers) re-runs the full WARC inflate+parse — O(stages)
+            # crawl parses per run
+            docs = docs.localCheckpoint(eager=True)
         else:
             docs = spark.read.parquet(args.input)
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
@@ -474,9 +500,19 @@ def run(args, spark) -> int:
             partition_by=tuple(args.partition_by),
             out_mode="overwrite" if args.overwrite else "errorifexists",
             make_card=bool(args.card_out),
+            audit=not args.no_audit,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_stages=(
+                {s.strip() for s in args.checkpoint_stages.split(",") if s.strip()}
+                if args.checkpoint_stages
+                else None
+            ),
+            resume=not args.no_resume,
         )
         for stage, n in res.audit.items():
             print(f"{stage}: {n} docs")
+        if res.resumed:
+            print(f"resumed from checkpoint: {', '.join(res.resumed)}")
         if res.mixture_rates is not None:
             print(f"mixture rates: {res.mixture_rates}")
         if args.card_out:

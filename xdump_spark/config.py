@@ -69,7 +69,8 @@ _CURATE_KEYS = {
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
-    "input_format",
+    "input_format", "audit", "checkpoint_dir", "checkpoint_stages",
+    "resume",
 }
 
 
@@ -141,6 +142,8 @@ def curate_from_config(spark: SparkSession, path: str):
             print(f"quarantined {len(corrupt_rows)} corrupt WET file(s):")
             for r in corrupt_rows:
                 print(f"  {r.path} @byte {r.byte_offset}: {r.reason}")
+        # one parse, not one per downstream action (see cli.py curate)
+        input_docs = input_docs.localCheckpoint(eager=True)
     elif cfg.get("input_format", "parquet") == "parquet":
         input_docs = spark.read.parquet(cfg["input"])
     else:
@@ -196,6 +199,12 @@ def curate_from_config(spark: SparkSession, path: str):
         out_dir=cfg["output"],
         partition_by=tuple(cfg.get("partition_by", ())),
         out_mode=mode,
+        audit=cfg.get("audit", True),
+        checkpoint_dir=cfg.get("checkpoint_dir"),
+        checkpoint_stages=(
+            set(cfg["checkpoint_stages"]) if cfg.get("checkpoint_stages") else None
+        ),
+        resume=cfg.get("resume", True),
     )
     if res.sequences is not None and cfg.get("shards_out"):
         if cfg.get("shards_format", "parquet") == "binary":

@@ -1,0 +1,134 @@
+"""Driver-side small-file IO through the Hadoop FileSystem API.
+
+The persistent-state modules (stage checkpointing, the incremental
+dedup stores, the text-index manifest) need a handful of filesystem
+primitives — exists / list / read / atomic-write / rename — for paths
+that in production are NOT on the driver's local disk (``hdfs://``,
+``s3a://``…). Python ``os``/``open`` silently sees those paths as
+absent, which turns "dedup against history" into "history is empty".
+Routing through the JVM's ``org.apache.hadoop.fs.FileSystem`` (already
+loaded in every Spark session) makes the same code correct for any
+scheme Spark itself can read.
+
+Atomicity note: ``write_text_atomic`` is write-tmp + rename. Rename is
+atomic on HDFS and on local filesystems; on S3A it is copy+delete —
+there, last-writer-wins but a reader can never see a torn file because
+the tmp name is never read. That is the same guarantee Spark's own
+``_SUCCESS``-style commit protocols settle for on object stores.
+
+The reference keeps all state in the host database and never touches a
+filesystem beyond the zip archive (``xdump/base.py:87-106``); this
+module exists because our engine's state lives in files.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def join(*parts: str) -> str:
+    """URI-safe path join (``os.path.join`` breaks on ``scheme://``
+    under Windows-style separators; posixpath semantics are what every
+    Hadoop scheme uses)."""
+    return posixpath.join(*parts)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.exists(p)
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory ([] when absent)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.delete(p, recursive)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, p = _fs(spark, src)
+    return fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Whole-file read (driver-side, for manifests — not data)."""
+    fs, p = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # commons-io ships on Spark's classpath; a py4j read loop cannot
+        # work anyway (Java byte[] args pass by value into the JVM)
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write via a tmp sibling + rename (see module docstring)."""
+    fs, p = _fs(spark, path)
+    parent = p.getParent()
+    fs.mkdirs(parent)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(
+        parent, f".{p.getName()}.tmp"
+    )
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {tmp} -> {path} failed")
+
+
+def file_statuses(spark: SparkSession, files: list[str]) -> list[tuple]:
+    """(path, length, modification_time) per file, batched one
+    ``listStatus`` per parent directory (per-file ``getFileStatus``
+    would be one namenode/object-store RPC each — a 10k-file input
+    listing is one call per directory instead)."""
+    by_parent: dict[str, set[str]] = {}
+    for f in files:
+        parent, name = posixpath.split(f)
+        by_parent.setdefault(parent, set()).add(name)
+    out = []
+    for parent, names in sorted(by_parent.items()):
+        fs, p = _fs(spark, parent)
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name in names:
+                out.append(
+                    (
+                        posixpath.join(parent, name),
+                        int(st.getLen()),
+                        int(st.getModificationTime()),
+                    )
+                )
+    return sorted(out)

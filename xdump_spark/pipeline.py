@@ -600,4 +600,5 @@ def prepare_training_corpus(
     return CorpusResult(
         corpus=cur, sequences=sequences, audit=counts, vocab=vocab,
         mixture_rates=mixture_rates, card=card,
+        resumed=list(ckpt.resumed) if ckpt is not None else [],
     )
