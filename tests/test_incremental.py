@@ -293,3 +293,171 @@ def test_exact_store_defer_commit(spark, tmp_path):
         ) == [10]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")
+
+
+# ------------------------------------------- r7 skew/size guards ----
+
+
+def _append_raw(spark, store, rows, num_perm=128, bands=32):
+    """Force rows into the store bypassing greedy acceptance (to build
+    pathological store states the guards must then handle)."""
+    from xdump_spark.operators.dedup import _norm_text, _spread, minhash_signatures
+    from xdump_spark.operators.incremental import _banded
+
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    normed = _spread(df.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), _norm_text(F.col("text")).alias("_norm")
+    )
+    sigs = minhash_signatures(normed, num_perm)
+    store.append(_banded(sigs, num_perm, bands).localCheckpoint(eager=True))
+
+
+def test_incremental_neardup_guard_equivalent_off_pathology(spark, tmp_path):
+    """On non-pathological data the max_bucket guard changes nothing:
+    guarded and unguarded increments accept the same docs and report the
+    same pairs."""
+    batches = [
+        [(1, BASE), (2, NEAR), (3, OTHER)],
+        [(10, NEAR), (11, OTHER), (12, THIRD)],
+    ]
+    results = []
+    for name, mb in (("g", 1000), ("u", None)):
+        store = SignatureStore(spark, str(tmp_path / name))
+        out = []
+        for b in batches:
+            r = incremental_neardup(
+                spark.createDataFrame(b, DOC_SCHEMA), store, max_bucket=mb
+            )
+            out.append((sorted(_ids(r.accepted)), r.pairs))
+        results.append(out)
+    assert results[0] == results[1]
+
+
+def test_incremental_neardup_template_cluster_bounded(spark, tmp_path):
+    """The r6-soak blowup shape: a template cluster inside one batch.
+    With the hot-bucket guard the increment completes with BOUNDED pair
+    work (template docs are kept, the documented tradeoff); unguarded it
+    trips the max_pairs driver bound and raises with guidance instead of
+    collecting the quadratic pair set."""
+    template = [(i, "identical template boilerplate page " * 3) for i in range(200)]
+    distinct = [(1000, BASE), (1001, OTHER), (1002, THIRD)]
+    batch = spark.createDataFrame(template + distinct, DOC_SCHEMA)
+
+    store = SignatureStore(spark, str(tmp_path / "g"))
+    r = incremental_neardup(batch, store, max_bucket=50)
+    # template bucket (200 > 50) excluded -> all template docs kept
+    assert len(_ids(r.accepted)) == 203 and r.pairs == []
+
+    store2 = SignatureStore(spark, str(tmp_path / "u"))
+    with pytest.raises(ValueError, match="max_pairs"):
+        incremental_neardup(
+            batch, store2, max_bucket=None, max_pairs=1000
+        )  # 200-doc cluster -> 19900 intra pairs > 1000
+
+
+def test_incremental_neardup_hot_bucket_in_store(spark, tmp_path):
+    """A template cluster living in the STORE (accumulated history) is
+    guarded by the COMBINED count: a new probe matching it is excluded
+    from candidates and accepted rather than joined against the whole
+    cluster."""
+    store = SignatureStore(spark, str(tmp_path / "s"))
+    tpl = "accumulated template boilerplate from many prior crawls " * 2
+    _append_raw(spark, store, [(i, tpl) for i in range(60)])
+
+    probe = spark.createDataFrame([(999, tpl), (1000, OTHER)], DOC_SCHEMA)
+    r = incremental_neardup(probe, store, max_bucket=30)
+    assert _ids(r.accepted) == [999, 1000] and r.pairs == []
+    # and WITHOUT the guard the same probe is rejected against history
+    store2 = SignatureStore(spark, str(tmp_path / "s2"))
+    _append_raw(spark, store2, [(i, tpl) for i in range(60)])
+    r2 = incremental_neardup(probe, store2, max_bucket=None)
+    assert _ids(r2.accepted) == [1000]
+    assert [(d, k) for d, k, _ in r2.pairs] == [(999, 0)]
+
+
+def test_incremental_neardup_store_hit_evidence_same_row(spark, tmp_path):
+    """ADVICE r6: kept_id and est_jaccard must come from the SAME best
+    candidate — max est, tie-break min kept_id — not independent
+    min(kept_id)/max(est) aggregates. Store doc 1 (moderate overlap with
+    the probe) and doc 2 (near-exact): the reported pair must be
+    (probe, 2, est(probe,2)), not kept_id=1 wearing doc 2's est."""
+    half = "the quick brown fox jumps over the lazy dog near the old barn "
+    other_half = "while rain hammers the tin roof and the river rises slowly "
+    probe_text = half + other_half
+    store = SignatureStore(spark, str(tmp_path / "s"))
+    _append_raw(spark, store, [(1, half + "completely different tail content here")])
+    _append_raw(spark, store, [(2, probe_text + "x")])
+
+    probe = spark.createDataFrame([(50, probe_text)], DOC_SCHEMA)
+    r = incremental_neardup(probe, store, threshold=0.2)
+    assert len(r.pairs) == 1
+    d, k, est = r.pairs[0]
+    assert (d, k) == (50, 2)
+    assert est > 0.9  # doc 2's evidence, not doc 1's moderate est
+
+
+# --------------------------------------- r7 components resolution ----
+
+
+def test_incremental_components_basic(spark, tmp_path):
+    """resolve='components' on sparse data: cluster {1,2} keeps the min
+    id, rejects arrive as a DataFrame (pairs stays empty), and the next
+    increment dedups against the store like greedy would."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    b1 = spark.createDataFrame([(1, BASE), (2, NEAR), (3, OTHER)], DOC_SCHEMA)
+    r1 = incremental_neardup(b1, store, resolve="components")
+    assert _ids(r1.accepted) == [1, 3]
+    assert r1.pairs == [] and r1.rejects is not None
+    rej = sorted((r.dup_id, r.kept_id) for r in r1.rejects.collect())
+    assert rej == [(2, 1)]
+    assert r1.store_rows == 2
+
+    b2 = spark.createDataFrame([(10, NEAR), (11, OTHER), (12, THIRD)], DOC_SCHEMA)
+    r2 = incremental_neardup(b2, store, resolve="components")
+    assert _ids(r2.accepted) == [12]
+    rej2 = sorted((r.dup_id, r.kept_id) for r in r2.rejects.collect())
+    assert rej2 == [(10, 1), (11, 3)]
+
+
+def test_incremental_components_store_tainted_cluster(spark, tmp_path):
+    """A whole intra-batch cluster touching the store is rejected
+    WHOLESALE against the stored survivor — here greedy and components
+    agree (both reject 20 and 21 against stored doc 1), and the store
+    gains nothing."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    incremental_neardup(spark.createDataFrame([(1, BASE)], DOC_SCHEMA), store)
+
+    b2 = spark.createDataFrame([(20, NEAR), (21, NEAR)], DOC_SCHEMA)
+    r2 = incremental_neardup(b2, store, resolve="components")
+    assert _ids(r2.accepted) == []
+    rej = sorted((r.dup_id, r.kept_id) for r in r2.rejects.collect())
+    assert rej == [(20, 1), (21, 1)]
+    assert r2.store_rows == 1
+
+
+def test_incremental_components_template_cluster_distributed(spark, tmp_path):
+    """The 4.2B-pair blowup shape resolved WITHOUT guards and WITHOUT
+    any driver-side pair collect: a 200-doc template cluster under
+    resolve='components' keeps exactly the min id; rejects carry the
+    direct-edge evidence for every member (all estimates 1.0 — every
+    pair is a real near-dup here)."""
+    template = [(i, "identical template boilerplate page " * 3) for i in range(100, 300)]
+    distinct = [(1000, BASE), (1001, OTHER)]
+    batch = spark.createDataFrame(template + distinct, DOC_SCHEMA)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    r = incremental_neardup(
+        batch, store, max_bucket=None, max_pairs=1, resolve="components"
+    )  # max_pairs=1 proves the driver bound is never consulted
+    assert _ids(r.accepted) == [100, 1000, 1001]
+    rej = r.rejects
+    assert rej.count() == 199
+    assert rej.filter(F.col("kept_id") != 100).count() == 0
+    assert rej.filter(F.col("est") < 0.99).count() == 0
+
+
+def test_incremental_resolve_validation(spark, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="resolve"):
+        incremental_neardup(
+            spark.createDataFrame([(1, BASE)], DOC_SCHEMA), store, resolve="nope"
+        )

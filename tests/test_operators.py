@@ -585,9 +585,12 @@ def test_lsh_pair_sets_golden_sf0001(spark):
     d001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     mp = sorted((r.id_a, r.id_b) for r in D.minhash_lsh_pairs(d001, threshold=0.5).collect())
     sp = sorted((r.id_a, r.id_b) for r in D.simhash_pairs(d001).collect())
-    assert len(mp) == 191
+    # re-pinned r7 when the defaults moved to the measured corpus-scale
+    # setting (num_perm 64→128 with bands 16→32: same r=4 S-curve,
+    # sharper estimate verification → 191→162 pairs at threshold 0.5)
+    assert len(mp) == 162
     assert hashlib.sha256(repr(mp).encode()).hexdigest() == (
-        "73d85e13e5fd841c14c07250a50fbf82c963bf864ff37f8b03e7265c0c302f38"
+        "cc06959572c7bfe1fdcb5a44ed3640655f0cbcdd25d4ab5ec60e5e2377130f4d"
     )
     assert len(sp) == 401
     assert hashlib.sha256(repr(sp).encode()).hexdigest() == (

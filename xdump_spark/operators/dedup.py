@@ -33,9 +33,10 @@ from xdump_spark.operators.text import tokens
 _MERSENNE = (1 << 61) - 1
 
 # Signature frames up to this many rows are broadcast into pair-
-# verification joins (~600 B/row at num_perm=64 → ≤ ~300 MB executor-side;
-# beyond that the candidate pairs go through shuffled joins instead).
-_BROADCAST_SIG_LIMIT = 500_000
+# verification joins (~1.1 KB/row at the num_perm=128 default → ≤
+# ~300 MB executor-side; beyond that the candidate pairs go through
+# shuffled joins instead).
+_BROADCAST_SIG_LIMIT = 250_000
 
 # verify="exact" broadcasts every doc's hashed shingle set (~8 B/shingle,
 # a few KB/doc) into BOTH candidate joins; cap the corpus it accepts so
@@ -118,7 +119,7 @@ def char_shingles(text_col, k: int = 5):
 
 def minhash_signatures(
     normed: DataFrame,
-    num_perm: int = 64,
+    num_perm: int = 128,
     shingle_k: int = 5,
     id_col: str = "id",
     text_col: str = "_norm",
@@ -226,8 +227,8 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 128,
+    bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
@@ -246,10 +247,10 @@ def minhash_lsh_pairs(
       and ~4× the end-to-end time). Calibrated against exact at soak
       scale (r6, SCALE.md): at threshold 0.6 recall is ~1.0 at any
       num_perm, but precision is 0.64 at num_perm=64 (±0.125 admits
-      pairs with true Jaccard ≥ ~0.48) vs 0.97 at num_perm=128 — at
-      corpus scale, where near-threshold pair mass is guaranteed,
-      prefer ``num_perm=128`` unless over-removing marginal near-dups
-      is acceptable.
+      pairs with true Jaccard ≥ ~0.48) vs 0.97 at num_perm=128 — hence
+      the 128 DEFAULT (r7; the measurement made it binding). Pass
+      ``num_perm=64`` to halve signature cost where over-removing
+      marginal near-dups is acceptable.
     * ``"exact"``: exact shingle-set Jaccard per candidate pair — the
       oracle baseline; O(|doc|) per pair, fine at small n.
 

@@ -29,7 +29,6 @@ O(|near-dup pairs|), not O(|batch|).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,9 +66,11 @@ def _estimate_jaccard(sig_a, sig_b, num_perm: int):
 class IncrementResult:
     """One increment's outcome."""
 
-    pairs: list[tuple]      # (dup_id, kept_id, est_jaccard), sorted
+    pairs: list[tuple]      # greedy mode: (dup_id, kept_id, est), sorted
     accepted: DataFrame     # (id) — appended to the store
     store_rows: int         # distinct stored ids after the increment
+    rejects: DataFrame | None = None  # components mode: (dup_id, kept_id,
+    #   est) as a DataFrame — never collected (may be cluster-quadratic)
 
 
 class SignatureStore:
@@ -82,8 +83,14 @@ class SignatureStore:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        # Hadoop FS, not os.path: on hdfs:///object-store paths a local
+        # isdir() is always False, which would silently treat the store
+        # as EMPTY and skip dedup against all history (ADVICE r6)
+        from xdump_spark import fsutil
+
+        return fsutil.is_dir(self.spark, self.path) and any(
+            not n.startswith((".", "_"))
+            for n in fsutil.list_names(self.spark, self.path)
         )
 
     def read(self) -> DataFrame | None:
@@ -100,12 +107,58 @@ def incremental_neardup(
     store: SignatureStore,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 128,
+    bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    max_pairs: int = 1_000_000,
+    resolve: str = "greedy",
 ) -> IncrementResult:
-    """Run one dedup increment (see module docstring for semantics)."""
+    """Run one dedup increment (see module docstring for semantics).
+
+    ``resolve`` picks how colliding docs are adjudicated:
+
+    * ``"greedy"`` (default) — exact greedy-sequential semantics (the
+      batch behaves as if it arrived one doc at a time), resolved on
+      the driver over the near-dup PAIRS only. Correct and cheap when
+      pairs are sparse; bounded by ``max_pairs`` (it raises past it —
+      a template-heavy batch has cluster-QUADRATIC true pairs that no
+      banding guard can thin, because they are real near-dups).
+    * ``"components"`` — fully distributed: near-dup clusters via
+      pointer-jumping connected components, min-id survivor per
+      cluster, clusters touching the store rejected wholesale (the Lee
+      et al. 2022 cluster semantics, like ``fuzzy_dedup``). Nothing is
+      ever collected; ``IncrementResult.rejects`` carries
+      (dup_id, kept_id, est) as a DataFrame and ``pairs`` is empty.
+      Differs from greedy on chains: in a path a-b-c greedy keeps
+      {a, c}, components keeps {a}. The scale path — measured on the
+      r6 skew soak's 25 k-doc template cluster (SCALE.md r7).
+
+    Skew/size guards (the r6 soak measured an UNGUARDED banded self-join
+    emitting 4.2 B candidate pairs from one 25 k-doc template cluster —
+    here those pairs would also land in driver memory):
+
+    * ``max_bucket`` — (band, bucket) groups whose COMBINED new+stored
+      membership exceeds it are excluded from candidate generation, the
+      same guard (and default) as ``dedup.minhash_lsh_pairs``: docs
+      whose only collisions are inside a degenerate template bucket are
+      kept rather than quadratically compared. ``None`` disables.
+    * ``max_pairs`` — hard bound on the near-dup pairs collected for
+      driver-side greedy resolution; past it the increment raises with
+      guidance (shrink the batch, pre-dedup exact, or lower
+      ``max_bucket``) instead of silently OOMing the driver.
+
+    ``num_perm`` defaults to 128: the r6 soak calibration (SCALE.md)
+    measured estimate-verification precision 0.64 at 64 perms vs 0.97
+    at 128 (threshold 0.6, recall ~1.0 at both) — at corpus scale,
+    where near-threshold pair mass is guaranteed, 64 over-rejects.
+    Signatures already in a store written at a different ``num_perm``
+    will mismatch; pass the store's setting explicitly when resuming an
+    older store.
+    """
+    if resolve not in ("greedy", "components"):
+        raise ValueError(f"resolve must be 'greedy' or 'components', got {resolve!r}")
     spark = new_docs.sparkSession
     normed = _spread(new_docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
@@ -114,16 +167,63 @@ def incremental_neardup(
     banded = _banded(sigs, num_perm, bands).localCheckpoint(eager=True)
 
     est = _estimate_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm)
+    stored = store.read()
+
+    if max_bucket is not None:
+        # Hot (band, bucket) groups by COMBINED membership: a template
+        # cluster may live entirely in the store (new docs keep matching
+        # it), entirely in the batch, or straddle both. Counts shuffle
+        # map-side-combined (band, bucket, n) rows only; the store scan
+        # is 2 small columns of an already-probed table. The hot set is
+        # tiny (it takes >max_bucket members to enter) → broadcast
+        # anti-join, same shape as dedup.minhash_lsh_pairs.
+        new_counts = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("n")
+        )
+        if stored is not None:
+            both = new_counts.unionByName(
+                stored.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+            )
+            combined = both.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+        else:
+            combined = new_counts
+        hot = (
+            combined.filter(F.col("n") > max_bucket)
+            .select("band", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        banded_cand = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    else:
+        banded_cand = banded
+
+    def _bounded_collect(df: DataFrame, what: str) -> list:
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        if n > max_pairs:
+            raise ValueError(
+                f"incremental_neardup: {n} {what} exceed max_pairs="
+                f"{max_pairs}; greedy resolution would collect them all "
+                "to the driver. Shrink the increment batch, run "
+                "incremental_exact_dedup first (template re-crawls are "
+                "mostly byte-identical), or lower max_bucket to drop "
+                "degenerate template buckets."
+            )
+        return df.collect()
 
     # new vs STORE: equi-join on the band key; the (small) new side
     # broadcasts, the store side prunes to matching band partitions.
-    # Only COLLIDING pairs come back to the driver.
-    stored = store.read()
+    # kept_id and est are taken from the SAME best candidate row (max
+    # est, tie-break min kept_id — the intra-batch greedy's ordering),
+    # not independent min/max aggregates that could pair an id with
+    # another doc's score.
+    best = F.min(
+        F.struct((-F.col("est")).alias("neg_est"), F.col("kept_id"))
+    ).alias("best")
     if stored is not None:
-        store_hits = (
+        store_hits_df = (
             stored.join(
                 F.broadcast(
-                    banded.select(
+                    banded_cand.select(
                         "band", "bucket",
                         F.col("id").alias("new_id"), F.col("sig").alias("sig_a"),
                     )
@@ -135,48 +235,144 @@ def incremental_neardup(
             .withColumn("est", est)
             .filter(F.col("est") >= threshold)
             .groupBy("new_id")
-            .agg(F.min("kept_id").alias("kept_id"), F.max("est").alias("est"))
-            .collect()
+            .agg(best)
+            .select(
+                "new_id",
+                F.col("best.kept_id").alias("kept_id"),
+                (-F.col("best.neg_est")).alias("est"),
+            )
         )
     else:
-        store_hits = []
-    rejected: dict = {r["new_id"]: (r["kept_id"], r["est"]) for r in store_hits}
+        store_hits_df = None
 
-    # new vs NEW bucket-collision pairs (id_a < id_b), then the greedy
-    # sequential resolution over pair-involved ids only.
-    l = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    r = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    intra = (
+    # new vs NEW bucket-collision pairs (id_a < id_b), verified on
+    # signature agreement — still a DataFrame at this point; whether it
+    # ever reaches the driver depends on ``resolve``.
+    l = banded_cand.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    r = banded_cand.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    intra_df = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("est", est)
         .filter(F.col("est") >= threshold)
         .select("id_a", "id_b", "est")
-        .collect()
     )
-    partners: dict = {}
-    for row in intra:
-        partners.setdefault(row["id_b"], []).append((row["id_a"], row["est"]))
-    for d in sorted(partners):
-        if d in rejected:
-            continue
-        hits = [(a, e) for a, e in partners[d] if a not in rejected]
-        if hits:
-            kept, e = max(hits, key=lambda h: (h[1], -h[0]))
-            rejected[d] = (kept, e)
 
-    pairs = sorted((d, k, e) for d, (k, e) in rejected.items())
-    if rejected:
-        rej_df = spark.createDataFrame([(int(d),) for d in rejected], "id long")
-        accepted_banded = banded.join(F.broadcast(rej_df), "id", "left_anti")
+    if resolve == "components":
+        rejects_df = _resolve_components(
+            spark, sigs, intra_df, store_hits_df
+        ).localCheckpoint(eager=True)
+        pairs = []
+        rejected_ids = rejects_df.select(F.col("dup_id").alias("id"))
+        accepted_banded = banded.join(rejected_ids, "id", "left_anti")
     else:
-        accepted_banded = banded
+        store_hits = (
+            _bounded_collect(store_hits_df, "store-hit docs")
+            if store_hits_df is not None
+            else []
+        )
+        rejected: dict = {r["new_id"]: (r["kept_id"], r["est"]) for r in store_hits}
+        intra = _bounded_collect(intra_df, "intra-batch near-dup pairs")
+        partners: dict = {}
+        for row in intra:
+            partners.setdefault(row["id_b"], []).append((row["id_a"], row["est"]))
+        for d in sorted(partners):
+            if d in rejected:
+                continue
+            hits = [(a, e) for a, e in partners[d] if a not in rejected]
+            if hits:
+                kept, e = max(hits, key=lambda h: (h[1], -h[0]))
+                rejected[d] = (kept, e)
+
+        pairs = sorted((d, k, e) for d, (k, e) in rejected.items())
+        if rejected:
+            rej_df = spark.createDataFrame([(int(d),) for d in rejected], "id long")
+            rejects_df = None
+            accepted_banded = banded.join(F.broadcast(rej_df), "id", "left_anti")
+        else:
+            rejects_df = None
+            accepted_banded = banded
     accepted_banded = accepted_banded.localCheckpoint(eager=True)
     store.append(accepted_banded)
     accepted = accepted_banded.select("id").distinct()
     n = store.read().select("id").distinct().count()
-    return IncrementResult(pairs=pairs, accepted=accepted, store_rows=n)
+    return IncrementResult(
+        pairs=pairs, accepted=accepted, store_rows=n, rejects=rejects_df
+    )
+
+
+def _resolve_components(
+    spark: SparkSession,
+    sigs: DataFrame,
+    intra_df: DataFrame,
+    store_hits_df: DataFrame | None,
+) -> DataFrame:
+    """Fully-distributed resolution: near-dup CLUSTERS, one survivor per
+    untainted cluster (min id), everything in a store-tainted cluster
+    rejected. No pair list ever reaches the driver — the path for
+    template-heavy batches where even correct near-dup pairs are
+    quadratic in the cluster size.
+
+    Returns (dup_id, kept_id, est): ``kept_id`` is the stored doc (best
+    store hit of the cluster) or the cluster's surviving min id;
+    ``est`` is the doc's own best direct-edge estimate where it has one
+    (store hit or intra pair), NULL for purely transitive members."""
+    from xdump_spark.operators.components import connected_components
+
+    comp = connected_components(
+        intra_df.select("id_a", "id_b"), vertices=sigs, vertex_col="id"
+    ).select("vertex", "component")
+
+    if store_hits_df is not None:
+        hit = store_hits_df
+        tainted = (
+            comp.join(hit, comp["vertex"] == hit["new_id"])
+            .groupBy("component")
+            .agg(
+                F.min(
+                    F.struct((-F.col("est")).alias("neg_est"), F.col("kept_id"))
+                ).alias("b")
+            )
+            .select(
+                F.col("component").alias("t_comp"),
+                F.col("b.kept_id").alias("store_kept"),
+            )
+        )
+        labeled = comp.join(tainted, comp["component"] == tainted["t_comp"], "left")
+    else:
+        labeled = comp.withColumn("store_kept", F.lit(None).cast("long"))
+
+    rejects = labeled.filter(
+        F.col("store_kept").isNotNull() | (F.col("vertex") != F.col("component"))
+    ).select(
+        F.col("vertex").alias("dup_id"),
+        F.coalesce("store_kept", "component").alias("kept_id"),
+    )
+
+    # evidence column: the doc's best DIRECT near-dup estimate (its own
+    # store hit, or its strongest intra edge) — not necessarily vs the
+    # survivor, which a transitive member never directly compared to
+    intra_best = (
+        intra_df.select(F.col("id_a").alias("e_id"), "est")
+        .unionByName(intra_df.select(F.col("id_b").alias("e_id"), "est"))
+        .groupBy("e_id")
+        .agg(F.max("est").alias("edge_est"))
+    )
+    ev = intra_best
+    if store_hits_df is not None:
+        ev = (
+            ev.unionByName(
+                store_hits_df.select(
+                    F.col("new_id").alias("e_id"), F.col("est").alias("edge_est")
+                )
+            )
+            .groupBy("e_id")
+            .agg(F.max("edge_est").alias("edge_est"))
+        )
+    return rejects.join(ev, rejects["dup_id"] == ev["e_id"], "left").select(
+        "dup_id", "kept_id", F.col("edge_est").alias("est")
+    )
 
 
 class ExactHashStore:
