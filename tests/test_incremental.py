@@ -461,3 +461,116 @@ def test_incremental_resolve_validation(spark, tmp_path):
         incremental_neardup(
             spark.createDataFrame([(1, BASE)], DOC_SCHEMA), store, resolve="nope"
         )
+
+
+# ----------------------------------------- r7 compaction + stats ----
+
+
+def test_signature_store_compact_preserves_decisions(spark, tmp_path):
+    """N appends -> compact -> identical dedup decisions, fewer files,
+    same distinct-row count. Twin stores: one compacted between
+    increments, one not; increment 3 must behave identically on both."""
+    batches = [
+        [(1, BASE), (2, NEAR), (3, OTHER)],
+        [(10, THIRD), (11, BASE + " extra tail"), (12, OTHER + " and more")],
+    ]
+    probe = [(20, NEAR), (21, THIRD), (22, "fresh unseen text about nothing at all here")]
+
+    stores = {}
+    for name in ("c", "u"):
+        s = SignatureStore(spark, str(tmp_path / name))
+        for b in batches:
+            incremental_neardup(spark.createDataFrame(b, DOC_SCHEMA), s)
+        stores[name] = s
+
+    st_before = stores["c"].stats()
+    assert st_before["files"] > st_before["bands"]  # 2 appends -> >=2 files/band
+    rpt = stores["c"].compact()
+    st_after = stores["c"].stats()
+    assert rpt["files_after"] < rpt["files_before"]
+    assert st_after["files"] == st_after["bands"]  # 1 file per band at this size
+    assert st_after["rows"] == st_before["rows"]
+
+    r_c = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["c"])
+    r_u = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["u"])
+    assert _ids(r_c.accepted) == _ids(r_u.accepted) == [22]
+    assert r_c.pairs == r_u.pairs
+    assert r_c.store_rows == r_u.store_rows
+
+
+def test_signature_store_compact_respects_target_bytes(spark, tmp_path):
+    """A tiny target_file_bytes keeps multiple files per band (no
+    pointless merge below the threshold); a huge one merges to 1."""
+    s = SignatureStore(spark, str(tmp_path / "s"))
+    for i in range(3):
+        incremental_neardup(
+            spark.createDataFrame(
+                [(100 * i + j, f"distinct doc {i} {j} " + OTHER[: 5 * j]) for j in range(3)],
+                DOC_SCHEMA,
+            ),
+            s,
+        )
+    before = s.stats()["files"]
+    rpt = s.compact(target_file_bytes=1)  # every file already >= 1 byte
+    assert rpt["files_after"] == before and rpt["bands_compacted"] == 0
+    rpt2 = s.compact()  # default 128 MB >> store size -> full merge
+    assert rpt2["files_after"] == s.stats()["bands"]
+
+
+def test_exact_hash_store_compact(spark, tmp_path):
+    """Appends pile up files; compact() rewrites to one file per bucket,
+    preserves every dedup decision, and keeps the bucketed no-shuffle
+    plan property (history scan stays `Bucketed: true`, one Exchange)."""
+    import re
+    import uuid
+
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        content_hashes,
+        incremental_exact_dedup,
+    )
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    store = ExactHashStore(spark, name, n_buckets=4, path=str(tmp_path / name))
+    try:
+        for i in range(3):
+            incremental_exact_dedup(
+                spark.createDataFrame(
+                    [(100 * i + j, f"doc {i}-{j % 8}") for j in range(12)],
+                    DOC_SCHEMA,
+                ),
+                store,
+            )
+        before = store.stats()
+        assert before["files"] > store.n_buckets
+        rpt = store.compact()
+        after = store.stats()
+        assert rpt["files_after"] <= store.n_buckets
+        assert after["rows"] == before["rows"]
+
+        # decisions preserved: re-sent docs all dup, one fresh accepted
+        probe = spark.createDataFrame(
+            [(900, "doc 0-0"), (901, "doc 2-7"), (902, "doc brand new")],
+            DOC_SCHEMA,
+        )
+        accepted, commit = incremental_exact_dedup(store=store, new_docs=probe, defer_commit=True)
+        assert [r.id for r in accepted.collect()] == [902]
+
+        # plan property survives compaction
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = (
+                content_hashes(probe)
+                .repartition(store.n_buckets, "h1", "h2")
+                .groupBy("h1", "h2")
+                .agg(F.min("id").alias("id"))
+            )
+            j = batch.join(store.read(), ["h1", "h2"], "left_anti")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert len(re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)) == 1, plan
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")

@@ -634,3 +634,82 @@ def test_pipeline_fuzzy_kwargs_overlap_rejected(spark):
             docs, span_k=None, doc_dedup="fuzzy",
             fuzzy_kwargs={"threshold": 0.7},
         )
+
+
+def test_pipeline_checkpoint_with_dedup_store(spark, tmp_path):
+    """r7: checkpoint_dir COMPOSES with dedup_store. (a) A re-run of the
+    same increment (resume after a crash that already committed) resumes
+    the dedup stage and does NOT double-append. (b) A run whose store
+    commit crashed is replayed by the resume from the checkpointed stage
+    output — without recomputing the dedup. (c) The store after the
+    checkpointed runs is hash-for-hash identical to an uninterrupted
+    twin without checkpointing."""
+    import uuid
+
+    from xdump_spark.operators.incremental import ExactHashStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    day1 = spark.createDataFrame(
+        [(1, "articles about distributed query engines and shuffles"),
+         (2, "articles about distributed query engines and shuffles"),
+         (3, "a second subject concerning parquet footers and row groups")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "Articles  about distributed query engines and SHUFFLES"),
+         (11, "genuinely new content that only day two contains")],
+        "doc_id long, text string",
+    )
+    kw = dict(span_k=None, min_tokens=1, doc_dedup="exact")
+    names = [f"seen_{uuid.uuid4().hex[:8]}" for _ in range(2)]
+    try:
+        store = ExactHashStore(spark, names[0], n_buckets=4,
+                               path=str(tmp_path / names[0]))
+
+        # (b) first attempt: commit crashes AFTER the stage checkpointed
+        real_append = store.append
+        store.append = lambda *_a, **_k: (_ for _ in ()).throw(IOError("s3 flake"))
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            prepare_training_corpus(
+                day1, dedup_store=store,
+                checkpoint_dir=str(tmp_path / "ck"), **kw,
+            )
+        store.append = real_append
+        assert store.read() is None  # nothing committed
+
+        # resume: dedup stage served from checkpoint, commit replayed
+        r1 = prepare_training_corpus(
+            day1, dedup_store=store, checkpoint_dir=str(tmp_path / "ck"), **kw,
+        )
+        assert "doc_deduped" in r1.resumed
+        assert {r.doc_id for r in r1.corpus.collect()} == {1, 3}
+        assert store.read().count() == 2
+
+        # (a) re-run of the SAME increment: no double append
+        r1b = prepare_training_corpus(
+            day1, dedup_store=store, checkpoint_dir=str(tmp_path / "ck"), **kw,
+        )
+        assert "doc_deduped" in r1b.resumed
+        assert store.read().count() == 2
+
+        # new increment -> new fingerprint -> fresh compute + commit
+        r2 = prepare_training_corpus(
+            day2, dedup_store=store, checkpoint_dir=str(tmp_path / "ck"), **kw,
+        )
+        assert r2.resumed == []
+        assert {r.doc_id for r in r2.corpus.collect()} == {11}
+        assert store.read().count() == 3
+
+        # (c) uninterrupted twin without checkpointing: identical hashes
+        twin = ExactHashStore(spark, names[1], n_buckets=4,
+                              path=str(tmp_path / names[1]))
+        prepare_training_corpus(day1, dedup_store=twin, **kw)
+        prepare_training_corpus(day2, dedup_store=twin, **kw)
+        a = {(r.h1, r.h2) for r in store.read().collect()}
+        b = {(r.h1, r.h2) for r in twin.read().collect()}
+        assert a == b and len(a) == 3
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")

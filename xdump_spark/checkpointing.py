@@ -171,6 +171,29 @@ class StageCheckpointer:
     def wants(self, stage: str) -> bool:
         return self.stages is None or stage in self.stages
 
+    @property
+    def chain(self) -> str:
+        """The current chain fingerprint — the identity of the pipeline
+        up to and including the last advanced stage."""
+        return self._chain
+
+    # -- side-effect marks ------------------------------------------------
+    def is_marked(self, name: str, fp: str) -> bool:
+        """True iff the side effect ``name`` was already performed for
+        chain fingerprint ``fp`` (see :meth:`mark`)."""
+        return self._manifest.get("marks", {}).get(name) == fp
+
+    def mark(self, name: str, fp: str) -> None:
+        """Record that a NON-IDEMPOTENT side effect (e.g. an
+        ExactHashStore append) ran for chain fingerprint ``fp``, so a
+        resumed run skips it instead of doubling it. Mark AFTER the
+        effect: a crash between effect and mark re-runs the effect on
+        resume, so only effects whose duplicate application is harmless
+        (store appends are — duplicate hashes cannot change an anti-join)
+        should use this."""
+        self._manifest.setdefault("marks", {})[name] = fp
+        self._write_manifest()
+
     def advance(self, stage: str, params: dict) -> str:
         """Extend the fingerprint chain through ``stage`` (called for
         every checkpointable stage in pipeline order, whether or not the

@@ -109,6 +109,31 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
         raise IOError(f"rename {tmp} -> {path} failed")
 
 
+def list_data_files(spark: SparkSession, path: str) -> list[tuple]:
+    """(path, bytes) for every DATA file under ``path``, recursively —
+    hidden/metadata entries (``.``/``_`` prefixes: ``_SUCCESS``,
+    ``.crc``, in-flight ``.tmp``) skipped at every level. One
+    ``listStatus`` per directory. [] when ``path`` is absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out: list[tuple] = []
+    stack = [p]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                # full URI string (keeps the scheme — s3a://… must
+                # round-trip back into read.parquet / delete calls)
+                out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
 def file_statuses(spark: SparkSession, files: list[str]) -> list[tuple]:
     """(path, length, modification_time) per file, batched one
     ``listStatus`` per parent directory (per-file ``getFileStatus``

@@ -101,6 +101,72 @@ class SignatureStore:
     def append(self, banded: DataFrame) -> None:
         banded.write.mode("append").partitionBy("band").parquet(self.path)
 
+    def stats(self) -> dict:
+        """{files, bytes, rows, bands} — the compaction trigger inputs.
+        ``rows`` is a parquet metadata count (footers only, no data
+        scan); [0-stats] when the store does not exist yet."""
+        from xdump_spark import fsutil
+
+        files = fsutil.list_data_files(self.spark, self.path)
+        bands = {
+            f.rsplit("/", 2)[-2] for f, _ in files if "/band=" in f
+        }
+        rows = (
+            self.spark.read.parquet(self.path).count() if files else 0
+        )
+        return {
+            "files": len(files),
+            "bytes": sum(b for _, b in files),
+            "rows": rows,
+            "bands": len(bands),
+        }
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite each band partition's accumulated small append files
+        into ~``target_file_bytes`` files. A daily-crawl store takes one
+        parquet append per increment FOREVER (365 files/band/year); on
+        an object store every subsequent probe join pays that listing +
+        open cost. Returns {files_before, files_after, bands_compacted}.
+
+        Discipline: per band dir, list the data files as of now, read
+        EXACTLY those files, append the coalesced rewrite into the same
+        dir, then delete the listed originals. A crash mid-compact can
+        only leave DUPLICATE rows, never lose any — and duplicate store
+        rows cannot change a dedup decision (candidate pairs are
+        dropDuplicates-ed, ``store_rows`` counts distinct ids; at worst
+        a combined hot-bucket count is transiently overstated, which
+        only makes the guard more conservative). Concurrent appends are
+        safe: files landing after the listing are never touched."""
+        from xdump_spark import fsutil
+
+        before = fsutil.list_data_files(self.spark, self.path)
+        by_band: dict[str, list[tuple]] = {}
+        for f, b in before:
+            head, _, _ = f.rpartition("/")
+            if "/band=" in f:
+                by_band.setdefault(head, []).append((f, b))
+        compacted = 0
+        for band_dir, files in sorted(by_band.items()):
+            total = sum(b for _, b in files)
+            n_out = max(1, -(-total // target_file_bytes))
+            if len(files) <= n_out:
+                continue
+            (
+                self.spark.read.parquet(*[f for f, _ in files])
+                .coalesce(n_out)
+                .write.mode("append")
+                .parquet(band_dir)
+            )
+            for f, _ in files:
+                fsutil.delete(self.spark, f, recursive=False)
+            compacted += 1
+        after = fsutil.list_data_files(self.spark, self.path)
+        return {
+            "files_before": len(before),
+            "files_after": len(after),
+            "bands_compacted": compacted,
+        }
+
 
 def incremental_neardup(
     new_docs: DataFrame,
@@ -427,6 +493,69 @@ class ExactHashStore:
         # append from another thread (foreachBatch) is invisible to
         # readers until refreshed
         self.spark.catalog.refreshTable(self.table_name)
+
+    def stats(self) -> dict:
+        """{files, bytes, rows, buckets} ([0-stats] when absent).
+        ``files`` counts data files across all buckets — each append
+        adds up to ``n_buckets`` files, so a daily store accrues
+        365 × n_buckets files/year without compaction."""
+        if not self.exists():
+            return {"files": 0, "bytes": 0, "rows": 0, "buckets": self.n_buckets}
+        from xdump_spark import fsutil
+
+        t = self.spark.table(self.table_name)
+        files = list(t.inputFiles())
+        sizes = fsutil.file_statuses(self.spark, files)
+        return {
+            "files": len(files),
+            "bytes": sum(b for _, b, _ in sizes),
+            "rows": t.count(),
+            "buckets": self.n_buckets,
+        }
+
+    def compact(self) -> dict:
+        """Rewrite the accumulated per-append file pile into one file
+        per bucket, preserving the bucket layout (the rewrite goes back
+        through ``write_bucketed``, so the history-never-shuffles plan
+        property is untouched — re-asserted in tests).
+
+        Same crash discipline as ``SignatureStore.compact``: the file
+        set is listed first, the rewrite is APPENDED, and only then are
+        the listed originals deleted — a crash can only duplicate
+        hashes, and duplicate (h1, h2) rows cannot change a left-anti
+        join's answer (the module's documented recovery invariant).
+        Concurrent appends land new files that are never touched.
+        Returns {files_before, files_after}."""
+        from xdump_spark import fsutil
+        from xdump_spark.sources.bucketed import write_bucketed
+
+        if not self.exists():
+            return {"files_before": 0, "files_after": 0}
+        old_files = list(self.spark.table(self.table_name).inputFiles())
+        if len(old_files) > self.n_buckets:
+            # one coalesced pass over the listed files only (a raw-path
+            # read: fine — the write re-buckets, one exchange of 16 B/row
+            # hashes, the expected O(store) compaction cost)
+            # repartition to the store's own bucketing first: each task
+            # then holds exactly one bucket's rows and the bucketed
+            # write emits ONE file per bucket (without it, every task
+            # writes a sliver file into every bucket it touches — a
+            # bigger pile than the one being compacted)
+            rows = self.spark.read.parquet(*old_files).repartition(
+                self.n_buckets, "h1", "h2"
+            )
+            write_bucketed(
+                rows.select("h1", "h2"), self.table_name, ["h1", "h2"],
+                n_buckets=self.n_buckets, mode="append", path=self.path,
+            )
+            self.spark.catalog.refreshTable(self.table_name)
+            for f in old_files:
+                fsutil.delete(self.spark, f, recursive=False)
+            self.spark.catalog.refreshTable(self.table_name)
+        return {
+            "files_before": len(old_files),
+            "files_after": len(self.spark.table(self.table_name).inputFiles()),
+        }
 
 
 def content_hashes(df: DataFrame, text_col: str = "text",

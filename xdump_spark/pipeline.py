@@ -154,16 +154,15 @@ def prepare_training_corpus(
       come from the manifest on resume, so ``audit`` costs nothing for
       resumed stages. ``checkpoint_stages`` restricts materialization to
       a subset (the fingerprint chain still covers every stage);
-      ``resume=False`` rewrites everything. Incompatible with
-      ``dedup_store``: the store (its own restart-safe mechanism) must
-      observe every accepted batch, which a resumed skip would bypass.
+      ``resume=False`` rewrites everything. COMPOSES with
+      ``dedup_store`` (the daily-crawl shape wants both — a restartable
+      run AND persistent dedup state): the store commit is keyed by the
+      dedup stage's chain fingerprint and recorded in the checkpoint
+      manifest, so a resumed run appends AT MOST once per increment —
+      if the crashed run already committed the resume skips the append,
+      and if it crashed earlier the resume replays the commit from the
+      checkpointed stage output without recomputing the dedup.
     """
-    if checkpoint_dir is not None and dedup_store is not None:
-        raise ValueError(
-            "checkpoint_dir and dedup_store are incompatible: resuming "
-            "past the dedup stage would skip the store commit; the "
-            "ExactHashStore increment is itself the restart-safe path"
-        )
     if dedup_store is not None and doc_dedup != "exact":
         raise ValueError(
             "dedup_store requires doc_dedup='exact' (the near-dup analog "
@@ -302,22 +301,61 @@ def prepare_training_corpus(
                 # commit is DEFERRED to the end of the run (after the
                 # sink write): an eager append would poison the store on
                 # a downstream failure, making the retry reject the
-                # whole batch as "previously accepted".
+                # whole batch as "previously accepted". With
+                # checkpointing (r7) the commit is additionally
+                # IDEMPOTENT per increment: keyed by the dedup stage's
+                # chain fingerprint and marked in the manifest, so a
+                # resumed run cannot double-append; a resume that skips
+                # the dedup recompute replays the commit from the
+                # checkpointed stage output (its distinct content hashes
+                # ARE the survivors' hashes).
                 from xdump_spark.operators.incremental import (
+                    content_hashes,
                     incremental_exact_dedup,
                 )
 
-                accepted, store_commit = incremental_exact_dedup(
-                    cur, dedup_store, text_col=text_col, id_col=id_col,
-                    defer_commit=True,
-                )
-                accepted = accepted.select(F.col("id").alias("_keep_id"))
-                cur = note(
+                src, live_commit = cur, None
+
+                def _build_dedup(src=src):
+                    nonlocal live_commit
+                    accepted, live_commit = incremental_exact_dedup(
+                        src, dedup_store, text_col=text_col, id_col=id_col,
+                        defer_commit=True,
+                    )
+                    acc = accepted.select(F.col("id").alias("_keep_id"))
+                    return src.join(
+                        acc, src[id_col] == F.col("_keep_id"), "left_semi"
+                    )
+
+                cur, _ = note_lazy(
                     "doc_deduped",
-                    cur.join(
-                        accepted, cur[id_col] == F.col("_keep_id"), "left_semi"
-                    ),
+                    {
+                        "doc_dedup": "exact-incremental",
+                        "store": dedup_store.table_name,
+                        "n_buckets": dedup_store.n_buckets,
+                        "text_col": text_col, "id_col": id_col,
+                    },
+                    _build_dedup,
                 )
+                commit_key = ckpt.chain if ckpt is not None else None
+                dd_frame = cur
+
+                def store_commit():
+                    if ckpt is not None and ckpt.is_marked(
+                        "store_commit", commit_key
+                    ):
+                        return
+                    if live_commit is not None:
+                        live_commit()  # survivors frame already pinned
+                    else:
+                        # resumed: the dedup never ran this process —
+                        # replay the append from the checkpointed output
+                        dedup_store.append(
+                            content_hashes(dd_frame, text_col, id_col)
+                            .select("h1", "h2").distinct()
+                        )
+                    if ckpt is not None:
+                        ckpt.mark("store_commit", commit_key)
             else:
                 from xdump_spark.operators.dedup import exact_dedup
 
