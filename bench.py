@@ -68,6 +68,7 @@ SCALE_TWINS = [
     "simhash_pairs",       # xxhash64 SimHash, Hamming<=8
     "ivf_topk_pruned",     # n_probe=4 of 16 cells
     "pq_rerank_scale",     # ADC shortlist rerank=50 + exact sliver rerank
+    "incremental_batch",   # r7: 500-doc increment vs full-corpus hash store
 ]
 
 

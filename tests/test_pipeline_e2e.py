@@ -713,3 +713,150 @@ def test_pipeline_checkpoint_with_dedup_store(spark, tmp_path):
     finally:
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_pipeline_fuzzy_dedup_store_increments(spark, tmp_path):
+    """r7: doc_dedup='fuzzy' + SignatureStore — near-dup increments vs
+    persistent signature history, the fuzzy twin of the exact-store
+    path. Day 2 drops docs NEAR (not byte-equal to) day-1 survivors;
+    wrong store type raises."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        SignatureStore,
+    )
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("jumps", "jumped")  # near-dup, not exact
+    other = "completely different content about distributed query engines and shuffles"
+    store = SignatureStore(spark, str(tmp_path / "sig"))
+    kw = dict(span_k=None, min_tokens=1, doc_dedup="fuzzy",
+              fuzzy_threshold=0.5, dedup_store=store)
+
+    day1 = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    r1 = prepare_training_corpus(day1, **kw)
+    assert {r.doc_id for r in r1.corpus.collect()} == {1, 3}
+
+    day2 = spark.createDataFrame(
+        [(10, near), (11, other + " almost"), (12, "genuinely new text about parquet row groups")],
+        "doc_id long, text string",
+    )
+    r2 = prepare_training_corpus(day2, **kw)
+    assert {r.doc_id for r in r2.corpus.collect()} == {12}
+
+    # type dispatch: an ExactHashStore under fuzzy (and vice versa) raises
+    wrong = ExactHashStore(spark, "nope_tbl")
+    with _pytest.raises(ValueError, match="SignatureStore"):
+        prepare_training_corpus(day2, **{**kw, "dedup_store": wrong})
+    with _pytest.raises(ValueError, match="ExactHashStore"):
+        prepare_training_corpus(
+            day2, span_k=None, doc_dedup="exact", dedup_store=store
+        )
+
+
+def test_pipeline_fuzzy_store_checkpoint_resume(spark, tmp_path):
+    """r7: checkpoint_dir × fuzzy SignatureStore: crashed commit replayed
+    on resume (re-signed from the checkpointed stage output), re-run
+    appends at most once, store decisions equal the uninterrupted twin."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import SignatureStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    other = "completely different content about distributed query engines and shuffles"
+    day1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(10, base.replace("jumps", "jumped")), (11, "brand new unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    store = SignatureStore(spark, str(tmp_path / "sig"))
+    kw = dict(span_k=None, min_tokens=1, doc_dedup="fuzzy",
+              fuzzy_threshold=0.5, dedup_store=store,
+              checkpoint_dir=str(tmp_path / "ck"))
+
+    # crash the commit after the stage checkpointed
+    real_append = store.append
+    store.append = lambda *_a, **_k: (_ for _ in ()).throw(IOError("flake"))
+    with _pytest.raises(IOError):
+        prepare_training_corpus(day1, **kw)
+    store.append = real_append
+    assert store.read() is None
+
+    r1 = prepare_training_corpus(day1, **kw)  # resume + commit replay
+    assert "doc_deduped" in r1.resumed
+    n1 = store.read().select("id").distinct().count()
+    assert n1 == 2
+    prepare_training_corpus(day1, **kw)  # same increment: no double append
+    assert store.read().select("id").distinct().count() == 2
+    # file count also unchanged (the mark skipped the append entirely)
+    r2 = prepare_training_corpus(day2, **kw)
+    assert {r.doc_id for r in r2.corpus.collect()} == {11}
+
+    # uninterrupted twin agrees on every decision
+    twin = SignatureStore(spark, str(tmp_path / "sig2"))
+    kw2 = dict(span_k=None, min_tokens=1, doc_dedup="fuzzy",
+               fuzzy_threshold=0.5, dedup_store=twin)
+    a1 = prepare_training_corpus(day1, **kw2)
+    a2 = prepare_training_corpus(day2, **kw2)
+    assert {r.doc_id for r in a1.corpus.collect()} == {1, 2}
+    assert {r.doc_id for r in a2.corpus.collect()} == {11}
+    assert sorted(
+        r.id for r in store.read().select("id").distinct().collect()
+    ) == sorted(r.id for r in twin.read().select("id").distinct().collect())
+
+
+def test_pipeline_neardup_store_from_config(spark, tmp_path):
+    """r7: the fuzzy SignatureStore rides the curate config as
+    {"dedup_store": {"path": ...}} under doc_dedup='fuzzy'; key
+    validation fails loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark.config import curate_from_config
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, "totally different text about parquet and shuffles")],
+        "doc_id long, text string",
+    ).write.parquet(day1)
+    spark.createDataFrame(
+        [(10, base.replace("jumps", "jumped")), (11, "new day-two-only content here")],
+        "doc_id long, text string",
+    ).write.parquet(day2)
+
+    def cfg_for(inp, out):
+        return {
+            "input": inp, "output": str(tmp_path / out),
+            "span_k": None, "min_tokens": 1, "doc_dedup": "fuzzy",
+            "fuzzy_threshold": 0.5,
+            "dedup_store": {"path": str(tmp_path / "sigstore")},
+        }
+
+    c1 = tmp_path / "c1.json"
+    c1.write_text(json.dumps(cfg_for(day1, "out1")))
+    r1 = curate_from_config(spark, str(c1))
+    assert {r.doc_id for r in r1.corpus.collect()} == {1, 2}
+
+    c2 = tmp_path / "c2.json"
+    c2.write_text(json.dumps(cfg_for(day2, "out2")))
+    r2 = curate_from_config(spark, str(c2))
+    assert {r.doc_id for r in r2.corpus.collect()} == {11}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out3"),
+        "doc_dedup": "fuzzy",
+        "dedup_store": {"table": "wrong_key_for_fuzzy"},
+    }))
+    with _pytest.raises(ValueError, match="path"):
+        curate_from_config(spark, str(bad))

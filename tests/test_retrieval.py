@@ -144,3 +144,67 @@ def test_terms_of_matches_python(spark):
         [("Hello, World-42!  foo_bar",)], "t string"
     ).select(terms_of(F.col("t")).alias("a"))
     assert df.collect()[0]["a"] == ["hello", "world", "42", "foo", "bar"]
+
+
+# ------------------------------------------- r7 persist/load round-trip ----
+
+
+def test_index_save_load_hash_identical(spark, docs_df, tmp_path):
+    """A loaded index answers bm25_topk HASH-identically to the freshly
+    built one, with no re-tokenize of the corpus in the query plan, and
+    the postings scan pruned to the queried terms' hash buckets."""
+    from xdump_spark.operators.retrieval import TextIndex, save_text_index
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+    built = build_text_index(docs_df)
+    fresh = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(built, queries, k=3).collect()
+    )
+
+    save_text_index(built, str(tmp_path / "idx"), n_tbuckets=8)
+    loaded = TextIndex.load(spark, str(tmp_path / "idx"))
+    assert (loaded.n_docs, loaded.avgdl, loaded.id_col, loaded.n_tbuckets) == (
+        built.n_docs, built.avgdl, built.id_col, 8,
+    )
+    out = bm25_topk(loaded, queries, k=3)
+    again = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk) for r in out.collect()
+    )
+    assert again == fresh
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no re-tokenize: the loaded query path must not re-split corpus text
+    # (the only splits allowed are the tiny query-side tokenizer ones,
+    # which read the in-memory queries frame, never a parquet text scan)
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
+    # every file scan reads index frames (term/df/tf/dl...), never text
+    assert scans and all("text:string" not in s for s in scans), scans
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("_tbucket" in f for f in pf), pf
+
+
+def test_index_save_load_unknown_version_and_missing_manifest(spark, tmp_path):
+    from xdump_spark.operators.retrieval import (
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    idx = build_text_index(docs)
+    save_text_index(idx, str(tmp_path / "i2"), n_tbuckets=2)
+    # corrupt the version
+    from xdump_spark import fsutil
+
+    fsutil.write_text_atomic(
+        spark, str(tmp_path / "i2" / "index.json"), '{"version": 99}'
+    )
+    with pytest.raises(ValueError, match="version"):
+        load_text_index(spark, str(tmp_path / "i2"))
+    # a half-written index (no manifest yet) is not loadable
+    with pytest.raises(Exception):
+        load_text_index(spark, str(tmp_path / "never_written"))

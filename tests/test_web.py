@@ -221,3 +221,100 @@ def test_normalize_urls_matches_stdlib_reference(spark):
     got = {r.doc_id: r.url_norm for r in normalize_urls(df).collect()}
     for i, u in urls:
         assert got[i] == ref_norm(u), (u, got[i], ref_norm(u))
+
+
+# --------------------------------------------- r7 full PSL fidelity ----
+
+
+def test_registrable_domain_psl_wildcard_exception(spark):
+    """The publicsuffix.org algorithm's own canonical cases (test_psl.txt
+    shapes) over a rule set with normal, wildcard and exception rules:
+    exception prevails, else longest match, else the implicit '*'."""
+    from xdump_spark.operators.web import registrable_domain
+
+    rules = (
+        "com", "co.uk",
+        "jp", "ac.jp", "kyoto.jp", "ide.kyoto.jp", "*.kobe.jp", "!city.kobe.jp",
+        "*.ck", "!www.ck",
+        "us", "ak.us", "k12.ak.us",
+    )
+    cases = [
+        # (host, expected registrable domain) — from the official test
+        ("com", None), ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("jp", None), ("test.jp", "test.jp"), ("www.test.jp", "test.jp"),
+        ("ac.jp", None), ("test.ac.jp", "test.ac.jp"),
+        ("www.test.ac.jp", "test.ac.jp"),
+        ("kyoto.jp", None), ("test.kyoto.jp", "test.kyoto.jp"),
+        ("ide.kyoto.jp", None), ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("c.kobe.jp", None), ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        ("ck", None), ("test.ck", None), ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"), ("www.www.ck", "www.ck"),
+        ("us", None), ("test.us", "test.us"), ("www.test.us", "test.us"),
+        ("ak.us", None), ("test.ak.us", "test.ak.us"),
+        ("www.test.ak.us", "test.ak.us"),
+        ("k12.ak.us", None), ("test.k12.ak.us", "test.k12.ak.us"),
+        ("www.test.k12.ak.us", "test.k12.ak.us"),
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    got = df.withColumn("got", registrable_domain(F.col("host"), rules))
+    for r in got.collect():
+        assert r.got == r.want, (r.host, r.got, r.want)
+    # pure codegen: no Python evaluation node anywhere in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_load_psl_sections():
+    from xdump_spark.operators.web import load_psl
+
+    text = "\n".join([
+        "// The PSL",
+        "",
+        "// ===BEGIN ICANN DOMAINS===",
+        "com",
+        "// comment inside",
+        "*.ck",
+        "!www.ck",
+        "// ===END ICANN DOMAINS===",
+        "// ===BEGIN PRIVATE DOMAINS===",
+        "github.io",
+        "// ===END PRIVATE DOMAINS===",
+    ])
+    assert load_psl(text) == ("com", "*.ck", "!www.ck", "github.io")
+    assert load_psl(text, "icann") == ("com", "*.ck", "!www.ck")
+    assert load_psl(text, "private") == ("github.io",)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sections"):
+        load_psl(text, "nope")
+
+
+def test_read_psl_and_domain_cap_with_psl(spark, tmp_path):
+    """A PSL snapshot file drives domain_cap: wildcard suffixes make
+    each *.ck label its own publisher, the exception keeps www.ck one."""
+    from xdump_spark.operators.web import domain_cap, read_psl, with_domain
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text("// snapshot\ncom\n*.ck\n!www.ck\n")
+    rules = read_psl(spark, str(psl))
+    assert rules == ("com", "*.ck", "!www.ck")
+
+    rows = [(i, f"http://sub{i}.hot.example.com/x") for i in range(10)]
+    rows += [(100 + i, f"http://a{i}.foo.ck/x") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = domain_cap(df, cap=2, multi_suffixes=rules)
+    doms = (
+        with_domain(capped, multi_suffixes=rules)
+        .groupBy("domain").count().collect()
+    )
+    by = {r.domain: r["count"] for r in doms}
+    # all ten example.com subdomains are ONE publisher, capped to 2;
+    # a{i}.foo.ck are six DIFFERENT registrable domains (wildcard), all kept
+    assert by["example.com"] == 2
+    assert sum(v for d, v in by.items() if d and d.endswith("foo.ck")) == 6

@@ -193,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dedup-store-path", default=None,
                    help="external location for the hash-store table")
     c.add_argument("--dedup-store-buckets", type=int, default=64)
+    c.add_argument("--neardup-store", default=None,
+                   help="with --doc-dedup fuzzy: persistent MinHash "
+                        "SignatureStore directory; this run near-dedups "
+                        "against all previously-accepted docs and records "
+                        "its survivors' signatures (daily-crawl increments)")
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument(
         "--gopher", action="store_true",
@@ -450,6 +455,15 @@ def run(args, spark) -> int:
                 n_buckets=args.dedup_store_buckets,
                 path=args.dedup_store_path,
             )
+        if args.neardup_store:
+            if dedup_store is not None:
+                raise SystemExit(
+                    "--neardup-store and --dedup-store-table are mutually "
+                    "exclusive (one dedup stage, one store)"
+                )
+            from xdump_spark.operators.incremental import SignatureStore
+
+            dedup_store = SignatureStore(spark, args.neardup_store)
         quality_model = None
         if args.quality_model:
             from xdump_spark.config import _load_quality_model

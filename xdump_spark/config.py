@@ -115,22 +115,35 @@ def curate_from_config(spark: SparkSession, path: str):
     mode = "overwrite" if cfg.get("overwrite") else "errorifexists"
     dedup_store = None
     if cfg.get("dedup_store"):
-        # {"table": str, "path": str (optional), "n_buckets": int
-        # (optional)} — the persistent exact-dedup hash store this run
-        # increments against (requires doc_dedup == "exact").
-        from xdump_spark.operators.incremental import ExactHashStore
-
         sc = dict(cfg["dedup_store"])
-        unknown = set(sc) - {"table", "path", "n_buckets"}
-        if unknown or "table" not in sc:
-            raise ValueError(
-                "dedup_store config needs 'table' (+ optional 'path', "
-                f"'n_buckets'); got keys {sorted(cfg['dedup_store'])}"
+        if cfg.get("doc_dedup") == "fuzzy":
+            # {"path": str} — the persistent near-dup SignatureStore
+            # this run increments against (r7).
+            from xdump_spark.operators.incremental import SignatureStore
+
+            unknown = set(sc) - {"path"}
+            if unknown or "path" not in sc:
+                raise ValueError(
+                    "dedup_store config with doc_dedup='fuzzy' needs "
+                    f"'path' only; got keys {sorted(cfg['dedup_store'])}"
+                )
+            dedup_store = SignatureStore(spark, sc["path"])
+        else:
+            # {"table": str, "path": str (optional), "n_buckets": int
+            # (optional)} — the persistent exact-dedup hash store this
+            # run increments against (requires doc_dedup == "exact").
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            unknown = set(sc) - {"table", "path", "n_buckets"}
+            if unknown or "table" not in sc:
+                raise ValueError(
+                    "dedup_store config needs 'table' (+ optional 'path', "
+                    f"'n_buckets'); got keys {sorted(cfg['dedup_store'])}"
+                )
+            dedup_store = ExactHashStore(
+                spark, sc["table"], n_buckets=sc.get("n_buckets", 64),
+                path=sc.get("path"),
             )
-        dedup_store = ExactHashStore(
-            spark, sc["table"], n_buckets=sc.get("n_buckets", 64),
-            path=sc.get("path"),
-        )
     if cfg.get("input_format", "parquet") == "wet":
         from xdump_spark.sources.warc import read_wet
 

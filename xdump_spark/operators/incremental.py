@@ -71,6 +71,10 @@ class IncrementResult:
     store_rows: int         # distinct stored ids after the increment
     rejects: DataFrame | None = None  # components mode: (dup_id, kept_id,
     #   est) as a DataFrame — never collected (may be cluster-quadratic)
+    commit: object = None   # defer_commit=True: call to append the
+    #   accepted signatures to the store (same contract as
+    #   incremental_exact_dedup — re-committing after a crash is
+    #   harmless, duplicate signature rows cannot change a decision)
 
 
 class SignatureStore:
@@ -180,8 +184,14 @@ def incremental_neardup(
     max_bucket: int | None = 1000,
     max_pairs: int = 1_000_000,
     resolve: str = "greedy",
+    defer_commit: bool = False,
 ) -> IncrementResult:
     """Run one dedup increment (see module docstring for semantics).
+
+    ``defer_commit=True`` skips the store append and the post-append
+    store count (``store_rows`` is -1); ``IncrementResult.commit()``
+    performs the append when the caller's downstream work is durable —
+    the same poison-avoidance contract as ``incremental_exact_dedup``.
 
     ``resolve`` picks how colliding docs are adjudicated:
 
@@ -360,8 +370,17 @@ def incremental_neardup(
             rejects_df = None
             accepted_banded = banded
     accepted_banded = accepted_banded.localCheckpoint(eager=True)
-    store.append(accepted_banded)
+
+    def commit() -> None:
+        store.append(accepted_banded)
+
     accepted = accepted_banded.select("id").distinct()
+    if defer_commit:
+        return IncrementResult(
+            pairs=pairs, accepted=accepted, store_rows=-1,
+            rejects=rejects_df, commit=commit,
+        )
+    commit()
     n = store.read().select("id").distinct().count()
     return IncrementResult(
         pairs=pairs, accepted=accepted, store_rows=n, rejects=rejects_df

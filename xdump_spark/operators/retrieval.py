@@ -72,6 +72,18 @@ class TextIndex:
     n_docs: int
     avgdl: float
     id_col: str = "doc_id"
+    #: set by :func:`load_text_index` when the postings carry the
+    #: ``_tbucket`` partition column — enables query-time bucket pruning
+    n_tbuckets: int | None = None
+
+    def save(self, path: str, n_tbuckets: int = 64) -> None:
+        """Persist the index (see :func:`save_text_index`)."""
+        save_text_index(self, path, n_tbuckets=n_tbuckets)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "TextIndex":
+        """Load a saved index (see :func:`load_text_index`)."""
+        return load_text_index(spark, path)
 
 
 def build_text_index(
@@ -106,6 +118,75 @@ def build_text_index(
     )
 
 
+_INDEX_MANIFEST = "index.json"
+
+
+def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
+    """Persist a :class:`TextIndex`: the docstring's "the index IS the
+    storage format", made literal.
+
+    Layout: ``postings/`` parquet PARTITIONED by ``_tbucket =
+    pmod(xxhash64(term), n_tbuckets)`` — at query time the matched
+    terms' buckets become a partition filter, so a 3-term query over a
+    10 B-posting index opens ≤3 of ``n_tbuckets`` partition directories
+    instead of all of them (plan-asserted in tests). ``term_stats/``
+    plain parquet (it is broadcast-side anyway), and an atomic
+    ``index.json`` manifest for the scalars — written LAST, so a
+    half-written index (no manifest) is never loadable."""
+    spark = index.postings.sparkSession
+    from xdump_spark import fsutil
+
+    (
+        index.postings
+        .withColumn("_tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)))
+        .repartition(n_tbuckets, "_tbucket")
+        .write.mode("overwrite").partitionBy("_tbucket")
+        .parquet(fsutil.join(path, "postings"))
+    )
+    index.term_stats.write.mode("overwrite").parquet(
+        fsutil.join(path, "term_stats")
+    )
+    import json
+
+    fsutil.write_text_atomic(
+        spark,
+        fsutil.join(path, _INDEX_MANIFEST),
+        json.dumps(
+            {
+                "version": 1,
+                "n_docs": index.n_docs,
+                "avgdl": index.avgdl,
+                "id_col": index.id_col,
+                "n_tbuckets": n_tbuckets,
+            }
+        ),
+    )
+
+
+def load_text_index(spark: SparkSession, path: str) -> TextIndex:
+    """Load a :func:`save_text_index` index. The returned ``postings``
+    frame keeps the ``_tbucket`` partition column — :func:`bm25_topk`
+    uses it to prune the postings scan to the queried terms' buckets;
+    every other consumer can ignore or drop it."""
+    import json
+
+    from xdump_spark import fsutil
+
+    man = json.loads(
+        fsutil.read_text(spark, fsutil.join(path, _INDEX_MANIFEST))
+    )
+    if man.get("version") != 1:
+        raise ValueError(f"unsupported text-index version: {man.get('version')!r}")
+    return TextIndex(
+        postings=spark.read.parquet(fsutil.join(path, "postings")),
+        term_stats=spark.read.parquet(fsutil.join(path, "term_stats")),
+        n_docs=int(man["n_docs"]),
+        avgdl=float(man["avgdl"]),
+        id_col=man["id_col"],
+        n_tbuckets=int(man["n_tbuckets"]),
+    )
+
+
 def bm25_topk(
     index: TextIndex,
     queries: DataFrame,
@@ -136,6 +217,21 @@ def bm25_topk(
         .agg(F.count("*").alias("qtf"))
     )
     matched = F.broadcast(index.term_stats.join(F.broadcast(qt), "term"))
+    postings = index.postings
+    if index.n_tbuckets and "_tbucket" in postings.columns:
+        # loaded-index fast path: the queried terms name their hash
+        # buckets, and the bucket set becomes a PARTITION filter on the
+        # postings scan (one tiny driver job over the query terms buys
+        # skipping n_tbuckets - |terms| partition dirs of a 100 TB index)
+        buckets = [
+            r.b
+            for r in qt.select(
+                F.pmod(F.xxhash64("term"), F.lit(index.n_tbuckets)).alias("b")
+            ).distinct().collect()
+        ]
+        postings = postings.filter(
+            F.col("_tbucket").isin(buckets) if buckets else F.lit(False)
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5))
@@ -150,7 +246,7 @@ def bm25_topk(
         )
     )
     scored = (
-        index.postings.join(matched, "term")
+        postings.join(matched, "term")
         .select(
             "query_id",
             F.col("id").alias(index.id_col),

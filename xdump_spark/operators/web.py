@@ -21,10 +21,13 @@ degradation contract as the codecs.
 Registrable-domain extraction ("example.co.uk" → "example.co.uk", not
 "co.uk") needs the Public Suffix List at full fidelity; shipping and
 refreshing the 10k-rule PSL is a deployment choice, so
-``registrable_domain`` takes a ``multi_suffixes`` collection (defaults
-to the ~40 highest-traffic multi-part suffixes) and applies the
-longest-match rule over it — callers with the real PSL pass it in and
-get full fidelity from the same expression.
+``registrable_domain`` takes a rule collection (defaults to the ~40
+highest-traffic multi-part suffixes) and applies FULL publicsuffix.org
+semantics over it — normal, wildcard (``*.ck``) and exception
+(``!www.ck``) rules, exception-prevails + longest-match (r7).
+``load_psl``/``read_psl`` parse a real PSL snapshot into that
+collection, so callers get full fidelity from the same pure-codegen
+expression.
 """
 
 from __future__ import annotations
@@ -132,31 +135,125 @@ def normalize_urls(
     )
 
 
+def _psl_partition(rules) -> tuple[dict, dict, dict]:
+    """Split a PSL rule collection into {n_labels: [rule]} maps for
+    normal / wildcard / exception rules. Single-label NORMAL rules are
+    dropped: they are behaviorally identical to the PSL's implicit
+    ``*`` fallback (public suffix = last label), so the expression
+    stays small even when fed the full ~9k-rule list."""
+    normal: dict[int, list] = {}
+    wild: dict[int, list] = {}
+    exc: dict[int, list] = {}
+    for raw in rules:
+        r = str(raw).strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            y = r[1:]
+            exc.setdefault(y.count(".") + 1, []).append(y)
+        elif r.startswith("*."):
+            x = r[2:]
+            wild.setdefault(x.count(".") + 1, []).append(x)
+        elif "." in r:
+            normal.setdefault(r.count(".") + 1, []).append(r)
+    return normal, wild, exc
+
+
 def registrable_domain(
     host: Column, multi_suffixes=DEFAULT_MULTI_SUFFIXES
 ) -> Column:
     """host → registrable domain: the public suffix plus one label
     ("news.example.co.uk" → "example.co.uk", "a.b.example.com" →
-    "example.com"). Longest-match over ``multi_suffixes`` (see module
-    docstring), else the last two labels. NULL for hosts with no dot,
-    IP literals, and IPv6 brackets — capping by a raw IP is the
-    caller's policy call, not a domain."""
+    "example.com"). NULL for hosts with no dot, IP literals, IPv6
+    brackets — capping by a raw IP is the caller's policy call, not a
+    domain — and for hosts that ARE a public suffix.
+
+    Full publicsuffix.org rule semantics (r7): ``multi_suffixes`` may
+    contain normal rules ("co.uk"), wildcard rules ("*.ck" — every
+    label under ck is itself a public suffix) and exception rules
+    ("!www.ck" — carved out of a wildcard; www.ck IS registrable). A
+    matching exception prevails outright; otherwise the matching rule
+    with the most labels wins; with no match the public suffix is the
+    last label (the PSL's implicit ``*`` rule). Pass the real PSL via
+    :func:`load_psl`/:func:`read_psl` for full fidelity — the defaults
+    are the high-traffic multi-part tail only.
+
+    Still one pure-codegen expression: the rule set is partitioned BY
+    LABEL COUNT at build time, so matching is a fixed chain of
+    ``isin`` lookups (Catalyst compiles large literal sets to hashed
+    InSet) over the last-k label joins — no UDF, no shuffle, any
+    corpus size."""
+    normal, wild, exc = _psl_partition(multi_suffixes)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    last4 = F.array_join(F.slice(labels, -4, 4), ".")
-    # suffix set as a literal array once; membership via array_contains
-    sfx = F.array(*[F.lit(s) for s in multi_suffixes])
+
+    def lastk(k: int) -> Column:
+        # slice(-k, k) on a shorter array yields [] -> "" -> no match
+        return F.array_join(F.slice(labels, -k, k), ".")
+
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$") | host.startswith("[")
-    return (
-        F.when(host.isNull() | is_ip | (n < 2), F.lit(None))
-        # host IS a multi-part suffix (e.g. "co.uk") → no registrable domain
-        .when(F.array_contains(sfx, host), F.lit(None))
-        .when((n >= 4) & F.array_contains(sfx, last3), last4)
-        .when((n >= 3) & F.array_contains(sfx, last2), last3)
-        .otherwise(last2)
+
+    # public-suffix LABEL COUNT, by PSL precedence
+    ps = F.when(host.isNull() | is_ip | (n < 2), F.lit(None).cast("int"))
+    for k in sorted(exc, reverse=True):  # exceptions prevail outright
+        ps = ps.when((n >= k) & lastk(k).isin(exc[k]), F.lit(k - 1))
+    # then the longest matching rule; a wildcard with a k-label base is
+    # an (k+1)-label match
+    cand = sorted({*normal} | {k + 1 for k in wild}, reverse=True)
+    for l in cand:
+        cond = F.lit(False)
+        if l in normal:
+            cond = cond | ((n >= l) & lastk(l).isin(normal[l]))
+        if (l - 1) in wild:
+            cond = cond | ((n >= l) & lastk(l - 1).isin(wild[l - 1]))
+        ps = ps.when(cond, F.lit(l))
+    ps_len = ps.otherwise(F.lit(1))  # implicit "*": last label
+
+    reg_len = ps_len + F.lit(1)
+    return F.when(
+        n >= reg_len,
+        F.array_join(
+            F.slice(labels, -reg_len, reg_len.cast("int")), "."
+        ),
     )
+
+
+def load_psl(text: str, sections: str = "all") -> tuple:
+    """Parse a Public Suffix List snapshot (the
+    https://publicsuffix.org/list/public_suffix_list.dat format) into a
+    rule tuple for :func:`registrable_domain`. Comments (``//``) and
+    blank lines are dropped; rules keep their ``*.``/``!`` markers.
+    ``sections``: ``"all"`` | ``"icann"`` | ``"private"`` (the file's
+    ``===BEGIN/END ICANN|PRIVATE DOMAINS===`` markers — crawl curation
+    usually wants ``"icann"``: the private section splits hosting
+    platforms like github.io into per-user "publishers")."""
+    if sections not in ("all", "icann", "private"):
+        raise ValueError(f"sections must be all|icann|private, got {sections!r}")
+    rules, current = [], None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("//"):
+            if "===BEGIN ICANN DOMAINS===" in line:
+                current = "icann"
+            elif "===BEGIN PRIVATE DOMAINS===" in line:
+                current = "private"
+            elif "===END" in line:
+                current = None
+            continue
+        if not line:
+            continue
+        if sections == "all" or current == sections:
+            rules.append(line.lower())
+    return tuple(rules)
+
+
+def read_psl(spark, path: str, sections: str = "all") -> tuple:
+    """:func:`load_psl` over a PSL snapshot file at any
+    Spark-readable path (local, ``hdfs://``, ``s3a://`` — Hadoop FS,
+    not ``open()``, per the repo's driver-side IO policy)."""
+    from xdump_spark import fsutil
+
+    return load_psl(fsutil.read_text(spark, path), sections)
 
 
 def with_domain(

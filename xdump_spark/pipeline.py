@@ -13,9 +13,11 @@ raw documents
   → doc-level dedup       (exact fingerprint keep-min-id, or MinHash-LSH
     fuzzy_dedup clusters — optional; after canonicalization so duplicates
     are visible, before selection so every gate sees one copy; with
-    ``dedup_store`` the exact path runs as one INCREMENT against the
-    persistent ExactHashStore of every previously-accepted doc — the
-    daily-crawl shape, history never reshuffled)
+    ``dedup_store`` either path runs as one INCREMENT against the
+    persistent history of every previously-accepted doc — ExactHashStore
+    for exact (bucketed content hashes, history never reshuffled),
+    SignatureStore for fuzzy (banded MinHash signatures, r7) — the
+    daily-crawl shape)
   → quality gate          (token-count floor after cleaning)
   → blocklist_filter      (C4 banned-term gate, optional)
   → gopher_filter         (the Gopher rules as a gate, optional)
@@ -163,11 +165,28 @@ def prepare_training_corpus(
       and if it crashed earlier the resume replays the commit from the
       checkpointed stage output without recomputing the dedup.
     """
-    if dedup_store is not None and doc_dedup != "exact":
-        raise ValueError(
-            "dedup_store requires doc_dedup='exact' (the near-dup analog "
-            "is incremental.SignatureStore via incremental_neardup)"
+    if dedup_store is not None:
+        from xdump_spark.operators.incremental import (
+            ExactHashStore,
+            SignatureStore,
         )
+
+        if doc_dedup == "exact" and not isinstance(dedup_store, ExactHashStore):
+            raise ValueError(
+                "dedup_store for doc_dedup='exact' must be an "
+                f"ExactHashStore, got {type(dedup_store).__name__}"
+            )
+        if doc_dedup == "fuzzy" and not isinstance(dedup_store, SignatureStore):
+            raise ValueError(
+                "dedup_store for doc_dedup='fuzzy' must be a "
+                f"SignatureStore (near-dup signature history), got "
+                f"{type(dedup_store).__name__}"
+            )
+        if doc_dedup not in ("exact", "fuzzy"):
+            raise ValueError(
+                "dedup_store requires doc_dedup='exact' (ExactHashStore) "
+                "or doc_dedup='fuzzy' (SignatureStore)"
+            )
     if fuzzy_kwargs:
         overlap = set(fuzzy_kwargs) & {"threshold", "id_col", "text_col"}
         if overlap:
@@ -365,26 +384,110 @@ def prepare_training_corpus(
                     ck={"doc_dedup": "exact", "text_col": text_col, "id_col": id_col},
                 )
         elif doc_dedup == "fuzzy":
-            from xdump_spark.operators.components import fuzzy_dedup
+            if dedup_store is not None:
+                # Near-dup increments vs SignatureStore history (r7) —
+                # the fuzzy twin of the ExactHashStore path above, same
+                # deferred + fingerprint-keyed idempotent commit.
+                # resolve defaults to "components" (min-id cluster
+                # survivor, store-tainted clusters rejected wholesale):
+                # the same cluster semantics the one-shot fuzzy_dedup
+                # applies, and the fully-distributed path for
+                # template-heavy daily batches.
+                from xdump_spark.operators.incremental import (
+                    incremental_neardup,
+                )
 
-            survivors = fuzzy_dedup(
-                cur, threshold=fuzzy_threshold, id_col=id_col,
-                text_col=text_col, **(fuzzy_kwargs or {}),
-                # fuzzy_kwargs reaches minhash_lsh_pairs: at corpus
-                # scale pass {"num_perm": 128} — the r6 calibration
-                # (SCALE.md) measured precision 0.64 → 0.97 over 64
-            ).filter("is_survivor").select(F.col("vertex").alias("_keep_id"))
-            cur = note(
-                "doc_deduped",
-                cur.join(survivors, cur[id_col] == survivors["_keep_id"], "left_semi"),
-                ck={
-                    "doc_dedup": "fuzzy",
-                    "threshold": fuzzy_threshold,
-                    "kwargs": fuzzy_kwargs or {},
-                    "text_col": text_col,
-                    "id_col": id_col,
-                },
-            )
+                fk = dict(fuzzy_kwargs or {})
+                nd_resolve = fk.pop("resolve", "components")
+                src_f, live_res = cur, None
+
+                def _build_fuzzy(src=src_f):
+                    nonlocal live_res
+                    live_res = incremental_neardup(
+                        src, dedup_store, text_col=text_col,
+                        id_col=id_col, threshold=fuzzy_threshold,
+                        resolve=nd_resolve, defer_commit=True, **fk,
+                    )
+                    acc = live_res.accepted.select(
+                        F.col("id").alias("_keep_id")
+                    )
+                    return src.join(
+                        acc, src[id_col] == F.col("_keep_id"), "left_semi"
+                    )
+
+                cur, _ = note_lazy(
+                    "doc_deduped",
+                    {
+                        "doc_dedup": "fuzzy-incremental",
+                        "store": dedup_store.path,
+                        "threshold": fuzzy_threshold,
+                        "resolve": nd_resolve,
+                        "kwargs": fk,
+                        "text_col": text_col, "id_col": id_col,
+                    },
+                    _build_fuzzy,
+                )
+                fz_key = ckpt.chain if ckpt is not None else None
+                fz_frame = cur
+
+                def store_commit():
+                    if ckpt is not None and ckpt.is_marked(
+                        "store_commit", fz_key
+                    ):
+                        return
+                    if live_res is not None:
+                        live_res.commit()  # banded sigs already pinned
+                    else:
+                        # resumed: re-sign the checkpointed accepted
+                        # docs (one narrow pass over the stage parquet)
+                        from xdump_spark.operators.dedup import (
+                            _norm_text,
+                            _spread,
+                            minhash_signatures,
+                        )
+                        from xdump_spark.operators.incremental import (
+                            _banded,
+                        )
+
+                        np_ = fk.get("num_perm", 128)
+                        nb_ = fk.get("bands", 32)
+                        sk_ = fk.get("shingle_k", 5)
+                        normed = _spread(
+                            fz_frame.select(F.col(id_col), F.col(text_col))
+                        ).select(
+                            F.col(id_col).alias("id"),
+                            _norm_text(F.col(text_col)).alias("_norm"),
+                        )
+                        dedup_store.append(
+                            _banded(
+                                minhash_signatures(normed, np_, sk_),
+                                np_, nb_,
+                            )
+                        )
+                    if ckpt is not None:
+                        ckpt.mark("store_commit", fz_key)
+            else:
+                from xdump_spark.operators.components import fuzzy_dedup
+
+                survivors = fuzzy_dedup(
+                    cur, threshold=fuzzy_threshold, id_col=id_col,
+                    text_col=text_col, **(fuzzy_kwargs or {}),
+                    # fuzzy_kwargs reaches minhash_lsh_pairs (num_perm
+                    # defaults to the calibrated 128 as of r7)
+                ).filter("is_survivor").select(F.col("vertex").alias("_keep_id"))
+                cur = note(
+                    "doc_deduped",
+                    cur.join(
+                        survivors, cur[id_col] == survivors["_keep_id"], "left_semi"
+                    ),
+                    ck={
+                        "doc_dedup": "fuzzy",
+                        "threshold": fuzzy_threshold,
+                        "kwargs": fuzzy_kwargs or {},
+                        "text_col": text_col,
+                        "id_col": id_col,
+                    },
+                )
         else:
             raise ValueError(
                 f"doc_dedup must be 'exact' or 'fuzzy', got {doc_dedup!r}"

@@ -1714,6 +1714,50 @@ def pq_rerank_scale(spark, sf_dir):
     )
 
 
+_incr_store_cache: dict = {}
+
+
+def incremental_batch(spark, sf_dir):
+    """Daily-increment steady state (r7, VERDICT #8): a 500-doc batch
+    (half re-sends, half genuinely new) probed against an ExactHashStore
+    holding the ENTIRE documents table as history. Times only the
+    per-increment hot path — hash the batch, ONE exchange to the store's
+    bucketing, bucketed anti-join with the history never shuffling
+    (plan-pinned in tests/test_plans.py); the store build is one-time
+    cached setup and the commit is skipped (a bench run must not mutate
+    its own fixture). Bench-only twin; correctness of the increment
+    semantics is DuckDB-cross-checked in tests/test_incremental.py."""
+    from xdump_spark.operators import incremental as INC
+
+    docs = _cat(spark, sf_dir).tables["documents"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _incr_store_cache:
+        import uuid
+
+        for row in spark.sql("SHOW TABLES").collect():  # stale fixtures
+            if row.tableName.startswith("bench_incr_"):
+                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+        store = INC.ExactHashStore(
+            spark, f"bench_incr_{uuid.uuid4().hex[:8]}", n_buckets=32
+        )
+        store.append(
+            INC.content_hashes(docs, "text", "doc_id")
+            .select("h1", "h2").distinct()
+        )
+        _incr_store_cache[key] = store
+    store = _incr_store_cache[key]
+    batch = docs.orderBy("doc_id").limit(500).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh-increment-suffix")))
+        .alias("text"),
+    )
+    accepted, _commit = INC.incremental_exact_dedup(
+        batch, store, defer_commit=True
+    )
+    return accepted
+
+
 @query(
     "embed_neardup_exact",
     """
