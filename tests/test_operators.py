@@ -892,3 +892,105 @@ def test_cluster_balanced_sample(spark):
     assert {(r.vec_id, r.cell) for r in rows} == {
         (r.vec_id, r.cell) for r in out3.collect()
     }
+
+
+# ------------------------------------------------- r7 SemDeDup ----
+
+
+def test_semantic_dedup_small_groups(spark):
+    """Two tight duplicate groups + two singletons, one cell: exactly
+    one survivor per group, and the paper's keep rule (member FARTHEST
+    from the centroid survives)."""
+    import numpy as np
+
+    rows = [
+        # group A around (1, 0): 3 near-identical
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.998, 0.02, 0.0]),
+        # group B around (0, 1)
+        (10, [0.0, 1.0, 0.0]), (11, [0.01, 0.999, 0.0]),
+        # singletons
+        (20, [0.0, 0.0, 1.0]), (21, [0.7, 0.7, 0.14]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in S.semantic_dedup(
+        df, threshold=0.98, n_cells=1
+    ).collect()}
+    assert len(out) == 7
+    surv = {i for i, r in out.items() if r.is_survivor}
+    # singletons always survive
+    assert {20, 21} <= surv
+    # one survivor per group
+    assert len(surv & {1, 2, 3}) == 1 and len(surv & {10, 11}) == 1
+    # keep rule: survivor has the group-minimum centroid_sim
+    for grp in ({1, 2, 3}, {10, 11}):
+        kept = (surv & grp).pop()
+        assert out[kept].centroid_sim == min(out[i].centroid_sim for i in grp)
+
+    # min_id rule keeps the smallest id instead
+    out2 = {r.vec_id: r for r in S.semantic_dedup(
+        df, threshold=0.98, n_cells=1, keep="min_id"
+    ).collect()}
+    surv2 = {i for i, r in out2.items() if r.is_survivor}
+    assert 1 in surv2 and 10 in surv2 and len(surv2) == 4
+
+
+def test_semantic_dedup_real_embeddings_invariants(spark):
+    """Real embeddings: survivors drop exactly the within-cell dup mass;
+    every dropped vector has a >=threshold partner in its cell among the
+    output; partition invariance; max_cell guard raises with guidance."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.semantic_dedup(emb, threshold=0.6, n_cells=4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    n_surv = sum(r.is_survivor for r in rows)
+    assert 0 < n_surv <= len(rows)
+
+    # partition invariance GIVEN a fixed index (the fit itself is
+    # seed-deterministic per layout but KMeans|| init is not
+    # layout-invariant — same caveat as ivf_build; the dedup pass is)
+    idx = S.ivf_build(emb, n_cells=4, persist=False)
+    shuffled = S.IVFIndex(
+        centers=idx.centers, assigned=idx.assigned.repartition(13), n_cells=4
+    )
+    a = S.semantic_dedup(emb, threshold=0.6, index=idx)
+    b = S.semantic_dedup(emb, threshold=0.6, index=shuffled)
+    assert sorted((r.vec_id, r.cell, r.is_survivor) for r in a.collect()) == sorted(
+        (r.vec_id, r.cell, r.is_survivor) for r in b.collect()
+    )
+
+    with _pytest.raises(Exception, match="max_cell"):
+        S.semantic_dedup(emb, threshold=0.6, n_cells=1, max_cell=10).collect()
+    with _pytest.raises(ValueError, match="keep"):
+        S.semantic_dedup(emb, keep="nope")
+
+
+def test_semantic_dedup_single_cell_matches_exact_components(spark):
+    """n_cells=1 degenerates to plain components-over-exact-pairs — the
+    survivor count must equal (n - dup-mass) computed independently from
+    embedding_neardup_pairs(exact=True) + union-find in Python."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    thr = 0.35
+    pairs = S.embedding_neardup_pairs(emb, threshold=thr, exact=True).collect()
+    assert pairs  # non-vacuous: real duplicate mass at this threshold
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[rb] = ra
+    n_components = len({find(i) for i in ids})
+
+    out = S.semantic_dedup(emb, threshold=thr, n_cells=1)
+    assert out.filter("is_survivor").count() == n_components

@@ -125,6 +125,9 @@ def main() -> int:
             results[f"{label}_raised"] = True
             results[f"{label}_msg"] = str(e)[:140]
             print(f"{label} raised (by design): {str(e)[:140]}", file=sys.stderr)
+        except Exception as e:  # an arm dying (OOM...) IS a result
+            results[f"{label}_failed"] = f"{type(e).__name__}: {str(e)[:140]}"
+            print(f"{label} FAILED: {results[f'{label}_failed']}", file=sys.stderr)
 
     # A 5%-template batch has cluster-QUADRATIC TRUE near-dup pairs (the
     # unique-suffix near-dups land in sub-max_bucket sub-buckets no hot

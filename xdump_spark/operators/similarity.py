@@ -715,3 +715,137 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_cell: int = 50_000,
+    keep: str = "low_centroid_sim",
+    seed: int = 42,
+    index: "IVFIndex | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): embedding-space semantic
+    dedup — KMeans-cluster the corpus, find cosine-≥ ``threshold`` pairs
+    WITHIN each cell only, and keep one representative per duplicate
+    group. Returns (``id_col``, cell, centroid_sim, is_survivor): filter
+    ``is_survivor`` for the deduped corpus; dropped rows keep their
+    group's evidence implicitly via the shared cell.
+
+    ``keep`` picks the survivor per duplicate group (a connected
+    component of the within-cell ≥-threshold graph):
+
+    * ``"low_centroid_sim"`` — the paper's choice: the member FARTHEST
+      from the centroid survives (retains the most atypical example,
+      which SemDeDup measured best for downstream training). Tie-break
+      min id.
+    * ``"min_id"`` — deterministic arrival-order analog of the text
+      dedup operators.
+
+    Scale shape (the paper's own trick, Spark-native): clustering makes
+    the O(n²) pair problem O(Σ|cell|²) and pairs NEVER cross cells, so
+    everything after assignment is ONE groupBy(cell) → applyInPandas —
+    per-cell BLAS matmul + union-find, no distributed components pass,
+    no pair frame. At 100 TB raise ``n_cells`` (the paper runs 50 k) so
+    cells bound task memory; a cell over ``max_cell`` raises with that
+    guidance rather than OOMing a task. Centroid fit/assignment reuses
+    :func:`ivf_build` (or pass a prebuilt/loaded ``index`` — e.g. from
+    ``ivf_read`` — to skip the fit).
+
+    Determinism: given an ``index``, the dedup pass is invariant to any
+    partitioning (survivor pick is a lexsort, union-find order cannot
+    change components). The self-fit path is seed-deterministic for a
+    fixed input layout, but KMeans|| initialization is not
+    layout-invariant — the same caveat as :func:`ivf_build`; fit once
+    and share the index when bit-stable assignments matter.
+
+    The reference engine has no embedding surface (extension scope,
+    same posture as the ANN family; cites SURVEY.md §2-ext)."""
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"keep must be low_centroid_sim|min_id, got {keep!r}")
+    if index is not None:
+        idx = index
+    elif n_cells == 1:
+        # degenerate single-cell (the exact small-n baseline): KMeans
+        # requires k >= 2 — the lone centroid is just the mean vector
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cn", _norm_udf(F.col("cv")))
+        dim_ = len(c.select("cv").first()["cv"])
+        mean = (
+            c.select(F.array(*[
+                F.avg(F.col("cv")[i]) for i in range(dim_)
+            ]).alias("m")).collect()[0]["m"]
+        )
+        idx = IVFIndex(
+            centers=[list(mean)],
+            assigned=c.withColumn("cell", F.lit(0)),
+            n_cells=1,
+        )
+    else:
+        idx = ivf_build(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            seed=seed, persist=False,
+        )
+    centers = np.asarray(idx.centers, dtype=np.float64)
+    cnorm = _norms(centers)
+    id_type = _id_type(corpus, id_col)
+    out_schema = (
+        f"{id_col} {id_type}, cell int, centroid_sim double, is_survivor boolean"
+    )
+    thr, mc, by_sim = float(threshold), int(max_cell), keep == "low_centroid_sim"
+
+    def dedup_cell(key, pdf):
+        n = len(pdf)
+        if n > mc:
+            raise ValueError(
+                f"semantic_dedup: cell {key[0]} holds {n} vectors > "
+                f"max_cell={mc}; raise n_cells (SemDeDup uses ~50k cells "
+                "at web scale) so per-cell work stays bounded"
+            )
+        M = _matrix(pdf["cv"])
+        ids = pdf["neighbor_id"].to_numpy()
+        norms = _norms(M)
+        c = centers[key[0]]
+        csim = np.round((M @ c) / (norms * cnorm[key[0]]), 6)
+        # union-find over >= threshold pairs (upper triangle)
+        S = (M @ M.T) / np.outer(norms, norms)
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        ii, jj = np.nonzero(np.triu(S >= thr, k=1))
+        for a, b in zip(ii, jj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(n)])
+        # survivor per component: (centroid_sim asc | id asc), id tie-break
+        order = (
+            np.lexsort((ids, csim)) if by_sim else np.lexsort((ids,))
+        )
+        survivor = np.zeros(n, dtype=bool)
+        seen: set = set()
+        for i in order:
+            r = roots[i]
+            if r not in seen:
+                seen.add(r)
+                survivor[i] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": key[0],
+                "centroid_sim": csim,
+                "is_survivor": survivor,
+            }
+        )
+
+    return idx.assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)
