@@ -1792,30 +1792,53 @@ reach AS (
   UNION
   SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
 ),
-comp AS (SELECT node, MIN(r) AS m FROM reach GROUP BY node)
-SELECT e.vec_id AS vec_id,
-       CAST(COALESCE(LEAST(c.node, c.m), e.vec_id) AS BIGINT) AS component
-FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+comp AS (SELECT node, MIN(r) AS m FROM reach GROUP BY node),
+labels AS (
+  SELECT e.vec_id AS vec_id,
+         CAST(COALESCE(LEAST(c.node, c.m), e.vec_id) AS BIGINT) AS component
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+)
+SELECT 'cc' AS method, vec_id, component AS val FROM labels
+UNION ALL
+SELECT 'semdedup' AS method, vec_id,
+       CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS BIGINT) AS val
+FROM labels
 """
 
 
 @query("dedup_components", _COMPONENTS_SQL)
 def dedup_components(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the exact
-    embedding near-dup pair graph, min-id canonical representative,
-    singletons included — the keep/drop decision step of a corpus dedup
-    pipeline (operators/components.py, hash-to-min + pointer jumping).
-    The oracle recomputes components as a recursive-CTE transitive
-    closure."""
+    """Near-dup CLUSTERING panel (r7: two method-tagged result sets
+    under ONE oracle, the closure-panel pattern):
+
+    * ``cc`` — connected components over the exact embedding near-dup
+      pair graph, min-id canonical representative, singletons included
+      (operators/components.py, hash-to-min + pointer jumping); ``val``
+      = component id.
+    * ``semdedup`` — SemDeDup (operators/similarity.semantic_dedup,
+      single-cell exact mode, keep="min_id"): ``val`` = 1 iff the
+      vector survives. The oracle derives the same flag from the
+      recursive-CTE closure (survivor ⇔ vec_id == its component), so
+      the hash gate proves the applyInPandas union-find path equal to
+      the SQL transitive closure."""
     from xdump_spark.operators.components import connected_components
 
     emb = _cat(spark, sf_dir).tables["embeddings"]
     edges = S.embedding_neardup_pairs(emb, threshold=0.4, exact=True)
     out = connected_components(edges, vertices=emb, vertex_col="vec_id")
-    return out.select(
+    cc = out.select(
+        F.lit("cc").alias("method"),
         F.col("vertex").cast("long").alias("vec_id"),
-        F.col("component").cast("long").alias("component"),
+        F.col("component").cast("long").alias("val"),
     )
+    sd = S.semantic_dedup(
+        emb, threshold=0.4, n_cells=1, keep="min_id"
+    ).select(
+        F.lit("semdedup").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("is_survivor").cast("long").alias("val"),
+    )
+    return cc.unionByName(sd)
 
 
 def embed_neardup_lsh(spark, sf_dir):
