@@ -860,3 +860,55 @@ def test_pipeline_neardup_store_from_config(spark, tmp_path):
     }))
     with _pytest.raises(ValueError, match="path"):
         curate_from_config(spark, str(bad))
+
+
+def test_pipeline_chunk_output(spark, tmp_path):
+    """r7: chunk_budget emits res.chunks (the RAG/embedding output)
+    alongside the corpus, coexisting with pack_budget; config carries
+    chunk keys + chunks_out sink; validation raises on bad chunk_by and
+    on overlap under sentence mode."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1,
+        chunk_budget=4, chunk_overlap=1, pack_budget=16,
+    )
+    assert res.chunks is not None and res.sequences is not None
+    got = {(r.doc_id, r.chunk_idx): r.n_tokens for r in res.chunks.collect()}
+    assert got[(1, 0)] == 4 and (1, 2) in got and got[(2, 0)] == 4
+
+    sent = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, chunk_budget=6, chunk_by="sentences",
+    )
+    assert sent.chunks.count() >= 2
+    with _pytest.raises(ValueError, match="chunk_by"):
+        prepare_training_corpus(docs, span_k=None, chunk_budget=4, chunk_by="x")
+    with _pytest.raises(ValueError, match="chunk_overlap"):
+        prepare_training_corpus(
+            docs, span_k=None, chunk_budget=4, chunk_by="sentences",
+            chunk_overlap=2,
+        )
+
+    inp = str(tmp_path / "in.parquet")
+    docs.write.parquet(inp)
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "input": inp, "output": str(tmp_path / "out"),
+        "span_k": None, "min_tokens": 1,
+        "chunk_budget": 4, "chunk_overlap": 1,
+        "chunks_out": str(tmp_path / "chunks"),
+    }))
+    r = curate_from_config(spark, str(cfg))
+    assert r.chunks is not None
+    back = spark.read.parquet(str(tmp_path / "chunks"))
+    assert back.count() == r.chunks.count() > 0

@@ -162,9 +162,12 @@ def main() -> int:
                 src, dst = frag_path, f"{args.store_dir}/arm4"
                 shutil.rmtree(dst, ignore_errors=True)
                 shutil.copytree(src, dst)
+                # components resolution: the template batch's 2.1 M TRUE
+                # pairs refuse greedy's driver bound by design (I1)
                 r = incremental_neardup(
                     batch, SignatureStore(spark, dst), id_col="doc_id",
                     num_perm=np, bands=bands, threshold=0.6,
+                    resolve="components",
                 )
                 return r.accepted.count()
             timed(s, run, results)

@@ -70,7 +70,7 @@ _CURATE_KEYS = {
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
     "input_format", "audit", "checkpoint_dir", "checkpoint_stages",
-    "resume",
+    "resume", "chunk_budget", "chunk_overlap", "chunk_by", "chunks_out",
 }
 
 
@@ -207,6 +207,9 @@ def curate_from_config(spark: SparkSession, path: str):
         contamination_policy=cfg.get("contamination_policy", "drop"),
         shuffle_seed=cfg.get("shuffle_seed", 0),
         pack_budget=cfg.get("pack_budget"),
+        chunk_budget=cfg.get("chunk_budget"),
+        chunk_overlap=cfg.get("chunk_overlap", 0),
+        chunk_by=cfg.get("chunk_by", "tokens"),
         tokenize=cfg.get("tokenize", False),
         vocab_size=cfg.get("vocab_size", 65_536),
         out_dir=cfg["output"],
@@ -230,4 +233,6 @@ def curate_from_config(spark: SparkSession, path: str):
             write_binary_shards(res.sequences, cfg["shards_out"])
         else:
             res.sequences.write.mode(mode).parquet(cfg["shards_out"])
+    if res.chunks is not None and cfg.get("chunks_out"):
+        res.chunks.write.mode(mode).parquet(cfg["chunks_out"])
     return res

@@ -79,6 +79,7 @@ class CorpusResult:
     mixture_rates: dict | None = None     # applied keep-rates (if rebalancing)
     card: dict | None = None              # data card of the output (if asked)
     resumed: list = field(default_factory=list)  # stages served from checkpoint
+    chunks: DataFrame | None = None       # chunker output (if chunk_budget)
 
 
 def prepare_training_corpus(
@@ -119,6 +120,9 @@ def prepare_training_corpus(
     pack_budget: int | None = None,
     tokenize: bool = False,
     vocab_size: int = 65_536,
+    chunk_budget: int | None = None,
+    chunk_overlap: int = 0,
+    chunk_by: str = "tokens",
     out_dir: str | None = None,
     partition_by: tuple[str, ...] = (),
     out_mode: str = "errorifexists",
@@ -722,6 +726,37 @@ def prepare_training_corpus(
                 cur, budget=pack_budget, text_col=text_col, id_col=id_col
             )
 
+    chunks = None
+    if chunk_budget is not None:
+        # RAG/embedding ingestion output (r7): split the SURVIVING docs
+        # into bounded-token pieces — the SPLIT counterpart of
+        # pack_sequences' concatenation, and orthogonal to it (a corpus
+        # can ship training packs AND retrieval chunks from one run).
+        if chunk_by == "tokens":
+            from xdump_spark.operators.chunking import chunk_tokens
+
+            chunks = chunk_tokens(
+                cur, max_tokens=chunk_budget, overlap=chunk_overlap,
+                text_col=text_col, id_col=id_col,
+            )
+        elif chunk_by == "sentences":
+            if chunk_overlap:
+                raise ValueError(
+                    "chunk_overlap applies to chunk_by='tokens' only "
+                    "(sentence chunks never split, so there is nothing "
+                    "to overlap)"
+                )
+            from xdump_spark.operators.chunking import chunk_sentences
+
+            chunks = chunk_sentences(
+                cur, max_tokens=chunk_budget,
+                text_col=text_col, id_col=id_col,
+            )
+        else:
+            raise ValueError(
+                f"chunk_by must be 'tokens' or 'sentences', got {chunk_by!r}"
+            )
+
     if out_dir is not None:
         from xdump_spark.sources.corpus_sink import write_corpus
 
@@ -742,4 +777,5 @@ def prepare_training_corpus(
         corpus=cur, sequences=sequences, audit=counts, vocab=vocab,
         mixture_rates=mixture_rates, card=card,
         resumed=list(ckpt.resumed) if ckpt is not None else [],
+        chunks=chunks,
     )
