@@ -574,3 +574,98 @@ def test_exact_hash_store_compact(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store.table_name}")
+
+
+# --------------------------------------- r7 semantic (vector) store ----
+
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _vids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_incremental_semantic_basic_two_batches(spark, tmp_path):
+    """Crafted two-increment flow: within-batch dup resolved min-id,
+    re-sent near-dup of a STORED vector rejected with evidence, novel
+    vector accepted; store grows only by survivors."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = incremental_semantic_dedup(b1, store, threshold=0.98, n_cells=2)
+    assert _vids(r1.accepted) == [1, 3]
+    rej1 = {(r.dup_id, r.kept_id) for r in r1.rejects.collect()}
+    assert rej1 == {(2, 1)}
+    assert r1.store_rows == 2
+
+    b2 = spark.createDataFrame(
+        [(10, [0.998, 0.02, 0.0]),   # near stored 1
+         (11, [0.01, 0.999, 0.0]),   # near stored 3
+         (12, [0.0, 0.0, 1.0])],     # novel
+        "vec_id long, embedding array<double>",
+    )
+    r2 = incremental_semantic_dedup(b2, store, threshold=0.98, n_cells=2)
+    assert _vids(r2.accepted) == [12]
+    rej2 = {(r.dup_id, r.kept_id) for r in r2.rejects.collect()}
+    assert rej2 == {(10, 1), (11, 3)}
+    assert r2.store_rows == 3
+    for r in r2.rejects.collect():
+        assert r.est >= 0.98
+
+
+def test_incremental_semantic_single_batch_equals_semdedup(spark, tmp_path):
+    """A fresh store's first increment must accept exactly the one-shot
+    semantic_dedup(keep='min_id') survivors — same seed, same cells,
+    same per-cell semantics."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(EMB).limit(300)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    r = incremental_semantic_dedup(emb, store, threshold=0.35, n_cells=4)
+    one_shot = semantic_dedup(
+        emb, threshold=0.35, n_cells=4, keep="min_id"
+    ).filter("is_survivor")
+    assert _vids(r.accepted) == sorted(v.vec_id for v in one_shot.collect())
+    assert r.rejects.count() == 300 - len(_vids(r.accepted))
+
+
+def test_incremental_semantic_defer_commit_and_guard(spark, tmp_path):
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(EMB).limit(100)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    r = incremental_semantic_dedup(
+        emb, store, threshold=0.35, n_cells=4, defer_commit=True
+    )
+    assert r.store_rows == -1 and store.exists()
+    # nothing appended yet: a re-run accepts the same set
+    r2 = incremental_semantic_dedup(
+        emb, store, threshold=0.35, n_cells=4, defer_commit=True
+    )
+    assert _vids(r.accepted) == _vids(r2.accepted)
+    r2.commit()
+    # now every re-sent vector is rejected against history
+    r3 = incremental_semantic_dedup(emb, store, threshold=0.35, n_cells=4)
+    assert _vids(r3.accepted) == []
+
+    with pytest.raises(Exception, match="max_cell"):
+        incremental_semantic_dedup(
+            spark.read.parquet(EMB).limit(60),
+            VectorStore(spark, str(tmp_path / "vs2")),
+            threshold=0.35, n_cells=2, max_cell=5,
+        ).accepted.count()

@@ -719,3 +719,263 @@ def streaming_neardup_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class VectorStore:
+    """Persistent embedding-dedup state: the ``ivf_write`` on-disk
+    layout (per-cell parquet partitions + a centroid meta file) worn as
+    a store. The FIRST increment fits the centroids (they are frozen
+    thereafter — ``ivf_balance`` on ``index()`` is the retrain
+    trigger); every later increment assigns against them, reads ONLY
+    its touched cells (partition pruning), and appends its accepted
+    vectors into those cells. Completes the store trio: ExactHashStore
+    (byte-identical), SignatureStore (MinHash near-dup), VectorStore
+    (semantic near-dup, SemDeDup-style)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        from xdump_spark import fsutil
+
+        return fsutil.is_dir(self.spark, fsutil.join(self.path, "meta"))
+
+    def centers(self) -> list:
+        import json
+
+        from xdump_spark import fsutil
+
+        meta = json.loads(
+            self.spark.read.json(fsutil.join(self.path, "meta")).first()["meta"]
+        )
+        return meta["centers"]
+
+    def index(self):
+        """The full stored index (for ivf_balance / searches)."""
+        from xdump_spark.operators.similarity import ivf_read
+
+        return ivf_read(self.spark, self.path)
+
+    def read_cells(self, cells: list[int]) -> DataFrame | None:
+        """Stored members of just the given cells — a partition-pruned
+        scan (the store can be arbitrarily large; an increment only
+        ever reads the cells its batch touches). None while the store
+        holds no data yet (meta written, no committed increment)."""
+        from xdump_spark import fsutil
+
+        path = fsutil.join(self.path, "assigned")
+        if not fsutil.list_data_files(self.spark, path):
+            return None
+        return self.spark.read.parquet(path).filter(
+            F.col("cell").isin([int(c) for c in cells])
+        )
+
+    def append_assigned(self, assigned: DataFrame) -> None:
+        from xdump_spark import fsutil
+
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            fsutil.join(self.path, "assigned")
+        )
+
+
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    store: VectorStore,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_cell: int = 50_000,
+    seed: int = 42,
+    defer_commit: bool = False,
+) -> IncrementResult:
+    """One SEMANTIC dedup increment: accept a new vector iff its
+    duplicate cluster (cosine ≥ ``threshold``, within its centroid
+    cell) touches neither the stored history nor a smaller-id survivor
+    of its own batch — ``incremental_neardup``'s components semantics
+    in embedding space (SemDeDup per cell, store-tainted clusters
+    rejected wholesale, min-id survivor).
+
+    Scale shape: assign the batch against the FROZEN stored centroids
+    (one Arrow matmul pass, ``similarity.ivf_assign``); read only the
+    touched cells of the history (partition-pruned — the store never
+    rescans); one groupBy(cell) → applyInPandas kernel does the
+    new-vs-stored and new-vs-new cosine + union-find per cell. Nothing
+    is ever collected; ``rejects`` is a DataFrame (dup_id, kept_id,
+    est) where ``est`` is the doc's best direct cosine edge. A cell
+    whose COMBINED new+stored membership exceeds ``max_cell`` raises
+    with retrain guidance (``VectorStore.index()`` + ``ivf_balance``).
+
+    First increment: fits KMeans on the batch itself and writes the
+    store (centroids frozen from then on). ``defer_commit`` as in the
+    other increments — duplicate appended vectors cannot change a
+    later increment's decisions (dup rows only add redundant ≥-threshold
+    edges to already-stored points).
+    """
+    from xdump_spark.operators.similarity import (
+        _as_double,
+        _id_type,
+        _matrix,
+        _norm_udf,
+        _norms,
+        ivf_assign,
+        ivf_build,
+    )
+    import numpy as np
+    import pandas as pd
+
+    spark = new_vectors.sparkSession
+    if store.exists():
+        centers = store.centers()
+        assigned_new = ivf_assign(centers, new_vectors, id_col, vec_col)
+    else:
+        idx = ivf_build(
+            new_vectors, id_col=id_col, vec_col=vec_col,
+            n_cells=min(n_cells, max(2, new_vectors.count())),
+            seed=seed, persist=False,
+        )
+        centers = idx.centers
+        assigned_new = idx.assigned
+        # create the store shell (centroids frozen from now on)
+        import json
+
+        from xdump_spark import fsutil
+
+        meta = json.dumps({"centers": centers, "n_cells": len(centers)})
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(fsutil.join(store.path, "meta"))
+    assigned_new = assigned_new.localCheckpoint(eager=True)
+
+    touched = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]
+    stored = store.read_cells(touched) if touched else None
+
+    new_tagged = assigned_new.withColumn("_new", F.lit(True))
+    both = (
+        new_tagged.unionByName(stored.withColumn("_new", F.lit(False)))
+        if stored is not None
+        else new_tagged
+    )
+
+    thr, mc = float(threshold), int(max_cell)
+    idt = _id_type(new_vectors, id_col)
+    out_schema = (
+        f"dup_id {idt}, kept_id {idt}, est double, _surv boolean"
+    )
+
+    def kernel(key, pdf):
+        n = len(pdf)
+        if n > mc:
+            raise ValueError(
+                f"incremental_semantic_dedup: cell {key[0]} holds {n} "
+                f"(new+stored) vectors > max_cell={mc}; the centroid set "
+                "has drifted or is too coarse — check "
+                "ivf_balance(store.index()) and retrain with more cells"
+            )
+        new_mask = pdf["_new"].to_numpy()
+        if not new_mask.any():
+            return pd.DataFrame(
+                {"dup_id": [], "kept_id": [], "est": [], "_surv": []}
+            )
+        M = _matrix(pdf["cv"])
+        ids = pdf["neighbor_id"].to_numpy()
+        norms = _norms(M)
+        S = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(S, 0.0)
+        new_i = np.nonzero(new_mask)[0]
+        old_i = np.nonzero(~new_mask)[0]
+
+        # union-find over new-new >= thr edges
+        pos = {gi: li for li, gi in enumerate(new_i)}
+        parent = np.arange(len(new_i))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        nn = S[np.ix_(new_i, new_i)]
+        for a, b in zip(*np.nonzero(np.triu(nn >= thr, k=1))):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        # store taint: best stored hit per new vector, then per cluster
+        best_old = np.full(len(new_i), -1)
+        best_old_sim = np.zeros(len(new_i))
+        if len(old_i):
+            no = S[np.ix_(new_i, old_i)]
+            j = np.argmax(no, axis=1)
+            best_old_sim = no[np.arange(len(new_i)), j]
+            best_old = np.where(best_old_sim >= thr, old_i[j], -1)
+        taint: dict = {}
+        for li in range(len(new_i)):
+            if best_old[li] >= 0:
+                r = find(li)
+                cur = taint.get(r)
+                cand = (-best_old_sim[li], ids[best_old[li]])
+                if cur is None or cand < cur:
+                    taint[r] = cand
+
+        # survivor per untainted cluster: min id
+        surv_of: dict = {}
+        order = np.argsort(ids[new_i], kind="stable")
+        for li in order:
+            r = find(li)
+            if r not in taint and r not in surv_of:
+                surv_of[r] = ids[new_i[li]]
+
+        # best direct edge evidence (new-new or new-stored)
+        nn_best = nn.max(axis=1) if len(new_i) > 1 else np.zeros(len(new_i))
+        ev = np.maximum(nn_best, best_old_sim)
+
+        rows = {"dup_id": [], "kept_id": [], "est": [], "_surv": []}
+        for li in range(len(new_i)):
+            gid = ids[new_i[li]]
+            r = find(li)
+            if r in taint:
+                rows["dup_id"].append(gid)
+                rows["kept_id"].append(taint[r][1])
+                rows["est"].append(round(float(ev[li]), 6))
+                rows["_surv"].append(False)
+            elif surv_of[r] == gid:
+                rows["dup_id"].append(gid)
+                rows["kept_id"].append(gid)
+                rows["est"].append(round(float(ev[li]), 6))
+                rows["_surv"].append(True)
+            else:
+                rows["dup_id"].append(gid)
+                rows["kept_id"].append(surv_of[r])
+                rows["est"].append(round(float(ev[li]), 6))
+                rows["_surv"].append(False)
+        return pd.DataFrame(rows)
+
+    verdicts = both.groupBy("cell").applyInPandas(kernel, out_schema)
+    verdicts = verdicts.localCheckpoint(eager=True)
+    accepted_ids = verdicts.filter("_surv").select(
+        F.col("dup_id").alias("id")
+    )
+    rejects = verdicts.filter("NOT _surv").select("dup_id", "kept_id", "est")
+
+    accepted_assigned = assigned_new.join(
+        accepted_ids.withColumnRenamed("id", "neighbor_id"), "neighbor_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+
+    def commit() -> None:
+        store.append_assigned(accepted_assigned)
+
+    accepted = accepted_assigned.select(F.col("neighbor_id").alias("id"))
+    if defer_commit:
+        return IncrementResult(
+            pairs=[], accepted=accepted, store_rows=-1,
+            rejects=rejects, commit=commit,
+        )
+    commit()
+    all_cells = store.read_cells(list(range(len(centers))))
+    n = all_cells.count() if all_cells is not None else 0
+    return IncrementResult(
+        pairs=[], accepted=accepted, store_rows=n, rejects=rejects
+    )
