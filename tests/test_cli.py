@@ -413,3 +413,30 @@ def test_cli_curate_checkpoint_and_no_audit(spark, tmp_path, capsys):
          "-o", str(tmp_path / "o4"), "--span-k", "0", "--min-tokens", "1",
          "--no-audit"]), spark) == 0
     assert "input:" not in capsys.readouterr().out
+
+
+def test_cli_curate_chunks(spark, tmp_path, capsys):
+    """r7: --chunk-budget/--chunk-overlap/--chunks-out write the RAG
+    chunk table; chunk token totals cover the corpus exactly once at
+    overlap 0."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark import cli
+
+    out = str(tmp_path / "corpus")
+    chunks = str(tmp_path / "chunks")
+    args = cli.build_parser().parse_args([
+        "curate",
+        "-i", "/root/testdata/sf0.001/documents.parquet",
+        "-o", out,
+        "--span-k", "0", "--min-tokens", "1",
+        "--chunk-budget", "32", "--chunks-out", chunks,
+    ])
+    assert cli.run(args, spark) == 0
+    assert f"wrote chunks to {chunks}" in capsys.readouterr().out
+    ch = spark.read.parquet(chunks)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens"} <= set(ch.columns)
+    corpus_tokens = spark.read.parquet(out).select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert ch.select(F.sum("n_tokens")).collect()[0][0] == corpus_tokens

@@ -286,6 +286,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the pack/shard table here",
     )
     c.add_argument(
+        "--chunk-budget", type=int, default=None,
+        help="split surviving docs into <= N-token chunks "
+             "(RAG/embedding ingestion output)",
+    )
+    c.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens shared between neighboring chunks")
+    c.add_argument("--chunk-by", choices=["tokens", "sentences"],
+                   default="tokens")
+    c.add_argument("--chunks-out", default=None,
+                   help="write the chunk table here (parquet)")
+    c.add_argument(
         "--shards-format", choices=["parquet", "binary"], default="parquet",
         help="'binary' writes mmap-ready .bin/.idx token shards + "
              "manifest.json (sources/token_shards.py) instead of parquet "
@@ -510,6 +521,9 @@ def run(args, spark) -> int:
             shuffle_seed=args.seed,
             pack_budget=args.pack_budget,
             tokenize=args.tokenize,
+            chunk_budget=args.chunk_budget,
+            chunk_overlap=args.chunk_overlap,
+            chunk_by=args.chunk_by,
             out_dir=args.output,
             partition_by=tuple(args.partition_by),
             out_mode="overwrite" if args.overwrite else "errorifexists",
@@ -553,6 +567,10 @@ def run(args, spark) -> int:
                 mode = "overwrite" if args.overwrite else "errorifexists"
                 res.sequences.write.mode(mode).parquet(args.shards_out)
                 print(f"wrote sequences to {args.shards_out}")
+        if res.chunks is not None and args.chunks_out:
+            mode = "overwrite" if args.overwrite else "errorifexists"
+            res.chunks.write.mode(mode).parquet(args.chunks_out)
+            print(f"wrote chunks to {args.chunks_out}")
         print(f"wrote {args.output}")
     elif args.command == "train-quality":
         import json
