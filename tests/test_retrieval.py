@@ -208,3 +208,53 @@ def test_index_save_load_unknown_version_and_missing_manifest(spark, tmp_path):
     # a half-written index (no manifest yet) is not loadable
     with pytest.raises(Exception):
         load_text_index(spark, str(tmp_path / "never_written"))
+
+
+def test_index_append_exact_and_compact(spark, docs_df, tmp_path):
+    """r7 segments: build(A)+append(B) answers bm25_topk HASH-identically
+    to a fresh build over A∪B; compact() merges segments to one with
+    identical answers and fewer seg dirs; orphan (uncommitted) segment
+    dirs are invisible to load."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        compact_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    a = docs_df.filter("doc_id <= 3")
+    b = docs_df.filter("doc_id > 3")
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(build_text_index(docs_df), queries, k=4).collect()
+    )
+
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(a), path, n_tbuckets=4)
+    entry = append_text_index(spark, path, b)
+    assert entry["seg"] == 1 and entry["n_docs"] == b.count()
+    loaded = load_text_index(spark, path)
+    assert loaded.n_docs == docs_df.count()
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(loaded, queries, k=4).collect()
+    )
+    assert got == want
+
+    # orphan segment (crash before manifest): invisible
+    fsutil.mkdirs(spark, f"{path}/postings/seg=9")
+    assert load_text_index(spark, path).n_docs == docs_df.count()
+
+    rpt = compact_text_index(spark, path)
+    assert rpt["segments_before"] == 2
+    segs = [n for n in fsutil.list_names(spark, f"{path}/postings") if n.startswith("seg=")]
+    assert segs == [f"seg={rpt['seg']}"]  # old + orphan dirs swept
+    again = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+    assert again == want

@@ -75,6 +75,9 @@ class TextIndex:
     #: set by :func:`load_text_index` when the postings carry the
     #: ``_tbucket`` partition column — enables query-time bucket pruning
     n_tbuckets: int | None = None
+    #: exact corpus token total (sum of dl) — lets appends recompute
+    #: avgdl exactly; ``avgdl == total_dl / n_docs``
+    total_dl: int | None = None
 
     def save(self, path: str, n_tbuckets: int = 64) -> None:
         """Persist the index (see :func:`save_text_index`)."""
@@ -100,7 +103,7 @@ def build_text_index(
         pushdown_barrier(terms_of(F.col(text_col))).alias("_toks"),
     )
     stats = toks.agg(
-        F.count("*").alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+        F.count("*").alias("n"), F.sum(F.size("_toks")).alias("tdl")
     ).collect()[0]
     base = toks.select(
         "id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
@@ -109,65 +112,21 @@ def build_text_index(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n, tdl = int(stats["n"]), int(stats["tdl"] or 0)
     return TextIndex(
         postings=postings,
         term_stats=term_stats,
-        n_docs=int(stats["n"]),
-        avgdl=float(stats["avgdl"] or 0.0),
+        n_docs=n,
+        avgdl=(tdl / n) if n else 0.0,
         id_col=id_col,
+        total_dl=tdl,
     )
 
 
 _INDEX_MANIFEST = "index.json"
 
 
-def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
-    """Persist a :class:`TextIndex`: the docstring's "the index IS the
-    storage format", made literal.
-
-    Layout: ``postings/`` parquet PARTITIONED by ``_tbucket =
-    pmod(xxhash64(term), n_tbuckets)`` — at query time the matched
-    terms' buckets become a partition filter, so a 3-term query over a
-    10 B-posting index opens ≤3 of ``n_tbuckets`` partition directories
-    instead of all of them (plan-asserted in tests). ``term_stats/``
-    plain parquet (it is broadcast-side anyway), and an atomic
-    ``index.json`` manifest for the scalars — written LAST, so a
-    half-written index (no manifest) is never loadable."""
-    spark = index.postings.sparkSession
-    from xdump_spark import fsutil
-
-    (
-        index.postings
-        .withColumn("_tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)))
-        .repartition(n_tbuckets, "_tbucket")
-        .write.mode("overwrite").partitionBy("_tbucket")
-        .parquet(fsutil.join(path, "postings"))
-    )
-    index.term_stats.write.mode("overwrite").parquet(
-        fsutil.join(path, "term_stats")
-    )
-    import json
-
-    fsutil.write_text_atomic(
-        spark,
-        fsutil.join(path, _INDEX_MANIFEST),
-        json.dumps(
-            {
-                "version": 1,
-                "n_docs": index.n_docs,
-                "avgdl": index.avgdl,
-                "id_col": index.id_col,
-                "n_tbuckets": n_tbuckets,
-            }
-        ),
-    )
-
-
-def load_text_index(spark: SparkSession, path: str) -> TextIndex:
-    """Load a :func:`save_text_index` index. The returned ``postings``
-    frame keeps the ``_tbucket`` partition column — :func:`bm25_topk`
-    uses it to prune the postings scan to the queried terms' buckets;
-    every other consumer can ignore or drop it."""
+def _read_manifest(spark, path: str) -> dict:
     import json
 
     from xdump_spark import fsutil
@@ -175,15 +134,157 @@ def load_text_index(spark: SparkSession, path: str) -> TextIndex:
     man = json.loads(
         fsutil.read_text(spark, fsutil.join(path, _INDEX_MANIFEST))
     )
-    if man.get("version") != 1:
-        raise ValueError(f"unsupported text-index version: {man.get('version')!r}")
+    if man.get("version") != 2:
+        raise ValueError(
+            f"unsupported text-index version: {man.get('version')!r} "
+            "(this build reads the v2 segmented layout; rebuild with "
+            "save_text_index)"
+        )
+    return man
+
+
+def _write_manifest(spark, path: str, man: dict) -> None:
+    import json
+
+    from xdump_spark import fsutil
+
+    fsutil.write_text_atomic(
+        spark, fsutil.join(path, _INDEX_MANIFEST), json.dumps(man)
+    )
+
+
+def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> dict:
+    """Write one segment's postings (partitioned seg/_tbucket) and
+    term_stats (partitioned seg); returns its manifest entry. A segment
+    directory is INVISIBLE until the manifest commits it — loads filter
+    to committed seg ids, so a crashed write leaves only an ignored
+    orphan directory (cleaned by the next compact)."""
+    from xdump_spark import fsutil
+
+    spark = index.postings.sparkSession
+    (
+        index.postings
+        .withColumn("seg", F.lit(seg))
+        .withColumn("_tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)))
+        .repartition(n_tbuckets, "_tbucket")
+        .write.mode("append").partitionBy("seg", "_tbucket")
+        .parquet(fsutil.join(path, "postings"))
+    )
+    (
+        index.term_stats.withColumn("seg", F.lit(seg))
+        .write.mode("append").partitionBy("seg")
+        .parquet(fsutil.join(path, "term_stats"))
+    )
+    tdl = index.total_dl
+    if tdl is None:  # hand-built TextIndex without the exact total
+        tdl = int(round(index.avgdl * index.n_docs))
+    return {"seg": seg, "n_docs": index.n_docs, "total_dl": int(tdl)}
+
+
+def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
+    """Persist a :class:`TextIndex`: the docstring's "the index IS the
+    storage format", made literal — as segment 0 of a SEGMENTED layout
+    (``postings/seg=K/_tbucket=J``): :func:`append_text_index` adds a
+    daily batch as a new committed segment without touching existing
+    files, :func:`compact_text_index` merges segments back to one, and
+    the atomic ``index.json`` manifest names the committed segments —
+    written LAST, so a half-written index or segment is never loadable.
+    The ``_tbucket = pmod(xxhash64(term), n_tbuckets)`` partitioning
+    makes the matched query terms a PARTITION filter at query time
+    (a 3-term query over a 10 B-posting index opens ≤3 of
+    ``n_tbuckets`` bucket dirs per segment — plan-asserted in tests)."""
+    spark = index.postings.sparkSession
+    entry = _write_segment(index, path, 0, n_tbuckets)
+    _write_manifest(spark, path, {
+        "version": 2,
+        "id_col": index.id_col,
+        "n_tbuckets": n_tbuckets,
+        "segments": [entry],
+    })
+
+
+def append_text_index(
+    spark: SparkSession, path: str, docs: DataFrame, text_col: str = "text"
+) -> dict:
+    """Add documents to a SAVED index as a new committed segment — the
+    daily-increment path: one tokenize pass over the NEW docs only,
+    existing segment files untouched, manifest committed atomically
+    last (a crash leaves an ignored orphan segment). Doc ids must be
+    new — this module indexes, it does not dedup; run the incremental
+    dedup stores upstream. A loaded appended index answers
+    ``bm25_topk`` EXACTLY as a fresh build over the concatenated corpus
+    (df/n_docs are exact ints, avgdl is total_dl/n_docs — equality is
+    hash-pinned in tests). Returns the new segment's manifest entry."""
+    man = _read_manifest(spark, path)
+    sub = build_text_index(docs, text_col=text_col, id_col=man["id_col"])
+    seg = 1 + max(e["seg"] for e in man["segments"])
+    entry = _write_segment(sub, path, seg, man["n_tbuckets"])
+    man["segments"].append(entry)
+    _write_manifest(spark, path, man)
+    return entry
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Merge all committed segments into one (df summed per term,
+    postings rewritten bucket-partitioned) — the Lucene-style
+    maintenance step for an append-heavy index. The merged segment is
+    written FIRST, the manifest then commits it alone, and only after
+    that are the old (now uncommitted) segment dirs deleted — a crash
+    at any point leaves a loadable index; orphan dirs from earlier
+    crashes are swept here too. Returns {segments_before, seg}."""
+    from xdump_spark import fsutil
+
+    man = _read_manifest(spark, path)
+    idx = load_text_index(spark, path)
+    merged = TextIndex(
+        postings=idx.postings.select("term", "id", "tf", "dl"),
+        term_stats=idx.term_stats,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+        id_col=idx.id_col,
+        total_dl=idx.total_dl,
+    )
+    seg = 1 + max(e["seg"] for e in man["segments"])
+    entry = _write_segment(merged, path, seg, man["n_tbuckets"])
+    before = [e["seg"] for e in man["segments"]]
+    man["segments"] = [entry]
+    _write_manifest(spark, path, man)
+    for sub in ("postings", "term_stats"):
+        base = fsutil.join(path, sub)
+        for name in fsutil.list_names(spark, base):
+            if name.startswith("seg=") and int(name[4:]) != seg:
+                fsutil.delete(spark, fsutil.join(base, name))
+    return {"segments_before": len(before), "seg": seg}
+
+
+def load_text_index(spark: SparkSession, path: str) -> TextIndex:
+    """Load a saved index. ``postings`` keeps the ``seg``/``_tbucket``
+    partition columns (only committed segments are visible);
+    :func:`bm25_topk` prunes the postings scan to the queried terms'
+    buckets; ``term_stats`` is merged across segments at load (one
+    small groupBy — the table is broadcast-side anyway)."""
+    from xdump_spark import fsutil
+
+    man = _read_manifest(spark, path)
+    segs = [int(e["seg"]) for e in man["segments"]]
+    postings = spark.read.parquet(fsutil.join(path, "postings")).filter(
+        F.col("seg").isin(segs)
+    )
+    term_stats = (
+        spark.read.parquet(fsutil.join(path, "term_stats"))
+        .filter(F.col("seg").isin(segs))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    n_docs = sum(int(e["n_docs"]) for e in man["segments"])
+    total_dl = sum(int(e["total_dl"]) for e in man["segments"])
     return TextIndex(
-        postings=spark.read.parquet(fsutil.join(path, "postings")),
-        term_stats=spark.read.parquet(fsutil.join(path, "term_stats")),
-        n_docs=int(man["n_docs"]),
-        avgdl=float(man["avgdl"]),
+        postings=postings,
+        term_stats=term_stats,
+        n_docs=n_docs,
+        avgdl=(total_dl / n_docs) if n_docs else 0.0,
         id_col=man["id_col"],
         n_tbuckets=int(man["n_tbuckets"]),
+        total_dl=total_dl,
     )
 
 
