@@ -669,3 +669,28 @@ def test_incremental_semantic_defer_commit_and_guard(spark, tmp_path):
             VectorStore(spark, str(tmp_path / "vs2")),
             threshold=0.35, n_cells=2, max_cell=5,
         ).accepted.count()
+
+
+def test_vector_store_stats_and_compact(spark, tmp_path):
+    """N increments pile files per cell; compact() shrinks them with
+    identical subsequent decisions and unchanged row count."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(EMB)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    for i in range(3):
+        incremental_semantic_dedup(
+            emb.filter(f"vec_id % 3 = {i}"), store, threshold=0.35, n_cells=4
+        )
+    before = store.stats()
+    assert before["files"] > before["cells"]
+    rpt = store.compact()
+    after = store.stats()
+    assert rpt["files_after"] < rpt["files_before"]
+    assert after["rows"] == before["rows"]
+    # decisions preserved: every stored vector re-sent is rejected
+    r = incremental_semantic_dedup(emb, store, threshold=0.35, n_cells=4)
+    assert r.accepted.count() == 0

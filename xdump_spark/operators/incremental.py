@@ -77,6 +77,48 @@ class IncrementResult:
     #   harmless, duplicate signature rows cannot change a decision)
 
 
+def _compact_partition_dirs(
+    spark: SparkSession, path: str, marker: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Shared store-compaction kernel: per ``key=value`` partition dir
+    under ``path`` (matched on ``marker``, e.g. ``"/band="``), list the
+    data files as of now, read EXACTLY those files, append the coalesced
+    rewrite into the same dir, then delete the listed originals. A crash
+    can only DUPLICATE rows — and duplicate store rows cannot change a
+    dedup decision in any of this module's stores. Concurrent appends
+    land new files that are never touched."""
+    from xdump_spark import fsutil
+
+    before = fsutil.list_data_files(spark, path)
+    by_dir: dict[str, list[tuple]] = {}
+    for f, b in before:
+        head, _, _ = f.rpartition("/")
+        if marker in f:
+            by_dir.setdefault(head, []).append((f, b))
+    compacted = 0
+    for part_dir, files in sorted(by_dir.items()):
+        total = sum(b for _, b in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        if len(files) <= n_out:
+            continue
+        (
+            spark.read.parquet(*[f for f, _ in files])
+            .coalesce(n_out)
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+        for f, _ in files:
+            fsutil.delete(spark, f, recursive=False)
+        compacted += 1
+    after = fsutil.list_data_files(spark, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "partitions_compacted": compacted,
+    }
+
+
 class SignatureStore:
     """Parquet-backed (id, sig, band, bucket) store, partitioned by band
     so candidate probes read only the band layout they join on. At corpus
@@ -127,48 +169,21 @@ class SignatureStore:
 
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Rewrite each band partition's accumulated small append files
-        into ~``target_file_bytes`` files. A daily-crawl store takes one
-        parquet append per increment FOREVER (365 files/band/year); on
-        an object store every subsequent probe join pays that listing +
-        open cost. Returns {files_before, files_after, bands_compacted}.
-
-        Discipline: per band dir, list the data files as of now, read
-        EXACTLY those files, append the coalesced rewrite into the same
-        dir, then delete the listed originals. A crash mid-compact can
-        only leave DUPLICATE rows, never lose any — and duplicate store
-        rows cannot change a dedup decision (candidate pairs are
-        dropDuplicates-ed, ``store_rows`` counts distinct ids; at worst
-        a combined hot-bucket count is transiently overstated, which
-        only makes the guard more conservative). Concurrent appends are
-        safe: files landing after the listing are never touched."""
-        from xdump_spark import fsutil
-
-        before = fsutil.list_data_files(self.spark, self.path)
-        by_band: dict[str, list[tuple]] = {}
-        for f, b in before:
-            head, _, _ = f.rpartition("/")
-            if "/band=" in f:
-                by_band.setdefault(head, []).append((f, b))
-        compacted = 0
-        for band_dir, files in sorted(by_band.items()):
-            total = sum(b for _, b in files)
-            n_out = max(1, -(-total // target_file_bytes))
-            if len(files) <= n_out:
-                continue
-            (
-                self.spark.read.parquet(*[f for f, _ in files])
-                .coalesce(n_out)
-                .write.mode("append")
-                .parquet(band_dir)
-            )
-            for f, _ in files:
-                fsutil.delete(self.spark, f, recursive=False)
-            compacted += 1
-        after = fsutil.list_data_files(self.spark, self.path)
+        into ~``target_file_bytes`` files (365 appends/band/year on a
+        daily crawl; on an object store every probe join pays that
+        listing + open cost). Crash discipline and concurrency notes in
+        :func:`_compact_partition_dirs`; duplicate-row harmlessness:
+        candidate pairs are dropDuplicates-ed, ``store_rows`` counts
+        distinct ids, and an overstated hot-bucket count only makes the
+        guard more conservative. Returns {files_before, files_after,
+        bands_compacted}."""
+        rpt = _compact_partition_dirs(
+            self.spark, self.path, "/band=", target_file_bytes
+        )
         return {
-            "files_before": len(before),
-            "files_after": len(after),
-            "bands_compacted": compacted,
+            "files_before": rpt["files_before"],
+            "files_after": rpt["files_after"],
+            "bands_compacted": rpt["partitions_compacted"],
         }
 
 
@@ -777,6 +792,40 @@ class VectorStore:
         assigned.write.mode("append").partitionBy("cell").parquet(
             fsutil.join(self.path, "assigned")
         )
+
+    def stats(self) -> dict:
+        """{files, bytes, rows, cells} — compaction trigger inputs
+        (each increment appends files into every touched cell)."""
+        from xdump_spark import fsutil
+
+        path = fsutil.join(self.path, "assigned")
+        files = fsutil.list_data_files(self.spark, path)
+        cells = {f.rsplit("/", 2)[-2] for f, _ in files if "/cell=" in f}
+        rows = self.spark.read.parquet(path).count() if files else 0
+        return {
+            "files": len(files),
+            "bytes": sum(b for _, b in files),
+            "rows": rows,
+            "cells": len(cells),
+        }
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite each cell partition's append pile into sized files —
+        same discipline as the other stores (duplicate vectors are
+        harmless: they only add redundant ≥-threshold edges to points
+        that are already stored, so decisions cannot change). Returns
+        {files_before, files_after, cells_compacted}."""
+        from xdump_spark import fsutil
+
+        rpt = _compact_partition_dirs(
+            self.spark, fsutil.join(self.path, "assigned"), "/cell=",
+            target_file_bytes,
+        )
+        return {
+            "files_before": rpt["files_before"],
+            "files_after": rpt["files_after"],
+            "cells_compacted": rpt["partitions_compacted"],
+        }
 
 
 def incremental_semantic_dedup(

@@ -187,8 +187,13 @@ class WindowHashStore:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        # Hadoop FS, not os.path: an hdfs:///object-store store must not
+        # be silently treated as empty (the r6 ADVICE SignatureStore fix)
+        from xdump_spark import fsutil
+
+        return fsutil.is_dir(self.spark, self.path) and any(
+            not n.startswith((".", "_"))
+            for n in fsutil.list_names(self.spark, self.path)
         )
 
     def read(self) -> DataFrame | None:
