@@ -29,7 +29,7 @@ HEADLINE = [
     "tpch_q6",
     "win_top3_orders_per_customer",
     "events_hourly",
-    "xd_closure_merge_customer",      # full FK-closure run (worklist + semi-joins)
+    "xd_union_merge_panel",           # full FK-closure run (worklist + semi-joins) + direct union-distinct
     "xd_closure_recursive_multi",     # iterative recursive closure
     "dedup_exact_docs",
     "text_quality",

@@ -1,0 +1,162 @@
+"""Stupid-Backoff n-gram LM: hand-computed scores, backoff chain, OOV
+floor, pruning, save/load, broadcast vs shuffle-join equality, bucket
+split, plan pins, DuckDB cross-check."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.operators import lm as LM
+
+TRAIN = [(1, "a b c"), (2, "a b d")]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return LM.train_ngram_lm(df)
+
+
+def _score_map(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_train_counts(spark, model):
+    assert model.n_tokens == 6
+    assert model.vocab_size == 4
+    uni = {r["w"]: r["n"] for r in model.unigrams.collect()}
+    assert uni == {"a": 2, "b": 2, "c": 1, "d": 1}
+    bi = {(r["u"], r["w"]): r["n"] for r in model.bigrams.collect()}
+    assert bi == {("a", "b"): 2, ("b", "c"): 1, ("b", "d"): 1}
+    tri = {(r["u"], r["v"], r["w"]): r["n"] for r in model.trigrams.collect()}
+    assert tri == {("a", "b", "c"): 1, ("a", "b", "d"): 1}
+
+
+def test_hand_computed_scores(spark, model):
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b x"), (12, "c b c"), (13, "")],
+        "doc_id long, text string",
+    )
+    got = _score_map(LM.lm_score(docs, model))
+    # "a b c": s(a)=3/10, s(b|a)=c(ab)/c(a)=2/2, s(c|a,b)=c(abc)/c(ab)=1/2
+    exp = (math.log(10 / 3) + 0.0 + math.log(2)) / 3
+    assert got[10]["mean_surprisal"] == round(exp, 6)
+    assert got[10]["n_tokens"] == 3
+    assert got[10]["ppl"] == round(math.exp(round(exp, 6)), 4)
+    # "a b x": OOV trigram AND bigram AND unigram -> 0.4*0.4*(1/10)
+    exp = (math.log(10 / 3) + 0.0 - math.log(0.4 * 0.4 * 0.1)) / 3
+    assert got[11]["mean_surprisal"] == round(exp, 6)
+    # "c b c": s(c)=2/10, s(b|c): c(cb)=0 -> 0.4*s(b)=0.4*3/10,
+    # s(c|c,b): c(cbc)=0 -> 0.4*s(c|b)=0.4*(1/2)
+    exp = (math.log(5) - math.log(0.12) - math.log(0.2)) / 3
+    assert got[12]["mean_surprisal"] == round(exp, 6)
+    # empty doc drops
+    assert 13 not in got
+
+
+def test_prune_min_count_changes_backoff(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    pruned = LM.train_ngram_lm(df, prune_min_count=2)
+    # singleton trigrams and bigrams pruned; (a,b) bigram (n=2) survives
+    assert pruned.trigrams.count() == 0
+    assert {(r["u"], r["w"]) for r in pruned.bigrams.collect()} == {("a", "b")}
+    # N/V computed before pruning
+    assert pruned.n_tokens == 6 and pruned.vocab_size == 4
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    got = _score_map(LM.lm_score(docs, pruned))
+    # s(c|a,b) now backs off: 0.4 * s(c|b) -> c(bc) pruned too ->
+    # 0.4 * 0.4 * s(c) = 0.16 * 2/10
+    exp = (math.log(10 / 3) + 0.0 - math.log(0.16 * 0.2)) / 3
+    assert got[10]["mean_surprisal"] == round(exp, 6)
+
+
+def test_save_load_roundtrip(spark, model, tmp_path):
+    path = str(tmp_path / "lm")
+    LM.save_ngram_lm(model, path)
+    loaded = LM.load_ngram_lm(spark, path)
+    assert loaded.n_tokens == model.n_tokens
+    assert loaded.vocab_size == model.vocab_size
+    assert loaded.alpha == model.alpha
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b c", "c b c", "a b x"])],
+        "doc_id long, text string",
+    )
+    assert _score_map(LM.lm_score(docs, loaded)) == _score_map(
+        LM.lm_score(docs, model)
+    )
+
+
+def test_load_without_manifest_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        LM.load_ngram_lm(spark, str(tmp_path / "nope"))
+
+
+def test_broadcast_vs_shuffle_join_equal(spark, model):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b c d a b", "x y", "b", "c b a"])],
+        "doc_id long, text string",
+    )
+    assert _score_map(LM.lm_score(docs, model, broadcast=True)) == _score_map(
+        LM.lm_score(docs, model, broadcast=False)
+    )
+
+
+def test_plan_broadcast_mode_never_shuffles_corpus(spark, model):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = LM.lm_score(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_perplexity_buckets(spark, model):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c", "a b d", "a b", "c b c", "x x x", "x y z"]
+        )],
+        "doc_id long, text string",
+    )
+    out = LM.perplexity_buckets(LM.lm_score(docs, model)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert all(len(v) == 2 for v in by_bucket.values())
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_duckdb_cross_check_real_docs(spark, sf_documents):
+    """Train on even doc_ids of the real documents table, score all,
+    compare every doc's rounded surprisal with an independent DuckDB
+    computation (same tokenizer, same backoff)."""
+    docs = sf_documents
+    train = docs.filter("doc_id % 2 = 0")
+    model = LM.train_ngram_lm(train)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal"])
+        for r in LM.lm_score(docs, model).collect()
+    }
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = LM.duckdb_backoff_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id, text FROM documents",
+    )
+    exp = {
+        int(r[0]): (int(r[1]), float(r[2]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == exp
+
+
+@pytest.fixture(scope="module")
+def sf_documents(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )

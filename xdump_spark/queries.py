@@ -185,14 +185,32 @@ def xd_semijoin_supplier(spark, sf_dir):
 
 
 @query(
-    "xd_union_distinct_customers",
-    "SELECT * FROM customer WHERE c_nationkey = 1 "
-    "UNION SELECT * FROM customer WHERE c_acctbal > 9000",
+    "xd_union_merge_panel",
+    "SELECT 'direct' AS method, * FROM ("
+    "  SELECT * FROM customer WHERE c_nationkey = 1"
+    "  UNION SELECT * FROM customer WHERE c_acctbal > 9000) "
+    "UNION ALL "
+    "SELECT 'merge', * FROM customer WHERE c_custkey IN ("
+    f"  SELECT o_custkey FROM ({_SEED_TOP2})"
+    "  UNION"
+    "  SELECT o_custkey FROM orders WHERE o_orderkey IN "
+    f"    (SELECT l_orderkey FROM ({_SEED_LI})))",
 )
-def xd_union_distinct_customers(spark, sf_dir):
-    """Accumulated selections merge with UNION distinct (reference: xdump/base.py:142-146)."""
+def xd_union_merge_panel(spark, sf_dir):
+    """O4 union-distinct accumulation, both shapes in one tagged panel
+    (driver 50-entry window): 'direct' = raw selection merge with UNION
+    distinct (reference: xdump/base.py:142-146); 'merge' = two partial
+    closure seeds merging duplicate-free through the planner (reference:
+    tests/test_backend.py:306-330; formerly xd_union_distinct_customers
+    + xd_closure_merge_customer)."""
     c = _cat(spark, sf_dir).tables["customer"]
-    return c.filter("c_nationkey = 1").unionByName(c.filter("c_acctbal > 9000")).distinct()
+    direct = (
+        c.filter("c_nationkey = 1").unionByName(c.filter("c_acctbal > 9000")).distinct()
+    )
+    merge = _closure(spark, sf_dir, "merge")["customer"]
+    return direct.select(F.lit("direct").alias("method"), "*").unionByName(
+        merge.select(F.lit("merge").alias("method"), "*")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -274,19 +292,6 @@ def xd_closure_from_lineitem(spark, sf_dir):
             )
         )
     )
-
-
-@query(
-    "xd_closure_merge_customer",
-    "SELECT * FROM customer WHERE c_custkey IN ("
-    f"  SELECT o_custkey FROM ({_SEED_TOP2})"
-    "  UNION"
-    f"  SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM ({_SEED_LI})))",
-)
-def xd_closure_merge_customer(spark, sf_dir):
-    """Multiple partial seeds merge duplicate-free (reference:
-    tests/test_backend.py:306-330)."""
-    return _closure(spark, sf_dir, "merge")["customer"]
 
 
 @query(
@@ -1129,6 +1134,7 @@ def events_dedup(spark, sf_dir):
 # Extension operators: text analysis (oracle-checked bit-for-bit)
 # --------------------------------------------------------------------------
 from xdump_spark.operators import dedup as D  # noqa: E402
+from xdump_spark.operators import lm as LMOD  # noqa: E402
 from xdump_spark.operators import pq as PQ  # noqa: E402
 from xdump_spark.operators import similarity as S  # noqa: E402
 from xdump_spark.operators import text as TX  # noqa: E402
@@ -1213,6 +1219,111 @@ def text_token_counts(spark, sf_dir):
     (operators/text.py token_fingerprint_frame)."""
     docs = _cat(spark, sf_dir).tables["documents"]
     return TX.token_fingerprint_frame(docs)
+
+
+_LM_TRAIN_SELECT = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+_LM_SCORE_SELECT = "SELECT doc_id, text FROM documents"
+
+
+def _lm_uni_sql() -> str:
+    return rf"""
+WITH tt AS (
+  SELECT t FROM (SELECT {_SQL_TOKS} AS t FROM ({_LM_TRAIN_SELECT})) WHERE len(t) > 0
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(t) AS w FROM tt) GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM uni),
+x AS (SELECT doc_id, unnest(t) AS w
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM ({_LM_SCORE_SELECT})) WHERE len(t) > 0)
+SELECT x.doc_id,
+       ROUND(avg(-ln((COALESCE(uni.n, 0) + 1.0) / (tot.nn + tot.vv))), 6) AS uni_s
+FROM x LEFT JOIN uni ON x.w = uni.w CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def _lm_bi_sql() -> str:
+    pair = r"list_transform(generate_series(1, len(t) - 1), i -> {'u': t[i], 'w': t[i + 1]})"
+    return rf"""
+WITH tt AS (
+  SELECT t FROM (SELECT {_SQL_TOKS} AS t FROM ({_LM_TRAIN_SELECT})) WHERE len(t) > 0
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(t) AS w FROM tt) GROUP BY 1),
+vs AS (SELECT CAST(count(*) AS BIGINT) AS vv FROM uni),
+bi AS (SELECT p['u'] AS u, p['w'] AS w, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest({pair}) AS p FROM tt WHERE len(t) >= 2)
+       GROUP BY 1, 2),
+pairs AS (SELECT doc_id, p['u'] AS u, p['w'] AS w
+          FROM (SELECT doc_id, unnest({pair}) AS p
+                FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM ({_LM_SCORE_SELECT}))
+                WHERE len(t) >= 2))
+SELECT pairs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(avg(-ln((COALESCE(bi.n, 0) + 1.0)
+                     / (COALESCE(u1.n, 0) + vs.vv))), 6) AS bi_s
+FROM pairs
+LEFT JOIN bi ON pairs.u = bi.u AND pairs.w = bi.w
+LEFT JOIN uni u1 ON pairs.u = u1.w
+CROSS JOIN vs
+GROUP BY 1
+"""
+
+
+def _lm_panel_sql() -> str:
+    sb = LMOD.duckdb_backoff_sql(_LM_TRAIN_SELECT, _LM_SCORE_SELECT)
+    return f"""
+WITH sb AS (SELECT * FROM ({sb})),
+uni_p AS (SELECT * FROM ({_lm_uni_sql()})),
+bi_p AS (SELECT * FROM ({_lm_bi_sql()}))
+SELECT sb.doc_id, sb.n_tokens, uni_p.uni_s,
+       CAST(COALESCE(bi_p.n_bigrams, 0) AS BIGINT) AS n_bigrams, bi_p.bi_s,
+       sb.mean_surprisal AS sb_s, ROUND(exp(sb.mean_surprisal), 4) AS ppl,
+       CASE ntile(3) OVER (ORDER BY sb.mean_surprisal, sb.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM sb
+JOIN uni_p ON sb.doc_id = uni_p.doc_id
+LEFT JOIN bi_p ON sb.doc_id = bi_p.doc_id
+"""
+
+
+@query("lm_surprisal_panel", _lm_panel_sql())
+def lm_surprisal_panel(spark, sf_dir):
+    """The LM quality-filter family, one tagged panel (driver 50-entry
+    window): train a trigram Stupid-Backoff model (Brants et al. 2007)
+    on the even-doc_id half of the corpus, score EVERY document with all
+    three estimators — add-one unigram surprisal
+    (curation.unigram_surprisal_frame), conditional bigram surprisal
+    (curation.bigram_surprisal_frame), and the full backoff chain
+    (lm.lm_score) — then split into CCNet-style head/middle/tail
+    perplexity buckets (Wenzek et al. 2020). One tokenize pass feeds one
+    model; the three scorers share its count frames; every count lookup
+    is a broadcast join, so the corpus never shuffles before the per-doc
+    re-aggregation."""
+    docs = _cat(spark, sf_dir).tables["documents"].select("doc_id", "text")
+    train = docs.filter("doc_id % 2 = 0")
+    model = LMOD.train_ngram_lm(train)
+    uni_vocab = model.unigrams.select(F.col("w").alias("tok"), "n")
+    uni = CU.unigram_surprisal_frame(docs, vocab=uni_vocab).select(
+        "doc_id", F.col("mean_surprisal").alias("uni_s")
+    )
+    bi = CU.bigram_surprisal_frame(
+        docs, bigrams=model.bigrams, unigrams=uni_vocab
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("mean_surprisal").alias("bi_s"),
+    )
+    sb = LMOD.lm_score(docs, model).select(
+        "doc_id", "n_tokens", F.col("mean_surprisal").alias("sb_s"), "ppl"
+    )
+    panel = (
+        sb.join(uni, "doc_id")
+        .join(bi, "doc_id", "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+    )
+    return LMOD.perplexity_buckets(panel, col="sb_s").select(
+        "doc_id", "n_tokens", "uni_s", "n_bigrams", "bi_s", "sb_s", "ppl", "bucket"
+    )
 
 
 @query(
