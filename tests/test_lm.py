@@ -153,6 +153,78 @@ def test_duckdb_cross_check_real_docs(spark, sf_documents):
     assert got == exp
 
 
+def test_pipeline_ppl_gate(spark, sf_documents, tmp_path):
+    """curate with ppl_model+max_ppl drops exactly the docs lm_score
+    puts above the ceiling; model path and NgramLM object agree."""
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = sf_documents.withColumn("source", F.lit("web")).withColumn(
+        "lang", F.lit("en")
+    )
+    model = LM.train_ngram_lm(docs.filter("doc_id % 2 = 0"))
+    scored = LM.lm_score(docs, model)
+    cutoff = scored.approxQuantile("ppl", [0.5], 0.0)[0]
+    expect = {
+        r["doc_id"]
+        for r in scored.filter(F.col("ppl") <= cutoff).select("doc_id").collect()
+    }
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, ppl_model=model, max_ppl=cutoff
+    )
+    assert "ppl_gated" in res.audit
+    got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    # stages before the gate (cleaning/min_tokens=1) don't drop these docs
+    assert got == expect and 0 < len(got) < docs.count()
+
+    # saved-path form produces the identical gate
+    path = str(tmp_path / "lm_model")
+    LM.save_ngram_lm(model, path)
+    res2 = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, ppl_model=path, max_ppl=cutoff
+    )
+    assert {r["doc_id"] for r in res2.corpus.select("doc_id").collect()} == got
+
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, span_k=None, ppl_model=model)
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, span_k=None, max_ppl=100.0)
+
+
+def test_cli_train_lm_then_curate(spark, tmp_path, capsys):
+    from xdump_spark import cli
+
+    model_dir = str(tmp_path / "lm")
+    args = cli.build_parser().parse_args(
+        [
+            "train-lm",
+            "-i", "/root/testdata/sf0.001/documents.parquet",
+            "-o", model_dir,
+            "--prune-min-count", "2",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    assert "tokens" in capsys.readouterr().out
+    loaded = LM.load_ngram_lm(spark, model_dir)
+    assert loaded.n_tokens > 0 and loaded.vocab_size > 0
+    # pruning applied on disk
+    assert loaded.bigrams.filter("n < 2").count() == 0
+
+    out = str(tmp_path / "corpus")
+    args = cli.build_parser().parse_args(
+        [
+            "curate",
+            "-i", "/root/testdata/sf0.001/documents.parquet",
+            "-o", out,
+            "--span-k", "8",
+            "--ppl-model", model_dir,
+            "--max-ppl", "5000",
+        ]
+    )
+    assert cli.run(args, spark) == 0
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() <= 500
+
+
 @pytest.fixture(scope="module")
 def sf_documents(spark):
     return (

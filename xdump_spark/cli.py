@@ -248,6 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--quality-min", type=float, default=0.5)
     c.add_argument(
+        "--ppl-model", default=None, metavar="LM_DIR",
+        help="saved Stupid-Backoff LM (train-lm output); docs above "
+        "--max-ppl perplexity are dropped (the CCNet filter)",
+    )
+    c.add_argument("--max-ppl", type=float, default=None)
+    c.add_argument(
         "--dsir-target", default=None, metavar="TARGET_PARQUET",
         help="DSIR selection stage: importance-resample toward this "
         "target corpus's hashed n-gram distribution (with --dsir-n)",
@@ -309,6 +315,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument(
         "--overwrite", action="store_true",
         help="replace existing output directories instead of failing",
+    )
+
+    tl = sub.add_parser(
+        "train-lm",
+        help="fit a trigram Stupid-Backoff LM on a reference corpus and "
+        "save it (lm.train_ngram_lm; feed to curate --ppl-model)",
+    )
+    tl.add_argument("-i", "--input", required=True, help="parquet of reference docs")
+    tl.add_argument("-o", "--output", required=True, help="model output directory")
+    tl.add_argument("--text-col", default="text")
+    tl.add_argument(
+        "--prune-min-count", type=int, default=1,
+        help="drop bigrams/trigrams below this count (Brants-style "
+        "cutoff; bounds the model for broadcast scoring)",
     )
 
     tq = sub.add_parser(
@@ -509,6 +529,8 @@ def run(args, spark) -> int:
             compression_min=args.compression_min,
             quality_model=quality_model,
             quality_score_min=args.quality_min,
+            ppl_model=args.ppl_model,
+            max_ppl=args.max_ppl,
             dsir_target=(
                 spark.read.parquet(args.dsir_target) if args.dsir_target else None
             ),
@@ -572,6 +594,18 @@ def run(args, spark) -> int:
             res.chunks.write.mode(mode).parquet(args.chunks_out)
             print(f"wrote chunks to {args.chunks_out}")
         print(f"wrote {args.output}")
+    elif args.command == "train-lm":
+        from xdump_spark.operators.lm import save_ngram_lm, train_ngram_lm
+
+        docs = spark.read.parquet(args.input)
+        model = train_ngram_lm(
+            docs, text_col=args.text_col, prune_min_count=args.prune_min_count
+        )
+        save_ngram_lm(model, args.output)
+        print(
+            f"wrote {args.output} (N={model.n_tokens} tokens, "
+            f"V={model.vocab_size} types)"
+        )
     elif args.command == "train-quality":
         import json
 

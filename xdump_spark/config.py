@@ -65,6 +65,7 @@ _CURATE_KEYS = {
     "strata_col", "benchmark", "shuffle_seed", "pack_budget", "tokenize",
     "vocab_size", "partition_by", "overwrite", "shards_out", "shards_format",
     "blocklist", "blocklist_mode", "quality_model", "quality_score_min",
+    "ppl_model", "max_ppl",
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
@@ -190,6 +191,8 @@ def curate_from_config(spark: SparkSession, path: str):
             else None
         ),
         quality_score_min=cfg.get("quality_score_min", 0.5),
+        ppl_model=cfg.get("ppl_model"),
+        max_ppl=cfg.get("max_ppl"),
         dsir_target=(
             spark.read.parquet(cfg["dsir_target"]) if cfg.get("dsir_target") else None
         ),

@@ -105,6 +105,8 @@ def prepare_training_corpus(
     audio_gate: dict | None = None,
     quality_model=None,
     quality_score_min: float = 0.5,
+    ppl_model=None,
+    max_ppl: float | None = None,
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
     dsir_temperature: float = 1.0,
@@ -595,6 +597,41 @@ def prepare_training_corpus(
             .filter(F.col("quality_score") >= quality_score_min)
             .drop("quality_score"),
             ck={"model": repr(quality_model), "score_min": quality_score_min},
+        )
+
+    if (ppl_model is None) != (max_ppl is None):
+        raise ValueError("ppl_model and max_ppl must be given together")
+    if ppl_model is not None:
+        # CCNet's LM filter (Wenzek et al. 2020): score against a model
+        # trained on a REFERENCE corpus (pass a saved-model path or an
+        # NgramLM), drop documents above the perplexity ceiling. Runs
+        # with the other per-doc quality gates.
+        from xdump_spark.operators import lm as _lmod
+
+        if isinstance(ppl_model, str):
+            _lm_model = _lmod.load_ngram_lm(docs.sparkSession, ppl_model)
+            _lm_ck = {"path": ppl_model, "n": _lm_model.n_tokens,
+                      "v": _lm_model.vocab_size, "alpha": _lm_model.alpha}
+        else:
+            _lm_model = ppl_model
+            _lm_ck = {
+                "n": _lm_model.n_tokens, "v": _lm_model.vocab_size,
+                "alpha": _lm_model.alpha,
+                "frames": (
+                    [_frame_fp(_lm_model.unigrams), _frame_fp(_lm_model.bigrams),
+                     _frame_fp(_lm_model.trigrams)]
+                    if ckpt is not None else None
+                ),
+            }
+        _ppl_keep = (
+            _lmod.lm_score(cur, _lm_model, text_col=text_col, id_col=id_col)
+            .filter(F.col("ppl") <= max_ppl)
+            .select(id_col)
+        )
+        cur = note(
+            "ppl_gated",
+            cur.join(_ppl_keep, id_col, "left_semi"),
+            ck={"model": _lm_ck, "max_ppl": max_ppl},
         )
 
     if dsir_target is not None:
