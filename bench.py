@@ -69,6 +69,7 @@ SCALE_TWINS = [
     "ivf_topk_pruned",     # n_probe=4 of 16 cells
     "pq_rerank_scale",     # ADC shortlist rerank=50 + exact sliver rerank
     "incremental_batch",   # r7: 500-doc increment vs full-corpus hash store
+    "lm_ppl_filter",       # r7: CCNet perplexity gate vs a pre-trained LM
 ]
 
 

@@ -124,18 +124,28 @@ def train_ngram_lm(
     uni = _grams(toked, 1).groupBy("w").agg(F.count("*").alias("n"))
     bi = _grams(toked, 2).groupBy("u", "w").agg(F.count("*").alias("n"))
     tri = _grams(toked, 3).groupBy("u", "v", "w").agg(F.count("*").alias("n"))
-    totals = uni.agg(
-        F.sum("n").alias("nn"), F.count("*").alias("vv")
-    ).first()
     if prune_min_count > 1:
         bi = bi.filter(F.col("n") >= prune_min_count)
         tri = tri.filter(F.col("n") >= prune_min_count)
+    # Materialize the count tables NOW (localCheckpoint truncates the
+    # lineage back to the raw corpus): scoring builds FIVE lookup
+    # broadcasts from these frames, and without this each broadcast
+    # would re-run the whole training aggregation — five training
+    # passes per scoring query. The totals agg rides uni's
+    # materialization; unigrams are never pruned, so N/V are pre-prune
+    # by construction.
+    uni = uni.localCheckpoint(eager=False)
+    bi = bi.localCheckpoint(eager=False)
+    tri = tri.localCheckpoint(eager=False)
+    t = uni.agg(F.sum("n").alias("nn"), F.count("*").alias("vv")).first()
+    n_tokens = int(t["nn"] or 0)
+    vocab_size = int(t["vv"] or 0)
     return NgramLM(
         unigrams=uni,
         bigrams=bi,
         trigrams=tri,
-        n_tokens=int(totals["nn"] or 0),
-        vocab_size=int(totals["vv"] or 0),
+        n_tokens=n_tokens,
+        vocab_size=vocab_size,
         alpha=alpha,
     )
 

