@@ -153,6 +153,48 @@ def test_duckdb_cross_check_real_docs(spark, sf_documents):
     assert got == exp
 
 
+def test_bucket_by_cutoffs_matches_ntile(spark, model, sf_documents):
+    """With exact quantile cutoffs and no boundary ties, the zero-shuffle
+    cutoff form assigns the same labels as the exact ntile."""
+    scored = LM.lm_score(sf_documents, model)
+    # distinct ppl per doc (real docs; drop any boundary-tied values)
+    cuts = LM.ppl_cutoffs(scored, relative_error=0.0)
+    ntile = {
+        r["doc_id"]: r["bucket"]
+        for r in LM.perplexity_buckets(scored).collect()
+        if r["ppl"] not in cuts
+    }
+    by_cut = {
+        r["doc_id"]: r["bucket"]
+        for r in LM.bucket_by_cutoffs(scored, cuts).collect()
+        if r["ppl"] not in cuts
+    }
+    assert ntile and ntile == by_cut
+    plan = (
+        LM.bucket_by_cutoffs(scored, cuts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # the scale form never global-sorts
+
+    with pytest.raises(ValueError, match="cutoffs"):
+        LM.bucket_by_cutoffs(scored, [1.0])
+
+
+def test_data_card_lm_section(spark, sf_documents, model):
+    from xdump_spark.operators.datacard import data_card
+
+    real_model = LM.train_ngram_lm(sf_documents.filter("doc_id % 2 = 0"))
+    card = data_card(sf_documents, ngram_lm=real_model)
+    assert {"mean", "p50", "count"} <= set(card["lm"]["ppl"])
+    assert {"mean", "p50", "count"} <= set(card["lm"]["surprisal"])
+    scored = LM.lm_score(sf_documents, real_model)
+    assert card["lm"]["ppl"]["count"] == scored.count()
+    got_mean = float(scored.agg(F.avg("ppl")).collect()[0][0])
+    assert card["lm"]["ppl"]["mean"] == pytest.approx(got_mean, rel=1e-6)
+    # default card has no lm section
+    assert "lm" not in data_card(sf_documents)
+
+
 def test_pipeline_ppl_gate(spark, sf_documents, tmp_path):
     """curate with ppl_model+max_ppl drops exactly the docs lm_score
     puts above the ceiling; model path and NgramLM object agree."""

@@ -64,6 +64,7 @@ def data_card(
     top_domains: int = 20,
     quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
     dsir_model=None,
+    ngram_lm=None,
 ) -> dict:
     """Build the corpus data card.
 
@@ -72,7 +73,9 @@ def data_card(
     snapshots before language-ID have no lang column, and the card
     should still render. ``dsir_model`` (a ``dsir.DSIRModel``, optional) adds the
     importance log-weight distribution — the datasheet readers use to
-    judge how target-like the corpus is.
+    judge how target-like the corpus is. ``ngram_lm`` (an
+    ``lm.NgramLM``, optional) adds the reference-LM perplexity
+    distribution — the CCNet-style fluency axis of the datasheet.
     """
     cols = set(docs.columns)
     for required in (text_col, id_col):
@@ -120,6 +123,21 @@ def data_card(
             quantiles,
         )
         card["dsir"] = dsir_signals["dsir_logw"]
+
+    if ngram_lm is not None:
+        from xdump_spark.operators.lm import lm_score
+
+        lm_signals: dict[str, dict[str, float]] = {}
+        _profile_into(
+            lm_signals,
+            lm_score(docs, ngram_lm, text_col=text_col, id_col=id_col),
+            ["mean_surprisal", "ppl"],
+            quantiles,
+        )
+        card["lm"] = {
+            "surprisal": lm_signals["mean_surprisal"],
+            "ppl": lm_signals["ppl"],
+        }
 
     if source_col and source_col in cols:
         card["sources"] = [

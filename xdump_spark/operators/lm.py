@@ -365,3 +365,43 @@ def perplexity_buckets(
         F.array(*[F.lit(x) for x in labels]), F.col("bucket_idx")
     )
     return out.withColumn("bucket", label)
+
+
+def ppl_cutoffs(
+    scored: DataFrame,
+    col: str = "ppl",
+    n_buckets: int = 3,
+    relative_error: float = 0.001,
+) -> list:
+    """The 100 TB path to bucket boundaries: ``approxQuantile``
+    (Greenwald-Khanna, one pass, no global sort) instead of the exact
+    ntile. Returns ``n_buckets − 1`` ascending cutoffs. CCNet computes
+    its head/middle/tail thresholds once per language from a sample and
+    reuses them across crawl snapshots — compute these once, pass them
+    to :func:`bucket_by_cutoffs` forever after."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.approxQuantile(col, probs, relative_error)
+
+
+def bucket_by_cutoffs(
+    scored: DataFrame,
+    cutoffs: list,
+    col: str = "ppl",
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Assign buckets from precomputed cutoffs: a chain of WHENs — pure
+    codegen, zero shuffles, streams at any scale (unlike the exact
+    ntile, which sorts the scored frame on one partition). Value ≤
+    cutoff[i] → labels[i]; above every cutoff → the last label. Ties on
+    a boundary all land in the lower bucket (the cutoff form is a value
+    rule, not an equal-count rule — exact equal counts need the ntile
+    twin)."""
+    if len(cutoffs) != len(labels) - 1:
+        raise ValueError(
+            f"{len(labels)} labels need {len(labels) - 1} cutoffs, "
+            f"got {len(cutoffs)}"
+        )
+    expr = F.lit(labels[-1])
+    for c, lab in zip(reversed(cutoffs), reversed(labels[:-1])):
+        expr = F.when(F.col(col) <= c, F.lit(lab)).otherwise(expr)
+    return scored.withColumn("bucket", expr)
