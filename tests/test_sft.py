@@ -1,0 +1,196 @@
+"""Conversation/SFT operators: structural validation, per-role stats,
+fingerprint dedup, chat rendering, assistant loss-mask spans — exact
+values on crafted conversations, a DuckDB cross-check on conversations
+assembled from the real documents table, and no-Python/no-shuffle plan
+pins."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.operators import sft
+
+CONV_SCHEMA = (
+    "conv_id long, messages array<struct<role:string,content:string>>"
+)
+
+
+def conv(*turns):
+    return [{"role": r, "content": c} for r, c in turns]
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        (1, conv(("system", "Be helpful."), ("user", "Hi there"),
+                 ("assistant", "Hello! How can I help?"))),
+        (2, conv(("user", "What is 2+2"), ("assistant", "4"),
+                 ("user", "and 3+3"), ("assistant", "6"))),
+        (3, conv(("user", "dup me"), ("assistant", "ok"))),
+        (4, conv(("user", "DUP   me"), ("assistant", "OK"))),  # canon-equal to 3
+        (5, conv(("user", "trailing question"), ("assistant", "answer"),
+                 ("user", "unanswered"))),
+        (6, conv(("user", "fine"), ("tool", "not a chat role"))),
+        (7, conv(("user", "fine"), ("assistant", "  "))),
+        (8, conv(("user", "a"), ("user", "b"), ("assistant", "c"))),
+        (9, conv(("assistant", "i speak first"), ("user", "?"))),
+        (10, conv(("user", "sys late"), ("system", "late"), ("assistant", "x"))),
+        (11, []),
+    ]
+    return spark.createDataFrame(rows, CONV_SCHEMA)
+
+
+def test_stats_hand_values(spark, convs):
+    got = {r["conv_id"]: r.asDict() for r in sft.conversation_stats(convs).collect()}
+    s = got[1]
+    assert (s["n_turns"], s["n_system"], s["n_user"], s["n_assistant"]) == (3, 1, 1, 1)
+    assert s["user_tokens"] == 2            # "hi there"
+    assert s["assistant_tokens"] == 5       # "hello! how can i help?"
+    assert s["total_tokens"] == 2 + 5 + 2   # + "be helpful."
+    assert got[2]["n_turns"] == 4 and got[2]["assistant_tokens"] == 2
+    assert got[11]["n_turns"] == 0 and got[11]["total_tokens"] == 0
+
+
+def test_validate_rules(spark, convs):
+    got = {
+        r["conv_id"]: (r["valid"], r["reason"])
+        for r in sft.validate_conversations(convs).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (True, None)
+    assert got[3] == (True, None)
+    assert got[5] == (False, "not_assistant_last")
+    assert got[6] == (False, "unknown_role")
+    assert got[7] == (False, "empty_content")
+    assert got[8] == (False, "no_alternation")
+    assert got[9] == (False, "no_alternation")
+    assert got[10] == (False, "system_not_first")
+    assert got[11] == (False, "empty_conversation")
+    # relaxed modes lift exactly their rule
+    relaxed = {
+        r["conv_id"]: r["valid"]
+        for r in sft.validate_conversations(
+            convs, require_assistant_last=False
+        ).collect()
+    }
+    assert relaxed[5] is True and relaxed[8] is False
+
+
+def test_fingerprint_dedup(spark, convs):
+    fp = {
+        r["conv_id"]: (r["h1"], r["h2"])
+        for r in sft.conversation_fingerprint(convs).collect()
+    }
+    # whitespace/case normalization: 3 and 4 collide, others don't
+    assert fp[3] == fp[4]
+    assert len({v for k, v in fp.items() if k != 4}) == len(fp) - 1
+    kept = {r["conv_id"] for r in sft.dedup_conversations(convs).collect()}
+    assert 3 in kept and 4 not in kept and len(kept) == 10
+    # role order is part of the canon: swapping roles changes the hash
+    swapped = spark.createDataFrame(
+        [(30, conv(("assistant", "dup me"), ("user", "ok")))], CONV_SCHEMA
+    )
+    assert {
+        (r["h1"], r["h2"])
+        for r in sft.conversation_fingerprint(swapped).collect()
+    } != {fp[3]}
+
+
+def test_render_chatml_and_plain(spark, convs):
+    one = convs.filter("conv_id = 1")
+    chatml = sft.render_chat(one).collect()[0]["text"]
+    assert chatml == (
+        "<|im_start|>system\nBe helpful.<|im_end|>\n"
+        "<|im_start|>user\nHi there<|im_end|>\n"
+        "<|im_start|>assistant\nHello! How can I help?<|im_end|>\n"
+    )
+    plain = sft.render_chat(one, template="plain").collect()[0]["text"]
+    assert plain == (
+        "system: Be helpful.\n\nuser: Hi there\n\n"
+        "assistant: Hello! How can I help?\n\n"
+    )
+    with pytest.raises(ValueError, match="template"):
+        sft.render_chat(one, template="nope")
+
+
+def test_assistant_spans_align_with_render(spark, convs):
+    """Every span slices exactly the assistant content out of the
+    rendered text, for both templates, across all conversations."""
+    for template in ("chatml", "plain"):
+        out = sft.assistant_spans(
+            sft.render_chat(convs, template=template), template=template
+        ).collect()
+        for r in out:
+            contents = [
+                m["content"] for m in r["messages"] if m["role"] == "assistant"
+            ]
+            sliced = [r["text"][s["start"]:s["end"]] for s in r["spans"]]
+            assert sliced == contents, (r["conv_id"], template)
+
+
+def test_plans_pure_codegen(spark, convs):
+    for frame in (
+        sft.conversation_stats(convs),
+        sft.validate_conversations(convs),
+        sft.conversation_fingerprint(convs),
+        sft.assistant_spans(sft.render_chat(convs)),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # all single-Project ops
+
+
+def test_duckdb_cross_check_stats_and_dedup(spark):
+    """Assemble conversations from the real documents table (5 docs per
+    conversation, alternating user/assistant) and cross-check stats,
+    fingerprint collisions, and the kept set against DuckDB."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    conv_df = (
+        docs.withColumn("conv_id", F.col("doc_id") % 100)
+        .withColumn(
+            "m",
+            F.struct(
+                F.when(F.col("doc_id") % 2 == 0, "user")
+                .otherwise("assistant")
+                .alias("role"),
+                F.col("text").alias("content"),
+            ),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("m")))
+                ),
+                lambda x: x["m"],
+            ).alias("messages")
+        )
+    )
+    stats = {
+        r["conv_id"]: (r["n_turns"], r["user_tokens"], r["assistant_tokens"])
+        for r in sft.conversation_stats(conv_df).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(
+            """
+            SELECT doc_id % 100 AS conv_id, count(*) AS n_turns,
+              sum(CASE WHEN doc_id % 2 = 0
+                  THEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) ELSE 0 END),
+              sum(CASE WHEN doc_id % 2 <> 0
+                  THEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) ELSE 0 END)
+            FROM documents WHERE length(trim(text)) > 0 GROUP BY 1
+            """
+        ).fetchall()
+    }
+    # empty-text docs count as 0-token turns on the Spark side; DuckDB
+    # side excludes them from token sums only (n_turns compared on the
+    # non-empty assumption: sf0.001 documents have no empty text)
+    assert stats == exp
+    # dedup: no two distinct doc-groupings collide
+    assert sft.dedup_conversations(conv_df).count() == conv_df.count()

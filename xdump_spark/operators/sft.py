@@ -1,0 +1,249 @@
+"""Conversation (SFT / instruction-tuning) data operators.
+
+The post-training half of a data pipeline works on CONVERSATIONS —
+``array<struct<role:string, content:string>>`` columns — not flat text:
+validate turn structure, measure per-role budgets, dedup on a canonical
+transcript fingerprint, render to a chat template, and locate the
+assistant spans the loss mask needs. Everything here is pure Spark
+codegen over the struct array (``filter``/``transform``/``aggregate``
+higher-order functions) — no UDFs, no shuffles except where a dedup
+genuinely requires one — so the operators run at crawl scale exactly
+like the pretraining stages.
+
+Design sources are public SFT-data conventions: ChatML-style rendering
+(``<|im_start|>role\\ncontent<|im_end|>``), assistant-only loss masking,
+and role-alternation validation as used by the open post-training
+stacks. No reference analog (the reference engine `/root/reference` has
+no text pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xdump_spark.operators.text import tokens
+
+DEFAULT_ROLES = ("system", "user", "assistant")
+
+# Unit separators for the canonical fingerprint: chosen from the C0
+# control block so no realistic content collides with the framing.
+_FIELD_SEP = "\x1f"
+_TURN_SEP = "\x1e"
+
+
+def _msgs(conv_col: str) -> Column:
+    return F.col(conv_col)
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Per-conversation shape and budget: (id, n_turns, n_system,
+    n_user, n_assistant, user_tokens, assistant_tokens, total_tokens).
+    One Project — no explode, no shuffle: the per-role token sums run as
+    ``aggregate`` over the filtered struct array, so a 10 B-conversation
+    corpus is one narrow map stage."""
+    msgs = _msgs(conv_col)
+
+    def role_count(role: str) -> Column:
+        return F.size(F.filter(msgs, lambda m: m["role"] == F.lit(role)))
+
+    def role_tokens(role: str) -> Column:
+        return F.aggregate(
+            F.filter(msgs, lambda m: m["role"] == F.lit(role)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + F.size(tokens(m["content"])),
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(msgs).cast("long").alias("n_turns"),
+        role_count("system").cast("long").alias("n_system"),
+        role_count("user").cast("long").alias("n_user"),
+        role_count("assistant").cast("long").alias("n_assistant"),
+        role_tokens("user").alias("user_tokens"),
+        role_tokens("assistant").alias("assistant_tokens"),
+        F.aggregate(
+            msgs,
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + F.size(tokens(m["content"])),
+        ).alias("total_tokens"),
+    )
+
+
+def validate_conversations(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    allowed_roles: tuple = DEFAULT_ROLES,
+    require_alternation: bool = True,
+    require_assistant_last: bool = True,
+) -> DataFrame:
+    """Structural validation, SFT-convention rules: adds ``valid`` and a
+    ``reason`` column naming the FIRST failed rule (null when valid).
+
+    Rules, in check order: non-empty conversation; every role in
+    ``allowed_roles``; no empty/whitespace content; at most one system
+    message and only at position 0; user/assistant strictly alternate
+    after the optional system prefix, starting with user
+    (``require_alternation``); the last message is an assistant turn
+    (``require_assistant_last`` — a trailing user turn has no training
+    signal). Pure codegen — rules are array predicates, the frame keeps
+    its partitioning."""
+    msgs = _msgs(conv_col)
+    roles = F.transform(msgs, lambda m: m["role"])
+    # the conversation body after an optional leading system message
+    body = F.when(
+        F.element_at(roles, 1) == "system", F.slice(roles, 2, F.size(roles))
+    ).otherwise(roles)
+    allowed = F.array(*[F.lit(r) for r in allowed_roles])
+    bad_role = F.exists(roles, lambda r: ~F.array_contains(allowed, r))
+    empty_content = F.exists(
+        msgs, lambda m: m["content"].isNull() | (F.trim(m["content"]) == "")
+    )
+    stray_system = F.size(F.filter(body, lambda r: r == "system")) > 0
+    # strict user/assistant alternation starting at user: role at
+    # 1-based body position i must be user for odd i, assistant for even
+    misordered = F.exists(
+        F.zip_with(
+            body,
+            F.sequence(F.lit(1), F.greatest(F.size(body), F.lit(1))),
+            lambda r, i: r != F.when(i % 2 == 1, "user").otherwise("assistant"),
+        ),
+        lambda x: x,
+    )
+    ends_user = F.element_at(roles, -1) != "assistant"
+
+    reason = F.when(F.size(msgs) == 0, "empty_conversation")
+    reason = reason.when(bad_role, "unknown_role")
+    reason = reason.when(empty_content, "empty_content")
+    reason = reason.when(stray_system, "system_not_first")
+    if require_alternation:
+        reason = reason.when(misordered, "no_alternation")
+    if require_assistant_last:
+        reason = reason.when(ends_user, "not_assistant_last")
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    out = df.withColumn("reason", reason)
+    return out.withColumn("valid", F.col("reason").isNull())
+
+
+def conversation_fingerprint(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Canonical 128-bit transcript fingerprint: whitespace-normalized
+    lowercased content framed with C0 separators (role U+001F content,
+    turns joined by U+001E), hashed with two independently-seeded
+    xxhash64 (the ExactHashStore convention — Spark seed-chains
+    multi-arg xxhash64, so two seeds, not one call with two columns).
+    Adds ``h1``/``h2``. Template/format changes do NOT change the
+    fingerprint; content or role-order changes do."""
+    canon = F.array_join(
+        F.transform(
+            _msgs(conv_col),
+            lambda m: F.concat_ws(
+                _FIELD_SEP,
+                m["role"],
+                F.trim(F.regexp_replace(F.lower(m["content"]), r"\s+", " ")),
+            ),
+        ),
+        _TURN_SEP,
+    )
+    return df.withColumn("h1", F.xxhash64(canon, F.lit(42))).withColumn(
+        "h2", F.xxhash64(F.lit(0x9E3779B9), canon, F.lit(42))
+    )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Keep the min-id conversation per canonical fingerprint — the
+    conversation-level exact dedup. One shuffle of narrow (h1, h2, id)
+    rows with map-side-combined min, then a semi-join back by id; the
+    full struct payload is never shuffled on the hash key."""
+    fp = conversation_fingerprint(df, conv_col=conv_col, id_col=id_col)
+    keep = fp.groupBy("h1", "h2").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+_TEMPLATES = {
+    # ChatML-style: the de-facto open SFT rendering
+    "chatml": ("<|im_start|>{role}\n", "<|im_end|>\n"),
+    # plain: human-readable, used for inspection dumps
+    "plain": ("{role}: ", "\n\n"),
+}
+
+
+def _render_msg(m: Column, template: str) -> Column:
+    pre, post = _TEMPLATES[template]
+    left, right = pre.split("{role}")
+    return F.concat(F.lit(left), m["role"], F.lit(right), m["content"], F.lit(post))
+
+
+def render_chat(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+    out_col: str = "text",
+) -> DataFrame:
+    """Render each conversation to one training string under a named
+    template (``chatml`` or ``plain``). One Project; feeds the same
+    tokenize → pack → shard tail as pretraining text (the rendered
+    column IS a ``documents.text``)."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"unknown template {template!r}; one of {sorted(_TEMPLATES)}")
+    rendered = F.array_join(
+        F.transform(_msgs(conv_col), lambda m: _render_msg(m, template)), ""
+    )
+    return df.withColumn(out_col, rendered)
+
+
+def assistant_spans(
+    df: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+) -> DataFrame:
+    """Character spans of assistant CONTENT inside the rendered string —
+    what an assistant-only loss mask needs: adds ``spans``
+    ``array<struct<start,end>>`` (0-based, end-exclusive) aligned with
+    :func:`render_chat` under the same template. Computed as one
+    ``aggregate`` pass carrying a running offset — pure codegen, no
+    explode, no join-back, works on a single Project at any scale."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"unknown template {template!r}; one of {sorted(_TEMPLATES)}")
+    pre, post = _TEMPLATES[template]
+    left, right = pre.split("{role}")
+
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<start:long,end:long>>").alias("spans"),
+    )
+
+    def step(acc, m):
+        start = acc["off"] + F.length(m["role"]) + F.lit(len(left) + len(right))
+        end = start + F.length(m["content"])
+        nxt_off = end + F.lit(len(post))
+        is_asst = m["role"] == "assistant"
+        return F.struct(
+            nxt_off.alias("off"),
+            F.when(
+                is_asst,
+                F.concat(
+                    acc["spans"],
+                    F.array(F.struct(start.alias("start"), end.alias("end"))),
+                ),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    spans = F.aggregate(_msgs(conv_col), acc0, step, lambda acc: acc["spans"])
+    return df.withColumn("spans", spans)
