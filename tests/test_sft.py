@@ -140,6 +140,47 @@ def test_plans_pure_codegen(spark, convs):
         assert "Exchange" not in plan  # all single-Project ops
 
 
+def test_read_conversations_jsonl_quarantine(spark, tmp_path):
+    import json
+
+    p = tmp_path / "convs.jsonl"
+    good = {
+        "conv_id": 1,
+        "messages": [
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+        ],
+        "source": "synth",
+    }
+    wrong_shape = {"completely": "different"}
+    p.write_text(
+        json.dumps(good) + "\n" + "{not json at all\n" + json.dumps(wrong_shape) + "\n"
+    )
+    clean, corrupt = sft.read_conversations_jsonl(spark, str(p))
+    rows = clean.collect()
+    assert len(rows) == 1
+    assert rows[0]["conv_id"] == 1
+    assert [m["role"] for m in rows[0]["messages"]] == ["user", "assistant"]
+    bad = {r["line"] for r in corrupt.collect()}
+    assert bad == {"{not json at all", json.dumps(wrong_shape)}
+
+
+def test_prepare_sft_corpus_end_to_end(spark, convs):
+    res = sft.prepare_sft_corpus(convs)
+    # valid: 1,2,3,4 — then 4 dedups away against 3
+    assert res.audit == {"input": 11, "valid": 4, "deduped": 3}
+    out = res.convs.collect()
+    assert {r["conv_id"] for r in out} == {1, 2, 3}
+    reasons = {r["conv_id"]: r["reason"] for r in res.rejects.collect()}
+    assert reasons[6] == "unknown_role" and reasons[11] == "empty_conversation"
+    for r in out:
+        contents = [m["content"] for m in r["messages"] if m["role"] == "assistant"]
+        assert [r["text"][s["start"]:s["end"]] for s in r["spans"]] == contents
+    # deterministic order: same seed same order, different seed may differ
+    again = [r["conv_id"] for r in sft.prepare_sft_corpus(convs).convs.collect()]
+    assert again == [r["conv_id"] for r in out]
+
+
 def test_duckdb_cross_check_stats_and_dedup(spark):
     """Assemble conversations from the real documents table (5 docs per
     conversation, alternating user/assistant) and cross-check stats,

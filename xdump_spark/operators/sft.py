@@ -19,8 +19,11 @@ no text pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xdump_spark.operators.text import tokens
 
@@ -247,3 +250,99 @@ def assistant_spans(
 
     spans = F.aggregate(_msgs(conv_col), acc0, step, lambda acc: acc["spans"])
     return df.withColumn("spans", spans)
+
+
+# the standard conversations interchange shape as a JSONL schema
+CONVERSATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.LongType()),
+        T.StructField(
+            "messages",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_conversations_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read an SFT interchange dump (one conversation JSON object per
+    line — the format instruction datasets actually ship in) →
+    (clean, corrupt), with the JSONL source's quarantine contract:
+    malformed lines and wrong-shape objects land verbatim in
+    ``corrupt``, never fail the read. Structural PROBLEMS inside a
+    parsed conversation (bad roles, no alternation, …) are not the
+    reader's job — run :func:`validate_conversations` next; that split
+    keeps 'unreadable' and 'invalid' separately auditable."""
+    from xdump_spark.sources.jsonl import read_jsonl_corpus
+
+    return read_jsonl_corpus(spark, path, schema or CONVERSATIONS_SCHEMA)
+
+
+@dataclass
+class SFTResult:
+    """prepare_sft_corpus output: the training-ready frame plus the
+    rejects and per-stage audit a data card needs."""
+
+    convs: DataFrame                     # valid, deduped, rendered (+spans)
+    rejects: DataFrame                   # (id, reason) for invalid rows
+    audit: dict = field(default_factory=dict)
+
+
+def prepare_sft_corpus(
+    convs: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+    allowed_roles: tuple = DEFAULT_ROLES,
+    require_alternation: bool = True,
+    require_assistant_last: bool = True,
+    dedup: bool = True,
+    shuffle_seed: int | None = 0,
+    audit: bool = True,
+) -> SFTResult:
+    """One-call SFT preparation: validate → (reject with reasons) →
+    fingerprint-dedup → render under ``template`` → assistant loss-mask
+    spans → reproducible shuffle. The output frame carries the original
+    struct column PLUS ``text`` and ``spans`` — ready for the same
+    tokenize/pack/shard tail as pretraining text. Stages that would
+    MUTATE the rendered text (normalization, span-stripping) are
+    deliberately absent: the loss-mask spans are char offsets into
+    ``text`` and any rewrite would silently invalidate them — filter-only
+    gates (quality, decontamination by drop) compose safely downstream."""
+    flagged = validate_conversations(
+        convs,
+        conv_col=conv_col,
+        id_col=id_col,
+        allowed_roles=allowed_roles,
+        require_alternation=require_alternation,
+        require_assistant_last=require_assistant_last,
+    )
+    rejects = flagged.filter(~F.col("valid")).select(id_col, "reason")
+    cur = flagged.filter(F.col("valid")).drop("valid", "reason")
+    counts: dict = {}
+    if audit:
+        counts["input"] = convs.count()
+        counts["valid"] = cur.count()
+    if dedup:
+        cur = dedup_conversations(cur, conv_col=conv_col, id_col=id_col)
+        if audit:
+            counts["deduped"] = cur.count()
+    cur = render_chat(cur, conv_col=conv_col, id_col=id_col, template=template)
+    cur = assistant_spans(cur, conv_col=conv_col, id_col=id_col, template=template)
+    if shuffle_seed is not None:
+        from xdump_spark.operators.cleaning import deterministic_shuffle
+
+        cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
+    return SFTResult(convs=cur, rejects=rejects, audit=counts)
