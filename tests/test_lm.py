@@ -232,6 +232,39 @@ def test_pipeline_ppl_gate(spark, sf_documents, tmp_path):
         prepare_training_corpus(docs, span_k=None, max_ppl=100.0)
 
 
+def test_ppl_gate_drops_only_measured_docs(spark, model):
+    """The gate is an anti-join on the measured-above-max_ppl set, so it
+    can never remove a doc lm_score produced no row for. The docs
+    lm_score cannot score (whitespace-only → empty token array) are
+    exactly the docs the always-on cleaning stage already removed
+    (length(trim(text)) > 0, pipeline.py), so the audit must show the
+    empty doc falling at quality_gated — and the gate itself dropping
+    only the one doc with a measurement above the ceiling."""
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r["ppl"] for r in LM.lm_score(docs, model).collect()}
+    assert set(scored) == {1, 2}  # 3 is unscorable: no row at all
+    cutoff = (scored[1] + scored[2]) / 2
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=0, ppl_model=model, max_ppl=cutoff
+    )
+    kept = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    assert kept == {1}
+    # jurisdiction: 3 fell at cleaning, the gate removed exactly one
+    assert res.audit["quality_gated"] == 2
+    assert res.audit["ppl_gated"] == 1
+
+
+def test_buckets_label_mismatch_raises(spark, model):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="labels"):
+        LM.perplexity_buckets(LM.lm_score(docs, model), n_buckets=5)
+
+
 def test_cli_train_lm_then_curate(spark, tmp_path, capsys):
     from xdump_spark import cli
 

@@ -76,6 +76,41 @@ def test_validate_rules(spark, convs):
     assert relaxed[5] is True and relaxed[8] is False
 
 
+def test_validate_null_shapes_rejected(spark):
+    """NULL messages array, NULL role, NULL content must all land in
+    rejects — three-valued logic must not let them fall through to
+    valid (the structurally-broken-but-'valid' hole)."""
+    rows = [
+        (20, None),
+        (21, [{"role": None, "content": "hi"}, {"role": "assistant", "content": "y"}]),
+        (22, [{"role": "user", "content": None}, {"role": "assistant", "content": "y"}]),
+    ]
+    df = spark.createDataFrame(rows, CONV_SCHEMA)
+    got = {
+        r["conv_id"]: (r["valid"], r["reason"])
+        for r in sft.validate_conversations(df).collect()
+    }
+    assert got[20] == (False, "empty_conversation")
+    assert got[21] == (False, "unknown_role")
+    assert got[22] == (False, "empty_content")
+    # and prepare_sft_corpus routes them to rejects, not the output
+    res = sft.prepare_sft_corpus(df)
+    assert res.convs.count() == 0 and res.rejects.count() == 3
+
+
+def test_fingerprint_matches_engine_hash_convention(spark, convs):
+    """Conversation fingerprints use the SAME (h1, h2) formula as
+    incremental.content_hashes/hash128 — store interop depends on it."""
+    from xdump_spark.operators.incremental import hash128
+
+    one = convs.filter("conv_id = 3")
+    got = one.transform(sft.conversation_fingerprint).select("h1", "h2").collect()[0]
+    canon = "user\x1fdup me\x1eassistant\x1fok"
+    h1, h2 = hash128(F.lit(canon))
+    exp = spark.range(1).select(h1.alias("h1"), h2.alias("h2")).collect()[0]
+    assert (got["h1"], got["h2"]) == (exp["h1"], exp["h2"])
+
+
 def test_fingerprint_dedup(spark, convs):
     fp = {
         r["conv_id"]: (r["h1"], r["h2"])

@@ -592,23 +592,28 @@ class ExactHashStore:
         }
 
 
-def content_hashes(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """(id, h1, h2) per doc: two independently-seeded xxhash64 of the
-    normalized text (the same normalization exact_dedup groups on).
-    Pure codegen.
+def hash128(col) -> tuple:
+    """THE engine-wide 128-bit content-hash convention: (h1, h2) = two
+    independently-seeded xxhash64 of one canonical string column.
 
     Seed ordering matters: Spark chains multi-arg xxhash64 with the
-    running hash as the NEXT seed, so ``xxhash64(norm, lit)`` would be
-    a pure function of ``xxhash64(norm)`` — an h1 collision would force
+    running hash as the NEXT seed, so ``xxhash64(col, lit)`` would be
+    a pure function of ``xxhash64(col)`` — an h1 collision would force
     an h2 collision and the pair would be 64 bits dressed as 128. With
-    the salt FIRST, h2 = XXH64(norm, seed=XXH64(salt, 42)): the same
-    text hashed under a different fixed seed, independent of h1."""
-    norm = _norm_text(F.col(text_col))
+    the salt FIRST, h2 = XXH64(col, seed=XXH64(salt, 42)): the same
+    string hashed under a different fixed seed, independent of h1.
+    Every (h1, h2) producer (doc dedup, conversation dedup, the
+    ExactHashStore) MUST use this helper so their hashes interoperate."""
+    return F.xxhash64(col), F.xxhash64(F.lit(0x9E3779B9), col)
+
+
+def content_hashes(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, h1, h2) per doc: :func:`hash128` of the normalized text (the
+    same normalization exact_dedup groups on). Pure codegen."""
+    h1, h2 = hash128(_norm_text(F.col(text_col)))
     return df.select(
-        F.col(id_col).alias("id"),
-        F.xxhash64(norm).alias("h1"),
-        F.xxhash64(F.lit(0x9E3779B9), norm).alias("h2"),
+        F.col(id_col).alias("id"), h1.alias("h1"), h2.alias("h2")
     )
 
 

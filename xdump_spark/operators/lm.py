@@ -152,8 +152,14 @@ def train_ngram_lm(
 
 def save_ngram_lm(lm: NgramLM, path: str) -> None:
     """Persist the model: one parquet dir per order + a scalars manifest
-    (written LAST — a partial write leaves no readable model)."""
+    (written LAST — a partial write leaves no readable model). When
+    OVERWRITING an existing model the old manifest is deleted FIRST:
+    otherwise it would keep serving its stale N/V scalars over
+    half-rewritten count tables if the save crashes mid-way — the
+    invalidate-then-rewrite-then-commit order makes a crashed re-save
+    unreadable, same as a crashed first save."""
     spark = lm.unigrams.sparkSession
+    fsutil.delete(spark, fsutil.join(path, _MANIFEST))
     lm.unigrams.write.mode("overwrite").parquet(fsutil.join(path, "unigrams"))
     lm.bigrams.write.mode("overwrite").parquet(fsutil.join(path, "bigrams"))
     lm.trigrams.write.mode("overwrite").parquet(fsutil.join(path, "trigrams"))
@@ -271,10 +277,7 @@ def duckdb_backoff_sql(
     tokenizer, same backoff chain, same rounding) — the oracle twin.
     ``train_select`` / ``score_select`` are SELECTs producing
     (doc_id, text)."""
-    toks = (
-        r"CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
-        r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
-    )
+    from xdump_spark.operators.text import DUCKDB_TOKS_SQL as toks
     return rf"""
 WITH tt AS (
   SELECT t FROM (SELECT {toks} AS t FROM ({train_select})) WHERE len(t) > 0
@@ -356,7 +359,9 @@ def perplexity_buckets(
     ``approxQuantile`` on a sample instead; this exact form is the
     oracle-matching reference semantics."""
     if n_buckets != len(labels):
-        labels = tuple(f"b{i}" for i in range(n_buckets))
+        raise ValueError(
+            f"{n_buckets} buckets need {n_buckets} labels, got {len(labels)}"
+        )
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col(col).asc(), F.col(id_col).asc())

@@ -80,7 +80,6 @@ def conversation_stats(
 def validate_conversations(
     df: DataFrame,
     conv_col: str = "messages",
-    id_col: str = "conv_id",
     allowed_roles: tuple = DEFAULT_ROLES,
     require_alternation: bool = True,
     require_assistant_last: bool = True,
@@ -103,7 +102,14 @@ def validate_conversations(
         F.element_at(roles, 1) == "system", F.slice(roles, 2, F.size(roles))
     ).otherwise(roles)
     allowed = F.array(*[F.lit(r) for r in allowed_roles])
-    bad_role = F.exists(roles, lambda r: ~F.array_contains(allowed, r))
+    # NULL-safe rules: under three-valued logic a NULL role/content/array
+    # makes every naive predicate NULL, the reason CASE falls through,
+    # and a structurally broken conversation is marked VALID — so each
+    # rule coalesces the NULL case to its failing side.
+    bad_role = F.exists(
+        roles,
+        lambda r: r.isNull() | ~F.coalesce(F.array_contains(allowed, r), F.lit(False)),
+    )
     empty_content = F.exists(
         msgs, lambda m: m["content"].isNull() | (F.trim(m["content"]) == "")
     )
@@ -118,9 +124,11 @@ def validate_conversations(
         ),
         lambda x: x,
     )
-    ends_user = F.element_at(roles, -1) != "assistant"
+    ends_user = ~F.coalesce(
+        F.element_at(roles, -1) == "assistant", F.lit(False)
+    )
 
-    reason = F.when(F.size(msgs) == 0, "empty_conversation")
+    reason = F.when(msgs.isNull() | (F.size(msgs) == 0), "empty_conversation")
     reason = reason.when(bad_role, "unknown_role")
     reason = reason.when(empty_content, "empty_content")
     reason = reason.when(stray_system, "system_not_first")
@@ -136,15 +144,17 @@ def validate_conversations(
 def conversation_fingerprint(
     df: DataFrame,
     conv_col: str = "messages",
-    id_col: str = "conv_id",
 ) -> DataFrame:
     """Canonical 128-bit transcript fingerprint: whitespace-normalized
     lowercased content framed with C0 separators (role U+001F content,
-    turns joined by U+001E), hashed with two independently-seeded
-    xxhash64 (the ExactHashStore convention — Spark seed-chains
-    multi-arg xxhash64, so two seeds, not one call with two columns).
+    turns joined by U+001E), hashed through the engine-wide
+    ``incremental.hash128`` convention — the SAME (h1, h2) an
+    ``ExactHashStore`` flow computes, so conversation dedup can run as
+    an increment against a persistent store exactly like doc dedup.
     Adds ``h1``/``h2``. Template/format changes do NOT change the
     fingerprint; content or role-order changes do."""
+    from xdump_spark.operators.incremental import hash128
+
     canon = F.array_join(
         F.transform(
             _msgs(conv_col),
@@ -156,9 +166,8 @@ def conversation_fingerprint(
         ),
         _TURN_SEP,
     )
-    return df.withColumn("h1", F.xxhash64(canon, F.lit(42))).withColumn(
-        "h2", F.xxhash64(F.lit(0x9E3779B9), canon, F.lit(42))
-    )
+    h1, h2 = hash128(canon)
+    return df.withColumn("h1", h1).withColumn("h2", h2)
 
 
 def dedup_conversations(
@@ -170,7 +179,7 @@ def dedup_conversations(
     conversation-level exact dedup. One shuffle of narrow (h1, h2, id)
     rows with map-side-combined min, then a semi-join back by id; the
     full struct payload is never shuffled on the hash key."""
-    fp = conversation_fingerprint(df, conv_col=conv_col, id_col=id_col)
+    fp = conversation_fingerprint(df, conv_col=conv_col)
     keep = fp.groupBy("h1", "h2").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), id_col, "left_semi")
 
@@ -192,7 +201,6 @@ def _render_msg(m: Column, template: str) -> Column:
 def render_chat(
     df: DataFrame,
     conv_col: str = "messages",
-    id_col: str = "conv_id",
     template: str = "chatml",
     out_col: str = "text",
 ) -> DataFrame:
@@ -211,7 +219,6 @@ def render_chat(
 def assistant_spans(
     df: DataFrame,
     conv_col: str = "messages",
-    id_col: str = "conv_id",
     template: str = "chatml",
 ) -> DataFrame:
     """Character spans of assistant CONTENT inside the rendered string —
@@ -324,7 +331,6 @@ def prepare_sft_corpus(
     flagged = validate_conversations(
         convs,
         conv_col=conv_col,
-        id_col=id_col,
         allowed_roles=allowed_roles,
         require_alternation=require_alternation,
         require_assistant_last=require_assistant_last,
@@ -333,14 +339,24 @@ def prepare_sft_corpus(
     cur = flagged.filter(F.col("valid")).drop("valid", "reason")
     counts: dict = {}
     if audit:
-        counts["input"] = convs.count()
-        counts["valid"] = cur.count()
+        # input + valid in ONE job (count + conditional sum over the
+        # flagged frame), not two full re-validations
+        row = flagged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("valid").cast("long")).alias("v"),
+        ).first()
+        counts["input"] = int(row["n"])
+        counts["valid"] = int(row["v"] or 0)
     if dedup:
         cur = dedup_conversations(cur, conv_col=conv_col, id_col=id_col)
         if audit:
+            # the deduped count would otherwise re-run the fingerprint
+            # shuffle, and the caller's first action would run it a third
+            # time — persist the survivor set across both
+            cur = cur.persist()
             counts["deduped"] = cur.count()
-    cur = render_chat(cur, conv_col=conv_col, id_col=id_col, template=template)
-    cur = assistant_spans(cur, conv_col=conv_col, id_col=id_col, template=template)
+    cur = render_chat(cur, conv_col=conv_col, template=template)
+    cur = assistant_spans(cur, conv_col=conv_col, template=template)
     if shuffle_seed is not None:
         from xdump_spark.operators.cleaning import deterministic_shuffle
 

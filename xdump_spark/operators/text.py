@@ -38,6 +38,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# The DuckDB twin of tokens() over a column named `text` — THE single
+# definition every oracle-SQL builder must reuse (queries._SQL_TOKS,
+# lm.duckdb_backoff_sql): two copies would let the shared whitespace
+# tokenizer drift between an entry's Spark half and its oracle half.
+DUCKDB_TOKS_SQL = (
+    r"CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
+)
+
+
 def punct_count(text: Column) -> Column:
     # ASCII punctuation; Java \p{Punct} == POSIX [[:punct:]] on ASCII input
     return F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))

@@ -610,27 +610,36 @@ def prepare_training_corpus(
 
         if isinstance(ppl_model, str):
             _lm_model = _lmod.load_ngram_lm(docs.sparkSession, ppl_model)
-            _lm_ck = {"path": ppl_model, "n": _lm_model.n_tokens,
-                      "v": _lm_model.vocab_size, "alpha": _lm_model.alpha}
         else:
             _lm_model = ppl_model
-            _lm_ck = {
-                "n": _lm_model.n_tokens, "v": _lm_model.vocab_size,
-                "alpha": _lm_model.alpha,
-                "frames": (
-                    [_frame_fp(_lm_model.unigrams), _frame_fp(_lm_model.bigrams),
-                     _frame_fp(_lm_model.trigrams)]
-                    if ckpt is not None else None
-                ),
-            }
-        _ppl_keep = (
+        # the checkpoint key must fingerprint the COUNT TABLES, not just
+        # the path/scalars: a model retrained in place with a different
+        # prune_min_count keeps identical N/V/alpha (pre-prune by
+        # design) yet scores differently — frame fingerprints (plan +
+        # input files with size/mtime) catch that for both the loaded
+        # and the in-memory form.
+        _lm_ck = {
+            "path": ppl_model if isinstance(ppl_model, str) else None,
+            "n": _lm_model.n_tokens, "v": _lm_model.vocab_size,
+            "alpha": _lm_model.alpha,
+            "frames": (
+                [_frame_fp(_lm_model.unigrams), _frame_fp(_lm_model.bigrams),
+                 _frame_fp(_lm_model.trigrams)]
+                if ckpt is not None else None
+            ),
+        }
+        # anti-join on the MEASURED-too-perplexed set (not semi-join on
+        # the kept set): lm_score has no row for empty/whitespace docs,
+        # and a gate that only promises "docs above max_ppl are dropped"
+        # must not silently remove unscorable docs too
+        _ppl_drop = (
             _lmod.lm_score(cur, _lm_model, text_col=text_col, id_col=id_col)
-            .filter(F.col("ppl") <= max_ppl)
+            .filter(F.col("ppl") > max_ppl)
             .select(id_col)
         )
         cur = note(
             "ppl_gated",
-            cur.join(_ppl_keep, id_col, "left_semi"),
+            cur.join(_ppl_drop, id_col, "left_anti"),
             ck={"model": _lm_ck, "max_ppl": max_ppl},
         )
 

@@ -1139,11 +1139,9 @@ from xdump_spark.operators import pq as PQ  # noqa: E402
 from xdump_spark.operators import similarity as S  # noqa: E402
 from xdump_spark.operators import text as TX  # noqa: E402
 
-# DuckDB fragments mirroring operators/text.py exactly
-_SQL_TOKS = (
-    r"CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
-    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
-)
+# DuckDB fragments mirroring operators/text.py exactly (single shared
+# definition — see text.DUCKDB_TOKS_SQL)
+_SQL_TOKS = TX.DUCKDB_TOKS_SQL
 
 
 def _sql_hits(lang: str) -> str:
