@@ -186,10 +186,12 @@ def token_fingerprint_frame(
 def quality_langid_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """quality_frame + lang_id_frame columns in ONE scan (the registry's
-    merged text_quality entry). Same two-stage projection discipline as
-    the parts: tokenization/regex once into real columns, hit counts
-    into real columns, then the metric/CASE expressions over those."""
+    """quality_frame + lang_id_frame + token_fingerprint_frame columns in
+    ONE scan (the registry's merged text_quality entry — r7 folded the
+    former text_token_counts entry in too, freeing a 50-entry-window
+    slot). Same two-stage projection discipline as the parts:
+    tokenization/regex once into real columns, hit counts into real
+    columns, then the metric/CASE expressions over those."""
     t = F.col(text_col)
     pre = df.select(
         F.col(id_col),
@@ -197,6 +199,8 @@ def quality_langid_frame(
         tokens(t).alias("_toks"),
         punct_count(t).cast("long").alias("_punct"),
         F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
+        F.size(bpe_tokens(t)).cast("long").alias("_bpe"),
+        F.md5(F.trim(F.regexp_replace(F.lower(t), _WS, " "))).alias("_fp"),
     )
 
     def _hit_count(words: list[str]):
@@ -237,6 +241,8 @@ def quality_langid_frame(
         ).alias("stopword_ratio"),
         pred.alias("pred_lang"),
         *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+        F.col("_bpe").alias("n_bpe_tokens"),
+        F.col("_fp").alias("fingerprint"),
     )
 
 

@@ -1178,45 +1178,31 @@ q AS (SELECT doc_id,
              ELSE 0.0 END, 6) AS stopword_ratio
        FROM t),
 h AS (SELECT doc_id, {hits_cols} FROM t),
-l AS (SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h)
-SELECT q.*, l.pred_lang, {", ".join(f"l.hits_{lang}" for lang in TX.LANG_ORDER)}
-FROM q JOIN l USING (doc_id)
+l AS (SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h),
+f AS (SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM t)
+SELECT q.*, l.pred_lang, {", ".join(f"l.hits_{lang}" for lang in TX.LANG_ORDER)},
+       f.n_bpe_tokens, f.fingerprint
+FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
 """
 
 
 @query("text_quality", _quality_langid_sql())
 def text_quality(spark, sf_dir):
     """Document quality metrics + marker-word language ID with
-    deterministic tie-breaks (operators/text.py, all JVM built-ins). One
-    entry covers both per-doc frames (absorbed the former text_langid
-    entry to stay inside the driver's 50-entry correctness window —
-    same consolidation as multimodal_profile). Single scan, single
-    projection (operators/text.py quality_langid_frame) — a join of the
-    two per-doc frames would read the table twice."""
+    deterministic tie-breaks + BPE-ish token count + the exact-dedup md5
+    fingerprint (operators/text.py, all JVM built-ins). One entry covers
+    all the per-doc signal frames (absorbed the former text_langid entry
+    in r5 and the former text_token_counts entry in r7 to stay inside
+    the driver's 50-entry correctness window — same consolidation as
+    multimodal_profile). Single scan, single projection (operators/
+    text.py quality_langid_frame) — a join of the per-doc frames would
+    read the table twice."""
     docs = _cat(spark, sf_dir).tables["documents"]
     return TX.quality_langid_frame(docs)
-
-
-@query(
-    "text_token_counts",
-    rf"""
-WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
-SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text,
-         '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-FROM t
-""",
-)
-def text_token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish-regex token counting (the split pattern is
-    lookahead-free so Java regex and RE2 agree) + the normalized-text md5
-    fingerprint (the exact-dedup key; absorbed the former
-    text_fingerprint entry for the 50-entry window). Single scan
-    (operators/text.py token_fingerprint_frame)."""
-    docs = _cat(spark, sf_dir).tables["documents"]
-    return TX.token_fingerprint_frame(docs)
 
 
 _LM_TRAIN_SELECT = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
@@ -1322,6 +1308,187 @@ def lm_surprisal_panel(spark, sf_dir):
     return LMOD.perplexity_buckets(panel, col="sb_s").select(
         "doc_id", "n_tokens", "uni_s", "n_bigrams", "bi_s", "sb_s", "ppl", "bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# SFT / conversation preparation panel (operators/sft.py)
+# --------------------------------------------------------------------------
+# Deterministic conversation construction over the documents table:
+# doc_id % 10 selects a shape class, chosen so every validation rule,
+# the fingerprint dedup, ChatML rendering, and the assistant loss-mask
+# spans are all exercised. The Spark half builds REAL struct arrays and
+# runs the real operators; the oracle half derives the expected outputs
+# INDEPENDENTLY per class (hand-derived reasons, direct string
+# concatenation, offset arithmetic) — the same hand-computed-expected
+# style as the LM tests, not a re-implementation of the operators.
+#
+# Valid classes and their turns (None = the document's text):
+_SFT_TURNS: dict[int, list[tuple[str, str | None]]] = {
+    1: [("user", None), ("assistant", "ok then")],
+    2: [("system", "be brief"), ("user", None), ("assistant", "done")],
+    7: [("user", "dup question"), ("assistant", "dup answer")],
+    9: [("user", None), ("assistant", "first"), ("user", "more"),
+        ("assistant", "second answer")],
+}
+# Invalid classes, written out in the Spark builder below:
+#   0 = empty array           -> empty_conversation
+#   3 = 'tool' role           -> unknown_role
+#   4 = whitespace assistant  -> empty_content
+#   5 = trailing user turn    -> not_assistant_last
+#   6 = user,user,assistant   -> no_alternation
+#   8 = system mid-conv       -> system_not_first
+
+
+def _sft_render_sql(turns) -> str:
+    """ChatML rendering of a turn list as direct DuckDB concatenation."""
+    segs = []
+    for role, content in turns:
+        c = "text" if content is None else f"'{content}'"
+        segs.append(f"'<|im_start|>{role}' || chr(10) || {c} || '<|im_end|>' || chr(10)")
+    return " || ".join(segs)
+
+
+def _sft_spans_sql(turns) -> str:
+    """Assistant-content char spans by offset arithmetic: every offset is
+    const + k*length(text) (k = how many text-valued turns precede it),
+    folded at SQL-generation time."""
+    const, k = 0, 0
+    spans = []
+    for role, content in turns:
+        const += 12 + len(role) + 1          # <|im_start|> + role + \n
+        start = (const, k)
+        if content is None:
+            k += 1
+        else:
+            const += len(content)
+        end = (const, k)
+        const += 11                           # <|im_end|> + \n
+        if role == "assistant":
+            spans.append((start, end))
+
+    def expr(c: int, kk: int) -> str:
+        base = f"{c} + {kk} * length(text)" if kk else f"{c}"
+        return f"CAST({base} AS VARCHAR)"
+
+    return " || '|' || ".join(
+        f"{expr(*s)} || ':' || {expr(*e)}" for s, e in spans
+    )
+
+
+def _sft_canon_sql(turns) -> str:
+    """The canonical dedup transcript (role U+001F content, turns joined
+    by U+001E, content lowercased + whitespace-collapsed). Literal
+    contents are already normalized."""
+    segs = []
+    for role, content in turns:
+        c = "nt" if content is None else f"'{content}'"
+        segs.append(f"'{role}' || chr(31) || {c}")
+    return " || chr(30) || ".join(segs)
+
+
+def _sft_panel_sql() -> str:
+    r = {m: _sft_render_sql(t) for m, t in _SFT_TURNS.items()}
+    s = {m: _sft_spans_sql(t) for m, t in _SFT_TURNS.items()}
+    c = {m: _sft_canon_sql(t) for m, t in _SFT_TURNS.items()}
+    return f"""
+WITH d AS (SELECT doc_id AS conv_id, text, doc_id % 10 AS m FROM documents),
+v AS (SELECT conv_id, m, text,
+  CASE
+    WHEN m = 0 THEN 'empty_conversation'
+    WHEN m = 3 THEN 'unknown_role'
+    WHEN m = 4 THEN 'empty_content'
+    WHEN m IN (1, 2, 5, 6, 8, 9) AND (text IS NULL OR trim(text) = '')
+      THEN 'empty_content'
+    WHEN m = 8 THEN 'system_not_first'
+    WHEN m = 6 THEN 'no_alternation'
+    WHEN m = 5 THEN 'not_assistant_last'
+    ELSE 'valid'
+  END AS reason FROM d),
+ok AS (SELECT conv_id, m, text,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       FROM v WHERE reason = 'valid'),
+canon AS (SELECT conv_id, CASE m
+    WHEN 1 THEN {c[1]} WHEN 2 THEN {c[2]} WHEN 7 THEN {c[7]} ELSE {c[9]}
+  END AS cs FROM ok),
+keepers AS (SELECT min(conv_id) AS conv_id FROM canon GROUP BY cs),
+surv AS (SELECT * FROM ok WHERE conv_id IN (SELECT conv_id FROM keepers))
+SELECT 'validate' AS part, conv_id, reason AS v FROM v
+UNION ALL SELECT 'kept' AS part, conv_id, '' AS v FROM keepers
+UNION ALL SELECT 'render' AS part, conv_id, md5(CASE m
+    WHEN 1 THEN {r[1]} WHEN 2 THEN {r[2]} WHEN 7 THEN {r[7]} ELSE {r[9]}
+  END) AS v FROM surv
+UNION ALL SELECT 'spans' AS part, conv_id, CASE m
+    WHEN 1 THEN {s[1]} WHEN 2 THEN {s[2]} WHEN 7 THEN {s[7]} ELSE {s[9]}
+  END AS v FROM surv
+"""
+
+
+def _mk_convs(docs: DataFrame) -> DataFrame:
+    """documents -> (conv_id, messages) under the class scheme above."""
+    t = F.col("text")
+    m = F.col("doc_id") % 10
+
+    def msg(role: str, content) -> F.Column:
+        c = F.lit(content) if isinstance(content, str) else content
+        return F.struct(F.lit(role).alias("role"), c.alias("content"))
+
+    def turns(ts) -> F.Column:
+        return F.array(*[msg(role, t if content is None else content)
+                         for role, content in ts])
+
+    empty = F.array().cast("array<struct<role:string,content:string>>")
+    msgs = (
+        F.when(m == 0, empty)
+        .when(m == 1, turns(_SFT_TURNS[1]))
+        .when(m == 2, turns(_SFT_TURNS[2]))
+        .when(m == 3, F.array(msg("user", t), msg("tool", "call"), msg("assistant", "ok")))
+        .when(m == 4, F.array(msg("user", t), msg("assistant", "  ")))
+        .when(m == 5, F.array(msg("user", t), msg("assistant", "ok"), msg("user", "and?")))
+        .when(m == 6, F.array(msg("user", t), msg("user", "again"), msg("assistant", "ok")))
+        .when(m == 7, turns(_SFT_TURNS[7]))
+        .when(m == 8, F.array(msg("user", t), msg("system", "oops"), msg("assistant", "ok")))
+        .otherwise(turns(_SFT_TURNS[9]))
+    )
+    return docs.select(F.col("doc_id").alias("conv_id"), msgs.alias("messages"))
+
+
+@query("sft_prepare_panel", _sft_panel_sql())
+def sft_prepare_panel(spark, sf_dir):
+    """The conversation/SFT preparation family (operators/sft.py) as one
+    tagged panel: per-conversation validation reasons, fingerprint-dedup
+    survivors, md5 of the ChatML rendering, and the assistant loss-mask
+    char spans — all through prepare_sft_corpus (the front door), over
+    conversations deterministically constructed from the documents
+    table. Validation/render/spans are pure codegen (no explode, no
+    shuffle); the only Exchange is the dedup's narrow (h1, h2, id)
+    aggregate. shuffle_seed=None: output order is protocol-irrelevant
+    (the harness sorts) and the reproducible shuffle is pinned by
+    test_sft instead."""
+    from xdump_spark.operators import sft as SFT
+
+    convs = _mk_convs(_cat(spark, sf_dir).tables["documents"])
+    flagged = SFT.validate_conversations(convs)
+    validate = flagged.select(
+        F.lit("validate").alias("part"),
+        "conv_id",
+        F.coalesce("reason", F.lit("valid")).alias("v"),
+    )
+    res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
+    kept = res.convs.select(
+        F.lit("kept").alias("part"), "conv_id", F.lit("").alias("v")
+    )
+    render = res.convs.select(
+        F.lit("render").alias("part"), "conv_id", F.md5("text").alias("v")
+    )
+    spans = res.convs.select(
+        F.lit("spans").alias("part"),
+        "conv_id",
+        F.array_join(
+            F.transform("spans", lambda sp: F.concat_ws(":", sp["start"], sp["end"])),
+            "|",
+        ).alias("v"),
+    )
+    return validate.unionByName(kept).unionByName(render).unionByName(spans)
 
 
 @query(
