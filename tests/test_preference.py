@@ -1,0 +1,277 @@
+"""Preference-pair (DPO/reward) operators: validation rules, pair and
+prompt dedup, contradiction detection, length-bias stats, DPO rendering
+with response spans, benchmark decontamination — exact values on
+crafted pairs, a DuckDB cross-check on pairs assembled from the real
+documents table, and no-Python/no-shuffle plan pins."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xdump_spark.operators import preference as P
+
+PAIR_SCHEMA = (
+    "pair_id long, prompt array<struct<role:string,content:string>>, "
+    "chosen string, rejected string"
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def msgs(*turns):
+    return [{"role": r, "content": c} for r, c in turns]
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        # valid, chosen longer
+        (1, msgs(("user", "What is 2+2")), "it is 4 indeed", "5"),
+        # valid, multi-turn prompt with system + assistant history
+        (2, msgs(("system", "Be terse."), ("user", "hi"),
+                 ("assistant", "hello"), ("user", "sum 1 1")), "2", "maybe 3"),
+        # canon-duplicate of 1 (case/whitespace only)
+        (3, msgs(("user", "what IS   2+2")), "IT IS 4   INDEED", "5"),
+        # same responses as 1 but swapped preference -> contradiction
+        (4, msgs(("user", "What is 2+2")), "5", "it is 4 indeed"),
+        # invalid: prompt ends with assistant
+        (5, msgs(("user", "q"), ("assistant", "a")), "x", "y"),
+        # invalid: empty chosen
+        (6, msgs(("user", "q2")), "   ", "y"),
+        # invalid: empty rejected
+        (7, msgs(("user", "q3")), "x", None),
+        # invalid: identical after normalization
+        (8, msgs(("user", "q4")), "Same  ANSWER", "same answer"),
+        # invalid: empty prompt
+        (9, [], "x", "y"),
+        # invalid: bad role in prompt
+        (10, msgs(("user", "q5"), ("tool", "t"), ("user", "q6")), "x", "y"),
+        # valid, rejected longer
+        (11, msgs(("user", "unique prompt")), "short", "a much longer rejected answer"),
+    ]
+    return spark.createDataFrame(rows, PAIR_SCHEMA)
+
+
+def test_validate_rules(spark, pairs):
+    got = {
+        r["pair_id"]: (r["valid"], r["reason"])
+        for r in P.validate_pairs(pairs).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (True, None)
+    assert got[3] == (True, None)
+    assert got[4] == (True, None)
+    assert got[5] == (False, "prompt_not_user_last")
+    assert got[6] == (False, "empty_chosen")
+    assert got[7] == (False, "empty_rejected")
+    assert got[8] == (False, "identical_responses")
+    assert got[9] == (False, "empty_prompt")
+    assert got[10] == (False, "unknown_role")
+    assert got[11] == (True, None)
+
+
+def test_validate_null_shapes(spark):
+    rows = [
+        (20, None, "x", "y"),
+        (21, [{"role": None, "content": "q"}], "x", "y"),
+        (22, [{"role": "user", "content": None}], "x", "y"),
+    ]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    got = {r["pair_id"]: r["reason"] for r in P.validate_pairs(df).collect()}
+    assert got[20] == "empty_prompt"
+    assert got[21] == "unknown_role"
+    assert got[22] == "empty_content"
+
+
+def test_dedup_pairs(spark, pairs):
+    valid = P.validate_pairs(pairs).filter("valid").drop("valid", "reason")
+    kept = {r["pair_id"] for r in P.dedup_pairs(valid).collect()}
+    # 3 collapses into 1; 4 (swapped) survives dedup — it is a DIFFERENT
+    # preference, contradiction handling's job
+    assert kept == {1, 2, 4, 11}
+
+
+def test_fingerprint_order_sensitivity(spark, pairs):
+    fp = {
+        r["pair_id"]: (r["h1"], r["h2"])
+        for r in P.pair_fingerprint(pairs).collect()
+    }
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_contradicting_pairs(spark, pairs):
+    valid = P.validate_pairs(pairs).filter("valid").drop("valid", "reason")
+    got = {(r["id_a"], r["id_b"]) for r in P.contradicting_pairs(valid).collect()}
+    # 1-4 and 3-4 (3 is canon-equal to 1); never 1-3 (same orientation)
+    assert got == {(1, 4), (3, 4)}
+
+
+def test_cap_per_prompt(spark):
+    rows = [
+        (i, msgs(("user", "hot prompt")), f"resp {i}", "base") for i in range(10)
+    ] + [(100, msgs(("user", "cold prompt")), "a", "b")]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    kept = {r["pair_id"] for r in P.cap_per_prompt(df, max_pairs=2).collect()}
+    assert kept == {0, 1, 100}  # min ids win, cold prompt untouched
+
+
+def test_pair_stats_hand_values(spark, pairs):
+    got = {r["pair_id"]: r.asDict() for r in P.pair_stats(pairs).collect()}
+    s = got[1]
+    assert (s["prompt_turns"], s["prompt_tokens"]) == (1, 3)  # "what is 2+2"
+    assert (s["chosen_tokens"], s["rejected_tokens"]) == (4, 1)
+    assert (s["token_delta"], s["chosen_longer"]) == (3, True)
+    s2 = got[2]
+    assert (s2["prompt_turns"], s2["prompt_tokens"]) == (4, 7)
+    assert (s2["token_delta"], s2["chosen_longer"]) == (1 - 2, False)
+
+
+def test_length_bias_stats(spark):
+    rows = [
+        (1, msgs(("user", "q")), "one two three", "one"),
+        (2, msgs(("user", "q")), "one two", "one"),
+        (3, msgs(("user", "q")), "one", "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    got = P.length_bias_stats(df)
+    assert got["n_pairs"] == 3
+    assert got["frac_chosen_longer"] == pytest.approx(2 / 3)
+    assert got["mean_token_delta"] == pytest.approx((2 + 1 - 4) / 3)
+
+
+def test_render_dpo_spans_slice_responses(spark, pairs):
+    valid = P.validate_pairs(pairs).filter("valid").drop("valid", "reason")
+    out = P.render_dpo(valid).collect()
+    for r in out:
+        sc, sr = r["span_chosen"], r["span_rejected"]
+        assert r["text_chosen"][sc["start"]: sc["end"]] == r["chosen"]
+        assert r["text_rejected"][sr["start"]: sr["end"]] == r["rejected"]
+    # prompt-history assistant turns are NOT part of the response span
+    two = next(r for r in out if r["pair_id"] == 2)
+    assert "hello" in two["text_chosen"]
+    assert two["text_chosen"][two["span_chosen"]["start"]:] == "2<|im_end|>\n"
+
+
+def test_render_dpo_plain_template_and_bad_template(spark, pairs):
+    one = pairs.filter("pair_id = 1")
+    r = P.render_dpo(one, template="plain").collect()[0]
+    assert r["text_chosen"] == (
+        "user: What is 2+2\n\nassistant: it is 4 indeed\n\n"
+    )
+    with pytest.raises(ValueError, match="template"):
+        P.render_dpo(one, template="nope")
+
+
+def test_decontaminate_pairs(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    rows = [
+        # 8-gram overlap in the chosen response -> dropped
+        (1, msgs(("user", "tell a story")),
+         "the quick brown fox jumps over the lazy dog", "no"),
+        # overlap inside the PROMPT -> dropped
+        (2, msgs(("user", "quick brown fox jumps over the lazy dog today please")),
+         "ok", "no"),
+        (3, msgs(("user", "clean prompt")), "clean chosen", "clean rejected"),
+    ]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    kept = {r["pair_id"] for r in P.decontaminate_pairs(df, bench, n=8).collect()}
+    assert kept == {3}
+
+
+def test_prepare_preference_corpus_e2e(spark, pairs):
+    res = P.prepare_preference_corpus(pairs, shuffle_seed=0)
+    kept = {r["pair_id"] for r in res.pairs.collect()}
+    # dedup drops 3; contradiction handling drops BOTH 1 and 4
+    # (3 collapsed into 1, and 1 contradicts 4)
+    assert kept == {2, 11}
+    assert res.audit["input"] == 11
+    assert res.audit["valid"] == 5
+    assert res.audit["deduped"] == 4
+    assert res.audit["consistent"] == 2
+    reasons = {r["pair_id"]: r["reason"] for r in res.rejects.collect()}
+    assert len(reasons) == 6 and reasons[9] == "empty_prompt"
+    assert res.length_bias["n_pairs"] == 2
+    cols = set(res.pairs.columns)
+    assert {"text_chosen", "text_rejected", "span_chosen", "span_rejected"} <= cols
+
+
+def test_prepare_preference_max_per_prompt_and_benchmark(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, msgs(("user", "hot prompt")), "good answer one", "bad"),
+        (2, msgs(("user", "hot prompt")), "good answer two", "bad"),
+        (3, msgs(("user", "hot prompt")), "good answer three", "bad"),
+        (4, msgs(("user", "alpha beta gamma delta epsilon zeta eta theta")),
+         "leak", "no"),
+    ]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    res = P.prepare_preference_corpus(
+        df, max_per_prompt=1, benchmark=bench, contamination_n=8,
+        shuffle_seed=None, length_bias=False,
+    )
+    assert {r["pair_id"] for r in res.pairs.collect()} == {1}
+    assert res.audit["capped"] == 2
+    assert res.audit["decontaminated"] == 1
+    assert res.length_bias is None
+
+
+def test_duckdb_cross_check_stats_on_real_docs(spark):
+    """pair_stats over pairs assembled from the real documents table,
+    cross-checked value-by-value against an independent DuckDB
+    computation with the shared tokenizer."""
+    from xdump_spark.catalog import load_sf_dir
+    from xdump_spark.operators.text import DUCKDB_TOKS_SQL
+
+    docs = load_sf_dir(spark, SF_DIR).tables["documents"].select("doc_id", "text")
+    df = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.array(
+            F.struct(F.lit("user").alias("role"), F.col("text").alias("content"))
+        ).alias("prompt"),
+        F.concat(F.lit("chosen: "), F.col("text")).alias("chosen"),
+        F.lit("rejected stub").alias("rejected"),
+    )
+    got = {
+        r["pair_id"]: (
+            r["prompt_tokens"], r["chosen_tokens"],
+            r["rejected_tokens"], r["token_delta"],
+        )
+        for r in P.pair_stats(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, len({DUCKDB_TOKS_SQL}) AS nt,
+             len({DUCKDB_TOKS_SQL.replace("text", "'chosen: ' || text")}) AS nc
+      FROM documents
+    )
+    SELECT doc_id, nt, nc, 2 AS nr, nc - 2 AS delta FROM t
+    """
+    exp = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == exp
+
+
+def test_plans_pure_codegen(spark, pairs):
+    """Per-pair operators never hit Python and never shuffle; the dedup's
+    only Exchange carries narrow hash rows."""
+    for frame in (
+        P.validate_pairs(pairs),
+        P.pair_fingerprint(pairs),
+        P.pair_stats(pairs),
+        P.render_dpo(pairs),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan
+    dd = P.dedup_pairs(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in dd

@@ -1,0 +1,491 @@
+"""Preference-pair (DPO / reward-model) data operators.
+
+The third data surface of a training pipeline, after pretraining text
+and SFT conversations: PREFERENCE PAIRS — a prompt (messages array, the
+same ``array<struct<role,content>>`` shape sft.py works on) plus two
+candidate assistant responses, ``chosen`` and ``rejected``. The
+operators here validate pair structure, fingerprint-dedup pairs and
+prompts, measure the length bias a reward signal can silently leak,
+render both sides to training strings under the SFT chat templates, and
+screen prompts/responses against an eval benchmark. Everything is pure
+Spark codegen over struct arrays and strings — the only shuffles are
+the dedup aggregates (narrow (h1, h2, id) rows) and the optional
+per-prompt cap (the skew-robust two-pass top-k).
+
+Design sources are public preference-data conventions: the
+prompt/chosen/rejected interchange shape used by the open DPO stacks
+(Rafailov et al. 2023), response-level dedup, and length-bias
+diagnostics (Singhal et al. 2023, "A Long Way to Go: Investigating
+Length Correlations in RLHF"). No reference analog (the reference
+engine `/root/reference` has no text pipeline).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xdump_spark.operators.sft import (
+    DEFAULT_ROLES,
+    _TEMPLATES,
+    assistant_spans,
+    canonical_transcript,
+    norm_content,
+    render_chat,
+    validate_conversations,
+)
+from xdump_spark.operators.text import tokens
+
+# section separator between (prompt, chosen, rejected) in the pair
+# fingerprint — one C0 step above the transcript's field/turn separators
+_SECTION_SEP = "\x1d"
+
+# the standard preference interchange shape as a JSONL schema
+PREFERENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType()),
+        T.StructField(
+            "prompt",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("chosen", T.StringType()),
+        T.StructField("rejected", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_preference_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a preference-pair dump (one JSON object per line, the
+    prompt/chosen/rejected interchange) → (clean, corrupt) under the
+    JSONL source's quarantine contract; structural validation is
+    :func:`validate_pairs`' job, same split as the SFT reader."""
+    from xdump_spark.sources.jsonl import read_jsonl_corpus
+
+    return read_jsonl_corpus(spark, path, schema or PREFERENCE_SCHEMA)
+
+
+def _blank(c: Column) -> Column:
+    return c.isNull() | (F.trim(c) == "")
+
+
+def validate_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    allowed_roles: tuple = DEFAULT_ROLES,
+    require_alternation: bool = True,
+) -> DataFrame:
+    """Structural validation for preference pairs: adds ``valid`` and a
+    ``reason`` column naming the FIRST failed rule (null when valid).
+
+    Rules, in check order: the prompt passes the conversation rules
+    (``sft.validate_conversations`` with ``require_assistant_last=False``
+    — its ``empty_conversation`` surfaces as ``empty_prompt`` here); the
+    prompt's last turn is a user turn (the responses ARE the next
+    assistant turn); chosen non-blank; rejected non-blank; chosen and
+    rejected differ after canonical normalization (an identical pair
+    carries zero preference signal and poisons a DPO loss with a 0
+    margin). Pure codegen, no shuffle."""
+    flagged = validate_conversations(
+        df,
+        conv_col=prompt_col,
+        allowed_roles=allowed_roles,
+        require_alternation=require_alternation,
+        require_assistant_last=False,
+    )
+    roles = F.transform(F.col(prompt_col), lambda m: m["role"])
+    ends_user = F.coalesce(F.element_at(roles, -1) == "user", F.lit(False))
+    prompt_reason = F.when(
+        F.col("reason") == "empty_conversation", "empty_prompt"
+    ).otherwise(F.col("reason"))
+    reason = F.coalesce(
+        prompt_reason,
+        F.when(~ends_user, "prompt_not_user_last")
+        .when(_blank(F.col(chosen_col)), "empty_chosen")
+        .when(_blank(F.col(rejected_col)), "empty_rejected")
+        .when(
+            norm_content(F.col(chosen_col)) == norm_content(F.col(rejected_col)),
+            "identical_responses",
+        ),
+    )
+    return (
+        flagged.withColumn("_pair_reason", reason)
+        .drop("reason", "valid")
+        .withColumnRenamed("_pair_reason", "reason")
+        .withColumn("valid", F.col("reason").isNull())
+    )
+
+
+def pair_fingerprint(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """Canonical 128-bit pair fingerprint: the prompt's canonical
+    transcript and the two normalized responses joined with a U+001D
+    section separator, hashed through the engine-wide
+    ``incremental.hash128`` convention (store-interoperable, like doc
+    and conversation dedup). Adds ``h1``/``h2``. The CHOSEN/REJECTED
+    ORDER is part of the identity: the same two responses with swapped
+    preference are a contradicting pair, not a duplicate — catching
+    those is :func:`contradicting_pairs`' job."""
+    from xdump_spark.operators.incremental import hash128
+
+    canon = F.concat_ws(
+        _SECTION_SEP,
+        canonical_transcript(F.col(prompt_col)),
+        norm_content(F.col(chosen_col)),
+        norm_content(F.col(rejected_col)),
+    )
+    h1, h2 = hash128(canon)
+    return df.withColumn("h1", h1).withColumn("h2", h2)
+
+
+def dedup_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Keep the min-id pair per canonical (prompt, chosen, rejected)
+    fingerprint. One shuffle of narrow (h1, h2, id) rows with
+    map-side-combined min, then a semi-join back by id — the struct
+    payload never shuffles on the hash key (the dedup_conversations
+    plan shape)."""
+    fp = pair_fingerprint(
+        df, prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col
+    )
+    keep = fp.groupBy("h1", "h2").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def contradicting_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Pairs whose (prompt, response-set) appears with BOTH orderings —
+    (A preferred over B) and (B preferred over A) for the same prompt:
+    direct label noise that cancels to zero gradient at best and teaches
+    inconsistency at worst. Returns (id_a, id_b) with id_a < id_b, one
+    row per contradicting id pair.
+
+    The key is order-INSENSITIVE ((prompt, least(c, r), greatest(c, r)))
+    while the match requires opposite orientations, so exact duplicates
+    (same orientation — dedup's job) are excluded. One narrow
+    (key, orient, id) shuffle; a self-join on the unordered key."""
+    from xdump_spark.operators.incremental import hash128
+
+    c = norm_content(F.col(chosen_col))
+    r = norm_content(F.col(rejected_col))
+    key = F.concat_ws(
+        _SECTION_SEP,
+        canonical_transcript(F.col(prompt_col)),
+        F.least(c, r),
+        F.greatest(c, r),
+    )
+    h1, h2 = hash128(key)
+    narrow = df.select(
+        h1.alias("h1"),
+        h2.alias("h2"),
+        (c < r).alias("orient"),
+        F.col(id_col).alias("id"),
+    )
+    a, b = narrow.alias("a"), narrow.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.orient") != F.col("b.orient"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
+def cap_per_prompt(
+    df: DataFrame,
+    max_pairs: int = 1,
+    prompt_col: str = "prompt",
+    id_col: str = "pair_id",
+    n_salt: int = 16,
+) -> DataFrame:
+    """At most ``max_pairs`` pairs per canonical prompt (min-id wins —
+    deterministic). A hot prompt (one question ranked against hundreds
+    of sampled responses — the normal RLHF collection shape) dominates
+    the gradient; capping rebalances. Skew-robust: the per-prompt top-k
+    runs as skew.topk_per_key's two bounded window passes, so a
+    100k-response prompt cannot straggle one task."""
+    from xdump_spark.operators.incremental import hash128
+    from xdump_spark.operators.skew import topk_per_key
+
+    h1, h2 = hash128(canonical_transcript(F.col(prompt_col)))
+    keyed = df.select(
+        F.col(id_col).alias("id"), h1.alias("_p1"), h2.alias("_p2")
+    )
+    kept = topk_per_key(
+        keyed, ["_p1", "_p2"], [F.col("id").asc()], k=max_pairs, n_salt=n_salt
+    ).select(F.col("id").alias(id_col))
+    return df.join(kept, id_col, "left_semi")
+
+
+def pair_stats(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Per-pair shape: (id, prompt_turns, prompt_tokens, chosen_tokens,
+    rejected_tokens, token_delta, chosen_longer). One Project — the
+    aggregate over the prompt array and the two token counts run in a
+    single narrow map stage."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(prompt_col)).cast("long").alias("prompt_turns"),
+        F.aggregate(
+            F.col(prompt_col),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + F.size(tokens(m["content"])),
+        ).alias("prompt_tokens"),
+        F.size(tokens(F.col(chosen_col))).cast("long").alias("chosen_tokens"),
+        F.size(tokens(F.col(rejected_col))).cast("long").alias("rejected_tokens"),
+        (
+            F.size(tokens(F.col(chosen_col))) - F.size(tokens(F.col(rejected_col)))
+        ).cast("long").alias("token_delta"),
+        (
+            F.size(tokens(F.col(chosen_col))) > F.size(tokens(F.col(rejected_col)))
+        ).alias("chosen_longer"),
+    )
+
+
+def length_bias_stats(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> dict:
+    """Corpus-level length-bias diagnostic (one aggregation job):
+    ``n_pairs``, ``frac_chosen_longer`` (0.5 ≈ unbiased; reward models
+    trained on >0.6 corpora learn length, Singhal et al. 2023),
+    ``mean_token_delta``, ``p50_token_delta`` (approx quantile — a
+    diagnostic, not a protocol value)."""
+    stats = pair_stats(
+        df,
+        prompt_col=prompt_col,
+        chosen_col=chosen_col,
+        rejected_col=rejected_col,
+        id_col=id_col,
+    )
+    row = stats.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("chosen_longer").cast("double")).alias("frac"),
+        F.avg("token_delta").alias("mean_d"),
+        F.percentile_approx("token_delta", 0.5).alias("p50_d"),
+    ).first()
+    return {
+        "n_pairs": int(row["n"]),
+        "frac_chosen_longer": float(row["frac"] or 0.0),
+        "mean_token_delta": float(row["mean_d"] or 0.0),
+        "p50_token_delta": float(row["p50_d"] or 0.0),
+    }
+
+
+def render_dpo(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    template: str = "chatml",
+) -> DataFrame:
+    """Render both sides for a DPO/reward trainer: adds ``text_chosen``
+    and ``text_rejected`` (prompt + the response as one final assistant
+    turn, under the SFT chat template) plus ``span_chosen`` /
+    ``span_rejected`` — the char span struct<start,end> of the RESPONSE
+    content inside its rendered string (the DPO loss masks everything
+    but the response; prompt-history assistant turns stay masked, which
+    is why this takes the LAST span, not all of them). Pure codegen,
+    two Projects."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"unknown template {template!r}; one of {sorted(_TEMPLATES)}")
+
+    def full(resp_col: str) -> Column:
+        tail = F.array(
+            F.struct(
+                F.lit("assistant").alias("role"), F.col(resp_col).alias("content")
+            )
+        )
+        return F.concat(F.col(prompt_col), tail)
+
+    out = df.withColumn("_full_c", full(chosen_col)).withColumn(
+        "_full_r", full(rejected_col)
+    )
+    out = render_chat(out, conv_col="_full_c", template=template, out_col="text_chosen")
+    out = render_chat(out, conv_col="_full_r", template=template, out_col="text_rejected")
+    out = assistant_spans(out, conv_col="_full_c", template=template)
+    out = out.withColumn("span_chosen", F.element_at("spans", -1)).drop("spans")
+    out = assistant_spans(out, conv_col="_full_r", template=template)
+    out = out.withColumn("span_rejected", F.element_at("spans", -1)).drop("spans")
+    return out.drop("_full_c", "_full_r")
+
+
+def pair_text(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> Column:
+    """All pair text as one whitespace-joined string column — the
+    contamination-screen input (prompt contents + both responses: a
+    benchmark question leaking through ANY of them is contamination)."""
+    return F.concat_ws(
+        " ",
+        F.array_join(
+            F.transform(F.col(prompt_col), lambda m: m["content"]), " "
+        ),
+        F.col(chosen_col),
+        F.col(rejected_col),
+    )
+
+
+def decontaminate_pairs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop pairs sharing ≥ ``min_shared`` distinct word ``n``-grams with
+    any benchmark document, screening :func:`pair_text` (prompt + both
+    responses). Reuses curation.contamination_screen: benchmark grams
+    dedup'd + broadcast, pair side a narrow explode — the pair corpus
+    never shuffles."""
+    from xdump_spark.operators.curation import contamination_screen
+
+    # contamination_screen grams BOTH sides under one (id_col, text_col)
+    # naming — feed it its defaults (the benchmark frame's shape) and map
+    # the pair ids back afterwards
+    flat = df.select(
+        F.col(id_col).alias("doc_id"),
+        pair_text(
+            df, prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col
+        ).alias("text"),
+    )
+    hits = contamination_screen(
+        flat, benchmark, n=n, min_shared=min_shared
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
+@dataclass
+class PreferenceResult:
+    """prepare_preference_corpus output: the training-ready frame plus
+    rejects, the per-stage audit, and the length-bias diagnostic."""
+
+    pairs: DataFrame                    # valid, deduped, capped, rendered
+    rejects: DataFrame                  # (id, reason) for invalid rows
+    audit: dict = field(default_factory=dict)
+    length_bias: dict | None = None
+
+
+def prepare_preference_corpus(
+    pairs: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+    template: str = "chatml",
+    allowed_roles: tuple = DEFAULT_ROLES,
+    require_alternation: bool = True,
+    dedup: bool = True,
+    drop_contradictions: bool = True,
+    max_per_prompt: int | None = None,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 8,
+    shuffle_seed: int | None = 0,
+    audit: bool = True,
+    length_bias: bool = True,
+) -> PreferenceResult:
+    """One-call preference preparation: validate → (reject with reasons)
+    → pair dedup → drop BOTH sides of contradicting pairs → optional
+    per-prompt cap → optional benchmark decontamination → render both
+    sides (+ response spans) → reproducible shuffle, plus the corpus
+    length-bias diagnostic. Mirrors prepare_sft_corpus' contract: stages
+    that would mutate rendered text are absent, filter-only gates
+    compose downstream."""
+    kw = dict(prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col)
+    flagged = validate_pairs(
+        pairs,
+        allowed_roles=allowed_roles,
+        require_alternation=require_alternation,
+        **kw,
+    )
+    rejects = flagged.filter(~F.col("valid")).select(id_col, "reason")
+    cur = flagged.filter(F.col("valid")).drop("valid", "reason")
+    counts: dict = {}
+    if audit:
+        row = flagged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("valid").cast("long")).alias("v"),
+        ).first()
+        counts["input"] = int(row["n"])
+        counts["valid"] = int(row["v"] or 0)
+    if dedup:
+        cur = dedup_pairs(cur, id_col=id_col, **kw)
+        if audit:
+            cur = cur.persist()
+            counts["deduped"] = cur.count()
+    if drop_contradictions:
+        both = contradicting_pairs(cur, id_col=id_col, **kw)
+        bad_ids = both.select(F.col("id_a").alias(id_col)).unionByName(
+            both.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        cur = cur.join(bad_ids, id_col, "left_anti")
+        if audit:
+            counts["consistent"] = cur.count()
+    if max_per_prompt is not None:
+        cur = cap_per_prompt(
+            cur, max_pairs=max_per_prompt, prompt_col=prompt_col, id_col=id_col
+        )
+        if audit:
+            counts["capped"] = cur.count()
+    if benchmark is not None:
+        cur = decontaminate_pairs(
+            cur, benchmark, id_col=id_col, n=contamination_n, **kw
+        )
+        if audit:
+            counts["decontaminated"] = cur.count()
+    bias = length_bias_stats(cur, id_col=id_col, **kw) if length_bias else None
+    cur = render_dpo(cur, template=template, **kw)
+    if shuffle_seed is not None:
+        from xdump_spark.operators.cleaning import deterministic_shuffle
+
+        cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
+    return PreferenceResult(
+        pairs=cur, rejects=rejects, audit=counts, length_bias=bias
+    )

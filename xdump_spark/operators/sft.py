@@ -141,32 +141,40 @@ def validate_conversations(
     return out.withColumn("valid", F.col("reason").isNull())
 
 
+def norm_content(c: Column) -> Column:
+    """The canonical content normalization every conversation-level
+    fingerprint uses: lowercase, whitespace-collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def canonical_transcript(msgs: Column) -> Column:
+    """Canonical transcript string of a messages array: role U+001F
+    normalized content per turn, turns joined by U+001E. The dedup key
+    expression shared by conversation AND preference-pair fingerprints —
+    template/format changes do NOT change it; content or role-order
+    changes do."""
+    return F.array_join(
+        F.transform(
+            msgs,
+            lambda m: F.concat_ws(_FIELD_SEP, m["role"], norm_content(m["content"])),
+        ),
+        _TURN_SEP,
+    )
+
+
 def conversation_fingerprint(
     df: DataFrame,
     conv_col: str = "messages",
 ) -> DataFrame:
-    """Canonical 128-bit transcript fingerprint: whitespace-normalized
-    lowercased content framed with C0 separators (role U+001F content,
-    turns joined by U+001E), hashed through the engine-wide
+    """Canonical 128-bit transcript fingerprint:
+    :func:`canonical_transcript` hashed through the engine-wide
     ``incremental.hash128`` convention — the SAME (h1, h2) an
     ``ExactHashStore`` flow computes, so conversation dedup can run as
     an increment against a persistent store exactly like doc dedup.
-    Adds ``h1``/``h2``. Template/format changes do NOT change the
-    fingerprint; content or role-order changes do."""
+    Adds ``h1``/``h2``."""
     from xdump_spark.operators.incremental import hash128
 
-    canon = F.array_join(
-        F.transform(
-            _msgs(conv_col),
-            lambda m: F.concat_ws(
-                _FIELD_SEP,
-                m["role"],
-                F.trim(F.regexp_replace(F.lower(m["content"]), r"\s+", " ")),
-            ),
-        ),
-        _TURN_SEP,
-    )
-    h1, h2 = hash128(canon)
+    h1, h2 = hash128(canonical_transcript(_msgs(conv_col)))
     return df.withColumn("h1", h1).withColumn("h2", h2)
 
 
