@@ -270,3 +270,89 @@ def test_duckdb_cross_check_stats_and_dedup(spark):
     assert stats == exp
     # dedup: no two distinct doc-groupings collide
     assert sft.dedup_conversations(conv_df).count() == conv_df.count()
+
+
+# ---------------------------------------------------------------------------
+# token-level loss-mask encoding
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vocab(spark):
+    from xdump_spark.operators.curation import build_vocab
+
+    corpus = spark.createDataFrame(
+        [(1, "hello world world"), (2, "ok sum 1 1 2")],
+        "doc_id long, text string",
+    )
+    return build_vocab(corpus)
+
+
+def test_special_ids_dense_above_vocab(spark, vocab):
+    vmax = vocab.agg(F.max("token_id")).first()[0]
+    sp = sft.special_token_ids(vocab)
+    assert sorted(sp.values()) == [vmax + 1, vmax + 2, vmax + 3, vmax + 4]
+
+
+def test_encode_hand_values(spark, vocab):
+    vmap = {r["tok"]: r["token_id"] for r in vocab.collect()}
+    sp = sft.special_token_ids(vocab)
+    df = spark.createDataFrame(
+        [(1, [{"role": "system", "content": "ok"},
+              {"role": "user", "content": "Hello   WORLD"},
+              {"role": "assistant", "content": "sum oov"}])],
+        CONV_SCHEMA,
+    )
+    row = sft.encode_conversations(df, vocab).collect()[0]
+    exp_ids = [
+        sp["im_start_system"], vmap["ok"], sp["im_end"],
+        sp["im_start_user"], vmap["hello"], vmap["world"], sp["im_end"],
+        sp["im_start_assistant"], vmap["sum"], 0, sp["im_end"],
+    ]
+    exp_mask = [False] * 7 + [False, True, True, True]
+    assert row["input_ids"] == exp_ids
+    assert row["loss_mask"] == exp_mask
+    assert row["n_tokens"] == 11 and row["n_assistant_tokens"] == 3
+    # mask_im_end=False: the assistant end token stops carrying loss
+    row2 = sft.encode_conversations(df, vocab, mask_im_end=False).collect()[0]
+    assert row2["loss_mask"] == [False] * 7 + [False, True, True, False]
+
+
+def test_encode_mask_matches_stats(spark, convs, vocab):
+    """n_assistant_tokens == conversation_stats.assistant_tokens plus one
+    im_end per assistant turn — on every conversation shape."""
+    enc = {
+        r["conv_id"]: r["n_assistant_tokens"]
+        for r in sft.encode_conversations(convs, vocab).collect()
+    }
+    stats = {
+        r["conv_id"]: r["assistant_tokens"] + r["n_assistant"]
+        for r in sft.conversation_stats(convs).collect()
+    }
+    assert enc == stats
+
+
+def test_encode_unknown_role_unmasked(spark, vocab):
+    df = spark.createDataFrame(
+        [(1, [{"role": "tool", "content": "x"},
+              {"role": "assistant", "content": "ok"}])],
+        CONV_SCHEMA,
+    )
+    row = sft.encode_conversations(df, vocab).collect()[0]
+    assert row["input_ids"][0] == 0          # unk start marker
+    assert row["loss_mask"][:3] == [False, False, False]
+    assert row["n_assistant_tokens"] == 2    # "ok" + its im_end
+
+
+def test_encode_bad_vocab_raises(spark, convs):
+    bad = convs.sparkSession.createDataFrame([("a", 1)], "word string, id int")
+    with pytest.raises(ValueError, match="vocab"):
+        sft.encode_conversations(convs, bad)
+
+
+def test_prepare_with_vocab_returns_encoded(spark, convs, vocab):
+    res = sft.prepare_sft_corpus(convs, vocab=vocab)
+    assert res.encoded is not None
+    enc_ids = {r["conv_id"] for r in res.encoded.collect()}
+    assert enc_ids == {r["conv_id"] for r in res.convs.collect()}
+    plan = res.encoded._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan         # Arrow-batched, not row Python
+    assert "BatchEvalPython" not in plan

@@ -267,6 +267,107 @@ def assistant_spans(
     return df.withColumn("spans", spans)
 
 
+def special_token_ids(vocab: DataFrame) -> dict[str, int]:
+    """The four chat-control token ids appended above a ``build_vocab``
+    table: per-role turn-start markers plus the shared turn-end. Ids are
+    dense above the vocabulary (build_vocab assigns 1..N by frequency,
+    0 = OOV), so the mapping is a pure function of the vocab — two runs
+    over the same corpus agree, and a saved shard's specials can be
+    reconstructed from the saved vocab alone."""
+    base = vocab.agg(F.max("token_id")).first()[0] or 0
+    return {
+        "im_start_system": base + 1,
+        "im_start_user": base + 2,
+        "im_start_assistant": base + 3,
+        "im_end": base + 4,
+    }
+
+
+def encode_conversations(
+    df: DataFrame,
+    vocab: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    unk_id: int = 0,
+    mask_im_end: bool = True,
+) -> DataFrame:
+    """Token-level encoding with the assistant-only LOSS MASK: (id,
+    input_ids array<int>, loss_mask array<boolean>, n_tokens,
+    n_assistant_tokens). Each turn encodes as [im_start_<role>] +
+    content token ids + [im_end]; mask is True exactly on assistant
+    CONTENT tokens (plus the assistant turn's im_end when
+    ``mask_im_end`` — the model must learn to STOP, so the end-of-turn
+    token carries loss by default, the open-stack convention).
+
+    This is the token-space twin of :func:`assistant_spans`: spans give
+    char offsets into the rendered string (template-dependent,
+    tokenizer-free); this gives the aligned (ids, mask) arrays a trainer
+    consumes directly — per-turn encoding sidesteps char→token offset
+    mapping entirely, so the mask is exact by construction, not by
+    arithmetic over a tokenizer's offsets.
+
+    Same scale shape as curation.tokenize_frame (whose tokenizer
+    convention — strip/lower/whitespace-split, the ``tokens()`` twin —
+    it shares): the bounded vocab broadcasts as a dict, one Arrow batch
+    pass, zero shuffles; the corpus stays narrow. Unknown roles (run
+    :func:`validate_conversations` first) get an ``unk_id`` start marker
+    and an unmasked turn — deterministic, never fatal mid-job."""
+    import pandas as pd
+
+    missing = {"tok", "token_id"} - set(vocab.columns)
+    if missing:
+        raise ValueError(
+            f"vocab frame is missing column(s) {sorted(missing)}; expected the "
+            "(tok, token_id, n) shape build_vocab produces"
+        )
+    specials = special_token_ids(vocab)
+    vmap = {r["tok"]: r["token_id"] for r in vocab.select("tok", "token_id").collect()}
+    b_vmap = df.sparkSession.sparkContext.broadcast(vmap)
+    im_end = specials["im_end"]
+    starts = {
+        "system": specials["im_start_system"],
+        "user": specials["im_start_user"],
+        "assistant": specials["im_start_assistant"],
+    }
+
+    # no type hints: the hint-inference path has no Series->DataFrame
+    # rule, but the plain SCALAR pandas UDF supports struct returns
+    def _enc(msgs):
+        m = b_vmap.value
+
+        def one(conv):
+            ids: list[int] = []
+            mask: list[bool] = []
+            # Arrow hands the messages array over as a numpy array, whose
+            # truthiness is ambiguous — test None explicitly
+            for msg in conv if conv is not None else []:
+                role = msg["role"]
+                content = msg["content"] or ""
+                is_asst = role == "assistant"
+                ids.append(starts.get(role, unk_id))
+                mask.append(False)
+                for w in content.strip().lower().split():
+                    ids.append(m.get(w, unk_id))
+                    mask.append(is_asst)
+                ids.append(im_end)
+                mask.append(is_asst and mask_im_end)
+            return {"ids": ids, "mask": mask}
+
+        return pd.DataFrame(list(msgs.map(one)))
+
+    enc = F.pandas_udf(_enc, "struct<ids:array<int>, mask:array<boolean>>")
+    out = df.select(F.col(id_col), enc(F.col(conv_col)).alias("_e"))
+    return out.select(
+        id_col,
+        F.col("_e.ids").alias("input_ids"),
+        F.col("_e.mask").alias("loss_mask"),
+        F.size("_e.ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("_e.mask", lambda x: x)).cast("long").alias(
+            "n_assistant_tokens"
+        ),
+    )
+
+
 # the standard conversations interchange shape as a JSONL schema
 CONVERSATIONS_SCHEMA = T.StructType(
     [
@@ -313,6 +414,7 @@ class SFTResult:
     convs: DataFrame                     # valid, deduped, rendered (+spans)
     rejects: DataFrame                   # (id, reason) for invalid rows
     audit: dict = field(default_factory=dict)
+    encoded: DataFrame | None = None     # (id, input_ids, loss_mask) if vocab
 
 
 def prepare_sft_corpus(
@@ -326,6 +428,8 @@ def prepare_sft_corpus(
     dedup: bool = True,
     shuffle_seed: int | None = 0,
     audit: bool = True,
+    vocab: DataFrame | None = None,
+    mask_im_end: bool = True,
 ) -> SFTResult:
     """One-call SFT preparation: validate → (reject with reasons) →
     fingerprint-dedup → render under ``template`` → assistant loss-mask
@@ -335,7 +439,10 @@ def prepare_sft_corpus(
     MUTATE the rendered text (normalization, span-stripping) are
     deliberately absent: the loss-mask spans are char offsets into
     ``text`` and any rewrite would silently invalidate them — filter-only
-    gates (quality, decontamination by drop) compose safely downstream."""
+    gates (quality, decontamination by drop) compose safely downstream.
+    Pass a ``build_vocab`` table as ``vocab`` to also get
+    ``result.encoded`` — the token-space (input_ids, loss_mask) arrays
+    from :func:`encode_conversations`, aligned with the survivors."""
     flagged = validate_conversations(
         convs,
         conv_col=conv_col,
@@ -369,4 +476,11 @@ def prepare_sft_corpus(
         from xdump_spark.operators.cleaning import deterministic_shuffle
 
         cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
-    return SFTResult(convs=cur, rejects=rejects, audit=counts)
+    encoded = (
+        encode_conversations(
+            cur, vocab, conv_col=conv_col, id_col=id_col, mask_im_end=mask_im_end
+        )
+        if vocab is not None
+        else None
+    )
+    return SFTResult(convs=cur, rejects=rejects, audit=counts, encoded=encoded)
