@@ -440,3 +440,90 @@ def test_cli_curate_chunks(spark, tmp_path, capsys):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).collect()[0][0]
     assert ch.select(F.sum("n_tokens")).collect()[0][0] == corpus_tokens
+
+
+def test_cli_prepare_sft(spark, tmp_path, capsys):
+    import json
+
+    from xdump_spark import cli
+
+    src = tmp_path / "convs.jsonl"
+    rows = [
+        {"conv_id": 1, "messages": [
+            {"role": "user", "content": "hello world"},
+            {"role": "assistant", "content": "hi"}], "source": "a"},
+        {"conv_id": 2, "messages": [
+            {"role": "user", "content": "HELLO   world"},
+            {"role": "assistant", "content": "HI"}], "source": "a"},  # dup of 1
+        {"conv_id": 3, "messages": [
+            {"role": "user", "content": "q"},
+            {"role": "tool", "content": "t"}], "source": "a"},        # invalid
+    ]
+    with open(src, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{not json\n")                                       # corrupt
+
+    vocab_dir = str(tmp_path / "vocab")
+    from xdump_spark.operators.curation import build_vocab
+
+    build_vocab(
+        spark.createDataFrame([(1, "hello world hi")], "doc_id long, text string")
+    ).write.parquet(vocab_dir)
+
+    out = str(tmp_path / "sft")
+    rejects = str(tmp_path / "rejects")
+    corrupt = str(tmp_path / "corrupt")
+    args = cli.build_parser().parse_args(
+        ["prepare-sft", "-i", str(src), "-o", out,
+         "--rejects-out", rejects, "--corrupt-out", corrupt,
+         "--vocab", vocab_dir]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "input: 3" in printed and "valid: 2" in printed
+    assert "deduped: 1" in printed
+
+    convs = spark.read.parquet(out)
+    assert convs.count() == 1
+    row = convs.collect()[0]
+    assert row["conv_id"] == 1 and "<|im_start|>user" in row["text"]
+    assert spark.read.parquet(rejects).collect()[0]["reason"] == "unknown_role"
+    assert spark.read.parquet(corrupt).count() == 1
+    enc = spark.read.parquet(out + "/encoded")
+    assert {"input_ids", "loss_mask"} <= set(enc.columns)
+    assert enc.count() == 1
+
+
+def test_cli_prepare_pairs(spark, tmp_path, capsys):
+    import json
+
+    from xdump_spark import cli
+
+    src = tmp_path / "pairs.jsonl"
+    rows = [
+        {"pair_id": 1, "prompt": [{"role": "user", "content": "pick one"}],
+         "chosen": "alpha beta", "rejected": "gamma", "source": "a"},
+        {"pair_id": 2, "prompt": [{"role": "user", "content": "pick one"}],
+         "chosen": "delta", "rejected": "epsilon", "source": "a"},
+        {"pair_id": 3, "prompt": [{"role": "user", "content": "bad"}],
+         "chosen": "same", "rejected": "same", "source": "a"},  # invalid
+    ]
+    with open(src, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "pairs_out")
+    args = cli.build_parser().parse_args(
+        ["prepare-pairs", "-i", str(src), "-o", out, "--max-per-prompt", "1"]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "input: 3" in printed and "valid: 2" in printed
+    assert "capped: 1" in printed and "length_bias:" in printed
+
+    pairs = spark.read.parquet(out)
+    assert pairs.count() == 1
+    row = pairs.collect()[0]
+    assert row["pair_id"] == 1
+    assert row["text_chosen"].endswith("alpha beta<|im_end|>\n")

@@ -17,6 +17,7 @@ source.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -409,6 +410,63 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--source-col", default="source")
     dc.add_argument("--lang-col", default="lang")
+
+    ps = sub.add_parser(
+        "prepare-sft",
+        help="prepare an SFT corpus from a conversations dump "
+        "(sft.prepare_sft_corpus from the shell)",
+    )
+    ps.add_argument("-i", "--input", required=True,
+                    help="conversations path (JSONL interchange or parquet)")
+    ps.add_argument("--input-format", choices=["jsonl", "parquet"],
+                    default="jsonl")
+    ps.add_argument("-o", "--output", required=True,
+                    help="output directory (rendered convs + spans, parquet)")
+    ps.add_argument("--rejects-out", default=None,
+                    help="write (conv_id, reason) rejects here")
+    ps.add_argument("--corrupt-out", default=None,
+                    help="write unreadable JSONL lines here (quarantine)")
+    ps.add_argument("--template", choices=["chatml", "plain"], default="chatml")
+    ps.add_argument("--allow-role", action="append", default=[],
+                    metavar="ROLE", help="extra allowed role (repeatable)")
+    ps.add_argument("--no-alternation", action="store_true",
+                    help="drop the strict user/assistant alternation rule")
+    ps.add_argument("--allow-user-last", action="store_true",
+                    help="keep conversations ending on a user turn")
+    ps.add_argument("--no-dedup", action="store_true")
+    ps.add_argument("--vocab", default=None,
+                    help="build_vocab parquet: also write token-level "
+                         "(input_ids, loss_mask) arrays (encode_conversations)")
+    ps.add_argument("--encoded-out", default=None,
+                    help="where the encoded arrays go (default: OUTPUT/encoded)")
+    ps.add_argument("--shuffle-seed", type=int, default=0)
+    ps.add_argument("--no-audit", action="store_true")
+
+    pp = sub.add_parser(
+        "prepare-pairs",
+        help="prepare a preference-pair (DPO/reward) corpus "
+        "(preference.prepare_preference_corpus from the shell)",
+    )
+    pp.add_argument("-i", "--input", required=True,
+                    help="pairs path (JSONL prompt/chosen/rejected or parquet)")
+    pp.add_argument("--input-format", choices=["jsonl", "parquet"],
+                    default="jsonl")
+    pp.add_argument("-o", "--output", required=True,
+                    help="output directory (rendered pairs, parquet)")
+    pp.add_argument("--rejects-out", default=None)
+    pp.add_argument("--corrupt-out", default=None)
+    pp.add_argument("--template", choices=["chatml", "plain"], default="chatml")
+    pp.add_argument("--no-dedup", action="store_true")
+    pp.add_argument("--keep-contradictions", action="store_true",
+                    help="keep both sides of opposite-orientation pairs")
+    pp.add_argument("--max-per-prompt", type=int, default=None,
+                    help="cap pairs per canonical prompt (skew-robust top-k)")
+    pp.add_argument("--benchmark", default=None,
+                    help="benchmark parquet: drop pairs sharing n-grams "
+                         "with it (prompt + both responses screened)")
+    pp.add_argument("--contamination-n", type=int, default=8)
+    pp.add_argument("--shuffle-seed", type=int, default=0)
+    pp.add_argument("--no-audit", action="store_true")
     return p
 
 
@@ -715,6 +773,71 @@ def run(args, spark) -> int:
             print(f"wrote {args.output}")
         else:
             print(payload)
+    elif args.command == "prepare-sft":
+        from xdump_spark.operators import sft
+
+        if args.input_format == "jsonl":
+            convs, corrupt = sft.read_conversations_jsonl(spark, args.input)
+            if args.corrupt_out:
+                corrupt.write.mode("overwrite").parquet(args.corrupt_out)
+        else:
+            convs = spark.read.parquet(args.input)
+        vocab = spark.read.parquet(args.vocab) if args.vocab else None
+        res = sft.prepare_sft_corpus(
+            convs,
+            template=args.template,
+            allowed_roles=sft.DEFAULT_ROLES + tuple(args.allow_role),
+            require_alternation=not args.no_alternation,
+            require_assistant_last=not args.allow_user_last,
+            dedup=not args.no_dedup,
+            shuffle_seed=args.shuffle_seed,
+            audit=not args.no_audit,
+            vocab=vocab,
+        )
+        res.convs.write.mode("overwrite").parquet(args.output)
+        if args.rejects_out:
+            res.rejects.write.mode("overwrite").parquet(args.rejects_out)
+        if res.encoded is not None:
+            enc_out = args.encoded_out or os.path.join(args.output, "encoded")
+            res.encoded.write.mode("overwrite").parquet(enc_out)
+            print(f"wrote {enc_out} (token ids + loss masks)")
+        for stage, n in res.audit.items():
+            print(f"{stage}: {n}")
+        print(f"wrote {args.output}")
+    elif args.command == "prepare-pairs":
+        from xdump_spark.operators import preference
+
+        if args.input_format == "jsonl":
+            pairs, corrupt = preference.read_preference_jsonl(spark, args.input)
+            if args.corrupt_out:
+                corrupt.write.mode("overwrite").parquet(args.corrupt_out)
+        else:
+            pairs = spark.read.parquet(args.input)
+        res = preference.prepare_preference_corpus(
+            pairs,
+            template=args.template,
+            dedup=not args.no_dedup,
+            drop_contradictions=not args.keep_contradictions,
+            max_per_prompt=args.max_per_prompt,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
+            contamination_n=args.contamination_n,
+            shuffle_seed=args.shuffle_seed,
+            audit=not args.no_audit,
+        )
+        res.pairs.write.mode("overwrite").parquet(args.output)
+        if args.rejects_out:
+            res.rejects.write.mode("overwrite").parquet(args.rejects_out)
+        for stage, n in res.audit.items():
+            print(f"{stage}: {n}")
+        if res.length_bias is not None:
+            print(
+                "length_bias: "
+                f"frac_chosen_longer={res.length_bias['frac_chosen_longer']:.3f} "
+                f"mean_token_delta={res.length_bias['mean_token_delta']:.2f}"
+            )
+        print(f"wrote {args.output}")
     else:
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
         loaded = engine.load(args.input)
