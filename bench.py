@@ -44,7 +44,7 @@ HEADLINE = [
     "tpch_q19_disjunct",              # OR-of-ANDs predicate extraction
     "anti_parts_quiet",               # NOT EXISTS → left-anti
     "dedup_spans",                    # added r4: span-level substring dedup (oracle-backed; replaced rows-only simhash_pairs)
-    "sft_prepare_panel",              # added r7: conversation validate/dedup/render/spans (absorbed text_token_counts into text_quality)
+    "posttrain_prepare_panel",        # added r7: SFT + preference validate/dedup/contradictions/render/spans/stats (absorbed text_token_counts into text_quality)
     "text_winnow",                    # rolling-window fingerprints (2 window passes)
     "events_asof",                    # as-of join: union-tag + carry-forward
     "range_join_ship_windows",        # keyless interval join via binning

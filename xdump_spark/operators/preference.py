@@ -411,6 +411,7 @@ class PreferenceResult:
     rejects: DataFrame                  # (id, reason) for invalid rows
     audit: dict = field(default_factory=dict)
     length_bias: dict | None = None
+    contradictions: DataFrame | None = None  # (id_a, id_b) dropped pairs
 
 
 def prepare_preference_corpus(
@@ -460,6 +461,7 @@ def prepare_preference_corpus(
         if audit:
             cur = cur.persist()
             counts["deduped"] = cur.count()
+    both = None
     if drop_contradictions:
         both = contradicting_pairs(cur, id_col=id_col, **kw)
         bad_ids = both.select(F.col("id_a").alias(id_col)).unionByName(
@@ -487,5 +489,6 @@ def prepare_preference_corpus(
 
         cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
     return PreferenceResult(
-        pairs=cur, rejects=rejects, audit=counts, length_bias=bias
+        pairs=cur, rejects=rejects, audit=counts, length_bias=bias,
+        contradictions=both,
     )

@@ -1311,18 +1311,21 @@ def lm_surprisal_panel(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# SFT / conversation preparation panel (operators/sft.py)
+# Post-training preparation panel (operators/sft.py + operators/preference.py)
 # --------------------------------------------------------------------------
-# Deterministic conversation construction over the documents table:
-# doc_id % 10 selects a shape class, chosen so every validation rule,
-# the fingerprint dedup, ChatML rendering, and the assistant loss-mask
-# spans are all exercised. The Spark half builds REAL struct arrays and
-# runs the real operators; the oracle half derives the expected outputs
-# INDEPENDENTLY per class (hand-derived reasons, direct string
-# concatenation, offset arithmetic) — the same hand-computed-expected
-# style as the LM tests, not a re-implementation of the operators.
+# Deterministic construction over the documents table: doc_id % 10
+# selects a CONVERSATION shape class and doc_id % 8 a PREFERENCE-PAIR
+# shape class, chosen so every validation rule, the fingerprint dedups,
+# contradiction dropping, ChatML/DPO rendering, loss-mask spans, and
+# per-pair stats are all exercised. The Spark half builds REAL struct
+# arrays and runs the real front doors (prepare_sft_corpus /
+# prepare_preference_corpus); the oracle half derives the expected
+# outputs INDEPENDENTLY per class (hand-derived reasons, direct string
+# concatenation, offset arithmetic, token counts folded at SQL-gen
+# time) — the same hand-computed-expected style as the LM tests, not a
+# re-implementation of the operators.
 #
-# Valid classes and their turns (None = the document's text):
+# Conversation classes and their turns (None = the document's text):
 _SFT_TURNS: dict[int, list[tuple[str, str | None]]] = {
     1: [("user", None), ("assistant", "ok then")],
     2: [("system", "be brief"), ("user", None), ("assistant", "done")],
@@ -1330,7 +1333,7 @@ _SFT_TURNS: dict[int, list[tuple[str, str | None]]] = {
     9: [("user", None), ("assistant", "first"), ("user", "more"),
         ("assistant", "second answer")],
 }
-# Invalid classes, written out in the Spark builder below:
+# Invalid conversation classes, written out in the Spark builder below:
 #   0 = empty array           -> empty_conversation
 #   3 = 'tool' role           -> unknown_role
 #   4 = whitespace assistant  -> empty_content
@@ -1338,20 +1341,40 @@ _SFT_TURNS: dict[int, list[tuple[str, str | None]]] = {
 #   6 = user,user,assistant   -> no_alternation
 #   8 = system mid-conv       -> system_not_first
 
+# Preference-pair classes: (prompt turns, chosen, rejected); None = text.
+_PAIR_CLASSES: dict[int, tuple[list[tuple[str, str | None]], str | None, str | None]] = {
+    0: ([("user", None)], "yes indeed", "no"),
+    1: ([("user", "dup q")], "a", "b"),           # all identical -> dedup
+    2: ([("user", "contra q")], "x", "y"),        # 2 vs 3: contradiction
+    3: ([("user", "contra q")], "y", "x"),
+    4: ([("user", None)], "same", "same"),        # identical_responses
+    5: ([("user", None), ("assistant", "a")], "x", "y"),  # prompt_not_user_last
+    6: ([("user", None)], "  ", "y"),             # empty_chosen
+    7: ([("system", "be brief"), ("user", None), ("assistant", "ok"),
+         ("user", "more")], None, "nah"),         # multi-turn, chosen = text
+}
+_PAIR_VALID = (0, 1, 2, 3, 7)                     # modulo empty-text overrides
+_PAIR_KEPT = (0, 1, 7)                            # 2,3 drop as contradictions
+
+
+def _sft_content_sql(content) -> str:
+    return "text" if content is None else f"'{content}'"
+
 
 def _sft_render_sql(turns) -> str:
     """ChatML rendering of a turn list as direct DuckDB concatenation."""
     segs = []
     for role, content in turns:
-        c = "text" if content is None else f"'{content}'"
+        c = _sft_content_sql(content)
         segs.append(f"'<|im_start|>{role}' || chr(10) || {c} || '<|im_end|>' || chr(10)")
     return " || ".join(segs)
 
 
-def _sft_spans_sql(turns) -> str:
+def _sft_span_exprs(turns) -> list[tuple[str, str]]:
     """Assistant-content char spans by offset arithmetic: every offset is
     const + k*length(text) (k = how many text-valued turns precede it),
-    folded at SQL-generation time."""
+    folded at SQL-generation time. Returns [(start_sql, end_sql), ...]
+    as VARCHAR casts."""
     const, k = 0, 0
     spans = []
     for role, content in turns:
@@ -1370,15 +1393,25 @@ def _sft_spans_sql(turns) -> str:
         base = f"{c} + {kk} * length(text)" if kk else f"{c}"
         return f"CAST({base} AS VARCHAR)"
 
-    return " || '|' || ".join(
-        f"{expr(*s)} || ':' || {expr(*e)}" for s, e in spans
-    )
+    return [(expr(*s), expr(*e)) for s, e in spans]
+
+
+def _sft_spans_sql(turns) -> str:
+    """All assistant spans as 's:e|s:e' (the conversation loss mask)."""
+    return " || '|' || ".join(f"{s} || ':' || {e}" for s, e in _sft_span_exprs(turns))
+
+
+def _sft_last_span_sql(turns) -> str:
+    """Only the LAST assistant span (the DPO response span — prompt
+    history stays masked)."""
+    s, e = _sft_span_exprs(turns)[-1]
+    return f"{s} || ':' || {e}"
 
 
 def _sft_canon_sql(turns) -> str:
     """The canonical dedup transcript (role U+001F content, turns joined
     by U+001E, content lowercased + whitespace-collapsed). Literal
-    contents are already normalized."""
+    contents are already normalized; text normalizes to ``nt``."""
     segs = []
     for role, content in turns:
         c = "nt" if content is None else f"'{content}'"
@@ -1386,13 +1419,74 @@ def _sft_canon_sql(turns) -> str:
     return " || chr(30) || ".join(segs)
 
 
+def _norm_sql(content) -> str:
+    return "nt" if content is None else f"'{content}'"
+
+
+def _ntoks(content) -> str:
+    """Token count of a turn/response at SQL-gen time: literals fold to a
+    constant, text-valued contents count at runtime ('tt')."""
+    if content is None:
+        return "tt"
+    n = len(content.split())
+    return str(n)
+
+
+def _pair_case(exprs: dict[int, str], else_km: int | None = None) -> str:
+    whens = " ".join(f"WHEN {m} THEN {e}" for m, e in exprs.items())
+    return f"CASE pm {whens} END"
+
+
 def _sft_panel_sql() -> str:
     r = {m: _sft_render_sql(t) for m, t in _SFT_TURNS.items()}
     s = {m: _sft_spans_sql(t) for m, t in _SFT_TURNS.items()}
     c = {m: _sft_canon_sql(t) for m, t in _SFT_TURNS.items()}
+
+    # pair-side per-class derivations
+    full = {
+        m: turns + [("assistant", chosen)]
+        for m, (turns, chosen, _rej) in _PAIR_CLASSES.items()
+    }
+    full_r = {
+        m: turns + [("assistant", rej)]
+        for m, (turns, _chosen, rej) in _PAIR_CLASSES.items()
+    }
+    p_canon = _pair_case({
+        m: (f"{_sft_canon_sql(t)} || chr(29) || {_norm_sql(ch)} "
+            f"|| chr(29) || {_norm_sql(rj)}")
+        for m, (t, ch, rj) in _PAIR_CLASSES.items() if m in _PAIR_VALID
+    })
+    p_render_c = _pair_case(
+        {m: _sft_render_sql(full[m]) for m in _PAIR_KEPT}
+    )
+    p_render_r = _pair_case(
+        {m: _sft_render_sql(full_r[m]) for m in _PAIR_KEPT}
+    )
+    p_span_c = _pair_case(
+        {m: _sft_last_span_sql(full[m]) for m in _PAIR_KEPT}
+    )
+    p_span_r = _pair_case(
+        {m: _sft_last_span_sql(full_r[m]) for m in _PAIR_KEPT}
+    )
+    p_stats = _pair_case({
+        m: (f"CAST({' + '.join(_ntoks(ct) for _, ct in t)} AS VARCHAR) || ':' || "
+            f"CAST({_ntoks(ch)} AS VARCHAR) || ':' || "
+            f"CAST({_ntoks(rj)} AS VARCHAR) || ':' || "
+            f"CAST({_ntoks(ch)} - {_ntoks(rj)} AS VARCHAR)")
+        for m, (t, ch, rj) in _PAIR_CLASSES.items()
+    })
+    # classes whose prompt contains the document text (empty text ->
+    # empty_content fires before any pair-specific rule)
+    text_prompt = sorted(
+        m for m, (t, _c, _r) in _PAIR_CLASSES.items()
+        if any(content is None for _, content in t)
+    )
     return f"""
-WITH d AS (SELECT doc_id AS conv_id, text, doc_id % 10 AS m FROM documents),
-v AS (SELECT conv_id, m, text,
+WITH d AS (SELECT doc_id AS id, text, doc_id % 10 AS m, doc_id % 8 AS pm,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+                  len({_SQL_TOKS}) AS tt
+           FROM documents),
+v AS (SELECT id, m, text, nt,
   CASE
     WHEN m = 0 THEN 'empty_conversation'
     WHEN m = 3 THEN 'unknown_role'
@@ -1404,22 +1498,50 @@ v AS (SELECT conv_id, m, text,
     WHEN m = 5 THEN 'not_assistant_last'
     ELSE 'valid'
   END AS reason FROM d),
-ok AS (SELECT conv_id, m, text,
-              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-       FROM v WHERE reason = 'valid'),
-canon AS (SELECT conv_id, CASE m
+ok AS (SELECT id, m, text, nt FROM v WHERE reason = 'valid'),
+canon AS (SELECT id, CASE m
     WHEN 1 THEN {c[1]} WHEN 2 THEN {c[2]} WHEN 7 THEN {c[7]} ELSE {c[9]}
   END AS cs FROM ok),
-keepers AS (SELECT min(conv_id) AS conv_id FROM canon GROUP BY cs),
-surv AS (SELECT * FROM ok WHERE conv_id IN (SELECT conv_id FROM keepers))
-SELECT 'validate' AS part, conv_id, reason AS v FROM v
-UNION ALL SELECT 'kept' AS part, conv_id, '' AS v FROM keepers
-UNION ALL SELECT 'render' AS part, conv_id, md5(CASE m
+keepers AS (SELECT min(id) AS id FROM canon GROUP BY cs),
+surv AS (SELECT * FROM ok WHERE id IN (SELECT id FROM keepers)),
+pv AS (SELECT id, pm, text, nt, tt,
+  CASE
+    WHEN pm IN ({", ".join(str(m) for m in text_prompt)})
+         AND (text IS NULL OR trim(text) = '') THEN 'empty_content'
+    WHEN pm = 4 THEN 'identical_responses'
+    WHEN pm = 5 THEN 'prompt_not_user_last'
+    WHEN pm = 6 THEN 'empty_chosen'
+    WHEN pm = 7 AND nt = 'nah' THEN 'identical_responses'
+    ELSE 'valid'
+  END AS reason FROM d),
+pok AS (SELECT id, pm, text, nt FROM pv WHERE reason = 'valid'),
+pcanon AS (SELECT id, {p_canon} AS cs FROM pok),
+pkeep AS (SELECT min(id) AS id FROM pcanon GROUP BY cs),
+contra AS (SELECT (SELECT min(id) FROM pok WHERE pm = 2) AS id_a,
+                  (SELECT min(id) FROM pok WHERE pm = 3) AS id_b
+           WHERE (SELECT count(*) FROM pok WHERE pm = 2) > 0
+             AND (SELECT count(*) FROM pok WHERE pm = 3) > 0),
+psurv AS (SELECT pok.* FROM pok
+          WHERE id IN (SELECT id FROM pkeep)
+            AND id NOT IN (SELECT id_a FROM contra)
+            AND id NOT IN (SELECT id_b FROM contra))
+SELECT 'validate' AS part, id, reason AS v FROM v
+UNION ALL SELECT 'kept' AS part, id, '' AS v FROM keepers
+UNION ALL SELECT 'render' AS part, id, md5(CASE m
     WHEN 1 THEN {r[1]} WHEN 2 THEN {r[2]} WHEN 7 THEN {r[7]} ELSE {r[9]}
   END) AS v FROM surv
-UNION ALL SELECT 'spans' AS part, conv_id, CASE m
+UNION ALL SELECT 'spans' AS part, id, CASE m
     WHEN 1 THEN {s[1]} WHEN 2 THEN {s[2]} WHEN 7 THEN {s[7]} ELSE {s[9]}
   END AS v FROM surv
+UNION ALL SELECT 'pair_validate' AS part, id, reason AS v FROM pv
+UNION ALL SELECT 'pair_kept' AS part, id, '' AS v FROM psurv
+UNION ALL SELECT 'pair_contra' AS part, least(id_a, id_b) AS id,
+    CAST(greatest(id_a, id_b) AS VARCHAR) AS v FROM contra
+UNION ALL SELECT 'pair_render' AS part, id, md5({p_render_c}) AS v FROM psurv
+UNION ALL SELECT 'pair_render_r' AS part, id, md5({p_render_r}) AS v FROM psurv
+UNION ALL SELECT 'pair_span' AS part, id, {p_span_c} AS v FROM psurv
+UNION ALL SELECT 'pair_span_r' AS part, id, {p_span_r} AS v FROM psurv
+UNION ALL SELECT 'pair_stats' AS part, id, {p_stats} AS v FROM pv
 """
 
 
@@ -1452,43 +1574,142 @@ def _mk_convs(docs: DataFrame) -> DataFrame:
     return docs.select(F.col("doc_id").alias("conv_id"), msgs.alias("messages"))
 
 
-@query("sft_prepare_panel", _sft_panel_sql())
-def sft_prepare_panel(spark, sf_dir):
-    """The conversation/SFT preparation family (operators/sft.py) as one
-    tagged panel: per-conversation validation reasons, fingerprint-dedup
-    survivors, md5 of the ChatML rendering, and the assistant loss-mask
-    char spans — all through prepare_sft_corpus (the front door), over
-    conversations deterministically constructed from the documents
-    table. Validation/render/spans are pure codegen (no explode, no
-    shuffle); the only Exchange is the dedup's narrow (h1, h2, id)
-    aggregate. shuffle_seed=None: output order is protocol-irrelevant
-    (the harness sorts) and the reproducible shuffle is pinned by
-    test_sft instead."""
+def _mk_pairs(docs: DataFrame) -> DataFrame:
+    """documents -> (pair_id, prompt, chosen, rejected) under the class
+    scheme above (None content = the document's text)."""
+    t = F.col("text")
+    pm = F.col("doc_id") % 8
+
+    def msg(role: str, content) -> F.Column:
+        c = t if content is None else F.lit(content)
+        return F.struct(F.lit(role).alias("role"), c.alias("content"))
+
+    def val(content) -> F.Column:
+        return t if content is None else F.lit(content)
+
+    prompt = chosen = rejected = None
+    for mcls, (turns, ch, rj) in sorted(_PAIR_CLASSES.items()):
+        arr = F.array(*[msg(role, content) for role, content in turns])
+        if prompt is None:
+            prompt = F.when(pm == mcls, arr)
+            chosen = F.when(pm == mcls, val(ch))
+            rejected = F.when(pm == mcls, val(rj))
+        else:
+            prompt = prompt.when(pm == mcls, arr)
+            chosen = chosen.when(pm == mcls, val(ch))
+            rejected = rejected.when(pm == mcls, val(rj))
+    return docs.select(
+        F.col("doc_id").alias("pair_id"),
+        prompt.alias("prompt"),
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+
+
+@query("posttrain_prepare_panel", _sft_panel_sql())
+def posttrain_prepare_panel(spark, sf_dir):
+    """The post-training data surface as one tagged panel: the
+    conversation/SFT family (operators/sft.py — validation reasons,
+    fingerprint-dedup survivors, md5 of the ChatML rendering, assistant
+    loss-mask char spans) AND the preference-pair family
+    (operators/preference.py — pair validation reasons, pair-dedup +
+    contradiction-drop survivors, the detected contradiction, md5 of
+    both DPO renderings, response-only spans, per-pair token stats) —
+    all through the real front doors (prepare_sft_corpus /
+    prepare_preference_corpus) over conversations and pairs
+    deterministically constructed from the documents table, checked
+    against hand-derived per-class DuckDB expectations. Validation/
+    render/spans/stats are pure codegen (no explode, no shuffle); the
+    exchanges are the two dedups' narrow (h1, h2, id) aggregates and the
+    contradiction join's narrow hash rows. shuffle_seed=None: output
+    order is protocol-irrelevant (the harness sorts); the reproducible
+    shuffle is pinned by test_sft/test_preference instead. Union
+    branches replan their lineage (no cross-branch CSE) — protocol
+    cost only; a real user calls the front door once."""
+    from xdump_spark.operators import preference as PREF
     from xdump_spark.operators import sft as SFT
 
-    convs = _mk_convs(_cat(spark, sf_dir).tables["documents"])
+    docs = _cat(spark, sf_dir).tables["documents"]
+    convs = _mk_convs(docs)
     flagged = SFT.validate_conversations(convs)
     validate = flagged.select(
         F.lit("validate").alias("part"),
-        "conv_id",
+        F.col("conv_id").alias("id"),
         F.coalesce("reason", F.lit("valid")).alias("v"),
     )
     res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
-    kept = res.convs.select(
-        F.lit("kept").alias("part"), "conv_id", F.lit("").alias("v")
+
+    def fan(df: DataFrame, id_col: str, parts: list[tuple[str, F.Column]]):
+        """One pass emitting several (part, id, v) rows per input row —
+        union branches would replan the shared lineage per branch (no
+        cross-branch CSE) and each adds a stage-set of scheduling
+        overhead; one explode keeps it one stage."""
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(name).alias("part"), v.alias("v"))
+                    for name, v in parts
+                ])
+            ).alias("pv"),
+        ).select("pv.part", "id", "pv.v")
+
+    # survivor frames feed several parts each — checkpoint the SMALL
+    # survivor sets once so the dedup/render lineage runs once (protocol
+    # cost control; a real user calls the front door once)
+    conv_surv = fan(
+        res.convs.localCheckpoint(eager=False), "conv_id",
+        [
+            ("kept", F.lit("")),
+            ("render", F.md5("text")),
+            ("spans", F.array_join(
+                F.transform(
+                    "spans", lambda sp: F.concat_ws(":", sp["start"], sp["end"])
+                ), "|",
+            )),
+        ],
     )
-    render = res.convs.select(
-        F.lit("render").alias("part"), "conv_id", F.md5("text").alias("v")
+
+    pairs = _mk_pairs(docs)
+    p_validate = PREF.validate_pairs(pairs).select(
+        F.lit("pair_validate").alias("part"),
+        F.col("pair_id").alias("id"),
+        F.coalesce("reason", F.lit("valid")).alias("v"),
     )
-    spans = res.convs.select(
-        F.lit("spans").alias("part"),
-        "conv_id",
-        F.array_join(
-            F.transform("spans", lambda sp: F.concat_ws(":", sp["start"], sp["end"])),
-            "|",
+    p_stats = PREF.pair_stats(pairs).select(
+        F.lit("pair_stats").alias("part"),
+        F.col("pair_id").alias("id"),
+        F.concat_ws(
+            ":", "prompt_tokens", "chosen_tokens",
+            "rejected_tokens", "token_delta",
         ).alias("v"),
     )
-    return validate.unionByName(kept).unionByName(render).unionByName(spans)
+    pres = PREF.prepare_preference_corpus(
+        pairs, shuffle_seed=None, audit=False, length_bias=False
+    )
+
+    def span_str(col: str) -> F.Column:
+        return F.concat_ws(":", F.col(col)["start"], F.col(col)["end"])
+
+    pair_surv = fan(
+        pres.pairs.localCheckpoint(eager=False), "pair_id",
+        [
+            ("pair_kept", F.lit("")),
+            ("pair_render", F.md5("text_chosen")),
+            ("pair_render_r", F.md5("text_rejected")),
+            ("pair_span", span_str("span_chosen")),
+            ("pair_span_r", span_str("span_rejected")),
+        ],
+    )
+    p_contra = pres.contradictions.select(
+        F.lit("pair_contra").alias("part"),
+        F.col("id_a").alias("id"),
+        F.col("id_b").cast("string").alias("v"),
+    )
+    out = validate
+    for part in (conv_surv, p_validate, p_stats, pair_surv, p_contra):
+        out = out.unionByName(part)
+    return out
 
 
 @query(
