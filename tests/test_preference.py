@@ -275,3 +275,27 @@ def test_plans_pure_codegen(spark, pairs):
         assert "BatchEvalPython" not in plan and "Exchange" not in plan
     dd = P.dedup_pairs(pairs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in dd
+
+
+def test_incremental_pair_dedup_vs_store(spark, tmp_path):
+    """Pair dedup as a store increment: canonical duplicates are
+    rejected across increments, swapped-orientation pairs are NOT
+    (different preference, different fingerprint)."""
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    store = ExactHashStore(
+        spark, "pair_store_t", n_buckets=4, path=str(tmp_path / "pair_store_t")
+    )
+    day1 = spark.createDataFrame(
+        [(1, msgs(("user", "q")), "good answer", "bad")],
+        PAIR_SCHEMA,
+    )
+    assert {r["id"] for r in P.dedup_pairs_incremental(day1, store).collect()} == {1}
+    day2 = spark.createDataFrame(
+        [
+            (10, msgs(("user", "Q")), "GOOD   answer", "bad"),  # canon dup of 1
+            (11, msgs(("user", "q")), "bad", "good answer"),    # swapped: new
+        ],
+        PAIR_SCHEMA,
+    )
+    assert {r["id"] for r in P.dedup_pairs_incremental(day2, store).collect()} == {11}

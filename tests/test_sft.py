@@ -356,3 +356,57 @@ def test_prepare_with_vocab_returns_encoded(spark, convs, vocab):
     plan = res.encoded._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan         # Arrow-batched, not row Python
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_conversation_dedup_vs_store(spark, tmp_path):
+    """Two daily SFT drops against one persistent ExactHashStore: a
+    conversation whose canonical transcript was accepted in increment 1
+    is rejected in increment 2 even under different case/whitespace;
+    within-batch keep-first holds; genuinely new conversations pass."""
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    store = ExactHashStore(
+        spark, "conv_store_t", n_buckets=4, path=str(tmp_path / "conv_store_t")
+    )
+    day1 = spark.createDataFrame(
+        [
+            (1, conv(("user", "hello there"), ("assistant", "hi"))),
+            (2, conv(("user", "HELLO   there"), ("assistant", "HI"))),  # dup of 1
+            (3, conv(("user", "unique"), ("assistant", "yes"))),
+        ],
+        CONV_SCHEMA,
+    )
+    acc1 = {r["id"] for r in sft.dedup_conversations_incremental(day1, store).collect()}
+    assert acc1 == {1, 3}
+    day2 = spark.createDataFrame(
+        [
+            (10, conv(("user", "hello there"), ("assistant", "hi"))),   # store hit
+            (11, conv(("user", "brand new"), ("assistant", "ok"))),
+            (12, conv(("user", "BRAND new"), ("assistant", "OK"))),     # batch dup
+        ],
+        CONV_SCHEMA,
+    )
+    acc2 = {r["id"] for r in sft.dedup_conversations_incremental(day2, store).collect()}
+    assert acc2 == {11}
+    # the two-increment store equals batch dedup over the concatenation
+    both = day1.unionByName(
+        day2.withColumnRenamed("conv_id", "conv_id")
+    )
+    batch_kept = {
+        r["conv_id"] for r in sft.dedup_conversations(both).collect()
+    }
+    assert acc1 | acc2 == batch_kept
+    # defer_commit: store untouched until commit()
+    day3 = spark.createDataFrame(
+        [(20, conv(("user", "deferred"), ("assistant", "x")))], CONV_SCHEMA
+    )
+    acc3, commit = sft.dedup_conversations_incremental(
+        day3, store, defer_commit=True
+    )
+    assert {r["id"] for r in acc3.collect()} == {20}
+    again, commit2 = sft.dedup_conversations_incremental(
+        day3, store, defer_commit=True
+    )
+    assert {r["id"] for r in again.collect()} == {20}  # not yet committed
+    commit()
+    assert sft.dedup_conversations_incremental(day3, store).count() == 0

@@ -649,10 +649,26 @@ def incremental_exact_dedup(
     ≤|batch| distinct hashes. History size never appears in any shuffle.
     """
     batch = content_hashes(new_docs, text_col, id_col)
+    return incremental_hash_dedup(batch, store, defer_commit=defer_commit)
+
+
+def incremental_hash_dedup(
+    batch_hashes: DataFrame,
+    store: ExactHashStore,
+    defer_commit: bool = False,
+):
+    """The store-increment core behind :func:`incremental_exact_dedup`,
+    taking a prepared (id, h1, h2) frame so ANY :func:`hash128` producer
+    dedups against a persistent store with the same plan shape — doc
+    text (content_hashes), conversation transcripts
+    (sft.dedup_conversations_incremental), preference pairs
+    (preference.dedup_pairs_incremental). Contract, keep-first
+    semantics, deferred-commit discipline, and the one-exchange plan are
+    exactly incremental_exact_dedup's — see its docstring."""
     # one exchange, straight to the store's bucketing: the groupBy's
     # required distribution AND the anti-join's are both satisfied by
     # hashpartitioning(h1, h2, n_buckets), so neither adds a shuffle
-    batch = batch.repartition(store.n_buckets, "h1", "h2")
+    batch = batch_hashes.repartition(store.n_buckets, "h1", "h2")
     first = batch.groupBy("h1", "h2").agg(F.min("id").alias("id"))
     stored = store.read()
     if stored is not None:

@@ -177,6 +177,29 @@ def dedup_pairs(
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def dedup_pairs_incremental(
+    df: DataFrame,
+    store,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+    defer_commit: bool = False,
+):
+    """Pair dedup as an INCREMENT against a persistent
+    ``incremental.ExactHashStore`` — accepted iff the canonical
+    (prompt, chosen, rejected) fingerprint was never accepted in any
+    prior increment or under a smaller id in this batch. Same contract,
+    commit discipline, and one-exchange plan as doc-level
+    ``incremental_exact_dedup`` (see ``incremental_hash_dedup``)."""
+    from xdump_spark.operators.incremental import incremental_hash_dedup
+
+    batch = pair_fingerprint(
+        df, prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col
+    ).select(F.col(id_col).alias("id"), "h1", "h2")
+    return incremental_hash_dedup(batch, store, defer_commit=defer_commit)
+
+
 def contradicting_pairs(
     df: DataFrame,
     prompt_col: str = "prompt",

@@ -192,6 +192,31 @@ def dedup_conversations(
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def dedup_conversations_incremental(
+    df: DataFrame,
+    store,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    defer_commit: bool = False,
+):
+    """Conversation dedup as an INCREMENT against a persistent
+    ``incremental.ExactHashStore`` — the daily-SFT-drop flow, mirroring
+    doc-level ``incremental_exact_dedup``: a conversation is accepted
+    iff its canonical transcript fingerprint was never accepted before
+    (any prior increment, or a smaller id in this batch). Returns the
+    accepted ids frame (``id``); ``defer_commit=True`` returns
+    ``(accepted, commit)`` for the write-output-then-commit discipline.
+    Because the fingerprint is the engine-wide :func:`hash128`
+    convention, the store layout, compaction, stats, and the
+    one-exchange bucket-co-located plan are all the doc flow's —
+    identical machinery, different canonical string."""
+    from xdump_spark.operators.incremental import hash128, incremental_hash_dedup
+
+    h1, h2 = hash128(canonical_transcript(_msgs(conv_col)))
+    batch = df.select(F.col(id_col).alias("id"), h1.alias("h1"), h2.alias("h2"))
+    return incremental_hash_dedup(batch, store, defer_commit=defer_commit)
+
+
 _TEMPLATES = {
     # ChatML-style: the de-facto open SFT rendering
     "chatml": ("<|im_start|>{role}\n", "<|im_end|>\n"),
