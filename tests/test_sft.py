@@ -410,3 +410,74 @@ def test_incremental_conversation_dedup_vs_store(spark, tmp_path):
     assert {r["id"] for r in again.collect()} == {20}  # not yet committed
     commit()
     assert sft.dedup_conversations_incremental(day3, store).count() == 0
+
+
+def test_pack_encoded_concat_and_grouping(spark, convs, vocab):
+    """pack_encoded: per-sequence arrays are the in-order concatenation
+    of the members' arrays, groups are IDENTICAL to pack_sequences fed
+    the same (id, n_tok) counts, and mask totals are preserved."""
+    from pyspark.sql import functions as F
+    from xdump_spark.operators.curation import pack_sequences
+
+    enc = sft.encode_conversations(convs, vocab)
+    packed = sft.pack_encoded(enc, budget=16, partitions=4).collect()
+    by_id = {r["conv_id"]: r for r in enc.collect()}
+    for seq in packed:
+        exp_ids, exp_mask = [], []
+        assert seq["conv_ids"] == sorted(seq["conv_ids"])
+        for cid in seq["conv_ids"]:
+            exp_ids.extend(by_id[cid]["input_ids"])
+            exp_mask.extend(by_id[cid]["loss_mask"])
+        assert seq["input_ids"] == exp_ids
+        assert seq["loss_mask"] == exp_mask
+        assert seq["n_tokens"] == len(exp_ids)
+    # exactly-once: every conversation appears in exactly one sequence
+    all_members = [cid for s in packed for cid in s["conv_ids"]]
+    assert sorted(all_members) == sorted(by_id)
+    # mask totals preserved through packing
+    total_mask = sum(sum(s["loss_mask"]) for s in packed)
+    assert total_mask == sum(sum(r["loss_mask"]) for r in by_id.values())
+    # grouping identical to the pretraining packer on the same counts
+    counts = enc.select("conv_id", F.col("n_tokens").alias("n_tok"))
+    seqs = pack_sequences(
+        enc, budget=16, id_col="conv_id", partitions=4, counts=counts
+    ).collect()
+    exp_groups = {tuple(s["doc_ids"]) for s in seqs}
+    got_groups = {tuple(s["conv_ids"]) for s in packed}
+    assert got_groups == exp_groups
+
+
+def test_pack_encoded_mask_shards_roundtrip(spark, convs, vocab, tmp_path):
+    """id and mask shards written through the same sink pair up
+    byte-for-byte: reading both back reproduces (ids, mask) per seq."""
+    from pyspark.sql import functions as F
+    from xdump_spark.sources.token_shards import (
+        read_binary_shard,
+        write_binary_shards,
+    )
+
+    enc = sft.encode_conversations(convs, vocab)
+    packed = sft.pack_encoded(enc, budget=32, partitions=2)
+    ids_dir = str(tmp_path / "ids")
+    mask_dir = str(tmp_path / "mask")
+    m1 = write_binary_shards(packed, ids_dir, n_shards=2)
+    masked = packed.withColumn(
+        "mask_ids", F.transform("loss_mask", lambda b: b.cast("int"))
+    )
+    m2 = write_binary_shards(
+        masked, mask_dir, n_shards=2, ids_col="mask_ids", dtype="uint16"
+    )
+    exp = {r["seq_id"]: (r["input_ids"], r["loss_mask"]) for r in packed.collect()}
+    got = {}
+    for shard in m1["shards"]:
+        for seq_id, ids in read_binary_shard(ids_dir, shard["shard"], m1):
+            got[seq_id] = list(ids)
+    got_mask = {}
+    for shard in m2["shards"]:
+        for seq_id, bits in read_binary_shard(mask_dir, shard["shard"], m2):
+            got_mask[seq_id] = [bool(b) for b in bits]
+    assert set(got) == set(exp) and set(got_mask) == set(exp)
+    for seq_id, (ids, mask) in exp.items():
+        assert got[seq_id] == list(ids)
+        assert got_mask[seq_id] == list(mask)
+        assert len(got[seq_id]) == len(got_mask[seq_id])

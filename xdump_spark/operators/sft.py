@@ -393,6 +393,87 @@ def encode_conversations(
     )
 
 
+def pack_encoded(
+    encoded: DataFrame,
+    budget: int,
+    id_col: str = "conv_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit packing of ENCODED conversations into token-
+    budget-bounded training sequences, loss mask carried along:
+    (seq_id, conv_ids, input_ids, loss_mask, n_convs, n_tokens) with
+    ``input_ids``/``loss_mask`` the in-order concatenation of the member
+    conversations' arrays — the SFT trainer's actual input shape.
+
+    Same determinism discipline as curation.pack_sequences (and
+    GROUPING-IDENTICAL to it given the same (id, n_tok) frame — pinned
+    by test): bucket = pure hash of the id, members packed in id order
+    within each bucket, seq_id = (bucket << 32) | local_index. One
+    shuffle (the bucket groupBy); per-task state is one open bin —
+    O(budget) ints beyond the Arrow batch. Conversations longer than
+    ``budget`` become singleton truncation-needed sequences.
+
+    The output feeds sources/token_shards.write_binary_shards twice —
+    once with ids_col="input_ids" and once with the mask cast to ints —
+    producing byte-aligned id/mask shard pairs (same seq_id
+    partitioning and ordering on both calls)."""
+    import pandas as pd
+
+    n_parts = partitions or encoded.sparkSession.sparkContext.defaultParallelism
+    src = encoded.select(
+        F.col(id_col).cast("long").alias("id"),
+        "input_ids",
+        "loss_mask",
+        F.size("input_ids").alias("n_tok"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_parts))
+    )
+    schema = (
+        "seq_id long, conv_ids array<long>, input_ids array<int>, "
+        "loss_mask array<boolean>, n_convs int, n_tokens int"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        bucket = int(pdf["bucket"].iloc[0])
+        rows: list[tuple] = []
+        cur_ids: list[int] = []
+        cur_in: list[int] = []
+        cur_mask: list[bool] = []
+        cur_tok = 0
+        nxt = 0
+
+        def flush():
+            nonlocal cur_ids, cur_in, cur_mask, cur_tok, nxt
+            if cur_ids:
+                rows.append((
+                    (bucket << 32) | nxt, cur_ids, cur_in, cur_mask,
+                    len(cur_ids), cur_tok,
+                ))
+                nxt += 1
+                cur_ids, cur_in, cur_mask, cur_tok = [], [], [], 0
+
+        for _id, ids, mask, n in zip(
+            pdf["id"], pdf["input_ids"], pdf["loss_mask"], pdf["n_tok"]
+        ):
+            if cur_tok + n > budget and cur_ids:
+                flush()
+            cur_ids.append(int(_id))
+            cur_in.extend(int(x) for x in ids)
+            cur_mask.extend(bool(x) for x in mask)
+            cur_tok += int(n)
+            if cur_tok >= budget:
+                flush()
+        flush()
+        return pd.DataFrame(
+            rows,
+            columns=["seq_id", "conv_ids", "input_ids", "loss_mask",
+                     "n_convs", "n_tokens"],
+        )
+
+    return src.groupBy("bucket").applyInPandas(pack, schema)
+
+
 # the standard conversations interchange shape as a JSONL schema
 CONVERSATIONS_SCHEMA = T.StructType(
     [
