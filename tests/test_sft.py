@@ -481,3 +481,67 @@ def test_pack_encoded_mask_shards_roundtrip(spark, convs, vocab, tmp_path):
         assert got[seq_id] == list(ids)
         assert got_mask[seq_id] == list(mask)
         assert len(got[seq_id]) == len(got_mask[seq_id])
+
+
+def test_streaming_sft_ingest_two_drops(spark, tmp_path):
+    """Two JSONL drops through the streaming ingest: dedup holds across
+    drops via the persistent store, corrupt lines quarantine, invalid
+    conversations land in rejects with reasons, and a drained re-run
+    (no new files) appends nothing."""
+    import json
+
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    store = ExactHashStore(
+        spark, "sft_stream_store_t", n_buckets=4,
+        path=str(tmp_path / "sft_stream_store_t"),
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corrupt = str(tmp_path / "corrupt")
+    rejects = str(tmp_path / "rejects")
+
+    def drop(name, rows, junk=False):
+        with open(inp / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+            if junk:
+                fh.write("{broken\n")
+
+    def run():
+        q = sft.streaming_sft_ingest(
+            spark, str(inp), store, out, ckpt,
+            corrupt_dir=corrupt, rejects_dir=rejects,
+        )
+        q.awaitTermination(120)
+
+    c = lambda cid, msgs_, src="a": {
+        "conv_id": cid, "messages": [
+            {"role": r, "content": t} for r, t in msgs_], "source": src}
+
+    drop("day1.jsonl", [
+        c(1, [("user", "hello"), ("assistant", "hi")]),
+        c(2, [("user", "tool time"), ("tool", "x")]),          # invalid
+    ], junk=True)
+    run()
+    got1 = {r["conv_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1}
+    assert spark.read.parquet(corrupt).count() == 1
+    rej = {r["conv_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert rej == {2: "unknown_role"}
+
+    drop("day2.jsonl", [
+        c(10, [("user", "HELLO"), ("assistant", "HI")]),       # store dup of 1
+        c(11, [("user", "fresh"), ("assistant", "ok")]),
+    ])
+    run()
+    got2 = {r["conv_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 11}
+    row11 = [r for r in spark.read.parquet(out).collect() if r["conv_id"] == 11][0]
+    assert "<|im_start|>user\nfresh" in row11["text"]
+    assert [ (s["start"], s["end"]) for s in row11["spans"] ]  # spans present
+
+    run()  # drained: no new files -> nothing appended
+    assert spark.read.parquet(out).count() == 2

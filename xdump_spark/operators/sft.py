@@ -512,6 +512,70 @@ def read_conversations_jsonl(
     return read_jsonl_corpus(spark, path, schema or CONVERSATIONS_SCHEMA)
 
 
+def streaming_sft_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    corrupt_dir: str | None = None,
+    rejects_dir: str | None = None,
+    template: str = "chatml",
+    schema: T.StructType | None = None,
+    trigger: dict | None = None,
+):
+    """Continuous SFT ingestion: conversation-JSONL files LANDING in
+    ``input_dir`` (a labeling-pipeline drop directory) stream through
+    parse → validate → transcript-fingerprint dedup against the
+    persistent ``store`` (ExactHashStore) → render + loss-mask spans →
+    append to ``out_dir`` parquet. Unreadable lines quarantine to
+    ``corrupt_dir``, structurally invalid conversations (with reasons)
+    to ``rejects_dir`` — the reader/validator split stays auditable
+    under streaming arrival exactly as in :func:`read_conversations_jsonl`.
+
+    The SFT twin of sources/warc.streaming_wet_ingest, same restart
+    discipline: the file-stream checkpoint remembers consumed files, the
+    bucketed hash store carries dedup history across restarts AND across
+    batch runs (a drop ingested here is deduped against yesterday's CLI
+    run — one store, either arrival mode), and output parquet is written
+    BEFORE the store commit so a crash can duplicate (dedupable by
+    conv_id) but never lose. ``trigger`` defaults to
+    ``{"availableNow": True}`` (drain-and-stop)."""
+    from xdump_spark.sources.jsonl import parse_jsonl_lines
+
+    raw = spark.readStream.text(input_dir)
+    use_schema = schema or CONVERSATIONS_SCHEMA
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        convs, corrupt = parse_jsonl_lines(batch_df, use_schema)
+        if corrupt_dir is not None:
+            corrupt.write.mode("append").parquet(corrupt_dir)
+        flagged = validate_conversations(convs)
+        rejects = flagged.filter(~F.col("valid")).select("conv_id", "reason")
+        if rejects_dir is not None:
+            rejects.write.mode("append").parquet(rejects_dir)
+        cur = flagged.filter(F.col("valid")).drop("valid", "reason")
+        accepted, commit = dedup_conversations_incremental(
+            cur, store, defer_commit=True
+        )
+        survivors = cur.join(
+            accepted.withColumnRenamed("id", "conv_id"), "conv_id", "left_semi"
+        )
+        out = assistant_spans(
+            render_chat(survivors, template=template), template=template
+        )
+        out.write.mode("append").parquet(out_dir)
+        commit()
+
+    writer = raw.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
 @dataclass
 class SFTResult:
     """prepare_sft_corpus output: the training-ready frame plus the

@@ -62,6 +62,16 @@ def read_jsonl_corpus(
     test (they are always present)."""
     schema = schema or DOCUMENTS_SCHEMA
     raw = spark.read.text(path)
+    return parse_jsonl_lines(raw, schema)
+
+
+def parse_jsonl_lines(
+    raw: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """The (clean, corrupt) split over an already-read lines frame
+    (column ``value`` + optional hive partition columns) — shared by the
+    batch reader above and the streaming ingests (``readStream.text``
+    produces the same shape, so one parser serves both arrival modes)."""
     part_cols = [c for c in raw.columns if c != "value"]
     parsed = raw.select(
         F.col("value"),
