@@ -527,3 +527,36 @@ def test_cli_prepare_pairs(spark, tmp_path, capsys):
     row = pairs.collect()[0]
     assert row["pair_id"] == 1
     assert row["text_chosen"].endswith("alpha beta<|im_end|>\n")
+
+
+def test_cli_datacard_kinds(spark, tmp_path, capsys):
+    import json
+
+    from xdump_spark import cli
+
+    convs_dir = str(tmp_path / "convs")
+    spark.createDataFrame(
+        [(1, [{"role": "user", "content": "a"},
+              {"role": "assistant", "content": "b c"}])],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    ).write.parquet(convs_dir)
+    args = cli.build_parser().parse_args(
+        ["datacard", "-i", convs_dir, "--kind", "conversations"]
+    )
+    assert cli.run(args, spark) == 0
+    card = json.loads(capsys.readouterr().out)
+    assert card["n_convs"] == 1 and card["n_tokens"] == 3
+
+    pairs_dir = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, [{"role": "user", "content": "q"}], "aa bb", "cc")],
+        "pair_id long, prompt array<struct<role:string,content:string>>, "
+        "chosen string, rejected string",
+    ).write.parquet(pairs_dir)
+    args = cli.build_parser().parse_args(
+        ["datacard", "-i", pairs_dir, "--kind", "pairs"]
+    )
+    assert cli.run(args, spark) == 0
+    card = json.loads(capsys.readouterr().out)
+    assert card["n_pairs"] == 1
+    assert card["length_bias"]["frac_chosen_longer"] == 1.0

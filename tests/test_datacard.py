@@ -175,3 +175,48 @@ def test_data_card_empty_corpus_with_url_col(spark):
     card = data_card(empty, source_col=None, lang_col=None)
     assert card["n_docs"] == 0
     assert card["domains"] == {"n_distinct": 0, "top": []}
+
+
+def test_conversation_card(spark):
+    from xdump_spark.operators.datacard import conversation_card
+
+    convs = spark.createDataFrame(
+        [
+            (1, [{"role": "user", "content": "a b"},
+                 {"role": "assistant", "content": "c d e"}]),
+            (2, [{"role": "user", "content": "A   b"},
+                 {"role": "assistant", "content": "C d E"}]),   # dup of 1
+            (3, [{"role": "user", "content": "x"},
+                 {"role": "tool", "content": "t"}]),            # invalid
+        ],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    card = conversation_card(convs)
+    assert card["n_convs"] == 3
+    assert card["n_tokens"] == 5 + 5 + 2
+    assert card["budgets"]["assistant_tokens"]["mean"] == pytest.approx(2.0)
+    assert card["invalid"] == {"n": 1, "reasons": {"unknown_role": 1}}
+    assert card["duplicates"] == {"n_duplicate": 1, "duplicate_share": round(1 / 3, 6)}
+
+
+def test_preference_card(spark):
+    from xdump_spark.operators.datacard import preference_card
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [{"role": "user", "content": "q"}], "one two three", "one"),
+            (2, [{"role": "user", "content": "q"}], "one", "one two three"),  # contra of 1
+            (3, [{"role": "user", "content": "Q"}], "ONE two  three", "one"), # dup of 1
+            (4, [{"role": "user", "content": "bad"}], "same", "same"),        # invalid
+        ],
+        "pair_id long, prompt array<struct<role:string,content:string>>, "
+        "chosen string, rejected string",
+    )
+    card = preference_card(pairs)
+    assert card["n_pairs"] == 4
+    assert card["invalid"] == {"n": 1, "reasons": {"identical_responses": 1}}
+    assert card["duplicates"]["n_duplicate"] == 1
+    # contradictions: (1,2) and (3,2) — 3 is canon-equal to 1
+    assert card["n_contradicting"] == 2
+    assert card["length_bias"]["n_pairs"] == 4
+    assert card["tokens"]["chosen_tokens"]["mean"] == pytest.approx((3 + 1 + 3 + 1) / 4)

@@ -410,6 +410,12 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--source-col", default="source")
     dc.add_argument("--lang-col", default="lang")
+    dc.add_argument(
+        "--kind", choices=["documents", "conversations", "pairs"],
+        default="documents",
+        help="corpus shape: flat documents (default), SFT conversations "
+             "(conversation_card), or preference pairs (preference_card)",
+    )
 
     ps = sub.add_parser(
         "prepare-sft",
@@ -757,15 +763,26 @@ def run(args, spark) -> int:
     elif args.command == "datacard":
         import json
 
-        from xdump_spark.operators.datacard import data_card
-
-        card = data_card(
-            spark.read.parquet(args.input),
-            text_col=args.text_col,
-            id_col=args.id_col,
-            source_col=args.source_col,
-            lang_col=args.lang_col,
+        from xdump_spark.operators.datacard import (
+            conversation_card,
+            data_card,
+            preference_card,
         )
+
+        frame = spark.read.parquet(args.input)
+        kind = getattr(args, "kind", "documents")
+        if kind == "conversations":
+            card = conversation_card(frame)
+        elif kind == "pairs":
+            card = preference_card(frame)
+        else:
+            card = data_card(
+                frame,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                source_col=args.source_col,
+                lang_col=args.lang_col,
+            )
         payload = json.dumps(card, indent=2, sort_keys=True)
         if args.output:
             with open(args.output, "w") as fh:

@@ -201,3 +201,116 @@ def data_card(
             ],
         }
     return card
+
+
+def conversation_card(
+    convs: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> dict:
+    """Datasheet for an SFT conversations corpus: counts and totals,
+    per-role turn/token budget distributions (one fused profile pass
+    over conversation_stats' single-Project frame), the validation
+    reason breakdown (what a curation run WOULD reject and why), and the
+    canonical-fingerprint duplicate rate. Three aggregation jobs total —
+    publishable for a 10 B-conversation corpus."""
+    from xdump_spark.operators.sft import (
+        conversation_fingerprint,
+        conversation_stats,
+        validate_conversations,
+    )
+
+    budget_cols = [
+        "n_turns", "n_system", "n_user", "n_assistant",
+        "user_tokens", "assistant_tokens", "total_tokens",
+    ]
+    signals: dict[str, dict[str, float]] = {}
+    _profile_into(
+        signals,
+        conversation_stats(convs, conv_col=conv_col, id_col=id_col),
+        budget_cols,
+        quantiles,
+    )
+    n_convs = int(signals["n_turns"]["count"] or 0)
+    reasons = {
+        r["reason"]: int(r["n"])
+        for r in validate_conversations(convs, conv_col=conv_col)
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["reason"] is not None
+    }
+    dup = conversation_fingerprint(convs, conv_col=conv_col).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("h1", "h2").alias("uniq"),
+    ).collect()[0]
+    n = int(dup["n"] or 0)
+    return {
+        "n_convs": n_convs,
+        "n_tokens": int(round((signals["total_tokens"]["mean"] or 0) * n_convs)),
+        "budgets": signals,
+        "invalid": {"n": sum(reasons.values()), "reasons": reasons},
+        "duplicates": {
+            "n_duplicate": n - int(dup["uniq"] or 0),
+            "duplicate_share": round((n - int(dup["uniq"] or 0)) / n, 6) if n else 0.0,
+        },
+    }
+
+
+def preference_card(
+    pairs: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> dict:
+    """Datasheet for a preference-pair corpus: counts, per-pair token
+    distributions, the validation reason breakdown, the pair-fingerprint
+    duplicate rate, the contradiction count (opposite-orientation pairs
+    — direct label noise), and the corpus length-bias diagnostic
+    (frac_chosen_longer ≈ 0.5 is unbiased; Singhal et al. 2023)."""
+    from xdump_spark.operators.preference import (
+        contradicting_pairs,
+        length_bias_stats,
+        pair_fingerprint,
+        pair_stats,
+        validate_pairs,
+    )
+
+    kw = dict(prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col)
+    signals: dict[str, dict[str, float]] = {}
+    _profile_into(
+        signals,
+        pair_stats(pairs, id_col=id_col, **kw),
+        ["prompt_turns", "prompt_tokens", "chosen_tokens",
+         "rejected_tokens", "token_delta"],
+        quantiles,
+    )
+    reasons = {
+        r["reason"]: int(r["n"])
+        for r in validate_pairs(pairs, **kw)
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["reason"] is not None
+    }
+    dup = pair_fingerprint(pairs, **kw).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("h1", "h2").alias("uniq"),
+    ).collect()[0]
+    n = int(dup["n"] or 0)
+    return {
+        "n_pairs": n,
+        "tokens": signals,
+        "invalid": {"n": sum(reasons.values()), "reasons": reasons},
+        "duplicates": {
+            "n_duplicate": n - int(dup["uniq"] or 0),
+            "duplicate_share": round((n - int(dup["uniq"] or 0)) / n, 6) if n else 0.0,
+        },
+        "n_contradicting": int(
+            contradicting_pairs(pairs, id_col=id_col, **kw).count()
+        ),
+        "length_bias": length_bias_stats(pairs, id_col=id_col, **kw),
+    }
