@@ -545,3 +545,30 @@ def test_streaming_sft_ingest_two_drops(spark, tmp_path):
 
     run()  # drained: no new files -> nothing appended
     assert spark.read.parquet(out).count() == 2
+
+
+def test_decontaminate_conversations(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    convs = spark.createDataFrame(
+        [
+            # leak in the USER turn
+            (1, conv(("user", "the quick brown fox jumps over the lazy dog"),
+                     ("assistant", "nice"))),
+            # leak in the ASSISTANT turn
+            (2, conv(("user", "tell me"),
+                     ("assistant", "quick brown fox jumps over the lazy dog today"))),
+            (3, conv(("user", "clean"), ("assistant", "also clean"))),
+        ],
+        CONV_SCHEMA,
+    )
+    kept = {
+        r["conv_id"]
+        for r in sft.decontaminate_conversations(convs, bench, n=8).collect()
+    }
+    assert kept == {3}
+    res = sft.prepare_sft_corpus(convs, benchmark=bench, contamination_n=8)
+    assert {r["conv_id"] for r in res.convs.collect()} == {3}
+    assert res.audit["decontaminated"] == 1

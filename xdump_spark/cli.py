@@ -440,6 +440,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--allow-user-last", action="store_true",
                     help="keep conversations ending on a user turn")
     ps.add_argument("--no-dedup", action="store_true")
+    ps.add_argument("--benchmark", default=None,
+                    help="benchmark parquet: drop conversations sharing "
+                         "n-grams with it (any turn's content screened)")
+    ps.add_argument("--contamination-n", type=int, default=8)
     ps.add_argument("--vocab", default=None,
                     help="build_vocab parquet: also write token-level "
                          "(input_ids, loss_mask) arrays (encode_conversations)")
@@ -807,6 +811,10 @@ def run(args, spark) -> int:
             require_alternation=not args.no_alternation,
             require_assistant_last=not args.allow_user_last,
             dedup=not args.no_dedup,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
+            contamination_n=args.contamination_n,
             shuffle_seed=args.shuffle_seed,
             audit=not args.no_audit,
             vocab=vocab,

@@ -512,6 +512,34 @@ def read_conversations_jsonl(
     return read_jsonl_corpus(spark, path, schema or CONVERSATIONS_SCHEMA)
 
 
+def decontaminate_conversations(
+    df: DataFrame,
+    benchmark: DataFrame,
+    conv_col: str = "messages",
+    id_col: str = "conv_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop conversations sharing ≥ ``min_shared`` distinct word
+    ``n``-grams with any benchmark document — ANY turn's content counts
+    (a benchmark question leaking through a user turn is contamination
+    as much as through an assistant answer). Reuses
+    curation.contamination_screen's broadcast gram join: benchmark grams
+    dedup'd + broadcast, the conversation corpus never shuffles."""
+    from xdump_spark.operators.curation import contamination_screen
+
+    flat = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(
+            F.transform(_msgs(conv_col), lambda m: m["content"]), " "
+        ).alias("text"),
+    )
+    hits = contamination_screen(
+        flat, benchmark, n=n, min_shared=min_shared
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
 def streaming_sft_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -596,6 +624,8 @@ def prepare_sft_corpus(
     require_alternation: bool = True,
     require_assistant_last: bool = True,
     dedup: bool = True,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 8,
     shuffle_seed: int | None = 0,
     audit: bool = True,
     vocab: DataFrame | None = None,
@@ -640,6 +670,12 @@ def prepare_sft_corpus(
             # time — persist the survivor set across both
             cur = cur.persist()
             counts["deduped"] = cur.count()
+    if benchmark is not None:
+        cur = decontaminate_conversations(
+            cur, benchmark, conv_col=conv_col, id_col=id_col, n=contamination_n
+        )
+        if audit:
+            counts["decontaminated"] = cur.count()
     cur = render_chat(cur, conv_col=conv_col, template=template)
     cur = assistant_spans(cur, conv_col=conv_col, template=template)
     if shuffle_seed is not None:
