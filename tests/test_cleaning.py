@@ -372,3 +372,37 @@ def test_blocklist_filter_not_pushed_into_token_tree(spark):
                     if l.lstrip().startswith(("Filter", "+- Filter", ":- Filter"))]
     assert filter_lines and all("array_intersect" not in l for l in filter_lines)
     assert gated.count() == docs.count()  # nothing matches a nonsense term
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.cleaning import hash_split
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    splits = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    ids = {k: {r["doc_id"] for r in v.collect()} for k, v in splits.items()}
+    # disjoint + exhaustive
+    assert ids["train"] | ids["val"] | ids["test"] == set(range(2000))
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert not (ids["train"] & ids["test"])
+    # roughly proportional
+    assert 1400 < len(ids["train"]) < 1800
+    # deterministic across re-runs and UNAFFECTED by upstream filtering:
+    # membership of surviving docs never migrates
+    again = hash_split(docs.filter("doc_id % 2 = 0"),
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    sub = {k: {r["doc_id"] for r in v.collect()} for k, v in again.items()}
+    for k in ids:
+        assert sub[k] == {i for i in ids[k] if i % 2 == 0}
+    # different seed -> different assignment
+    other = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=8)
+    assert {r["doc_id"] for r in other["val"].collect()} != ids["val"]
+    # zero-shuffle, no python
+    plan = splits["train"]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.4})

@@ -303,3 +303,39 @@ def blocklist_filter(
     return df.withColumn("n_blocklist_hits", hits).withColumn(
         "blocked", pushdown_barrier(F.col("n_blocklist_hits") > 0)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Deterministic disjoint corpus split (train/val/test):
+    ``fractions`` maps split name → fraction (must sum to 1). Assignment
+    is a pure function of (seed, id) — ``pmod(xxhash64(seed, id), 10^6)``
+    against cumulative cutoffs — so re-runs, restarts, cluster layouts,
+    and DIFFERENT DOWNSTREAM FILTERS all agree on membership: a doc
+    dropped from train by a later gate can never migrate into val
+    (``randomSplit`` guarantees none of that — it resamples per
+    execution and per partitioning). Pure codegen, zero shuffle, one
+    filter per split over the same frame; splits are exactly disjoint
+    and exhaustive by construction."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    resolution = 1_000_000
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(resolution))
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        # last split takes the remainder so rounding can't orphan buckets
+        hi = resolution if i == len(names) - 1 else lo + int(
+            round(fractions[name] * resolution)
+        )
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out
