@@ -1333,13 +1333,26 @@ _SFT_TURNS: dict[int, list[tuple[str, str | None]]] = {
     9: [("user", None), ("assistant", "first"), ("user", "more"),
         ("assistant", "second answer")],
 }
-# Invalid conversation classes, written out in the Spark builder below:
+# ALL conversation classes (invalid ones included) — the single source
+# of truth the Spark builder AND the stats oracle derive from:
 #   0 = empty array           -> empty_conversation
 #   3 = 'tool' role           -> unknown_role
 #   4 = whitespace assistant  -> empty_content
 #   5 = trailing user turn    -> not_assistant_last
 #   6 = user,user,assistant   -> no_alternation
 #   8 = system mid-conv       -> system_not_first
+_CONV_CLASSES: dict[int, list[tuple[str, str | None]]] = {
+    0: [],
+    1: _SFT_TURNS[1],
+    2: _SFT_TURNS[2],
+    3: [("user", None), ("tool", "call"), ("assistant", "ok")],
+    4: [("user", None), ("assistant", "  ")],
+    5: [("user", None), ("assistant", "ok"), ("user", "and?")],
+    6: [("user", None), ("user", "again"), ("assistant", "ok")],
+    7: _SFT_TURNS[7],
+    8: [("user", None), ("system", "oops"), ("assistant", "ok")],
+    9: _SFT_TURNS[9],
+}
 
 # Preference-pair classes: (prompt turns, chosen, rejected); None = text.
 _PAIR_CLASSES: dict[int, tuple[list[tuple[str, str | None]], str | None, str | None]] = {
@@ -1526,6 +1539,7 @@ psurv AS (SELECT pok.* FROM pok
             AND id NOT IN (SELECT id_a FROM contra)
             AND id NOT IN (SELECT id_b FROM contra))
 SELECT 'validate' AS part, id, reason AS v FROM v
+UNION ALL SELECT 'conv_stats' AS part, id, {_conv_stats_sql()} AS v FROM d
 UNION ALL SELECT 'kept' AS part, id, '' AS v FROM keepers
 UNION ALL SELECT 'render' AS part, id, md5(CASE m
     WHEN 1 THEN {r[1]} WHEN 2 THEN {r[2]} WHEN 7 THEN {r[7]} ELSE {r[9]}
@@ -1545,32 +1559,51 @@ UNION ALL SELECT 'pair_stats' AS part, id, {p_stats} AS v FROM pv
 """
 
 
+def _conv_stats_sql() -> str:
+    """conversation_stats' seven budget numbers per class, counts of
+    literal contents folded at SQL-gen time, text-valued contents
+    counting at runtime ('tt')."""
+    def tok(content) -> tuple[int, int]:
+        # (const, k) token count of one content: const + k*tt
+        return (0, 1) if content is None else (len(content.split()), 0)
+
+    def lin(parts) -> str:
+        const = sum(c for c, _ in parts)
+        k = sum(kk for _, kk in parts)
+        return f"CAST({const} + {k} * tt AS VARCHAR)" if k else f"'{const}'"
+
+    cases = {}
+    for m, turns in _CONV_CLASSES.items():
+        fields = [
+            f"'{len(turns)}'",
+            f"'{sum(1 for r, _ in turns if r == 'system')}'",
+            f"'{sum(1 for r, _ in turns if r == 'user')}'",
+            f"'{sum(1 for r, _ in turns if r == 'assistant')}'",
+            lin([tok(c) for r, c in turns if r == "user"]),
+            lin([tok(c) for r, c in turns if r == "assistant"]),
+            lin([tok(c) for _r, c in turns]),
+        ]
+        cases[m] = " || ':' || ".join(fields)
+    whens = " ".join(f"WHEN {m} THEN {e}" for m, e in cases.items())
+    return f"CASE m {whens} END"
+
+
 def _mk_convs(docs: DataFrame) -> DataFrame:
-    """documents -> (conv_id, messages) under the class scheme above."""
+    """documents -> (conv_id, messages) under _CONV_CLASSES."""
     t = F.col("text")
     m = F.col("doc_id") % 10
 
     def msg(role: str, content) -> F.Column:
-        c = F.lit(content) if isinstance(content, str) else content
+        c = t if content is None else F.lit(content)
         return F.struct(F.lit(role).alias("role"), c.alias("content"))
 
-    def turns(ts) -> F.Column:
-        return F.array(*[msg(role, t if content is None else content)
-                         for role, content in ts])
-
     empty = F.array().cast("array<struct<role:string,content:string>>")
-    msgs = (
-        F.when(m == 0, empty)
-        .when(m == 1, turns(_SFT_TURNS[1]))
-        .when(m == 2, turns(_SFT_TURNS[2]))
-        .when(m == 3, F.array(msg("user", t), msg("tool", "call"), msg("assistant", "ok")))
-        .when(m == 4, F.array(msg("user", t), msg("assistant", "  ")))
-        .when(m == 5, F.array(msg("user", t), msg("assistant", "ok"), msg("user", "and?")))
-        .when(m == 6, F.array(msg("user", t), msg("user", "again"), msg("assistant", "ok")))
-        .when(m == 7, turns(_SFT_TURNS[7]))
-        .when(m == 8, F.array(msg("user", t), msg("system", "oops"), msg("assistant", "ok")))
-        .otherwise(turns(_SFT_TURNS[9]))
-    )
+    msgs = None
+    for mcls, turns in sorted(_CONV_CLASSES.items()):
+        arr = empty if not turns else F.array(
+            *[msg(role, content) for role, content in turns]
+        )
+        msgs = F.when(m == mcls, arr) if msgs is None else msgs.when(m == mcls, arr)
     return docs.select(F.col("doc_id").alias("conv_id"), msgs.alias("messages"))
 
 
@@ -1636,6 +1669,14 @@ def posttrain_prepare_panel(spark, sf_dir):
         F.lit("validate").alias("part"),
         F.col("conv_id").alias("id"),
         F.coalesce("reason", F.lit("valid")).alias("v"),
+    )
+    conv_stats = SFT.conversation_stats(convs).select(
+        F.lit("conv_stats").alias("part"),
+        F.col("conv_id").alias("id"),
+        F.concat_ws(
+            ":", "n_turns", "n_system", "n_user", "n_assistant",
+            "user_tokens", "assistant_tokens", "total_tokens",
+        ).alias("v"),
     )
     res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
 
@@ -1707,7 +1748,7 @@ def posttrain_prepare_panel(spark, sf_dir):
         F.col("id_b").cast("string").alias("v"),
     )
     out = validate
-    for part in (conv_surv, p_validate, p_stats, pair_surv, p_contra):
+    for part in (conv_stats, conv_surv, p_validate, p_stats, pair_surv, p_contra):
         out = out.unionByName(part)
     return out
 
