@@ -299,3 +299,31 @@ def test_incremental_pair_dedup_vs_store(spark, tmp_path):
         PAIR_SCHEMA,
     )
     assert {r["id"] for r in P.dedup_pairs_incremental(day2, store).collect()} == {11}
+
+
+def test_prepare_pairs_with_store_two_drops(spark, tmp_path):
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    store = ExactHashStore(
+        spark, "pair_front_store_t", n_buckets=4,
+        path=str(tmp_path / "pair_front_store_t"),
+    )
+    day1 = spark.createDataFrame(
+        [(1, msgs(("user", "q")), "good", "bad")], PAIR_SCHEMA
+    )
+    res1 = P.prepare_preference_corpus(
+        day1, dedup_store=store, shuffle_seed=None, length_bias=False
+    )
+    assert res1.pairs.count() == 1
+    res1.store_commit()
+    day2 = spark.createDataFrame(
+        [
+            (10, msgs(("user", "Q")), "GOOD", "bad"),   # store dup
+            (11, msgs(("user", "q2")), "fine", "meh"),
+        ],
+        PAIR_SCHEMA,
+    )
+    res2 = P.prepare_preference_corpus(
+        day2, dedup_store=store, shuffle_seed=None, length_bias=False
+    )
+    assert {r["pair_id"] for r in res2.pairs.collect()} == {11}

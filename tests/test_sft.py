@@ -572,3 +572,33 @@ def test_decontaminate_conversations(spark):
     res = sft.prepare_sft_corpus(convs, benchmark=bench, contamination_n=8)
     assert {r["conv_id"] for r in res.convs.collect()} == {3}
     assert res.audit["decontaminated"] == 1
+
+
+def test_prepare_sft_with_store_two_drops(spark, tmp_path):
+    """prepare_sft_corpus(dedup_store=...): cross-drop dedup through the
+    persistent store, commit deferred until the caller invokes it."""
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    store = ExactHashStore(
+        spark, "sft_front_store_t", n_buckets=4,
+        path=str(tmp_path / "sft_front_store_t"),
+    )
+    day1 = spark.createDataFrame(
+        [(1, conv(("user", "alpha"), ("assistant", "a")))], CONV_SCHEMA
+    )
+    res1 = sft.prepare_sft_corpus(day1, dedup_store=store, shuffle_seed=None)
+    assert res1.convs.count() == 1 and res1.audit["deduped"] == 1
+    # store not committed yet: the same drop still passes
+    assert sft.prepare_sft_corpus(
+        day1, dedup_store=store, shuffle_seed=None
+    ).convs.count() == 1
+    res1.store_commit()
+    day2 = spark.createDataFrame(
+        [
+            (10, conv(("user", "ALPHA"), ("assistant", "A"))),  # store dup
+            (11, conv(("user", "beta"), ("assistant", "b"))),
+        ],
+        CONV_SCHEMA,
+    )
+    res2 = sft.prepare_sft_corpus(day2, dedup_store=store, shuffle_seed=None)
+    assert {r["conv_id"] for r in res2.convs.collect()} == {11}

@@ -440,6 +440,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--allow-user-last", action="store_true",
                     help="keep conversations ending on a user turn")
     ps.add_argument("--no-dedup", action="store_true")
+    ps.add_argument("--dedup-store-table", default=None,
+                    help="persistent hash-store table: this run dedups "
+                         "against all previously-accepted conversations "
+                         "and records its survivors (daily-drop mode; "
+                         "store committed only after the output write)")
+    ps.add_argument("--dedup-store-path", default=None)
+    ps.add_argument("--dedup-store-buckets", type=int, default=64)
     ps.add_argument("--benchmark", default=None,
                     help="benchmark parquet: drop conversations sharing "
                          "n-grams with it (any turn's content screened)")
@@ -467,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--corrupt-out", default=None)
     pp.add_argument("--template", choices=["chatml", "plain"], default="chatml")
     pp.add_argument("--no-dedup", action="store_true")
+    pp.add_argument("--dedup-store-table", default=None,
+                    help="persistent hash-store table for cross-drop "
+                         "pair dedup (committed after the output write)")
+    pp.add_argument("--dedup-store-path", default=None)
+    pp.add_argument("--dedup-store-buckets", type=int, default=64)
     pp.add_argument("--keep-contradictions", action="store_true",
                     help="keep both sides of opposite-orientation pairs")
     pp.add_argument("--max-per-prompt", type=int, default=None,
@@ -804,6 +816,15 @@ def run(args, spark) -> int:
         else:
             convs = spark.read.parquet(args.input)
         vocab = spark.read.parquet(args.vocab) if args.vocab else None
+        dedup_store = None
+        if args.dedup_store_table:
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            dedup_store = ExactHashStore(
+                spark, args.dedup_store_table,
+                n_buckets=args.dedup_store_buckets,
+                path=args.dedup_store_path,
+            )
         res = sft.prepare_sft_corpus(
             convs,
             template=args.template,
@@ -811,6 +832,7 @@ def run(args, spark) -> int:
             require_alternation=not args.no_alternation,
             require_assistant_last=not args.allow_user_last,
             dedup=not args.no_dedup,
+            dedup_store=dedup_store,
             benchmark=(
                 spark.read.parquet(args.benchmark) if args.benchmark else None
             ),
@@ -820,6 +842,8 @@ def run(args, spark) -> int:
             vocab=vocab,
         )
         res.convs.write.mode("overwrite").parquet(args.output)
+        if res.store_commit is not None:
+            res.store_commit()  # only after the output is durably written
         if args.rejects_out:
             res.rejects.write.mode("overwrite").parquet(args.rejects_out)
         if res.encoded is not None:
@@ -838,10 +862,20 @@ def run(args, spark) -> int:
                 corrupt.write.mode("overwrite").parquet(args.corrupt_out)
         else:
             pairs = spark.read.parquet(args.input)
+        dedup_store = None
+        if args.dedup_store_table:
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            dedup_store = ExactHashStore(
+                spark, args.dedup_store_table,
+                n_buckets=args.dedup_store_buckets,
+                path=args.dedup_store_path,
+            )
         res = preference.prepare_preference_corpus(
             pairs,
             template=args.template,
             dedup=not args.no_dedup,
+            dedup_store=dedup_store,
             drop_contradictions=not args.keep_contradictions,
             max_per_prompt=args.max_per_prompt,
             benchmark=(
@@ -852,6 +886,8 @@ def run(args, spark) -> int:
             audit=not args.no_audit,
         )
         res.pairs.write.mode("overwrite").parquet(args.output)
+        if res.store_commit is not None:
+            res.store_commit()  # only after the output is durably written
         if args.rejects_out:
             res.rejects.write.mode("overwrite").parquet(args.rejects_out)
         for stage, n in res.audit.items():

@@ -435,6 +435,7 @@ class PreferenceResult:
     audit: dict = field(default_factory=dict)
     length_bias: dict | None = None
     contradictions: DataFrame | None = None  # (id_a, id_b) dropped pairs
+    store_commit: object | None = None       # call AFTER writing output
 
 
 def prepare_preference_corpus(
@@ -447,6 +448,7 @@ def prepare_preference_corpus(
     allowed_roles: tuple = DEFAULT_ROLES,
     require_alternation: bool = True,
     dedup: bool = True,
+    dedup_store=None,
     drop_contradictions: bool = True,
     max_per_prompt: int | None = None,
     benchmark: DataFrame | None = None,
@@ -479,7 +481,21 @@ def prepare_preference_corpus(
         ).first()
         counts["input"] = int(row["n"])
         counts["valid"] = int(row["v"] or 0)
-    if dedup:
+    store_commit = None
+    if dedup and dedup_store is not None:
+        # daily-drop mode — see dedup_pairs_incremental; commit deferred
+        # into the result (call result.store_commit() after the output
+        # is durably written)
+        accepted, store_commit = dedup_pairs_incremental(
+            cur, dedup_store, id_col=id_col, defer_commit=True, **kw
+        )
+        cur = cur.join(
+            accepted.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        if audit:
+            cur = cur.persist()
+            counts["deduped"] = cur.count()
+    elif dedup:
         cur = dedup_pairs(cur, id_col=id_col, **kw)
         if audit:
             cur = cur.persist()
@@ -513,5 +529,5 @@ def prepare_preference_corpus(
         cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
     return PreferenceResult(
         pairs=cur, rejects=rejects, audit=counts, length_bias=bias,
-        contradictions=both,
+        contradictions=both, store_commit=store_commit,
     )

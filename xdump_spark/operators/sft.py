@@ -613,6 +613,7 @@ class SFTResult:
     rejects: DataFrame                   # (id, reason) for invalid rows
     audit: dict = field(default_factory=dict)
     encoded: DataFrame | None = None     # (id, input_ids, loss_mask) if vocab
+    store_commit: object | None = None   # call AFTER writing output (store)
 
 
 def prepare_sft_corpus(
@@ -624,6 +625,7 @@ def prepare_sft_corpus(
     require_alternation: bool = True,
     require_assistant_last: bool = True,
     dedup: bool = True,
+    dedup_store=None,
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
     shuffle_seed: int | None = 0,
@@ -662,7 +664,24 @@ def prepare_sft_corpus(
         ).first()
         counts["input"] = int(row["n"])
         counts["valid"] = int(row["v"] or 0)
-    if dedup:
+    store_commit = None
+    if dedup and dedup_store is not None:
+        # daily-drop mode: dedup against ALL prior increments via the
+        # persistent store; the commit is DEFERRED into the result —
+        # call result.store_commit() after the output is durably
+        # written, or a crash in between poisons the store (the same
+        # write-output-then-commit order streaming_sft_ingest enforces)
+        accepted, store_commit = dedup_conversations_incremental(
+            cur, dedup_store, conv_col=conv_col, id_col=id_col,
+            defer_commit=True,
+        )
+        cur = cur.join(
+            accepted.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        if audit:
+            cur = cur.persist()
+            counts["deduped"] = cur.count()
+    elif dedup:
         cur = dedup_conversations(cur, conv_col=conv_col, id_col=id_col)
         if audit:
             # the deduped count would otherwise re-run the fingerprint
@@ -689,4 +708,7 @@ def prepare_sft_corpus(
         if vocab is not None
         else None
     )
-    return SFTResult(convs=cur, rejects=rejects, audit=counts, encoded=encoded)
+    return SFTResult(
+        convs=cur, rejects=rejects, audit=counts, encoded=encoded,
+        store_commit=store_commit,
+    )
