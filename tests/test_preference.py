@@ -327,3 +327,53 @@ def test_prepare_pairs_with_store_two_drops(spark, tmp_path):
         day2, dedup_store=store, shuffle_seed=None, length_bias=False
     )
     assert {r["pair_id"] for r in res2.pairs.collect()} == {11}
+
+
+def test_pairs_from_message_lists(spark):
+    """HF-style full-message-list records convert to the standard shape;
+    shape problems are flagged, canonical prefix comparison ignores
+    whitespace/case but not roles or content."""
+    LIST_SCHEMA = (
+        "pair_id long, chosen array<struct<role:string,content:string>>, "
+        "rejected array<struct<role:string,content:string>>"
+    )
+    rows = [
+        # clean: shared prompt, different final assistant turns
+        (1,
+         msgs(("system", "be kind"), ("user", "hi"), ("assistant", "hello!")),
+         msgs(("system", "be kind"), ("user", "hi"), ("assistant", "yo"))),
+        # whitespace/case prefix difference -> still a match
+        (2,
+         msgs(("user", "What  Is 2+2"), ("assistant", "4")),
+         msgs(("user", "what is 2+2"), ("assistant", "5"))),
+        # prefix CONTENT differs -> mismatch
+        (3,
+         msgs(("user", "q1"), ("assistant", "a")),
+         msgs(("user", "q2"), ("assistant", "b"))),
+        # rejected ends on a user turn
+        (4,
+         msgs(("user", "q"), ("assistant", "a")),
+         msgs(("user", "q"), ("assistant", "a"), ("user", "more"))),
+        # empty list
+        (5, msgs(("user", "q"), ("assistant", "a")), []),
+    ]
+    df = spark.createDataFrame(rows, LIST_SCHEMA)
+    out = {r["pair_id"]: r for r in P.pairs_from_message_lists(df).collect()}
+    assert out[1]["shape_reason"] is None
+    assert [m["role"] for m in out[1]["prompt"]] == ["system", "user"]
+    assert (out[1]["chosen"], out[1]["rejected"]) == ("hello!", "yo")
+    assert out[2]["shape_reason"] is None
+    assert out[2]["chosen"] == "4" and out[2]["rejected"] == "5"
+    assert out[3]["shape_reason"] == "prompt_mismatch"
+    assert out[3]["prompt"] is None
+    assert out[4]["shape_reason"] == "no_final_assistant"
+    assert out[5]["shape_reason"] == "empty_messages"
+    # the clean rows flow straight into the standard front door
+    clean = P.pairs_from_message_lists(df).filter(
+        "shape_reason is null").drop("shape_reason")
+    res = P.prepare_preference_corpus(clean, shuffle_seed=None, length_bias=False)
+    assert {r["pair_id"] for r in res.pairs.collect()} == {1, 2}
+    # pure codegen
+    plan = P.pairs_from_message_lists(df)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

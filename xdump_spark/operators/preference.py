@@ -79,6 +79,60 @@ def read_preference_jsonl(
     return read_jsonl_corpus(spark, path, schema or PREFERENCE_SCHEMA)
 
 
+def pairs_from_message_lists(
+    df: DataFrame,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Convert the OTHER common preference interchange — ``chosen`` /
+    ``rejected`` as FULL message lists (shared prompt turns + one final
+    assistant turn each, the HF-datasets convention) — into the engine's
+    standard (prompt, chosen, rejected) shape. Adds ``shape_reason``
+    (null when converted cleanly): ``empty_messages`` (either list
+    empty/NULL), ``no_final_assistant`` (either list's last turn is not
+    an assistant turn), ``prompt_mismatch`` (the two prefixes differ
+    under the canonical transcript — whitespace/case differences do NOT
+    mismatch, role or content changes do; a mismatched record has no
+    well-defined prompt, so prompt is NULL). Pure codegen, one Project —
+    filter on ``shape_reason IS NULL`` before :func:`validate_pairs`."""
+    ch, rj = F.col(chosen_col), F.col(rejected_col)
+
+    def prefix(c: Column) -> Column:
+        return F.slice(c, 1, F.size(c) - 1)
+
+    def last_is_assistant(c: Column) -> Column:
+        return F.coalesce(
+            F.element_at(c, -1)["role"] == "assistant", F.lit(False)
+        )
+
+    empty = (
+        ch.isNull() | rj.isNull() | (F.size(ch) == 0) | (F.size(rj) == 0)
+    )
+    mismatch = canonical_transcript(prefix(ch)) != canonical_transcript(
+        prefix(rj)
+    )
+    reason = (
+        F.when(empty, "empty_messages")
+        .when(~last_is_assistant(ch) | ~last_is_assistant(rj), "no_final_assistant")
+        .when(mismatch, "prompt_mismatch")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = df.withColumn("shape_reason", reason)
+    keep = [c for c in df.columns if c not in (chosen_col, rejected_col)]
+    return out.select(
+        *keep,
+        F.when(F.col("shape_reason").isNull(), prefix(ch)).alias("prompt"),
+        F.when(
+            F.col("shape_reason").isNull(), F.element_at(ch, -1)["content"]
+        ).alias(chosen_col),
+        F.when(
+            F.col("shape_reason").isNull(), F.element_at(rj, -1)["content"]
+        ).alias(rejected_col),
+        "shape_reason",
+    )
+
+
 def _blank(c: Column) -> Column:
     return c.isNull() | (F.trim(c) == "")
 
