@@ -1,0 +1,180 @@
+"""Strip-chunked SemDeDup cell kernels: equivalence to the naive
+full-matrix formulation, and the r7-verdict memory bound — a crafted
+near-``max_cell`` cell must complete under a pinned task-memory budget
+(the old kernel allocated |cell|² float64 = 7.2 GB at n=30k; the strip
+kernel must stay under 256 MiB of traced allocations).
+
+No SparkSession: the kernels are module-level numpy functions exactly so
+this test can pin their peak memory without executor indirection.
+"""
+from __future__ import annotations
+
+import tracemalloc
+
+import numpy as np
+import pytest
+
+from xdump_spark.operators.similarity import (
+    _STRIP_BYTES,
+    _incremental_semantic_cell_kernel,
+    _semantic_cell_kernel,
+    _strip_rows,
+)
+
+
+def _naive_components(M: np.ndarray, thr: float) -> list[int]:
+    """Reference union-find over the FULL cosine matrix (what the
+    pre-r8 kernel built) — root label per row."""
+    norms = np.sqrt((M * M).sum(axis=1))
+    S = (M @ M.T) / np.outer(norms, norms)
+    n = len(M)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(*np.nonzero(np.triu(S >= thr, k=1))):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    return [find(i) for i in range(n)]
+
+
+def _mk_cell(n: int, d: int, n_groups: int, seed: int) -> np.ndarray:
+    """n vectors in ``n_groups`` tight duplicate clusters + noise."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_groups, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    M = base[rng.integers(0, n_groups, size=n)]
+    M = M + rng.normal(scale=1e-3, size=(n, d))
+    return M
+
+
+def test_strip_rows_budget():
+    assert _strip_rows(50_000) == _STRIP_BYTES // (50_000 * 8)
+    assert _strip_rows(1) == _STRIP_BYTES // 8
+    assert _strip_rows(10**12) == 1  # never zero
+
+
+@pytest.mark.parametrize("strip_bytes", [256, 4096, _STRIP_BYTES])
+def test_semantic_kernel_matches_naive(strip_bytes):
+    """Any strip size (incl. 1-row strips) yields the naive result."""
+    M = _mk_cell(n=300, d=6, n_groups=40, seed=7)
+    ids = np.random.default_rng(1).permutation(300)
+    center = M.mean(axis=0)
+    cnorm = float(np.linalg.norm(center))
+    thr = 0.999
+    csim, surv = _semantic_cell_kernel(
+        M, ids, thr, center, cnorm, by_sim=True, strip_bytes=strip_bytes
+    )
+    roots = _naive_components(M, thr)
+    # exactly one survivor per component, and it is the (csim, id) min
+    comp: dict = {}
+    for i, r in enumerate(roots):
+        comp.setdefault(r, []).append(i)
+    assert surv.sum() == len(comp)
+    for members in comp.values():
+        want = min(members, key=lambda i: (csim[i], ids[i]))
+        assert surv[want]
+        assert sum(surv[i] for i in members) == 1
+    # min_id mode picks the min-id member instead
+    _, surv_id = _semantic_cell_kernel(
+        M, ids, thr, center, cnorm, by_sim=False, strip_bytes=strip_bytes
+    )
+    for members in comp.values():
+        want = min(members, key=lambda i: ids[i])
+        assert surv_id[want]
+
+
+@pytest.mark.parametrize("strip_bytes", [256, _STRIP_BYTES])
+def test_incremental_kernel_matches_naive(strip_bytes):
+    M = _mk_cell(n=400, d=6, n_groups=60, seed=11)
+    ids = np.arange(1000, 1400)
+    new_mask = np.zeros(400, dtype=bool)
+    new_mask[::2] = True  # interleave new/stored
+    thr = 0.999
+    rows = _incremental_semantic_cell_kernel(
+        M, ids, new_mask, thr, strip_bytes=strip_bytes
+    )
+    # reference decision: component over new-new edges; taint by stored
+    norms = np.sqrt((M * M).sum(axis=1))
+    S = (M @ M.T) / np.outer(norms, norms)
+    np.fill_diagonal(S, 0.0)
+    new_i = np.nonzero(new_mask)[0]
+    old_i = np.nonzero(~new_mask)[0]
+    roots = _naive_components(M[new_i], thr)
+    comp: dict = {}
+    for li, r in enumerate(roots):
+        comp.setdefault(r, []).append(li)
+    by_id = {d: (k, s) for d, k, s in zip(
+        rows["dup_id"], rows["kept_id"], rows["_surv"]
+    )}
+    assert len(by_id) == len(new_i)
+    for members in comp.values():
+        gids = [ids[new_i[li]] for li in members]
+        tainted = any(
+            S[new_i[li], old_i].max() >= thr for li in members if len(old_i)
+        )
+        if tainted:
+            assert not any(by_id[g][1] for g in gids)
+            # kept_id is a stored id
+            for g in gids:
+                assert by_id[g][0] in set(ids[old_i])
+        else:
+            survs = [g for g in gids if by_id[g][1]]
+            assert survs == [min(gids)]
+            for g in gids:
+                assert by_id[g][0] == min(gids)
+    # est evidence matches the naive max edge (rounded)
+    est_by_id = dict(zip(rows["dup_id"], rows["est"]))
+    for li, gi in enumerate(new_i):
+        other_new = np.setdiff1d(new_i, [gi])
+        cand = [0.0]
+        if len(other_new):
+            cand.append(S[gi, other_new].max())
+        if len(old_i):
+            cand.append(S[gi, old_i].max())
+        assert est_by_id[ids[gi]] == pytest.approx(
+            round(float(max(cand)), 6), abs=1e-6
+        )
+
+
+MEM_BUDGET = 256 * 1024 * 1024  # the pinned task-memory bound (bytes)
+
+
+def test_semantic_kernel_memory_bounded_near_cap():
+    """r7 verdict #1 'done' gate: a crafted cell near the max_cell
+    default completes under a pinned memory budget. n=30k would have
+    been a 7.2 GB |cell|² allocation in the pre-r8 kernel."""
+    n = 30_000
+    M = _mk_cell(n=n, d=8, n_groups=n // 2, seed=3)
+    ids = np.arange(n)
+    center = M.mean(axis=0)
+    cnorm = float(np.linalg.norm(center))
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    csim, surv = _semantic_cell_kernel(
+        M, ids, 0.999, center, cnorm, by_sim=True
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < MEM_BUDGET, f"peak {peak/2**20:.0f} MiB over budget"
+    assert len(csim) == n and 0 < surv.sum() <= n
+
+
+def test_incremental_kernel_memory_bounded_near_cap():
+    n = 30_000
+    M = _mk_cell(n=n, d=8, n_groups=n // 2, seed=5)
+    ids = np.arange(n)
+    new_mask = np.zeros(n, dtype=bool)
+    new_mask[: n // 2] = True
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    rows = _incremental_semantic_cell_kernel(M, ids, new_mask, 0.999)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < MEM_BUDGET, f"peak {peak/2**20:.0f} MiB over budget"
+    assert len(rows["dup_id"]) == n // 2

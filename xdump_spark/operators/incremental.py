@@ -859,6 +859,7 @@ def incremental_semantic_dedup(
     max_cell: int = 50_000,
     seed: int = 42,
     defer_commit: bool = False,
+    strip_bytes: int | None = None,
 ) -> IncrementResult:
     """One SEMANTIC dedup increment: accept a new vector iff its
     duplicate cluster (cosine ≥ ``threshold``, within its centroid
@@ -871,11 +872,16 @@ def incremental_semantic_dedup(
     (one Arrow matmul pass, ``similarity.ivf_assign``); read only the
     touched cells of the history (partition-pruned — the store never
     rescans); one groupBy(cell) → applyInPandas kernel does the
-    new-vs-stored and new-vs-new cosine + union-find per cell. Nothing
-    is ever collected; ``rejects`` is a DataFrame (dup_id, kept_id,
-    est) where ``est`` is the doc's best direct cosine edge. A cell
-    whose COMBINED new+stored membership exceeds ``max_cell`` raises
-    with retrain guidance (``VectorStore.index()`` + ``ivf_balance``).
+    new-vs-stored and new-vs-new cosine + union-find per cell. The
+    kernel is strip-chunked (``similarity._incremental_semantic_cell_
+    kernel``): it never materializes the (new+stored)² cosine matrix —
+    per-task peak is the |cell|×dim input plus one ≤ ``strip_bytes``
+    float64 strip, at ANY admitted cell size. Nothing is ever
+    collected; ``rejects`` is a DataFrame (dup_id, kept_id, est) where
+    ``est`` is the doc's best direct cosine edge. A cell whose COMBINED
+    new+stored membership exceeds ``max_cell`` (a per-task COMPUTE
+    bound, not a memory bound) raises with retrain guidance
+    (``ivf_balance`` + :meth:`VectorStore.retrain`).
 
     First increment: fits KMeans on the batch itself and writes the
     store (centroids frozen from then on). ``defer_commit`` as in the
@@ -886,15 +892,19 @@ def incremental_semantic_dedup(
     from xdump_spark.operators.similarity import (
         _as_double,
         _id_type,
+        _incremental_semantic_cell_kernel,
         _matrix,
         _norm_udf,
-        _norms,
         ivf_assign,
         ivf_build,
     )
     import numpy as np
     import pandas as pd
 
+    if strip_bytes is None:
+        from xdump_spark.operators.similarity import _STRIP_BYTES
+
+        strip_bytes = _STRIP_BYTES
     spark = new_vectors.sparkSession
     if store.exists():
         centers = store.centers()
@@ -928,7 +938,7 @@ def incremental_semantic_dedup(
         else new_tagged
     )
 
-    thr, mc = float(threshold), int(max_cell)
+    thr, mc, sb = float(threshold), int(max_cell), int(strip_bytes)
     idt = _id_type(new_vectors, id_col)
     out_schema = (
         f"dup_id {idt}, kept_id {idt}, est double, _surv boolean"
@@ -941,7 +951,7 @@ def incremental_semantic_dedup(
                 f"incremental_semantic_dedup: cell {key[0]} holds {n} "
                 f"(new+stored) vectors > max_cell={mc}; the centroid set "
                 "has drifted or is too coarse — check "
-                "ivf_balance(store.index()) and retrain with more cells"
+                "ivf_balance(store.index()) and store.retrain(n_cells)"
             )
         new_mask = pdf["_new"].to_numpy()
         if not new_mask.any():
@@ -950,76 +960,7 @@ def incremental_semantic_dedup(
             )
         M = _matrix(pdf["cv"])
         ids = pdf["neighbor_id"].to_numpy()
-        norms = _norms(M)
-        S = (M @ M.T) / np.outer(norms, norms)
-        np.fill_diagonal(S, 0.0)
-        new_i = np.nonzero(new_mask)[0]
-        old_i = np.nonzero(~new_mask)[0]
-
-        # union-find over new-new >= thr edges
-        pos = {gi: li for li, gi in enumerate(new_i)}
-        parent = np.arange(len(new_i))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        nn = S[np.ix_(new_i, new_i)]
-        for a, b in zip(*np.nonzero(np.triu(nn >= thr, k=1))):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-
-        # store taint: best stored hit per new vector, then per cluster
-        best_old = np.full(len(new_i), -1)
-        best_old_sim = np.zeros(len(new_i))
-        if len(old_i):
-            no = S[np.ix_(new_i, old_i)]
-            j = np.argmax(no, axis=1)
-            best_old_sim = no[np.arange(len(new_i)), j]
-            best_old = np.where(best_old_sim >= thr, old_i[j], -1)
-        taint: dict = {}
-        for li in range(len(new_i)):
-            if best_old[li] >= 0:
-                r = find(li)
-                cur = taint.get(r)
-                cand = (-best_old_sim[li], ids[best_old[li]])
-                if cur is None or cand < cur:
-                    taint[r] = cand
-
-        # survivor per untainted cluster: min id
-        surv_of: dict = {}
-        order = np.argsort(ids[new_i], kind="stable")
-        for li in order:
-            r = find(li)
-            if r not in taint and r not in surv_of:
-                surv_of[r] = ids[new_i[li]]
-
-        # best direct edge evidence (new-new or new-stored)
-        nn_best = nn.max(axis=1) if len(new_i) > 1 else np.zeros(len(new_i))
-        ev = np.maximum(nn_best, best_old_sim)
-
-        rows = {"dup_id": [], "kept_id": [], "est": [], "_surv": []}
-        for li in range(len(new_i)):
-            gid = ids[new_i[li]]
-            r = find(li)
-            if r in taint:
-                rows["dup_id"].append(gid)
-                rows["kept_id"].append(taint[r][1])
-                rows["est"].append(round(float(ev[li]), 6))
-                rows["_surv"].append(False)
-            elif surv_of[r] == gid:
-                rows["dup_id"].append(gid)
-                rows["kept_id"].append(gid)
-                rows["est"].append(round(float(ev[li]), 6))
-                rows["_surv"].append(True)
-            else:
-                rows["dup_id"].append(gid)
-                rows["kept_id"].append(surv_of[r])
-                rows["est"].append(round(float(ev[li]), 6))
-                rows["_surv"].append(False)
+        rows = _incremental_semantic_cell_kernel(M, ids, new_mask, thr, sb)
         return pd.DataFrame(rows)
 
     verdicts = both.groupBy("cell").applyInPandas(kernel, out_schema)

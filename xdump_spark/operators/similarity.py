@@ -137,6 +137,170 @@ def _id_type(df: DataFrame, col: str) -> str:
     return df.schema[col].dataType.simpleString()
 
 
+# -- strip-chunked per-cell cosine kernels ----------------------------------
+#
+# A cell of n vectors must NEVER materialize the n x n cosine matrix: at
+# the max_cell=50k default that is a 20 GB float64 allocation in ONE task
+# (an executor OOM long before any guard can raise). Both SemDeDup
+# kernels instead walk the matrix in row STRIPS of at most _STRIP_BYTES:
+# peak per task = the |cell| x dim input matrix + one float64 strip + its
+# boolean mask — identical results (same edges, same union-find
+# components, same evidence maxima), bounded memory at any admitted cell
+# size. max_cell therefore bounds per-task COMPUTE (O(|cell|^2 * dim)
+# flops), not memory; the raise guidance stays "raise n_cells".
+
+_STRIP_BYTES = 64 * 1024 * 1024
+
+
+def _strip_rows(n_cols: int, strip_bytes: int = _STRIP_BYTES) -> int:
+    """Rows per cosine strip so one float64 strip stays <= strip_bytes."""
+    return max(1, int(strip_bytes) // max(1, int(n_cols) * 8))
+
+
+def _uf_find(parent: np.ndarray, a: int) -> int:
+    while parent[a] != a:
+        parent[a] = parent[parent[a]]
+        a = parent[a]
+    return a
+
+
+def _semantic_cell_kernel(
+    M: np.ndarray,
+    ids: np.ndarray,
+    thr: float,
+    center: np.ndarray,
+    cnorm: float,
+    by_sim: bool,
+    strip_bytes: int = _STRIP_BYTES,
+):
+    """Within-cell SemDeDup: union-find over cosine >= thr pairs (strict
+    upper triangle), one survivor per component ((centroid_sim, id)
+    lexsort when ``by_sim`` else min id). Returns (csim, is_survivor).
+
+    Strip-chunked: never allocates the |cell|^2 matrix — each strip is
+    <= ``strip_bytes`` of float64 plus a same-shape boolean mask."""
+    n = len(ids)
+    norms = _norms(M)
+    csim = np.round((M @ center) / (norms * cnorm), 6)
+    Mn = M / norms[:, None]
+    parent = np.arange(n)
+    cols = np.arange(n)
+    step = _strip_rows(n, strip_bytes)
+    for i0 in range(0, n, step):
+        i1 = min(n, i0 + step)
+        S = Mn[i0:i1] @ Mn.T
+        hit = S >= thr
+        hit &= cols[None, :] > np.arange(i0, i1)[:, None]
+        for a, b in zip(*np.nonzero(hit)):
+            ra, rb = _uf_find(parent, i0 + int(a)), _uf_find(parent, int(b))
+            if ra != rb:
+                parent[rb] = ra
+    roots = np.array([_uf_find(parent, i) for i in range(n)])
+    order = np.lexsort((ids, csim)) if by_sim else np.lexsort((ids,))
+    survivor = np.zeros(n, dtype=bool)
+    seen: set = set()
+    for i in order:
+        r = roots[i]
+        if r not in seen:
+            seen.add(r)
+            survivor[i] = True
+    return csim, survivor
+
+
+def _incremental_semantic_cell_kernel(
+    M: np.ndarray,
+    ids: np.ndarray,
+    new_mask: np.ndarray,
+    thr: float,
+    strip_bytes: int = _STRIP_BYTES,
+):
+    """One cell of :func:`incremental_semantic_dedup`: union-find over
+    new-new cosine >= thr edges, store-taint via the best new-stored hit,
+    min-id survivor per untainted cluster. Returns the verdict columns
+    (dup_id, kept_id, est, _surv) as a dict of lists.
+
+    Strip-chunked over the NEW rows: per strip one (strip x n_new) and
+    one (strip x n_stored) float64 block, each <= ``strip_bytes`` — the
+    full (new+stored)^2 matrix is never built. Self-similarity entries
+    are set to 0.0 (not masked out), matching the reference formulation
+    where the diagonal is zeroed: evidence ``est`` is therefore >= 0."""
+    new_i = np.nonzero(new_mask)[0]
+    old_i = np.nonzero(~new_mask)[0]
+    k = len(new_i)
+    n = len(ids)
+    norms = _norms(M)
+    Mn = M / norms[:, None]
+    N = Mn[new_i]
+    O = Mn[old_i] if len(old_i) else None
+
+    parent = np.arange(k)
+    nn_best = np.zeros(k)
+    best_old_sim = np.zeros(k)
+    best_old = np.full(k, -1)
+    new_cols = np.arange(k)
+    step = _strip_rows(n, strip_bytes)
+    for s0 in range(0, k, step):
+        s1 = min(k, s0 + step)
+        Ns = N[s0:s1]
+        rows_g = np.arange(s0, s1)
+        Snn = Ns @ N.T
+        Snn[np.arange(s1 - s0), rows_g] = 0.0  # zero self, as fill_diagonal did
+        if k > 1:
+            nn_best[s0:s1] = Snn.max(axis=1)
+        hit = Snn >= thr
+        hit &= new_cols[None, :] > rows_g[:, None]
+        for a, b in zip(*np.nonzero(hit)):
+            ra, rb = _uf_find(parent, s0 + int(a)), _uf_find(parent, int(b))
+            if ra != rb:
+                parent[rb] = ra
+        if O is not None:
+            Sno = Ns @ O.T
+            j = np.argmax(Sno, axis=1)
+            sims = Sno[np.arange(s1 - s0), j]
+            best_old_sim[s0:s1] = sims
+            best_old[s0:s1] = np.where(sims >= thr, old_i[j], -1)
+
+    # store taint: best stored hit per cluster ((-sim, stored_id) min)
+    taint: dict = {}
+    for li in range(k):
+        if best_old[li] >= 0:
+            r = _uf_find(parent, li)
+            cur = taint.get(r)
+            cand = (-best_old_sim[li], ids[best_old[li]])
+            if cur is None or cand < cur:
+                taint[r] = cand
+
+    # survivor per untainted cluster: min id
+    surv_of: dict = {}
+    order = np.argsort(ids[new_i], kind="stable")
+    for li in order:
+        r = _uf_find(parent, li)
+        if r not in taint and r not in surv_of:
+            surv_of[r] = ids[new_i[li]]
+
+    ev = np.maximum(nn_best, best_old_sim)
+    rows: dict = {"dup_id": [], "kept_id": [], "est": [], "_surv": []}
+    for li in range(k):
+        gid = ids[new_i[li]]
+        r = _uf_find(parent, li)
+        if r in taint:
+            rows["dup_id"].append(gid)
+            rows["kept_id"].append(taint[r][1])
+            rows["est"].append(round(float(ev[li]), 6))
+            rows["_surv"].append(False)
+        elif surv_of[r] == gid:
+            rows["dup_id"].append(gid)
+            rows["kept_id"].append(gid)
+            rows["est"].append(round(float(ev[li]), 6))
+            rows["_surv"].append(True)
+        else:
+            rows["dup_id"].append(gid)
+            rows["kept_id"].append(surv_of[r])
+            rows["est"].append(round(float(ev[li]), 6))
+            rows["_surv"].append(False)
+    return rows
+
+
 def _finish_topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -727,6 +891,7 @@ def semantic_dedup(
     keep: str = "low_centroid_sim",
     seed: int = 42,
     index: "IVFIndex | None" = None,
+    strip_bytes: int = _STRIP_BYTES,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): embedding-space semantic
     dedup — KMeans-cluster the corpus, find cosine-≥ ``threshold`` pairs
@@ -748,10 +913,15 @@ def semantic_dedup(
     Scale shape (the paper's own trick, Spark-native): clustering makes
     the O(n²) pair problem O(Σ|cell|²) and pairs NEVER cross cells, so
     everything after assignment is ONE groupBy(cell) → applyInPandas —
-    per-cell BLAS matmul + union-find, no distributed components pass,
-    no pair frame. At 100 TB raise ``n_cells`` (the paper runs 50 k) so
-    cells bound task memory; a cell over ``max_cell`` raises with that
-    guidance rather than OOMing a task. Centroid fit/assignment reuses
+    per-cell strip-chunked BLAS cosine + union-find, no distributed
+    components pass, no pair frame. Per-task memory is BOUNDED at any
+    admitted cell size: the kernel never materializes the |cell|² cosine
+    matrix — it walks it in row strips of ≤ ``strip_bytes`` float64
+    (peak ≈ the |cell|×dim input + one strip + its boolean mask, ~200 MB
+    at the defaults). ``max_cell`` therefore bounds per-task COMPUTE
+    (O(|cell|²·dim) flops); at 100 TB raise ``n_cells`` (the paper runs
+    50 k) so a cell over ``max_cell`` raises with that guidance rather
+    than monopolizing a task. Centroid fit/assignment reuses
     :func:`ivf_build` (or pass a prebuilt/loaded ``index`` — e.g. from
     ``ivf_read`` — to skip the fit).
 
@@ -798,6 +968,7 @@ def semantic_dedup(
         f"{id_col} {id_type}, cell int, centroid_sim double, is_survivor boolean"
     )
     thr, mc, by_sim = float(threshold), int(max_cell), keep == "low_centroid_sim"
+    sb = int(strip_bytes)
 
     def dedup_cell(key, pdf):
         n = len(pdf)
@@ -809,36 +980,9 @@ def semantic_dedup(
             )
         M = _matrix(pdf["cv"])
         ids = pdf["neighbor_id"].to_numpy()
-        norms = _norms(M)
-        c = centers[key[0]]
-        csim = np.round((M @ c) / (norms * cnorm[key[0]]), 6)
-        # union-find over >= threshold pairs (upper triangle)
-        S = (M @ M.T) / np.outer(norms, norms)
-        parent = np.arange(n)
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        ii, jj = np.nonzero(np.triu(S >= thr, k=1))
-        for a, b in zip(ii, jj):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-        roots = np.array([find(i) for i in range(n)])
-        # survivor per component: (centroid_sim asc | id asc), id tie-break
-        order = (
-            np.lexsort((ids, csim)) if by_sim else np.lexsort((ids,))
+        csim, survivor = _semantic_cell_kernel(
+            M, ids, thr, centers[key[0]], cnorm[key[0]], by_sim, sb
         )
-        survivor = np.zeros(n, dtype=bool)
-        seen: set = set()
-        for i in order:
-            r = roots[i]
-            if r not in seen:
-                seen.add(r)
-                survivor[i] = True
         return pd.DataFrame(
             {
                 id_col: ids,
