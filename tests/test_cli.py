@@ -529,6 +529,40 @@ def test_cli_prepare_pairs(spark, tmp_path, capsys):
     assert row["text_chosen"].endswith("alpha beta<|im_end|>\n")
 
 
+def test_cli_prepare_pairs_from_ratings(spark, tmp_path, capsys):
+    import json
+
+    from xdump_spark import cli
+
+    src = tmp_path / "ratings.jsonl"
+    rows = [
+        {"prompt": "pick one", "response": "alpha", "rating": 4.0,
+         "source": "a"},
+        {"prompt": "pick one", "response": "beta", "rating": 1.0,
+         "source": "a"},
+        {"prompt": "pick one", "response": "gamma", "rating": 3.0,
+         "source": "a"},
+        {"prompt": "tied", "response": "x", "rating": 2.0, "source": "a"},
+        {"prompt": "tied", "response": "y", "rating": 2.0, "source": "a"},
+    ]
+    with open(src, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "rated_out")
+    args = cli.build_parser().parse_args(
+        ["prepare-pairs", "-i", str(src), "-o", out, "--from-ratings",
+         "--rating-margin", "0.5"]
+    )
+    assert cli.run(args, spark) == 0
+    printed = capsys.readouterr().out
+    assert "input: 1" in printed  # tied prompt never becomes a pair
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["chosen"] == "alpha" and got[0]["rejected"] == "beta"
+    assert got[0]["chosen_rating"] == 4.0
+
+
 def test_cli_datacard_kinds(spark, tmp_path, capsys):
     import json
 

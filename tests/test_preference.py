@@ -377,3 +377,122 @@ def test_pairs_from_message_lists(spark):
     plan = P.pairs_from_message_lists(df)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+# -- pairs_from_ratings (scored-response interchange) -----------------------
+
+RATINGS_SCHEMA_STR = "prompt string, response string, rating double"
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    rows = [
+        # prompt P1: A=4.0, B=2.0, C=4.0 (tie with A), D blank (dropped)
+        ("What is 2+2", "Answer A", 4.0),
+        ("what IS   2+2", "Answer B", 2.0),   # canon-same prompt
+        ("What is 2+2", "Answer C", 4.0),
+        ("What is 2+2", "   ", 5.0),
+        # prompt P2: annotator rows for the SAME response average (1+3)/2=2,
+        # response E=3.0
+        ("Second question", "resp D", 1.0),
+        ("Second question", "resp  D", 3.0),  # canon-same response
+        ("Second question", "resp E", 3.0),
+        # prompt P3: all tied -> no pair
+        ("Tied question", "t1", 2.0),
+        ("Tied question", "t2", 2.0),
+        # null rating dropped
+        ("What is 2+2", "Answer Z", None),
+    ]
+    return spark.createDataFrame(rows, RATINGS_SCHEMA_STR)
+
+
+def test_ratings_best_vs_worst_hand_values(spark, ratings):
+    out = P.pairs_from_ratings(ratings).collect()
+    by_prompt = {r["prompt"][0]["content"]: r for r in out}
+    # P3 all tied -> dropped; P1 and P2 emit one pair each
+    assert len(out) == 2
+    p1 = by_prompt["What is 2+2"]
+    # tie at 4.0 broken by canonical response text asc -> "Answer A"
+    assert p1["chosen"] == "Answer A" and p1["rejected"] == "Answer B"
+    assert p1["chosen_rating"] == 4.0 and p1["rejected_rating"] == 2.0
+    # prompt is a single user turn wrapped from the string column
+    assert [m.asDict() for m in p1["prompt"]] == [
+        {"role": "user", "content": "What is 2+2"}
+    ]
+    p2 = by_prompt["Second question"]
+    # annotator average: resp D = (1+3)/2 = 2.0 -> worst; E = 3.0 -> best
+    assert p2["chosen"] == "resp E"
+    assert p2["rejected"] == "resp  D"  # lexicographic-min surface form
+    assert p2["rejected_rating"] == 2.0
+
+
+def test_ratings_margin_boundaries(spark, ratings):
+    # P1 delta = 2.0, P2 delta = 1.0: margin is a STRICT lower bound
+    deltas = lambda m: sorted(
+        round(r["chosen_rating"] - r["rejected_rating"], 6)
+        for r in P.pairs_from_ratings(ratings, margin=m).collect()
+    )
+    assert deltas(0.0) == [1.0, 2.0]
+    assert deltas(1.0) == [2.0]      # 1.0 not > 1.0 -> P2 dropped
+    assert deltas(1.99) == [2.0]
+    assert deltas(2.0) == []         # 2.0 not > 2.0 -> boundary drops
+
+
+def test_ratings_all_pairs(spark, ratings):
+    out = P.pairs_from_ratings(ratings, policy="all_pairs").collect()
+    got = sorted(
+        (r["prompt"][0]["content"], r["chosen"], r["rejected"]) for r in out
+    )
+    # P1: A>B, C>B (A vs C tied -> no pair either direction)
+    # P2: E>D; P3 tied -> nothing
+    assert got == [
+        ("Second question", "resp E", "resp  D"),
+        ("What is 2+2", "Answer A", "Answer B"),
+        ("What is 2+2", "Answer C", "Answer B"),
+    ]
+    with pytest.raises(ValueError, match="policy"):
+        P.pairs_from_ratings(ratings, policy="nope")
+
+
+def test_ratings_message_list_prompt_and_duckdb(spark):
+    """Message-list prompts pass through; best-vs-worst agrees with a
+    DuckDB recomputation of the mean-then-argmax/argmin pipeline."""
+    rows = [
+        (msgs(("system", "s"), ("user", "q")), "r1", 1.0),
+        (msgs(("system", "s"), ("user", "q")), "r2", 5.0),
+        (msgs(("system", "s"), ("user", "q")), "r3", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt array<struct<role:string,content:string>>, "
+        "response string, rating double",
+    )
+    out = P.pairs_from_ratings(df).collect()
+    assert len(out) == 1
+    assert [m.asDict() for m in out[0]["prompt"]] == msgs(
+        ("system", "s"), ("user", "q")
+    )
+    assert out[0]["chosen"] == "r2" and out[0]["rejected"] == "r1"
+    con = duckdb.connect()
+    want = con.execute(
+        "select arg_max(r, rating), arg_min(r, rating) from ("
+        "  select r, avg(rating) as rating from ("
+        "    values ('r1', 1.0), ('r2', 5.0), ('r3', 3.0)) t(r, rating)"
+        "  group by r)"
+    ).fetchone()
+    assert (out[0]["chosen"], out[0]["rejected"]) == want
+
+
+def test_ratings_front_door_composes(spark, ratings):
+    """prepare_preference_corpus(from_ratings=True) runs the converted
+    pairs through the full pipeline (validate/dedup/render)."""
+    res = P.prepare_preference_corpus(
+        ratings, from_ratings=True, audit=True, length_bias=False
+    )
+    got = res.pairs.collect()
+    assert res.audit["input"] == 2 and res.audit["valid"] == 2
+    assert {r["chosen"] for r in got} == {"Answer A", "resp E"}
+    assert all(r["text_chosen"] and r["text_rejected"] for r in got)
+    # deterministic pair ids: stable across a re-conversion
+    again = {r["pair_id"] for r in P.pairs_from_ratings(ratings).collect()}
+    assert {r["pair_id"] for r in got} == again

@@ -489,6 +489,18 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--contamination-n", type=int, default=8)
     pp.add_argument("--shuffle-seed", type=int, default=0)
     pp.add_argument("--no-audit", action="store_true")
+    pp.add_argument("--from-ratings", action="store_true",
+                    help="input is the scored-response interchange (one "
+                         "row per prompt/response/rating) — convert via "
+                         "pairs_from_ratings before preparation")
+    pp.add_argument("--response-col", default="response")
+    pp.add_argument("--rating-col", default="rating")
+    pp.add_argument("--rating-policy",
+                    choices=["best_vs_worst", "all_pairs"],
+                    default="best_vs_worst")
+    pp.add_argument("--rating-margin", type=float, default=0.0,
+                    help="emit a pair only when the rating delta is "
+                         "STRICTLY greater than this (0.0 drops ties)")
     return p
 
 
@@ -857,7 +869,12 @@ def run(args, spark) -> int:
         from xdump_spark.operators import preference
 
         if args.input_format == "jsonl":
-            pairs, corrupt = preference.read_preference_jsonl(spark, args.input)
+            pairs, corrupt = preference.read_preference_jsonl(
+                spark, args.input,
+                schema=(
+                    preference.RATINGS_SCHEMA if args.from_ratings else None
+                ),
+            )
             if args.corrupt_out:
                 corrupt.write.mode("overwrite").parquet(args.corrupt_out)
         else:
@@ -884,6 +901,11 @@ def run(args, spark) -> int:
             contamination_n=args.contamination_n,
             shuffle_seed=args.shuffle_seed,
             audit=not args.no_audit,
+            from_ratings=args.from_ratings,
+            response_col=args.response_col,
+            rating_col=args.rating_col,
+            rating_policy=args.rating_policy,
+            rating_margin=args.rating_margin,
         )
         res.pairs.write.mode("overwrite").parquet(args.output)
         if res.store_commit is not None:

@@ -65,6 +65,19 @@ PREFERENCE_SCHEMA = T.StructType(
 )
 
 
+# the scored-response interchange (HelpSteer/UltraFeedback shape):
+# one row per (prompt, response, rating); prompt as a plain string
+# (pairs_from_ratings wraps it into a single user turn)
+RATINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("prompt", T.StringType()),
+        T.StructField("response", T.StringType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
 def read_preference_jsonl(
     spark: SparkSession,
     path: str,
@@ -130,6 +143,120 @@ def pairs_from_message_lists(
             F.col("shape_reason").isNull(), F.element_at(rj, -1)["content"]
         ).alias(rejected_col),
         "shape_reason",
+    )
+
+
+def pairs_from_ratings(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    rating_col: str = "rating",
+    policy: str = "best_vs_worst",
+    margin: float = 0.0,
+    id_col: str = "pair_id",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Convert the SCORED-RESPONSE interchange — one row per (prompt,
+    response, rating), the HelpSteer/UltraFeedback collection shape —
+    into standard (pair_id, prompt, chosen, rejected) pairs.
+
+    Semantics, all deterministic:
+
+    * A string ``prompt_col`` is treated as a single user turn; a
+      message-list prompt passes through. Prompts group under the
+      canonical transcript (whitespace/case differences merge).
+    * Multiple rows for the same (prompt, canonical response) — e.g.
+      one row per annotator — average: the response's score is the MEAN
+      rating; its surface form is the lexicographic min raw text.
+    * ``policy="best_vs_worst"``: one pair per prompt — highest-rated
+      response vs lowest-rated (rating ties broken by canonical
+      response text asc, so re-runs pick the same sides).
+    * ``policy="all_pairs"``: every ordered pair with
+      ``rating_chosen - rating_rejected > margin``.
+    * A pair is emitted only when the rating delta is STRICTLY greater
+      than ``margin`` — with the 0.0 default, ties are dropped (a tied
+      pair carries no preference signal).
+
+    Output adds ``chosen_rating`` / ``rejected_rating`` and a
+    deterministic 64-bit ``id_col`` (xxhash64 of the canonical
+    (prompt, chosen, rejected) identity — the same identity
+    :func:`pair_fingerprint` hashes, so dedup downstream agrees).
+
+    Scale shape: ratings reduce under one narrow (prompt-hash,
+    response-hash) aggregate; best_vs_worst picks sides with the
+    skew-robust two-pass top-k (``skew.topk_per_key``), so a prompt
+    ranked against 100k sampled responses cannot straggle one task.
+    ``all_pairs`` on such a prompt emits O(n²) REAL pairs by request —
+    prefer best_vs_worst + ``cap_per_prompt`` at collection scale."""
+    from xdump_spark.operators.incremental import hash128
+    from xdump_spark.operators.skew import topk_per_key
+
+    if policy not in ("best_vs_worst", "all_pairs"):
+        raise ValueError(
+            f"policy must be best_vs_worst|all_pairs, got {policy!r}"
+        )
+    pt = df.schema[prompt_col].dataType
+    parr = (
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.col(prompt_col).alias("content"),
+            )
+        )
+        if isinstance(pt, T.StringType)
+        else F.col(prompt_col)
+    )
+    h1, h2 = hash128(canonical_transcript(parr))
+    base = df.select(
+        h1.alias("_p1"),
+        h2.alias("_p2"),
+        parr.alias("_prompt"),
+        F.col(response_col).alias("_resp"),
+        norm_content(F.col(response_col)).alias("_nresp"),
+        F.col(rating_col).cast("double").alias("_rating"),
+    ).filter(F.col("_rating").isNotNull() & ~_blank(F.col("_resp")))
+    scored = base.groupBy("_p1", "_p2", "_nresp").agg(
+        F.avg("_rating").alias("_rating"),
+        F.min("_resp").alias("_resp"),
+        F.min_by("_prompt", "_resp").alias("_prompt"),
+    )
+    if policy == "best_vs_worst":
+        best = topk_per_key(
+            scored, ["_p1", "_p2"],
+            [F.col("_rating").desc(), F.col("_nresp").asc()],
+            k=1, n_salt=n_salt,
+        ).drop("rn")
+        worst = topk_per_key(
+            scored, ["_p1", "_p2"],
+            [F.col("_rating").asc(), F.col("_nresp").asc()],
+            k=1, n_salt=n_salt,
+        ).drop("rn")
+        joined = best.alias("c").join(worst.alias("r"), ["_p1", "_p2"])
+    else:
+        c, r = scored.alias("c"), scored.alias("r")
+        joined = c.join(
+            r,
+            (F.col("c._p1") == F.col("r._p1"))
+            & (F.col("c._p2") == F.col("r._p2")),
+        )
+    out = joined.filter(
+        F.col("c._rating") - F.col("r._rating") > F.lit(float(margin))
+    )
+    pid = F.xxhash64(
+        F.concat_ws(
+            _SECTION_SEP,
+            canonical_transcript(F.col("c._prompt")),
+            F.col("c._nresp"),
+            F.col("r._nresp"),
+        )
+    )
+    return out.select(
+        pid.alias(id_col),
+        F.col("c._prompt").alias(prompt_col),
+        F.col("c._resp").alias("chosen"),
+        F.col("r._resp").alias("rejected"),
+        F.col("c._rating").alias("chosen_rating"),
+        F.col("r._rating").alias("rejected_rating"),
     )
 
 
@@ -510,6 +637,11 @@ def prepare_preference_corpus(
     shuffle_seed: int | None = 0,
     audit: bool = True,
     length_bias: bool = True,
+    from_ratings: bool = False,
+    response_col: str = "response",
+    rating_col: str = "rating",
+    rating_policy: str = "best_vs_worst",
+    rating_margin: float = 0.0,
 ) -> PreferenceResult:
     """One-call preference preparation: validate → (reject with reasons)
     → pair dedup → drop BOTH sides of contradicting pairs → optional
@@ -517,7 +649,23 @@ def prepare_preference_corpus(
     sides (+ response spans) → reproducible shuffle, plus the corpus
     length-bias diagnostic. Mirrors prepare_sft_corpus' contract: stages
     that would mutate rendered text are absent, filter-only gates
-    compose downstream."""
+    compose downstream.
+
+    ``from_ratings=True`` accepts the scored-response interchange
+    instead (one row per (prompt, response, rating)) and converts it
+    through :func:`pairs_from_ratings` under ``rating_policy`` /
+    ``rating_margin`` before the normal pipeline; ``chosen_col`` /
+    ``rejected_col`` then name the CONVERTED columns (leave default)."""
+    if from_ratings:
+        pairs = pairs_from_ratings(
+            pairs,
+            prompt_col=prompt_col,
+            response_col=response_col,
+            rating_col=rating_col,
+            policy=rating_policy,
+            margin=rating_margin,
+            id_col=id_col,
+        )
     kw = dict(prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col)
     flagged = validate_pairs(
         pairs,
