@@ -138,3 +138,111 @@ def test_bpe_training_shards_end_to_end(spark):
     assert again == {r.seq_id: list(r.input_ids) for r in rows}
     shards.unpersist()
     docs.unpersist()
+
+
+# -- gpt2 pre-tokenization + byte fallback (unsegmented scripts) ------------
+
+CJK_SENTS = [
+    "今天天气很好",
+    "今天我们去公园",
+    "天气预报说今天下雨",
+    "我们今天去学校",
+    "公园里天气很好",
+    "学校今天放假",
+    "今天下雨了",
+    "我们去公园玩",
+]
+
+
+def _cjk_corpus(spark, n=40):
+    rows = [(i, "。".join(CJK_SENTS) + "。") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gpt2_pretokens_match_spark_regex(spark):
+    """The Python scanner used by encode must agree token-for-token with
+    the Java-regex column twin the trainer counts with."""
+    from xdump_spark.operators.text import bpe_tokens, gpt2_pretokens
+
+    samples = [
+        "Hello world's  end",
+        "今天天气很好。我们去公园吧！",
+        "don't can't I'll we're you've she'd it's",
+        "a1b2  c3 \t tabs\nnewlines  3.14 1,000",
+        " leading space", "trailing ", "  double  spaces ",
+        "mixed日本語toRōmaji123",
+        "!!'s ?'re 'S 'unknown",
+        "emoji 🦜🎉 done",
+        "", "   ", "'", "''", "'s", "x'", "ΑΒΓ ελλην", "٣٤٥ arabic ١٢",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    jv = [list(r["p"]) for r in df.select(bpe_tokens(F.col("t")).alias("p")).collect()]
+    for s, want in zip(samples, jv):
+        assert gpt2_pretokens(s) == want, repr(s)
+
+
+def test_cjk_training_compresses_and_roundtrips(spark):
+    """r7 verdict #3 'done' gate: a CJK corpus trains a merge table with
+    reusable multi-char units (tokens-per-char < 1, i.e. compression)
+    and byte-fallback decode is exact — including characters never seen
+    in training."""
+    tok = bpe_train(
+        _cjk_corpus(spark), vocab_size=400, pretok="gpt2", byte_fallback=True
+    )
+    # merges learned multi-char CJK units
+    cjk_merged = [a + b for a, b in tok.merges if all("一" <= ch <= "鿿" for ch in a + b)]
+    assert len(cjk_merged) >= 3, cjk_merged
+    held_out = "今天天气很好。我们今天去公园。"
+    ids = bpe_encode(held_out, tok)
+    assert len(ids) < len(held_out)  # compression: fewer tokens than chars
+    assert UNK_ID not in ids
+    assert bpe_decode(ids, tok) == held_out
+    # unseen chars (incl. astral emoji) go through bytes — still exact
+    weird = "新字🦜和 mixed latin"
+    ids2 = bpe_encode(weird, tok)
+    assert UNK_ID not in ids2
+    assert bpe_decode(ids2, tok) == weird
+    # byte ids are the reserved 1..256 range
+    assert any(1 <= i <= 256 for i in ids2)
+
+
+def test_gpt2_mode_case_and_space_preserved(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The cat sat. The Cat sat again.")], "doc_id long, text string"
+    )
+    tok = bpe_train(corpus, vocab_size=200, pretok="gpt2", byte_fallback=True)
+    s = "The Cat sat."
+    assert bpe_decode(bpe_encode(s, tok), tok) == s  # case survives
+    # leading-space tokens: " cat" != "cat" pre-tokens exist
+    vocab_toks = {t for t, _ in tok.vocab}
+    assert any(t.startswith(" ") for t in vocab_toks)
+
+
+def test_gpt2_frame_encode_matches_reference(spark):
+    tok = bpe_train(
+        _cjk_corpus(spark), vocab_size=300, pretok="gpt2", byte_fallback=True
+    )
+    rows = [
+        (1, "今天天气很好。"),
+        (2, "我们去公园玩，今天放假！"),
+        (3, "mixed 拉丁 and latin 123"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = {r["doc_id"]: (list(r["ids"]), r["n_oov"])
+           for r in bpe_encode_frame(df, tok).collect()}
+    for i, t in rows:
+        want = bpe_encode(t, tok) if t and t.strip() else []
+        assert got[i] == (want, 0), i
+    # JSON round-trip carries the mode fields
+    t2 = BPETokenizer.from_dict(tok.to_dict())
+    assert t2 == tok and t2.pretok == "gpt2" and t2.byte_fallback
+
+
+def test_mode_validation(spark):
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pretok"):
+        bpe_train(corpus, pretok="nope")
+    with pytest.raises(ValueError, match="byte_fallback"):
+        bpe_train(corpus, pretok="whitespace", byte_fallback=True)

@@ -122,3 +122,61 @@ def test_train_on_real_documents(spark):
     n_chars = sum(len(t.text.replace(" ", "")) for t in docs.select("text").collect())
     n_pieces = sum(r.n_pieces for r in out)
     assert n_pieces < 0.8 * n_chars
+
+
+# -- gpt2 pre-tokenization + byte fallback ----------------------------------
+
+
+def test_unigram_gpt2_cjk_compresses_and_roundtrips(spark):
+    from xdump_spark.operators.unigram import (
+        UNK_ID,
+        UnigramTokenizer,
+        unigram_decode,
+        unigram_encode,
+        unigram_encode_frame,
+        unigram_train,
+    )
+
+    sents = [
+        "今天天气很好", "今天我们去公园", "天气预报说今天下雨",
+        "我们今天去学校", "公园里天气很好", "学校今天放假",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, "。".join(sents) + "。") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tok = unigram_train(
+        corpus, vocab_size=200, pretok="gpt2", byte_fallback=True,
+        max_piece_len=4,
+    )
+    # multi-char CJK pieces learned
+    assert any(len(p) > 1 and all("一" <= c <= "鿿" for c in p)
+               for p, _ in tok.pieces)
+    held_out = "今天天气很好。我们去公园。"
+    ids = unigram_encode(held_out, tok)
+    assert len(ids) < len(held_out) and UNK_ID not in ids
+    assert unigram_decode(ids, tok) == held_out
+    # unseen chars fall back to bytes, round-trip exact, case preserved
+    weird = "新字🦜 Mixed Latin"
+    ids2 = unigram_encode(weird, tok)
+    assert UNK_ID not in ids2 and any(1 <= i <= 256 for i in ids2)
+    assert unigram_decode(ids2, tok) == weird
+    # frame encode agrees with the reference; JSON carries mode fields
+    df = spark.createDataFrame(
+        [(1, held_out), (2, weird), (3, None)], "doc_id long, text string"
+    ).repartition(3)
+    got = {r["doc_id"]: list(r["ids"])
+           for r in unigram_encode_frame(df, tok).collect()}
+    assert got[1] == ids and got[2] == ids2 and got[3] == []
+    t2 = UnigramTokenizer.from_dict(tok.to_dict())
+    assert t2 == tok and t2.pretok == "gpt2" and t2.byte_fallback
+
+
+def test_unigram_mode_validation(spark):
+    import pytest as _pytest
+
+    from xdump_spark.operators.unigram import unigram_train
+
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="byte_fallback"):
+        unigram_train(corpus, pretok="whitespace", byte_fallback=True)

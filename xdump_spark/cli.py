@@ -384,6 +384,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-words", type=int, default=100_000,
         help="bound on the driver-side word-frequency table (top by count)",
     )
+    tt.add_argument(
+        "--pretok", choices=["whitespace", "gpt2"], default="whitespace",
+        help="pre-tokenizer: lowercased whitespace words (classic) or "
+             "case-preserving GPT-2-style pre-tokens (use for "
+             "multilingual / unsegmented-script corpora)",
+    )
+    tt.add_argument(
+        "--byte-fallback", action="store_true",
+        help="reserve ids 1..256 for UTF-8 byte tokens and decompose "
+             "unknown characters at encode time (gpt2 pretok only; "
+             "encode becomes total, round-trip exact)",
+    )
 
     mp = sub.add_parser(
         "media-profile",
@@ -756,7 +768,8 @@ def run(args, spark) -> int:
 
             tok = bpe_train(
                 docs, vocab_size=args.vocab_size, text_col=args.text_col,
-                max_words=args.max_words,
+                max_words=args.max_words, pretok=args.pretok,
+                byte_fallback=args.byte_fallback,
             )
             size = len(tok.vocab)
         else:
@@ -764,7 +777,8 @@ def run(args, spark) -> int:
 
             tok = unigram_train(
                 docs, vocab_size=args.vocab_size, text_col=args.text_col,
-                max_words=args.max_words,
+                max_words=args.max_words, pretok=args.pretok,
+                byte_fallback=args.byte_fallback,
             )
             size = len(tok.pieces)
         with open(args.output, "w") as fh:

@@ -44,12 +44,30 @@ UNK_ID = 0
 ENCODE_MEMO_CAP = 1_000_000
 
 
+#: byte-fallback tokens <0x00>..<0xFF> (SentencePiece convention): always
+#: ids 1..256 when ``byte_fallback`` is on, so any UTF-8 byte encodes.
+BYTE_TOKENS = tuple(f"<0x{b:02X}>" for b in range(256))
+
+
 @dataclass(frozen=True)
 class BPETokenizer:
-    """A trained merge table + vocabulary. Plain data (JSON round-trip)."""
+    """A trained merge table + vocabulary. Plain data (JSON round-trip).
+
+    ``pretok`` names the pre-tokenizer the table was trained under and
+    the encode paths must reuse: ``"whitespace"`` (lowercased whitespace
+    words + ``</w>``, the original mode) or ``"gpt2"`` (case-preserving
+    ``text.BPE_SPLIT_PATTERN`` pre-tokens with their leading space kept
+    as part of the token — no end-of-word marker; decode is plain
+    concatenation). ``byte_fallback`` (gpt2 mode only) reserves ids
+    1..256 for ``BYTE_TOKENS`` and decomposes unknown characters into
+    UTF-8 bytes at encode time, making encode TOTAL — required for
+    unsegmented scripts where held-out text always contains unseen
+    characters."""
 
     merges: tuple  # ((left, right), ...) in application order
     vocab: tuple   # ((token, id), ...); id 0 reserved for <unk>
+    pretok: str = "whitespace"
+    byte_fallback: bool = False
 
     def merge_ranks(self) -> dict:
         return {pair: i for i, pair in enumerate(self.merges)}
@@ -61,6 +79,8 @@ class BPETokenizer:
         return {
             "merges": [list(p) for p in self.merges],
             "vocab": [[t, i] for t, i in self.vocab],
+            "pretok": self.pretok,
+            "byte_fallback": self.byte_fallback,
         }
 
     @classmethod
@@ -68,18 +88,41 @@ class BPETokenizer:
         return cls(
             merges=tuple((a, b) for a, b in d["merges"]),
             vocab=tuple((t, int(i)) for t, i in d["vocab"]),
+            pretok=d.get("pretok", "whitespace"),
+            byte_fallback=bool(d.get("byte_fallback", False)),
         )
 
 
-def _word_symbols(word: str) -> tuple:
+def _word_symbols(word: str, eow: bool = True) -> tuple:
+    if not eow:
+        return tuple(word)
     return tuple(word[:-1]) + (word[-1] + EOW,)
 
 
-def _apply_merges(word: str, ranks: dict) -> list[str]:
+def _check_mode(pretok: str, byte_fallback: bool) -> None:
+    if pretok not in ("whitespace", "gpt2"):
+        raise ValueError(f"pretok must be whitespace|gpt2, got {pretok!r}")
+    if byte_fallback and pretok != "gpt2":
+        raise ValueError(
+            "byte_fallback requires pretok='gpt2' (the </w> marker of "
+            "whitespace mode has no byte decomposition)"
+        )
+
+
+def _pretokens_py(text: str, pretok: str) -> list[str]:
+    """The Python-side pre-token stream both encode paths share."""
+    if pretok == "whitespace":
+        return text.strip().lower().split()
+    from xdump_spark.operators.text import gpt2_pretokens
+
+    return gpt2_pretokens(text)
+
+
+def _apply_merges(word: str, ranks: dict, eow: bool = True) -> list[str]:
     """Encode one word: repeatedly merge the best-ranked adjacent pair.
     The loop is O(len² · log) worst case but words are short; callers
     memoize per word (Zipf)."""
-    syms = list(_word_symbols(word))
+    syms = list(_word_symbols(word, eow))
     while len(syms) > 1:
         best, best_rank = None, None
         for i in range(len(syms) - 1):
@@ -98,6 +141,8 @@ def bpe_train(
     text_col: str = "text",
     max_words: int = 100_000,
     min_count: int = 1,
+    pretok: str = "whitespace",
+    byte_fallback: bool = False,
 ) -> BPETokenizer:
     """Learn the merge table from the corpus's word-frequency table.
 
@@ -105,11 +150,29 @@ def bpe_train(
     stops early when no pair repeats. ``max_words`` caps the driver-side
     table (top by frequency, ties by word — the head of the Zipf curve
     carries virtually all pair mass, the standard approximation).
-    """
-    from xdump_spark.operators.text import tokens
 
+    ``pretok="gpt2"`` trains over ``text.BPE_SPLIT_PATTERN`` pre-tokens
+    instead of lowercased whitespace words: case-preserving, leading
+    space kept as a symbol, no ``</w>``. This is the mode for
+    multilingual/unsegmented-script corpora — whitespace "words" in
+    Chinese/Japanese/Thai are entire clauses, so the frequency head is
+    all-unique and merges memorize clauses; gpt2 pre-tokens at least
+    split scripts, digits, and punctuation and let merges learn reusable
+    character n-grams. Combine with ``byte_fallback=True`` so unseen
+    characters encode as UTF-8 ``BYTE_TOKENS`` (encode total, zero OOV,
+    exact round-trip decode). A merged token could in principle collide
+    with a ``<0xNN>`` literal; byte ids are reserved FIRST (1..256) so
+    bytes always decode, the SentencePiece posture.
+    """
+    from xdump_spark.operators.text import bpe_tokens, tokens
+
+    _check_mode(pretok, byte_fallback)
+    eow = pretok == "whitespace"
+    tok_expr = (
+        tokens(F.col(text_col)) if eow else bpe_tokens(F.col(text_col))
+    )
     rows = (
-        corpus.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        corpus.select(F.explode(tok_expr).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -123,7 +186,10 @@ def bpe_train(
     )
     if not rows:
         raise ValueError("cannot train BPE on an empty corpus")
-    words = {r["word"]: (list(_word_symbols(r["word"])), int(r["n"])) for r in rows}
+    words = {
+        r["word"]: (list(_word_symbols(r["word"], eow)), int(r["n"]))
+        for r in rows
+    }
 
     # incremental pair statistics: pair -> total count, pair -> {word set}
     pair_count: dict = {}
@@ -195,25 +261,62 @@ def bpe_train(
             push(p)  # refresh heap entries for every count we changed
 
     toks = sorted(set(base) | {a + b for a, b in merges})
-    vocab = tuple((t, i + 1) for i, t in enumerate(toks))  # 0 = <unk>
-    return BPETokenizer(merges=tuple(merges), vocab=vocab)
+    if byte_fallback:
+        # bytes own ids 1..256; learned tokens follow (0 = <unk>, unused
+        # in practice — encode is total)
+        vocab = tuple((t, i + 1) for i, t in enumerate(BYTE_TOKENS)) + tuple(
+            (t, i + 257) for i, t in enumerate(t for t in toks if t not in set(BYTE_TOKENS))
+        )
+    else:
+        vocab = tuple((t, i + 1) for i, t in enumerate(toks))  # 0 = <unk>
+    return BPETokenizer(
+        merges=tuple(merges), vocab=vocab, pretok=pretok,
+        byte_fallback=byte_fallback,
+    )
+
+
+def _sym_ids(vmap: dict, s: str, byte_fallback: bool) -> list[int]:
+    got = vmap.get(s)
+    if got is not None:
+        return [got]
+    if byte_fallback:
+        return [b + 1 for b in s.encode("utf-8")]  # byte ids are 1..256
+    return [UNK_ID]
 
 
 def bpe_encode(text: str, tok: BPETokenizer) -> list[int]:
     """Pure-Python single-string encode (the reference for tests and
-    driver-side uses); lowercase + whitespace split, like tokens()."""
+    driver-side uses); pre-tokenization follows ``tok.pretok`` —
+    lowercase whitespace words, or the gpt2 pre-token scanner."""
     ranks = tok.merge_ranks()
     vmap = tok.vocab_map()
+    eow = tok.pretok == "whitespace"
     out: list[int] = []
-    for word in text.strip().lower().split():
-        for s in _apply_merges(word, ranks):
-            out.append(vmap.get(s, UNK_ID))
+    for word in _pretokens_py(text, tok.pretok):
+        for s in _apply_merges(word, ranks, eow):
+            out.extend(_sym_ids(vmap, s, tok.byte_fallback))
     return out
 
 
 def bpe_decode(ids: list[int], tok: BPETokenizer) -> str:
     rev = {i: t for t, i in tok.vocab}
-    return "".join(rev.get(i, "�") for i in ids).replace(EOW, " ").strip()
+    if tok.pretok == "whitespace":
+        return "".join(rev.get(i, "�") for i in ids).replace(EOW, " ").strip()
+    # gpt2 mode: plain concatenation; byte-token runs decode as UTF-8
+    byte_ids = set(range(1, 257)) if tok.byte_fallback else set()
+    parts: list[str] = []
+    buf = bytearray()
+    for i in ids:
+        if i in byte_ids:
+            buf.append(i - 1)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8", errors="replace"))
+            buf = bytearray()
+        parts.append(rev.get(i, "�"))
+    if buf:
+        parts.append(buf.decode("utf-8", errors="replace"))
+    return "".join(parts)
 
 
 def bpe_encode_frame(
@@ -239,6 +342,8 @@ def bpe_encode_frame(
     sc = df.sparkSession.sparkContext
     b_ranks = sc.broadcast(tok.merge_ranks())
     b_vmap = sc.broadcast(tok.vocab_map())
+    pretok, byte_fb = tok.pretok, tok.byte_fallback
+    eow = pretok == "whitespace"
     cache: dict = {}  # deserialized once per worker, shared across batches
 
     @F.pandas_udf("array<int>")
@@ -248,7 +353,11 @@ def bpe_encode_frame(
         def word_ids(wd: str) -> list[int]:
             got = cache.get(wd)
             if got is None:
-                got = [vmap.get(s, UNK_ID) for s in _apply_merges(wd, ranks)]
+                got = [
+                    i
+                    for s in _apply_merges(wd, ranks, eow)
+                    for i in _sym_ids(vmap, s, byte_fb)
+                ]
                 if len(cache) < ENCODE_MEMO_CAP:
                     cache[wd] = got
             return got
@@ -257,7 +366,7 @@ def bpe_encode_frame(
             if not t or not t.strip():
                 return []
             out: list[int] = []
-            for wd in t.strip().lower().split():
+            for wd in _pretokens_py(t, pretok):
                 out.extend(word_ids(wd))
             return out
 

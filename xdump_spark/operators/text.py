@@ -149,6 +149,65 @@ def bpe_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
 
 
+# Java \s (and RE2 \s) is ASCII-only — NOT Python str.isspace(), which
+# would also break pre-token runs on U+00A0 etc. and drift from the
+# Spark/DuckDB column twin above.
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_CONTRACTIONS = ("s", "t", "re", "ve", "m", "ll", "d")  # pattern order
+
+
+def gpt2_pretokens(text: str) -> list[str]:
+    """Python twin of :func:`bpe_tokens` — the same pre-token sequence
+    ``regexp_extract_all(text, BPE_SPLIT_PATTERN)`` yields, as a driver/
+    worker-side scanner (Python ``re`` has no ``\\p{L}``). Used by the
+    subword trainers' encode paths so frame encode and pure-Python
+    reference encode agree symbol-for-symbol. Deterministic; letters and
+    digits are the Unicode L*/N* categories (Java's ``\\p{L}``/``\\p{N}``),
+    whitespace is ASCII (Java/RE2 ``\\s``)."""
+    import unicodedata
+
+    def cat(ch: str) -> str:
+        return unicodedata.category(ch)[0]
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            suf = next(
+                (s for s in _CONTRACTIONS if text.startswith(s, i + 1)), None
+            )
+            if suf is not None:
+                out.append("'" + suf)
+                i += 1 + len(suf)
+                continue
+        sp, j = "", i
+        if c == " " and i + 1 < n:
+            sp, j = " ", i + 1
+        if j < n:
+            k0 = cat(text[j])
+            if k0 in ("L", "N"):
+                k = j
+                while k < n and cat(text[k]) == k0:
+                    k += 1
+                out.append(sp + text[j:k])
+                i = k
+                continue
+            if text[j] not in _ASCII_WS:
+                k = j
+                while (
+                    k < n
+                    and text[k] not in _ASCII_WS
+                    and cat(text[k]) not in ("L", "N")
+                ):
+                    k += 1
+                out.append(sp + text[j:k])
+                i = k
+                continue
+        i += 1
+    return out
+
+
 def token_count_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Both token-count flavors a data pipeline budgets with: whitespace
     words and BPE-ish pre-tokens (the better proxy for LLM token cost)."""

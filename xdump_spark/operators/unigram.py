@@ -41,22 +41,36 @@ _UNK_PENALTY = 20.0  # logprob charged per unknown character
 @dataclass(frozen=True)
 class UnigramTokenizer:
     """pieces: tuple of (piece, logprob), id order = tuple order + 1
-    (id 0 = <unk>)."""
+    (id 0 = <unk>). With ``byte_fallback`` ids 1..256 are reserved for
+    ``bpe.BYTE_TOKENS`` and pieces start at 257; ``pretok`` follows the
+    same modes as :class:`bpe.BPETokenizer` (``"whitespace"`` |
+    ``"gpt2"``)."""
 
     pieces: tuple
+    pretok: str = "whitespace"
+    byte_fallback: bool = False
 
     def piece_logprobs(self) -> dict:
         return {p: lp for p, lp in self.pieces}
 
     def vocab_map(self) -> dict:
-        return {p: i + 1 for i, (p, _) in enumerate(self.pieces)}
+        off = 257 if self.byte_fallback else 1
+        return {p: i + off for i, (p, _) in enumerate(self.pieces)}
 
     def to_dict(self) -> dict:
-        return {"pieces": [[p, lp] for p, lp in self.pieces]}
+        return {
+            "pieces": [[p, lp] for p, lp in self.pieces],
+            "pretok": self.pretok,
+            "byte_fallback": self.byte_fallback,
+        }
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnigramTokenizer":
-        return cls(pieces=tuple((p, float(lp)) for p, lp in d["pieces"]))
+        return cls(
+            pieces=tuple((p, float(lp)) for p, lp in d["pieces"]),
+            pretok=d.get("pretok", "whitespace"),
+            byte_fallback=bool(d.get("byte_fallback", False)),
+        )
 
 
 # ------------------------------------------------------------ lattice ------
@@ -153,6 +167,8 @@ def unigram_train(
     seed_factor: int = 4,
     em_iters: int = 4,
     prune_frac: float = 0.25,
+    pretok: str = "whitespace",
+    byte_fallback: bool = False,
 ) -> UnigramTokenizer:
     """Train the unigram LM on the corpus's bounded word-frequency table.
 
@@ -161,11 +177,22 @@ def unigram_train(
     ``seed_factor·vocab_size`` (single characters always kept) → EM
     (``em_iters`` rounds of forward-backward expected counts) →
     iterative pruning by loss contribution in ``prune_frac`` steps with
-    an EM round after each, down to ``vocab_size``."""
-    from xdump_spark.operators.text import tokens
+    an EM round after each, down to ``vocab_size``.
 
+    ``pretok="gpt2"`` fits over case-preserving ``BPE_SPLIT_PATTERN``
+    pre-tokens (the unsegmented-script mode — see ``bpe.bpe_train``);
+    ``byte_fallback=True`` (gpt2 only) makes encode total by
+    decomposing unknown characters into UTF-8 byte tokens."""
+    from xdump_spark.operators.bpe import _check_mode
+    from xdump_spark.operators.text import bpe_tokens, tokens
+
+    _check_mode(pretok, byte_fallback)
+    tok_expr = (
+        tokens(F.col(text_col)) if pretok == "whitespace"
+        else bpe_tokens(F.col(text_col))
+    )
     rows = (
-        corpus.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        corpus.select(F.explode(tok_expr).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -244,26 +271,57 @@ def unigram_train(
         logp, _ = em_round(logp)
 
     ordered = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
-    return UnigramTokenizer(pieces=tuple((p, round(lp, 10)) for p, lp in ordered))
+    return UnigramTokenizer(
+        pieces=tuple((p, round(lp, 10)) for p, lp in ordered),
+        pretok=pretok, byte_fallback=byte_fallback,
+    )
 
 
 # -------------------------------------------------------------- encode -----
+def _piece_ids(vmap: dict, p: str, byte_fallback: bool) -> list[int]:
+    got = vmap.get(p)
+    if got is not None:
+        return [got]
+    if byte_fallback:
+        return [b + 1 for b in p.encode("utf-8")]  # byte ids are 1..256
+    return [UNK_ID]
+
+
 def unigram_encode(text: str, tok: UnigramTokenizer) -> list[int]:
-    """Pure-Python reference encode: Viterbi-best pieces per word (the
-    distributed frame encode must agree exactly)."""
+    """Pure-Python reference encode: Viterbi-best pieces per pre-token
+    (the distributed frame encode must agree exactly). Pre-tokenization
+    follows ``tok.pretok``; with ``byte_fallback`` unknown characters
+    emit UTF-8 byte tokens, so encode is total."""
+    from xdump_spark.operators.bpe import _pretokens_py
+
     logp = tok.piece_logprobs()
     vmap = tok.vocab_map()
     max_len = max((len(p) for p in logp), default=1)
     out: list[int] = []
-    for w in text.strip().lower().split():
+    for w in _pretokens_py(text, tok.pretok):
         for p in _viterbi(w, logp, max_len)[0]:
-            out.append(vmap.get(p, UNK_ID))
+            out.extend(_piece_ids(vmap, p, tok.byte_fallback))
     return out
 
 
 def unigram_decode(ids: list[int], tok: UnigramTokenizer) -> str:
-    rev = {i + 1: p for i, (p, _) in enumerate(tok.pieces)}
-    return "".join(rev.get(i, "�") for i in ids)
+    off = 257 if tok.byte_fallback else 1
+    rev = {i + off: p for i, (p, _) in enumerate(tok.pieces)}
+    if not tok.byte_fallback:
+        return "".join(rev.get(i, "�") for i in ids)
+    parts: list[str] = []
+    buf = bytearray()
+    for i in ids:
+        if 1 <= i <= 256:
+            buf.append(i - 1)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8", errors="replace"))
+            buf = bytearray()
+        parts.append(rev.get(i, "�"))
+    if buf:
+        parts.append(buf.decode("utf-8", errors="replace"))
+    return "".join(parts)
 
 
 def unigram_encode_frame(
@@ -276,10 +334,13 @@ def unigram_encode_frame(
     encode — broadcast piece table, one Arrow-batched narrow pass, zero
     shuffles, closure-level per-worker word memo (same contracts as
     bpe_encode_frame)."""
+    from xdump_spark.operators.bpe import _pretokens_py
+
     sc = df.sparkSession.sparkContext
     b_logp = sc.broadcast(tok.piece_logprobs())
     b_vmap = sc.broadcast(tok.vocab_map())
     max_len = max((len(p) for p, _ in tok.pieces), default=1)
+    pretok, byte_fb = tok.pretok, tok.byte_fallback
     cache: dict = {}  # deserialized once per worker, shared across batches
 
     @F.pandas_udf("array<int>")
@@ -289,7 +350,11 @@ def unigram_encode_frame(
         def word_ids(wd: str) -> list:
             got = cache.get(wd)
             if got is None:
-                got = [vmap.get(p, UNK_ID) for p in _viterbi(wd, logp, max_len)[0]]
+                got = [
+                    i
+                    for p in _viterbi(wd, logp, max_len)[0]
+                    for i in _piece_ids(vmap, p, byte_fb)
+                ]
                 if len(cache) < ENCODE_MEMO_CAP:
                     cache[wd] = got
             return got
@@ -298,7 +363,7 @@ def unigram_encode_frame(
             if not t or not t.strip():
                 return []
             out: list = []
-            for wd in t.strip().lower().split():
+            for wd in _pretokens_py(t, pretok):
                 out.extend(word_ids(wd))
             return out
 
