@@ -694,3 +694,81 @@ def test_vector_store_stats_and_compact(spark, tmp_path):
     # decisions preserved: every stored vector re-sent is rejected
     r = incremental_semantic_dedup(emb, store, threshold=0.35, n_cells=4)
     assert r.accepted.count() == 0
+
+
+def test_vector_store_retrain_clears_drift(spark, tmp_path):
+    """r7 verdict #4 e2e: a drifted store trips ivf_balance, retrain
+    clears it with membership preserved exactly, and post-retrain
+    increments agree with a fresh-store twin."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.similarity import ivf_balance
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    # first increment fits 2 centroids on ±x clusters (frozen)
+    b1 = [(i, [1.0, 0.02 * i, 0.0]) for i in range(3)] + [
+        (10 + i, [-1.0, 0.02 * i, 0.0]) for i in range(3)
+    ]
+    incremental_semantic_dedup(batch(b1), store, threshold=0.9999, n_cells=2)
+    # drift: three new clusters in the x=0 plane — all collapse into one
+    # of the two frozen cells (occupancy skew, the retrain trigger)
+    drift = (
+        [(100 + i, [0.0, 1.0, 0.02 * i]) for i in range(6)]
+        + [(200 + i, [0.02 * i, 0.0, 1.0]) for i in range(6)]
+        + [(300 + i, [0.02 * i, 1.0, 1.0]) for i in range(6)]
+    )
+    incremental_semantic_dedup(batch(drift), store, threshold=0.9999, n_cells=2)
+    before = store.stats()
+    assert ivf_balance(store.index(), hot_cell_factor=1.5)[
+        "retrain_recommended"
+    ]
+
+    members_before = sorted(
+        r["neighbor_id"] for r in store.index().assigned.collect()
+    )
+    rpt = store.retrain(n_cells=5)
+    assert rpt == {"n_cells": 5, "rows": before["rows"], "generation": 1}
+    # membership preserved EXACTLY; occupancy healthy again
+    idx = store.index()
+    assert sorted(r["neighbor_id"] for r in idx.assigned.collect()) == members_before
+    assert len(idx.centers) == 5
+    # occupancy healthy again at the DEFAULT trigger (k=2 can never trip
+    # the 4x default — max/mean is bounded by 2 — hence the 1.5 above)
+    assert not ivf_balance(idx)["retrain_recommended"]
+    bal = ivf_balance(idx, hot_cell_factor=1.5)
+    assert bal["max_cell"] < before["rows"] - 5  # hot cell actually split
+    # old generation swept, meta names the new dir
+    import os
+
+    names = os.listdir(tmp_path / "vs")
+    assert "assigned_g1" in names and "assigned" not in names
+
+    # a second retrain bumps the generation and sweeps g1
+    store.retrain(n_cells=3)
+    names = os.listdir(tmp_path / "vs")
+    assert "assigned_g2" in names and "assigned_g1" not in names
+
+    # post-retrain increment vs a fresh-store twin seeded with the same
+    # accepted vectors and the same geometry
+    twin = VectorStore(spark, str(tmp_path / "twin"))
+    stored_rows = [
+        (int(r["neighbor_id"]), list(r["cv"]))
+        for r in store.index().assigned.collect()
+    ]
+    incremental_semantic_dedup(
+        batch(stored_rows), twin, threshold=0.9999, n_cells=3
+    )
+    nxt = (
+        [(900, [1.0, 0.0, 0.0])]        # colinear dup of stored vec 0
+        + [(901, [1.0, -1.0, 0.0])]     # novel direction
+    )
+    ra = incremental_semantic_dedup(batch(nxt), store, threshold=0.9999, n_cells=3)
+    rb = incremental_semantic_dedup(batch(nxt), twin, threshold=0.9999, n_cells=3)
+    assert _vids(ra.accepted) == _vids(rb.accepted) == [901]

@@ -777,21 +777,39 @@ class VectorStore:
 
         return fsutil.is_dir(self.spark, fsutil.join(self.path, "meta"))
 
-    def centers(self) -> list:
+    def _meta(self) -> dict:
         import json
 
         from xdump_spark import fsutil
 
-        meta = json.loads(
-            self.spark.read.json(fsutil.join(self.path, "meta")).first()["meta"]
+        return json.loads(
+            self.spark.read.json(
+                fsutil.join(self.path, "meta")
+            ).first()["meta"]
         )
-        return meta["centers"]
+
+    def _assigned_path(self, meta: dict | None = None) -> str:
+        """Data dir of the CURRENT generation. Pre-retrain stores have
+        no ``assigned_dir`` key and resolve to the original ``assigned``
+        (back-compat with stores written before generations existed)."""
+        from xdump_spark import fsutil
+
+        m = meta if meta is not None else self._meta()
+        return fsutil.join(self.path, m.get("assigned_dir", "assigned"))
+
+    def centers(self) -> list:
+        return self._meta()["centers"]
 
     def index(self):
         """The full stored index (for ivf_balance / searches)."""
-        from xdump_spark.operators.similarity import ivf_read
+        from xdump_spark.operators.similarity import IVFIndex
 
-        return ivf_read(self.spark, self.path)
+        meta = self._meta()
+        return IVFIndex(
+            centers=meta["centers"],
+            assigned=self.spark.read.parquet(self._assigned_path(meta)),
+            n_cells=meta["n_cells"],
+        )
 
     def read_cells(self, cells: list[int]) -> DataFrame | None:
         """Stored members of just the given cells — a partition-pruned
@@ -800,7 +818,7 @@ class VectorStore:
         holds no data yet (meta written, no committed increment)."""
         from xdump_spark import fsutil
 
-        path = fsutil.join(self.path, "assigned")
+        path = self._assigned_path()
         if not fsutil.list_data_files(self.spark, path):
             return None
         return self.spark.read.parquet(path).filter(
@@ -808,10 +826,8 @@ class VectorStore:
         )
 
     def append_assigned(self, assigned: DataFrame) -> None:
-        from xdump_spark import fsutil
-
         assigned.write.mode("append").partitionBy("cell").parquet(
-            fsutil.join(self.path, "assigned")
+            self._assigned_path()
         )
 
     def stats(self) -> dict:
@@ -819,7 +835,7 @@ class VectorStore:
         (each increment appends files into every touched cell)."""
         from xdump_spark import fsutil
 
-        path = fsutil.join(self.path, "assigned")
+        path = self._assigned_path()
         files = fsutil.list_data_files(self.spark, path)
         cells = {f.rsplit("/", 2)[-2] for f, _ in files if "/cell=" in f}
         rows = self.spark.read.parquet(path).count() if files else 0
@@ -836,17 +852,91 @@ class VectorStore:
         harmless: they only add redundant ≥-threshold edges to points
         that are already stored, so decisions cannot change). Returns
         {files_before, files_after, cells_compacted}."""
-        from xdump_spark import fsutil
-
         rpt = _compact_partition_dirs(
-            self.spark, fsutil.join(self.path, "assigned"), "/cell=",
-            target_file_bytes,
+            self.spark, self._assigned_path(), "/cell=", target_file_bytes,
         )
         return {
             "files_before": rpt["files_before"],
             "files_after": rpt["files_after"],
             "cells_compacted": rpt["partitions_compacted"],
         }
+
+    def retrain(
+        self,
+        n_cells: int,
+        seed: int = 42,
+        max_iter: int = 5,
+        sample_fraction: float | None = None,
+    ) -> dict:
+        """Re-fit the centroid set and re-bucket the stored history —
+        the executable form of the ``ivf_balance`` retrain trigger (a
+        drifted store previously could only raise forever; the
+        ``max_cell`` guards route here).
+
+        Semantics: accepted MEMBERSHIP is preserved exactly — the same
+        (id, vector) rows, re-assigned to fresh KMeans centroids (fit
+        over the stored vectors, or a ``sample_fraction`` at scale).
+        Past ACCEPT/REJECT decisions are history and are not revisited;
+        only future increments see the new geometry. Note the standard
+        SemDeDup scoping consequence: dedup is per-cell, so a FINER
+        retrained geometry narrows each increment's comparison scope —
+        stored vectors still self-reject exactly (a vector and its dup
+        always share a cell), but borderline cross-vector pairs that
+        only met inside a coarse cell may no longer be compared.
+
+        Commit protocol (atomic meta swap, the manifest-last posture of
+        the BM25 segment store): the new generation's re-bucketed data
+        is written COMPLETELY to ``assigned_g<N+1>`` first, then the
+        meta JSON — which names the live data dir — is overwritten in
+        one writer job. A crash before the meta write leaves the old
+        generation fully live; after it, the old dir is unreferenced
+        and is swept (a crash between meta-write and sweep leaves only
+        a harmless orphan dir, removed by the next retrain's sweep).
+
+        Scale shape: one full scan of the store (a deliberate
+        maintenance cost, like compaction), one KMeans fit (sample at
+        1e9+ rows), one partitioned re-write. Nothing collects to the
+        driver except the centroid matrix."""
+        import json
+
+        from xdump_spark import fsutil
+        from xdump_spark.operators.similarity import ivf_build
+
+        meta = self._meta()
+        stored = self.spark.read.parquet(self._assigned_path(meta))
+        n_rows = stored.count()
+        if n_rows == 0:
+            raise ValueError("VectorStore.retrain: store holds no vectors")
+        k = min(int(n_cells), max(2, n_rows))
+        idx = ivf_build(
+            stored.select(F.col("neighbor_id"), F.col("cv")),
+            id_col="neighbor_id", vec_col="cv", n_cells=k, seed=seed,
+            max_iter=max_iter, sample_fraction=sample_fraction,
+            persist=False,
+        )
+        gen = int(meta.get("generation", 0)) + 1
+        new_rel = f"assigned_g{gen}"
+        idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            fsutil.join(self.path, new_rel)
+        )
+        new_meta = json.dumps(
+            {
+                "centers": idx.centers,
+                "n_cells": k,
+                "generation": gen,
+                "assigned_dir": new_rel,
+            }
+        )
+        self.spark.createDataFrame(
+            [(new_meta,)], "meta string"
+        ).coalesce(1).write.mode("overwrite").json(
+            fsutil.join(self.path, "meta")
+        )
+        # sweep every unreferenced generation (incl. crash orphans)
+        for name in fsutil.list_names(self.spark, self.path):
+            if name.startswith("assigned") and name != new_rel:
+                fsutil.delete(self.spark, fsutil.join(self.path, name))
+        return {"n_cells": k, "rows": n_rows, "generation": gen}
 
 
 def incremental_semantic_dedup(
