@@ -496,3 +496,97 @@ def test_ratings_front_door_composes(spark, ratings):
     # deterministic pair ids: stable across a re-conversion
     again = {r["pair_id"] for r in P.pairs_from_ratings(ratings).collect()}
     assert {r["pair_id"] for r in got} == again
+
+
+def test_streaming_preference_ingest(spark, tmp_path):
+    """r7 verdict #5 e2e: two labeling drops + a redelivered drop
+    through the streaming ingest — dedup holds across drops via the
+    persistent store, within-drop contradictions drop, corrupt/invalid
+    quarantine, and the final store contents equal the batch twin's."""
+    import json
+
+    from xdump_spark.operators.incremental import ExactHashStore
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    store = ExactHashStore(
+        spark, "pref_stream_store_t", n_buckets=4,
+        path=str(tmp_path / "pref_stream_store_t"),
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corrupt = str(tmp_path / "corrupt")
+    rejects = str(tmp_path / "rejects")
+
+    def pr(pid, q, ch, rj, src="lab"):
+        return {"pair_id": pid, "prompt": [{"role": "user", "content": q}],
+                "chosen": ch, "rejected": rj, "source": src}
+
+    def drop(name, rows, junk=False):
+        with open(inp / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+            if junk:
+                fh.write("{broken\n")
+
+    def run():
+        q = P.streaming_preference_ingest(
+            spark, str(inp), store, out, ckpt,
+            corrupt_dir=corrupt, rejects_dir=rejects,
+        )
+        q.awaitTermination(120)
+
+    d1 = [
+        pr(1, "pick", "alpha", "beta"),
+        pr(2, "bad", "same", "same"),            # invalid
+    ]
+    drop("day1.jsonl", d1, junk=True)
+    run()
+    assert {r["pair_id"] for r in spark.read.parquet(out).collect()} == {1}
+    assert spark.read.parquet(corrupt).count() == 1
+    rej = {r["pair_id"]: r["reason"]
+           for r in spark.read.parquet(rejects).collect()}
+    assert rej == {2: "identical_responses"}
+
+    d2 = [
+        pr(10, "pick", "ALPHA", "beta"),         # store dup of 1 (canon)
+        pr(11, "fresh", "yes", "no"),
+        pr(12, "flip", "x", "y"),                # within-drop contradiction
+        pr(13, "flip", "y", "x"),
+    ]
+    drop("day2.jsonl", d2)
+    run()
+    got = {r["pair_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 11}  # 10 deduped, 12/13 contradiction-dropped
+    row11 = [r for r in spark.read.parquet(out).collect()
+             if r["pair_id"] == 11][0]
+    assert row11["text_chosen"] and row11["span_chosen"] is not None
+
+    # redelivered drop: same content, new file -> everything already in
+    # the store, nothing appended
+    drop("day1_redelivered.jsonl", d1)
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # store contents equal the batch twin's (one store serves both)
+    twin_store = ExactHashStore(
+        spark, "pref_batch_store_t", n_buckets=4,
+        path=str(tmp_path / "pref_batch_store_t"),
+    )
+    all_rows = spark.createDataFrame(
+        [(r["pair_id"], r["prompt"], r["chosen"], r["rejected"])
+         for r in d1 + d2], PAIR_SCHEMA,
+    )
+    res = P.prepare_preference_corpus(
+        all_rows, dedup_store=twin_store, audit=False, length_bias=False
+    )
+    res.pairs.count()
+    res.store_commit()
+
+    def hashes(s):
+        return sorted(
+            (r["h1"], r["h2"])
+            for r in spark.read.parquet(s.path).select("h1", "h2").collect()
+        )
+
+    assert hashes(store) == hashes(twin_store)

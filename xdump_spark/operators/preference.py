@@ -606,6 +606,86 @@ def decontaminate_pairs(
     return df.join(hits, id_col, "left_anti")
 
 
+def streaming_preference_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    corrupt_dir: str | None = None,
+    rejects_dir: str | None = None,
+    template: str = "chatml",
+    schema: T.StructType | None = None,
+    trigger: dict | None = None,
+    drop_contradictions: bool = True,
+):
+    """Continuous preference-pair ingestion: labeling-drop JSONL files
+    LANDING in ``input_dir`` stream through parse → ``validate_pairs``
+    → pair-fingerprint dedup against the persistent ``store``
+    (ExactHashStore) → within-drop contradiction drop → DPO render →
+    append to ``out_dir`` parquet. Unreadable lines quarantine to
+    ``corrupt_dir``, invalid pairs (with reasons) to ``rejects_dir``.
+
+    The preference twin of ``sft.streaming_sft_ingest``, same restart
+    discipline: the file-stream checkpoint remembers consumed files,
+    the bucketed hash store carries pair-dedup history across restarts
+    AND across batch runs (one store serves ``prepare_preference_corpus
+    (dedup_store=...)`` and this stream — a drop ingested here dedups
+    against yesterday's CLI run), and output parquet is written BEFORE
+    the store commit so a crash can only duplicate (dedupable by
+    pair_id), never lose.
+
+    Contradiction scope matches the batch front door applied per drop:
+    both sides of an opposite-orientation pair WITHIN one drop are
+    dropped (their fingerprints still commit to the dedup store, as in
+    the batch twin, so redelivery cannot resurrect them). A
+    contradiction SPLIT ACROSS drops is not detected — the ordered pair
+    fingerprints differ, so the store accepts both; screen accumulated
+    output with :func:`contradicting_pairs` on a maintenance cadence if
+    cross-drop label noise matters. ``trigger`` defaults to
+    ``{"availableNow": True}`` (drain-and-stop)."""
+    from xdump_spark.sources.jsonl import parse_jsonl_lines
+
+    raw = spark.readStream.text(input_dir)
+    use_schema = schema or PREFERENCE_SCHEMA
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs, corrupt = parse_jsonl_lines(batch_df, use_schema)
+        if corrupt_dir is not None:
+            corrupt.write.mode("append").parquet(corrupt_dir)
+        flagged = validate_pairs(pairs)
+        rejects = flagged.filter(~F.col("valid")).select("pair_id", "reason")
+        if rejects_dir is not None:
+            rejects.write.mode("append").parquet(rejects_dir)
+        cur = flagged.filter(F.col("valid")).drop("valid", "reason")
+        accepted, commit = dedup_pairs_incremental(
+            cur, store, defer_commit=True
+        )
+        survivors = cur.join(
+            accepted.withColumnRenamed("id", "pair_id"), "pair_id",
+            "left_semi",
+        )
+        if drop_contradictions:
+            both = contradicting_pairs(survivors)
+            bad = (
+                both.select(F.col("id_a").alias("pair_id"))
+                .unionByName(both.select(F.col("id_b").alias("pair_id")))
+                .distinct()
+            )
+            survivors = survivors.join(bad, "pair_id", "left_anti")
+        out = render_dpo(survivors, template=template)
+        out.write.mode("append").parquet(out_dir)
+        commit()
+
+    writer = raw.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
 @dataclass
 class PreferenceResult:
     """prepare_preference_corpus output: the training-ready frame plus
