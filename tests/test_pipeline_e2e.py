@@ -912,3 +912,102 @@ def test_pipeline_chunk_output(spark, tmp_path):
     assert r.chunks is not None
     back = spark.read.parquet(str(tmp_path / "chunks"))
     assert back.count() == r.chunks.count() > 0
+
+
+def test_pipeline_splits_deterministic_and_written(spark, docs, tmp_path):
+    """r7 verdict #6 e2e: hash_split exposed as a pipeline stage —
+    disjoint/exhaustive on real testdata, membership stable across a
+    re-run with a DIFFERENT partitioning, one output dir per split, and
+    packing reads only the first-named (train) split."""
+    out = str(tmp_path / "corpus")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    res = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, splits=fr, split_seed=7,
+        pack_budget=256, out_dir=out,
+    )
+    ids = {
+        name: {r["doc_id"] for r in f.select("doc_id").collect()}
+        for name, f in res.splits.items()
+    }
+    all_ids = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    # disjoint + exhaustive
+    assert set(ids) == set(fr)
+    assert ids["train"] | ids["val"] | ids["test"] == all_ids
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert not (ids["train"] & ids["test"])
+    assert res.audit["split_train"] == len(ids["train"]) > 0
+    # re-run under a different partitioning: identical membership
+    res2 = prepare_training_corpus(
+        docs.repartition(13), span_k=None, min_tokens=1, splits=fr,
+        split_seed=7, audit=False,
+    )
+    ids2 = {
+        name: {r["doc_id"] for r in f.select("doc_id").collect()}
+        for name, f in res2.splits.items()
+    }
+    assert ids2 == ids
+    # a different seed moves documents
+    res3 = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, splits=fr, split_seed=8,
+        audit=False,
+    )
+    assert {r["doc_id"] for r in res3.splits["val"].collect()} != ids["val"]
+    # the sink wrote one sub-directory per split with exactly its docs
+    for name in fr:
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/{name}").collect()
+        }
+        assert got == ids[name], name
+    # packs draw from the train split only (no val/test leakage)
+    packed = {
+        d
+        for r in res.sequences.select("doc_ids").collect()
+        for d in r["doc_ids"]
+    }
+    assert packed <= ids["train"]
+
+
+def test_sft_splits_and_cli(spark, tmp_path):
+    """prepare_sft_corpus splits + the curate/prepare-sft --splits flag."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.sft import prepare_sft_corpus
+
+    convs = spark.createDataFrame(
+        [(i, [{"role": "user", "content": f"question {i}"},
+              {"role": "assistant", "content": f"answer {i}"}])
+         for i in range(40)],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    res = prepare_sft_corpus(convs, splits={"train": 0.75, "val": 0.25})
+    tr = {r["conv_id"] for r in res.splits["train"].collect()}
+    va = {r["conv_id"] for r in res.splits["val"].collect()}
+    assert tr and va and not (tr & va) and len(tr | va) == 40
+    assert res.audit["split_train"] == len(tr)
+
+    # CLI: prepare-sft --splits writes one subdir per split
+    src = tmp_path / "convs.jsonl"
+    with open(src, "w") as fh:
+        for i in range(40):
+            fh.write(json.dumps({
+                "conv_id": i, "source": "t",
+                "messages": [{"role": "user", "content": f"question {i}"},
+                             {"role": "assistant", "content": f"answer {i}"}],
+            }) + "\n")
+    out = str(tmp_path / "sft_out")
+    args = cli.build_parser().parse_args([
+        "prepare-sft", "-i", str(src), "-o", out,
+        "--splits", "train=0.75,val=0.25",
+    ])
+    assert cli.run(args, spark) == 0
+    got_tr = {r["conv_id"] for r in spark.read.parquet(f"{out}/train").collect()}
+    got_va = {r["conv_id"] for r in spark.read.parquet(f"{out}/val").collect()}
+    assert got_tr == tr and got_va == va  # same split function, same seed
+
+    # bad fractions are a usage error
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(
+            ["prepare-sft", "-i", "x", "-o", "y", "--splits", "train=0.5"]
+        )

@@ -68,6 +68,27 @@ def parse_sample_rate(value: str) -> tuple[str, float]:
     return lang, r
 
 
+def parse_splits(value: str) -> dict:
+    """'train=0.98,val=0.01,test=0.01' -> {name: fraction} (order kept:
+    the FIRST split is the train split by convention)."""
+    out: dict = {}
+    for part in value.split(","):
+        name, _, frac = part.strip().partition("=")
+        if not name or not frac:
+            raise argparse.ArgumentTypeError(
+                f"expected NAME=FRAC[,NAME=FRAC...], got {value!r}"
+            )
+        try:
+            out[name] = float(frac)
+        except ValueError:
+            raise argparse.ArgumentTypeError(f"fraction {frac!r} is not a number")
+    if abs(sum(out.values()) - 1.0) > 1e-9:
+        raise argparse.ArgumentTypeError(
+            f"split fractions must sum to 1, got {sum(out.values())}"
+        )
+    return out
+
+
 def parse_partial(value: str) -> tuple[str, str]:
     """'table:SELECT ...' → (table, sql); bad format is a usage error
     (reference: xdump/cli/dump.py:16-29, tests/cli/test_dump.py:52-58)."""
@@ -226,6 +247,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip per-stage doc counts (each is one count job; "
         "production runs over a large crawl should skip them)",
     )
+    c.add_argument(
+        "--splits", type=parse_splits, default=None,
+        metavar="train=0.98,val=0.01,test=0.01",
+        help="deterministic hash_split of the final corpus: one output "
+             "sub-directory per split; membership is a pure function of "
+             "(--split-seed, id) so re-runs agree; packing/shards use "
+             "the first-named split only",
+    )
+    c.add_argument("--split-seed", type=int, default=0)
     c.add_argument(
         "--checkpoint-dir", default=None,
         help="restart-safe runs: materialize each stage under this dir "
@@ -470,6 +500,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="where the encoded arrays go (default: OUTPUT/encoded)")
     ps.add_argument("--shuffle-seed", type=int, default=0)
     ps.add_argument("--no-audit", action="store_true")
+    ps.add_argument(
+        "--splits", type=parse_splits, default=None,
+        metavar="train=0.98,val=0.01,test=0.01",
+        help="deterministic hash_split on conv_id: one output "
+             "sub-directory per split; encoded output covers the "
+             "first-named split only",
+    )
+    ps.add_argument("--split-seed", type=int, default=0)
 
     pp = sub.add_parser(
         "prepare-pairs",
@@ -645,6 +683,8 @@ def run(args, spark) -> int:
             benchmark=benchmark,
             contamination_policy=args.contamination_policy,
             shuffle_seed=args.seed,
+            splits=args.splits,
+            split_seed=args.split_seed,
             pack_budget=args.pack_budget,
             tokenize=args.tokenize,
             chunk_budget=args.chunk_budget,
@@ -864,10 +904,18 @@ def run(args, spark) -> int:
             ),
             contamination_n=args.contamination_n,
             shuffle_seed=args.shuffle_seed,
+            splits=args.splits,
+            split_seed=args.split_seed,
             audit=not args.no_audit,
             vocab=vocab,
         )
-        res.convs.write.mode("overwrite").parquet(args.output)
+        if res.splits is not None:
+            for name, f in res.splits.items():
+                f.write.mode("overwrite").parquet(
+                    os.path.join(args.output, name)
+                )
+        else:
+            res.convs.write.mode("overwrite").parquet(args.output)
         if res.store_commit is not None:
             res.store_commit()  # only after the output is durably written
         if args.rejects_out:

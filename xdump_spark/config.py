@@ -209,6 +209,8 @@ def curate_from_config(spark: SparkSession, path: str):
         ),
         contamination_policy=cfg.get("contamination_policy", "drop"),
         shuffle_seed=cfg.get("shuffle_seed", 0),
+        splits=cfg.get("splits"),
+        split_seed=cfg.get("split_seed", 0),
         pack_budget=cfg.get("pack_budget"),
         chunk_budget=cfg.get("chunk_budget"),
         chunk_overlap=cfg.get("chunk_overlap", 0),

@@ -614,6 +614,7 @@ class SFTResult:
     audit: dict = field(default_factory=dict)
     encoded: DataFrame | None = None     # (id, input_ids, loss_mask) if vocab
     store_commit: object | None = None   # call AFTER writing output (store)
+    splits: dict | None = None           # name -> DataFrame (if splits)
 
 
 def prepare_sft_corpus(
@@ -629,6 +630,8 @@ def prepare_sft_corpus(
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
     shuffle_seed: int | None = 0,
+    splits: dict[str, float] | None = None,
+    split_seed: int = 0,
     audit: bool = True,
     vocab: DataFrame | None = None,
     mask_im_end: bool = True,
@@ -644,7 +647,12 @@ def prepare_sft_corpus(
     gates (quality, decontamination by drop) compose safely downstream.
     Pass a ``build_vocab`` table as ``vocab`` to also get
     ``result.encoded`` — the token-space (input_ids, loss_mask) arrays
-    from :func:`encode_conversations`, aligned with the survivors."""
+    from :func:`encode_conversations`, aligned with the survivors.
+    ``splits`` partitions the final frame with the deterministic
+    ``cleaning.hash_split`` on ``id_col`` (membership a pure function of
+    (``split_seed``, id)); ``result.splits`` maps name → frame and
+    ``result.encoded`` is built from the FIRST-named split only (the
+    train split by convention — no val/test leakage)."""
     flagged = validate_conversations(
         convs,
         conv_col=conv_col,
@@ -701,14 +709,25 @@ def prepare_sft_corpus(
         from xdump_spark.operators.cleaning import deterministic_shuffle
 
         cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
+    split_frames = None
+    enc_input = cur
+    if splits is not None:
+        from xdump_spark.operators.cleaning import hash_split
+
+        split_frames = hash_split(cur, splits, seed=split_seed, id_col=id_col)
+        enc_input = split_frames[next(iter(splits))]
+        if audit:
+            for name, f in split_frames.items():
+                counts[f"split_{name}"] = f.count()
     encoded = (
         encode_conversations(
-            cur, vocab, conv_col=conv_col, id_col=id_col, mask_im_end=mask_im_end
+            enc_input, vocab, conv_col=conv_col, id_col=id_col,
+            mask_im_end=mask_im_end,
         )
         if vocab is not None
         else None
     )
     return SFTResult(
         convs=cur, rejects=rejects, audit=counts, encoded=encoded,
-        store_commit=store_commit,
+        store_commit=store_commit, splits=split_frames,
     )

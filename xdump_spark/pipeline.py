@@ -80,6 +80,7 @@ class CorpusResult:
     card: dict | None = None              # data card of the output (if asked)
     resumed: list = field(default_factory=list)  # stages served from checkpoint
     chunks: DataFrame | None = None       # chunker output (if chunk_budget)
+    splits: dict | None = None            # name -> DataFrame (if splits)
 
 
 def prepare_training_corpus(
@@ -119,6 +120,8 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     contamination_policy: str = "drop",
     shuffle_seed: int = 0,
+    splits: dict[str, float] | None = None,
+    split_seed: int = 0,
     pack_budget: int | None = None,
     tokenize: bool = False,
     vocab_size: int = 65_536,
@@ -146,6 +149,14 @@ def prepare_training_corpus(
     - ``tokenize=True`` (with ``pack_budget``) upgrades the sequence
       output from doc-id packs to (seq_id, input_ids) training shards,
       with ``res.vocab`` carrying the fitted ``build_vocab`` table.
+    - ``splits`` (e.g. ``{"train": .98, "val": .01, "test": .01}``)
+      partitions the FINAL corpus with the deterministic
+      ``cleaning.hash_split`` — membership is a pure function of
+      (``split_seed``, id), so re-runs and different partitionings
+      agree; ``res.splits`` maps name → frame, the sink writes one
+      sub-directory per split, and pack/shard/chunk outputs are built
+      from the FIRST-named split only (no val/test leakage into
+      training shards).
     - ``contamination_policy``: ``"drop"`` (default — the conservative
       eval-hygiene choice: any overlapping doc is removed) or
       ``"strip"`` (GPT-3 App. C: only the overlapped >= span_k-token
@@ -755,21 +766,42 @@ def prepare_training_corpus(
 
     cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
 
+    # deterministic train/val/test split (cleaning.hash_split): membership
+    # is a pure function of (split_seed, id) — zero shuffle, stable across
+    # re-runs, partitionings, and any upstream gate changes. When splits
+    # are requested, packing/tokenizing/chunking run over the FIRST-named
+    # split only (by convention the train split) so shards can never leak
+    # val/test documents.
+    split_frames = None
+    pack_input = cur
+    if splits is not None:
+        from xdump_spark.operators.cleaning import hash_split
+
+        split_frames = hash_split(cur, splits, seed=split_seed, id_col=id_col)
+        pack_input = split_frames[next(iter(splits))]
+        if audit:
+            for name, f in split_frames.items():
+                counts[f"split_{name}"] = f.count()
+
     sequences = None
     vocab = None
     if pack_budget is not None:
         if tokenize:
             from xdump_spark.operators.curation import build_vocab, training_shards
 
-            vocab = build_vocab(cur, text_col=text_col, max_size=vocab_size)
+            vocab = build_vocab(
+                pack_input, text_col=text_col, max_size=vocab_size
+            )
             sequences = training_shards(
-                cur, vocab, budget=pack_budget, text_col=text_col, id_col=id_col
+                pack_input, vocab, budget=pack_budget, text_col=text_col,
+                id_col=id_col,
             )
         else:
             from xdump_spark.operators.curation import pack_sequences
 
             sequences = pack_sequences(
-                cur, budget=pack_budget, text_col=text_col, id_col=id_col
+                pack_input, budget=pack_budget, text_col=text_col,
+                id_col=id_col,
             )
 
     chunks = None
@@ -782,7 +814,7 @@ def prepare_training_corpus(
             from xdump_spark.operators.chunking import chunk_tokens
 
             chunks = chunk_tokens(
-                cur, max_tokens=chunk_budget, overlap=chunk_overlap,
+                pack_input, max_tokens=chunk_budget, overlap=chunk_overlap,
                 text_col=text_col, id_col=id_col,
             )
         elif chunk_by == "sentences":
@@ -795,7 +827,7 @@ def prepare_training_corpus(
             from xdump_spark.operators.chunking import chunk_sentences
 
             chunks = chunk_sentences(
-                cur, max_tokens=chunk_budget,
+                pack_input, max_tokens=chunk_budget,
                 text_col=text_col, id_col=id_col,
             )
         else:
@@ -806,7 +838,17 @@ def prepare_training_corpus(
     if out_dir is not None:
         from xdump_spark.sources.corpus_sink import write_corpus
 
-        write_corpus(cur, out_dir, partition_by=partition_by, mode=out_mode)
+        if split_frames is not None:
+            # one sized-parquet dir per split under out_dir
+            from xdump_spark import fsutil
+
+            for name, f in split_frames.items():
+                write_corpus(
+                    f, fsutil.join(out_dir, name),
+                    partition_by=partition_by, mode=out_mode,
+                )
+        else:
+            write_corpus(cur, out_dir, partition_by=partition_by, mode=out_mode)
 
     card = None
     if make_card:
@@ -823,5 +865,5 @@ def prepare_training_corpus(
         corpus=cur, sequences=sequences, audit=counts, vocab=vocab,
         mixture_rates=mixture_rates, card=card,
         resumed=list(ckpt.resumed) if ckpt is not None else [],
-        chunks=chunks,
+        chunks=chunks, splits=split_frames,
     )
