@@ -1011,3 +1011,177 @@ def test_sft_splits_and_cli(spark, tmp_path):
         cli.build_parser().parse_args(
             ["prepare-sft", "-i", "x", "-o", "y", "--splits", "train=0.5"]
         )
+
+
+def _emb_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+
+
+def test_pipeline_semantic_dedup_oneshot(spark):
+    """r8: doc_dedup='semantic' — SemDeDup over a caller-supplied
+    embedding column as a pipeline stage; missing column and wrong
+    store types fail loudly."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import ExactHashStore, VectorStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = _emb_rows(spark, [
+        (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+        (2, "its semantic twin reworded", [0.98, 0.02, 0.0, 0.0]),
+        (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+    ])
+    r = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, doc_dedup="semantic",
+        semantic_kwargs={"n_cells": 2, "keep": "min_id"},
+    )
+    assert {x.doc_id for x in r.corpus.collect()} == {1, 3}
+    # survivors keep their full row (text AND embedding; the standard
+    # PII-audit columns ride along as in every pipeline run)
+    assert {"doc_id", "text", "embedding"} <= set(r.corpus.columns)
+
+    with _pytest.raises(ValueError, match="embedding"):
+        prepare_training_corpus(
+            docs.drop("embedding"), span_k=None, min_tokens=1,
+            doc_dedup="semantic",
+        )
+    with _pytest.raises(ValueError, match="semantic_kwargs"):
+        prepare_training_corpus(
+            docs, span_k=None, doc_dedup="semantic",
+            semantic_kwargs={"threshold": 0.9},
+        )
+    with _pytest.raises(ValueError, match="VectorStore"):
+        prepare_training_corpus(
+            docs, span_k=None, doc_dedup="semantic",
+            dedup_store=ExactHashStore(spark, "nope_tbl"),
+        )
+    with _pytest.raises(ValueError, match="ExactHashStore"):
+        prepare_training_corpus(
+            docs, span_k=None, doc_dedup="exact",
+            dedup_store=VectorStore(spark, "/tmp/nope_vs"),
+        )
+
+
+def test_pipeline_vector_store_checkpoint_resume(spark, tmp_path):
+    """r7 verdict #7 (VectorStore parametrization): checkpoint_dir ×
+    doc_dedup='semantic' × VectorStore — crashed commit replayed on
+    resume (survivors re-assigned against the FROZEN centroids from the
+    checkpointed stage output), re-run appends at most once, accepted
+    sets equal the uninterrupted twin's."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    def day1(s):
+        return _emb_rows(s, [
+            (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+            (2, "its semantic twin reworded", [0.98, 0.02, 0.0, 0.0]),
+            (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+        ])
+
+    def day2(s):
+        return _emb_rows(s, [
+            (10, "day two near-dup of doc one", [0.99, 0.01, 0.0, 0.0]),
+            (11, "a genuinely new direction", [0.0, 0.0, 1.0, 0.0]),
+        ])
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    kw = dict(span_k=None, min_tokens=1, doc_dedup="semantic",
+              dedup_store=store, semantic_kwargs={"n_cells": 2},
+              checkpoint_dir=str(tmp_path / "ck"))
+
+    # crash the commit AFTER the stage checkpointed
+    real_append = store.append_assigned
+    store.append_assigned = (
+        lambda *_a, **_k: (_ for _ in ()).throw(IOError("s3 flake"))
+    )
+    with _pytest.raises(IOError):
+        prepare_training_corpus(day1(spark), **kw)
+    store.append_assigned = real_append
+    assert store.stats()["rows"] == 0  # meta shell only, nothing committed
+
+    # resume: dedup served from checkpoint, commit replayed via
+    # frozen-centroid re-assignment of the checkpointed survivors
+    r1 = prepare_training_corpus(day1(spark), **kw)
+    assert "doc_deduped" in r1.resumed
+    assert {x.doc_id for x in r1.corpus.collect()} == {1, 3}
+    assert store.stats()["rows"] == 2
+
+    # re-run of the SAME increment: no double append
+    prepare_training_corpus(day1(spark), **kw)
+    assert store.stats()["rows"] == 2
+
+    # new increment: near-stored doc dropped, new direction accepted
+    r2 = prepare_training_corpus(day2(spark), **kw)
+    assert r2.resumed == []
+    assert {x.doc_id for x in r2.corpus.collect()} == {11}
+    assert store.stats()["rows"] == 3
+
+    # uninterrupted twin without checkpointing agrees on every decision
+    twin = VectorStore(spark, str(tmp_path / "vs2"))
+    kw2 = dict(span_k=None, min_tokens=1, doc_dedup="semantic",
+               dedup_store=twin, semantic_kwargs={"n_cells": 2})
+    a1 = prepare_training_corpus(day1(spark), **kw2)
+    a2 = prepare_training_corpus(day2(spark), **kw2)
+    assert {x.doc_id for x in a1.corpus.collect()} == {1, 3}
+    assert {x.doc_id for x in a2.corpus.collect()} == {11}
+    ids = lambda s: sorted(
+        r.neighbor_id for r in s.index().assigned.select("neighbor_id").collect()
+    )
+    assert ids(store) == ids(twin) == [1, 3, 11]
+
+
+def test_pipeline_vector_store_from_config_and_cli(spark, tmp_path):
+    """r8: the semantic VectorStore rides the curate config as
+    {"dedup_store": {"path": ...}} under doc_dedup='semantic' and the
+    CLI as --doc-dedup semantic --vector-store."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.config import curate_from_config
+
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    _emb_rows(spark, [
+        (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+        (2, "its semantic twin reworded", [0.98, 0.02, 0.0, 0.0]),
+        (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+    ]).write.parquet(day1)
+    _emb_rows(spark, [
+        (10, "day two near-dup of doc one", [0.99, 0.01, 0.0, 0.0]),
+        (11, "a genuinely new direction", [0.0, 0.0, 1.0, 0.0]),
+    ]).write.parquet(day2)
+
+    c1 = tmp_path / "c1.json"
+    c1.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out1"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "semantic_kwargs": {"n_cells": 2},
+        "dedup_store": {"path": str(tmp_path / "vstore")},
+    }))
+    r1 = curate_from_config(spark, str(c1))
+    assert {r.doc_id for r in r1.corpus.collect()} == {1, 3}
+
+    # day 2 through the CLI front door against the SAME store
+    out2 = str(tmp_path / "out2")
+    args = cli.build_parser().parse_args([
+        "curate", "-i", day2, "-o", out2, "--span-k", "0",
+        "--min-tokens", "1", "--doc-dedup", "semantic",
+        "--vector-store", str(tmp_path / "vstore"),
+    ])
+    assert cli.run(args, spark) == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out3"),
+        "doc_dedup": "semantic",
+        "dedup_store": {"path": "x", "table": "y"},
+    }))
+    with _pytest.raises(ValueError, match="semantic"):
+        curate_from_config(spark, str(bad))

@@ -203,11 +203,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="strip cross-doc substrings of >= K tokens (0 disables)",
     )
     c.add_argument(
-        "--doc-dedup", choices=["exact", "fuzzy"], default=None,
-        help="document-level dedup stage (exact fingerprint or MinHash-LSH "
-        "fuzzy clusters, components.fuzzy_dedup)",
+        "--doc-dedup", choices=["exact", "fuzzy", "semantic"], default=None,
+        help="document-level dedup stage: exact fingerprint, MinHash-LSH "
+        "fuzzy clusters (components.fuzzy_dedup), or SemDeDup embedding "
+        "dedup (similarity.semantic_dedup — input must carry "
+        "--embedding-col)",
     )
     c.add_argument("--fuzzy-threshold", type=float, default=0.8)
+    c.add_argument("--semantic-threshold", type=float, default=0.95)
+    c.add_argument("--embedding-col", default="embedding",
+                   help="with --doc-dedup semantic: the vector column on "
+                        "the input (join embeddings upstream)")
+    c.add_argument("--vector-store", default=None,
+                   help="with --doc-dedup semantic: persistent embedding "
+                        "VectorStore directory; this run dedups against "
+                        "all previously-accepted vectors and records its "
+                        "survivors (daily-crawl increments)")
     c.add_argument("--dedup-store-table", default=None,
                    help="with --doc-dedup exact: persistent hash-store table; "
                         "this run dedups against all previously-accepted docs "
@@ -637,6 +648,15 @@ def run(args, spark) -> int:
             from xdump_spark.operators.incremental import SignatureStore
 
             dedup_store = SignatureStore(spark, args.neardup_store)
+        if args.vector_store:
+            if dedup_store is not None:
+                raise SystemExit(
+                    "--vector-store is mutually exclusive with the other "
+                    "dedup stores (one dedup stage, one store)"
+                )
+            from xdump_spark.operators.incremental import VectorStore
+
+            dedup_store = VectorStore(spark, args.vector_store)
         quality_model = None
         if args.quality_model:
             from xdump_spark.config import _load_quality_model
@@ -656,6 +676,8 @@ def run(args, spark) -> int:
             doc_dedup=args.doc_dedup,
             dedup_store=dedup_store,
             fuzzy_threshold=args.fuzzy_threshold,
+            embedding_col=args.embedding_col,
+            semantic_threshold=args.semantic_threshold,
             min_tokens=args.min_tokens,
             blocklist=(
                 [

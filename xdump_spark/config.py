@@ -69,6 +69,7 @@ _CURATE_KEYS = {
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
+    "embedding_col", "semantic_threshold", "semantic_kwargs",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
     "input_format", "audit", "checkpoint_dir", "checkpoint_stages",
     "resume", "chunk_budget", "chunk_overlap", "chunk_by", "chunks_out",
@@ -129,6 +130,18 @@ def curate_from_config(spark: SparkSession, path: str):
                     f"'path' only; got keys {sorted(cfg['dedup_store'])}"
                 )
             dedup_store = SignatureStore(spark, sc["path"])
+        elif cfg.get("doc_dedup") == "semantic":
+            # {"path": str} — the persistent embedding VectorStore this
+            # run increments against (r8).
+            from xdump_spark.operators.incremental import VectorStore
+
+            unknown = set(sc) - {"path"}
+            if unknown or "path" not in sc:
+                raise ValueError(
+                    "dedup_store config with doc_dedup='semantic' needs "
+                    f"'path' only; got keys {sorted(cfg['dedup_store'])}"
+                )
+            dedup_store = VectorStore(spark, sc["path"])
         else:
             # {"table": str, "path": str (optional), "n_buckets": int
             # (optional)} — the persistent exact-dedup hash store this
@@ -177,6 +190,9 @@ def curate_from_config(spark: SparkSession, path: str):
         span_k=cfg.get("span_k", 8) or None,
         doc_dedup=cfg.get("doc_dedup"),
         dedup_store=dedup_store,
+        embedding_col=cfg.get("embedding_col", "embedding"),
+        semantic_threshold=cfg.get("semantic_threshold", 0.95),
+        semantic_kwargs=cfg.get("semantic_kwargs"),
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.8),
         fuzzy_kwargs=cfg.get("fuzzy_kwargs"),
         min_tokens=cfg.get("min_tokens", 5),

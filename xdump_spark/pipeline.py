@@ -10,13 +10,15 @@ raw documents
   → normalize_text        (whitespace/control canonicalization)
   → redact_pii            (typed placeholders + audit counts)
   → strip_duplicated_spans (cross-doc >= k-token substrings, keep one copy)
-  → doc-level dedup       (exact fingerprint keep-min-id, or MinHash-LSH
-    fuzzy_dedup clusters — optional; after canonicalization so duplicates
-    are visible, before selection so every gate sees one copy; with
-    ``dedup_store`` either path runs as one INCREMENT against the
+  → doc-level dedup       (exact fingerprint keep-min-id, MinHash-LSH
+    fuzzy_dedup clusters, or SemDeDup ``semantic`` embedding dedup over a
+    caller-supplied vector column — optional; after canonicalization so
+    duplicates are visible, before selection so every gate sees one copy;
+    with ``dedup_store`` each path runs as one INCREMENT against the
     persistent history of every previously-accepted doc — ExactHashStore
     for exact (bucketed content hashes, history never reshuffled),
-    SignatureStore for fuzzy (banded MinHash signatures, r7) — the
+    SignatureStore for fuzzy (banded MinHash signatures, r7),
+    VectorStore for semantic (per-cell embedding partitions, r8) — the
     daily-crawl shape)
   → quality gate          (token-count floor after cleaning)
   → blocklist_filter      (C4 banned-term gate, optional)
@@ -98,6 +100,9 @@ def prepare_training_corpus(
     dedup_store=None,
     fuzzy_threshold: float = 0.8,
     fuzzy_kwargs: dict | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_kwargs: dict | None = None,
     min_tokens: int = 5,
     blocklist: list[str] | None = None,
     blocklist_mode: str = "token",
@@ -186,6 +191,7 @@ def prepare_training_corpus(
         from xdump_spark.operators.incremental import (
             ExactHashStore,
             SignatureStore,
+            VectorStore,
         )
 
         if doc_dedup == "exact" and not isinstance(dedup_store, ExactHashStore):
@@ -199,10 +205,16 @@ def prepare_training_corpus(
                 f"SignatureStore (near-dup signature history), got "
                 f"{type(dedup_store).__name__}"
             )
-        if doc_dedup not in ("exact", "fuzzy"):
+        if doc_dedup == "semantic" and not isinstance(dedup_store, VectorStore):
             raise ValueError(
-                "dedup_store requires doc_dedup='exact' (ExactHashStore) "
-                "or doc_dedup='fuzzy' (SignatureStore)"
+                "dedup_store for doc_dedup='semantic' must be a "
+                f"VectorStore (embedding history), got "
+                f"{type(dedup_store).__name__}"
+            )
+        if doc_dedup not in ("exact", "fuzzy", "semantic"):
+            raise ValueError(
+                "dedup_store requires doc_dedup='exact' (ExactHashStore), "
+                "'fuzzy' (SignatureStore), or 'semantic' (VectorStore)"
             )
     if fuzzy_kwargs:
         overlap = set(fuzzy_kwargs) & {"threshold", "id_col", "text_col"}
@@ -210,6 +222,14 @@ def prepare_training_corpus(
             raise ValueError(
                 f"fuzzy_kwargs may not override {sorted(overlap)} — use "
                 "fuzzy_threshold / id_col / text_col parameters instead"
+            )
+    if semantic_kwargs:
+        overlap = set(semantic_kwargs) & {"threshold", "id_col", "vec_col"}
+        if overlap:
+            raise ValueError(
+                f"semantic_kwargs may not override {sorted(overlap)} — use "
+                "semantic_threshold / id_col / embedding_col parameters "
+                "instead"
             )
     counts: dict = {}
     store_commit = None  # deferred ExactHashStore append (see dedup stage)
@@ -505,9 +525,108 @@ def prepare_training_corpus(
                         "id_col": id_col,
                     },
                 )
+        elif doc_dedup == "semantic":
+            # SemDeDup-style embedding dedup as a pipeline stage (r8) —
+            # the frame must already CARRY the embedding column (join
+            # your embedding table upstream; the pipeline never invents
+            # vectors). Same deferred + fingerprint-keyed idempotent
+            # commit protocol as the exact/fuzzy store paths.
+            if embedding_col not in cur.columns:
+                raise ValueError(
+                    f"doc_dedup='semantic' needs column {embedding_col!r} "
+                    "on the input (join your embeddings table before the "
+                    "pipeline, or set embedding_col=)"
+                )
+            sk = dict(semantic_kwargs or {})
+            if dedup_store is not None:
+                from xdump_spark.operators.incremental import (
+                    incremental_semantic_dedup,
+                )
+
+                live_sem = None
+
+                def _build_semantic(src=cur):
+                    nonlocal live_sem
+                    live_sem = incremental_semantic_dedup(
+                        src, dedup_store, threshold=semantic_threshold,
+                        id_col=id_col, vec_col=embedding_col,
+                        defer_commit=True, **sk,
+                    )
+                    acc = live_sem.accepted.select(
+                        F.col("id").alias("_keep_id")
+                    )
+                    return src.join(
+                        acc, src[id_col] == F.col("_keep_id"), "left_semi"
+                    )
+
+                cur, _ = note_lazy(
+                    "doc_deduped",
+                    {
+                        "doc_dedup": "semantic-incremental",
+                        "store": dedup_store.path,
+                        "threshold": semantic_threshold,
+                        "kwargs": sk,
+                        "embedding_col": embedding_col, "id_col": id_col,
+                    },
+                    _build_semantic,
+                )
+                sem_key = ckpt.chain if ckpt is not None else None
+                sem_frame = cur
+
+                def store_commit():
+                    if ckpt is not None and ckpt.is_marked(
+                        "store_commit", sem_key
+                    ):
+                        return
+                    if live_sem is not None:
+                        live_sem.commit()  # accepted vectors already pinned
+                    else:
+                        # resumed: the dedup never ran this process —
+                        # re-assign the checkpointed survivors' vectors
+                        # against the store's FROZEN centroids (one Arrow
+                        # pass; bit-identical to the crashed run's
+                        # assignment) and replay the append
+                        from xdump_spark.operators.similarity import (
+                            ivf_assign,
+                        )
+
+                        dedup_store.append_assigned(
+                            ivf_assign(
+                                dedup_store.centers(), sem_frame,
+                                id_col, embedding_col,
+                            )
+                        )
+                    if ckpt is not None:
+                        ckpt.mark("store_commit", sem_key)
+            else:
+                from xdump_spark.operators.similarity import semantic_dedup
+
+                survivors = (
+                    semantic_dedup(
+                        cur, threshold=semantic_threshold, id_col=id_col,
+                        vec_col=embedding_col, **sk,
+                    )
+                    .filter("is_survivor")
+                    .select(F.col(id_col).alias("_keep_id"))
+                )
+                cur = note(
+                    "doc_deduped",
+                    cur.join(
+                        survivors, cur[id_col] == survivors["_keep_id"],
+                        "left_semi",
+                    ),
+                    ck={
+                        "doc_dedup": "semantic",
+                        "threshold": semantic_threshold,
+                        "kwargs": sk,
+                        "embedding_col": embedding_col,
+                        "id_col": id_col,
+                    },
+                )
         else:
             raise ValueError(
-                f"doc_dedup must be 'exact' or 'fuzzy', got {doc_dedup!r}"
+                "doc_dedup must be 'exact', 'fuzzy', or 'semantic', "
+                f"got {doc_dedup!r}"
             )
 
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
