@@ -70,6 +70,7 @@ SCALE_TWINS = [
     "pq_rerank_scale",     # ADC shortlist rerank=50 + exact sliver rerank
     "incremental_batch",   # r7: 500-doc increment vs full-corpus hash store
     "lm_ppl_filter",       # r7: CCNet perplexity gate vs a pre-trained LM
+    "posttrain_batch",     # r8: prepare_sft_corpus batch path, audit off
 ]
 
 

@@ -1537,7 +1537,9 @@ contra AS (SELECT (SELECT min(id) FROM pok WHERE pm = 2) AS id_a,
 psurv AS (SELECT pok.* FROM pok
           WHERE id IN (SELECT id FROM pkeep)
             AND id NOT IN (SELECT id_a FROM contra)
-            AND id NOT IN (SELECT id_b FROM contra))
+            AND id NOT IN (SELECT id_b FROM contra)),
+ratings AS (SELECT doc_id AS id, (doc_id % 5 + doc_id % 3) / 2.0 AS ra,
+                   2.0 AS rb FROM documents)
 SELECT 'validate' AS part, id, reason AS v FROM v
 UNION ALL SELECT 'conv_stats' AS part, id, {_conv_stats_sql()} AS v FROM d
 UNION ALL SELECT 'kept' AS part, id, '' AS v FROM keepers
@@ -1556,7 +1558,7 @@ UNION ALL SELECT 'pair_render_r' AS part, id, md5({p_render_r}) AS v FROM psurv
 UNION ALL SELECT 'pair_span' AS part, id, {p_span_c} AS v FROM psurv
 UNION ALL SELECT 'pair_span_r' AS part, id, {p_span_r} AS v FROM psurv
 UNION ALL SELECT 'pair_stats' AS part, id, {p_stats} AS v FROM pv
-"""
+{_ratings_sql()}"""
 
 
 def _conv_stats_sql() -> str:
@@ -1636,6 +1638,51 @@ def _mk_pairs(docs: DataFrame) -> DataFrame:
         prompt.alias("prompt"),
         chosen.alias("chosen"),
         rejected.alias("rejected"),
+    )
+
+
+def _mk_ratings(docs: DataFrame) -> DataFrame:
+    """documents -> the scored-response interchange (prompt, response,
+    rating): per doc, a unique prompt and THREE rating rows — two
+    annotator rows for the same canonical response ('alpha response' /
+    'Alpha  RESPONSE', ratings doc_id%5 and doc_id%3 — exercises the
+    mean-rating + lexicographic-min-surface merge) and one 'beta
+    response' at a fixed 2.0."""
+    prompt = F.concat(F.lit("Rate item "), F.col("doc_id").cast("string"))
+    base = docs.select("doc_id", prompt.alias("prompt"))
+
+    def row(resp: str, rating: F.Column) -> DataFrame:
+        return base.select(
+            "prompt",
+            F.lit(resp).alias("response"),
+            rating.cast("double").alias("rating"),
+        )
+
+    return (
+        row("alpha response", F.col("doc_id") % 5)
+        .unionByName(row("Alpha  RESPONSE", F.col("doc_id") % 3))
+        .unionByName(row("beta response", F.lit(2.0)))
+    )
+
+
+def _ratings_sql() -> str:
+    """The DuckDB recomputation of both pairs_from_ratings policies over
+    the _mk_ratings fixture: alpha's mean rating is (id%5 + id%3)/2,
+    beta's is 2.0, the duplicate-surface merge keeps 'Alpha  RESPONSE'
+    (lexicographic min), and ratings double exactly to ints."""
+    pair_v = (
+        "CASE WHEN ra > rb THEN 'Alpha  RESPONSE' || chr(29) || "
+        "'beta response' || chr(29) || CAST(CAST(2*ra AS INT) AS VARCHAR)"
+        " || ':' || CAST(CAST(2*rb AS INT) AS VARCHAR) "
+        "ELSE 'beta response' || chr(29) || 'Alpha  RESPONSE' || chr(29) "
+        "|| CAST(CAST(2*rb AS INT) AS VARCHAR) || ':' || "
+        "CAST(CAST(2*ra AS INT) AS VARCHAR) END"
+    )
+    return (
+        "UNION ALL SELECT 'ratings_best' AS part, id, "
+        f"{pair_v} AS v FROM ratings WHERE ra <> rb\n"
+        "UNION ALL SELECT 'ratings_all' AS part, id, "
+        f"{pair_v} AS v FROM ratings WHERE abs(ra - rb) > 0.5\n"
     )
 
 
@@ -1747,8 +1794,37 @@ def posttrain_prepare_panel(spark, sf_dir):
         F.col("id_a").alias("id"),
         F.col("id_b").cast("string").alias("v"),
     )
+
+    # r8: the scored-response interchange (pairs_from_ratings) — both
+    # pairing policies over a deterministic ratings fixture; the id is
+    # recovered from the prompt text (the operator's own pair_id is an
+    # xxhash64 DuckDB can't recompute), ratings doubled to exact ints.
+    ratings = _mk_ratings(docs)
+
+    def rating_part(name: str, policy: str, margin: float) -> DataFrame:
+        p = PREF.pairs_from_ratings(ratings, policy=policy, margin=margin)
+        rid = F.regexp_extract(
+            F.col("prompt")[0]["content"], r"(\d+)", 1
+        ).cast("long")
+        v = F.concat(
+            F.col("chosen"), F.lit(""), F.col("rejected"),
+            F.lit(""),
+            (F.col("chosen_rating") * 2).cast("int").cast("string"),
+            F.lit(":"),
+            (F.col("rejected_rating") * 2).cast("int").cast("string"),
+        )
+        return p.select(
+            F.lit(name).alias("part"), rid.alias("id"), v.alias("v")
+        )
+
+    r_best = rating_part("ratings_best", "best_vs_worst", 0.0)
+    r_all = rating_part("ratings_all", "all_pairs", 0.5)
+
     out = validate
-    for part in (conv_stats, conv_surv, p_validate, p_stats, pair_surv, p_contra):
+    for part in (
+        conv_stats, conv_surv, p_validate, p_stats, pair_surv, p_contra,
+        r_best, r_all,
+    ):
         out = out.unionByName(part)
     return out
 
@@ -2319,6 +2395,39 @@ def lm_ppl_filter(spark, sf_dir):
     return docs.join(
         scored.filter(F.col("ppl") <= 10_000.0).select("doc_id"), "doc_id", "left_semi"
     )
+
+
+def posttrain_batch(spark, sf_dir):
+    """SFT corpus preparation, the production batch shape (r7 VERDICT
+    #8): the oracle-mode `posttrain_prepare_panel` times 13 part kinds
+    of multi-stage PROTOCOL (measured flat across SFs — scheduling, not
+    data work), so SFT-path regressions were invisible round-over-round.
+    This twin runs the real front door — `prepare_sft_corpus` (validate
+    → transcript-fingerprint dedup → ChatML render → assistant spans →
+    deterministic shuffle), audit off — over the bench corpus worn as
+    two-turn conversations (doc text split into a user prompt and an
+    assistant answer, one pure-codegen Project). Bench-only twin; the
+    operator semantics are oracle-gated in the panel and
+    DuckDB-cross-checked in tests/test_sft.py."""
+    from xdump_spark.operators.sft import prepare_sft_corpus
+
+    docs = _cat(spark, sf_dir).tables["documents"].select("doc_id", "text")
+    convs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.concat(
+                    F.lit("Summarize: "), F.substring("text", 1, 256)
+                ).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.col("text").alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    return prepare_sft_corpus(convs, audit=False).convs
 
 
 @query(
