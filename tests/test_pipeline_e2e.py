@@ -1185,3 +1185,105 @@ def test_pipeline_vector_store_from_config_and_cli(spark, tmp_path):
     }))
     with _pytest.raises(ValueError, match="semantic"):
         curate_from_config(spark, str(bad))
+
+
+def test_curate_embeddings_join_cli(spark, tmp_path):
+    """r8: curate --embeddings attaches the embedding table by id so
+    --doc-dedup semantic works from the shell without a pre-join; docs
+    without a vector are dropped (inner join)."""
+    from xdump_spark import cli
+
+    docs = str(tmp_path / "docs.parquet")
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, "first document about engines"),
+         (2, "its semantic twin reworded"),
+         (3, "an unrelated subject entirely"),
+         (4, "this doc has no embedding row")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.98, 0.02, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    out = str(tmp_path / "out")
+    args = cli.build_parser().parse_args([
+        "curate", "-i", docs, "-o", out, "--span-k", "0",
+        "--min-tokens", "1", "--doc-dedup", "semantic",
+        "--semantic-cells", "2", "--embeddings", emb,
+    ])
+    assert cli.run(args, spark) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # exactly one of the semantic twins survives (the default keep rule
+    # is the paper's low_centroid_sim, not min-id), 3 is its own group,
+    # 4 had no vector (inner join)
+    assert len(got & {1, 2}) == 1 and 3 in got and 4 not in got
+    assert len(got) == 2
+
+    # same join via the config front door ({"embeddings": {"path": ...}})
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark.config import curate_from_config
+
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps({
+        "input": docs, "output": str(tmp_path / "out_cfg"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "semantic_kwargs": {"n_cells": 2},
+        "embeddings": {"path": emb},
+    }))
+    r = curate_from_config(spark, str(cfgp))
+    got_cfg = {x.doc_id for x in r.corpus.collect()}
+    assert got_cfg == got  # same fixture, same geometry, same survivors
+
+    bad = tmp_path / "bad_emb.json"
+    bad.write_text(json.dumps({
+        "input": docs, "output": "y",
+        "embeddings": {"path": emb, "vec_col": "nope"},
+    }))
+    with _pytest.raises(ValueError, match="embeddings config"):
+        curate_from_config(spark, str(bad))
+
+
+def test_prepare_pairs_splits(spark, tmp_path):
+    """r8: prepare_preference_corpus splits + prepare-pairs --splits."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.preference import prepare_preference_corpus
+
+    pairs = spark.createDataFrame(
+        [(i, [{"role": "user", "content": f"question {i}"}],
+          f"good answer {i}", f"bad answer {i}")
+         for i in range(40)],
+        "pair_id long, prompt array<struct<role:string,content:string>>, "
+        "chosen string, rejected string",
+    )
+    res = prepare_preference_corpus(
+        pairs, splits={"train": 0.75, "val": 0.25}, audit=False,
+        length_bias=False,
+    )
+    tr = {r["pair_id"] for r in res.splits["train"].collect()}
+    va = {r["pair_id"] for r in res.splits["val"].collect()}
+    assert tr and va and not (tr & va) and len(tr | va) == 40
+
+    src = tmp_path / "pairs.jsonl"
+    with open(src, "w") as fh:
+        for i in range(40):
+            fh.write(json.dumps({
+                "pair_id": i,
+                "prompt": [{"role": "user", "content": f"question {i}"}],
+                "chosen": f"good answer {i}", "rejected": f"bad answer {i}",
+            }) + "\n")
+    out = str(tmp_path / "pairs_out")
+    args = cli.build_parser().parse_args([
+        "prepare-pairs", "-i", str(src), "-o", out,
+        "--splits", "train=0.75,val=0.25",
+    ])
+    assert cli.run(args, spark) == 0
+    got_tr = {r["pair_id"] for r in spark.read.parquet(f"{out}/train").collect()}
+    got_va = {r["pair_id"] for r in spark.read.parquet(f"{out}/val").collect()}
+    assert got_tr == tr and got_va == va

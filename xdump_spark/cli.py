@@ -211,6 +211,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--fuzzy-threshold", type=float, default=0.8)
     c.add_argument("--semantic-threshold", type=float, default=0.95)
+    c.add_argument("--semantic-cells", type=int, default=16,
+                   help="with --doc-dedup semantic: KMeans cell count "
+                        "(SemDeDup runs 50k at web scale; must be <= the "
+                        "corpus size)")
     c.add_argument("--embedding-col", default="embedding",
                    help="with --doc-dedup semantic: the vector column on "
                         "the input (join embeddings upstream)")
@@ -219,6 +223,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "VectorStore directory; this run dedups against "
                         "all previously-accepted vectors and records its "
                         "survivors (daily-crawl increments)")
+    c.add_argument("--embeddings", default=None, metavar="PARQUET",
+                   help="with --doc-dedup semantic: an embedding table to "
+                        "attach by id before the pipeline (docs without a "
+                        "vector are dropped — they cannot be semantically "
+                        "deduped)")
+    c.add_argument("--embeddings-id-col", default="vec_id",
+                   help="id column of the --embeddings table")
     c.add_argument("--dedup-store-table", default=None,
                    help="with --doc-dedup exact: persistent hash-store table; "
                         "this run dedups against all previously-accepted docs "
@@ -562,6 +573,13 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--rating-margin", type=float, default=0.0,
                     help="emit a pair only when the rating delta is "
                          "STRICTLY greater than this (0.0 drops ties)")
+    pp.add_argument(
+        "--splits", type=parse_splits, default=None,
+        metavar="train=0.98,val=0.01,test=0.01",
+        help="deterministic hash_split on pair_id: one output "
+             "sub-directory per split",
+    )
+    pp.add_argument("--split-seed", type=int, default=0)
     return p
 
 
@@ -629,6 +647,18 @@ def run(args, spark) -> int:
             docs = docs.localCheckpoint(eager=True)
         else:
             docs = spark.read.parquet(args.input)
+        if args.embeddings:
+            # semantic dedup front door: attach the embedding table by id
+            # (broadcast-or-shuffle equi-join Catalyst picks; INNER — a
+            # doc without a vector cannot be semantically deduped, and a
+            # silent null would crash the cell kernel instead)
+            from pyspark.sql import functions as F
+
+            emb = spark.read.parquet(args.embeddings).select(
+                F.col(args.embeddings_id_col).alias(args.id_col),
+                F.col(args.embedding_col),
+            )
+            docs = docs.join(emb, args.id_col, "inner")
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         dedup_store = None
         if args.dedup_store_table:
@@ -678,6 +708,10 @@ def run(args, spark) -> int:
             fuzzy_threshold=args.fuzzy_threshold,
             embedding_col=args.embedding_col,
             semantic_threshold=args.semantic_threshold,
+            semantic_kwargs=(
+                {"n_cells": args.semantic_cells}
+                if args.doc_dedup == "semantic" else None
+            ),
             min_tokens=args.min_tokens,
             blocklist=(
                 [
@@ -990,8 +1024,16 @@ def run(args, spark) -> int:
             rating_col=args.rating_col,
             rating_policy=args.rating_policy,
             rating_margin=args.rating_margin,
+            splits=args.splits,
+            split_seed=args.split_seed,
         )
-        res.pairs.write.mode("overwrite").parquet(args.output)
+        if res.splits is not None:
+            for name, f in res.splits.items():
+                f.write.mode("overwrite").parquet(
+                    os.path.join(args.output, name)
+                )
+        else:
+            res.pairs.write.mode("overwrite").parquet(args.output)
         if res.store_commit is not None:
             res.store_commit()  # only after the output is durably written
         if args.rejects_out:

@@ -69,7 +69,7 @@ _CURATE_KEYS = {
     "target_mixture", "mixture_col", "contamination_policy",
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
-    "embedding_col", "semantic_threshold", "semantic_kwargs",
+    "embedding_col", "semantic_threshold", "semantic_kwargs", "embeddings",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
     "input_format", "audit", "checkpoint_dir", "checkpoint_stages",
     "resume", "chunk_budget", "chunk_overlap", "chunk_by", "chunks_out",
@@ -177,6 +177,25 @@ def curate_from_config(spark: SparkSession, path: str):
         raise ValueError(
             f"input_format must be 'parquet' or 'wet', got {cfg['input_format']!r}"
         )
+    if cfg.get("embeddings"):
+        # {"path": str, "id_col": str (default vec_id)} — attach the
+        # embedding table by id for doc_dedup='semantic' (INNER join:
+        # a doc without a vector cannot be semantically deduped)
+        from pyspark.sql import functions as F
+
+        ec = dict(cfg["embeddings"])
+        unknown = set(ec) - {"path", "id_col"}
+        if unknown or "path" not in ec:
+            raise ValueError(
+                "embeddings config needs 'path' (+ optional 'id_col'); "
+                f"got keys {sorted(cfg['embeddings'])}"
+            )
+        id_col = cfg.get("id_col", "doc_id")
+        emb = spark.read.parquet(ec["path"]).select(
+            F.col(ec.get("id_col", "vec_id")).alias(id_col),
+            F.col(cfg.get("embedding_col", "embedding")),
+        )
+        input_docs = input_docs.join(emb, id_col, "inner")
     res = prepare_training_corpus(
         input_docs,
         text_col=cfg.get("text_col", "text"),

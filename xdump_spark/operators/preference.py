@@ -697,6 +697,7 @@ class PreferenceResult:
     length_bias: dict | None = None
     contradictions: DataFrame | None = None  # (id_a, id_b) dropped pairs
     store_commit: object | None = None       # call AFTER writing output
+    splits: dict | None = None               # name -> DataFrame (if splits)
 
 
 def prepare_preference_corpus(
@@ -722,6 +723,8 @@ def prepare_preference_corpus(
     rating_col: str = "rating",
     rating_policy: str = "best_vs_worst",
     rating_margin: float = 0.0,
+    splits: dict[str, float] | None = None,
+    split_seed: int = 0,
 ) -> PreferenceResult:
     """One-call preference preparation: validate → (reject with reasons)
     → pair dedup → drop BOTH sides of contradicting pairs → optional
@@ -735,7 +738,10 @@ def prepare_preference_corpus(
     instead (one row per (prompt, response, rating)) and converts it
     through :func:`pairs_from_ratings` under ``rating_policy`` /
     ``rating_margin`` before the normal pipeline; ``chosen_col`` /
-    ``rejected_col`` then name the CONVERTED columns (leave default)."""
+    ``rejected_col`` then name the CONVERTED columns (leave default).
+    ``splits`` partitions the final frame with the deterministic
+    ``cleaning.hash_split`` on ``id_col`` (same contract as the SFT and
+    pretraining front doors); ``result.splits`` maps name → frame."""
     if from_ratings:
         pairs = pairs_from_ratings(
             pairs,
@@ -809,7 +815,15 @@ def prepare_preference_corpus(
         from xdump_spark.operators.cleaning import deterministic_shuffle
 
         cur = deterministic_shuffle(cur, seed=shuffle_seed, id_col=id_col)
+    split_frames = None
+    if splits is not None:
+        from xdump_spark.operators.cleaning import hash_split
+
+        split_frames = hash_split(cur, splits, seed=split_seed, id_col=id_col)
+        if audit:
+            for name, f in split_frames.items():
+                counts[f"split_{name}"] = f.count()
     return PreferenceResult(
         pairs=cur, rejects=rejects, audit=counts, length_bias=bias,
-        contradictions=both, store_commit=store_commit,
+        contradictions=both, store_commit=store_commit, splits=split_frames,
     )
