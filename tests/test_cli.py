@@ -594,3 +594,125 @@ def test_cli_datacard_kinds(spark, tmp_path, capsys):
     card = json.loads(capsys.readouterr().out)
     assert card["n_pairs"] == 1
     assert card["length_bias"]["frac_chosen_longer"] == 1.0
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    """r8: the `maintain` subcommand — stats/compact across all five
+    persistent-store kinds, retrain/balance on the VectorStore, usage
+    errors for wrong kind/action combos. One JSON line per run."""
+    import json
+    import uuid
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        SignatureStore,
+        VectorStore,
+        incremental_exact_dedup,
+        incremental_neardup,
+        incremental_semantic_dedup,
+    )
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several words") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    # exact
+    tbl = f"maint_{uuid.uuid4().hex[:8]}"
+    try:
+        ex = ExactHashStore(spark, tbl, n_buckets=4,
+                            path=str(tmp_path / "ex"))
+        incremental_exact_dedup(docs, ex)
+        st = run(["--kind", "exact", "--store-table", tbl, "--buckets", "4"])
+        assert st["rows"] == 20 and st["files"] > 0
+        rp = run(["--kind", "exact", "--store-table", tbl, "--buckets", "4",
+                  "--action", "compact"])
+        assert rp["files_after"] <= rp["files_before"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # signature
+    sig = SignatureStore(spark, str(tmp_path / "sig"))
+    incremental_neardup(docs, sig)
+    st = run(["--kind", "signature", "--store-path", str(tmp_path / "sig")])
+    assert st["rows"] > 0 and st["bands"] > 0
+    rp = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
+              "--action", "compact"])
+    assert rp["files_after"] <= rp["files_before"]
+
+    # vector: stats, balance, retrain
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4 == 0), float(i % 4 == 1),
+              float(i % 4 == 2), float(i % 4 == 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    vs = VectorStore(spark, str(tmp_path / "vs"))
+    incremental_semantic_dedup(vecs, vs, n_cells=2)
+    st = run(["--kind", "vector", "--store-path", str(tmp_path / "vs")])
+    assert st["rows"] > 0 and st["cells"] > 0
+    bal = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+               "--action", "balance"])
+    assert "retrain_recommended" in bal
+    rt = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+              "--action", "retrain", "--n-cells", "4"])
+    assert rt["n_cells"] == 4 and rt["generation"] == 1
+
+    # usage errors
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run(["--kind", "exact"])  # needs --store-table
+    with _pytest.raises(SystemExit):
+        run(["--kind", "signature"])  # needs --store-path
+    with _pytest.raises(SystemExit):
+        run(["--kind", "signature", "--store-path", "x",
+             "--action", "retrain"])  # vector-only
+
+
+def test_cli_maintain_window_and_text_index(spark, tmp_path, capsys):
+    """maintain over the WindowHashStore and the segmented BM25 index."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        save_text_index,
+    )
+    from xdump_spark.operators.spans import WindowHashStore, incremental_span_flags
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    docs = spark.createDataFrame(
+        [(i, "many shared window tokens across documents here plus "
+             f"unique tail {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ws = WindowHashStore(spark, str(tmp_path / "ws"))
+    incremental_span_flags(docs, ws, k=4)
+    st = run(["--kind", "window", "--store-path", str(tmp_path / "ws")])
+    assert st["rows"] > 0
+    rp = run(["--kind", "window", "--store-path", str(tmp_path / "ws"),
+              "--action", "compact"])
+    assert rp["files"] > 0  # post-compact stats
+
+    idx_path = str(tmp_path / "bm25")
+    save_text_index(build_text_index(docs, id_col="doc_id"), idx_path)
+    docs2 = docs.selectExpr("doc_id + 100 AS doc_id", "text")
+    append_text_index(spark, idx_path, docs2)
+    st = run(["--kind", "text-index", "--store-path", idx_path])
+    assert st["segments"] == 2 and st["n_docs"] == 12
+    rp = run(["--kind", "text-index", "--store-path", idx_path,
+              "--action", "compact"])
+    assert rp["segments_before"] == 2
+    st2 = run(["--kind", "text-index", "--store-path", idx_path])
+    assert st2["segments"] == 1 and st2["n_docs"] == 12

@@ -580,6 +580,43 @@ def build_parser() -> argparse.ArgumentParser:
              "sub-directory per split",
     )
     pp.add_argument("--split-seed", type=int, default=0)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="persistent-store maintenance: stats / compact / retrain / "
+             "balance — the scheduled companion of a daily increment "
+             "pipeline (small-file compaction, drift checks, centroid "
+             "retraining); prints one JSON report line",
+    )
+    mt.add_argument(
+        "--kind", required=True,
+        choices=["exact", "signature", "vector", "window", "text-index"],
+        help="exact=ExactHashStore (content hashes), signature="
+             "SignatureStore (MinHash bands), vector=VectorStore "
+             "(embedding cells), window=WindowHashStore (span windows), "
+             "text-index=segmented BM25 index",
+    )
+    mt.add_argument("--store-table", default=None,
+                    help="exact: the hash-store catalog table name")
+    mt.add_argument("--store-path", default=None,
+                    help="signature/vector/window/text-index: the store "
+                         "directory (exact: optional external location)")
+    mt.add_argument("--buckets", type=int, default=64,
+                    help="exact: the store's bucket count")
+    mt.add_argument(
+        "--action", choices=["stats", "compact", "retrain", "balance"],
+        default="stats",
+        help="stats = sizing/trigger inputs (no rewrite); compact = "
+             "rewrite append piles into sized files; retrain (vector) = "
+             "re-fit centroids + re-bucket history; balance (vector) = "
+             "cell-occupancy drift check (retrain_recommended)",
+    )
+    mt.add_argument("--n-cells", type=int, default=None,
+                    help="retrain: the new centroid count")
+    mt.add_argument("--sample-fraction", type=float, default=None,
+                    help="retrain: fit KMeans on a sample of the stored "
+                         "vectors (recommended at 1e9+ rows)")
+    mt.add_argument("--target-file-bytes", type=int, default=128 << 20)
     return p
 
 
@@ -1047,6 +1084,70 @@ def run(args, spark) -> int:
                 f"mean_token_delta={res.length_bias['mean_token_delta']:.2f}"
             )
         print(f"wrote {args.output}")
+    elif args.command == "maintain":
+        import json as _json
+
+        if args.kind == "exact":
+            if not args.store_table:
+                raise SystemExit("--kind exact needs --store-table")
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            store = ExactHashStore(
+                spark, args.store_table, n_buckets=args.buckets,
+                path=args.store_path,
+            )
+        elif not args.store_path:
+            raise SystemExit(f"--kind {args.kind} needs --store-path")
+        elif args.kind == "signature":
+            from xdump_spark.operators.incremental import SignatureStore
+
+            store = SignatureStore(spark, args.store_path)
+        elif args.kind == "vector":
+            from xdump_spark.operators.incremental import VectorStore
+
+            store = VectorStore(spark, args.store_path)
+        elif args.kind == "window":
+            from xdump_spark.operators.spans import WindowHashStore
+
+            store = WindowHashStore(spark, args.store_path)
+        else:
+            store = None  # text-index: module-level functions below
+
+        if args.action in ("retrain", "balance") and args.kind != "vector":
+            raise SystemExit(
+                f"--action {args.action} applies to --kind vector only"
+            )
+        if args.action == "retrain":
+            if not args.n_cells:
+                raise SystemExit("--action retrain needs --n-cells")
+            rpt = store.retrain(
+                args.n_cells, sample_fraction=args.sample_fraction
+            )
+        elif args.action == "balance":
+            from xdump_spark.operators.similarity import ivf_balance
+
+            rpt = ivf_balance(store.index())
+        elif args.kind == "text-index":
+            from xdump_spark.operators.retrieval import (
+                compact_text_index,
+                text_index_stats,
+            )
+
+            rpt = (
+                text_index_stats(spark, args.store_path)
+                if args.action == "stats"
+                else compact_text_index(spark, args.store_path)
+            )
+        elif args.action == "stats":
+            rpt = store.stats()
+        elif args.kind == "exact":
+            rpt = store.compact()
+        elif args.kind == "window":
+            store.compact()
+            rpt = store.stats()
+        else:
+            rpt = store.compact(target_file_bytes=args.target_file_bytes)
+        print(_json.dumps(rpt))
     else:
         engine = SparkDumpEngine(spark, Catalog({}))   # load needs no source catalog
         loaded = engine.load(args.input)

@@ -257,6 +257,23 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     return {"segments_before": len(before), "seg": seg}
 
 
+def text_index_stats(spark: SparkSession, path: str) -> dict:
+    """{segments, n_docs, files, bytes} — the compaction-trigger inputs
+    for a segmented index (manifest read + one recursive file listing;
+    no postings scan). A daily-append index accrues one segment and up
+    to n_tbuckets files per drop; compaction collapses both."""
+    from xdump_spark import fsutil
+
+    man = _read_manifest(spark, path)
+    files = fsutil.list_data_files(spark, path)
+    return {
+        "segments": len(man["segments"]),
+        "n_docs": sum(int(e["n_docs"]) for e in man["segments"]),
+        "files": len(files),
+        "bytes": sum(b for _, b in files),
+    }
+
+
 def load_text_index(spark: SparkSession, path: str) -> TextIndex:
     """Load a saved index. ``postings`` keeps the ``seg``/``_tbucket``
     partition columns (only committed segments are visible);

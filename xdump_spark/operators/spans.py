@@ -204,6 +204,22 @@ class WindowHashStore:
             F.pmod("h1", F.lit(self.N_BANDS)).alias("band"), "h1", "h2"
         ).write.mode("append").partitionBy("band").parquet(self.path)
 
+    def stats(self) -> dict:
+        """{files, bytes, rows, bands} — the compaction-trigger inputs,
+        same shape as the other persistent stores (SignatureStore
+        convention; rows is a parquet-metadata count, no data scan)."""
+        from xdump_spark import fsutil
+
+        files = fsutil.list_data_files(self.spark, self.path)
+        bands = {f.rsplit("/", 2)[-2] for f, _ in files if "/band=" in f}
+        rows = self.spark.read.parquet(self.path).count() if files else 0
+        return {
+            "files": len(files),
+            "bytes": sum(b for _, b in files),
+            "rows": rows,
+            "bands": len(bands),
+        }
+
     def compact(self, files_per_band: int = 1) -> None:
         """Rewrite the store to ``files_per_band`` files per band and drop
         duplicate hash rows (re-appended shards accumulate them; dedup
