@@ -230,6 +230,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "deduped)")
     c.add_argument("--embeddings-id-col", default="vec_id",
                    help="id column of the --embeddings table")
+    c.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
+                   help="with --doc-dedup semantic: compute DETERMINISTIC "
+                        "hashing-trick embeddings from the text itself "
+                        "(text.hash_embed_col, no model required — lexical "
+                        "k-gram geometry) instead of loading --embeddings")
     c.add_argument("--dedup-store-table", default=None,
                    help="with --doc-dedup exact: persistent hash-store table; "
                         "this run dedups against all previously-accepted docs "
@@ -684,6 +689,11 @@ def run(args, spark) -> int:
             docs = docs.localCheckpoint(eager=True)
         else:
             docs = spark.read.parquet(args.input)
+        if args.embeddings and args.hash_embed:
+            raise SystemExit(
+                "--embeddings and --hash-embed are mutually exclusive "
+                "(one embedding source)"
+            )
         if args.embeddings:
             # semantic dedup front door: attach the embedding table by id
             # (broadcast-or-shuffle equi-join Catalyst picks; INNER — a
@@ -696,6 +706,14 @@ def run(args, spark) -> int:
                 F.col(args.embedding_col),
             )
             docs = docs.join(emb, args.id_col, "inner")
+        elif args.hash_embed:
+            # model-free alternative: one withColumn, zero joins
+            from xdump_spark.operators.text import hash_embed_col
+
+            docs = docs.withColumn(
+                args.embedding_col,
+                hash_embed_col(args.text_col, dim=args.hash_embed),
+            )
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         dedup_store = None
         if args.dedup_store_table:

@@ -70,6 +70,7 @@ _CURATE_KEYS = {
     "dsir_target", "dsir_n", "dsir_temperature", "dsir_buckets", "dsir_seed",
     "doc_dedup", "fuzzy_threshold", "fuzzy_kwargs", "compression_min",
     "embedding_col", "semantic_threshold", "semantic_kwargs", "embeddings",
+    "hash_embed",
     "audio_gate", "dedup_store", "url_col", "dedup_urls", "domain_cap",
     "input_format", "audit", "checkpoint_dir", "checkpoint_stages",
     "resume", "chunk_budget", "chunk_overlap", "chunk_by", "chunks_out",
@@ -176,6 +177,31 @@ def curate_from_config(spark: SparkSession, path: str):
     else:
         raise ValueError(
             f"input_format must be 'parquet' or 'wet', got {cfg['input_format']!r}"
+        )
+    if cfg.get("embeddings") and cfg.get("hash_embed"):
+        raise ValueError(
+            "embeddings and hash_embed are mutually exclusive "
+            "(one embedding source)"
+        )
+    if cfg.get("hash_embed"):
+        # int dim, or {"dim": N, "k": K} — model-free hashing-trick
+        # embeddings computed from the text itself (text.hash_embed_col)
+        from xdump_spark.operators.text import hash_embed_col
+
+        he = cfg["hash_embed"]
+        he = {"dim": he} if isinstance(he, int) else dict(he)
+        unknown = set(he) - {"dim", "k"}
+        if unknown or "dim" not in he:
+            raise ValueError(
+                "hash_embed config needs an int dim or {'dim', 'k'}; "
+                f"got {cfg['hash_embed']!r}"
+            )
+        input_docs = input_docs.withColumn(
+            cfg.get("embedding_col", "embedding"),
+            hash_embed_col(
+                cfg.get("text_col", "text"),
+                dim=he["dim"], k=he.get("k", 3),
+            ),
         )
     if cfg.get("embeddings"):
         # {"path": str, "id_col": str (default vec_id)} — attach the

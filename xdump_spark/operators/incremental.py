@@ -145,7 +145,15 @@ class SignatureStore:
         return self.spark.read.parquet(self.path)
 
     def append(self, banded: DataFrame) -> None:
-        banded.write.mode("append").partitionBy("band").parquet(self.path)
+        # one narrow shuffle of the (small) increment so each band gains
+        # ~one file per append instead of one per upstream task — without
+        # it a daily store accrues tasks×bands files and every probe pays
+        # the listing (measured: SCALE.md r8's VectorStore twin of this
+        # fix cut 10-increment file count 14,349 → 622 and flattened the
+        # rising per-increment cost)
+        banded.repartition(F.col("band")).write.mode("append").partitionBy(
+            "band"
+        ).parquet(self.path)
 
     def stats(self) -> dict:
         """{files, bytes, rows, bands} — the compaction trigger inputs.
@@ -826,9 +834,16 @@ class VectorStore:
         )
 
     def append_assigned(self, assigned: DataFrame) -> None:
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            self._assigned_path()
-        )
+        # one narrow shuffle of the (small) increment so each touched
+        # cell gains ~one file per append instead of one per upstream
+        # task (measured at 200k×64d, SCALE.md r8: 10 increments wrote
+        # 14,349 files without this and the per-increment cost ROSE
+        # 16→59 s on the accumulating listing; with it the pile stays
+        # ~cells-sized and compaction becomes weekly maintenance, not a
+        # per-day necessity)
+        assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(self._assigned_path())
 
     def stats(self) -> dict:
         """{files, bytes, rows, cells} — compaction trigger inputs

@@ -200,9 +200,15 @@ class WindowHashStore:
         return self.spark.read.parquet(self.path) if self.exists() else None
 
     def append(self, wins: DataFrame) -> None:
+        # repartition-by-band before the append: ~one file per band per
+        # increment instead of one per upstream task (the store-family
+        # small-file discipline — see SCALE.md r8's VectorStore
+        # measurement of the unrepartitioned failure mode)
         wins.select(
             F.pmod("h1", F.lit(self.N_BANDS)).alias("band"), "h1", "h2"
-        ).write.mode("append").partitionBy("band").parquet(self.path)
+        ).repartition(F.col("band")).write.mode("append").partitionBy(
+            "band"
+        ).parquet(self.path)
 
     def stats(self) -> dict:
         """{files, bytes, rows, bands} — the compaction-trigger inputs,

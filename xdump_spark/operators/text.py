@@ -8,6 +8,8 @@ formulation (see queries.py) so results are oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -441,3 +443,109 @@ def readability_frame(
             ),
         ),
     )
+
+
+def hash_embed_frame(
+    df: DataFrame,
+    dim: int = 256,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, embedding array<double>): deterministic hashing-trick text
+    embeddings (Weinberger et al. 2009 feature hashing) — the
+    no-model-required producer for the embedding operators: cosine on
+    these vectors approximates word ``k``-gram overlap, so
+    ``semantic_dedup`` / ``incremental_semantic_dedup`` / the ANN family
+    run WITHOUT an external encoder (document the semantics honestly:
+    this is lexical near-duplicate geometry, not learned semantics — two
+    paraphrases with disjoint wording will NOT land close).
+
+    Each word ``k``-gram hashes to coordinate ``pmod(h, dim)`` with sign
+    ``±1`` from an independent hash bit (the signed construction keeps
+    collisions mean-zero, the paper's trick); counts accumulate and the
+    vector is L2-normalized (all-empty text → the zero vector). Docs
+    shorter than ``k`` words embed their single whole-doc gram so short
+    docs still dedup by exact wording.
+
+    Scale shape: tokenization, gram construction, and xxhash64 all run
+    JVM-side in ONE whole-stage-codegen Project — Python never sees a
+    string; the Arrow pass receives only the int64 hash arrays and does
+    a vectorized scatter-add per doc (np.add.at) plus one normalize.
+    One ArrowEvalPython, ZERO exchanges, nothing collected. At 100 TB
+    this is the same plan class as tokenize_frame: embarrassingly
+    parallel over input splits.
+
+    Determinism: a pure function of (text, dim, k) — partition- and
+    re-run-invariant (pinned by tests), so incremental semantic dedup
+    can re-embed history-free."""
+    return df.select(
+        F.col(id_col), hash_embed_col(text_col, dim, k).alias("embedding")
+    )
+
+
+def hash_embed_col(text_col: str = "text", dim: int = 256, k: int = 3):
+    """The hashing-trick embedding as a COLUMN expression (see
+    :func:`hash_embed_frame` for semantics) — lets a pipeline attach
+    the vector with one ``withColumn`` instead of a self-join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = tokens(F.col(text_col))
+    grams = F.when(F.size(toks) < F.lit(k), F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    grams = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(grams)
+    hashed = F.transform(grams, lambda g: F.xxhash64(g))
+    d = int(dim)
+
+    @pandas_udf("array<double>")
+    def scatter(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            v = np.zeros(d, dtype=np.float64)
+            if h is not None and len(h):
+                a = np.asarray(h, dtype=np.int64)
+                j = np.mod(a, d)  # numpy mod is python-style: in [0, d)
+                s = np.where((a >> 1) & 1 == 1, 1.0, -1.0)
+                np.add.at(v, j, s)
+                n = float(np.linalg.norm(v))
+                if n > 0.0:
+                    v /= n
+            out.append(v)
+        return pd.Series(out)
+
+    return scatter(hashed)
+
+
+def hash_embed_reference(text: str, dim: int = 256, k: int = 3) -> list:
+    """Pure-Python reference of :func:`hash_embed_frame` for one text —
+    property-test twin (NO Spark). Must stay in lockstep with the frame
+    op; uses the same xxhash64 the JVM computes, via the spark-free
+    implementation in operators/incremental (hash128's convention)."""
+    import numpy as np
+
+    from xdump_spark.operators.xxh import xxhash64_py
+
+    t = text.strip().lower()
+    words = t.split() if t else []
+    if not words:
+        return [0.0] * dim
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    v = np.zeros(dim, dtype=np.float64)
+    for g in grams:
+        h = xxhash64_py(g.encode("utf-8"))
+        v[h % dim] += 1.0 if (h >> 1) & 1 == 1 else -1.0
+    n = float(np.linalg.norm(v))
+    if n > 0.0:
+        v /= n
+    return [float(x) for x in v]
