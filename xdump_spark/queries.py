@@ -1799,7 +1799,9 @@ def posttrain_prepare_panel(spark, sf_dir):
     # pairing policies over a deterministic ratings fixture; the id is
     # recovered from the prompt text (the operator's own pair_id is an
     # xxhash64 DuckDB can't recompute), ratings doubled to exact ints.
-    ratings = _mk_ratings(docs)
+    # The fixture is checkpointed once: both policy lineages replan it
+    # otherwise (same no-cross-branch-CSE protocol note as above).
+    ratings = _mk_ratings(docs).localCheckpoint(eager=False)
 
     def rating_part(name: str, policy: str, margin: float) -> DataFrame:
         p = PREF.pairs_from_ratings(ratings, policy=policy, margin=margin)
