@@ -507,19 +507,35 @@ def hash_embed_col(text_col: str = "text", dim: int = 256, k: int = 3):
 
     @pandas_udf("array<double>")
     def scatter(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            v = np.zeros(d, dtype=np.float64)
-            if h is not None and len(h):
-                a = np.asarray(h, dtype=np.int64)
-                j = np.mod(a, d)  # numpy mod is python-style: in [0, d)
-                s = np.where((a >> 1) & 1 == 1, 1.0, -1.0)
-                np.add.at(v, j, s)
-                n = float(np.linalg.norm(v))
-                if n > 0.0:
-                    v /= n
-            out.append(v)
-        return pd.Series(out)
+        # one vectorized pass over the WHOLE Arrow batch: flatten every
+        # row's hashes, scatter-add into an (n_rows, dim) matrix via a
+        # single np.add.at on row*dim+coord, then row-normalize. At the
+        # soak's short docs this measures even with a per-row loop (the
+        # Arrow result transfer dominates — SCALE.md r8); the flattened
+        # form is kept because its Python cost is per-GRAM-array, not
+        # per-doc×per-gram, so long documents cannot regress it.
+        n_rows = len(hs)
+        M = np.zeros((n_rows, d), dtype=np.float64)
+        arrays = [
+            np.asarray(h, dtype=np.int64)
+            for h in hs
+            if h is not None and len(h)
+        ]
+        rows = np.fromiter(
+            (i for i, h in enumerate(hs) if h is not None and len(h)),
+            dtype=np.int64, count=len(arrays),
+        )
+        if arrays:
+            lens = np.fromiter((len(a) for a in arrays), dtype=np.int64,
+                               count=len(arrays))
+            flat = np.concatenate(arrays)
+            row_ix = np.repeat(rows, lens)
+            j = np.mod(flat, d)  # numpy mod is python-style: in [0, d)
+            s = np.where((flat >> 1) & 1 == 1, 1.0, -1.0)
+            np.add.at(M.reshape(-1), row_ix * d + j, s)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            np.divide(M, norms, out=M, where=norms > 0.0)
+        return pd.Series(list(M))
 
     return scatter(hashed)
 
