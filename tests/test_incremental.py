@@ -772,3 +772,65 @@ def test_vector_store_retrain_clears_drift(spark, tmp_path):
     ra = incremental_semantic_dedup(batch(nxt), store, threshold=0.9999, n_cells=3)
     rb = incremental_semantic_dedup(batch(nxt), twin, threshold=0.9999, n_cells=3)
     assert _vids(ra.accepted) == _vids(rb.accepted) == [901]
+
+
+def test_streaming_semantic_ingest_two_drops(spark, tmp_path):
+    """Two parquet drops through the semantic streaming ingest with
+    hash-trick embeddings (no external encoder): dedup holds across
+    drops via the persistent VectorStore, rejects carry cosine
+    evidence, a drained re-run appends nothing, and the SAME store
+    rejects the docs when they arrive later via the batch API."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+        streaming_semantic_ingest,
+    )
+    from xdump_spark.operators.text import hash_embed_frame
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    out = str(tmp_path / "out")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("jumps", "leaps")
+    other = "distributed query engines shuffle data between executor stages"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(inp / name)
+        )
+
+    def run():
+        q = streaming_semantic_ingest(
+            spark, str(inp) + "/*", store, out, str(tmp_path / "ckpt"),
+            threshold=0.6, n_cells=2, hash_embed_dim=256,
+            rejects_dir=str(tmp_path / "rejects"),
+            schema="doc_id long, text string",
+        )
+        q.awaitTermination(120)
+
+    drop("day1", [(1, base), (2, near), (3, other)])
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2 and 3 in got1 and len(got1 & {1, 2}) == 1
+    rej = spark.read.parquet(str(tmp_path / "rejects")).collect()
+    assert len(rej) == 1 and rej[0]["est"] >= 0.6
+
+    # drop 2: a re-send of the base text (store dup) + genuinely new
+    drop("day2", [(10, base), (11, "completely new content about parquet row groups")])
+    run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {11}
+
+    # drained re-run: nothing new consumed, nothing appended
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got2
+
+    # the SAME store serves the batch API: a batch re-send rejects
+    batch = spark.createDataFrame([(100, near)], "doc_id long, text string")
+    emb = hash_embed_frame(batch, dim=256)
+    res = incremental_semantic_dedup(
+        batch.join(emb, "doc_id"), store, threshold=0.6, id_col="doc_id",
+    )
+    assert res.accepted.count() == 0

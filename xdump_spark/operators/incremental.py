@@ -1095,3 +1095,79 @@ def incremental_semantic_dedup(
     return IncrementResult(
         pairs=[], accepted=accepted, store_rows=n, rejects=rejects
     )
+
+
+def streaming_semantic_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store: VectorStore,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    hash_embed_dim: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rejects_dir: str | None = None,
+    schema=None,
+    trigger: dict | None = None,
+):
+    """Continuous SEMANTIC ingestion: parquet document drops LANDING in
+    ``input_dir`` stream through (optional) hash-trick embedding →
+    :func:`incremental_semantic_dedup` against the persistent
+    ``VectorStore`` → append survivors to ``out_dir``. Completes the
+    streaming-twin family (WET crawl / SFT conversations / preference
+    pairs / semantic documents): SAME store serves batch and streaming
+    arrival, so a drop ingested here is deduped against yesterday's
+    `curate --doc-dedup semantic` run and vice versa.
+
+    ``hash_embed_dim`` embeds ``text_col`` with
+    :func:`~xdump_spark.operators.text.hash_embed_col` (model-free
+    lexical geometry) when the drops carry no ``vec_col``; drops that
+    already carry vectors leave it None. Rejected docs (dup_id, kept_id,
+    est cosine) append to ``rejects_dir`` — evidence stays auditable
+    under streaming arrival.
+
+    Restart discipline (the family contract): the file-stream checkpoint
+    remembers consumed files; output parquet is written BEFORE the store
+    commit, so a crash between them re-delivers the batch — duplicate
+    output rows are dedupable by ``id_col``, and re-appended vectors
+    cannot change a later decision (the module's recovery invariant).
+    The FIRST batch fits the frozen centroids exactly like the batch
+    API. ``trigger`` defaults to ``{"availableNow": True}``
+    (drain-and-stop). ``schema`` (StructType) is required by Spark for
+    parquet file streams; when None it is inferred from the files
+    already in ``input_dir``."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    raw = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df
+        if hash_embed_dim is not None:
+            from xdump_spark.operators.text import hash_embed_col
+
+            cur = cur.withColumn(
+                vec_col, hash_embed_col(text_col, dim=hash_embed_dim)
+            )
+        res = incremental_semantic_dedup(
+            cur, store, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, n_cells=n_cells, defer_commit=True,
+        )
+        if rejects_dir is not None:
+            res.rejects.write.mode("append").parquet(rejects_dir)
+        survivors = cur.join(
+            res.accepted.withColumnRenamed("id", id_col), id_col,
+            "left_semi",
+        )
+        survivors.write.mode("append").parquet(out_dir)
+        res.commit()
+
+    writer = raw.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
