@@ -716,3 +716,35 @@ def test_cli_maintain_window_and_text_index(spark, tmp_path, capsys):
     assert rp["segments_before"] == 2
     st2 = run(["--kind", "text-index", "--store-path", idx_path])
     assert st2["segments"] == 1 and st2["n_docs"] == 12
+
+
+def test_cli_maintain_when_files_over(spark, tmp_path, capsys):
+    """--when-files-over makes scheduled compaction a cheap no-op until
+    the pile is real."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        SignatureStore,
+        incremental_neardup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sig = SignatureStore(spark, str(tmp_path / "sig"))
+    incremental_neardup(docs, sig)
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    n = run(["--kind", "signature", "--store-path", str(tmp_path / "sig")])["files"]
+    skipped = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
+                   "--action", "compact", "--when-files-over", str(n + 5)])
+    assert skipped["skipped"] is True and skipped["files"] == n
+    done = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
+                "--action", "compact", "--when-files-over", "0"])
+    assert "files_before" in done

@@ -622,6 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="retrain: fit KMeans on a sample of the stored "
                          "vectors (recommended at 1e9+ rows)")
     mt.add_argument("--target-file-bytes", type=int, default=128 << 20)
+    mt.add_argument("--when-files-over", type=int, default=None,
+                    help="compact only when the store holds more than this "
+                         "many files — makes an aggressive maintenance "
+                         "schedule a cheap no-op between real pile-ups")
     return p
 
 
@@ -1135,6 +1139,16 @@ def run(args, spark) -> int:
             raise SystemExit(
                 f"--action {args.action} applies to --kind vector only"
             )
+        if args.when_files_over is not None and args.action == "compact":
+            if args.kind == "text-index":
+                from xdump_spark.operators.retrieval import text_index_stats
+
+                st = text_index_stats(spark, args.store_path)
+            else:
+                st = store.stats()
+            if st["files"] <= args.when_files_over:
+                print(_json.dumps({"skipped": True, **st}))
+                return 0
         if args.action == "retrain":
             if not args.n_cells:
                 raise SystemExit("--action retrain needs --n-cells")
