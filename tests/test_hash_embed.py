@@ -151,3 +151,48 @@ def test_curate_hash_embed_cli(spark, tmp_path):
             "curate", "-i", docs, "-o", out, "--doc-dedup", "semantic",
             "--hash-embed", "256", "--embeddings", docs,
         ]), spark)
+
+
+def test_pipeline_hash_embed_param(spark, tmp_path):
+    """prepare_training_corpus(hash_embed=dim): the vector is computed
+    INSIDE the dedup stage on the cleaned text (capitalization noise
+    must not change the geometry), and the config int form agrees."""
+    import json
+
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The   Quick Brown Fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog AGAIN and again"),
+            (3, "distributed query engines shuffle data between executor stages"),
+        ],
+        "doc_id long, text string",
+    )
+    r = prepare_training_corpus(
+        docs, span_k=None, min_tokens=1, doc_dedup="semantic",
+        semantic_threshold=0.95, hash_embed=256,
+        semantic_kwargs={"n_cells": 2, "keep": "min_id"}, audit=False,
+    )
+    # after normalization docs 1 and 2 are the same gram multiset
+    assert {x.doc_id for x in r.corpus.collect()} == {1, 3}
+
+    src = str(tmp_path / "d.parquet")
+    docs.write.parquet(src)
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "input": src, "output": str(tmp_path / "o"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "semantic_threshold": 0.95, "hash_embed": 256,
+        "semantic_kwargs": {"n_cells": 2, "keep": "min_id"},
+    }))
+    r2 = curate_from_config(spark, str(cfg))
+    assert {x.doc_id for x in r2.corpus.collect()} == {1, 3}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "input": src, "output": "x", "hash_embed": {"dim": 4},
+    }))
+    with pytest.raises(ValueError, match="hash_embed"):
+        curate_from_config(spark, str(bad))

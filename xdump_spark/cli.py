@@ -710,14 +710,8 @@ def run(args, spark) -> int:
                 F.col(args.embedding_col),
             )
             docs = docs.join(emb, args.id_col, "inner")
-        elif args.hash_embed:
-            # model-free alternative: one withColumn, zero joins
-            from xdump_spark.operators.text import hash_embed_col
-
-            docs = docs.withColumn(
-                args.embedding_col,
-                hash_embed_col(args.text_col, dim=args.hash_embed),
-            )
+        # (--hash-embed is handled INSIDE the pipeline: the vector is
+        # computed on the cleaned text the other dedup modes see)
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         dedup_store = None
         if args.dedup_store_table:
@@ -771,6 +765,7 @@ def run(args, spark) -> int:
                 {"n_cells": args.semantic_cells}
                 if args.doc_dedup == "semantic" else None
             ),
+            hash_embed=args.hash_embed,
             min_tokens=args.min_tokens,
             blocklist=(
                 [

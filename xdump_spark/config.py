@@ -183,25 +183,10 @@ def curate_from_config(spark: SparkSession, path: str):
             "embeddings and hash_embed are mutually exclusive "
             "(one embedding source)"
         )
-    if cfg.get("hash_embed"):
-        # int dim, or {"dim": N, "k": K} — model-free hashing-trick
-        # embeddings computed from the text itself (text.hash_embed_col)
-        from xdump_spark.operators.text import hash_embed_col
-
-        he = cfg["hash_embed"]
-        he = {"dim": he} if isinstance(he, int) else dict(he)
-        unknown = set(he) - {"dim", "k"}
-        if unknown or "dim" not in he:
-            raise ValueError(
-                "hash_embed config needs an int dim or {'dim', 'k'}; "
-                f"got {cfg['hash_embed']!r}"
-            )
-        input_docs = input_docs.withColumn(
-            cfg.get("embedding_col", "embedding"),
-            hash_embed_col(
-                cfg.get("text_col", "text"),
-                dim=he["dim"], k=he.get("k", 3),
-            ),
+    hash_embed = cfg.get("hash_embed")
+    if hash_embed is not None and not isinstance(hash_embed, int):
+        raise ValueError(
+            f"hash_embed config must be an int dim; got {hash_embed!r}"
         )
     if cfg.get("embeddings"):
         # {"path": str, "id_col": str (default vec_id)} — attach the
@@ -238,6 +223,7 @@ def curate_from_config(spark: SparkSession, path: str):
         embedding_col=cfg.get("embedding_col", "embedding"),
         semantic_threshold=cfg.get("semantic_threshold", 0.95),
         semantic_kwargs=cfg.get("semantic_kwargs"),
+        hash_embed=hash_embed,
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.8),
         fuzzy_kwargs=cfg.get("fuzzy_kwargs"),
         min_tokens=cfg.get("min_tokens", 5),

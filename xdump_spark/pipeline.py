@@ -103,6 +103,7 @@ def prepare_training_corpus(
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_kwargs: dict | None = None,
+    hash_embed: int | None = None,
     min_tokens: int = 5,
     blocklist: list[str] | None = None,
     blocklist_mode: str = "token",
@@ -531,11 +532,20 @@ def prepare_training_corpus(
             # your embedding table upstream; the pipeline never invents
             # vectors). Same deferred + fingerprint-keyed idempotent
             # commit protocol as the exact/fuzzy store paths.
+            if hash_embed is not None:
+                # model-free lexical geometry, computed HERE — on the
+                # CLEANED text the other dedup modes see, not the raw
+                # input (text.hash_embed_col; one withColumn, no join)
+                from xdump_spark.operators.text import hash_embed_col
+
+                cur = cur.withColumn(
+                    embedding_col, hash_embed_col(text_col, dim=hash_embed)
+                )
             if embedding_col not in cur.columns:
                 raise ValueError(
                     f"doc_dedup='semantic' needs column {embedding_col!r} "
                     "on the input (join your embeddings table before the "
-                    "pipeline, or set embedding_col=)"
+                    "pipeline, set embedding_col=, or set hash_embed=dim)"
                 )
             sk = dict(semantic_kwargs or {})
             if dedup_store is not None:
@@ -566,6 +576,7 @@ def prepare_training_corpus(
                         "store": dedup_store.path,
                         "threshold": semantic_threshold,
                         "kwargs": sk,
+                        "hash_embed": hash_embed,
                         "embedding_col": embedding_col, "id_col": id_col,
                     },
                     _build_semantic,
@@ -619,6 +630,7 @@ def prepare_training_corpus(
                         "doc_dedup": "semantic",
                         "threshold": semantic_threshold,
                         "kwargs": sk,
+                        "hash_embed": hash_embed,
                         "embedding_col": embedding_col,
                         "id_col": id_col,
                     },
