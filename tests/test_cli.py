@@ -748,3 +748,34 @@ def test_cli_maintain_when_files_over(spark, tmp_path, capsys):
     done = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
                 "--action", "compact", "--when-files-over", "0"])
     assert "files_before" in done
+
+
+def test_cli_maintain_vector_store_absent(spark, tmp_path, capsys):
+    """Scheduled maintenance pointed at a not-yet-populated VectorStore
+    no-ops (0-stats / skipped compact) instead of crashing; retrain on
+    a meta-only shell raises the helpful error, not PATH_NOT_FOUND."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import VectorStore
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    p = str(tmp_path / "vs_nope")
+    assert run(["--kind", "vector", "--store-path", p]) == {
+        "files": 0, "bytes": 0, "rows": 0, "cells": 0}
+    assert run(["--kind", "vector", "--store-path", p,
+                "--action", "compact"])["files_before"] == 0
+
+    # meta-only shell (first increment crashed pre-commit): retrain says so
+    store = VectorStore(spark, p)
+    spark.createDataFrame(
+        [('{"centers": [[1.0, 0.0]], "n_cells": 1}',)], "meta string"
+    ).coalesce(1).write.mode("overwrite").json(p + "/meta")
+    with _pytest.raises(ValueError, match="no vectors"):
+        store.retrain(4)

@@ -196,3 +196,27 @@ def test_pipeline_hash_embed_param(spark, tmp_path):
     }))
     with pytest.raises(ValueError, match="hash_embed"):
         curate_from_config(spark, str(bad))
+
+
+def test_reference_matches_frame_on_exotic_whitespace(spark):
+    """The lockstep contract under the Java-vs-Python whitespace trap:
+    NBSP is NOT Java \\s (stays inside a token), \\n is NOT trimmed by
+    F.trim — the reference must mirror both."""
+    texts = [
+        "a b c d",      # NBSP inside what Java sees as one token
+        "\nalpha beta\n",    # newlines F.trim keeps, Java \s splits
+        " ",            # NBSP-only: a single 1-char token
+        " ",                 # space-only: trims to empty -> zero vector
+        "x\t y\fz",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed_frame(docs, dim=64, k=2).collect()
+    }
+    for i, t in enumerate(texts):
+        assert np.allclose(
+            out[i], hash_embed_reference(t, dim=64, k=2), atol=1e-12
+        ), repr(t)

@@ -1241,11 +1241,21 @@ def test_curate_embeddings_join_cli(spark, tmp_path):
 
     bad = tmp_path / "bad_emb.json"
     bad.write_text(json.dumps({
-        "input": docs, "output": "y",
+        "input": docs, "output": "y", "doc_dedup": "semantic",
         "embeddings": {"path": emb, "vec_col": "nope"},
     }))
     with _pytest.raises(ValueError, match="embeddings config"):
         curate_from_config(spark, str(bad))
+
+    # embeddings without semantic dedup is a loud error (the inner join
+    # would silently shrink the corpus otherwise)
+    bad2 = tmp_path / "bad_emb2.json"
+    bad2.write_text(json.dumps({
+        "input": docs, "output": "y", "doc_dedup": "exact",
+        "embeddings": {"path": emb},
+    }))
+    with _pytest.raises(ValueError, match="semantic"):
+        curate_from_config(spark, str(bad2))
 
 
 def test_prepare_pairs_splits(spark, tmp_path):

@@ -590,3 +590,24 @@ def test_streaming_preference_ingest(spark, tmp_path):
         )
 
     assert hashes(store) == hashes(twin_store)
+
+
+def test_pairs_from_ratings_prompt_surface_deterministic(spark):
+    """Tied raw responses across annotators with DIFFERENT raw prompt
+    surfaces: the surfaced prompt is the struct-min (a pure function of
+    the group), not an arbitrary min_by winner — re-runs under any
+    partitioning agree."""
+    from xdump_spark.operators.preference import pairs_from_ratings
+
+    rows = [
+        ("Pick one", "alpha", 3.0),
+        ("pick  ONE", "alpha", 1.0),   # same canonical prompt+response, tie on _resp
+        ("pick one", "beta", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "prompt string, response string, rating double")
+    outs = set()
+    for parts in (1, 7):
+        p = pairs_from_ratings(df.repartition(parts)).collect()
+        assert len(p) == 1
+        outs.add(p[0]["prompt"][0]["content"])
+    assert outs == {"Pick one"}  # lexicographic min surface, always

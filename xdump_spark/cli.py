@@ -698,6 +698,13 @@ def run(args, spark) -> int:
                 "--embeddings and --hash-embed are mutually exclusive "
                 "(one embedding source)"
             )
+        if (args.embeddings or args.hash_embed) and args.doc_dedup != "semantic":
+            # without the guard, --embeddings' INNER join would silently
+            # drop every doc missing a vector from a run that never uses
+            # the vectors
+            raise SystemExit(
+                "--embeddings/--hash-embed require --doc-dedup semantic"
+            )
         if args.embeddings:
             # semantic dedup front door: attach the embedding table by id
             # (broadcast-or-shuffle equi-join Catalyst picks; INNER — a

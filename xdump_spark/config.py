@@ -188,6 +188,12 @@ def curate_from_config(spark: SparkSession, path: str):
         raise ValueError(
             f"hash_embed config must be an int dim; got {hash_embed!r}"
         )
+    if (cfg.get("embeddings") or hash_embed) and cfg.get("doc_dedup") != "semantic":
+        raise ValueError(
+            "embeddings/hash_embed require doc_dedup='semantic' (the "
+            "embeddings inner join would silently drop vector-less docs "
+            "from a run that never uses the vectors)"
+        )
     if cfg.get("embeddings"):
         # {"path": str, "id_col": str (default vec_id)} — attach the
         # embedding table by id for doc_dedup='semantic' (INNER join:

@@ -264,8 +264,9 @@ def bpe_train(
     if byte_fallback:
         # bytes own ids 1..256; learned tokens follow (0 = <unk>, unused
         # in practice — encode is total)
+        bset = set(BYTE_TOKENS)
         vocab = tuple((t, i + 1) for i, t in enumerate(BYTE_TOKENS)) + tuple(
-            (t, i + 257) for i, t in enumerate(t for t in toks if t not in set(BYTE_TOKENS))
+            (t, i + 257) for i, t in enumerate(t for t in toks if t not in bset)
         )
     else:
         vocab = tuple((t, i + 1) for i, t in enumerate(toks))  # 0 = <unk>
@@ -363,7 +364,11 @@ def bpe_encode_frame(
             return got
 
         def enc(t):
-            if not t or not t.strip():
+            # null/empty only — anything else goes through the SAME
+            # pre-tokenizer as the reference (a str.strip() guard here
+            # would drop NBSP-only texts the gpt2 scanner tokenizes,
+            # breaking frame == reference parity)
+            if not t:
                 return []
             out: list[int] = []
             for wd in _pretokens_py(t, pretok):

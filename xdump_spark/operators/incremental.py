@@ -847,9 +847,13 @@ class VectorStore:
 
     def stats(self) -> dict:
         """{files, bytes, rows, cells} — compaction trigger inputs
-        (each increment appends files into every touched cell)."""
+        (each increment appends files into every touched cell);
+        [0-stats] when the store does not exist yet (a scheduled
+        maintenance job must no-op, not crash, before first data)."""
         from xdump_spark import fsutil
 
+        if not self.exists():
+            return {"files": 0, "bytes": 0, "rows": 0, "cells": 0}
         path = self._assigned_path()
         files = fsutil.list_data_files(self.spark, path)
         cells = {f.rsplit("/", 2)[-2] for f, _ in files if "/cell=" in f}
@@ -866,7 +870,10 @@ class VectorStore:
         same discipline as the other stores (duplicate vectors are
         harmless: they only add redundant ≥-threshold edges to points
         that are already stored, so decisions cannot change). Returns
-        {files_before, files_after, cells_compacted}."""
+        {files_before, files_after, cells_compacted}; no-op on a store
+        that does not exist yet."""
+        if not self.exists():
+            return {"files_before": 0, "files_after": 0, "cells_compacted": 0}
         rpt = _compact_partition_dirs(
             self.spark, self._assigned_path(), "/cell=", target_file_bytes,
         )
@@ -918,11 +925,20 @@ class VectorStore:
         from xdump_spark.operators.similarity import ivf_build
 
         meta = self._meta()
-        stored = self.spark.read.parquet(self._assigned_path(meta))
-        n_rows = stored.count()
-        if n_rows == 0:
+        apath = self._assigned_path(meta)
+        # a meta-only shell (first increment crashed before its commit)
+        # has no assigned dir at all — same "no vectors" condition as an
+        # empty one, not a PATH_NOT_FOUND crash
+        if not fsutil.list_data_files(self.spark, apath):
             raise ValueError("VectorStore.retrain: store holds no vectors")
-        k = min(int(n_cells), max(2, n_rows))
+        stored = self.spark.read.parquet(apath)
+        n_rows = stored.count()
+        if n_rows < 2:
+            raise ValueError(
+                "VectorStore.retrain: needs >= 2 stored vectors, "
+                f"holds {n_rows}"
+            )
+        k = max(2, min(int(n_cells), n_rows))
         idx = ivf_build(
             stored.select(F.col("neighbor_id"), F.col("cv")),
             id_col="neighbor_id", vec_col="cv", n_cells=k, seed=seed,
@@ -1150,9 +1166,12 @@ def streaming_semantic_ingest(
         if hash_embed_dim is not None:
             from xdump_spark.operators.text import hash_embed_col
 
+            # pin the embedded batch: the dedup AND the survivors write
+            # both consume it — without this the tokenize+hash+scatter
+            # pass runs twice per drop
             cur = cur.withColumn(
                 vec_col, hash_embed_col(text_col, dim=hash_embed_dim)
-            )
+            ).localCheckpoint(eager=True)
         res = incremental_semantic_dedup(
             cur, store, threshold=threshold, id_col=id_col,
             vec_col=vec_col, n_cells=n_cells, defer_commit=True,

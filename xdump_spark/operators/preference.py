@@ -218,7 +218,13 @@ def pairs_from_ratings(
     scored = base.groupBy("_p1", "_p2", "_nresp").agg(
         F.avg("_rating").alias("_rating"),
         F.min("_resp").alias("_resp"),
-        F.min_by("_prompt", "_resp").alias("_prompt"),
+        # struct-min, not min_by: min_by is arbitrary on _resp ties
+        # (two annotators, same raw response, different raw prompt
+        # surface) — the struct compares (_resp, _prompt) lexically so
+        # the surfaced prompt is a pure function of the group
+        F.min(F.struct(F.col("_resp"), F.col("_prompt")))["_prompt"].alias(
+            "_prompt"
+        ),
     )
     if policy == "best_vs_worst":
         best = topk_per_key(

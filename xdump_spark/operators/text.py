@@ -542,15 +542,22 @@ def hash_embed_col(text_col: str = "text", dim: int = 256, k: int = 3):
 
 def hash_embed_reference(text: str, dim: int = 256, k: int = 3) -> list:
     """Pure-Python reference of :func:`hash_embed_frame` for one text —
-    property-test twin (NO Spark). Must stay in lockstep with the frame
-    op; uses the same xxhash64 the JVM computes, via the spark-free
-    implementation in operators/incremental (hash128's convention)."""
+    property-test twin (NO Spark). Lockstep means JAVA semantics, not
+    Python's: ``F.trim`` strips SPACES only (not ``\\n`` or NBSP) and
+    Java ``\\s`` is the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` (the same
+    ASCII-vs-unicode trap :data:`BPE_SPLIT_PATTERN` documents) —
+    ``str.strip()``/``str.split()`` would diverge on any non-ASCII
+    whitespace. Uses the spec XXH64 from operators/xxh."""
+    import re
+
     import numpy as np
 
     from xdump_spark.operators.xxh import xxhash64_py
 
-    t = text.strip().lower()
-    words = t.split() if t else []
+    t = text.lower().strip(" ")  # F.trim: ASCII space only
+    # tokens(): [] iff the trimmed text is empty; else Java \s+ split
+    # (limit -1 keeps leading/trailing empties, as F.split does)
+    words = [] if not t else re.split(r"[ \t\n\x0b\f\r]+", t)
     if not words:
         return [0.0] * dim
     if len(words) < k:

@@ -360,7 +360,9 @@ def unigram_encode_frame(
             return got
 
         def enc(t):
-            if not t or not t.strip():
+            # null/empty only — see bpe_encode_frame: a str.strip()
+            # guard would diverge from the reference on NBSP-only text
+            if not t:
                 return []
             out: list = []
             for wd in _pretokens_py(t, pretok):
