@@ -834,3 +834,165 @@ def test_streaming_semantic_ingest_two_drops(spark, tmp_path):
         batch.join(emb, "doc_id"), store, threshold=0.6, id_col="doc_id",
     )
     assert res.accepted.count() == 0
+
+
+# ------------------------------------------ r9 atomic meta commit ----
+
+
+def _fresh_semantic_store(spark, path):
+    """A VectorStore with two committed increments (so retrain works)."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    store = VectorStore(spark, str(path))
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    incremental_semantic_dedup(b1, store, threshold=0.98, n_cells=2)
+    b2 = spark.createDataFrame(
+        [(3, [0.0, 0.0, 1.0]), (4, [1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    incremental_semantic_dedup(b2, store, threshold=0.98, n_cells=2)
+    return store
+
+
+def test_vector_store_meta_commit_is_atomic_file(spark, tmp_path):
+    """r8 verdict #1: the liveness-bearing meta must be a single file
+    written tmp+rename, never a Spark mode('overwrite') directory."""
+    import os
+
+    store = _fresh_semantic_store(spark, tmp_path / "vs")
+    meta_file = tmp_path / "vs" / "meta.json"
+    assert meta_file.is_file() and not (tmp_path / "vs" / "meta").exists()
+    meta = store._meta()
+    assert meta["n_cells"] == 2 and len(meta["centers"]) == 2
+    # retrain rewrites through the same atomic path
+    store.retrain(n_cells=3)
+    assert meta_file.is_file() and not (tmp_path / "vs" / "meta").exists()
+    assert store._meta()["generation"] == 1
+
+
+def test_vector_store_retrain_crash_window_keeps_old_generation(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window e2e: a retrain that dies before the meta rename
+    leaves the OLD generation fully live — the store must NOT silently
+    re-fit fresh centroids on the next increment (the r8 finding's
+    failure mode), and the orphan generation dir is swept later."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import incremental_semantic_dedup
+
+    store = _fresh_semantic_store(spark, tmp_path / "vs")
+    old_meta = store._meta()
+
+    real = fsutil.write_text_atomic
+
+    def boom(spark_, path, text):
+        raise IOError("simulated crash before the meta rename")
+
+    monkeypatch.setattr(fsutil, "write_text_atomic", boom)
+    with pytest.raises(IOError, match="simulated crash"):
+        store.retrain(n_cells=3)
+    monkeypatch.setattr(fsutil, "write_text_atomic", real)
+
+    # old meta intact: same centers, same generation, store still exists
+    assert store.exists()
+    after = store._meta()
+    assert after["centers"] == old_meta["centers"]
+    assert after.get("generation") == old_meta.get("generation")
+    # next increment runs against the OLD geometry, not a silent re-fit:
+    # a re-sent stored vector is rejected and the centers are unchanged
+    probe = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = incremental_semantic_dedup(probe, store, threshold=0.98, n_cells=2)
+    assert r.accepted.count() == 0
+    assert store._meta()["centers"] == old_meta["centers"]
+    # the crash left an orphan generation dir; a successful retrain
+    # sweeps it and commits atomically
+    import os
+
+    orphans = [
+        n for n in os.listdir(tmp_path / "vs") if n.startswith("assigned_g")
+    ]
+    assert orphans == ["assigned_g1"]
+    store.retrain(n_cells=2)
+    names = os.listdir(tmp_path / "vs")
+    assert "assigned_g1" in names  # re-used generation number, now live
+    assert store._meta()["generation"] == 1
+
+
+def test_vector_store_legacy_meta_dir_read_and_migrated(spark, tmp_path):
+    """Stores written before r9 carry a Spark-JSON ``meta/`` DIR; reads
+    must accept it and the next meta write must migrate to the file."""
+    import json
+    import shutil
+
+    store = _fresh_semantic_store(spark, tmp_path / "vs")
+    # convert to the legacy layout the old writer produced
+    meta = store._meta()
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "meta string"
+    ).coalesce(1).write.json(str(tmp_path / "vs" / "meta"))
+    (tmp_path / "vs" / "meta.json").unlink()
+    assert store.exists() and store._meta() == meta
+
+    # increments read the legacy meta fine
+    from xdump_spark.operators.incremental import incremental_semantic_dedup
+
+    probe = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = incremental_semantic_dedup(probe, store, threshold=0.98, n_cells=2)
+    assert r.accepted.count() == 0
+
+    # the next meta write migrates: file appears, legacy dir swept
+    store.retrain(n_cells=2)
+    assert (tmp_path / "vs" / "meta.json").is_file()
+    assert not (tmp_path / "vs" / "meta").exists()
+    assert store._meta()["generation"] == 1
+
+
+def test_incremental_semantic_count_store_flag(spark, tmp_path):
+    """count_store=False commits but skips the full-store reporting
+    count (store_rows -1) with identical decisions."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(EMB).limit(100)
+    a = VectorStore(spark, str(tmp_path / "a"))
+    b = VectorStore(spark, str(tmp_path / "b"))
+    ra = incremental_semantic_dedup(emb, a, threshold=0.35, n_cells=4)
+    rb = incremental_semantic_dedup(
+        emb, b, threshold=0.35, n_cells=4, count_store=False
+    )
+    assert rb.store_rows == -1 and ra.store_rows >= 0
+    assert _vids(ra.accepted) == _vids(rb.accepted)
+    # the store was still committed: a re-send rejects everything
+    r2 = incremental_semantic_dedup(
+        emb, b, threshold=0.35, n_cells=4, count_store=False
+    )
+    assert r2.accepted.count() == 0
+
+
+def test_incremental_neardup_count_store_flag(spark, tmp_path):
+    from xdump_spark.operators.incremental import (
+        SignatureStore,
+        incremental_neardup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words in this one here")],
+        "doc_id long, text string",
+    )
+    store = SignatureStore(spark, str(tmp_path / "sig"))
+    r = incremental_neardup(docs, store, count_store=False)
+    assert r.store_rows == -1
+    assert store.exists()  # committed despite the skipped count

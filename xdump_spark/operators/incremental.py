@@ -208,6 +208,7 @@ def incremental_neardup(
     max_pairs: int = 1_000_000,
     resolve: str = "greedy",
     defer_commit: bool = False,
+    count_store: bool = True,
 ) -> IncrementResult:
     """Run one dedup increment (see module docstring for semantics).
 
@@ -215,6 +216,9 @@ def incremental_neardup(
     store count (``store_rows`` is -1); ``IncrementResult.commit()``
     performs the append when the caller's downstream work is durable —
     the same poison-avoidance contract as ``incremental_exact_dedup``.
+    ``count_store=False`` commits but skips the count alone (it is
+    reporting, not a decision input — a full distinct-id scan of the
+    store that a scheduled per-drop ingest should not pay).
 
     ``resolve`` picks how colliding docs are adjudicated:
 
@@ -404,7 +408,9 @@ def incremental_neardup(
             rejects=rejects_df, commit=commit,
         )
     commit()
-    n = store.read().select("id").distinct().count()
+    n = (
+        store.read().select("id").distinct().count() if count_store else -1
+    )
     return IncrementResult(
         pairs=pairs, accepted=accepted, store_rows=n, rejects=rejects_df
     )
@@ -753,6 +759,9 @@ def streaming_neardup_dedup(
     def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # per-batch store_rows reporting would pay a full-store distinct
+        # count EVERY micro-batch; stats belong on a maintenance cadence
+        kwargs.setdefault("count_store", False)
         incremental_neardup(
             batch_df, store, text_col=text_col, id_col=id_col, **kwargs
         )
@@ -780,21 +789,53 @@ class VectorStore:
         self.spark = spark
         self.path = path
 
+    # The meta commit is the store's LIVENESS bit: exists() keys on it,
+    # so a torn meta would make the next increment silently re-fit a
+    # fresh store over orphaned generations. It is therefore a single
+    # FILE written via fsutil.write_text_atomic (tmp+rename — the BM25
+    # segment-manifest discipline, retrieval.py), never a Spark
+    # mode("overwrite") dir write (delete-then-write: a crash in the
+    # window leaves NO meta). Stores written by older rounds used a
+    # Spark-JSON ``meta/`` DIR; reads accept both, and any meta writer
+    # migrates to the file form (file written first, dir deleted after
+    # — a crash between the two leaves both, and the file wins).
+    def _meta_file(self) -> str:
+        from xdump_spark import fsutil
+
+        return fsutil.join(self.path, "meta.json")
+
     def exists(self) -> bool:
         from xdump_spark import fsutil
 
-        return fsutil.is_dir(self.spark, fsutil.join(self.path, "meta"))
+        return fsutil.exists(self.spark, self._meta_file()) or fsutil.is_dir(
+            self.spark, fsutil.join(self.path, "meta")
+        )
 
     def _meta(self) -> dict:
         import json
 
         from xdump_spark import fsutil
 
+        if fsutil.exists(self.spark, self._meta_file()):
+            return json.loads(fsutil.read_text(self.spark, self._meta_file()))
+        # legacy dir format (pre-r9 stores)
         return json.loads(
             self.spark.read.json(
                 fsutil.join(self.path, "meta")
             ).first()["meta"]
         )
+
+    def _write_meta(self, meta: dict) -> None:
+        """Atomically commit the meta (see the liveness note above);
+        sweeps a legacy ``meta/`` dir AFTER the file is durable."""
+        import json
+
+        from xdump_spark import fsutil
+
+        fsutil.write_text_atomic(self.spark, self._meta_file(), json.dumps(meta))
+        legacy = fsutil.join(self.path, "meta")
+        if fsutil.is_dir(self.spark, legacy):
+            fsutil.delete(self.spark, legacy)
 
     def _assigned_path(self, meta: dict | None = None) -> str:
         """Data dir of the CURRENT generation. Pre-retrain stores have
@@ -909,18 +950,17 @@ class VectorStore:
         Commit protocol (atomic meta swap, the manifest-last posture of
         the BM25 segment store): the new generation's re-bucketed data
         is written COMPLETELY to ``assigned_g<N+1>`` first, then the
-        meta JSON — which names the live data dir — is overwritten in
-        one writer job. A crash before the meta write leaves the old
-        generation fully live; after it, the old dir is unreferenced
-        and is swept (a crash between meta-write and sweep leaves only
-        a harmless orphan dir, removed by the next retrain's sweep).
+        meta file — which names the live data dir — is swapped via
+        tmp+rename (``_write_meta``). A crash before the rename leaves
+        the old generation fully live; after it, the old dir is
+        unreferenced and is swept (a crash between meta-write and sweep
+        leaves only a harmless orphan dir, removed by the next
+        retrain's sweep).
 
         Scale shape: one full scan of the store (a deliberate
         maintenance cost, like compaction), one KMeans fit (sample at
         1e9+ rows), one partitioned re-write. Nothing collects to the
         driver except the centroid matrix."""
-        import json
-
         from xdump_spark import fsutil
         from xdump_spark.operators.similarity import ivf_build
 
@@ -950,7 +990,8 @@ class VectorStore:
         idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
             fsutil.join(self.path, new_rel)
         )
-        new_meta = json.dumps(
+        new_meta = dict(meta)
+        new_meta.update(
             {
                 "centers": idx.centers,
                 "n_cells": k,
@@ -958,11 +999,10 @@ class VectorStore:
                 "assigned_dir": new_rel,
             }
         )
-        self.spark.createDataFrame(
-            [(new_meta,)], "meta string"
-        ).coalesce(1).write.mode("overwrite").json(
-            fsutil.join(self.path, "meta")
-        )
+        # rename-atomic: a crash anywhere before this line leaves the
+        # OLD meta (and old generation) fully live; after it the new
+        # generation is live and the old dir is merely unreferenced
+        self._write_meta(new_meta)
         # sweep every unreferenced generation (incl. crash orphans)
         for name in fsutil.list_names(self.spark, self.path):
             if name.startswith("assigned") and name != new_rel:
@@ -981,6 +1021,7 @@ def incremental_semantic_dedup(
     seed: int = 42,
     defer_commit: bool = False,
     strip_bytes: int | None = None,
+    count_store: bool = True,
 ) -> IncrementResult:
     """One SEMANTIC dedup increment: accept a new vector iff its
     duplicate cluster (cosine ≥ ``threshold``, within its centroid
@@ -1009,6 +1050,13 @@ def incremental_semantic_dedup(
     other increments — duplicate appended vectors cannot change a
     later increment's decisions (dup rows only add redundant ≥-threshold
     edges to already-stored points).
+
+    ``count_store=False`` skips the post-commit full-store row count
+    (``store_rows`` is -1): the count is REPORTING, not a decision
+    input, and at 1e9 stored vectors it is a full metadata scan paid on
+    every increment — a scheduled ingest should pass False and read
+    ``store.stats()`` on its maintenance cadence instead
+    (``defer_commit=True`` always skips it).
     """
     from xdump_spark.operators.similarity import (
         _as_double,
@@ -1038,15 +1086,10 @@ def incremental_semantic_dedup(
         )
         centers = idx.centers
         assigned_new = idx.assigned
-        # create the store shell (centroids frozen from now on)
-        import json
-
-        from xdump_spark import fsutil
-
-        meta = json.dumps({"centers": centers, "n_cells": len(centers)})
-        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-            "overwrite"
-        ).json(fsutil.join(store.path, "meta"))
+        # create the store shell (centroids frozen from now on) — the
+        # rename-atomic commit: a crash mid-write leaves no meta file,
+        # so the next increment correctly re-fits (nothing was stored)
+        store._write_meta({"centers": centers, "n_cells": len(centers)})
     assigned_new = assigned_new.localCheckpoint(eager=True)
 
     touched = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]
@@ -1106,8 +1149,11 @@ def incremental_semantic_dedup(
             rejects=rejects, commit=commit,
         )
     commit()
-    all_cells = store.read_cells(list(range(len(centers))))
-    n = all_cells.count() if all_cells is not None else 0
+    if count_store:
+        all_cells = store.read_cells(list(range(len(centers))))
+        n = all_cells.count() if all_cells is not None else 0
+    else:
+        n = -1
     return IncrementResult(
         pairs=[], accepted=accepted, store_rows=n, rejects=rejects
     )

@@ -923,7 +923,11 @@ def semantic_dedup(
     50 k) so a cell over ``max_cell`` raises with that guidance rather
     than monopolizing a task. Centroid fit/assignment reuses
     :func:`ivf_build` (or pass a prebuilt/loaded ``index`` — e.g. from
-    ``ivf_read`` — to skip the fit).
+    ``ivf_read`` — to skip the fit). In the self-fit path ``n_cells``
+    is clamped to the corpus size (KMeans needs k ≤ n; matches the
+    incremental path's first-increment clamp), so the default cell
+    count works on arbitrarily small inputs; an explicit ``index`` is
+    used as-is.
 
     Determinism: given an ``index``, the dedup pass is invariant to any
     partitioning (survivor pick is a lexsort, union-find order cannot
@@ -936,6 +940,21 @@ def semantic_dedup(
     same posture as the ANN family; cites SURVEY.md §2-ext)."""
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError(f"keep must be low_centroid_sim|min_id, got {keep!r}")
+    if index is None and n_cells > 1:
+        # clamp to the corpus size (matching the incremental path's
+        # first-increment clamp): KMeans with k > n crashes in the fit,
+        # and `curate --doc-dedup semantic` keeps its default n_cells on
+        # small inputs. The count is one pass; the self-fit path already
+        # pays several (KMeans). A 1-row corpus falls through to the
+        # degenerate single-cell branch (KMeans requires k >= 2).
+        n_rows = corpus.count()
+        if n_rows == 0:
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"{id_col} {_id_type(corpus, id_col)}, cell int, "
+                "centroid_sim double, is_survivor boolean",
+            )
+        n_cells = min(int(n_cells), max(2, n_rows)) if n_rows > 1 else 1
     if index is not None:
         idx = index
     elif n_cells == 1:
