@@ -223,6 +223,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "VectorStore directory; this run dedups against "
                         "all previously-accepted vectors and records its "
                         "survivors (daily-crawl increments)")
+    c.add_argument("--vector-dtype", choices=["float64", "float32"],
+                   default="float64",
+                   help="with --vector-store: on-disk vector precision "
+                        "at store CREATION (float32 halves store bytes "
+                        "and transfer; compute stays float64). An "
+                        "existing store keeps its own recorded dtype.")
     c.add_argument("--embeddings", default=None, metavar="PARQUET",
                    help="with --doc-dedup semantic: an embedding table to "
                         "attach by id before the pipeline (docs without a "
@@ -586,6 +592,66 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pp.add_argument("--split-seed", type=int, default=0)
 
+    ig = sub.add_parser(
+        "ingest",
+        help="drop-directory streaming ingest: consume files landing in "
+             "an input directory through the matching restart-safe "
+             "incremental pipeline (WET crawl / SFT conversations / "
+             "preference pairs / semantic documents), dedup against the "
+             "persistent store, append survivors to the output "
+             "(streaming/ingest.py). Default drains what is present and "
+             "exits (scheduler-friendly); --processing-time runs "
+             "always-on.",
+    )
+    ig.add_argument("--kind", required=True,
+                    choices=["wet", "sft", "pairs", "semantic"])
+    ig.add_argument("-i", "--input-dir", required=True,
+                    help="the drop directory (glob patterns allowed)")
+    ig.add_argument("-o", "--output", required=True,
+                    help="survivor parquet directory (append)")
+    ig.add_argument("--checkpoint-dir", required=True,
+                    help="file-stream checkpoint (remembers consumed "
+                         "files across restarts)")
+    ig.add_argument("--store-table", default=None,
+                    help="wet/sft/pairs: the ExactHashStore catalog "
+                         "table carrying dedup history")
+    ig.add_argument("--store-path", default=None,
+                    help="semantic: the VectorStore directory "
+                         "(wet/sft/pairs: optional external table location)")
+    ig.add_argument("--store-buckets", type=int, default=64)
+    ig.add_argument("--vector-dtype", choices=["float64", "float32"],
+                    default="float64",
+                    help="semantic: on-disk vector precision at store "
+                         "creation (an existing store keeps its own)")
+    ig.add_argument("--corrupt-out", default=None,
+                    help="quarantine unreadable files/lines here")
+    ig.add_argument("--rejects-out", default=None,
+                    help="sft/pairs: invalid records with reasons; "
+                         "semantic: (dup_id, kept_id, est) dup evidence")
+    ig.add_argument("--template", choices=["chatml", "plain"],
+                    default="chatml", help="sft/pairs render template")
+    ig.add_argument("--keep-contradictions", action="store_true",
+                    help="pairs: keep both sides of opposite-orientation "
+                         "pairs within a drop")
+    ig.add_argument("--path-glob", default="*",
+                    help="wet: filename filter within the drop directory")
+    ig.add_argument("--text-col", default="text")
+    ig.add_argument("--id-col", default="doc_id")
+    ig.add_argument("--vec-col", default="embedding",
+                    help="semantic: vector column on the drops (ignored "
+                         "with --hash-embed)")
+    ig.add_argument("--semantic-threshold", type=float, default=0.95)
+    ig.add_argument("--semantic-cells", type=int, default=16)
+    ig.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
+                    help="semantic: compute hashing-trick embeddings from "
+                         "--text-col instead of reading --vec-col")
+    ig.add_argument("--processing-time", default=None, metavar="INTERVAL",
+                    help="always-on mode, e.g. '1 minute' (default: drain "
+                         "what is present and exit)")
+    ig.add_argument("--await-seconds", type=float, default=None,
+                    help="upper bound on how long to block (drain mode "
+                         "defaults to blocking until drained)")
+
     mt = sub.add_parser(
         "maintain",
         help="persistent-store maintenance: stats / compact / retrain / "
@@ -746,7 +812,9 @@ def run(args, spark) -> int:
                 )
             from xdump_spark.operators.incremental import VectorStore
 
-            dedup_store = VectorStore(spark, args.vector_store)
+            dedup_store = VectorStore(
+                spark, args.vector_store, dtype=args.vector_dtype
+            )
         quality_model = None
         if args.quality_model:
             from xdump_spark.config import _load_quality_model
@@ -1108,6 +1176,56 @@ def run(args, spark) -> int:
                 f"mean_token_delta={res.length_bias['mean_token_delta']:.2f}"
             )
         print(f"wrote {args.output}")
+    elif args.command == "ingest":
+        import json as _json
+
+        from xdump_spark.streaming.ingest import run_ingest
+
+        q = run_ingest(
+            spark,
+            kind=args.kind,
+            input_dir=args.input_dir,
+            output=args.output,
+            checkpoint_dir=args.checkpoint_dir,
+            store_table=args.store_table,
+            store_path=args.store_path,
+            store_buckets=args.store_buckets,
+            vector_dtype=args.vector_dtype,
+            corrupt_out=args.corrupt_out,
+            rejects_out=args.rejects_out,
+            template=args.template,
+            keep_contradictions=args.keep_contradictions,
+            path_glob=args.path_glob,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            semantic_threshold=args.semantic_threshold,
+            semantic_cells=args.semantic_cells,
+            hash_embed=args.hash_embed,
+            processing_time=args.processing_time,
+            await_seconds=args.await_seconds,
+        )
+        if args.processing_time:
+            # always-on: report and block (the scheduler owns the kill);
+            # --await-seconds turns it into a bounded run that stops
+            # cleanly after the wait (run_ingest already waited it out)
+            print(_json.dumps({"kind": args.kind, "mode": "always-on"}))
+            if args.await_seconds is not None:
+                q.stop()
+            else:
+                q.awaitTermination()
+        else:
+            # drained: the output count is parquet footer metadata only
+            from xdump_spark import fsutil
+
+            n = (
+                spark.read.parquet(args.output).count()
+                if fsutil.exists(spark, args.output)
+                else 0
+            )
+            print(_json.dumps(
+                {"kind": args.kind, "mode": "drain", "output_rows": n}
+            ))
     elif args.command == "maintain":
         import json as _json
 

@@ -89,6 +89,80 @@ def load_curate_config(path: str) -> dict:
     return cfg
 
 
+_INGEST_KEYS = {
+    "kind", "input_dir", "output", "checkpoint_dir", "store",
+    "corrupt_out", "rejects_out", "template", "keep_contradictions",
+    "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
+    "semantic_cells", "hash_embed", "processing_time", "await_seconds",
+}
+
+
+def load_ingest_config(path: str) -> dict:
+    with open(path) as f:
+        cfg = json.load(f)
+    for key in ("kind", "input_dir", "output", "checkpoint_dir"):
+        if key not in cfg:
+            raise ValueError(f"ingest config missing required key {key!r}")
+    unknown = set(cfg) - _INGEST_KEYS
+    if unknown:
+        raise ValueError(f"unknown ingest config keys: {sorted(unknown)}")
+    store = cfg.get("store", {})
+    if not isinstance(store, dict):
+        raise ValueError("ingest config 'store' must be an object")
+    unknown = set(store) - {"table", "path", "n_buckets", "dtype"}
+    if unknown:
+        raise ValueError(f"unknown ingest store keys: {sorted(unknown)}")
+    return cfg
+
+
+def ingest_from_config(spark: SparkSession, path: str):
+    """Run one drop-directory streaming ingest as described by a JSON
+    config file — the scheduled-pipeline invocation mode of ``cli
+    ingest`` (same shape as ``curate_from_config``): the full drop/
+    store/output wiring lives in one reviewable artifact.
+
+        {
+          "kind": "sft", "input_dir": "/drops/sft",
+          "output": "/data/sft_corpus", "checkpoint_dir": "/ckpt/sft",
+          "store": {"table": "sft_hashes", "n_buckets": 64},
+          "rejects_out": "/data/sft_rejects", "template": "chatml"
+        }
+
+    The ``store`` object is the kind-matched dedup store: ``table`` (+
+    optional ``path``, ``n_buckets``) for wet/sft/pairs, ``path`` (+
+    optional ``dtype``) for semantic. Returns the (stopped, in drain
+    mode) StreamingQuery from :func:`xdump_spark.streaming.ingest.
+    run_ingest`."""
+    from xdump_spark.streaming.ingest import run_ingest
+
+    cfg = load_ingest_config(path)
+    store = cfg.get("store", {})
+    return run_ingest(
+        spark,
+        kind=cfg["kind"],
+        input_dir=cfg["input_dir"],
+        output=cfg["output"],
+        checkpoint_dir=cfg["checkpoint_dir"],
+        store_table=store.get("table"),
+        store_path=store.get("path"),
+        store_buckets=store.get("n_buckets", 64),
+        vector_dtype=store.get("dtype", "float64"),
+        corrupt_out=cfg.get("corrupt_out"),
+        rejects_out=cfg.get("rejects_out"),
+        template=cfg.get("template", "chatml"),
+        keep_contradictions=cfg.get("keep_contradictions", False),
+        path_glob=cfg.get("path_glob", "*"),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        vec_col=cfg.get("vec_col", "embedding"),
+        semantic_threshold=cfg.get("semantic_threshold", 0.95),
+        semantic_cells=cfg.get("semantic_cells", 16),
+        hash_embed=cfg.get("hash_embed"),
+        processing_time=cfg.get("processing_time"),
+        await_seconds=cfg.get("await_seconds"),
+    )
+
+
 def _load_quality_model(path: str):
     """A LinearModel JSON file (classifier.LinearModel.to_dict) → model."""
     from xdump_spark.operators.classifier import LinearModel
@@ -132,17 +206,21 @@ def curate_from_config(spark: SparkSession, path: str):
                 )
             dedup_store = SignatureStore(spark, sc["path"])
         elif cfg.get("doc_dedup") == "semantic":
-            # {"path": str} — the persistent embedding VectorStore this
-            # run increments against (r8).
+            # {"path": str, "dtype": "float64"|"float32" (optional)} —
+            # the persistent embedding VectorStore this run increments
+            # against (r8); dtype applies at store creation only (r9).
             from xdump_spark.operators.incremental import VectorStore
 
-            unknown = set(sc) - {"path"}
+            unknown = set(sc) - {"path", "dtype"}
             if unknown or "path" not in sc:
                 raise ValueError(
                     "dedup_store config with doc_dedup='semantic' needs "
-                    f"'path' only; got keys {sorted(cfg['dedup_store'])}"
+                    "'path' (+ optional 'dtype'); got keys "
+                    f"{sorted(cfg['dedup_store'])}"
                 )
-            dedup_store = VectorStore(spark, sc["path"])
+            dedup_store = VectorStore(
+                spark, sc["path"], dtype=sc.get("dtype", "float64")
+            )
         else:
             # {"table": str, "path": str (optional), "n_buckets": int
             # (optional)} — the persistent exact-dedup hash store this

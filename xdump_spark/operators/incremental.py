@@ -783,11 +783,53 @@ class VectorStore:
     its touched cells (partition pruning), and appends its accepted
     vectors into those cells. Completes the store trio: ExactHashStore
     (byte-identical), SignatureStore (MinHash near-dup), VectorStore
-    (semantic near-dup, SemDeDup-style)."""
+    (semantic near-dup, SemDeDup-style).
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``dtype`` picks the ON-DISK vector precision at store CREATION
+    ("float64" default, "float32" opt-in) and is recorded in the meta —
+    an existing store's meta always wins, so every later open (CLI
+    maintenance, a differently-configured ingest) reads and appends in
+    the store's own precision. float32 halves store bytes, strip-kernel
+    input, and Arrow transfer — the measured cost drivers of the r8
+    soak (dim=1024 was 1.4x slower purely on vector serialization).
+    COMPUTE stays float64 either way: stored vectors are upcast on
+    read, so steady-state decision drift is float32 rounding of the
+    stored vector itself (~1e-7 relative on a cosine) — a pair whose
+    true cosine sits within that of ``threshold`` may flip. Measured
+    (SCALE.md r9, 200k x 64d): all 10 increments decision-identical to
+    a float64 twin. The one amplifier is :meth:`retrain`: KMeans refits
+    on the rounded vectors, and a 1e-7 perturbation can flip KMeans||
+    init samples into a slightly different cell GEOMETRY — per-cell
+    scoping (which pairs are compared) then differs near cell
+    boundaries even though every computed score is right (measured:
+    0.5% of post-retrain verdicts). Keep float64 if bit-identical
+    cross-precision retrains matter."""
+
+    _DTYPES = ("float64", "float32")
+
+    def __init__(self, spark: SparkSession, path: str, dtype: str = "float64"):
+        if dtype not in self._DTYPES:
+            raise ValueError(
+                f"VectorStore dtype must be one of {self._DTYPES}, got {dtype!r}"
+            )
         self.spark = spark
         self.path = path
+        self.dtype = dtype
+
+    def _store_dtype(self) -> str:
+        """The precision vectors are stored at: the meta's record for
+        an existing store (authoritative — a store keeps ONE precision
+        for life), the ctor request before first write."""
+        if self.exists():
+            return self._meta().get("dtype", "float64")
+        return self.dtype
+
+    def _upcast(self, df: DataFrame) -> DataFrame:
+        """Stored cv → array<double> for compute (no-op on float64
+        stores: the parquet schema already is double)."""
+        if dict(df.dtypes).get("cv") != "array<double>":
+            df = df.withColumn("cv", F.col("cv").cast("array<double>"))
+        return df
 
     # The meta commit is the store's LIVENESS bit: exists() keys on it,
     # so a torn meta would make the next increment silently re-fit a
@@ -856,7 +898,9 @@ class VectorStore:
         meta = self._meta()
         return IVFIndex(
             centers=meta["centers"],
-            assigned=self.spark.read.parquet(self._assigned_path(meta)),
+            assigned=self._upcast(
+                self.spark.read.parquet(self._assigned_path(meta))
+            ),
             n_cells=meta["n_cells"],
         )
 
@@ -870,8 +914,10 @@ class VectorStore:
         path = self._assigned_path()
         if not fsutil.list_data_files(self.spark, path):
             return None
-        return self.spark.read.parquet(path).filter(
-            F.col("cell").isin([int(c) for c in cells])
+        return self._upcast(
+            self.spark.read.parquet(path).filter(
+                F.col("cell").isin([int(c) for c in cells])
+            )
         )
 
     def append_assigned(self, assigned: DataFrame) -> None:
@@ -882,6 +928,10 @@ class VectorStore:
         # 16→59 s on the accumulating listing; with it the pile stays
         # ~cells-sized and compaction becomes weekly maintenance, not a
         # per-day necessity)
+        if self._store_dtype() == "float32":
+            assigned = assigned.withColumn(
+                "cv", F.col("cv").cast("array<float>")
+            )
         assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
             "cell"
         ).parquet(self._assigned_path())
@@ -971,7 +1021,7 @@ class VectorStore:
         # empty one, not a PATH_NOT_FOUND crash
         if not fsutil.list_data_files(self.spark, apath):
             raise ValueError("VectorStore.retrain: store holds no vectors")
-        stored = self.spark.read.parquet(apath)
+        stored = self._upcast(self.spark.read.parquet(apath))
         n_rows = stored.count()
         if n_rows < 2:
             raise ValueError(
@@ -987,7 +1037,12 @@ class VectorStore:
         )
         gen = int(meta.get("generation", 0)) + 1
         new_rel = f"assigned_g{gen}"
-        idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        gen_data = idx.assigned
+        if meta.get("dtype", "float64") == "float32":
+            gen_data = gen_data.withColumn(
+                "cv", F.col("cv").cast("array<float>")
+            )
+        gen_data.write.mode("overwrite").partitionBy("cell").parquet(
             fsutil.join(self.path, new_rel)
         )
         new_meta = dict(meta)
@@ -1089,7 +1144,13 @@ def incremental_semantic_dedup(
         # create the store shell (centroids frozen from now on) — the
         # rename-atomic commit: a crash mid-write leaves no meta file,
         # so the next increment correctly re-fits (nothing was stored)
-        store._write_meta({"centers": centers, "n_cells": len(centers)})
+        store._write_meta(
+            {
+                "centers": centers,
+                "n_cells": len(centers),
+                "dtype": store.dtype,
+            }
+        )
     assigned_new = assigned_new.localCheckpoint(eager=True)
 
     touched = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]

@@ -1,0 +1,156 @@
+"""One front door for the four restart-safe drop-directory ingests.
+
+The streaming twins — WET crawl files, SFT conversation JSONL,
+preference-pair JSONL, semantic document parquet — share one
+operational shape: files LAND in a drop directory, each micro-batch
+runs the matching incremental pipeline against a persistent dedup
+store, survivors append to an output directory, and the file-stream
+checkpoint makes the whole thing restart-safe (output written BEFORE
+the store commit, so a crash can only duplicate, never lose — the
+family contract documented on each twin). Until r9 they were API-only;
+an operator scheduling the drop-directory pattern had to write Python.
+:func:`run_ingest` is the shared dispatcher behind ``python -m
+xdump_spark.cli ingest`` and :func:`xdump_spark.config.
+ingest_from_config` — same validation, same store construction, same
+trigger handling for all four kinds.
+
+Scale notes: each kind's cost model is its twin's (see
+sources/warc.py, operators/sft.py, operators/preference.py,
+operators/incremental.py). The dispatcher adds nothing per-row — it
+only builds the store handle and the trigger. Drain mode
+(``availableNow``) is the scheduler-friendly default: consume
+everything present, commit, exit 0; ``processing_time`` turns the same
+query into an always-on daemon with identical semantics per
+micro-batch.
+
+The reference engine has no streaming surface (extension scope; the
+batch CLI parity it does have is cited per subcommand in cli.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+INGEST_KINDS = ("wet", "sft", "pairs", "semantic")
+
+
+def run_ingest(
+    spark: SparkSession,
+    kind: str,
+    input_dir: str,
+    output: str,
+    checkpoint_dir: str,
+    store_table: str | None = None,
+    store_path: str | None = None,
+    store_buckets: int = 64,
+    vector_dtype: str = "float64",
+    corrupt_out: str | None = None,
+    rejects_out: str | None = None,
+    template: str = "chatml",
+    keep_contradictions: bool = False,
+    path_glob: str = "*",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 16,
+    hash_embed: int | None = None,
+    processing_time: str | None = None,
+    await_seconds: float | None = None,
+):
+    """Start (and in drain mode, finish) one drop-directory ingest.
+
+    ``kind`` picks the twin; the store argument matches it: ``wet`` /
+    ``sft`` / ``pairs`` dedup against an ExactHashStore named by
+    ``store_table`` (optional external ``store_path``), ``semantic``
+    against a VectorStore at ``store_path`` (``vector_dtype`` applies
+    at store creation; an existing store's recorded dtype wins).
+
+    Trigger: ``processing_time=None`` (default) drains — the query
+    consumes every file currently in ``input_dir``, commits, and this
+    function BLOCKS until it stops (bounded by ``await_seconds`` when
+    given), then returns the stopped query. A ``processing_time``
+    (e.g. ``"1 minute"``) starts an always-on query and returns it
+    immediately (``await_seconds`` still waits when given) — the
+    caller owns ``stop()``.
+
+    Redelivery contract (all kinds): re-running after a crash between
+    the output write and the store commit re-delivers the last batch;
+    duplicate output rows are dedupable by the kind's id column and
+    re-committed store rows cannot change any later decision.
+    """
+    if kind not in INGEST_KINDS:
+        raise ValueError(f"ingest kind must be one of {INGEST_KINDS}, got {kind!r}")
+    trigger = (
+        {"processingTime": processing_time}
+        if processing_time
+        else {"availableNow": True}
+    )
+
+    if kind == "semantic":
+        if not store_path:
+            raise ValueError("ingest kind 'semantic' needs store_path "
+                             "(the VectorStore directory)")
+        if store_table:
+            raise ValueError("ingest kind 'semantic' takes store_path, "
+                             "not store_table")
+        from xdump_spark.operators.incremental import (
+            VectorStore,
+            streaming_semantic_ingest,
+        )
+
+        store = VectorStore(spark, store_path, dtype=vector_dtype)
+        q = streaming_semantic_ingest(
+            spark, input_dir, store, output, checkpoint_dir,
+            threshold=semantic_threshold, n_cells=semantic_cells,
+            hash_embed_dim=hash_embed, text_col=text_col, id_col=id_col,
+            vec_col=vec_col, rejects_dir=rejects_out, trigger=trigger,
+        )
+    else:
+        if not store_table:
+            raise ValueError(
+                f"ingest kind {kind!r} needs store_table (the ExactHashStore "
+                "catalog table carrying the dedup history)"
+            )
+        from xdump_spark.operators.incremental import ExactHashStore
+
+        store = ExactHashStore(
+            spark, store_table, n_buckets=store_buckets, path=store_path
+        )
+        if kind == "wet":
+            from xdump_spark.sources.warc import streaming_wet_ingest
+
+            q = streaming_wet_ingest(
+                spark, input_dir, store, output, checkpoint_dir,
+                corrupt_dir=corrupt_out, path_glob=path_glob,
+                text_col=text_col, trigger=trigger,
+            )
+        elif kind == "sft":
+            from xdump_spark.operators.sft import streaming_sft_ingest
+
+            q = streaming_sft_ingest(
+                spark, input_dir, store, output, checkpoint_dir,
+                corrupt_dir=corrupt_out, rejects_dir=rejects_out,
+                template=template, trigger=trigger,
+            )
+        else:  # pairs
+            from xdump_spark.operators.preference import (
+                streaming_preference_ingest,
+            )
+
+            q = streaming_preference_ingest(
+                spark, input_dir, store, output, checkpoint_dir,
+                corrupt_dir=corrupt_out, rejects_dir=rejects_out,
+                template=template, trigger=trigger,
+                drop_contradictions=not keep_contradictions,
+            )
+
+    if processing_time is None:
+        # drain-and-stop: availableNow terminates by itself
+        if await_seconds is not None:
+            q.awaitTermination(await_seconds)
+        else:
+            q.awaitTermination()
+    elif await_seconds is not None:
+        q.awaitTermination(await_seconds)
+    return q
