@@ -25,6 +25,89 @@ LANG_MARKERS: dict[str, list[str]] = {
 # deterministic tie-break order (max hits wins; earlier wins ties)
 LANG_ORDER = ["en", "de", "es", "fr", "zh"]
 
+# --- Unicode-script histogram tier (r9) -------------------------------
+#
+# The marker-word tier only knows a handful of Latin-script languages —
+# a multilingual crawl got "und" for most of the world's text. Script
+# membership is a pure character-class count (one regexp_count per
+# script, whole-stage codegen, no model): when the dominant non-Latin
+# script outnumbers the Latin letters, the script DECIDES the language
+# outright; otherwise marker words break the Latin-script tie exactly
+# as before (so existing Latin-text behavior is unchanged). Han vs
+# kana disambiguates Japanese from Chinese: any text whose kana mass
+# is >= 1/KANA_JA_DEN of its Han mass is Japanese (written Japanese is
+# kanji-heavy but never kana-free; Chinese never uses kana).
+#
+# Keys are internal count names; values are Unicode Script names —
+# spelled \p{IsXxx} under Java regex (Spark) and \p{Xxx} under RE2
+# (the DuckDB oracle twin, duckdb_script_count_sql). Both implement
+# the same Unicode Script property.
+SCRIPT_CLASSES: dict[str, list[str]] = {
+    "latin": ["Latin"],
+    "han": ["Han"],
+    "kana": ["Hiragana", "Katakana"],
+    "ko": ["Hangul"],
+    "ru": ["Cyrillic"],
+    "ar": ["Arabic"],
+    "hi": ["Devanagari"],
+    "el": ["Greek"],
+    "he": ["Hebrew"],
+    "th": ["Thai"],
+}
+# script-decided labels, deterministic tie-break order (earlier wins)
+SCRIPT_LANG_ORDER = ["zh", "ja", "ko", "ru", "ar", "hi", "el", "he", "th"]
+KANA_JA_DEN = 20  # ja when kana * KANA_JA_DEN >= han (>= 5% kana)
+
+
+def script_count_exprs(t: Column) -> dict[str, Column]:
+    """Raw per-script character counts (one codegen regexp_count per
+    SCRIPT_CLASSES entry)."""
+    out = {}
+    for key, scripts in SCRIPT_CLASSES.items():
+        pat = "[" + "".join(f"\\p{{Is{s}}}" for s in scripts) + "]"
+        out[key] = F.regexp_count(t, F.lit(pat))
+    return out
+
+
+def duckdb_script_count_sql(key: str, text_expr: str = "text") -> str:
+    """The DuckDB twin of one script_count_exprs entry (RE2 spelling)."""
+    pat = "[" + "".join(f"\\p{{{s}}}" for s in SCRIPT_CLASSES[key]) + "]"
+    return f"len(regexp_extract_all({text_expr}, '{pat}'))"
+
+
+def _script_effective(c: dict) -> dict[str, Column]:
+    """Effective per-language script counts from raw counts: the ja/zh
+    split on kana share; every other label is its script verbatim."""
+    ja_like = (c["kana"] > 0) & (c["kana"] * KANA_JA_DEN >= c["han"])
+    return {
+        "zh": F.when(ja_like, F.lit(0)).otherwise(c["han"]),
+        "ja": F.when(ja_like, c["han"] + c["kana"]).otherwise(F.lit(0)),
+        "ko": c["ko"], "ru": c["ru"], "ar": c["ar"], "hi": c["hi"],
+        "el": c["el"], "he": c["he"], "th": c["th"],
+    }
+
+
+def _argmax_case(counts: dict, order: list[str], fallback: Column) -> Column:
+    """Earlier-strict/later-ge argmax CASE over named counts — the same
+    tie discipline as the marker tier (and its SQL twin)."""
+    pred = fallback
+    branches = []
+    for i, name in enumerate(order):
+        cond = counts[name] > 0
+        for j, other in enumerate(order):
+            if i == j:
+                continue
+            cond = cond & (
+                (counts[name] > counts[other])
+                if j < i
+                else (counts[name] >= counts[other])
+            )
+        branches.append((cond, name))
+    for cond, name in reversed(branches):
+        pred = F.when(cond, F.lit(name)).otherwise(pred)
+    return pred
+
+
 _WS = r"\s+"
 
 
@@ -100,43 +183,56 @@ def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: the language whose marker-word hit count is
-    highest (deterministic tie-break by LANG_ORDER).
+def _lang_pred(latin_col: Column) -> Column:
+    """The two-tier language CASE over already-projected count columns
+    ``_s_<lang>`` (effective script counts) and ``_h_<lang>`` (marker
+    hits): the dominant non-Latin script decides outright when it
+    outnumbers the Latin letters; otherwise marker words break the
+    Latin-script tie (both tiers earlier-strict/later-ge argmax — the
+    same CASE the SQL oracle spells out)."""
+    scounts = {l: F.col(f"_s_{l}") for l in SCRIPT_LANG_ORDER}
+    hits = {l: F.col(f"_h_{l}") for l in LANG_ORDER}
+    marker_pred = _argmax_case(hits, LANG_ORDER, F.lit("und"))
+    script_pred = _argmax_case(scounts, SCRIPT_LANG_ORDER, F.lit("und"))
+    return F.when(
+        F.greatest(*scounts.values()) > latin_col, script_pred
+    ).otherwise(marker_pred)
 
-    The winner-CASE references each language's hit count ~|langs| times, so
-    hit counts are projected to real columns first — inlined, the CASE
-    would re-tokenize and re-filter per comparison (≈25× per row)."""
+
+def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID, two tiers (r9): a Unicode-script character
+    histogram decides CJK/Cyrillic/Arabic/Devanagari/Greek/Hebrew/Thai
+    whenever the dominant non-Latin script outnumbers the Latin letters
+    (pure codegen regexp_count — no model); Latin-script text falls to
+    the marker-word tier (deterministic tie-break by LANG_ORDER, exactly
+    the pre-r9 behavior).
+
+    The winner-CASEs reference each count ~|langs| times, so script
+    counts and hit counts are projected to real columns first —
+    inlined, the CASE would re-run the regex per comparison."""
     t = F.col(text_col)
-    toked = df.select(F.col(id_col), tokens(t).alias("_toks"))
+    pre = df.select(
+        F.col(id_col),
+        tokens(t).alias("_toks"),
+        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
+    )
+
     def _hit_count(words: list[str]):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
 
-    hit_exprs = [
-        _hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER
-    ]
-    counted = toked.select(F.col(id_col), *hit_exprs)
-    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
-    # CASE chain: a language wins when it beats every earlier language
-    # strictly and every later language at-least (earlier wins ties) —
-    # the same CASE the SQL oracle spells out.
-    pred = F.lit("und")
-    branches = []
-    for i, lang in enumerate(LANG_ORDER):
-        cond = hits[lang] > 0
-        for j, other in enumerate(LANG_ORDER):
-            if i == j:
-                continue
-            cond = cond & (
-                (hits[lang] > hits[other]) if j < i else (hits[lang] >= hits[other])
-            )
-        branches.append((cond, lang))
-    for cond, lang in reversed(branches):
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    cols = [F.col(id_col), pred.alias("pred_lang")]
-    cols += [hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER]
-    return counted.select(*cols)
+    eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
+    counted = pre.select(
+        F.col(id_col),
+        F.col("_sc_latin"),
+        *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
+        *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER],
+    )
+    return counted.select(
+        F.col(id_col),
+        _lang_pred(F.col("_sc_latin")).alias("pred_lang"),
+        *[F.col(f"_h_{lang}").cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+    )
 
 
 # GPT-2-style pre-tokenization split (public pattern family: contraction
@@ -262,30 +358,22 @@ def quality_langid_frame(
         F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
         F.size(bpe_tokens(t)).cast("long").alias("_bpe"),
         F.md5(F.trim(F.regexp_replace(F.lower(t), _WS, " "))).alias("_fp"),
+        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
     )
 
     def _hit_count(words: list[str]):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
 
+    eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
     counted = pre.select(
-        "*", *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER]
+        "*",
+        *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
+        *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER],
     )
     n_tok = F.size("_toks")
     hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
-    pred = F.lit("und")
-    branches = []
-    for i, lang in enumerate(LANG_ORDER):
-        cond = hits[lang] > 0
-        for j, other in enumerate(LANG_ORDER):
-            if i == j:
-                continue
-            cond = cond & (
-                (hits[lang] > hits[other]) if j < i else (hits[lang] >= hits[other])
-            )
-        branches.append((cond, lang))
-    for cond, lang in reversed(branches):
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    pred = _lang_pred(F.col("_sc_latin"))
     return counted.select(
         F.col(id_col),
         F.col("_len").alias("n_chars"),

@@ -1149,18 +1149,42 @@ def _sql_hits(lang: str) -> str:
     return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
 
 
-def _quality_langid_sql() -> str:
-    hits_cols = ", ".join(f"{_sql_hits(lang)} AS h_{lang}" for lang in TX.LANG_ORDER)
+def _sql_argmax_case(prefix: str, order: list[str]) -> str:
+    """The DuckDB twin of text._argmax_case: earlier-strict/later-ge
+    argmax over ``{prefix}{name}`` columns."""
     branches = []
-    for i, lang in enumerate(TX.LANG_ORDER):
-        conds = [f"h_{lang} > 0"]
-        for j, other in enumerate(TX.LANG_ORDER):
+    for i, lang in enumerate(order):
+        conds = [f"{prefix}{lang} > 0"]
+        for j, other in enumerate(order):
             if i == j:
                 continue
             op = ">" if j < i else ">="
-            conds.append(f"h_{lang} {op} h_{other}")
+            conds.append(f"{prefix}{lang} {op} {prefix}{other}")
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _quality_langid_sql() -> str:
+    hits_cols = ", ".join(f"{_sql_hits(lang)} AS h_{lang}" for lang in TX.LANG_ORDER)
+    # raw script counts + the ja/zh effective split (text.py's
+    # _script_effective, spelled in SQL)
+    sc_cols = ", ".join(
+        f"{TX.duckdb_script_count_sql(k)} AS sc_{k}" for k in TX.SCRIPT_CLASSES
+    )
+    ja_like = f"(sc_kana > 0 AND sc_kana * {TX.KANA_JA_DEN} >= sc_han)"
+    eff_cols = ", ".join(
+        [
+            f"CASE WHEN {ja_like} THEN 0 ELSE sc_han END AS s_zh",
+            f"CASE WHEN {ja_like} THEN sc_han + sc_kana ELSE 0 END AS s_ja",
+        ]
+        + [f"sc_{l} AS s_{l}" for l in TX.SCRIPT_LANG_ORDER[2:]]
+    )
+    s_max = "greatest(" + ", ".join(f"s_{l}" for l in TX.SCRIPT_LANG_ORDER) + ")"
+    case = (
+        f"CASE WHEN {s_max} > sc_latin "
+        f"THEN {_sql_argmax_case('s_', TX.SCRIPT_LANG_ORDER)} "
+        f"ELSE {_sql_argmax_case('h_', TX.LANG_ORDER)} END"
+    )
     hit_outs = ", ".join(f"CAST(h_{lang} AS BIGINT) AS hits_{lang}" for lang in TX.LANG_ORDER)
     return f"""
 WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
@@ -1177,8 +1201,9 @@ q AS (SELECT doc_id,
              THEN {_sql_hits('en')} / len(toks)
              ELSE 0.0 END, 6) AS stopword_ratio
        FROM t),
-h AS (SELECT doc_id, {hits_cols} FROM t),
-l AS (SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM h),
+h AS (SELECT doc_id, {hits_cols}, {sc_cols} FROM t),
+e AS (SELECT *, {eff_cols} FROM h),
+l AS (SELECT doc_id, {case} AS pred_lang, {hit_outs} FROM e),
 f AS (SELECT doc_id,
        CAST(len(regexp_extract_all(text,
          '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
@@ -1192,9 +1217,10 @@ FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
 
 @query("text_quality", _quality_langid_sql())
 def text_quality(spark, sf_dir):
-    """Document quality metrics + marker-word language ID with
-    deterministic tie-breaks + BPE-ish token count + the exact-dedup md5
-    fingerprint (operators/text.py, all JVM built-ins). One entry covers
+    """Document quality metrics + two-tier language ID (Unicode-script
+    histogram decides non-Latin text, marker words break Latin-script
+    ties, deterministic tie-breaks — r9) + BPE-ish token count + the
+    exact-dedup md5 fingerprint (operators/text.py, all JVM built-ins). One entry covers
     all the per-doc signal frames (absorbed the former text_langid entry
     in r5 and the former text_token_counts entry in r7 to stay inside
     the driver's 50-entry correctness window — same consolidation as
