@@ -74,6 +74,38 @@ SCALE_TWINS = [
 ]
 
 
+# --- noise calibration (r9, VERDICT r8 #6) --------------------------------
+#
+# Round-over-round totals drifted +8% between r7 and r8 with no code
+# cause; the judge had to attribute it by judgment. The calibration
+# workload is a FIXED synthetic job that touches no repo code and no
+# data files — pure codegen hash + map-side-combined groupBy on
+# spark.range — so its wall time moves only with host conditions (CPU
+# contention, frequency, GC pressure). It runs three times, interleaved
+# around the two timed passes; the reported noise_factor =
+# median(runs) / CAL_REFERENCE_SEC lets a reader decompose "queries got
+# slower" from "the host was slower" mechanically. NEVER change the
+# workload parameters without re-pinning CAL_REFERENCE_SEC.
+# Solo local[32] steady-state median, pinned r9 (measured runs 0.54-0.68
+# over 7 solo shots; the very first execution pays ~1.5 s codegen, which
+# the median-of-3 discards).
+CAL_REFERENCE_SEC = 0.60
+
+
+def _calibrate(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 150_000_000, 1, 64)
+        .select((F.xxhash64("id") % 4096).alias("k"), F.col("id"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -161,6 +193,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     twin_timings: dict[str, float] = {}
+    cal_runs = [_calibrate(spark)]  # before, between, and after the passes
     for _pass in range(2):
         for name in HEADLINE:
             if name not in qs:
@@ -181,9 +214,11 @@ def main() -> None:
             elapsed = time.time() - t0
             if name not in twin_timings or elapsed < twin_timings[name]:
                 twin_timings[name] = elapsed
+        cal_runs.append(_calibrate(spark))
     timings = {name: round(v, 3) for name, v in timings.items()}
     twin_timings = {name: round(v, 3) for name, v in twin_timings.items()}
 
+    cal_median = sorted(cal_runs)[len(cal_runs) // 2]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -193,6 +228,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "scale_twins": twin_timings,
+                "calibration": {
+                    "runs": [round(v, 3) for v in cal_runs],
+                    "median": round(cal_median, 3),
+                    "reference_sec": CAL_REFERENCE_SEC,
+                    "noise_factor": round(cal_median / CAL_REFERENCE_SEC, 3),
+                },
                 "sf": sf,
             }
         )
