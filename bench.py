@@ -86,10 +86,12 @@ SCALE_TWINS = [
 # median(runs) / CAL_REFERENCE_SEC lets a reader decompose "queries got
 # slower" from "the host was slower" mechanically. NEVER change the
 # workload parameters without re-pinning CAL_REFERENCE_SEC.
-# Solo local[32] steady-state median, pinned r9 (measured runs 0.54-0.68
-# over 7 solo shots; the very first execution pays ~1.5 s codegen, which
-# the median-of-3 discards).
-CAL_REFERENCE_SEC = 0.60
+# Solo IN-BENCH median, pinned r9. The reference must be measured in
+# the same conditions the calibration runs in — mid-bench, with the
+# session heap carrying every headline plan (solo mid-bench runs
+# 0.78-0.89; a FRESH session measures 0.54-0.68, and pinning that
+# would report phantom noise on every perfectly quiet run).
+CAL_REFERENCE_SEC = 0.80
 
 
 def _calibrate(spark) -> float:
