@@ -1116,3 +1116,38 @@ def test_datacard_mixed_script_fixture(spark):
     assert {"zh", "ja", "ko", "ru", "ar", "hi", "el", "he", "th"} <= langs
     und = [e for e in card["languages"] if e["lang"] == "und"]
     assert sum(e["n_docs"] for e in und) <= 1  # only the digits doc
+
+
+def test_ivf_write_legacy_meta_dir_still_reads(spark, tmp_path):
+    """r9 atomic-meta migration: indexes written by older rounds carry
+    a Spark-JSON meta DIR; ivf_read accepts both and a rewrite sweeps
+    the legacy dir for the file form."""
+    import json
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = S.ivf_build(emb, n_cells=4, persist=False)
+    path = str(tmp_path / "ivf")
+    S.ivf_write(idx, path)
+    assert (tmp_path / "ivf" / "meta.json").is_file()
+
+    # forge the legacy layout
+    meta = json.loads((tmp_path / "ivf" / "meta.json").read_text())
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "meta string"
+    ).coalesce(1).write.json(path + "/meta")
+    (tmp_path / "ivf" / "meta.json").unlink()
+    loaded = S.ivf_read(spark, path)
+    assert loaded.n_cells == 4 and len(loaded.centers) == 4
+
+    # append works off the legacy meta; rewrite migrates it (pin the
+    # assignment first — an in-place overwrite cannot read lazily from
+    # the files it is deleting)
+    S.ivf_append(spark, path, emb.limit(5))
+    pinned = S.IVFIndex(
+        centers=loaded.centers,
+        assigned=loaded.assigned.localCheckpoint(eager=True),
+        n_cells=loaded.n_cells,
+    )
+    S.ivf_write(pinned, path)
+    assert (tmp_path / "ivf" / "meta.json").is_file()
+    assert not (tmp_path / "ivf" / "meta").exists()

@@ -560,12 +560,16 @@ def ivfpq_write(index: IVFPQIndex, path: str) -> None:
     """Persist the IVFADC index: the code table parquet PARTITIONED BY
     CELL (a search probing 64 of 4096 cells reads ~1.5% of the files via
     partition pruning — same layout contract as similarity.ivf_write),
-    plus centroids + codebook as tiny JSON alongside."""
+    plus centroids + codebook as tiny JSON alongside — committed
+    data-first, then the meta as ONE tmp+rename file (the r9 atomic-meta
+    discipline shared with similarity.ivf_write and VectorStore; legacy
+    Spark-JSON meta dirs are still read and swept on rewrite)."""
     import json
-    import os
+
+    from xdump_spark import fsutil
 
     index.codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
+        fsutil.join(path, "codes")
     )
     spark = index.codes.sparkSession
     meta = json.dumps(
@@ -575,17 +579,25 @@ def ivfpq_write(index: IVFPQIndex, path: str) -> None:
             "codebook": index.codebook.to_dict(),
         }
     )
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).json(os.path.join(path, "meta"))
+    fsutil.write_text_atomic(spark, fsutil.join(path, "meta.json"), meta)
+    legacy = fsutil.join(path, "meta")
+    if fsutil.is_dir(spark, legacy):
+        fsutil.delete(spark, legacy)
 
 
 def ivfpq_read(spark, path: str) -> IVFPQIndex:
     import json
-    import os
 
-    meta = json.loads(spark.read.json(os.path.join(path, "meta")).first()["meta"])
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    from xdump_spark import fsutil
+
+    meta_file = fsutil.join(path, "meta.json")
+    if fsutil.exists(spark, meta_file):
+        meta = json.loads(fsutil.read_text(spark, meta_file))
+    else:  # legacy Spark-JSON dir layout (pre-r9 indexes)
+        meta = json.loads(
+            spark.read.json(fsutil.join(path, "meta")).first()["meta"]
+        )
+    codes = spark.read.parquet(fsutil.join(path, "codes"))
     return IVFPQIndex(
         centers=meta["centers"],
         codebook=PQCodebook.from_dict(meta["codebook"]),

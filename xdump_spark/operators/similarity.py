@@ -527,24 +527,44 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     """Persist the index to parquet PARTITIONED BY CELL — the true-scale
     layout: a search that probes 64 of 4096 cells reads ~1.5% of the
     files (partition pruning on the cell filter), and the centroid matrix
-    is tiny JSON alongside."""
-    import json, os
+    is tiny JSON alongside.
+
+    Commit order is data-first, meta-last with the meta as ONE file
+    written tmp+rename (`fsutil.write_text_atomic` — the same r9
+    discipline as VectorStore's liveness meta): a crash mid-write
+    leaves either the OLD complete index (old meta still naming old
+    centroids over the overwritten-in-place assigned dir is the one
+    remaining inconsistency of the overwrite layout — use VectorStore
+    generations when that window matters) or, on first write, no meta —
+    never a torn meta that parses wrong."""
+    import json
+
+    from xdump_spark import fsutil
 
     index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "assigned")
+        fsutil.join(path, "assigned")
     )
     spark = index.assigned.sparkSession
     meta = json.dumps({"centers": index.centers, "n_cells": index.n_cells})
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).json(os.path.join(path, "meta"))
+    fsutil.write_text_atomic(spark, fsutil.join(path, "meta.json"), meta)
+    legacy = fsutil.join(path, "meta")
+    if fsutil.is_dir(spark, legacy):
+        fsutil.delete(spark, legacy)
 
 
 def ivf_read(spark, path: str) -> IVFIndex:
-    import json, os
+    import json
 
-    meta = json.loads(spark.read.json(os.path.join(path, "meta")).first()["meta"])
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    from xdump_spark import fsutil
+
+    meta_file = fsutil.join(path, "meta.json")
+    if fsutil.exists(spark, meta_file):
+        meta = json.loads(fsutil.read_text(spark, meta_file))
+    else:  # legacy Spark-JSON dir layout (pre-r9 indexes)
+        meta = json.loads(
+            spark.read.json(fsutil.join(path, "meta")).first()["meta"]
+        )
+    assigned = spark.read.parquet(fsutil.join(path, "assigned"))
     return IVFIndex(
         centers=meta["centers"], assigned=assigned, n_cells=meta["n_cells"]
     )
@@ -613,13 +633,12 @@ def ivf_append(
     append's cost is one pass over the new vectors only. Centroids are
     unchanged by design; monitor ``ivf_balance`` to decide when drift
     warrants a retrain."""
-    import json
-    import os
+    from xdump_spark import fsutil
 
-    meta = json.loads(spark.read.json(os.path.join(path, "meta")).first()["meta"])
-    assigned = ivf_assign(meta["centers"], new_vectors, id_col, vec_col)
+    centers = ivf_read(spark, path).centers
+    assigned = ivf_assign(centers, new_vectors, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "assigned")
+        fsutil.join(path, "assigned")
     )
 
 
