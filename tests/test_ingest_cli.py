@@ -227,3 +227,32 @@ def test_ingest_validation_errors(spark, tmp_path):
     }))
     with pytest.raises(ValueError, match="unknown ingest store"):
         load_ingest_config(str(p))
+
+
+def test_ingest_cli_always_on_bounded_run(spark, tmp_path):
+    """--processing-time + --await-seconds: the always-on mode consumes
+    the drop within the bounded window and the CLI stops the query
+    cleanly (the scheduler-owned daemon path, bounded for tests)."""
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    name = f"ingest_sft_{uuid.uuid4().hex[:8]}"
+    out = str(tmp_path / "out")
+    with open(inp / "day1.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "conv_id": 1, "source": "lab",
+            "messages": [{"role": "user", "content": "hello"},
+                         {"role": "assistant", "content": "hi"}],
+        }) + "\n")
+    try:
+        assert _run_cli(spark, [
+            "ingest", "--kind", "sft", "-i", str(inp), "-o", out,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--store-table", name, "--store-path", str(tmp_path / name),
+            "--store-buckets", "4",
+            "--processing-time", "1 second", "--await-seconds", "20",
+        ]) == 0
+        # no active query leaked into the shared session
+        assert not spark.streams.active
+        assert spark.read.parquet(out).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

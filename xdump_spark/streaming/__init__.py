@@ -9,8 +9,11 @@ from xdump_spark.streaming.events import (
     running_user_totals,
     sessionize,
 )
+from xdump_spark.streaming.ingest import INGEST_KINDS, run_ingest
 
 __all__ = [
+    "INGEST_KINDS",
+    "run_ingest",
     "EVENTS_SCHEMA",
     "dedup_counts",
     "dedup_events",
