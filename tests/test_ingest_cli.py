@@ -256,3 +256,94 @@ def test_ingest_cli_always_on_bounded_run(spark, tmp_path):
         assert spark.read.parquet(out).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ingest_cli_docs_exact_two_drops(spark, tmp_path):
+    """docs kind (the plain parquet-drop pattern): exact content dedup
+    across drops via the ExactHashStore, survivors land as full rows."""
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    name = f"ingest_docs_{uuid.uuid4().hex[:8]}"
+
+    def drop(dname, rows):
+        spark.createDataFrame(rows, "doc_id long, text string, source string") \
+            .write.parquet(str(inp / dname))
+
+    argv = [
+        "ingest", "--kind", "docs", "-i", str(inp) + "/*", "-o", out,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--store-table", name, "--store-path", str(tmp_path / name),
+        "--store-buckets", "4",
+    ]
+    try:
+        drop("day1", [(1, "alpha beta gamma", "a"), (2, "delta epsilon", "a")])
+        assert _run_cli(spark, argv) == 0
+        got = {r["doc_id"]: r["source"]
+               for r in spark.read.parquet(out).collect()}
+        assert set(got) == {1, 2} and got[1] == "a"  # full rows, not ids
+
+        # day2: a re-send (same normalized text, new id) + one new doc
+        drop("day2", [(10, "  ALPHA   beta gamma ", "b"), (11, "zeta eta", "b")])
+        assert _run_cli(spark, argv) == 0
+        ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert ids == {1, 2, 11}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ingest_cli_docs_fuzzy_neardup(spark, tmp_path):
+    """docs kind with MinHash near-dup semantics: a re-worded re-send
+    rejects against the SignatureStore with (dup_id, kept_id, est)
+    evidence from the greedy driver path."""
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill today")
+    near = base.replace("lazy", "sleepy")
+    other = "distributed query engines shuffle data between executor stages"
+
+    def drop(dname, rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(str(inp / dname))
+
+    argv = [
+        "ingest", "--kind", "docs", "--doc-dedup", "fuzzy",
+        "-i", str(inp) + "/*", "-o", out,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--store-path", str(tmp_path / "sig"),
+        "--fuzzy-threshold", "0.5",
+        "--rejects-out", str(tmp_path / "rejects"),
+    ]
+    drop("day1", [(1, base), (2, other)])
+    assert _run_cli(spark, argv) == 0
+    assert spark.read.parquet(out).count() == 2
+
+    drop("day2", [(10, near), (11, "novel words that match nothing else here")])
+    assert _run_cli(spark, argv) == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 11}
+    rej = [r for r in spark.read.parquet(str(tmp_path / "rejects")).collect()]
+    assert [(r.dup_id, r.kept_id) for r in rej] == [(10, 1)]
+    assert rej[0].est >= 0.5
+
+    # redelivered day1 content under fresh ids: everything rejects
+    drop("day1_redelivered", [(20, base), (21, other)])
+    assert _run_cli(spark, argv) == 0
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_ingest_docs_validation(spark, tmp_path):
+    from xdump_spark.streaming.ingest import run_ingest
+
+    with pytest.raises(ValueError, match="store_table"):
+        run_ingest(spark, "docs", str(tmp_path), str(tmp_path / "o"),
+                   str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="store_path"):
+        run_ingest(spark, "docs", str(tmp_path), str(tmp_path / "o"),
+                   str(tmp_path / "c"), doc_dedup="fuzzy")
+    with pytest.raises(ValueError, match="doc_dedup"):
+        run_ingest(spark, "docs", str(tmp_path), str(tmp_path / "o"),
+                   str(tmp_path / "c"), store_table="t", doc_dedup="nope")

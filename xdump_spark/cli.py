@@ -604,7 +604,15 @@ def build_parser() -> argparse.ArgumentParser:
              "always-on.",
     )
     ig.add_argument("--kind", required=True,
-                    choices=["wet", "sft", "pairs", "semantic"])
+                    choices=["wet", "sft", "pairs", "semantic", "docs"])
+    ig.add_argument("--doc-dedup", choices=["exact", "fuzzy"],
+                    default="exact",
+                    help="docs: dedup semantics — exact content hashes "
+                         "(ExactHashStore via --store-table) or MinHash "
+                         "near-dup (SignatureStore via --store-path)")
+    ig.add_argument("--fuzzy-threshold", type=float, default=0.5,
+                    help="docs --doc-dedup fuzzy: estimated-Jaccard "
+                         "rejection threshold")
     ig.add_argument("-i", "--input-dir", required=True,
                     help="the drop directory (glob patterns allowed)")
     ig.add_argument("-o", "--output", required=True,
@@ -1202,6 +1210,8 @@ def run(args, spark) -> int:
             semantic_threshold=args.semantic_threshold,
             semantic_cells=args.semantic_cells,
             hash_embed=args.hash_embed,
+            doc_dedup=args.doc_dedup,
+            fuzzy_threshold=args.fuzzy_threshold,
             processing_time=args.processing_time,
             await_seconds=args.await_seconds,
         )

@@ -93,7 +93,8 @@ _INGEST_KEYS = {
     "kind", "input_dir", "output", "checkpoint_dir", "store",
     "corrupt_out", "rejects_out", "template", "keep_contradictions",
     "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
-    "semantic_cells", "hash_embed", "processing_time", "await_seconds",
+    "semantic_cells", "hash_embed", "doc_dedup", "fuzzy_threshold",
+    "processing_time", "await_seconds",
 }
 
 
@@ -158,6 +159,8 @@ def ingest_from_config(spark: SparkSession, path: str):
         semantic_threshold=cfg.get("semantic_threshold", 0.95),
         semantic_cells=cfg.get("semantic_cells", 16),
         hash_embed=cfg.get("hash_embed"),
+        doc_dedup=cfg.get("doc_dedup", "exact"),
+        fuzzy_threshold=cfg.get("fuzzy_threshold", 0.5),
         processing_time=cfg.get("processing_time"),
         await_seconds=cfg.get("await_seconds"),
     )

@@ -774,6 +774,88 @@ def streaming_neardup_dedup(
     )
 
 
+def streaming_doc_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rejects_dir: str | None = None,
+    schema=None,
+    trigger: dict | None = None,
+    neardup_kwargs: dict | None = None,
+):
+    """Continuous PLAIN-DOCUMENT ingestion: parquet document drops
+    LANDING in ``input_dir`` stream through one dedup increment per
+    micro-batch against the persistent ``store`` → survivors (full
+    rows) append to ``out_dir``. The fifth drop-directory twin — the
+    commonest pattern of all (a scheduler lands parquet docs daily; no
+    WARC parse, no JSONL validation, no embedding): ``store`` picks the
+    semantics — an :class:`ExactHashStore` runs
+    :func:`incremental_exact_dedup` (byte-identical after
+    normalization), a :class:`SignatureStore` runs
+    :func:`incremental_neardup` (MinHash near-dup; tune via
+    ``neardup_kwargs``, e.g. ``{"threshold": 0.7, "resolve":
+    "components"}``). Differs from :func:`streaming_exact_dedup`,
+    which emits accepted IDS only — here the survivor ROWS land ready
+    to consume, matching the other ingest twins.
+
+    Restart discipline (the family contract): the file-stream
+    checkpoint remembers consumed files; survivors are written BEFORE
+    the store commit, so a crash between them re-delivers the batch —
+    duplicate output rows are dedupable by ``id_col`` and re-committed
+    store rows cannot change a later decision. With a SignatureStore
+    and ``rejects_dir``, each drop's components-mode rejects
+    (dup_id, kept_id, est) append there (greedy mode resolves pairs on
+    the driver and writes them as the same three columns).
+
+    ``schema`` (StructType or DDL) is required by Spark for parquet
+    file streams; when None it is inferred from files already in
+    ``input_dir``. ``trigger`` defaults to drain-and-stop."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    raw = spark.readStream.schema(schema).parquet(input_dir)
+    is_sig = isinstance(store, SignatureStore)
+    nd_kwargs = dict(neardup_kwargs or {})
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if is_sig:
+            res = incremental_neardup(
+                batch_df, store, text_col=text_col, id_col=id_col,
+                defer_commit=True, **nd_kwargs,
+            )
+            accepted, commit = res.accepted, res.commit
+            if rejects_dir is not None:
+                rej = res.rejects
+                if rej is None:  # greedy mode: pairs resolved driver-side
+                    idt = batch_df.schema[id_col].dataType.simpleString()
+                    rej = spark.createDataFrame(
+                        list(res.pairs),
+                        f"dup_id {idt}, kept_id {idt}, est double",
+                    )
+                rej.write.mode("append").parquet(rejects_dir)
+        else:
+            accepted, commit = incremental_exact_dedup(
+                batch_df, store, text_col=text_col, id_col=id_col,
+                defer_commit=True,
+            )
+        survivors = batch_df.join(
+            accepted.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        survivors.write.mode("append").parquet(out_dir)
+        commit()
+
+    writer = raw.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
 class VectorStore:
     """Persistent embedding-dedup state: the ``ivf_write`` on-disk
     layout (per-cell parquet partitions + a centroid meta file) worn as

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-INGEST_KINDS = ("wet", "sft", "pairs", "semantic")
+INGEST_KINDS = ("wet", "sft", "pairs", "semantic", "docs")
 
 
 def run_ingest(
@@ -55,6 +55,8 @@ def run_ingest(
     semantic_threshold: float = 0.95,
     semantic_cells: int = 16,
     hash_embed: int | None = None,
+    doc_dedup: str = "exact",
+    fuzzy_threshold: float = 0.5,
     processing_time: str | None = None,
     await_seconds: float | None = None,
 ):
@@ -64,7 +66,11 @@ def run_ingest(
     ``sft`` / ``pairs`` dedup against an ExactHashStore named by
     ``store_table`` (optional external ``store_path``), ``semantic``
     against a VectorStore at ``store_path`` (``vector_dtype`` applies
-    at store creation; an existing store's recorded dtype wins).
+    at store creation; an existing store's recorded dtype wins), and
+    ``docs`` — plain parquet document drops — against an ExactHashStore
+    (``doc_dedup="exact"``, ``store_table``) or a MinHash
+    SignatureStore (``doc_dedup="fuzzy"``, ``store_path``,
+    ``fuzzy_threshold``).
 
     Trigger: ``processing_time=None`` (default) drains — the query
     consumes every file currently in ``input_dir``, commits, and this
@@ -105,6 +111,41 @@ def run_ingest(
             threshold=semantic_threshold, n_cells=semantic_cells,
             hash_embed_dim=hash_embed, text_col=text_col, id_col=id_col,
             vec_col=vec_col, rejects_dir=rejects_out, trigger=trigger,
+        )
+    elif kind == "docs":
+        from xdump_spark.operators.incremental import (
+            ExactHashStore,
+            SignatureStore,
+            streaming_doc_ingest,
+        )
+
+        if doc_dedup == "exact":
+            if not store_table:
+                raise ValueError(
+                    "ingest kind 'docs' with doc_dedup='exact' needs "
+                    "store_table (the ExactHashStore catalog table)"
+                )
+            store = ExactHashStore(
+                spark, store_table, n_buckets=store_buckets, path=store_path
+            )
+            nd = None
+        elif doc_dedup == "fuzzy":
+            if not store_path or store_table:
+                raise ValueError(
+                    "ingest kind 'docs' with doc_dedup='fuzzy' needs "
+                    "store_path (the SignatureStore directory), not "
+                    "store_table"
+                )
+            store = SignatureStore(spark, store_path)
+            nd = {"threshold": fuzzy_threshold}
+        else:
+            raise ValueError(
+                f"doc_dedup must be 'exact' or 'fuzzy', got {doc_dedup!r}"
+            )
+        q = streaming_doc_ingest(
+            spark, input_dir, store, output, checkpoint_dir,
+            text_col=text_col, id_col=id_col, rejects_dir=rejects_out,
+            trigger=trigger, neardup_kwargs=nd,
         )
     else:
         if not store_table:
