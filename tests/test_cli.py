@@ -779,3 +779,43 @@ def test_cli_maintain_vector_store_absent(spark, tmp_path, capsys):
     ).coalesce(1).write.mode("overwrite").json(p + "/meta")
     with _pytest.raises(ValueError, match="no vectors"):
         store.retrain(4)
+
+
+def test_cli_maintain_retrain_when_recommended(spark, tmp_path, capsys):
+    """r9: `--when-recommended` makes a scheduled retrain a cheap no-op
+    (one cell-count groupBy) until ivf_balance actually trips."""
+    import json
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(4)] + [
+        (10 + i, [-1.0, 0.02 * i, 0.0]) for i in range(4)
+    ]
+    incremental_semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        store, threshold=0.9999, n_cells=2,
+    )
+    gen0 = store._meta().get("generation", 0)
+
+    def run(extra):
+        args = cli.build_parser().parse_args(
+            ["maintain", "--kind", "vector",
+             "--store-path", str(tmp_path / "vs"),
+             "--action", "retrain", "--n-cells", "2"] + extra
+        )
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # balanced store, default triggers: skipped, generation unchanged
+    rpt = run(["--when-recommended"])
+    assert rpt["skipped"] is True and not rpt["retrain_recommended"]
+    assert store._meta().get("generation", 0) == gen0
+
+    # force the trigger (hot_cell_factor < 1 always trips): retrains
+    rpt = run(["--when-recommended", "--hot-cell-factor", "0.5"])
+    assert rpt == {"n_cells": 2, "rows": 8, "generation": gen0 + 1}
+    assert store._meta()["generation"] == gen0 + 1

@@ -700,6 +700,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compact only when the store holds more than this "
                          "many files — makes an aggressive maintenance "
                          "schedule a cheap no-op between real pile-ups")
+    mt.add_argument("--when-recommended", action="store_true",
+                    help="retrain (vector) only when ivf_balance says "
+                         "retrain_recommended — the scheduled form: a "
+                         "nightly 'maintain --action retrain "
+                         "--when-recommended' pays one cell-count groupBy "
+                         "until drift actually warrants the rebuild")
+    mt.add_argument("--hot-cell-factor", type=float, default=4.0,
+                    help="--when-recommended: max-cell/mean trigger ratio")
+    mt.add_argument("--max-empty-frac", type=float, default=0.25,
+                    help="--when-recommended: empty-cell fraction trigger")
     return p
 
 
@@ -1282,6 +1292,17 @@ def run(args, spark) -> int:
         if args.action == "retrain":
             if not args.n_cells:
                 raise SystemExit("--action retrain needs --n-cells")
+            if args.when_recommended:
+                from xdump_spark.operators.similarity import ivf_balance
+
+                bal = ivf_balance(
+                    store.index(),
+                    hot_cell_factor=args.hot_cell_factor,
+                    max_empty_frac=args.max_empty_frac,
+                )
+                if not bal["retrain_recommended"]:
+                    print(_json.dumps({"skipped": True, **bal}))
+                    return 0
             rpt = store.retrain(
                 args.n_cells, sample_fraction=args.sample_fraction
             )
