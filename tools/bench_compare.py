@@ -1,0 +1,71 @@
+"""Compare two bench JSON records with noise normalization.
+
+Usage: python tools/bench_compare.py BENCH_rA.json BENCH_rB.json
+       python tools/bench_compare.py '{"metric": ...}' BENCH_rB.json
+
+Accepts either the driver's BENCH_r{N}.json wrapper ({"parsed": {...}})
+or a raw bench.py JSON line (file path or literal). When both records
+carry the r9 ``calibration`` block, every time is divided by that run's
+``noise_factor`` before comparison, so the deltas reported are
+code-attributable; records without calibration compare raw (flagged).
+Prints per-query normalized deltas sorted by regression, then the
+totals line. Pure driver-side arithmetic — no Spark session.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _load(arg: str) -> dict:
+    if os.path.exists(arg):
+        with open(arg) as fh:
+            doc = json.load(fh)
+    else:
+        doc = json.loads(arg)
+    if "parsed" in doc:  # driver wrapper
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit(f"{arg!r} holds no bench record (no 'queries' key)")
+    return doc
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    a, b = _load(sys.argv[1]), _load(sys.argv[2])
+    fa = a.get("calibration", {}).get("noise_factor")
+    fb = b.get("calibration", {}).get("noise_factor")
+    note = "" if (fa and fb) else (
+        " (no calibration on "
+        + "/".join(s for s, f in (("A", fa), ("B", fb)) if not f)
+        + " — that side compares RAW)"
+    )
+    fa, fb = fa or 1.0, fb or 1.0
+    print(f"noise factors applied: A={fa} B={fb}{note}")
+    rows = []
+    for group in ("queries", "scale_twins"):
+        qa, qb = a.get(group, {}), b.get(group, {})
+        for name in sorted(set(qa) | set(qb)):
+            if name in qa and name in qb:
+                na, nb = qa[name] / fa, qb[name] / fb
+                rows.append((nb / na if na else float("inf"), name, na, nb, group))
+            else:
+                side = "A" if name in qa else "B"
+                print(f"  only in {side}: {group}/{name}")
+    rows.sort(reverse=True)
+    print(f"{'ratio':>7}  {'A(norm)':>8}  {'B(norm)':>8}  query")
+    for ratio, name, na, nb, group in rows:
+        tag = " [twin]" if group == "scale_twins" else ""
+        print(f"{ratio:7.2f}  {na:8.3f}  {nb:8.3f}  {name}{tag}")
+    ta = sum(v / fa for v in a["queries"].values())
+    tb = sum(v / fb for v in b["queries"].values())
+    print(
+        f"\nheadline totals: raw {a.get('value')} -> {b.get('value')} | "
+        f"normalized {ta:.2f} -> {tb:.2f} ({tb / ta:.3f}x)"
+    )
+
+
+if __name__ == "__main__":
+    main()
