@@ -1151,3 +1151,76 @@ def test_ivf_write_legacy_meta_dir_still_reads(spark, tmp_path):
     S.ivf_write(pinned, path)
     assert (tmp_path / "ivf" / "meta.json").is_file()
     assert not (tmp_path / "ivf" / "meta").exists()
+
+
+def test_lang_markers_disjoint_and_lowercase():
+    """The marker-tier contract: sets pairwise disjoint (a shared word
+    would double-credit) and lowercase (tokens() lowercases)."""
+    seen: dict = {}
+    for lang, words in TX.LANG_MARKERS.items():
+        assert len(set(words)) == len(words), lang
+        for w in words:
+            assert w == w.lower(), (lang, w)
+            assert w not in seen, (w, lang, seen.get(w))
+            seen[w] = lang
+    assert list(TX.LANG_MARKERS) == TX.LANG_ORDER
+    assert TX.ALL_MARKERS == sorted(seen)
+
+
+LATIN_DOCS = [
+    (31, "il governo ha detto che questo anche nella sua forma attuale "
+         "sono delle misure importanti", "it"),
+    (32, "isso não é um problema pois são coisas que já foram resolvidas "
+         "pelo governo e também pela empresa", "pt"),
+    (33, "het is een mooie dag en we gaan niet naar huis maar ook van "
+         "plan om voor het eten te zijn", "nl"),
+    (34, "to jest bardzo ważne ale nie można tego zrobić przez przypadek "
+         "tylko jako część planu się uda być może", "pl"),
+    (35, "det är en vacker dag och vi ska inte gå hem som planerat för "
+         "att vara med och fika", "sv"),
+    (36, "bu bir deneme metnidir ve bunun için daha çok örnek olarak "
+         "yazılmıştır ile birlikte", "tr"),
+    (37, "ini adalah contoh teks yang ditulis untuk pengujian dengan "
+         "kata-kata yang umum dan tidak jarang dari bahasa", "id"),
+]
+
+
+def test_lang_id_latin_marker_expansion(spark):
+    """r9: the widened Latin marker tier labels it/pt/nl/pl/sv/tr/id;
+    the original four keep their pre-r9 behavior (regression fixtures
+    in test_lang_id / test_lang_id_script_tier)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in LATIN_DOCS], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.pred_lang for r in TX.lang_id_frame(df).collect()}
+    for i, _, want in LATIN_DOCS:
+        assert rows[i] == want, (i, rows[i], want)
+
+
+def test_lang_id_latin_expansion_matches_duckdb(spark):
+    """The widened marker CASE agrees bit-for-bit with the regenerated
+    DuckDB twin, hits columns included."""
+    import duckdb
+
+    from xdump_spark.queries import _quality_langid_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in LATIN_DOCS]
+        + [(i, t) for i, t, _ in MIXED_SCRIPT_DOCS],
+        "doc_id long, text string",
+    )
+    hit_cols = [f"hits_{l}" for l in TX.LANG_ORDER]
+    got = {
+        r["doc_id"]: (r["pred_lang"], tuple(r[c] for c in hit_cols))
+        for r in TX.quality_langid_frame(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    cols = ", ".join(["doc_id", "pred_lang"] + hit_cols)
+    oracle = {
+        int(r[0]): (r[1], tuple(int(v) for v in r[2:]))
+        for r in con.execute(
+            f"SELECT {cols} FROM ({_quality_langid_sql()})"
+        ).fetchall()
+    }
+    assert got == oracle

@@ -14,16 +14,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small per-language stopword marker sets (public common words). Chosen to
-# be disjoint across languages so hit counts are unambiguous.
+# be disjoint across languages (pinned by test) so hit counts are
+# unambiguous; words are also picked to be DISTINCTIVE in practice (e.g.
+# Italian gets "della", not "di", which is equally common in Indonesian).
+# r9 widened the Latin tier to 11 languages — non-Latin scripts are
+# decided by the script-histogram tier above this one, so marker sets
+# exist only where the script alone cannot tell languages apart.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
     "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
     "es": ["el", "la", "los", "las", "que", "por", "una", "para"],
     "fr": ["le", "les", "des", "est", "une", "dans", "pour", "sur"],
+    "it": ["che", "della", "delle", "sono", "anche", "questo", "gli", "nella"],
+    "pt": ["uma", "não", "são", "também", "pelo", "isso", "já", "seu"],
+    "nl": ["het", "een", "niet", "van", "zijn", "voor", "naar", "ook"],
+    "pl": ["się", "jest", "nie", "tego", "przez", "jako", "tylko", "być"],
+    "sv": ["och", "att", "är", "som", "för", "inte", "med", "det"],
+    "tr": ["bir", "ve", "için", "bu", "ile", "olarak", "daha", "çok"],
+    "id": ["yang", "dan", "untuk", "dengan", "ini", "adalah", "tidak", "dari"],
     "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
 }
 # deterministic tie-break order (max hits wins; earlier wins ties)
-LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+LANG_ORDER = [
+    "en", "de", "es", "fr", "it", "pt", "nl", "pl", "sv", "tr", "id", "zh",
+]
+# one combined filter pass extracts marker occurrences from the token
+# array; the per-language counts then run over that (tiny) survivor
+# array — adding a language costs one more cheap sub-count, not one
+# more full-token pass
+ALL_MARKERS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 # --- Unicode-script histogram tier (r9) -------------------------------
 #
@@ -102,25 +121,23 @@ def _script_effective(c: dict) -> dict[str, Column]:
     }
 
 
-def _argmax_case(counts: dict, order: list[str], fallback: Column) -> Column:
-    """Earlier-strict/later-ge argmax CASE over named counts — the same
-    tie discipline as the marker tier (and its SQL twin)."""
-    pred = fallback
-    branches = []
-    for i, name in enumerate(order):
-        cond = counts[name] > 0
-        for j, other in enumerate(order):
-            if i == j:
-                continue
-            cond = cond & (
-                (counts[name] > counts[other])
-                if j < i
-                else (counts[name] >= counts[other])
-            )
-        branches.append((cond, name))
-    for cond, name in reversed(branches):
-        pred = F.when(cond, F.lit(name)).otherwise(pred)
-    return pred
+def _argmax_label(counts: dict, order: list[str], fallback: Column) -> Column:
+    """Earlier-wins argmax over named counts: the label at the FIRST
+    index achieving the maximum (``array_position`` returns the first
+    occurrence), ``fallback`` when the max is 0 — provably identical to
+    the spelled-out earlier-strict/later-ge CASE chain it replaced (the
+    first index i with count == max beats every j<i strictly, since
+    those hold count < max, and every j>i at-least). The CASE chain was
+    O(|langs|²) comparisons ≈ an 800-node expression tree at 12
+    languages, and CATALYST PLANNING of that tree cost ~1.3 s per fresh
+    query build (measured; execution was 0.3 s) — this form is ~30
+    nodes."""
+    arr = F.array(*[counts[n] for n in order])
+    labels = F.array(*[F.lit(n) for n in order])
+    m = F.array_max(arr)
+    return F.when(
+        m > 0, F.element_at(labels, F.array_position(arr, m).cast("int"))
+    ).otherwise(fallback)
 
 
 _WS = r"\s+"
@@ -198,6 +215,24 @@ def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _marker_tokens(toks: Column) -> Column:
+    """ONE pass over the token array keeping only marker-word
+    occurrences (any language) — the per-language counts then filter
+    this tiny survivor array instead of re-scanning every token per
+    language (~1-20 markers per doc vs hundreds of tokens; identical
+    counts, since the prefilter preserves every occurrence of every
+    listed marker). ``isin`` (not array_contains over a literal array):
+    above inSetConversionThreshold it compiles to an InSet HASH lookup,
+    O(1) per token instead of a linear scan of ~100 literals."""
+    return F.filter(toks, lambda x: x.isin(*ALL_MARKERS))
+
+
+def _marker_hits(words: list[str]) -> Column:
+    """Occurrence count of ``words`` over the projected ``_mtoks``
+    marker-survivor column."""
+    return F.size(F.filter(F.col("_mtoks"), lambda x: x.isin(*words)))
+
+
 def _lang_pred(latin_col: Column) -> Column:
     """The two-tier language CASE over already-projected count columns
     ``_s_<lang>`` (effective script counts) and ``_h_<lang>`` (marker
@@ -207,8 +242,8 @@ def _lang_pred(latin_col: Column) -> Column:
     same CASE the SQL oracle spells out)."""
     scounts = {l: F.col(f"_s_{l}") for l in SCRIPT_LANG_ORDER}
     hits = {l: F.col(f"_h_{l}") for l in LANG_ORDER}
-    marker_pred = _argmax_case(hits, LANG_ORDER, F.lit("und"))
-    script_pred = _argmax_case(scounts, SCRIPT_LANG_ORDER, F.lit("und"))
+    marker_pred = _argmax_label(hits, LANG_ORDER, F.lit("und"))
+    script_pred = _argmax_label(scounts, SCRIPT_LANG_ORDER, F.lit("und"))
     return F.when(
         F.greatest(*scounts.values()) > latin_col, script_pred
     ).otherwise(marker_pred)
@@ -223,34 +258,29 @@ def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     the pre-r9 behavior).
 
     The winner-CASEs reference each count ~|langs| times, so script
-    counts and hit counts are projected to real columns first —
-    inlined, the CASE would re-run the regex per comparison."""
+    counts, marker survivors, and hit counts are projected to real
+    columns first — inlined, the CASE would re-run the regex/filter
+    per comparison. Stage count is deliberately MINIMAL (two): any
+    projection holding a higher-order function (the marker prefilter,
+    the hit filters) runs interpreted in Spark 4.1 (HOFs are
+    CodegenFallback), and every extra interpreted boundary pays a full
+    row copy — measured 2.5× on this frame when the same expressions
+    were spread over four stages."""
     t = F.col(text_col)
-    pre0 = df.select(
+    pre = df.select(
         F.col(id_col),
-        t.alias("_t"),
-        (F.octet_length(t) != F.length(t)).alias("_na"),
+        _marker_tokens(tokens(t)).alias("_mtoks"),
+        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
     )
-    tt = F.col("_t")
-    pre = pre0.select(
-        F.col(id_col),
-        tokens(tt).alias("_toks"),
-        *[
-            c.alias(f"_sc_{k}")
-            for k, c in script_count_exprs(tt, F.col("_na")).items()
-        ],
-    )
-
-    def _hit_count(words: list[str]):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
-
     eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
     counted = pre.select(
         F.col(id_col),
         F.col("_sc_latin"),
         *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
-        *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER],
+        *[
+            _marker_hits(LANG_MARKERS[lang]).alias(f"_h_{lang}")
+            for lang in LANG_ORDER
+        ],
     )
     return counted.select(
         F.col(id_col),
@@ -374,37 +404,34 @@ def quality_langid_frame(
     tokenization/regex once into real columns, hit counts into real
     columns, then the metric/CASE expressions over those."""
     t = F.col(text_col)
-    pre0 = df.select(
+    # stage count deliberately MINIMAL (three) — see lang_id_frame's
+    # docstring: HOF-bearing projections run interpreted and each extra
+    # boundary pays a per-row copy of every carried column (incl. the
+    # token array). n_tokens and the marker survivors are both derived
+    # from the SAME tokenization expression in stage 1; only the (tiny)
+    # survivor array and the token COUNT flow downstream — the full
+    # token array never crosses a stage boundary.
+    pre = df.select(
         F.col(id_col),
-        t.alias("_t"),
-        (F.octet_length(t) != F.length(t)).alias("_na"),
+        F.length(t).cast("long").alias("_len"),
+        F.size(tokens(t)).alias("_ntok"),
+        _marker_tokens(tokens(t)).alias("_mtoks"),
+        punct_count(t).cast("long").alias("_punct"),
+        F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
+        F.size(bpe_tokens(t)).cast("long").alias("_bpe"),
+        F.md5(F.trim(F.regexp_replace(F.lower(t), _WS, " "))).alias("_fp"),
+        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
     )
-    tt = F.col("_t")
-    pre = pre0.select(
-        F.col(id_col),
-        F.length(tt).cast("long").alias("_len"),
-        tokens(tt).alias("_toks"),
-        punct_count(tt).cast("long").alias("_punct"),
-        F.length(F.regexp_replace(F.trim(F.lower(tt)), _WS, "")).alias("_nsp"),
-        F.size(bpe_tokens(tt)).cast("long").alias("_bpe"),
-        F.md5(F.trim(F.regexp_replace(F.lower(tt), _WS, " "))).alias("_fp"),
-        *[
-            c.alias(f"_sc_{k}")
-            for k, c in script_count_exprs(tt, F.col("_na")).items()
-        ],
-    )
-
-    def _hit_count(words: list[str]):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x)))
-
     eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
     counted = pre.select(
         "*",
         *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
-        *[_hit_count(LANG_MARKERS[lang]).alias(f"_h_{lang}") for lang in LANG_ORDER],
+        *[
+            _marker_hits(LANG_MARKERS[lang]).alias(f"_h_{lang}")
+            for lang in LANG_ORDER
+        ],
     )
-    n_tok = F.size("_toks")
+    n_tok = F.col("_ntok")
     hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
     pred = _lang_pred(F.col("_sc_latin"))
     return counted.select(

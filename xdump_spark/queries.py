@@ -1150,18 +1150,17 @@ def _sql_hits(lang: str) -> str:
 
 
 def _sql_argmax_case(prefix: str, order: list[str]) -> str:
-    """The DuckDB twin of text._argmax_case: earlier-strict/later-ge
-    argmax over ``{prefix}{name}`` columns."""
-    branches = []
-    for i, lang in enumerate(order):
-        conds = [f"{prefix}{lang} > 0"]
-        for j, other in enumerate(order):
-            if i == j:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{prefix}{lang} {op} {prefix}{other}")
-        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+    """The DuckDB twin of text._argmax_label: the label at the FIRST
+    index achieving the max (earlier-wins ties), 'und' when the max is
+    0. list_position returns the 1-based first occurrence, matching
+    Spark's array_position."""
+    arr = "[" + ", ".join(f"{prefix}{lang}" for lang in order) + "]"
+    labels = "[" + ", ".join(f"'{lang}'" for lang in order) + "]"
+    m = f"list_aggregate({arr}, 'max')"
+    return (
+        f"CASE WHEN {m} > 0 THEN {labels}[list_position({arr}, {m})] "
+        "ELSE 'und' END"
+    )
 
 
 def _quality_langid_sql() -> str:
