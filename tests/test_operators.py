@@ -1224,3 +1224,47 @@ def test_lang_id_latin_expansion_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_argmax_label_equals_case_chain(spark):
+    """Property: the array_position argmax (r9 planning fix) picks
+    exactly the earlier-strict/later-ge CASE-chain winner on random
+    count vectors, including all-zero (und) and tie layouts."""
+    import random
+
+    rng = random.Random(7)
+    langs = TX.LANG_ORDER
+    rows = [[0] * len(langs)]                       # all-zero -> und
+    rows += [[3] * len(langs)]                      # full tie -> first
+    for _ in range(200):
+        rows.append([rng.randint(0, 3) for _ in langs])
+
+    def chain_winner(counts):
+        for i, lang in enumerate(langs):
+            c = counts[i]
+            if c <= 0:
+                continue
+            if all(c > counts[j] for j in range(i)) and all(
+                c >= counts[j] for j in range(i + 1, len(langs))
+            ):
+                return lang
+        return "und"
+
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "id long, " + ", ".join(f"_h_{l} int" for l in langs),
+    )
+    from xdump_spark.operators.text import _argmax_label
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: r["w"]
+        for r in df.select(
+            "id",
+            _argmax_label(
+                {l: F.col(f"_h_{l}") for l in langs}, langs, F.lit("und")
+            ).alias("w"),
+        ).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[i] == chain_winner(r), (i, r, got[i])
