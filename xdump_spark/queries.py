@@ -1768,10 +1768,14 @@ def posttrain_prepare_panel(spark, sf_dir):
         ).select("pv.part", "id", "pv.v")
 
     # survivor frames feed several parts each — checkpoint the SMALL
-    # survivor sets once so the dedup/render lineage runs once (protocol
-    # cost control; a real user calls the front door once)
+    # survivor sets once so the dedup/render lineage runs once, EAGERLY:
+    # a lazy checkpoint keeps the full lineage in the logical plan until
+    # first materialization, so all 13 union parts re-ANALYZE it per
+    # build (measured ~1 s of the panel's driver time); eager truncates
+    # it at build for the cost of materializing a few-thousand-row frame
+    # (protocol cost control; a real user calls the front door once)
     conv_surv = fan(
-        res.convs.localCheckpoint(eager=False), "conv_id",
+        res.convs.localCheckpoint(eager=True), "conv_id",
         [
             ("kept", F.lit("")),
             ("render", F.md5("text")),
@@ -1805,7 +1809,7 @@ def posttrain_prepare_panel(spark, sf_dir):
         return F.concat_ws(":", F.col(col)["start"], F.col(col)["end"])
 
     pair_surv = fan(
-        pres.pairs.localCheckpoint(eager=False), "pair_id",
+        pres.pairs.localCheckpoint(eager=True), "pair_id",
         [
             ("pair_kept", F.lit("")),
             ("pair_render", F.md5("text_chosen")),
@@ -1826,7 +1830,7 @@ def posttrain_prepare_panel(spark, sf_dir):
     # xxhash64 DuckDB can't recompute), ratings doubled to exact ints.
     # The fixture is checkpointed once: both policy lineages replan it
     # otherwise (same no-cross-branch-CSE protocol note as above).
-    ratings = _mk_ratings(docs).localCheckpoint(eager=False)
+    ratings = _mk_ratings(docs).localCheckpoint(eager=True)
 
     def rating_part(name: str, policy: str, margin: float) -> DataFrame:
         p = PREF.pairs_from_ratings(ratings, policy=policy, margin=margin)
