@@ -335,6 +335,91 @@ def test_ingest_cli_docs_fuzzy_neardup(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_ingest_empty_drop_dir_needs_schema(spark, tmp_path):
+    """r9 verdict #2 / ADVICE: a parquet-kind ingest on an EMPTY drop
+    directory must fail with deploy guidance (pass --schema), not an
+    AnalysisException from schema inference at stream start."""
+    from xdump_spark.streaming.ingest import run_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    with pytest.raises(ValueError, match="--schema"):
+        run_ingest(spark, "docs", str(inp), str(tmp_path / "o"),
+                   str(tmp_path / "c"), store_table="t_unused")
+    with pytest.raises(ValueError, match="--schema"):
+        run_ingest(spark, "semantic", str(inp), str(tmp_path / "o"),
+                   str(tmp_path / "c"), store_path=str(tmp_path / "vs"))
+
+
+def test_ingest_always_on_starts_on_empty_dir_with_schema(spark, tmp_path):
+    """The deployment-shaped edge the r9 verdict flagged: a scheduler
+    starts the always-on daemon BEFORE the first drop lands. With
+    --schema the daemon starts on the empty directory and consumes the
+    first drop when it arrives."""
+    import time
+
+    from xdump_spark.streaming.ingest import run_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    name = f"ingest_docs_{uuid.uuid4().hex[:8]}"
+    try:
+        q = run_ingest(
+            spark, "docs", str(inp) + "/*", out, str(tmp_path / "ckpt"),
+            store_table=name, store_path=str(tmp_path / name),
+            store_buckets=4, schema="doc_id long, text string",
+            processing_time="1 second",
+        )
+        try:
+            assert q.isActive  # started with nothing to infer from
+            spark.createDataFrame(
+                [(1, "first drop after daemon start")],
+                "doc_id long, text string",
+            ).write.parquet(str(inp / "day1"))
+            deadline = time.time() + 60
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n:
+                    break
+                time.sleep(0.5)
+            assert n == 1
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ingest_docs_fuzzy_string_ids_greedy(spark, tmp_path):
+    """ADVICE r9: greedy resolution must build the rejects frame with
+    the id column's REAL type — string doc ids crashed every
+    micro-batch that found a duplicate."""
+    from xdump_spark.streaming.ingest import run_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill today")
+    spark.createDataFrame(
+        [("doc-a", base), ("doc-b", base.replace("lazy", "sleepy"))],
+        "doc_id string, text string",
+    ).write.parquet(str(inp / "day1"))
+    run_ingest(
+        spark, "docs", str(inp) + "/*", out, str(tmp_path / "ckpt"),
+        store_path=str(tmp_path / "sig"), doc_dedup="fuzzy",
+        fuzzy_threshold=0.5, rejects_out=str(tmp_path / "rej"),
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {"doc-a"}
+    rej = spark.read.parquet(str(tmp_path / "rej")).collect()
+    assert [(r.dup_id, r.kept_id) for r in rej] == [("doc-b", "doc-a")]
+
+
 def test_ingest_docs_validation(spark, tmp_path):
     from xdump_spark.streaming.ingest import run_ingest
 

@@ -153,10 +153,12 @@ class StageCheckpointer:
         return fsutil.join(self.dir, MANIFEST)
 
     def _read_manifest(self) -> dict:
-        if not fsutil.exists(self.spark, self._manifest_path()):
+        if not fsutil.exists_atomic(self.spark, self._manifest_path()):
             return {"stages": {}}
         try:
-            return json.loads(fsutil.read_text(self.spark, self._manifest_path()))
+            return json.loads(
+                fsutil.read_text_atomic(self.spark, self._manifest_path())
+            )
         except (json.JSONDecodeError, OSError):
             return {"stages": {}}
 

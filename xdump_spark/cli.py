@@ -653,6 +653,12 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
                     help="semantic: compute hashing-trick embeddings from "
                          "--text-col instead of reading --vec-col")
+    ig.add_argument("--schema", default=None, metavar="DDL",
+                    help="semantic/docs: drop-file schema as a DDL "
+                         "string, e.g. 'doc_id long, text string' — "
+                         "required to start an always-on daemon before "
+                         "the first parquet drop lands (without it the "
+                         "schema is inferred from files already present)")
     ig.add_argument("--processing-time", default=None, metavar="INTERVAL",
                     help="always-on mode, e.g. '1 minute' (default: drain "
                          "what is present and exit)")
@@ -1222,6 +1228,7 @@ def run(args, spark) -> int:
             hash_embed=args.hash_embed,
             doc_dedup=args.doc_dedup,
             fuzzy_threshold=args.fuzzy_threshold,
+            schema=args.schema,
             processing_time=args.processing_time,
             await_seconds=args.await_seconds,
         )
@@ -1235,7 +1242,12 @@ def run(args, spark) -> int:
             else:
                 q.awaitTermination()
         else:
-            # drained: the output count is parquet footer metadata only
+            # drained: the output count is parquet footer metadata only.
+            # run_ingest stopped the query before returning even when
+            # --await-seconds expired first, so the count is final;
+            # "drained" reports whether the drop was fully consumed
+            # (False = the bound cut it short; re-run resumes from the
+            # checkpoint)
             from xdump_spark import fsutil
 
             n = (
@@ -1244,7 +1256,12 @@ def run(args, spark) -> int:
                 else 0
             )
             print(_json.dumps(
-                {"kind": args.kind, "mode": "drain", "output_rows": n}
+                {
+                    "kind": args.kind,
+                    "mode": "drain",
+                    "drained": bool(getattr(q, "xd_drained", True)),
+                    "output_rows": n,
+                }
             ))
     elif args.command == "maintain":
         import json as _json

@@ -94,7 +94,7 @@ _INGEST_KEYS = {
     "corrupt_out", "rejects_out", "template", "keep_contradictions",
     "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
     "semantic_cells", "hash_embed", "doc_dedup", "fuzzy_threshold",
-    "processing_time", "await_seconds",
+    "schema", "processing_time", "await_seconds",
 }
 
 
@@ -161,6 +161,7 @@ def ingest_from_config(spark: SparkSession, path: str):
         hash_embed=cfg.get("hash_embed"),
         doc_dedup=cfg.get("doc_dedup", "exact"),
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.5),
+        schema=cfg.get("schema"),
         processing_time=cfg.get("processing_time"),
         await_seconds=cfg.get("await_seconds"),
     )

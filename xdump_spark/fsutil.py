@@ -10,11 +10,18 @@ Routing through the JVM's ``org.apache.hadoop.fs.FileSystem`` (already
 loaded in every Spark session) makes the same code correct for any
 scheme Spark itself can read.
 
-Atomicity note: ``write_text_atomic`` is write-tmp + rename. Rename is
-atomic on HDFS and on local filesystems; on S3A it is copy+delete —
-there, last-writer-wins but a reader can never see a torn file because
-the tmp name is never read. That is the same guarantee Spark's own
-``_SUCCESS``-style commit protocols settle for on object stores.
+Atomicity note: ``write_text_atomic`` is write-tmp + rename. Where the
+scheme has a Hadoop ``FileContext`` binding (local, HDFS, viewfs) the
+rename is a single overwrite-atomic call — no window in which the
+destination is absent. Schemes without one (S3A) fall back to a
+backup-swap (dest → ``.name.old``, tmp → dest, delete backup) whose
+crash windows ``read_text_atomic``/``exists_atomic`` roll forward from
+the surviving tmp: the pair can see either the old or the new text,
+never nothing and never a torn file. A lone ``.tmp`` with NO backup
+and NO destination is a crashed FIRST write and is deliberately NOT
+recovered — nothing was ever committed, and the tmp itself may be
+torn. That is strictly stronger than Spark's own ``_SUCCESS``-style
+commit protocols on object stores.
 
 The reference keeps all state in the host database and never touches a
 filesystem beyond the zip archive (``xdump/base.py:87-106``); this
@@ -90,23 +97,91 @@ def read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _siblings(spark: SparkSession, p):
+    """The commit protocol's tmp and backup Paths for destination ``p``."""
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    parent = p.getParent()
+    return P(parent, f".{p.getName()}.tmp"), P(parent, f".{p.getName()}.old")
+
+
+def _rename_overwrite(spark: SparkSession, fs, src, dst) -> bool:
+    """One overwrite-atomic rename via FileContext, when the scheme has
+    an AbstractFileSystem binding (local/HDFS/viewfs do; S3A does not —
+    there this returns False and the caller swaps with a backup)."""
+    jvm = spark._jvm
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.makeQualified(dst).toUri(), spark._jsc.hadoopConfiguration()
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(fs.makeQualified(src), fs.makeQualified(dst), opts)
+        return True
+    except Exception:
+        return False
+
+
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write via a tmp sibling + rename (see module docstring)."""
+    """Write via a tmp sibling + overwrite-atomic rename (see module
+    docstring). On schemes without FileContext the swap leaves windows
+    that :func:`read_text_atomic` / :func:`exists_atomic` roll forward
+    from, so a reader using those never observes "no file" mid-commit."""
     fs, p = _fs(spark, path)
     parent = p.getParent()
     fs.mkdirs(parent)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(
-        parent, f".{p.getName()}.tmp"
-    )
+    tmp, old = _siblings(spark, p)
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+    if _rename_overwrite(spark, fs, tmp, p):
+        return
+    # backup-swap fallback: every crash window leaves a state the
+    # atomic readers resolve (dest wins; else complete tmp + backup
+    # evidence rolls forward; a lone tmp is an uncommitted first write)
     if fs.exists(p):
-        fs.delete(p, False)
+        fs.delete(old, False)
+        if not fs.rename(p, old):
+            raise IOError(f"backup rename {path} -> {old} failed")
     if not fs.rename(tmp, p):
         raise IOError(f"rename {tmp} -> {path} failed")
+    fs.delete(old, False)
+
+
+def _recover_commit(spark: SparkSession, path: str) -> bool:
+    """Roll an interrupted backup-swap forward: when ``path`` is absent
+    but its complete ``.tmp`` AND ``.old`` backup survive, finish the
+    rename. Returns whether ``path`` now exists. A lone ``.tmp``
+    (crashed FIRST write — possibly torn, nothing was committed) is
+    left alone."""
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        return True
+    tmp, old = _siblings(spark, p)
+    if fs.exists(tmp) and fs.exists(old):
+        if not fs.rename(tmp, p):
+            raise IOError(f"recovery rename {tmp} -> {path} failed")
+        fs.delete(old, False)
+        return True
+    return False
+
+
+def exists_atomic(spark: SparkSession, path: str) -> bool:
+    """exists() for files committed by :func:`write_text_atomic`,
+    resolving interrupted backup-swap commits first (a liveness bit —
+    a store meta, an index manifest — must not read as dead inside the
+    fallback's crash window)."""
+    return _recover_commit(spark, path)
+
+
+def read_text_atomic(spark: SparkSession, path: str) -> str:
+    """read_text() with interrupted-commit recovery (pair of
+    :func:`write_text_atomic`; see :func:`exists_atomic`)."""
+    _recover_commit(spark, path)
+    return read_text(spark, path)
 
 
 def list_data_files(spark: SparkSession, path: str) -> list[tuple]:

@@ -385,12 +385,20 @@ def incremental_neardup(
                 continue
             hits = [(a, e) for a, e in partners[d] if a not in rejected]
             if hits:
-                kept, e = max(hits, key=lambda h: (h[1], -h[0]))
+                # max est, tie-break min kept id — expressed as a min so
+                # it never negates the id (string ids are legal here)
+                kept, e = min(hits, key=lambda h: (-h[1], h[0]))
                 rejected[d] = (kept, e)
 
         pairs = sorted((d, k, e) for d, (k, e) in rejected.items())
         if rejected:
-            rej_df = spark.createDataFrame([(int(d),) for d in rejected], "id long")
+            # the id column's REAL type: greedy resolution works for any
+            # orderable id (string doc ids are common); a hard "id long"
+            # schema here crashed every string-id batch that found a dup
+            idt = new_docs.schema[id_col].dataType.simpleString()
+            rej_df = spark.createDataFrame(
+                [(d,) for d in rejected], f"id {idt}"
+            )
             rejects_df = None
             accepted_banded = banded.join(F.broadcast(rej_df), "id", "left_anti")
         else:
@@ -929,9 +937,12 @@ class VectorStore:
         return fsutil.join(self.path, "meta.json")
 
     def exists(self) -> bool:
+        # exists_atomic: rolls an interrupted meta-swap forward, so the
+        # liveness bit cannot read as dead inside the backup-swap
+        # fallback's crash window (ADVICE r9)
         from xdump_spark import fsutil
 
-        return fsutil.exists(self.spark, self._meta_file()) or fsutil.is_dir(
+        return fsutil.exists_atomic(self.spark, self._meta_file()) or fsutil.is_dir(
             self.spark, fsutil.join(self.path, "meta")
         )
 
@@ -940,8 +951,10 @@ class VectorStore:
 
         from xdump_spark import fsutil
 
-        if fsutil.exists(self.spark, self._meta_file()):
-            return json.loads(fsutil.read_text(self.spark, self._meta_file()))
+        if fsutil.exists_atomic(self.spark, self._meta_file()):
+            return json.loads(
+                fsutil.read_text_atomic(self.spark, self._meta_file())
+            )
         # legacy dir format (pre-r9 stores)
         return json.loads(
             self.spark.read.json(

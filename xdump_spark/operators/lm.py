@@ -181,11 +181,11 @@ def load_ngram_lm(spark: SparkSession, path: str) -> NgramLM:
     """Load a saved model; raises if the manifest is missing (a crashed
     save is not a model)."""
     man_path = fsutil.join(path, _MANIFEST)
-    if not fsutil.exists(spark, man_path):
+    if not fsutil.exists_atomic(spark, man_path):
         raise FileNotFoundError(
             f"no LM manifest at {man_path} — save_ngram_lm did not complete"
         )
-    man = json.loads(fsutil.read_text(spark, man_path))
+    man = json.loads(fsutil.read_text_atomic(spark, man_path))
     return NgramLM(
         unigrams=spark.read.parquet(fsutil.join(path, "unigrams")),
         bigrams=spark.read.parquet(fsutil.join(path, "bigrams")),

@@ -132,7 +132,7 @@ def _read_manifest(spark, path: str) -> dict:
     from xdump_spark import fsutil
 
     man = json.loads(
-        fsutil.read_text(spark, fsutil.join(path, _INDEX_MANIFEST))
+        fsutil.read_text_atomic(spark, fsutil.join(path, _INDEX_MANIFEST))
     )
     if man.get("version") != 2:
         raise ValueError(

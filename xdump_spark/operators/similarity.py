@@ -558,8 +558,8 @@ def ivf_read(spark, path: str) -> IVFIndex:
     from xdump_spark import fsutil
 
     meta_file = fsutil.join(path, "meta.json")
-    if fsutil.exists(spark, meta_file):
-        meta = json.loads(fsutil.read_text(spark, meta_file))
+    if fsutil.exists_atomic(spark, meta_file):
+        meta = json.loads(fsutil.read_text_atomic(spark, meta_file))
     else:  # legacy Spark-JSON dir layout (pre-r9 indexes)
         meta = json.loads(
             spark.read.json(fsutil.join(path, "meta")).first()["meta"]

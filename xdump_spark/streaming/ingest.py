@@ -57,6 +57,7 @@ def run_ingest(
     hash_embed: int | None = None,
     doc_dedup: str = "exact",
     fuzzy_threshold: float = 0.5,
+    schema: str | None = None,
     processing_time: str | None = None,
     await_seconds: float | None = None,
 ):
@@ -72,13 +73,23 @@ def run_ingest(
     SignatureStore (``doc_dedup="fuzzy"``, ``store_path``,
     ``fuzzy_threshold``).
 
+    ``schema`` (a DDL string, e.g. ``"doc_id long, text string"``)
+    applies to the PARQUET kinds (``semantic``/``docs``), whose file
+    stream needs one up front: without it the twins infer from files
+    already present, so an always-on daemon deployed BEFORE the first
+    drop lands has nothing to infer from — that case fails here with
+    deploy guidance instead of an AnalysisException at stream start.
+    The text-stream kinds (wet/sft/pairs) never need one.
+
     Trigger: ``processing_time=None`` (default) drains — the query
     consumes every file currently in ``input_dir``, commits, and this
     function BLOCKS until it stops (bounded by ``await_seconds`` when
-    given), then returns the stopped query. A ``processing_time``
-    (e.g. ``"1 minute"``) starts an always-on query and returns it
-    immediately (``await_seconds`` still waits when given) — the
-    caller owns ``stop()``.
+    given), then returns the stopped query; if the bound expires first
+    the query is STOPPED before returning (a partially-drained drop is
+    resumed by the next run's checkpoint) and ``q.xd_drained`` is
+    False. A ``processing_time`` (e.g. ``"1 minute"``) starts an
+    always-on query and returns it immediately (``await_seconds``
+    still waits when given) — the caller owns ``stop()``.
 
     Redelivery contract (all kinds): re-running after a crash between
     the output write and the store commit re-delivers the last batch;
@@ -92,6 +103,23 @@ def run_ingest(
         if processing_time
         else {"availableNow": True}
     )
+    def _require_parquet_schema() -> None:
+        # the parquet twins infer the stream schema from files already
+        # present when schema is None; a daemon deployed before the
+        # first drop lands must fail HERE with deploy guidance, not
+        # with an AnalysisException at stream start (ADVICE r9)
+        if schema is not None:
+            return
+        from xdump_spark import fsutil
+
+        if not fsutil.list_data_files(spark, input_dir.rstrip("/*")):
+            raise ValueError(
+                f"ingest kind {kind!r}: {input_dir} holds no parquet "
+                "files yet and no schema was given — a parquet file "
+                "stream needs one up front. Pass schema= (CLI --schema) "
+                "as a DDL string, e.g. 'doc_id long, text string', to "
+                "start the daemon before the first drop lands."
+            )
 
     if kind == "semantic":
         if not store_path:
@@ -105,12 +133,14 @@ def run_ingest(
             streaming_semantic_ingest,
         )
 
+        _require_parquet_schema()
         store = VectorStore(spark, store_path, dtype=vector_dtype)
         q = streaming_semantic_ingest(
             spark, input_dir, store, output, checkpoint_dir,
             threshold=semantic_threshold, n_cells=semantic_cells,
             hash_embed_dim=hash_embed, text_col=text_col, id_col=id_col,
-            vec_col=vec_col, rejects_dir=rejects_out, trigger=trigger,
+            vec_col=vec_col, rejects_dir=rejects_out, schema=schema,
+            trigger=trigger,
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
@@ -142,10 +172,11 @@ def run_ingest(
             raise ValueError(
                 f"doc_dedup must be 'exact' or 'fuzzy', got {doc_dedup!r}"
             )
+        _require_parquet_schema()
         q = streaming_doc_ingest(
             spark, input_dir, store, output, checkpoint_dir,
             text_col=text_col, id_col=id_col, rejects_dir=rejects_out,
-            trigger=trigger, neardup_kwargs=nd,
+            schema=schema, trigger=trigger, neardup_kwargs=nd,
         )
     else:
         if not store_table:
@@ -187,11 +218,21 @@ def run_ingest(
             )
 
     if processing_time is None:
-        # drain-and-stop: availableNow terminates by itself
+        # drain-and-stop: availableNow terminates by itself. With a
+        # bound, awaitTermination(timeout) returning False means the
+        # query is STILL RUNNING — stop it before returning so the
+        # caller never reads/counts the output concurrently with
+        # in-flight appends (the checkpoint resumes the partial drain
+        # next run); xd_drained records which case happened.
         if await_seconds is not None:
-            q.awaitTermination(await_seconds)
+            drained = q.awaitTermination(await_seconds)
+            if not drained:
+                q.stop()
+                q.awaitTermination()
+            q.xd_drained = bool(drained)
         else:
             q.awaitTermination()
+            q.xd_drained = True
     elif await_seconds is not None:
         q.awaitTermination(await_seconds)
     return q
