@@ -27,14 +27,14 @@ def test_incremental_two_batches(spark, tmp_path):
 
     # increment 1: near-dup pair (1,2) + distinct 3
     b1 = spark.createDataFrame([(1, BASE), (2, NEAR), (3, OTHER)], DOC_SCHEMA)
-    r1 = incremental_neardup(b1, store)
+    r1 = incremental_neardup(b1, store, count_store=True)
     assert _ids(r1.accepted) == [1, 3]
     assert [(d, k) for d, k, _ in r1.pairs] == [(2, 1)]
     assert r1.store_rows == 2
 
     # increment 2: 10 dups the STORED 1; 11 dups the STORED 3; 12 is new
     b2 = spark.createDataFrame([(10, NEAR), (11, OTHER), (12, THIRD)], DOC_SCHEMA)
-    r2 = incremental_neardup(b2, store)
+    r2 = incremental_neardup(b2, store, count_store=True)
     assert _ids(r2.accepted) == [12]
     assert [(d, k) for d, k, _ in r2.pairs] == [(10, 1), (11, 3)]
     assert r2.store_rows == 3
@@ -405,7 +405,7 @@ def test_incremental_components_basic(spark, tmp_path):
     increment dedups against the store like greedy would."""
     store = SignatureStore(spark, str(tmp_path / "store"))
     b1 = spark.createDataFrame([(1, BASE), (2, NEAR), (3, OTHER)], DOC_SCHEMA)
-    r1 = incremental_neardup(b1, store, resolve="components")
+    r1 = incremental_neardup(b1, store, resolve="components", count_store=True)
     assert _ids(r1.accepted) == [1, 3]
     assert r1.pairs == [] and r1.rejects is not None
     rej = sorted((r.dup_id, r.kept_id) for r in r1.rejects.collect())
@@ -413,7 +413,7 @@ def test_incremental_components_basic(spark, tmp_path):
     assert r1.store_rows == 2
 
     b2 = spark.createDataFrame([(10, NEAR), (11, OTHER), (12, THIRD)], DOC_SCHEMA)
-    r2 = incremental_neardup(b2, store, resolve="components")
+    r2 = incremental_neardup(b2, store, resolve="components", count_store=True)
     assert _ids(r2.accepted) == [12]
     rej2 = sorted((r.dup_id, r.kept_id) for r in r2.rejects.collect())
     assert rej2 == [(10, 1), (11, 3)]
@@ -428,7 +428,7 @@ def test_incremental_components_store_tainted_cluster(spark, tmp_path):
     incremental_neardup(spark.createDataFrame([(1, BASE)], DOC_SCHEMA), store)
 
     b2 = spark.createDataFrame([(20, NEAR), (21, NEAR)], DOC_SCHEMA)
-    r2 = incremental_neardup(b2, store, resolve="components")
+    r2 = incremental_neardup(b2, store, resolve="components", count_store=True)
     assert _ids(r2.accepted) == []
     rej = sorted((r.dup_id, r.kept_id) for r in r2.rejects.collect())
     assert rej == [(20, 1), (21, 1)]
@@ -491,8 +491,8 @@ def test_signature_store_compact_preserves_decisions(spark, tmp_path):
     assert st_after["files"] == st_after["bands"]  # 1 file per band at this size
     assert st_after["rows"] == st_before["rows"]
 
-    r_c = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["c"])
-    r_u = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["u"])
+    r_c = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["c"], count_store=True)
+    r_u = incremental_neardup(spark.createDataFrame(probe, DOC_SCHEMA), stores["u"], count_store=True)
     assert _ids(r_c.accepted) == _ids(r_u.accepted) == [22]
     assert r_c.pairs == r_u.pairs
     assert r_c.store_rows == r_u.store_rows
@@ -600,7 +600,9 @@ def test_incremental_semantic_basic_two_batches(spark, tmp_path):
         [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    r1 = incremental_semantic_dedup(b1, store, threshold=0.98, n_cells=2)
+    r1 = incremental_semantic_dedup(
+        b1, store, threshold=0.98, n_cells=2, count_store=True
+    )
     assert _vids(r1.accepted) == [1, 3]
     rej1 = {(r.dup_id, r.kept_id) for r in r1.rejects.collect()}
     assert rej1 == {(2, 1)}
@@ -612,7 +614,9 @@ def test_incremental_semantic_basic_two_batches(spark, tmp_path):
          (12, [0.0, 0.0, 1.0])],     # novel
         "vec_id long, embedding array<double>",
     )
-    r2 = incremental_semantic_dedup(b2, store, threshold=0.98, n_cells=2)
+    r2 = incremental_semantic_dedup(
+        b2, store, threshold=0.98, n_cells=2, count_store=True
+    )
     assert _vids(r2.accepted) == [12]
     rej2 = {(r.dup_id, r.kept_id) for r in r2.rejects.collect()}
     assert rej2 == {(10, 1), (11, 3)}
@@ -958,8 +962,9 @@ def test_vector_store_legacy_meta_dir_read_and_migrated(spark, tmp_path):
 
 
 def test_incremental_semantic_count_store_flag(spark, tmp_path):
-    """count_store=False commits but skips the full-store reporting
-    count (store_rows -1) with identical decisions."""
+    """The default (r10 flip) skips the full-store reporting count
+    (store_rows -1); count_store=True opts back in — with identical
+    decisions either way."""
     from xdump_spark.operators.incremental import (
         VectorStore,
         incremental_semantic_dedup,
@@ -968,10 +973,10 @@ def test_incremental_semantic_count_store_flag(spark, tmp_path):
     emb = spark.read.parquet(EMB).limit(100)
     a = VectorStore(spark, str(tmp_path / "a"))
     b = VectorStore(spark, str(tmp_path / "b"))
-    ra = incremental_semantic_dedup(emb, a, threshold=0.35, n_cells=4)
-    rb = incremental_semantic_dedup(
-        emb, b, threshold=0.35, n_cells=4, count_store=False
+    ra = incremental_semantic_dedup(
+        emb, a, threshold=0.35, n_cells=4, count_store=True
     )
+    rb = incremental_semantic_dedup(emb, b, threshold=0.35, n_cells=4)
     assert rb.store_rows == -1 and ra.store_rows >= 0
     assert _vids(ra.accepted) == _vids(rb.accepted)
     # the store was still committed: a re-send rejects everything
@@ -993,7 +998,7 @@ def test_incremental_neardup_count_store_flag(spark, tmp_path):
         "doc_id long, text string",
     )
     store = SignatureStore(spark, str(tmp_path / "sig"))
-    r = incremental_neardup(docs, store, count_store=False)
+    r = incremental_neardup(docs, store)  # default: no full-store count
     assert r.store_rows == -1
     assert store.exists()  # committed despite the skipped count
 

@@ -69,6 +69,8 @@ class IncrementResult:
     pairs: list[tuple]      # greedy mode: (dup_id, kept_id, est), sorted
     accepted: DataFrame     # (id) — appended to the store
     store_rows: int         # distinct stored ids after the increment
+    #   (-1 unless count_store=True — the count grows with STORE size,
+    #   not batch size, so it is opt-in as of r10)
     rejects: DataFrame | None = None  # components mode: (dup_id, kept_id,
     #   est) as a DataFrame — never collected (may be cluster-quadratic)
     commit: object = None   # defer_commit=True: call to append the
@@ -208,7 +210,7 @@ def incremental_neardup(
     max_pairs: int = 1_000_000,
     resolve: str = "greedy",
     defer_commit: bool = False,
-    count_store: bool = True,
+    count_store: bool = False,
 ) -> IncrementResult:
     """Run one dedup increment (see module docstring for semantics).
 
@@ -216,9 +218,14 @@ def incremental_neardup(
     store count (``store_rows`` is -1); ``IncrementResult.commit()``
     performs the append when the caller's downstream work is durable —
     the same poison-avoidance contract as ``incremental_exact_dedup``.
-    ``count_store=False`` commits but skips the count alone (it is
-    reporting, not a decision input — a full distinct-id scan of the
-    store that a scheduled per-drop ingest should not pay).
+    ``count_store`` (default False as of r10 — a BREAKING default
+    flip) opts back INTO the post-commit distinct-id store count: the
+    count is reporting, not a decision input, it is the only increment
+    term that grows with STORE size rather than batch size (measured
+    r9: ~1/3 of total increment cost at 152k stored rows), and a
+    scheduled per-drop caller on a 1e9-row store should never pay a
+    full-store scan for a log line. Read ``store.stats()`` on a
+    maintenance cadence instead; ``store_rows`` is -1 when skipped.
 
     ``resolve`` picks how colliding docs are adjudicated:
 
@@ -1171,7 +1178,7 @@ def incremental_semantic_dedup(
     seed: int = 42,
     defer_commit: bool = False,
     strip_bytes: int | None = None,
-    count_store: bool = True,
+    count_store: bool = False,
 ) -> IncrementResult:
     """One SEMANTIC dedup increment: accept a new vector iff its
     duplicate cluster (cosine ≥ ``threshold``, within its centroid
@@ -1201,11 +1208,12 @@ def incremental_semantic_dedup(
     later increment's decisions (dup rows only add redundant ≥-threshold
     edges to already-stored points).
 
-    ``count_store=False`` skips the post-commit full-store row count
-    (``store_rows`` is -1): the count is REPORTING, not a decision
-    input, and at 1e9 stored vectors it is a full metadata scan paid on
-    every increment — a scheduled ingest should pass False and read
-    ``store.stats()`` on its maintenance cadence instead
+    ``count_store`` (default False as of r10 — a BREAKING default
+    flip, aligning the direct API with the streaming twins): opts back
+    INTO the post-commit full-store row count (otherwise ``store_rows``
+    is -1). The count is REPORTING, not a decision input, and at 1e9
+    stored vectors it is a full metadata scan paid on every increment —
+    read ``store.stats()`` on a maintenance cadence instead
     (``defer_commit=True`` always skips it).
     """
     from xdump_spark.operators.similarity import (
