@@ -2,7 +2,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: best_sec}, "queries_runs": {name: [pass1, pass2]},
+"calibration": {cpu + memory-bandwidth probe factors}, "sf": ...}.
 
 Each query is forced through the noop sink (full materialization, no
 driver collect cost). The headline set exercises every engine pillar:
@@ -93,6 +94,17 @@ SCALE_TWINS = [
 # would report phantom noise on every perfectly quiet run).
 CAL_REFERENCE_SEC = 0.80
 
+# The r9 CPU probe's measured blind spot (SCALE.md r9 "Calibration
+# limitation"): it misses memory-bandwidth / Arrow-transfer pressure,
+# which is what moves the knn/neardup/hash-embed class hardest (knn
+# 3.2 -> 4.2 s at a flat CPU factor). The SECOND probe is a fixed
+# Arrow round trip: mapInPandas generates a (rows x 256) float64 block
+# per batch (numpy fill = memory bandwidth) and ships it back through
+# Arrow to a noop sink — deterministic, no repo code, no data files.
+# Solo IN-BENCH median, pinned r10 under the same mid-bench discipline
+# as CAL_REFERENCE_SEC.
+CAL_BW_REFERENCE_SEC = 1.45
+
 
 def _calibrate(spark) -> float:
     from pyspark.sql import functions as F
@@ -103,6 +115,26 @@ def _calibrate(spark) -> float:
         .select((F.xxhash64("id") % 4096).alias("k"), F.col("id"))
         .groupBy("k")
         .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.time() - t0
+
+
+def _calibrate_bw(spark) -> float:
+    import numpy as np
+
+    base = np.arange(256, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.float64)
+            M = base[None, :] + ids[:, None]  # (batch x 256) fill
+            yield pd.DataFrame({"v": list(M)})
+
+    t0 = time.time()
+    (
+        spark.range(0, 400_000, 1, 64)
+        .mapInPandas(gen, "v array<double>")
         .write.format("noop").mode("overwrite").save()
     )
     return time.time() - t0
@@ -193,9 +225,12 @@ def main() -> None:
     # passes do the full computation.
     from xdump_spark import queries as Q
 
-    timings: dict[str, float] = {}
-    twin_timings: dict[str, float] = {}
+    runs: dict[str, list] = {}       # BOTH raw passes per query (r10,
+    twin_runs: dict[str, list] = {}  # verdict #3): best-of discards one
+    #   reading; persisting both makes min-across-rounds comparison and
+    #   per-query noise attribution mechanical (spread = max/min)
     cal_runs = [_calibrate(spark)]  # before, between, and after the passes
+    bw_runs = [_calibrate_bw(spark)]
     for _pass in range(2):
         for name in HEADLINE:
             if name not in qs:
@@ -205,22 +240,20 @@ def main() -> None:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            runs.setdefault(name, []).append(round(time.time() - t0, 3))
         for name, fn in twin_builders.items():
             Q._closure_cache.clear()
             Q._ivf_cache.clear()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            if name not in twin_timings or elapsed < twin_timings[name]:
-                twin_timings[name] = elapsed
+            twin_runs.setdefault(name, []).append(round(time.time() - t0, 3))
         cal_runs.append(_calibrate(spark))
-    timings = {name: round(v, 3) for name, v in timings.items()}
-    twin_timings = {name: round(v, 3) for name, v in twin_timings.items()}
+        bw_runs.append(_calibrate_bw(spark))
+    timings = {name: min(v) for name, v in runs.items()}
+    twin_timings = {name: min(v) for name, v in twin_runs.items()}
 
     cal_median = sorted(cal_runs)[len(cal_runs) // 2]
+    bw_median = sorted(bw_runs)[len(bw_runs) // 2]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -230,11 +263,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "scale_twins": twin_timings,
+                "queries_runs": runs,
+                "scale_twins_runs": twin_runs,
                 "calibration": {
                     "runs": [round(v, 3) for v in cal_runs],
                     "median": round(cal_median, 3),
                     "reference_sec": CAL_REFERENCE_SEC,
                     "noise_factor": round(cal_median / CAL_REFERENCE_SEC, 3),
+                    "bw_runs": [round(v, 3) for v in bw_runs],
+                    "bw_median": round(bw_median, 3),
+                    "bw_reference_sec": CAL_BW_REFERENCE_SEC,
+                    "bw_noise_factor": round(
+                        bw_median / CAL_BW_REFERENCE_SEC, 3
+                    ),
                 },
                 "sf": sf,
             }

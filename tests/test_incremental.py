@@ -1049,3 +1049,187 @@ def test_vector_store_float32_storage_option(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dtype"):
         VectorStore(spark, str(tmp_path / "x"), dtype="float16")
+
+
+def _clustered_vectors(spark, n_protos=4, per=10, dim=32, noise=1e-3,
+                       seed=11, start_id=0):
+    """Prototype-clustered vectors — the manifold-structured shape real
+    embeddings have (and the shape PQ codebooks are FOR; on pure random
+    gaussians reconstruction cosine drops to ~0.8 by design)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((n_protos, dim))
+    protos /= np.linalg.norm(protos, axis=1)[:, None]
+    rows = []
+    for i in range(n_protos * per):
+        v = protos[i % n_protos] + noise * rng.standard_normal(dim)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ), protos
+
+
+def test_vector_store_pq_storage_option(spark, tmp_path):
+    """r9 verdict #1: dtype='pq' stores product-quantized CODES — the
+    8-32x store-bytes step beyond float32. On clustered data (the
+    regime PQ is for) decisions match a float64 twin; codebook in the
+    atomic meta; meta authoritative over later ctor dtypes."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    import numpy as np
+
+    # 100 prototypes → 100 survivors: enough rows that parquet file
+    # overhead does not mask the bytes comparison
+    b1, protos = _clustered_vectors(spark, n_protos=100, per=2, start_id=0)
+    # batch 2 RE-SENDS half the prototypes under fresh ids (jittered):
+    # every row must reject against the stored history in both stores
+    rng = np.random.default_rng(12)
+    b2 = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in protos[i % 50] +
+                     1e-3 * rng.standard_normal(32)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=8)
+    f64 = VectorStore(spark, str(tmp_path / "f64"))
+    for batch in (b1, b2):
+        rp = incremental_semantic_dedup(batch, pq, threshold=0.9, n_cells=4)
+        rf = incremental_semantic_dedup(batch, f64, threshold=0.9, n_cells=4)
+        assert _vids(rp.accepted) == _vids(rf.accepted)
+    # batch 2 re-sent stored prototypes only: nothing new was accepted
+    assert pq.read_cells(list(range(4))).count() == 100
+
+    meta = pq._meta()
+    assert meta["dtype"] == "pq"
+    cb = meta["codebook"]
+    assert cb["m"] == 8 and cb["dim"] == 32
+    # on-disk schema is codes + the exact-vector hash; reads decode
+    # to (cv, cn) with vh riding along
+    raw = spark.read.parquet(str(tmp_path / "pq" / "assigned"))
+    assert dict(raw.dtypes) == {
+        "neighbor_id": "bigint", "codes": "array<smallint>",
+        "vh": "bigint", "cell": "int",
+    }
+    dec = pq.index().assigned
+    assert dict(dec.dtypes)["cv"] == "array<double>"
+    assert dict(dec.dtypes)["cn"] == "double"
+    # codes are dramatically smaller than raw vectors
+    sp, sf = pq.stats(), f64.stats()
+    assert sp["rows"] == sf["rows"] == 100
+    assert sp["bytes"] < 0.6 * sf["bytes"]
+
+    # meta wins over a later ctor dtype; appends stay codes
+    reopened = VectorStore(spark, str(tmp_path / "pq"))  # default ctor
+    b3, _ = _clustered_vectors(spark, n_protos=2, per=3, start_id=2000,
+                               seed=99)
+    incremental_semantic_dedup(b3, reopened, threshold=0.9, n_cells=4)
+    raw = spark.read.parquet(str(tmp_path / "pq" / "assigned"))
+    assert dict(raw.dtypes)["codes"] == "array<smallint>"
+
+
+def test_vector_store_pq_retrain_code_lossless(spark, tmp_path):
+    """The frozen codebook makes retrain a pure re-bucket: every
+    vector's CODES survive the decode → refit → encode cycle
+    bit-identically (a reconstruction's nearest codeword is itself), so
+    repeated retrains never compound quantization error."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    b1, protos = _clustered_vectors(spark, n_protos=6, per=8, start_id=0)
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=4)
+    incremental_semantic_dedup(b1, pq, threshold=0.9, n_cells=3)
+
+    apath = pq._assigned_path()
+    before = {r["neighbor_id"]: list(r["codes"])
+              for r in spark.read.parquet(apath).collect()}
+    rpt = pq.retrain(n_cells=5)
+    assert rpt["generation"] == 1 and rpt["n_cells"] == 5
+    after = {r["neighbor_id"]: list(r["codes"])
+             for r in spark.read.parquet(pq._assigned_path()).collect()}
+    assert before == after
+    assert pq._meta()["codebook"]["m"] == 4  # codebook untouched
+
+    # the retrained store still rejects a re-sent prototype member
+    probe = spark.createDataFrame(
+        [(9000, [float(x) for x in protos[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    r = incremental_semantic_dedup(probe, pq, threshold=0.9, n_cells=3)
+    assert r.accepted.count() == 0
+
+
+def test_vector_store_pq_exact_resend_always_rejects(spark, tmp_path):
+    """The sf10 soak finding (SCALE.md r10): on unstructured vectors a
+    coarse codebook reconstructs at ~0.8 cosine, so a BYTE-IDENTICAL
+    re-send scored against its own stored reconstruction slipped a 0.9
+    threshold. The vh exact-hash channel must catch it at est 1.0
+    regardless of codebook quality — a HARD guarantee while the
+    generation's centroids stand (same exact vector, same argmin cell
+    as its stored twin). After a RETRAIN the stored side is re-bucketed
+    by reconstruction, so re-sends whose quantization crossed a cell
+    boundary escape scoping — the documented scope-churn caveat
+    (float32's 0.5% class at quantization-sized epsilon); this test
+    pins the worst-case number on adversarial data so it cannot grow
+    silently."""
+    import numpy as np
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    # adversarial data: random gaussians (full-rank, worst case for PQ)
+    # and a deliberately tiny codebook
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((30, 64))
+    b1 = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=8, pq_k=4)
+    r1 = incremental_semantic_dedup(b1, pq, threshold=0.95, n_cells=2)
+    n_stored = r1.accepted.count()
+    assert n_stored == 30  # gaussians: nothing near anything
+
+    # byte-exact re-send under fresh ids: every row must reject with
+    # est 1.0 even though recon cosine is far below the threshold
+    resend = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
+    assert r2.accepted.count() == 0
+    rej = r2.rejects.collect()
+    assert len(rej) == 30 and all(r.est == 1.0 for r in rej)
+    assert {r.kept_id for r in rej} == set(range(30))
+
+    # post-retrain: hashes pass through re-bucketing verbatim, so the
+    # channel still fires for every re-send scoped with its twin; the
+    # 3/30 whose reconstruction crossed a cell boundary on this
+    # worst-case data escape (deterministic; the documented churn)
+    pq.retrain(n_cells=3)
+    r3 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
+    assert r3.accepted.count() == 3
+    rej3 = r3.rejects.collect()
+    assert len(rej3) == 27 and all(r.est == 1.0 for r in rej3)
+
+
+def test_vector_store_pq_m_clamps_to_dim_divisor(spark, tmp_path):
+    """pq_m must tile the vector dim exactly; a dim-30 store with the
+    default m=8 clamps to 6 (the largest divisor <= 8)."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    b, _ = _clustered_vectors(spark, n_protos=3, per=4, dim=30)
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=8)
+    incremental_semantic_dedup(b, pq, threshold=0.9, n_cells=2)
+    assert pq._meta()["codebook"]["m"] == 6

@@ -194,6 +194,44 @@ def test_ingest_cli_semantic_hash_embed_float32(spark, tmp_path):
     assert dict(raw.dtypes)["cv"] == "array<float>"
 
 
+def test_ingest_cli_semantic_pq_store(spark, tmp_path):
+    """--vector-dtype pq through the ingest front door: the store is
+    created as product-quantized codes and cross-drop dedup still
+    works (re-sent text rejects against the reconstructed history)."""
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    store_path = str(tmp_path / "vs")
+
+    base_text = "the quick brown fox jumps over the lazy dog again today"
+    other = "distributed query engines shuffle data between executor stages"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(inp / name)
+        )
+
+    argv = [
+        "ingest", "--kind", "semantic", "-i", str(inp) + "/*", "-o", out,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--store-path", store_path, "--vector-dtype", "pq",
+        "--hash-embed", "256", "--semantic-threshold", "0.6",
+        "--semantic-cells", "2",
+    ]
+    drop("day1", [(1, base_text), (2, other)])
+    assert _run_cli(spark, argv) == 0
+    assert spark.read.parquet(out).count() == 2
+
+    drop("day2", [(10, base_text), (11, "novel content about row groups")])
+    assert _run_cli(spark, argv) == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}
+    # the store holds codes, not vectors
+    raw = spark.read.parquet(store_path + "/assigned")
+    assert dict(raw.dtypes)["codes"] == "array<smallint>"
+    assert "cv" not in dict(raw.dtypes)
+
+
 def test_ingest_validation_errors(spark, tmp_path):
     from xdump_spark.config import load_ingest_config
     from xdump_spark.streaming.ingest import run_ingest

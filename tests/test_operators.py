@@ -1197,6 +1197,37 @@ def test_lang_id_latin_marker_expansion(spark):
         assert rows[i] == want, (i, rows[i], want)
 
 
+# r10 (VERDICT r9 #4): the biggest Latin-script slices the script tier
+# cannot decide — Vietnamese above all (diacritic-heavy Latin, huge
+# crawl share, labeled `und` through r9) plus ro/cs/hu/da/fi.
+R10_LATIN_DOCS = [
+    (41, "những người này không được nói về của họ và cũng là một phần",
+     "vi"),
+    (42, "și pentru că după această zi nu se mai poate până unde merge "
+         "fără probleme", "ro"),
+    (43, "že podle něj již může být také ještě před koncem však nikdo "
+         "neví přesně", "cs"),
+    (44, "és hogy nem csak egy ember már meg tudja vagy nem érti ezt a "
+         "dolgot", "hu"),
+    (45, "han og hun er ikke til stede på kontoret og er også glade af "
+         "den grund", "da"),
+    (46, "ei ole mutta myös kun se tuli sekä jossa sillä että kaikki "
+         "näkivät sen", "fi"),
+]
+
+
+def test_lang_id_r10_latin_expansion(spark):
+    """r10: vi/ro/cs/hu/da/fi label correctly through the marker tier;
+    every pre-r10 fixture in this file keeps its label (the new
+    languages are APPENDED to LANG_ORDER, so no tie flips)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in R10_LATIN_DOCS], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.pred_lang for r in TX.lang_id_frame(df).collect()}
+    for i, _, want in R10_LATIN_DOCS:
+        assert rows[i] == want, (i, rows[i], want)
+
+
 def test_lang_id_latin_expansion_matches_duckdb(spark):
     """The widened marker CASE agrees bit-for-bit with the regenerated
     DuckDB twin, hits columns included."""
@@ -1206,6 +1237,7 @@ def test_lang_id_latin_expansion_matches_duckdb(spark):
 
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in LATIN_DOCS]
+        + [(i, t) for i, t, _ in R10_LATIN_DOCS]
         + [(i, t) for i, t, _ in MIXED_SCRIPT_DOCS],
         "doc_id long, text string",
     )

@@ -212,3 +212,32 @@ def test_ivfpq_write_read_roundtrip(spark, embs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_pq_reconstruct_round_trip(spark, embs):
+    """Decode is the exact inverse gather of encode's codeword choice:
+    encode(reconstruct(codes)) == codes under the same codebook (the
+    property VectorStore's pq retrain relies on), and reconstruction
+    cosine is high on real embedding structure."""
+    import numpy as np
+
+    from xdump_spark.operators.pq import (
+        _assign_codes,
+        _matrix,
+        _normalize_rows,
+        pq_reconstruct,
+        pq_train,
+    )
+
+    cb = pq_train(embs, m=8, k=64)
+    cents = cb.matrices()
+    pdf = embs.limit(200).toPandas()
+    X = _normalize_rows(_matrix(pdf["embedding"]))
+    codes = _assign_codes(X, cb, cents)
+    R = pq_reconstruct(codes, cb)
+    # codes round-trip losslessly
+    codes2 = _assign_codes(_normalize_rows(R), cb, cents)
+    assert (codes == codes2).all()
+    # reconstructions point the way the originals do
+    cos = np.einsum("ij,ij->i", X, R) / np.linalg.norm(R, axis=1)
+    assert cos.min() > 0.5 and cos.mean() > 0.8

@@ -35,30 +35,50 @@ def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
     a, b = _load(sys.argv[1]), _load(sys.argv[2])
-    fa = a.get("calibration", {}).get("noise_factor")
-    fb = b.get("calibration", {}).get("noise_factor")
+
+    def _factor(doc: dict):
+        """The conservative normalizer: the WORST of the CPU and (when
+        present, r10+) memory-bandwidth probes — the CPU probe alone
+        under-corrects Arrow/BLAS-heavy queries (SCALE.md r9)."""
+        cal = doc.get("calibration", {})
+        fs = [f for f in (cal.get("noise_factor"),
+                          cal.get("bw_noise_factor")) if f]
+        return max(fs) if fs else None
+
+    fa, fb = _factor(a), _factor(b)
     note = "" if (fa and fb) else (
         " (no calibration on "
         + "/".join(s for s, f in (("A", fa), ("B", fb)) if not f)
         + " — that side compares RAW)"
     )
     fa, fb = fa or 1.0, fb or 1.0
-    print(f"noise factors applied: A={fa} B={fb}{note}")
+    print(f"noise factors applied (max of cpu/bw probes): A={fa} B={fb}{note}")
+
+    def _spread(doc: dict, group: str, name: str) -> float | None:
+        """max/min across the persisted raw passes (r10+): a large
+        spread marks a reading where best-of papered over host noise."""
+        rs = doc.get(f"{group}_runs", {}).get(name)
+        return (max(rs) / min(rs)) if rs and min(rs) > 0 else None
+
     rows = []
     for group in ("queries", "scale_twins"):
         qa, qb = a.get(group, {}), b.get(group, {})
         for name in sorted(set(qa) | set(qb)):
             if name in qa and name in qb:
                 na, nb = qa[name] / fa, qb[name] / fb
-                rows.append((nb / na if na else float("inf"), name, na, nb, group))
+                rows.append(
+                    (nb / na if na else float("inf"), name, na, nb, group,
+                     _spread(a, group, name), _spread(b, group, name))
+                )
             else:
                 side = "A" if name in qa else "B"
                 print(f"  only in {side}: {group}/{name}")
-    rows.sort(reverse=True)
-    print(f"{'ratio':>7}  {'A(norm)':>8}  {'B(norm)':>8}  query")
-    for ratio, name, na, nb, group in rows:
+    rows.sort(key=lambda r: r[0], reverse=True)
+    print(f"{'ratio':>7}  {'A(norm)':>8}  {'B(norm)':>8}  {'sprA':>5}  {'sprB':>5}  query")
+    for ratio, name, na, nb, group, sa, sb in rows:
         tag = " [twin]" if group == "scale_twins" else ""
-        print(f"{ratio:7.2f}  {na:8.3f}  {nb:8.3f}  {name}{tag}")
+        fmt = lambda s: f"{s:5.2f}" if s else "    -"
+        print(f"{ratio:7.2f}  {na:8.3f}  {nb:8.3f}  {fmt(sa)}  {fmt(sb)}  {name}{tag}")
     ta = sum(v / fa for v in a["queries"].values())
     tb = sum(v / fb for v in b["queries"].values())
     print(

@@ -4,11 +4,15 @@ maintain stats/compact, ivf_balance, retrain, post-retrain increment.
 
 Run from the repo root:
 
-    python tools/semantic_soak.py [sf10|sf1] [float64|float32|both]
+    python tools/semantic_soak.py [sf10|sf1] [float64|float32|pq|both|pq-both|pq16-both]
 
 ``both`` runs the full lifecycle once per storage dtype on the SAME
 data and prints the byte/time deltas plus a decision-identity check —
-the r9 float32-storage measurement. Increments run with
+the r9 float32-storage measurement. ``pq-both`` compares float64
+against the r10 product-quantized store the same way, additionally
+reporting the accepted-SET delta per increment (pq decisions may
+legitimately flip within the reconstruction margin of the threshold —
+the number to document is how many). Increments run with
 count_store=False (the r8-verdict item-8 posture: per-increment
 full-store counts are reporting, not decisions; stats() reports once
 at the end). Prints one timing line per step; results belong in
@@ -31,9 +35,16 @@ from xdump_spark.operators.similarity import ivf_balance
 from xdump_spark.session import get_spark
 
 
-def lifecycle(spark, emb, n_batches: int, dtype: str) -> dict:
+def lifecycle(spark, emb, n_batches: int, dtype: str,
+              collect_ids: bool = False) -> dict:
     path = tempfile.mkdtemp() + f"/vs_{dtype}"
-    store = VectorStore(spark, path, dtype=dtype)
+    # "pq16" = the higher-resolution codebook dial (m=16 → 4-dim
+    # subspaces): half the compression, much smaller reconstruction
+    # error — the knob that trades bytes for post-retrain scope churn
+    if dtype == "pq16":
+        store = VectorStore(spark, path, dtype="pq", pq_m=16)
+    else:
+        store = VectorStore(spark, path, dtype=dtype)
     print(f"[{dtype}] store at {path}", flush=True)
     inc_times = []
     accepted_per_batch = []
@@ -44,10 +55,15 @@ def lifecycle(spark, emb, n_batches: int, dtype: str) -> dict:
             batch, store, threshold=0.9, n_cells=64, max_cell=50_000,
             count_store=False,
         )
-        n_acc = res.accepted.count()
+        if collect_ids:
+            ids = frozenset(r["id"] for r in res.accepted.collect())
+            n_acc = len(ids)
+        else:
+            ids = None
+            n_acc = res.accepted.count()
         dt = time.time() - t0
         inc_times.append(dt)
-        accepted_per_batch.append(n_acc)
+        accepted_per_batch.append(ids if collect_ids else n_acc)
         print(f"[{dtype}] increment {i}: {dt:.2f}s accepted {n_acc}", flush=True)
     t0 = time.time()
     st = store.stats()
@@ -71,10 +87,15 @@ def lifecycle(spark, emb, n_batches: int, dtype: str) -> dict:
     res = incremental_semantic_dedup(
         batch, store, threshold=0.9, count_store=False
     )
-    post_acc = res.accepted.count()
+    if collect_ids:
+        post_ids = frozenset(r["id"] for r in res.accepted.collect())
+        post_acc = post_ids
+    else:
+        post_acc = res.accepted.count()
     post_s = time.time() - t0
     print(
-        f"[{dtype}] post-retrain increment: {post_s:.2f}s accepted {post_acc}",
+        f"[{dtype}] post-retrain increment: {post_s:.2f}s accepted "
+        f"{len(post_acc) if collect_ids else post_acc}",
         flush=True,
     )
     return {
@@ -98,17 +119,28 @@ def main() -> None:
     n = emb.count()
     n_batches = 10
     print(f"{n} vectors, {n_batches} increments", flush=True)
-    if dtype == "both":
-        a = lifecycle(spark, emb, n_batches, "float64")
-        b = lifecycle(spark, emb, n_batches, "float32")
+    if dtype in ("both", "pq-both", "pq16-both"):
+        other = {"both": "float32", "pq-both": "pq",
+                 "pq16-both": "pq16"}[dtype]
+        a = lifecycle(spark, emb, n_batches, "float64", collect_ids=True)
+        b = lifecycle(spark, emb, n_batches, other, collect_ids=True)
         same = a["accepted"] == b["accepted"]
+        # per-increment accepted-set symmetric difference: the decision
+        # delta the storage codec actually caused
+        deltas = [
+            len(x ^ y) for x, y in zip(a["accepted"], b["accepted"])
+        ]
+        union = sum(len(x | y) for x, y in zip(a["accepted"], b["accepted"]))
         print(
             "compare: bytes %d -> %d (%.2fx), inc_total %.2fs -> %.2fs, "
-            "retrain %.2fs -> %.2fs, decisions_identical=%s"
+            "retrain %.2fs -> %.2fs, decisions_identical=%s, "
+            "per-increment set deltas=%s, total delta %d of %d (%.4f%%)"
             % (
                 a["bytes"], b["bytes"], a["bytes"] / max(1, b["bytes"]),
                 a["inc_total_s"], b["inc_total_s"],
                 a["retrain_s"], b["retrain_s"], same,
+                deltas, sum(deltas), union,
+                100.0 * sum(deltas) / max(1, union),
             ),
             flush=True,
         )

@@ -223,12 +223,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "VectorStore directory; this run dedups against "
                         "all previously-accepted vectors and records its "
                         "survivors (daily-crawl increments)")
-    c.add_argument("--vector-dtype", choices=["float64", "float32"],
+    c.add_argument("--vector-dtype", choices=["float64", "float32", "pq"],
                    default="float64",
-                   help="with --vector-store: on-disk vector precision "
-                        "at store CREATION (float32 halves store bytes "
-                        "and transfer; compute stays float64). An "
-                        "existing store keeps its own recorded dtype.")
+                   help="with --vector-store: on-disk vector "
+                        "representation at store CREATION (float32 "
+                        "halves store bytes and transfer; pq stores "
+                        "product-quantized CODES, 8-32x smaller, with "
+                        "a documented threshold-margin decision "
+                        "caveat; compute stays float64). An existing "
+                        "store keeps its own recorded dtype.")
     c.add_argument("--embeddings", default=None, metavar="PARQUET",
                    help="with --doc-dedup semantic: an embedding table to "
                         "attach by id before the pipeline (docs without a "
@@ -627,10 +630,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="semantic: the VectorStore directory "
                          "(wet/sft/pairs: optional external table location)")
     ig.add_argument("--store-buckets", type=int, default=64)
-    ig.add_argument("--vector-dtype", choices=["float64", "float32"],
+    ig.add_argument("--vector-dtype",
+                    choices=["float64", "float32", "pq"],
                     default="float64",
-                    help="semantic: on-disk vector precision at store "
-                         "creation (an existing store keeps its own)")
+                    help="semantic: on-disk vector representation at "
+                         "store creation — float32 halves bytes, pq "
+                         "stores 8-32x-smaller quantized codes (an "
+                         "existing store keeps its own)")
     ig.add_argument("--corrupt-out", default=None,
                     help="quarantine unreadable files/lines here")
     ig.add_argument("--rejects-out", default=None,

@@ -224,7 +224,7 @@ def curate_from_config(spark: SparkSession, path: str):
                 )
             dedup_store = VectorStore(
                 spark, sc["path"], dtype=sc.get("dtype", "float64")
-            )
+            )  # "pq" is a valid dtype here — codes on disk, meta wins
         else:
             # {"table": str, "path": str (optional), "n_buckets": int
             # (optional)} — the persistent exact-dedup hash store this

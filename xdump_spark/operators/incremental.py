@@ -882,29 +882,47 @@ class VectorStore:
     (byte-identical), SignatureStore (MinHash near-dup), VectorStore
     (semantic near-dup, SemDeDup-style).
 
-    ``dtype`` picks the ON-DISK vector precision at store CREATION
-    ("float64" default, "float32" opt-in) and is recorded in the meta —
+    ``dtype`` picks the ON-DISK vector representation at store CREATION
+    ("float64" default, "float32", "pq") and is recorded in the meta —
     an existing store's meta always wins, so every later open (CLI
     maintenance, a differently-configured ingest) reads and appends in
-    the store's own precision. float32 halves store bytes, strip-kernel
-    input, and Arrow transfer — the measured cost drivers of the r8
-    soak (dim=1024 was 1.4x slower purely on vector serialization).
-    COMPUTE stays float64 either way: stored vectors are upcast on
-    read, so steady-state decision drift is float32 rounding of the
-    stored vector itself (~1e-7 relative on a cosine) — a pair whose
-    true cosine sits within that of ``threshold`` may flip. Measured
-    (SCALE.md r9, 200k x 64d): all 10 increments decision-identical to
-    a float64 twin. The one amplifier is :meth:`retrain`: KMeans refits
-    on the rounded vectors, and a 1e-7 perturbation can flip KMeans||
-    init samples into a slightly different cell GEOMETRY — per-cell
-    scoping (which pairs are compared) then differs near cell
+    the store's own representation. float32 halves store bytes,
+    strip-kernel input, and Arrow transfer — the measured cost drivers
+    of the r8 soak (dim=1024 was 1.4x slower purely on vector
+    serialization). COMPUTE stays float64 either way: stored vectors
+    are upcast on read, so steady-state decision drift is float32
+    rounding of the stored vector itself (~1e-7 relative on a cosine).
+    Measured (SCALE.md r9, 200k x 64d): all 10 increments
+    decision-identical to a float64 twin. The one amplifier is
+    :meth:`retrain`: KMeans refits on the rounded vectors, and a 1e-7
+    perturbation can flip KMeans|| init samples into a slightly
+    different cell GEOMETRY — per-cell scoping differs near cell
     boundaries even though every computed score is right (measured:
     0.5% of post-retrain verdicts). Keep float64 if bit-identical
-    cross-precision retrains matter."""
+    cross-precision retrains matter.
 
-    _DTYPES = ("float64", "float32")
+    ``dtype="pq"`` stores PRODUCT-QUANTIZED codes instead of vectors
+    (operators/pq.py: ``pq_m`` one-byte-ish codes per vector — 8-32x
+    smaller than float32; the store is the 100 TB cost center and every
+    retrain rescans it, so bytes ARE the scaling term). The codebook is
+    trained ONCE on the first increment's batch (``pq_train``'s
+    deterministic capped sample), recorded in the atomic meta beside
+    the centers, and FROZEN for the store's life — so the decode →
+    encode round trip is code-lossless and :meth:`retrain` re-buckets
+    without compounding quantization error. Decisions: the NEW batch
+    is always exact; the stored side is its reconstruction, so a
+    new-vs-stored cosine carries the reconstruction error of the
+    STORED vector (~(1 - recon_cos); measured on the sf10 soak,
+    SCALE.md r10) — a pair whose true cosine sits within that margin
+    of ``threshold`` may flip, exactly the float32 caveat at a larger
+    epsilon bought with 8-32x fewer bytes. ``pq_m``/``pq_k`` apply at
+    creation only (``pq_m`` is clamped to the largest divisor of the
+    vector dim)."""
 
-    def __init__(self, spark: SparkSession, path: str, dtype: str = "float64"):
+    _DTYPES = ("float64", "float32", "pq")
+
+    def __init__(self, spark: SparkSession, path: str, dtype: str = "float64",
+                 pq_m: int = 8, pq_k: int = 256):
         if dtype not in self._DTYPES:
             raise ValueError(
                 f"VectorStore dtype must be one of {self._DTYPES}, got {dtype!r}"
@@ -912,6 +930,9 @@ class VectorStore:
         self.spark = spark
         self.path = path
         self.dtype = dtype
+        self.pq_m = int(pq_m)
+        self.pq_k = int(pq_k)
+        self._cb_cache = None  # PQCodebook, lazily loaded from meta
 
     def _store_dtype(self) -> str:
         """The precision vectors are stored at: the meta's record for
@@ -927,6 +948,113 @@ class VectorStore:
         if dict(df.dtypes).get("cv") != "array<double>":
             df = df.withColumn("cv", F.col("cv").cast("array<double>"))
         return df
+
+    # -- pq codec ---------------------------------------------------------
+    def _codebook(self):
+        """The store's frozen PQCodebook (meta-recorded; cached on the
+        instance — it never changes after creation)."""
+        if self._cb_cache is None:
+            from xdump_spark.operators.pq import PQCodebook
+
+            self._cb_cache = PQCodebook.from_dict(self._meta()["codebook"])
+        return self._cb_cache
+
+    def _encode_codes(self, assigned: DataFrame) -> DataFrame:
+        """(neighbor_id, cv, [cn,] cell[, vh]) → (neighbor_id, codes,
+        vh, cell): one Arrow-batched column UDF, each batch one numpy
+        distance computation per subspace (pq_encode's math on the
+        already cell-assigned increment — no extra pass, no shuffle).
+
+        ``vh`` is the EXACT-vector hash channel (xxhash64 over the raw
+        double array, +8 B/row): quantization makes byte-identical
+        re-sends score only ~recon_cos against their own stored codes,
+        and the sf10 soak measured exactly that failure — 14.5k exact
+        copies slipping a 0.9 threshold at recon_cos ≈ 0.8. The hash is
+        computed from the ORIGINAL vector at first encode and preserved
+        verbatim through retrains, so the exact-dup class never pays
+        the quantization margin."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from xdump_spark.operators.pq import _assign_codes, _normalize_rows
+
+        codebook = self._codebook()
+        cents = codebook.matrices()
+
+        def _enc(v):  # no type hints: the no-typehint pandas_udf form
+            if not len(v):
+                return pd.Series([], dtype=object)
+            X = _normalize_rows(np.vstack(v.to_numpy()).astype(np.float64))
+            return pd.Series(list(_assign_codes(X, codebook, cents)))
+
+        enc = pandas_udf(_enc, "array<smallint>")
+        vh = (
+            F.col("vh") if "vh" in assigned.columns
+            else F.xxhash64(F.col("cv"))
+        )
+        return assigned.select(
+            "neighbor_id", enc(F.col("cv")).alias("codes"),
+            vh.alias("vh"), "cell",
+        )
+
+    def _decode_codes(self, df: DataFrame, keep: tuple = ()) -> DataFrame:
+        """(neighbor_id, codes, [vh,] cell) → (neighbor_id, cv, cn,
+        cell[, keep…]): per-subspace centroid gathers reconstruct the
+        stored (unit-ish) vectors executor-side AFTER the pruned scan —
+        the scan itself reads m smallints per row, which is the whole
+        point. A COLUMN UDF (not mapInPandas) so Catalyst prunes the
+        decode away for consumers that never touch cv/cn (ivf_balance
+        reads only ``cell``). ``keep`` passes stored columns through
+        (``vh`` for the exact-hash channel, ``codes`` for retrain)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from xdump_spark.operators.pq import pq_reconstruct
+
+        codebook = self._codebook()
+        cents = codebook.matrices()
+
+        def _dec(c):  # no type hints: struct-returning pandas_udf form
+            if not len(c):
+                return pd.DataFrame({"cv": [], "cn": []})
+            R = pq_reconstruct(np.vstack(c.to_numpy()), codebook, cents)
+            return pd.DataFrame(
+                {"cv": list(R), "cn": np.sqrt(np.einsum("ij,ij->i", R, R))}
+            )
+
+        dec = pandas_udf(_dec, "struct<cv: array<double>, cn: double>")
+        d = dec(F.col("codes"))
+        return df.select(
+            "neighbor_id",
+            d["cv"].alias("cv"),
+            d["cn"].alias("cn"),
+            "cell",
+            *[F.col(k) for k in keep],
+        )
+
+    def _creation_meta(self, centers: list, vectors: DataFrame,
+                       id_col: str, vec_col: str) -> dict:
+        """The meta dict for a store being CREATED from its first
+        batch; for pq stores this is where the codebook is trained
+        (pq_train's deterministic capped sample over the batch) and
+        frozen."""
+        meta = {"centers": centers, "n_cells": len(centers),
+                "dtype": self.dtype}
+        if self.dtype == "pq":
+            from xdump_spark.operators.pq import pq_train
+
+            row = vectors.select(vec_col).first()
+            dim = len(row[vec_col])
+            # largest divisor of dim that fits the requested m: the
+            # subspace split must tile the vector exactly
+            m = max(d for d in range(1, min(self.pq_m, dim) + 1)
+                    if dim % d == 0)
+            cb = pq_train(vectors, m=m, k=self.pq_k,
+                          id_col=id_col, vec_col=vec_col)
+            meta["codebook"] = cb.to_dict()
+        return meta
 
     # The meta commit is the store's LIVENESS bit: exists() keys on it,
     # so a torn meta would make the next increment silently re-fit a
@@ -994,15 +1122,22 @@ class VectorStore:
         return self._meta()["centers"]
 
     def index(self):
-        """The full stored index (for ivf_balance / searches)."""
+        """The full stored index (for ivf_balance / searches). On a pq
+        store the assigned frame decodes lazily — ivf_balance's
+        cell-count groupBy prunes the decode entirely; a search pays
+        one reconstruction pass over the cells it probes."""
         from xdump_spark.operators.similarity import IVFIndex
 
         meta = self._meta()
+        raw = self.spark.read.parquet(self._assigned_path(meta))
+        assigned = (
+            self._decode_codes(raw)
+            if meta.get("dtype") == "pq"
+            else self._upcast(raw)
+        )
         return IVFIndex(
             centers=meta["centers"],
-            assigned=self._upcast(
-                self.spark.read.parquet(self._assigned_path(meta))
-            ),
+            assigned=assigned,
             n_cells=meta["n_cells"],
         )
 
@@ -1016,11 +1151,15 @@ class VectorStore:
         path = self._assigned_path()
         if not fsutil.list_data_files(self.spark, path):
             return None
-        return self._upcast(
-            self.spark.read.parquet(path).filter(
-                F.col("cell").isin([int(c) for c in cells])
-            )
+        pruned = self.spark.read.parquet(path).filter(
+            F.col("cell").isin([int(c) for c in cells])
         )
+        if self._store_dtype() == "pq":
+            # decode AFTER the partition-pruned scan: IO reads m
+            # smallints per row; reconstruction is executor-side
+            # gathers. vh rides along for the exact-hash channel.
+            return self._decode_codes(pruned, keep=("vh",))
+        return self._upcast(pruned)
 
     def append_assigned(self, assigned: DataFrame) -> None:
         # one narrow shuffle of the (small) increment so each touched
@@ -1030,7 +1169,10 @@ class VectorStore:
         # 16→59 s on the accumulating listing; with it the pile stays
         # ~cells-sized and compaction becomes weekly maintenance, not a
         # per-day necessity)
-        if self._store_dtype() == "float32":
+        dt = self._store_dtype()
+        if dt == "pq":
+            assigned = self._encode_codes(assigned)
+        elif dt == "float32":
             assigned = assigned.withColumn(
                 "cv", F.col("cv").cast("array<float>")
             )
@@ -1123,7 +1265,18 @@ class VectorStore:
         # empty one, not a PATH_NOT_FOUND crash
         if not fsutil.list_data_files(self.spark, apath):
             raise ValueError("VectorStore.retrain: store holds no vectors")
-        stored = self._upcast(self.spark.read.parquet(apath))
+        is_pq = meta.get("dtype") == "pq"
+        raw = self.spark.read.parquet(apath)
+        # pq: fit on the reconstructions, re-bucket with codes AND the
+        # exact-vector hashes passed through VERBATIM — re-deriving
+        # either from reconstructions would silently change them (vh
+        # especially: hash(recon) != hash(original) would break the
+        # exact-dup channel for everything stored before the retrain)
+        stored = (
+            self._decode_codes(raw, keep=("codes", "vh"))
+            if is_pq
+            else self._upcast(raw)
+        )
         n_rows = stored.count()
         if n_rows < 2:
             raise ValueError(
@@ -1139,14 +1292,29 @@ class VectorStore:
         )
         gen = int(meta.get("generation", 0)) + 1
         new_rel = f"assigned_g{gen}"
-        gen_data = idx.assigned
-        if meta.get("dtype", "float64") == "float32":
-            gen_data = gen_data.withColumn(
-                "cv", F.col("cv").cast("array<float>")
-            )
-        gen_data.write.mode("overwrite").partitionBy("cell").parquet(
-            fsutil.join(self.path, new_rel)
-        )
+        if is_pq:
+            # re-bucket the ORIGINAL codes/hashes against the new
+            # centroids (ivf_assign passthrough): the retrain touches
+            # assignments only — codes and vh survive bit-identically
+            from xdump_spark.operators.similarity import ivf_assign
+
+            gen_data = ivf_assign(
+                idx.centers, stored, id_col="neighbor_id", vec_col="cv",
+                keep=("codes", "vh"),
+            ).select("neighbor_id", "codes", "vh", "cell")
+        else:
+            gen_data = idx.assigned
+            if meta.get("dtype", "float64") == "float32":
+                gen_data = gen_data.withColumn(
+                    "cv", F.col("cv").cast("array<float>")
+                )
+        # repartition to the new cells first — the append discipline
+        # (SCALE.md r8): without it every upstream task writes a sliver
+        # file into every cell it touches and the fresh generation is
+        # BORN with the file pile compaction exists to fix
+        gen_data.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(fsutil.join(self.path, new_rel))
         new_meta = dict(meta)
         new_meta.update(
             {
@@ -1235,7 +1403,21 @@ def incremental_semantic_dedup(
     spark = new_vectors.sparkSession
     if store.exists():
         centers = store.centers()
-        assigned_new = ivf_assign(centers, new_vectors, id_col, vec_col)
+        assigned_new = None
+    elif int(n_cells) == 1 or new_vectors.count() == 1:
+        # degenerate single-cell first fit (semantic_dedup's n_cells=1
+        # baseline branch): KMeans requires k >= 2 — the lone centroid
+        # is just the batch's mean vector
+        c = new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cn", _norm_udf(F.col("cv")))
+        dim_ = len(c.select("cv").first()["cv"])
+        mean = c.select(
+            F.array(*[F.avg(F.col("cv")[i]) for i in range(dim_)]).alias("m")
+        ).collect()[0]["m"]
+        centers = [list(mean)]
+        assigned_new = c.withColumn("cell", F.lit(0))
     else:
         idx = ivf_build(
             new_vectors, id_col=id_col, vec_col=vec_col,
@@ -1244,15 +1426,28 @@ def incremental_semantic_dedup(
         )
         centers = idx.centers
         assigned_new = idx.assigned
-        # create the store shell (centroids frozen from now on) — the
-        # rename-atomic commit: a crash mid-write leaves no meta file,
-        # so the next increment correctly re-fits (nothing was stored)
+    if not store.exists():
+        # create the store shell (centroids — and for pq stores the
+        # codebook — frozen from now on) — the rename-atomic commit: a
+        # crash mid-write leaves no meta file, so the next increment
+        # correctly re-fits (nothing was stored)
         store._write_meta(
-            {
-                "centers": centers,
-                "n_cells": len(centers),
-                "dtype": store.dtype,
-            }
+            store._creation_meta(centers, new_vectors, id_col, vec_col)
+        )
+    if assigned_new is None:
+        assigned_new = ivf_assign(centers, new_vectors, id_col, vec_col)
+    if store._store_dtype() == "pq":
+        # the exact-vector hash channel: a byte-identical re-send lands
+        # in its stored twin's cell (same exact vector, same argmin —
+        # deterministic while the generation's centroids stand) and
+        # must reject at est 1.0 no matter how coarse the codebook is.
+        # After a RETRAIN the stored side was re-bucketed by its
+        # reconstruction, so re-sends whose quantization crossed a cell
+        # boundary escape until the next exact pass — the measured
+        # scope-churn caveat documented on the class (same class as
+        # float32's 0.5%, at quantization-sized epsilon).
+        assigned_new = assigned_new.withColumn(
+            "vh", F.xxhash64(F.col("cv"))
         )
     assigned_new = assigned_new.localCheckpoint(eager=True)
 
@@ -1288,7 +1483,10 @@ def incremental_semantic_dedup(
             )
         M = _matrix(pdf["cv"])
         ids = pdf["neighbor_id"].to_numpy()
-        rows = _incremental_semantic_cell_kernel(M, ids, new_mask, thr, sb)
+        vh = pdf["vh"].to_numpy() if "vh" in pdf.columns else None
+        rows = _incremental_semantic_cell_kernel(
+            M, ids, new_mask, thr, sb, vh=vh
+        )
         return pd.DataFrame(rows)
 
     verdicts = both.groupBy("cell").applyInPandas(kernel, out_schema)

@@ -89,6 +89,20 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / n[:, None]
 
 
+def pq_reconstruct(codes_mat: np.ndarray, codebook: PQCodebook,
+                   cents: list | None = None) -> np.ndarray:
+    """(batch × m) codes → (batch × dim) reconstructed vectors: per
+    subspace one centroid GATHER (the decode half of the codec — cheap
+    relative to any downstream matmul). Reconstruction is exact on
+    codewords, so encode(reconstruct(codes)) round-trips codes
+    losslessly under the same codebook (nearest centroid to a centroid
+    is itself) — the property VectorStore's pq retrain relies on."""
+    cents = codebook.matrices() if cents is None else cents
+    m = codebook.m
+    C = np.asarray(codes_mat, dtype=np.int64)
+    return np.concatenate([cents[s][C[:, s]] for s in range(m)], axis=1)
+
+
 def _assign_codes(X: np.ndarray, codebook: PQCodebook, cents: list) -> np.ndarray:
     """(batch × dim) normalized vectors → (batch × m) int16 codes: per
     subspace, argmin ‖z−c‖² computed as argmax(z·c − ½‖c‖²) — one BLAS

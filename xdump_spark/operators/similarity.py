@@ -236,6 +236,7 @@ def _incremental_semantic_cell_kernel(
     new_mask: np.ndarray,
     thr: float,
     strip_bytes: int = _STRIP_BYTES,
+    vh: np.ndarray | None = None,
 ):
     """One cell of :func:`incremental_semantic_dedup`: union-find over
     new-new cosine >= thr edges, store-taint via the best new-stored hit,
@@ -246,7 +247,14 @@ def _incremental_semantic_cell_kernel(
     one (strip x n_stored) float64 block, each <= ``strip_bytes`` — the
     full (new+stored)^2 matrix is never built. Self-similarity entries
     are set to 0.0 (not masked out), matching the reference formulation
-    where the diagonal is zeroed: evidence ``est`` is therefore >= 0."""
+    where the diagonal is zeroed: evidence ``est`` is therefore >= 0.
+
+    ``vh`` (pq stores): per-row exact-vector hashes aligned with
+    ``ids``. A new row whose hash equals a STORED row's is a
+    byte-identical re-send and store-taints at est 1.0 regardless of
+    what the stored RECONSTRUCTION scores — the exact-duplicate class
+    (the overwhelmingly common one) must never slip through the
+    quantization margin."""
     new_i = np.nonzero(new_mask)[0]
     old_i = np.nonzero(~new_mask)[0]
     k = len(new_i)
@@ -280,6 +288,22 @@ def _incremental_semantic_cell_kernel(
             sims = Sno[np.arange(s1 - s0), j]
             best_old_sim[s0:s1] = sims
             best_old[s0:s1] = np.where(sims >= thr, old_i[j], -1)
+
+    # exact-hash channel (pq stores): a new row hash-matching a stored
+    # row is a byte-identical re-send — force a 1.0 store hit against
+    # the min-id matching stored row, overriding any weaker
+    # reconstruction cosine
+    if vh is not None and len(old_i):
+        by_hash: dict = {}
+        for oi in old_i:
+            h = vh[oi]
+            if h not in by_hash or ids[oi] < ids[by_hash[h]]:
+                by_hash[h] = oi
+        for li in range(k):
+            oi = by_hash.get(vh[new_i[li]])
+            if oi is not None and best_old_sim[li] < 1.0:
+                best_old_sim[li] = 1.0
+                best_old[li] = oi
 
     # store taint: best stored hit per cluster ((-sim, stored_id) min)
     taint: dict = {}
@@ -575,6 +599,7 @@ def ivf_assign(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
     """Assign vectors to EXISTING centroids without refitting:
     (neighbor_id, cv, cn, cell) in one Arrow-batched pass — each batch is
@@ -582,15 +607,22 @@ def ivf_assign(
     centroid matrix, argmin with the same squared-L2 + lowest-cell-index
     tie-break as KMeans transform / ivf_probe_cells. This is the
     maintenance half of the build-once contract: appended data reuses the
-    trained centroids, so an append never rescans the existing corpus."""
+    trained centroids, so an append never rescans the existing corpus.
+
+    ``keep`` names extra input columns passed through unchanged (e.g. a
+    pq store's frozen codes/hashes during a re-bucketing retrain)."""
     Cent = np.asarray(centers, dtype=np.float64)
     c2 = np.einsum("ij,ij->i", Cent, Cent)
     spark = vectors.sparkSession
     b_cent = spark.sparkContext.broadcast((Cent, c2))
 
+    kept_types = {
+        k: dict(vectors.dtypes)[k] for k in keep
+    }
     out_schema = (
         f"neighbor_id {_id_type(vectors, id_col)}, cv array<double>, "
         "cn double, cell int"
+        + "".join(f", {k} {t}" for k, t in kept_types.items())
     )
 
     def assign(batches):
@@ -604,17 +636,20 @@ def ivf_assign(
             # numpy's first-occurrence rule — identical to the lexsort
             # tie-break in ivf_probe_cells, without a per-row Python loop
             cell = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cv": pdf["cv"],
-                    "cn": _norms(V),
-                    "cell": cell.astype(np.int32),
-                }
-            )
+            out = {
+                "neighbor_id": pdf["neighbor_id"],
+                "cv": pdf["cv"],
+                "cn": _norms(V),
+                "cell": cell.astype(np.int32),
+            }
+            for k in keep:
+                out[k] = pdf[k]
+            yield pd.DataFrame(out)
 
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        *[F.col(k) for k in keep],
     )
     return c.mapInPandas(assign, out_schema)
 

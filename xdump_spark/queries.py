@@ -2506,6 +2506,13 @@ UNION ALL
 SELECT 'semdedup' AS method, vec_id,
        CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS BIGINT) AS val
 FROM labels
+UNION ALL
+SELECT 'pq_store' AS method, vec_id,
+       CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS BIGINT) AS val
+FROM labels
+UNION ALL
+SELECT 'pq_resend' AS method, vec_id, CAST(0 AS BIGINT) AS val
+FROM labels WHERE vec_id = component
 """
 
 
@@ -2523,8 +2530,26 @@ def dedup_components(spark, sf_dir):
       vector survives. The oracle derives the same flag from the
       recursive-CTE closure (survivor ⇔ vec_id == its component), so
       the hash gate proves the applyInPandas union-find path equal to
-      the SQL transitive closure."""
+      the SQL transitive closure.
+    * ``pq_store`` (r10) — the PRODUCT-QUANTIZED VectorStore's first
+      COMMITTED increment over the same corpus (incremental.py
+      dtype="pq"): quantize, min-id survivor per cluster, codes
+      written to disk. The codebook is trained with k >= corpus size,
+      so every codeword memorizes its vector exactly and the pq
+      decisions must equal the exact SemDeDup flag.
+    * ``pq_resend`` (r10) — the SURVIVORS (the oracle-derived stored
+      set) re-sent as a second increment against the committed store:
+      every one must REJECT (val 0) through the read-codes → decode →
+      exact-hash path — the end-to-end gate that codes on disk still
+      answer dedup correctly. The codec's LOSSY regime is measured,
+      not oracled: sf10 soak row in SCALE.md r10 + tests."""
+    import tempfile
+
     from xdump_spark.operators.components import connected_components
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
 
     emb = _cat(spark, sf_dir).tables["embeddings"]
     edges = S.embedding_neardup_pairs(emb, threshold=0.4, exact=True)
@@ -2541,7 +2566,36 @@ def dedup_components(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("is_survivor").cast("long").alias("val"),
     )
-    return cc.unionByName(sd)
+    store = VectorStore(
+        spark, tempfile.mkdtemp() + "/pq_store", dtype="pq",
+        pq_m=8, pq_k=100_000,
+    )
+    res = incremental_semantic_dedup(
+        emb, store, threshold=0.4, n_cells=1, id_col="vec_id",
+        vec_col="embedding",
+    )
+    accepted1 = res.accepted.select(F.col("id").alias("vec_id"))
+    pqf = emb.select("vec_id").join(
+        accepted1.withColumn("_s", F.lit(1)), "vec_id", "left"
+    ).select(
+        F.lit("pq_store").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
+    )
+    survivors = emb.join(accepted1, "vec_id", "left_semi")
+    res2 = incremental_semantic_dedup(
+        survivors, store, threshold=0.4, n_cells=1, id_col="vec_id",
+        vec_col="embedding", defer_commit=True,
+    )
+    accepted2 = res2.accepted.select(F.col("id").alias("vec_id"))
+    rsf = survivors.select("vec_id").join(
+        accepted2.withColumn("_s", F.lit(1)), "vec_id", "left"
+    ).select(
+        F.lit("pq_resend").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
+    )
+    return cc.unionByName(sd).unionByName(pqf).unionByName(rsf)
 
 
 def embed_neardup_lsh(spark, sf_dir):
