@@ -102,8 +102,9 @@ CAL_REFERENCE_SEC = 0.80
 # per batch (numpy fill = memory bandwidth) and ships it back through
 # Arrow to a noop sink — deterministic, no repo code, no data files.
 # Solo IN-BENCH median, pinned r10 under the same mid-bench discipline
-# as CAL_REFERENCE_SEC.
-CAL_BW_REFERENCE_SEC = 1.45
+# as CAL_REFERENCE_SEC (measured 1.438 on the quiet pin run whose CPU
+# probe read 0.663).
+CAL_BW_REFERENCE_SEC = 1.44
 
 
 def _calibrate(spark) -> float:

@@ -902,22 +902,34 @@ class VectorStore:
     cross-precision retrains matter.
 
     ``dtype="pq"`` stores PRODUCT-QUANTIZED codes instead of vectors
-    (operators/pq.py: ``pq_m`` one-byte-ish codes per vector — 8-32x
-    smaller than float32; the store is the 100 TB cost center and every
-    retrain rescans it, so bytes ARE the scaling term). The codebook is
-    trained ONCE on the first increment's batch (``pq_train``'s
-    deterministic capped sample), recorded in the atomic meta beside
-    the centers, and FROZEN for the store's life — so the decode →
-    encode round trip is code-lossless and :meth:`retrain` re-buckets
-    without compounding quantization error. Decisions: the NEW batch
-    is always exact; the stored side is its reconstruction, so a
-    new-vs-stored cosine carries the reconstruction error of the
-    STORED vector (~(1 - recon_cos); measured on the sf10 soak,
-    SCALE.md r10) — a pair whose true cosine sits within that margin
-    of ``threshold`` may flip, exactly the float32 caveat at a larger
-    epsilon bought with 8-32x fewer bytes. ``pq_m``/``pq_k`` apply at
-    creation only (``pq_m`` is clamped to the largest divisor of the
-    vector dim)."""
+    (operators/pq.py: ``pq_m`` one-byte-ish codes per vector plus one
+    8-byte exact-vector hash — the store is the 100 TB cost center and
+    every retrain rescans it, so bytes ARE the scaling term). The
+    codebook is trained ONCE on the first increment's batch
+    (``pq_train``'s deterministic capped sample), recorded in the
+    atomic meta beside the centers, and FROZEN for the store's life —
+    so the decode → encode round trip is code-lossless and
+    :meth:`retrain` re-buckets the verbatim codes/hashes without
+    compounding quantization error. Decisions: the NEW batch is always
+    exact; the stored side is its reconstruction, so a new-vs-stored
+    cosine carries the reconstruction error of the STORED vector — a
+    pair whose true cosine sits within ~(1 - recon_cos) of
+    ``threshold`` may flip: the float32 caveat at a larger epsilon,
+    bought with ~an order of magnitude fewer bytes. Byte-identical
+    re-sends are EXEMPT: the ``vh`` hash channel force-rejects them at
+    est 1.0 — a hard guarantee within a centroid generation (same
+    exact vector → same cell); after a retrain, stored rows sit in
+    reconstruction-assigned cells, so re-sends whose quantization
+    crossed a cell boundary escape scoping until the next exact pass.
+    Measured (sf10 soak, 200k × 64d WORST-CASE unstructured vectors
+    where recon_cos ≈ 0.8; real embeddings are manifold-structured and
+    reconstruct far better): m=8 → 11.4× smaller than float64, all 10
+    steady-state increments decision-IDENTICAL, post-retrain scope
+    churn 6.7%; m=16 → 9.0× / 4.4% — ``pq_m`` is the resolution dial.
+    Chain an :class:`ExactHashStore` on the vector bytes upstream when
+    exact-resend immunity ACROSS retrains matters. ``pq_m``/``pq_k``
+    apply at creation only (``pq_m`` is clamped to the largest divisor
+    of the vector dim)."""
 
     _DTYPES = ("float64", "float32", "pq")
 
