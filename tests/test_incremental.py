@@ -1221,6 +1221,44 @@ def test_vector_store_pq_exact_resend_always_rejects(spark, tmp_path):
     assert len(rej3) == 27 and all(r.est == 1.0 for r in rej3)
 
 
+def test_vector_store_search_float_and_pq(spark, tmp_path):
+    """The dedup store doubles as the retrieval index: store.search on
+    a float64 store (full probes) and on a pq store with a memorizing
+    codebook both reproduce brute-force cosine_topk exactly over the
+    STORED vectors."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(EMB).limit(120)
+    queries = emb.filter("vec_id % 40 = 0")
+    f64 = VectorStore(spark, str(tmp_path / "f64"))
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq",
+                     pq_m=8, pq_k=100_000)
+    ra = incremental_semantic_dedup(emb, f64, threshold=0.999, n_cells=4)
+    rb = incremental_semantic_dedup(emb, pq, threshold=0.999, n_cells=4)
+    stored_ids = {r["id"] for r in ra.accepted.collect()}
+    assert stored_ids == {r["id"] for r in rb.accepted.collect()}
+
+    corpus = emb.filter(F.col("vec_id").isin([int(i) for i in stored_ids]))
+    want = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    got_f = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine_sim)
+        for r in f64.search(queries, k=3, n_probe=4).collect()
+    }
+    assert got_f == want
+    got_p = {
+        (r.query_id, r.rn): (r.neighbor_id, r.pq_sim)
+        for r in pq.search(queries, k=3, n_probe=4).collect()
+    }
+    assert got_p == want
+
+
 def test_vector_store_pq_m_clamps_to_dim_divisor(spark, tmp_path):
     """pq_m must tile the vector dim exactly; a dim-30 store with the
     default m=8 clamps to 6 (the largest divisor <= 8)."""

@@ -366,3 +366,40 @@ def test_vector_store_reads_partition_pruned_and_appends_few_files(spark, tmp_pa
     assert "PartitionFilters" in plan
     tail = plan.split("PartitionFilters")[1][:200]
     assert "cell" in tail and "dynamicpruning" not in tail
+
+
+def test_pq_store_read_plans(spark, tmp_path):
+    """r10 pq VectorStore plan pins (PLANS.md r10): read_cells scans
+    the narrow code table with partition pruning and reconstructs via
+    a column-level ArrowEvalPython ABOVE the scan; a cell-only consumer
+    (ivf_balance's groupBy) prunes the decode away entirely — no
+    Python in the plan, ReadSchema just the partition column."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).limit(200)
+    store = VectorStore(spark, str(tmp_path / "pq"), dtype="pq")
+    incremental_semantic_dedup(emb, store, threshold=0.999, n_cells=4)
+
+    plan = (
+        store.read_cells([1, 2])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan          # the decode, above the scan
+    assert "codes:array<smallint>" in plan    # narrow on-disk width
+    assert "PartitionFilters: [cell IN" in plan or "cell#" in plan.split(
+        "PartitionFilters"
+    )[1][:80]                                  # pruning reached the scan
+
+    cells_only = store.index().assigned.groupBy("cell").agg(
+        F.count("*").alias("n")
+    )
+    plan2 = cells_only._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2     # decode pruned away
+    assert "ReadSchema: struct<>" in plan2    # partition col only

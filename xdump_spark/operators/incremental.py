@@ -1153,6 +1153,59 @@ class VectorStore:
             n_cells=meta["n_cells"],
         )
 
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        round_to: int = 6,
+    ) -> DataFrame:
+        """ANN top-k over the STORED vectors — the dedup store doubles
+        as the retrieval index (one artifact serves 'is this new?' and
+        'what is this near?', the two questions a training-data
+        pipeline asks of the same embeddings).
+
+        float stores: :func:`similarity.ivf_search` over the decoded
+        index — probe selection driver-side, the probed-cell isin
+        filter prunes the partitioned scan, per-batch BLAS cosine with
+        local top-k before the exchange. Returns (query_id,
+        neighbor_id, cosine_sim, rn).
+
+        pq stores: :func:`pq.ivfpq_search`'s ADC directly over the RAW
+        code table — the probed cells are read as m smallints/row and
+        scored by per-query lookup tables; no reconstruction
+        materializes. Returns (query_id, neighbor_id, pq_sim, rn);
+        ``pq_sim`` is exact-query × quantized-corpus cosine (exact when
+        the codebook memorizes, approximate within the reconstruction
+        margin otherwise — same caveat as the dedup path, measured in
+        SCALE.md r10)."""
+        meta = self._meta()
+        if meta.get("dtype") == "pq":
+            from xdump_spark.operators.pq import (
+                IVFPQIndex,
+                PQCodebook,
+                ivfpq_search,
+            )
+
+            index = IVFPQIndex(
+                centers=meta["centers"],
+                codebook=PQCodebook.from_dict(meta["codebook"]),
+                codes=self.spark.read.parquet(self._assigned_path(meta)),
+                n_cells=meta["n_cells"],
+            )
+            return ivfpq_search(
+                index, queries, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col, round_to=round_to,
+            )
+        from xdump_spark.operators.similarity import ivf_search
+
+        return ivf_search(
+            self.index(), queries, k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, round_to=round_to,
+        )
+
     def read_cells(self, cells: list[int]) -> DataFrame | None:
         """Stored members of just the given cells — a partition-pruned
         scan (the store can be arbitrarily large; an increment only
