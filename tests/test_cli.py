@@ -819,3 +819,53 @@ def test_cli_maintain_retrain_when_recommended(spark, tmp_path, capsys):
     rpt = run(["--when-recommended", "--hot-cell-factor", "0.5"])
     assert rpt == {"n_cells": 2, "rows": 8, "generation": gen0 + 1}
     assert store._meta()["generation"] == gen0 + 1
+
+
+def test_cli_maintain_pq_vector_store(spark, tmp_path, capsys):
+    """r10: the full maintain lifecycle over a PRODUCT-QUANTIZED
+    VectorStore — stats reports the codec shape, compact preserves the
+    code schema, balance prunes the decode, retrain re-buckets the
+    codes losslessly. The CLI opens the store with the default ctor
+    dtype; the meta must win."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4 == j) for j in range(4)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    vs = VectorStore(spark, str(tmp_path / "vs"), dtype="pq", pq_m=2)
+    incremental_semantic_dedup(vecs, vs, n_cells=2)
+
+    st = run(["--kind", "vector", "--store-path", str(tmp_path / "vs")])
+    assert st["dtype"] == "pq" and st["pq_m"] == 2 and st["rows"] > 0
+    bal = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+               "--action", "balance"])
+    assert "retrain_recommended" in bal
+    before = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in spark.read.parquet(str(tmp_path / "vs") + "/assigned").collect()
+    }
+    rt = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+              "--action", "retrain", "--n-cells", "3"])
+    assert rt["n_cells"] == 3 and rt["generation"] == 1
+    after = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in spark.read.parquet(
+            str(tmp_path / "vs") + "/assigned_g1"
+        ).collect()
+    }
+    assert before == after  # the CLI retrain is the code-lossless one
+    rp = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+              "--action", "compact"])
+    assert rp["files_after"] <= rp["files_before"]

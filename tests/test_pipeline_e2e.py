@@ -1297,3 +1297,47 @@ def test_prepare_pairs_splits(spark, tmp_path):
     got_tr = {r["pair_id"] for r in spark.read.parquet(f"{out}/train").collect()}
     got_va = {r["pair_id"] for r in spark.read.parquet(f"{out}/val").collect()}
     assert got_tr == tr and got_va == va
+
+
+def test_pipeline_pq_vector_store_from_config_and_cli(spark, tmp_path):
+    """r10: {"dedup_store": {"path": ..., "dtype": "pq"}} creates a
+    product-quantized store through the curate config; day 2 through
+    the CLI front door (default dtype — the meta wins) dedups against
+    the committed CODES."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.config import curate_from_config
+
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    _emb_rows(spark, [
+        (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+        (2, "its semantic twin reworded", [0.98, 0.02, 0.0, 0.0]),
+        (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+    ]).write.parquet(day1)
+    _emb_rows(spark, [
+        (10, "day two re-send of doc one", [1.0, 0.0, 0.0, 0.0]),
+        (11, "a genuinely new direction", [0.0, 0.0, 1.0, 0.0]),
+    ]).write.parquet(day2)
+
+    c1 = tmp_path / "c1.json"
+    c1.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out1"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "semantic_kwargs": {"n_cells": 2},
+        "dedup_store": {"path": str(tmp_path / "vstore"), "dtype": "pq"},
+    }))
+    r1 = curate_from_config(spark, str(c1))
+    assert {r.doc_id for r in r1.corpus.collect()} == {1, 3}
+    raw = spark.read.parquet(str(tmp_path / "vstore") + "/assigned")
+    assert dict(raw.dtypes)["codes"] == "array<smallint>"
+
+    out2 = str(tmp_path / "out2")
+    args = cli.build_parser().parse_args([
+        "curate", "-i", day2, "-o", out2, "--span-k", "0",
+        "--min-tokens", "1", "--doc-dedup", "semantic",
+        "--vector-store", str(tmp_path / "vstore"),
+    ])
+    assert cli.run(args, spark) == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}

@@ -1254,16 +1254,22 @@ class VectorStore:
 
         if not self.exists():
             return {"files": 0, "bytes": 0, "rows": 0, "cells": 0}
-        path = self._assigned_path()
+        meta = self._meta()
+        path = self._assigned_path(meta)
         files = fsutil.list_data_files(self.spark, path)
         cells = {f.rsplit("/", 2)[-2] for f, _ in files if "/cell=" in f}
         rows = self.spark.read.parquet(path).count() if files else 0
-        return {
+        out = {
             "files": len(files),
             "bytes": sum(b for _, b in files),
             "rows": rows,
             "cells": len(cells),
+            "dtype": meta.get("dtype", "float64"),
         }
+        if "codebook" in meta:  # pq: the codec shape a maintainer needs
+            out["pq_m"] = int(meta["codebook"]["m"])
+            out["pq_k"] = int(meta["codebook"]["k"])
+        return out
 
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Rewrite each cell partition's append pile into sized files —
