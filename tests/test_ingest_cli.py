@@ -470,3 +470,26 @@ def test_ingest_docs_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="doc_dedup"):
         run_ingest(spark, "docs", str(tmp_path), str(tmp_path / "o"),
                    str(tmp_path / "c"), store_table="t", doc_dedup="nope")
+
+
+def test_ingest_semantic_max_cell_reaches_kernel(spark, tmp_path):
+    """r10: --semantic-max-cell is the drift tripwire an always-on
+    daemon needs tunable without code — an absurd bound of 1 must make
+    the increment raise with retrain guidance through the stream."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from xdump_spark.streaming.ingest import run_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "eta theta iota")],
+        "doc_id long, text string",
+    ).write.parquet(str(inp / "day1"))
+    with pytest.raises(StreamingQueryException, match="max_cell"):
+        run_ingest(
+            spark, "semantic", str(inp) + "/*", str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), store_path=str(tmp_path / "vs"),
+            hash_embed=32, semantic_cells=2, semantic_max_cell=1,
+        )

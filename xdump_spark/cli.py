@@ -232,6 +232,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "a documented threshold-margin decision "
                         "caveat; compute stays float64). An existing "
                         "store keeps its own recorded dtype.")
+    c.add_argument("--pq-m", type=int, default=8,
+                   help="with --vector-dtype pq: codes per vector at "
+                        "store CREATION (the bytes/accuracy dial)")
+    c.add_argument("--pq-k", type=int, default=256,
+                   help="with --vector-dtype pq: codewords per subspace "
+                        "at store creation")
     c.add_argument("--embeddings", default=None, metavar="PARQUET",
                    help="with --doc-dedup semantic: an embedding table to "
                         "attach by id before the pipeline (docs without a "
@@ -656,6 +662,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "with --hash-embed)")
     ig.add_argument("--semantic-threshold", type=float, default=0.95)
     ig.add_argument("--semantic-cells", type=int, default=16)
+    ig.add_argument("--semantic-max-cell", type=int, default=50_000,
+                    help="semantic: per-cell combined new+stored bound "
+                         "(past it the increment raises with retrain "
+                         "guidance) — the drift tripwire an always-on "
+                         "daemon needs tunable without code")
+    ig.add_argument("--pq-m", type=int, default=8,
+                    help="semantic --vector-dtype pq: codes per vector "
+                         "at store CREATION (clamped to a divisor of "
+                         "the dim; the bytes/accuracy dial)")
+    ig.add_argument("--pq-k", type=int, default=256,
+                    help="semantic --vector-dtype pq: codewords per "
+                         "subspace at store creation")
     ig.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
                     help="semantic: compute hashing-trick embeddings from "
                          "--text-col instead of reading --vec-col")
@@ -843,7 +861,8 @@ def run(args, spark) -> int:
             from xdump_spark.operators.incremental import VectorStore
 
             dedup_store = VectorStore(
-                spark, args.vector_store, dtype=args.vector_dtype
+                spark, args.vector_store, dtype=args.vector_dtype,
+                pq_m=args.pq_m, pq_k=args.pq_k,
             )
         quality_model = None
         if args.quality_model:
@@ -1231,6 +1250,9 @@ def run(args, spark) -> int:
             vec_col=args.vec_col,
             semantic_threshold=args.semantic_threshold,
             semantic_cells=args.semantic_cells,
+            semantic_max_cell=args.semantic_max_cell,
+            pq_m=args.pq_m,
+            pq_k=args.pq_k,
             hash_embed=args.hash_embed,
             doc_dedup=args.doc_dedup,
             fuzzy_threshold=args.fuzzy_threshold,

@@ -93,8 +93,8 @@ _INGEST_KEYS = {
     "kind", "input_dir", "output", "checkpoint_dir", "store",
     "corrupt_out", "rejects_out", "template", "keep_contradictions",
     "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
-    "semantic_cells", "hash_embed", "doc_dedup", "fuzzy_threshold",
-    "schema", "processing_time", "await_seconds",
+    "semantic_cells", "semantic_max_cell", "hash_embed", "doc_dedup",
+    "fuzzy_threshold", "schema", "processing_time", "await_seconds",
 }
 
 
@@ -110,7 +110,8 @@ def load_ingest_config(path: str) -> dict:
     store = cfg.get("store", {})
     if not isinstance(store, dict):
         raise ValueError("ingest config 'store' must be an object")
-    unknown = set(store) - {"table", "path", "n_buckets", "dtype"}
+    unknown = set(store) - {"table", "path", "n_buckets", "dtype",
+                            "pq_m", "pq_k"}
     if unknown:
         raise ValueError(f"unknown ingest store keys: {sorted(unknown)}")
     return cfg
@@ -148,6 +149,8 @@ def ingest_from_config(spark: SparkSession, path: str):
         store_path=store.get("path"),
         store_buckets=store.get("n_buckets", 64),
         vector_dtype=store.get("dtype", "float64"),
+        pq_m=store.get("pq_m", 8),
+        pq_k=store.get("pq_k", 256),
         corrupt_out=cfg.get("corrupt_out"),
         rejects_out=cfg.get("rejects_out"),
         template=cfg.get("template", "chatml"),
@@ -158,6 +161,7 @@ def ingest_from_config(spark: SparkSession, path: str):
         vec_col=cfg.get("vec_col", "embedding"),
         semantic_threshold=cfg.get("semantic_threshold", 0.95),
         semantic_cells=cfg.get("semantic_cells", 16),
+        semantic_max_cell=cfg.get("semantic_max_cell", 50_000),
         hash_embed=cfg.get("hash_embed"),
         doc_dedup=cfg.get("doc_dedup", "exact"),
         fuzzy_threshold=cfg.get("fuzzy_threshold", 0.5),
@@ -215,15 +219,16 @@ def curate_from_config(spark: SparkSession, path: str):
             # against (r8); dtype applies at store creation only (r9).
             from xdump_spark.operators.incremental import VectorStore
 
-            unknown = set(sc) - {"path", "dtype"}
+            unknown = set(sc) - {"path", "dtype", "pq_m", "pq_k"}
             if unknown or "path" not in sc:
                 raise ValueError(
                     "dedup_store config with doc_dedup='semantic' needs "
-                    "'path' (+ optional 'dtype'); got keys "
-                    f"{sorted(cfg['dedup_store'])}"
+                    "'path' (+ optional 'dtype', 'pq_m', 'pq_k'); got "
+                    f"keys {sorted(cfg['dedup_store'])}"
                 )
             dedup_store = VectorStore(
-                spark, sc["path"], dtype=sc.get("dtype", "float64")
+                spark, sc["path"], dtype=sc.get("dtype", "float64"),
+                pq_m=sc.get("pq_m", 8), pq_k=sc.get("pq_k", 256),
             )  # "pq" is a valid dtype here — codes on disk, meta wins
         else:
             # {"table": str, "path": str (optional), "n_buckets": int

@@ -1607,6 +1607,7 @@ def streaming_semantic_ingest(
     rejects_dir: str | None = None,
     schema=None,
     trigger: dict | None = None,
+    semantic_kwargs: dict | None = None,
 ):
     """Continuous SEMANTIC ingestion: parquet document drops LANDING in
     ``input_dir`` stream through (optional) hash-trick embedding →
@@ -1654,6 +1655,7 @@ def streaming_semantic_ingest(
         res = incremental_semantic_dedup(
             cur, store, threshold=threshold, id_col=id_col,
             vec_col=vec_col, n_cells=n_cells, defer_commit=True,
+            **(semantic_kwargs or {}),
         )
         if rejects_dir is not None:
             res.rejects.write.mode("append").parquet(rejects_dir)

@@ -54,6 +54,9 @@ def run_ingest(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_cells: int = 16,
+    semantic_max_cell: int = 50_000,
+    pq_m: int = 8,
+    pq_k: int = 256,
     hash_embed: int | None = None,
     doc_dedup: str = "exact",
     fuzzy_threshold: float = 0.5,
@@ -134,13 +137,16 @@ def run_ingest(
         )
 
         _require_parquet_schema()
-        store = VectorStore(spark, store_path, dtype=vector_dtype)
+        store = VectorStore(
+            spark, store_path, dtype=vector_dtype, pq_m=pq_m, pq_k=pq_k
+        )
         q = streaming_semantic_ingest(
             spark, input_dir, store, output, checkpoint_dir,
             threshold=semantic_threshold, n_cells=semantic_cells,
             hash_embed_dim=hash_embed, text_col=text_col, id_col=id_col,
             vec_col=vec_col, rejects_dir=rejects_out, schema=schema,
             trigger=trigger,
+            semantic_kwargs={"max_cell": semantic_max_cell},
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
