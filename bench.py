@@ -72,6 +72,7 @@ SCALE_TWINS = [
     "incremental_batch",   # r7: 500-doc increment vs full-corpus hash store
     "lm_ppl_filter",       # r7: CCNet perplexity gate vs a pre-trained LM
     "posttrain_batch",     # r8: prepare_sft_corpus batch path, audit off
+    "semantic_store_batch",  # r10: semantic increment vs committed pq store
 ]
 
 

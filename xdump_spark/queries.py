@@ -2403,6 +2403,49 @@ def incremental_batch(spark, sf_dir):
     return accepted
 
 
+_sem_store_cache: dict = {}
+
+
+def semantic_store_batch(spark, sf_dir):
+    """Semantic-store steady state (r10): one
+    ``incremental_semantic_dedup`` increment — half re-sends of stored
+    history under fresh ids, half unseen vectors — probed against a
+    COMMITTED product-quantized VectorStore holding half the embeddings
+    table. Times the per-increment hot path only: exact-assign the
+    batch against the frozen centroids, partition-pruned CODES read +
+    column decode of the touched cells, per-cell strip kernel with the
+    vh exact-hash channel. The store build is one-time cached setup and
+    the commit is skipped (a bench run must not mutate its own
+    fixture). Bench-only twin; decision semantics are oracle-gated via
+    the dedup_components panel's pq_store/pq_resend parts and
+    DuckDB-cross-checked in tests/test_incremental.py."""
+    import tempfile
+
+    from xdump_spark.operators import incremental as INC
+
+    emb = _cat(spark, sf_dir).tables["embeddings"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _sem_store_cache:
+        store = INC.VectorStore(
+            spark, tempfile.mkdtemp() + "/bench_semstore", dtype="pq"
+        )
+        INC.incremental_semantic_dedup(
+            emb.filter("vec_id % 2 = 0"), store, threshold=0.9, n_cells=16,
+        )
+        _sem_store_cache[key] = store
+    store = _sem_store_cache[key]
+    resend = emb.filter("vec_id % 4 = 0").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    batch = resend.unionByName(
+        emb.filter("vec_id % 2 = 1").select("vec_id", "embedding")
+    )
+    res = INC.incremental_semantic_dedup(
+        batch, store, threshold=0.9, defer_commit=True
+    )
+    return res.accepted
+
+
 _lm_model_cache: dict = {}
 
 
