@@ -1341,3 +1341,52 @@ def test_pipeline_pq_vector_store_from_config_and_cli(spark, tmp_path):
     ])
     assert cli.run(args, spark) == 0
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}
+
+
+def test_pipeline_pq_store_checkpoint_resume(spark, tmp_path):
+    """r10 interaction: checkpoint_dir × doc_dedup='semantic' × a PQ
+    store — the crashed-commit replay re-assigns the checkpointed
+    survivors and the encode path recomputes their exact-vector hashes
+    from the raw vectors, so a later byte-identical re-send still
+    rejects through the vh channel."""
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import prepare_training_corpus
+
+    def day1(s):
+        return _emb_rows(s, [
+            (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+            (2, "its semantic twin reworded", [0.98, 0.02, 0.0, 0.0]),
+            (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+        ])
+
+    store = VectorStore(spark, str(tmp_path / "vs"), dtype="pq", pq_m=2)
+    kw = dict(span_k=None, min_tokens=1, doc_dedup="semantic",
+              dedup_store=store, semantic_kwargs={"n_cells": 2},
+              checkpoint_dir=str(tmp_path / "ck"))
+
+    real_append = store.append_assigned
+    store.append_assigned = (
+        lambda *_a, **_k: (_ for _ in ()).throw(IOError("s3 flake"))
+    )
+    with _pytest.raises(IOError):
+        prepare_training_corpus(day1(spark), **kw)
+    store.append_assigned = real_append
+    assert store.stats()["rows"] == 0  # meta shell only
+
+    r1 = prepare_training_corpus(day1(spark), **kw)
+    assert "doc_deduped" in r1.resumed
+    assert {x.doc_id for x in r1.corpus.collect()} == {1, 3}
+    st = store.stats()
+    assert st["rows"] == 2 and st["dtype"] == "pq"
+    # the replayed append stored codes + the ORIGINAL exact hashes:
+    # a byte-identical re-send rejects at est 1.0
+    day2 = _emb_rows(spark, [
+        (10, "re-send of doc one", [1.0, 0.0, 0.0, 0.0]),
+    ])
+    r2 = prepare_training_corpus(
+        day2, span_k=None, min_tokens=1, doc_dedup="semantic",
+        dedup_store=store, semantic_kwargs={"n_cells": 2},
+    )
+    assert r2.corpus.count() == 0
