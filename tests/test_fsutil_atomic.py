@@ -106,3 +106,55 @@ def test_vector_store_meta_survives_interrupted_overwrite(spark, tmp_path):
     (vs_dir / "meta.json").unlink()
     assert store.exists()
     assert store._meta() == new
+
+
+def test_fallback_swap_every_crash_point(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point enumeration of the backup-swap fallback:
+    simulate a crash after EVERY filesystem step of an overwrite commit
+    and assert the atomic readers' invariant — once a first commit
+    succeeded, the file always reads as LIVE and its content is either
+    the old or the new text, never absent and never torn."""
+    monkeypatch.setattr(fsutil, "_rename_overwrite", lambda *a: False)
+
+    # the fallback's step sequence for an overwrite of dest:
+    #   0: tmp fully written
+    #   1: stale backup deleted (no-op when absent)
+    #   2: dest renamed -> .old
+    #   3: tmp renamed -> dest
+    #   4: .old deleted
+    for crash_after in range(5):
+        d = tmp_path / f"case{crash_after}"
+        d.mkdir()
+        dest = d / "meta.json"
+        fsutil.write_text_atomic(spark, str(dest), "OLD")  # first commit
+
+        tmp = d / ".meta.json.tmp"
+        old = d / ".meta.json.old"
+        # replay the protocol by hand up to the crash point
+        tmp.write_text("NEW")                       # step 0
+        if crash_after >= 2:
+            dest.rename(old)                        # step 2
+        if crash_after >= 3:
+            tmp.rename(dest)                        # step 3
+        if crash_after >= 4:
+            old.unlink()                            # step 4
+        # the hand-simulated steps bypass Hadoop's local checksum
+        # layer, so its .crc sidecars are stale; the fallback's real
+        # targets (object stores) have no checksum sidecars at all
+        for crc in d.glob(".*.crc"):
+            crc.unlink()
+
+        assert fsutil.exists_atomic(spark, str(dest)), crash_after
+        got = fsutil.read_text_atomic(spark, str(dest))
+        assert got in ("OLD", "NEW"), (crash_after, got)
+        # crashes at/after the backup rename are committed (the
+        # complete tmp + backup evidence rolls forward); before it the
+        # write never happened
+        want = "NEW" if crash_after >= 2 else "OLD"
+        assert got == want, crash_after
+        # and the state is self-healing: a plain re-read and the next
+        # writer both see a clean, sibling-consistent file
+        assert fsutil.read_text_atomic(spark, str(dest)) == want
+        fsutil.write_text_atomic(spark, str(dest), "NEXT")
+        assert dest.read_text() == "NEXT"
+        assert not tmp.exists() and not old.exists()

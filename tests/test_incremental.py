@@ -1271,3 +1271,35 @@ def test_vector_store_pq_m_clamps_to_dim_divisor(spark, tmp_path):
     pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=8)
     incremental_semantic_dedup(b, pq, threshold=0.9, n_cells=2)
     assert pq._meta()["codebook"]["m"] == 6
+
+
+def test_vector_store_pq_search_rerank_exact_scores(spark, tmp_path):
+    """search(rerank=, corpus=) on a pq store — the IVFADC+R accuracy
+    recovery when the caller still holds the raw embeddings: ADC
+    shortlist, exact cosine rescoring, results equal brute-force
+    cosine_topk even under a deliberately COARSE codebook."""
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(EMB).limit(120)
+    queries = emb.filter("vec_id % 40 = 0")
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq",
+                     pq_m=8, pq_k=8)  # coarse: plain ADC ranks drift
+    r = incremental_semantic_dedup(emb, pq, threshold=0.999, n_cells=4)
+    stored_ids = {x["id"] for x in r.accepted.collect()}
+    corpus = emb.filter(F.col("vec_id").isin([int(i) for i in stored_ids]))
+
+    want = {
+        (x.query_id, x.rn): (x.neighbor_id, x.cosine_sim)
+        for x in cosine_topk(corpus, queries, k=3).collect()
+    }
+    got = {
+        (x.query_id, x.rn): (x.neighbor_id, x.cosine_sim)
+        for x in pq.search(
+            queries, k=3, n_probe=4, rerank=50, corpus=corpus
+        ).collect()
+    }
+    assert got == want

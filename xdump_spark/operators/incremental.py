@@ -1161,6 +1161,8 @@ class VectorStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         round_to: int = 6,
+        rerank: int | None = None,
+        corpus: DataFrame | None = None,
     ) -> DataFrame:
         """ANN top-k over the STORED vectors — the dedup store doubles
         as the retrieval index (one artifact serves 'is this new?' and
@@ -1171,7 +1173,8 @@ class VectorStore:
         index — probe selection driver-side, the probed-cell isin
         filter prunes the partitioned scan, per-batch BLAS cosine with
         local top-k before the exchange. Returns (query_id,
-        neighbor_id, cosine_sim, rn).
+        neighbor_id, cosine_sim, rn); ``rerank``/``corpus`` are
+        ignored — float scores are already exact.
 
         pq stores: :func:`pq.ivfpq_search`'s ADC directly over the RAW
         code table — the probed cells are read as m smallints/row and
@@ -1180,7 +1183,12 @@ class VectorStore:
         ``pq_sim`` is exact-query × quantized-corpus cosine (exact when
         the codebook memorizes, approximate within the reconstruction
         margin otherwise — same caveat as the dedup path, measured in
-        SCALE.md r10)."""
+        SCALE.md r10). When the caller still holds the RAW embedding
+        frame (the store never does), ``rerank``/``corpus`` enable the
+        IVFADC+R accuracy recovery: an n_q × rerank ADC shortlist is
+        exactly rescored against the raw vectors and the result carries
+        exact ``cosine_sim`` — code-table scan cost, brute-force
+        scores."""
         meta = self._meta()
         if meta.get("dtype") == "pq":
             from xdump_spark.operators.pq import (
@@ -1198,6 +1206,7 @@ class VectorStore:
             return ivfpq_search(
                 index, queries, k=k, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col, round_to=round_to,
+                rerank=rerank, corpus=corpus,
             )
         from xdump_spark.operators.similarity import ivf_search
 
