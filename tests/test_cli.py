@@ -869,3 +869,61 @@ def test_cli_maintain_pq_vector_store(spark, tmp_path, capsys):
     rp = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
               "--action", "compact"])
     assert rp["files_after"] <= rp["files_before"]
+
+
+def test_cli_search_vector_store(spark, tmp_path, capsys):
+    """r10: `search` — ANN top-k over a persistent VectorStore from the
+    shell, float and pq stores, pq with exact re-ranking against the
+    raw corpus."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5 == j) + 0.01 * i for j in range(5)])
+         for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    vecs.write.parquet(corpus_pq)
+    q_path = str(tmp_path / "queries.parquet")
+    vecs.filter("vec_id IN (0, 7)").write.parquet(q_path)
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["search"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    f64 = VectorStore(spark, str(tmp_path / "f64"))
+    incremental_semantic_dedup(vecs, f64, threshold=0.9999, n_cells=3)
+    out1 = str(tmp_path / "out1")
+    rpt = run(["--store-path", str(tmp_path / "f64"), "-q", q_path,
+               "-o", out1, "-k", "3", "--n-probe", "3"])
+    assert rpt["score"] == "cosine_sim" and rpt["rows"] == 6
+    got = spark.read.parquet(out1)
+    assert {r.query_id for r in got.collect()} == {0, 7}
+
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=5,
+                     pq_k=100)
+    incremental_semantic_dedup(vecs, pq, threshold=0.9999, n_cells=3)
+    out2 = str(tmp_path / "out2")
+    rpt = run(["--store-path", str(tmp_path / "pq"), "-q", q_path,
+               "-o", out2, "-k", "3", "--n-probe", "3",
+               "--rerank", "10", "--corpus", corpus_pq])
+    assert rpt["score"] == "cosine_sim" and rpt["rows"] == 6
+    # exact rerank scores match the float store's
+    a = {(r.query_id, r.rn): (r.neighbor_id, r.cosine_sim)
+         for r in spark.read.parquet(out1).collect()}
+    b = {(r.query_id, r.rn): (r.neighbor_id, r.cosine_sim)
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="no VectorStore"):
+        run(["--store-path", str(tmp_path / "nope"), "-q", q_path,
+             "-o", str(tmp_path / "out3")])

@@ -740,6 +740,34 @@ def build_parser() -> argparse.ArgumentParser:
                     help="--when-recommended: max-cell/mean trigger ratio")
     mt.add_argument("--max-empty-frac", type=float, default=0.25,
                     help="--when-recommended: empty-cell fraction trigger")
+
+    sr = sub.add_parser(
+        "search",
+        help="ANN top-k over a persistent VectorStore: the dedup store "
+             "doubles as the retrieval index (float stores: pruned "
+             "exact cosine; pq stores: ADC over the code table, with "
+             "optional exact re-ranking against a raw-embedding "
+             "parquet). Writes (query_id, neighbor_id, score, rn) "
+             "parquet and prints one JSON summary line.",
+    )
+    sr.add_argument("--store-path", required=True,
+                    help="the VectorStore directory")
+    sr.add_argument("-q", "--queries", required=True,
+                    help="query parquet with --id-col/--vec-col columns")
+    sr.add_argument("-o", "--output", required=True,
+                    help="result parquet (overwritten)")
+    sr.add_argument("-k", type=int, default=5)
+    sr.add_argument("--n-probe", type=int, default=4,
+                    help="cells probed per query (of the store's "
+                         "n_cells; higher = better recall, more scan)")
+    sr.add_argument("--id-col", default="vec_id")
+    sr.add_argument("--vec-col", default="embedding")
+    sr.add_argument("--rerank", type=int, default=None,
+                    help="pq stores: ADC shortlist size to rescore "
+                         "exactly against --corpus (IVFADC+R)")
+    sr.add_argument("--corpus", default=None, metavar="PARQUET",
+                    help="raw-embedding table for --rerank (the store "
+                         "holds only codes)")
     return p
 
 
@@ -1291,6 +1319,30 @@ def run(args, spark) -> int:
                     "output_rows": n,
                 }
             ))
+    elif args.command == "search":
+        import json as _json
+
+        from xdump_spark.operators.incremental import VectorStore
+
+        store = VectorStore(spark, args.store_path)
+        if not store.exists():
+            raise SystemExit(f"no VectorStore at {args.store_path}")
+        queries = spark.read.parquet(args.queries)
+        corpus = (
+            spark.read.parquet(args.corpus) if args.corpus else None
+        )
+        res = store.search(
+            queries, k=args.k, n_probe=args.n_probe,
+            id_col=args.id_col, vec_col=args.vec_col,
+            rerank=args.rerank, corpus=corpus,
+        )
+        res.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        score_col = res.columns[2]  # cosine_sim | pq_sim
+        print(_json.dumps({
+            "store": args.store_path, "k": args.k,
+            "n_probe": args.n_probe, "score": score_col, "rows": n,
+        }))
     elif args.command == "maintain":
         import json as _json
 
