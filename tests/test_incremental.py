@@ -1303,3 +1303,29 @@ def test_vector_store_pq_search_rerank_exact_scores(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_vector_store_search_empty_shell_no_ops(spark, tmp_path):
+    """A meta-shell store (first increment crashed before its commit)
+    must answer search with a TYPED empty frame, not a scan error —
+    the scheduled-job posture stats()/compact() already follow."""
+    from xdump_spark.operators.incremental import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "vs"), dtype="pq")
+    store._write_meta({"centers": [[1.0, 0.0]], "n_cells": 1,
+                       "dtype": "pq",
+                       "codebook": {"dim": 2, "m": 1, "k": 1,
+                                    "centroids": [[[1.0, 0.0]]]}})
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = store.search(q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "pq_sim", "rn"]
+
+    f64 = VectorStore(spark, str(tmp_path / "f64"))
+    f64._write_meta({"centers": [[1.0, 0.0]], "n_cells": 1,
+                     "dtype": "float64"})
+    out2 = f64.search(q, k=3)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cosine_sim", "rn"]

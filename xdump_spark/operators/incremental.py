@@ -1188,8 +1188,25 @@ class VectorStore:
         IVFADC+R accuracy recovery: an n_q × rerank ADC shortlist is
         exactly rescored against the raw vectors and the result carries
         exact ``cosine_sim`` — code-table scan cost, brute-force
-        scores."""
+        scores.
+
+        A store whose first increment never committed (meta shell, no
+        data) returns a TYPED empty result rather than a scan error —
+        a scheduled search job must no-op, not crash, before first
+        data (the stats()/compact() posture)."""
+        from xdump_spark import fsutil
+        from xdump_spark.operators.similarity import _id_type
+
         meta = self._meta()
+        if not fsutil.list_data_files(self.spark, self._assigned_path(meta)):
+            score = "pq_sim" if (
+                meta.get("dtype") == "pq" and rerank is None
+            ) else "cosine_sim"
+            return self.spark.createDataFrame(
+                [],
+                f"query_id {_id_type(queries, id_col)}, neighbor_id "
+                f"long, {score} double, rn int",
+            )
         if meta.get("dtype") == "pq":
             from xdump_spark.operators.pq import (
                 IVFPQIndex,
