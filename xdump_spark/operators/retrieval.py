@@ -404,3 +404,183 @@ def bm25_search(
     )
     index = build_text_index(docs, text_col=text_col, id_col=id_col)
     return bm25_topk(index, queries, k=k, **kwargs)
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    k_rrf: int = 60,
+    weights: "list[float] | None" = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_cols: "list[str] | None" = None,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of per-query rankings: ``score(d) = Σᵢ wᵢ / (k_rrf + rankᵢ(d))``,
+    summed over the lists that ranked ``d`` (absent lists contribute 0
+    — the published convention). Rank-based fusion needs no score
+    normalization, which is why it is the standard way to combine a
+    BM25 list with a cosine list whose score scales share nothing.
+
+    Each input frame must carry ``(query_col, id_col, rank)`` where the
+    rank column is 1-based ``row_number`` output (``rnk``/``rn``/
+    ``rank`` auto-detected, or named per-frame via ``rank_cols``) and
+    (query, doc) is unique within a frame — i.e. the frames ARE
+    rankings, exactly what :func:`bm25_topk` / ``similarity.ivf_search``
+    / ``VectorStore.search`` return (modulo column renames, which
+    :func:`hybrid_topk` does).
+
+    Determinism: each contribution is quantized to DECIMAL(20,6) before
+    the sum (the repo-wide ``_msum`` float policy — decimal addition
+    associates, so the fused score is bit-identical under any
+    partitioning), and the final ranking tie-breaks on ``id_col``
+    ascending. At the default ``k_rrf=60`` with ranks ≤ a few hundred,
+    no contribution lands on an exact half-ULP of the 6th decimal
+    (1e6·w/(60+r) is never a half-integer for w=1, r≤120), so the
+    quantization is also engine-independent.
+
+    Plan: per-list narrow projection → union → one groupBy(query, doc)
+    (map-side combinable) → salted top-k. Nothing here scales with the
+    corpus — only with Σ list sizes (n_q × depth per list).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    if rank_cols is not None and len(rank_cols) != len(rankings):
+        raise ValueError(
+            f"{len(rank_cols)} rank_cols for {len(rankings)} rankings"
+        )
+    parts = []
+    for i, (df, w) in enumerate(zip(rankings, weights)):
+        if rank_cols is not None:
+            rank = rank_cols[i]
+        else:
+            rank = next(
+                (c for c in ("rnk", "rn", "rank") if c in df.columns), None
+            )
+            if rank is None:
+                raise ValueError(
+                    f"ranking {i} has no rnk/rn/rank column "
+                    f"(columns: {df.columns}); pass rank_cols"
+                )
+        for c in (query_col, id_col):
+            if c not in df.columns:
+                raise ValueError(f"ranking {i} lacks column {c!r}")
+        contrib = (
+            F.lit(float(w))
+            / (F.lit(float(k_rrf)) + F.col(rank).cast("double"))
+        ).cast("decimal(20,6)")
+        parts.append(df.select(query_col, id_col, contrib.alias("_c")))
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(query_col, id_col).agg(
+        F.sum("_c").cast("double").alias("rrf_score")
+    )
+    return topk_per_key(
+        fused,
+        query_col,
+        [F.desc("rrf_score"), F.col(id_col)],
+        k,
+        n_salt=n_salt,
+        rn_col="rnk",
+    )
+
+
+def hybrid_topk(
+    text_index: TextIndex,
+    vec_source,
+    queries: DataFrame,
+    k: int = 10,
+    depth: int | None = None,
+    k_rrf: int = 60,
+    weights: "tuple[float, float]" = (1.0, 1.0),
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    query_vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    n_probe: int = 4,
+    n_salt: int = 16,
+    **bm25_kwargs,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-``depth`` ⊕ vector top-
+    ``depth``, fused by :func:`rrf_fuse`. The two retrievers see
+    complementary evidence — lexical overlap vs embedding geometry —
+    and RRF combines them without comparable score scales, the
+    standard first-stage ranker of a RAG / data-exploration stack.
+
+    ``queries`` carries BOTH modalities per query: ``(query_id_col,
+    query_text_col, query_vec_col)``. ``vec_source`` is the vector
+    side, dispatched by shape:
+
+    * a DataFrame — the raw embedding corpus; exact
+      ``similarity.cosine_topk`` (one corpus pass, local top-k before
+      the exchange). The oracle path: exact scores make the fused
+      ranking SQL-reproducible.
+    * ``similarity.IVFIndex`` — ``ivf_search`` with ``n_probe`` (cell-
+      pruned scan; the scale path for a static index).
+    * ``incremental.VectorStore`` (anything with a ``.search``) — the
+      dedup store doubling as the retrieval index (float: pruned
+      ivf_search; pq: cell-pruned ADC over codes).
+
+    Returns ``(query_id, doc_id, rrf_score, rnk)``, ``rnk ≤ k``. Doc
+    ids from both sides land in one column, so the text index's ids
+    and the vector ids must share the id space (the curation layout:
+    ``documents.doc_id`` IS ``embeddings.vec_id``).
+
+    ``depth`` is the per-retriever candidate depth (default
+    ``max(2·k, 10)``); RRF quality is depth-sensitive, fusion cost is
+    n_q × depth rows per side — corpus-size-independent.
+    """
+    if depth is None:
+        depth = max(2 * k, 10)
+    depth = max(depth, k)
+
+    text_q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_text_col).alias("query"),
+    )
+    bm = bm25_topk(
+        text_index, text_q, k=depth, n_salt=n_salt, **bm25_kwargs
+    ).select(
+        "query_id", F.col(text_index.id_col).alias("doc_id"), "rnk"
+    )
+
+    vec_q = queries.select(
+        F.col(query_id_col).alias(vec_id_col),
+        F.col(query_vec_col).alias("embedding"),
+    )
+    if isinstance(vec_source, DataFrame):
+        from xdump_spark.operators.similarity import cosine_topk
+
+        vs = cosine_topk(
+            vec_source, vec_q, k=depth, id_col=vec_id_col,
+            vec_col="embedding",
+        )
+    elif hasattr(vec_source, "search"):
+        vs = vec_source.search(
+            vec_q, k=depth, n_probe=n_probe, id_col=vec_id_col,
+            vec_col="embedding",
+        )
+    else:
+        from xdump_spark.operators.similarity import ivf_search
+
+        vs = ivf_search(
+            vec_source, vec_q, k=depth, id_col=vec_id_col,
+            vec_col="embedding", n_probe=n_probe,
+        )
+    vs = vs.select("query_id", F.col("neighbor_id").alias("doc_id"), "rn")
+
+    return rrf_fuse(
+        [bm, vs],
+        k=k,
+        k_rrf=k_rrf,
+        weights=list(weights),
+        n_salt=n_salt,
+    )
