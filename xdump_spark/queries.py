@@ -1933,8 +1933,17 @@ _BM25_QUERIES = [
     (1, "hash table scan"),
     (2, "slow fast row part"),
 ]
-_BM25_SQL = r"""
-WITH q(query_id, query) AS (VALUES {values}),
+#: hybrid part: same query strings, but the query ids ARE embedding
+#: vec_ids — each query carries both the text and that row's vector
+#: (documents.doc_id and embeddings.vec_id share the id space, so the
+#: two retrievers rank the same documents).
+_HYBRID_QUERIES = [
+    (7, "merge batch value"),
+    (21, "hash table scan"),
+    (42, "slow fast row part"),
+]
+_RETRIEVAL_PANEL_SQL = r"""
+WITH allq(part, query_id, query) AS (VALUES {values}),
 docs AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             t -> len(t) > 0) AS toks
@@ -1944,43 +1953,113 @@ posts AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
 tf AS (SELECT term, doc_id, count(*) AS tf, min(dl) AS dl
        FROM posts GROUP BY term, doc_id),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-qt AS (SELECT query_id,
+qt AS (SELECT part, query_id,
               unnest(list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'),
                                  t -> len(t) > 0)) AS term
-       FROM q),
-qtf AS (SELECT query_id, term, count(*) AS qtf FROM qt GROUP BY query_id, term),
+       FROM allq),
+qtf AS (SELECT part, query_id, term, count(*) AS qtf
+        FROM qt GROUP BY part, query_id, term),
 parts AS (
-  SELECT qtf.query_id, tf.doc_id,
+  SELECT qtf.part, qtf.query_id, tf.doc_id,
          qtf.qtf * ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
            * tf.tf * (1.2 + 1)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS part
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS p
   FROM tf JOIN dfq USING (term) JOIN qtf USING (term) CROSS JOIN stats
 ),
-scored AS (SELECT query_id, doc_id,
-                  CAST(sum(CAST(part AS DECIMAL(20,6))) AS DOUBLE) AS score
-           FROM parts GROUP BY query_id, doc_id),
-ranked AS (SELECT query_id, doc_id, score,
+scored AS (SELECT part, query_id, doc_id,
+                  CAST(sum(CAST(p AS DECIMAL(20,6))) AS DOUBLE) AS score
+           FROM parts GROUP BY part, query_id, doc_id),
+ranked AS (SELECT part, query_id, doc_id, score,
                   CAST(row_number() OVER (
-                    PARTITION BY query_id ORDER BY score DESC, doc_id
+                    PARTITION BY part, query_id ORDER BY score DESC, doc_id
                   ) AS INT) AS rnk
-           FROM scored)
-SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= 5
-""".format(values=", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES))
+           FROM scored),
+vq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN ({hybrid_ids})),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+vs AS (SELECT query_id, neighbor_id,
+              round(list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+       FROM vq CROSS JOIN c WHERE query_id <> neighbor_id),
+vr AS (SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS INT) AS rn
+       FROM vs),
+contrib AS (
+  SELECT query_id, doc_id,
+         CAST(CAST(1.0 AS DOUBLE) / (60 + rnk) AS DECIMAL(20,6)) AS cq
+  FROM ranked WHERE part = 'hybrid' AND rnk <= 20
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(20,6)) AS cq
+  FROM vr WHERE rn <= 20
+),
+fused AS (SELECT query_id, doc_id, CAST(sum(cq) AS DOUBLE) AS score
+          FROM contrib GROUP BY query_id, doc_id),
+franked AS (SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS INT) AS rnk
+            FROM fused)
+SELECT part, query_id, doc_id, score, rnk
+FROM ranked WHERE part = 'bm25' AND rnk <= 5
+UNION ALL
+SELECT 'hybrid_rrf' AS part, query_id, doc_id, score, rnk
+FROM franked WHERE rnk <= 5
+""".format(
+    values=", ".join(
+        f"('bm25', CAST({i} AS BIGINT), '{s}')" for i, s in _BM25_QUERIES
+    )
+    + ", "
+    + ", ".join(
+        f"('hybrid', CAST({i} AS BIGINT), '{s}')" for i, s in _HYBRID_QUERIES
+    ),
+    hybrid_ids=", ".join(str(i) for i, _ in _HYBRID_QUERIES),
+)
 
 
-@query("retrieval_bm25", _BM25_SQL)
+@query("retrieval_bm25", _RETRIEVAL_PANEL_SQL)
 def retrieval_bm25(spark, sf_dir):
-    """Okapi BM25 top-5 per keyword query over the distributed inverted
-    index (operators/retrieval.py) — the oracle rebuilds the identical
-    index and scoring in DuckDB SQL (same tokenizer, Lucene idf, decimal
-    per-term quantization so the sums associate identically)."""
-    from xdump_spark.operators.retrieval import bm25_search
+    """Retrieval panel, (part, query_id, doc_id, score, rnk):
 
-    return bm25_search(
-        spark,
-        _cat(spark, sf_dir).tables["documents"],
-        [s for _, s in _BM25_QUERIES],
-        k=5,
+    * ``bm25`` — Okapi BM25 top-5 per keyword query over the
+      distributed inverted index (operators/retrieval.py) — the oracle
+      rebuilds the identical index and scoring in DuckDB SQL (same
+      tokenizer, Lucene idf, decimal per-term quantization so the sums
+      associate identically). The r6-r9 entry, unchanged, now tagged.
+    * ``hybrid_rrf`` (r10) — ``hybrid_topk``: BM25 top-20 ⊕ exact
+      cosine top-20 fused by reciprocal-rank fusion (Cormack et al.
+      2009; per-list contribution 1/(60+rank) quantized to
+      DECIMAL(20,6) so the fused sum associates identically in both
+      engines), top-5 per query. Query ids are pinned embedding
+      vec_ids so each query carries both modalities over the shared
+      documents/embeddings id space; the vector side runs the exact
+      cosine dispatch so the whole fusion is SQL-reproducible. The
+      ANN-backed dispatches (IVFIndex, VectorStore incl. pq/ADC) stay
+      pytest-gated equal to this exact path at full probe
+      (tests/test_hybrid.py).
+
+    Folded into one entry (r10) so hybrid retrieval runs hash-checked
+    inside the driver's 50-entry correctness window."""
+    from xdump_spark.operators.retrieval import (
+        bm25_topk,
+        build_text_index,
+        hybrid_topk,
+    )
+
+    t = _cat(spark, sf_dir).tables
+    idx = build_text_index(t["documents"])
+    bq = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    bm = bm25_topk(idx, bq, k=5)
+    hq = spark.createDataFrame(_HYBRID_QUERIES, "query_id long, query string")
+    emb = t["embeddings"]
+    hqv = hq.join(emb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    hy = hybrid_topk(idx, emb, hqv, k=5, depth=20).withColumnRenamed(
+        "rrf_score", "score"
+    )
+    return bm.select(F.lit("bm25").alias("part"), *bm.columns).unionByName(
+        hy.select(F.lit("hybrid_rrf").alias("part"), *hy.columns)
     )
 
 
