@@ -927,3 +927,76 @@ def test_cli_search_vector_store(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="no VectorStore"):
         run(["--store-path", str(tmp_path / "nope"), "-q", q_path,
              "-o", str(tmp_path / "out3")])
+
+
+def test_cli_search_hybrid(spark, tmp_path, capsys):
+    """r10: `search --text-index` — hybrid BM25 ⊕ store-ANN RRF from
+    the shell, equal to the library hybrid_topk on the same inputs."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.retrieval import (
+        build_text_index,
+        hybrid_topk,
+        save_text_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = spark.createDataFrame(
+        [(i, f"{words[i % 5]} {words[(i + 1) % 5]} text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.02 * i for j in range(4)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_text_index(docs)
+    idx_dir = str(tmp_path / "tidx")
+    save_text_index(idx, idx_dir)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    incremental_semantic_dedup(vecs, store, threshold=0.9999, n_cells=3)
+
+    queries = spark.createDataFrame(
+        [(3, "alpha beta", [1.0, 0.0, 0.0, 0.1]),
+         (8, "gamma delta", [0.0, 1.0, 0.0, 0.2])],
+        "vec_id long, query string, embedding array<double>",
+    )
+    q_path = str(tmp_path / "hq.parquet")
+    queries.write.parquet(q_path)
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["search"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = str(tmp_path / "hout")
+    rpt = run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+               "-o", out, "-k", "3", "--n-probe", "3",
+               "--text-index", idx_dir, "--weights", "1,2"])
+    assert rpt["score"] == "rrf_score" and rpt["rows"] == 6
+    got = {(r.query_id, r.rnk): (r.doc_id, r.rrf_score)
+           for r in spark.read.parquet(out).collect()}
+    exp_df = hybrid_topk(
+        idx, store, queries, k=3, n_probe=3, query_id_col="vec_id",
+        weights=(1.0, 2.0),
+    )
+    exp = {(r.query_id, r.rnk): (r.doc_id, r.rrf_score)
+           for r in exp_df.collect()}
+    assert got == exp
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="rerank"):
+        run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+             "-o", out, "--text-index", idx_dir, "--rerank", "5"])
+    with _pytest.raises(SystemExit, match="two numbers"):
+        run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+             "-o", out, "--text-index", idx_dir, "--weights", "1"])
+    with _pytest.raises(SystemExit, match="bad --weights"):
+        run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+             "-o", out, "--text-index", idx_dir, "--weights", "a,b"])

@@ -768,6 +768,23 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--corpus", default=None, metavar="PARQUET",
                     help="raw-embedding table for --rerank (the store "
                          "holds only codes)")
+    sr.add_argument("--text-index", default=None, metavar="DIR",
+                    help="hybrid mode: a saved BM25 index "
+                         "(save_text_index dir); queries parquet then "
+                         "also needs --query-text-col, and the result "
+                         "is the reciprocal-rank fusion of BM25 and "
+                         "store-ANN top-depth lists")
+    sr.add_argument("--query-text-col", default="query",
+                    help="hybrid: text column in the queries parquet")
+    sr.add_argument("--depth", type=int, default=None,
+                    help="hybrid: per-retriever candidate depth "
+                         "(default max(2k, 10))")
+    sr.add_argument("--k-rrf", type=int, default=60,
+                    help="hybrid: RRF constant (score = sum of "
+                         "w/(k_rrf + rank))")
+    sr.add_argument("--weights", default="1,1", metavar="WTEXT,WVEC",
+                    help="hybrid: comma-separated BM25,vector fusion "
+                         "weights")
     return p
 
 
@@ -1328,17 +1345,46 @@ def run(args, spark) -> int:
         if not store.exists():
             raise SystemExit(f"no VectorStore at {args.store_path}")
         queries = spark.read.parquet(args.queries)
-        corpus = (
-            spark.read.parquet(args.corpus) if args.corpus else None
-        )
-        res = store.search(
-            queries, k=args.k, n_probe=args.n_probe,
-            id_col=args.id_col, vec_col=args.vec_col,
-            rerank=args.rerank, corpus=corpus,
-        )
+        if args.text_index:
+            if args.rerank is not None or args.corpus:
+                raise SystemExit(
+                    "--rerank/--corpus apply to pure ANN search; the "
+                    "hybrid path fuses raw ranks (use a float store or "
+                    "accept ADC ranks on the vector side)"
+                )
+            from xdump_spark.operators.retrieval import (
+                hybrid_topk,
+                load_text_index,
+            )
+
+            idx = load_text_index(spark, args.text_index)
+            try:
+                weights = tuple(
+                    float(w) for w in args.weights.split(",")
+                )
+            except ValueError:
+                raise SystemExit(f"bad --weights {args.weights!r}")
+            if len(weights) != 2:
+                raise SystemExit("--weights needs exactly two numbers")
+            res = hybrid_topk(
+                idx, store, queries, k=args.k, depth=args.depth,
+                k_rrf=args.k_rrf, weights=weights,
+                query_id_col=args.id_col,
+                query_text_col=args.query_text_col,
+                query_vec_col=args.vec_col, n_probe=args.n_probe,
+            )
+        else:
+            corpus = (
+                spark.read.parquet(args.corpus) if args.corpus else None
+            )
+            res = store.search(
+                queries, k=args.k, n_probe=args.n_probe,
+                id_col=args.id_col, vec_col=args.vec_col,
+                rerank=args.rerank, corpus=corpus,
+            )
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
-        score_col = res.columns[2]  # cosine_sim | pq_sim
+        score_col = res.columns[2]  # cosine_sim | pq_sim | rrf_score
         print(_json.dumps({
             "store": args.store_path, "k": args.k,
             "n_probe": args.n_probe, "score": score_col, "rows": n,
