@@ -121,6 +121,63 @@ def _compact_partition_dirs(
     }
 
 
+def _delete_from_partition_dirs(
+    spark: SparkSession, path: str, marker: str,
+    doomed: DataFrame, join_cols: list,
+    only_dirs: "set[str] | None" = None,  # LEAF dir names, e.g. {"cell=3"}
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Shared store-retention kernel: per ``key=value`` partition dir
+    under ``path`` (optionally restricted to ``only_dirs``), list the
+    data files as of now, read EXACTLY those files, anti-join the
+    (broadcast) ``doomed`` keys out, append the survivors into the same
+    dir, then delete the listed originals — the compaction kernel's
+    crash discipline. A crash can only leave a dir where the doomed
+    rows still exist beside a duplicated survivor set: the deletion is
+    simply incomplete (re-run it), and duplicate store rows cannot
+    change a dedup decision in any of this module's stores. Deletion is
+    guaranteed complete only when the call returns. Returns the number
+    of dirs rewritten."""
+    from xdump_spark import fsutil
+
+    by_dir: dict[str, list[tuple]] = {}
+    for f, b in fsutil.list_data_files(spark, path):
+        head, _, _ = f.rpartition("/")
+        leaf = head.rsplit("/", 1)[-1]
+        if marker in f and (only_dirs is None or leaf in only_dirs):
+            by_dir.setdefault(head, []).append((f, b))
+    for part_dir, files in sorted(by_dir.items()):
+        # size the survivor rewrite like the compaction kernel: a hot
+        # partition must not funnel through one task
+        n_out = max(
+            1, -(-sum(b for _, b in files) // target_file_bytes)
+        )
+        survivors = spark.read.parquet(*[f for f, _ in files]).join(
+            F.broadcast(doomed), join_cols, "left_anti"
+        )
+        survivors.coalesce(n_out).write.mode("append").parquet(part_dir)
+        for f, _ in files:
+            fsutil.delete(spark, f, recursive=False)
+    return len(by_dir)
+
+
+def _as_id_frame(spark: SparkSession, ids, col: str) -> DataFrame:
+    """Normalize a delete request (DataFrame or iterable of ids) to a
+    one-column distinct frame named ``col``."""
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1 and col not in ids.columns:
+            raise ValueError(
+                f"ids frame needs a single column or a {col!r} column "
+                f"(got {ids.columns})"
+            )
+        src = ids[[col]] if col in ids.columns else ids
+        return src.toDF(col).distinct()
+    rows = [(i,) for i in ids]
+    if not rows:
+        raise ValueError("empty delete request")
+    return spark.createDataFrame(rows, [col]).distinct()
+
+
 class SignatureStore:
     """Parquet-backed (id, sig, band, bucket) store, partitioned by band
     so candidate probes read only the band layout they join on. At corpus
@@ -195,6 +252,35 @@ class SignatureStore:
             "files_after": rpt["files_after"],
             "bands_compacted": rpt["partitions_compacted"],
         }
+
+    def delete_ids(self, ids) -> dict:
+        """Retention / right-to-be-forgotten: remove the given doc ids'
+        signature rows from the store, so future increments treat
+        re-sends of (or near-dups of ONLY) those docs as novel again.
+
+        ``ids``: a one-column DataFrame (or a frame with an ``id``
+        column, or a plain iterable). A doc's LSH rows span EVERY band
+        partition (one row per band by construction), so deletion is
+        one filtered rewrite of each band — cost O(store); batch
+        retention requests rather than deleting one id at a time. A
+        no-match request touches nothing. Crash discipline: see
+        :func:`_delete_from_partition_dirs` (incomplete deletion +
+        harmless duplicates; re-run to complete). Returns
+        {deleted_rows, bands_rewritten}."""
+        doomed = _as_id_frame(self.spark, ids, "id")
+        if not self.exists():
+            return {"deleted_rows": 0, "bands_rewritten": 0}
+        matched = (
+            self.read()
+            .join(F.broadcast(doomed), "id", "left_semi")
+            .count()
+        )
+        if not matched:
+            return {"deleted_rows": 0, "bands_rewritten": 0}
+        n = _delete_from_partition_dirs(
+            self.spark, self.path, "/band=", doomed, ["id"]
+        )
+        return {"deleted_rows": matched, "bands_rewritten": n}
 
 
 def incremental_neardup(
@@ -619,6 +705,59 @@ class ExactHashStore:
             "files_before": len(old_files),
             "files_after": len(self.spark.table(self.table_name).inputFiles()),
         }
+
+    def delete_hashes(self, hashes: DataFrame) -> dict:
+        """Retention / right-to-be-forgotten: remove the given content
+        hashes so future increments accept re-sends of those documents
+        again. The store keeps no doc ids — only (h1, h2) content
+        hashes — so deletion is BY CONTENT: pass the documents to
+        :meth:`delete_docs`, or (h1, h2) rows produced by
+        :func:`content_hashes` here (any other producer must use the
+        same :func:`hash128`-over-normalized-text convention or it will
+        match nothing).
+
+        Cost: one filtered rewrite of the 16 B/row hash table through
+        the bucketed-write discipline (the history-never-shuffles plan
+        property is untouched); a no-match request rewrites nothing.
+        Crash between the survivor append and the original deletes
+        leaves doomed hashes present beside duplicated survivors —
+        deletion incomplete (re-run), duplicates harmless (the module
+        invariant). Returns {deleted_rows, files_rewritten}."""
+        from xdump_spark import fsutil
+        from xdump_spark.sources.bucketed import write_bucketed
+
+        if not self.exists():
+            return {"deleted_rows": 0, "files_rewritten": 0}
+        doomed = hashes.select("h1", "h2").distinct()
+        t = self.spark.table(self.table_name)
+        matched = t.join(
+            F.broadcast(doomed), ["h1", "h2"], "left_semi"
+        ).count()
+        if not matched:
+            return {"deleted_rows": 0, "files_rewritten": 0}
+        old_files = list(t.inputFiles())
+        survivors = (
+            self.spark.read.parquet(*old_files)
+            .join(F.broadcast(doomed), ["h1", "h2"], "left_anti")
+            .repartition(self.n_buckets, "h1", "h2")
+        )
+        write_bucketed(
+            survivors.select("h1", "h2"), self.table_name, ["h1", "h2"],
+            n_buckets=self.n_buckets, mode="append", path=self.path,
+        )
+        self.spark.catalog.refreshTable(self.table_name)
+        for f in old_files:
+            fsutil.delete(self.spark, f, recursive=False)
+        self.spark.catalog.refreshTable(self.table_name)
+        return {"deleted_rows": matched, "files_rewritten": len(old_files)}
+
+    def delete_docs(self, docs: DataFrame, text_col: str = "text") -> dict:
+        """Convenience: :meth:`delete_hashes` of the docs' normalized
+        content hashes (the exact bytes the dedup path stores)."""
+        h1, h2 = hash128(_norm_text(F.col(text_col)))
+        return self.delete_hashes(
+            docs.select(h1.alias("h1"), h2.alias("h2"))
+        )
 
 
 def hash128(col) -> tuple:
@@ -1313,6 +1452,54 @@ class VectorStore:
             "files_before": rpt["files_before"],
             "files_after": rpt["files_after"],
             "cells_compacted": rpt["partitions_compacted"],
+        }
+
+    def delete_ids(self, ids) -> dict:
+        """Retention / right-to-be-forgotten: remove the given vector
+        ids from the store, so future increments treat re-sends of (or
+        near-dups of ONLY) those vectors as novel again, and
+        :meth:`search` stops returning them.
+
+        ``ids``: a one-column DataFrame (or a frame with a
+        ``neighbor_id`` column, or a plain iterable). Two phases, both
+        store-size-friendly: (1) a column-pruned scan of (cell,
+        neighbor_id) — parquet never reads the vector/code bytes — maps
+        the doomed ids to their cells (a vector lives in exactly ONE
+        cell of the current generation); (2) only those cell partitions
+        are rewritten with the ids anti-joined out. On a pq store the
+        rewrite moves raw codes VERBATIM (the kernel reads leaf files —
+        no decode/encode round trip), so survivor quantization is
+        untouched. Centroids/meta are unchanged: deletion edits
+        membership, not geometry (drift from heavy deletion shows up in
+        ``ivf_balance`` like any other drift). A no-match request
+        rewrites nothing. Crash discipline: see
+        :func:`_delete_from_partition_dirs`. Returns {deleted_rows,
+        cells_rewritten}."""
+        doomed = _as_id_frame(self.spark, ids, "neighbor_id")
+        from xdump_spark import fsutil
+
+        if not self.exists():  # absent OR meta-shell: no-op, not a crash
+            return {"deleted_rows": 0, "cells_rewritten": 0}
+        path = self._assigned_path()
+        if not fsutil.list_data_files(self.spark, path):
+            return {"deleted_rows": 0, "cells_rewritten": 0}
+        hits = (
+            self.spark.read.parquet(path)
+            .select("cell", "neighbor_id")
+            .join(F.broadcast(doomed), "neighbor_id", "left_semi")
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not hits:
+            return {"deleted_rows": 0, "cells_rewritten": 0}
+        n = _delete_from_partition_dirs(
+            self.spark, path, "/cell=", doomed, ["neighbor_id"],
+            only_dirs={f"cell={int(r['cell'])}" for r in hits},
+        )
+        return {
+            "deleted_rows": int(sum(r["n"] for r in hits)),
+            "cells_rewritten": n,
         }
 
     def retrain(
