@@ -675,6 +675,91 @@ def test_cli_maintain(spark, tmp_path, capsys):
              "--action", "retrain"])  # vector-only
 
 
+def test_cli_maintain_delete(spark, tmp_path, capsys):
+    """r10: `maintain --action delete` — retention from the shell for
+    the three id/content-addressable stores, plus the usage errors."""
+    import json
+    import uuid
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        SignatureStore,
+        VectorStore,
+        incremental_exact_dedup,
+        incremental_neardup,
+        incremental_semantic_dedup,
+    )
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["maintain"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # genuinely distinct content: char-shingle MinHash would fold docs
+    # differing only in one numeral into a single survivor
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(12)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 == j) + 0.05 * i for j in range(3)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    ids_pq = str(tmp_path / "ids.parquet")
+    spark.createDataFrame([(2,), (5,)], "id long").write.parquet(ids_pq)
+    docs_pq = str(tmp_path / "docs.parquet")
+    docs.filter("doc_id IN (2, 5)").write.parquet(docs_pq)
+
+    # vector
+    vs = VectorStore(spark, str(tmp_path / "vs"))
+    incremental_semantic_dedup(vecs, vs, threshold=0.9999, n_cells=2)
+    rpt = run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+               "--action", "delete", "--delete-ids", ids_pq])
+    assert rpt["deleted_rows"] == 2 and rpt["cells_rewritten"] >= 1
+    assert run(["--kind", "vector", "--store-path", str(tmp_path / "vs")]
+               )["rows"] == 10
+
+    # signature
+    sg = SignatureStore(spark, str(tmp_path / "sig"))
+    incremental_neardup(docs, sg)
+    rpt = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
+               "--action", "delete", "--delete-ids", ids_pq])
+    assert rpt["deleted_rows"] > 0 and rpt["bands_rewritten"] > 0
+    assert {r.id for r in sg.read().select("id").distinct().collect()} == (
+        set(range(12)) - {2, 5}
+    )
+
+    # exact (by docs)
+    tbl = f"ret_{uuid.uuid4().hex[:8]}"
+    try:
+        ex = ExactHashStore(spark, tbl, n_buckets=4,
+                            path=str(tmp_path / "ex"))
+        incremental_exact_dedup(docs, ex)
+        rpt = run(["--kind", "exact", "--store-table", tbl,
+                   "--buckets", "4", "--action", "delete",
+                   "--delete-docs", docs_pq])
+        assert rpt["deleted_rows"] == 2
+        assert spark.table(tbl).count() == 10
+
+        with _pytest.raises(SystemExit, match="delete-docs or"):
+            run(["--kind", "exact", "--store-table", tbl, "--buckets",
+                 "4", "--action", "delete"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    with _pytest.raises(SystemExit, match="needs --delete-ids"):
+        run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
+             "--action", "delete"])
+    with _pytest.raises(SystemExit, match="rebuild those"):
+        run(["--kind", "window", "--store-path", str(tmp_path / "w"),
+             "--action", "delete"])
+
+
 def test_cli_maintain_window_and_text_index(spark, tmp_path, capsys):
     """maintain over the WindowHashStore and the segmented BM25 index."""
     import json

@@ -713,13 +713,29 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--buckets", type=int, default=64,
                     help="exact: the store's bucket count")
     mt.add_argument(
-        "--action", choices=["stats", "compact", "retrain", "balance"],
+        "--action",
+        choices=["stats", "compact", "retrain", "balance", "delete"],
         default="stats",
         help="stats = sizing/trigger inputs (no rewrite); compact = "
              "rewrite append piles into sized files; retrain (vector) = "
              "re-fit centroids + re-bucket history; balance (vector) = "
-             "cell-occupancy drift check (retrain_recommended)",
+             "cell-occupancy drift check (retrain_recommended); delete "
+             "= retention/right-to-be-forgotten removal (signature/"
+             "vector: --delete-ids; exact: --delete-docs or "
+             "--delete-hashes)",
     )
+    mt.add_argument("--delete-ids", default=None, metavar="PARQUET",
+                    help="delete (signature/vector): parquet of ids to "
+                         "forget (one column, or an id/neighbor_id "
+                         "column)")
+    mt.add_argument("--delete-docs", default=None, metavar="PARQUET",
+                    help="delete (exact): parquet of documents whose "
+                         "content hashes to forget (--text-col)")
+    mt.add_argument("--delete-hashes", default=None, metavar="PARQUET",
+                    help="delete (exact): parquet of (h1, h2) content "
+                         "hashes to forget")
+    mt.add_argument("--text-col", default="text",
+                    help="delete (exact): text column of --delete-docs")
     mt.add_argument("--n-cells", type=int, default=None,
                     help="retrain: the new centroid count")
     mt.add_argument("--sample-fraction", type=float, default=None,
@@ -1422,6 +1438,39 @@ def run(args, spark) -> int:
             raise SystemExit(
                 f"--action {args.action} applies to --kind vector only"
             )
+        if args.action == "delete":
+            if args.kind == "exact":
+                if args.delete_docs:
+                    rpt = store.delete_docs(
+                        spark.read.parquet(args.delete_docs),
+                        text_col=args.text_col,
+                    )
+                elif args.delete_hashes:
+                    rpt = store.delete_hashes(
+                        spark.read.parquet(args.delete_hashes)
+                    )
+                else:
+                    raise SystemExit(
+                        "--action delete --kind exact needs "
+                        "--delete-docs or --delete-hashes (the store "
+                        "keeps content hashes, not ids)"
+                    )
+            elif args.kind in ("signature", "vector"):
+                if not args.delete_ids:
+                    raise SystemExit(
+                        f"--action delete --kind {args.kind} needs "
+                        "--delete-ids"
+                    )
+                rpt = store.delete_ids(spark.read.parquet(args.delete_ids))
+            else:
+                raise SystemExit(
+                    "--action delete supports exact/signature/vector "
+                    "stores (window hashes and BM25 postings are "
+                    "content-shared across documents — rebuild those "
+                    "artifacts from the retained corpus instead)"
+                )
+            print(_json.dumps(rpt))
+            return 0
         if args.when_files_over is not None and args.action == "compact":
             if args.kind == "text-index":
                 from xdump_spark.operators.retrieval import text_index_stats
