@@ -73,6 +73,7 @@ SCALE_TWINS = [
     "lm_ppl_filter",       # r7: CCNet perplexity gate vs a pre-trained LM
     "posttrain_batch",     # r8: prepare_sft_corpus batch path, audit off
     "semantic_store_batch",  # r10: semantic increment vs committed pq store
+    "hybrid_search_scale",   # r10: saved-index BM25 + pruned pq-store ANN, RRF-fused
 ]
 
 

@@ -2041,23 +2041,48 @@ def retrieval_bm25(spark, sf_dir):
       (tests/test_hybrid.py).
 
     Folded into one entry (r10) so hybrid retrieval runs hash-checked
-    inside the driver's 50-entry correctness window."""
+    inside the driver's 50-entry correctness window. Plan economy: the
+    BM25 pipeline (tokenize → postings → score → rank) runs ONCE over
+    the union of both query sets at depth 20 — the bm25 part filters
+    its ids at rnk ≤ 5 (row_number is stable, so top-5 of a top-20 run
+    is bit-identical to a k=5 run), the hybrid part fuses its ids'
+    candidates via ``rrf_fuse`` (the same math ``hybrid_topk``
+    composes; the one-call operator and its three vector dispatches
+    stay pytest-pinned in tests/test_hybrid.py). Running the operator
+    twice doubled the panel's cost for zero extra coverage — Spark does
+    not dedupe common subplans across a union."""
     from xdump_spark.operators.retrieval import (
         bm25_topk,
         build_text_index,
-        hybrid_topk,
+        rrf_fuse,
     )
+    from xdump_spark.operators.similarity import cosine_topk
 
     t = _cat(spark, sf_dir).tables
     idx = build_text_index(t["documents"])
-    bq = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
-    bm = bm25_topk(idx, bq, k=5)
-    hq = spark.createDataFrame(_HYBRID_QUERIES, "query_id long, query string")
-    emb = t["embeddings"]
-    hqv = hq.join(emb.withColumnRenamed("vec_id", "query_id"), "query_id")
-    hy = hybrid_topk(idx, emb, hqv, k=5, depth=20).withColumnRenamed(
-        "rrf_score", "score"
+    allq = spark.createDataFrame(
+        _BM25_QUERIES + _HYBRID_QUERIES, "query_id long, query string"
     )
+    # both parts branch from this 120-row frame; checkpoint it eagerly
+    # so the union's two branches don't each re-run the index pipeline
+    # (the posttrain panel's shared-fixture discipline)
+    ranked = bm25_topk(idx, allq, k=20).localCheckpoint(eager=True)
+    bm_ids = [i for i, _ in _BM25_QUERIES]
+    bm = ranked.filter(
+        F.col("query_id").isin(bm_ids) & (F.col("rnk") <= 5)
+    )
+    emb = t["embeddings"]
+    hy_ids = [i for i, _ in _HYBRID_QUERIES]
+    vs = cosine_topk(emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20)
+    hy = rrf_fuse(
+        [
+            ranked.filter(F.col("query_id").isin(hy_ids)).select(
+                "query_id", "doc_id", "rnk"
+            ),
+            vs.select("query_id", F.col("neighbor_id").alias("doc_id"), "rn"),
+        ],
+        k=5,
+    ).withColumnRenamed("rrf_score", "score")
     return bm.select(F.lit("bm25").alias("part"), *bm.columns).unionByName(
         hy.select(F.lit("hybrid_rrf").alias("part"), *hy.columns)
     )
@@ -2485,6 +2510,28 @@ def incremental_batch(spark, sf_dir):
 _sem_store_cache: dict = {}
 
 
+def _bench_pq_store(spark, sf_dir):
+    """One-time bench fixture shared by the store-probing scale twins:
+    a COMMITTED product-quantized VectorStore holding the even half of
+    the embeddings table (threshold 0.9, 16 cells). Never mutated by
+    the twins (defer_commit / read-only probes)."""
+    import tempfile
+
+    from xdump_spark.operators import incremental as INC
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _sem_store_cache:
+        store = INC.VectorStore(
+            spark, tempfile.mkdtemp() + "/bench_semstore", dtype="pq"
+        )
+        INC.incremental_semantic_dedup(
+            _cat(spark, sf_dir).tables["embeddings"].filter("vec_id % 2 = 0"),
+            store, threshold=0.9, n_cells=16,
+        )
+        _sem_store_cache[key] = store
+    return _sem_store_cache[key]
+
+
 def semantic_store_batch(spark, sf_dir):
     """Semantic-store steady state (r10): one
     ``incremental_semantic_dedup`` increment — half re-sends of stored
@@ -2498,21 +2545,10 @@ def semantic_store_batch(spark, sf_dir):
     fixture). Bench-only twin; decision semantics are oracle-gated via
     the dedup_components panel's pq_store/pq_resend parts and
     DuckDB-cross-checked in tests/test_incremental.py."""
-    import tempfile
-
     from xdump_spark.operators import incremental as INC
 
     emb = _cat(spark, sf_dir).tables["embeddings"]
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _sem_store_cache:
-        store = INC.VectorStore(
-            spark, tempfile.mkdtemp() + "/bench_semstore", dtype="pq"
-        )
-        INC.incremental_semantic_dedup(
-            emb.filter("vec_id % 2 = 0"), store, threshold=0.9, n_cells=16,
-        )
-        _sem_store_cache[key] = store
-    store = _sem_store_cache[key]
+    store = _bench_pq_store(spark, sf_dir)
     resend = emb.filter("vec_id % 4 = 0").select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
@@ -2523,6 +2559,43 @@ def semantic_store_batch(spark, sf_dir):
         batch, store, threshold=0.9, defer_commit=True
     )
     return res.accepted
+
+
+_hybrid_idx_cache: dict = {}
+
+
+def hybrid_search_scale(spark, sf_dir):
+    """Hybrid retrieval at the scale configuration (r10): BM25 over a
+    SAVED segmented index — the queried terms become a ``_tbucket``
+    partition filter on the postings scan — fused by RRF with store-ANN
+    over the committed pq VectorStore at n_probe=4 of 16 cells (pruned
+    ADC over raw codes, vectors never materialize). The headline
+    ``retrieval_bm25`` panel times the ORACLE configuration (in-session
+    index build + exact cosine); this twin times the path a serving
+    cluster runs: both indexes pre-built on disk, both candidate scans
+    pruned. Index/store builds are one-time cached setup. Bench-only
+    twin; exactness of the dispatches is pinned in tests/test_hybrid.py
+    (store/ivf == exact at full probe) and the fusion arithmetic is
+    oracle-gated via the hybrid_rrf panel part."""
+    import tempfile
+
+    from xdump_spark.operators import retrieval as R
+
+    t = _cat(spark, sf_dir).tables
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _hybrid_idx_cache:
+        idx_dir = tempfile.mkdtemp() + "/bench_tidx"
+        R.save_text_index(R.build_text_index(t["documents"]), idx_dir)
+        _hybrid_idx_cache[key] = idx_dir
+    idx = R.load_text_index(spark, _hybrid_idx_cache[key])
+    store = _bench_pq_store(spark, sf_dir)
+    hq = spark.createDataFrame(
+        _HYBRID_QUERIES, "query_id long, query string"
+    )
+    queries = hq.join(
+        t["embeddings"].withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    return R.hybrid_topk(idx, store, queries, k=10, depth=30, n_probe=4)
 
 
 _lm_model_cache: dict = {}
