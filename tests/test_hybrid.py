@@ -288,6 +288,131 @@ def test_hybrid_vector_store_full_probe_equals_exact(
     assert via_store == exact
 
 
+# -------------------------------------------------------------- mmr_rerank
+
+
+def _py_mmr(cands, k, lam):
+    """Independent greedy MMR written from the Carbonell/Goldstein
+    definition. cands: {doc_id: (rel, vec)}."""
+    ids = sorted(cands)
+    V = {i: np.asarray(cands[i][1], dtype=np.float64) for i in ids}
+    for i in ids:
+        n = np.linalg.norm(V[i])
+        V[i] = V[i] / (n if n else 1.0)
+    max_sim = {i: 0.0 for i in ids}
+    out, remaining = [], set(ids)
+    for _ in range(min(k, len(ids))):
+        best, best_v = None, None
+        for i in ids:  # ascending id = deterministic tie-break
+            if i not in remaining:
+                continue
+            v = lam * cands[i][0] - (1 - lam) * max_sim[i]
+            if best is None or v > best_v:
+                best, best_v = i, v
+        out.append((best, best_v))
+        remaining.discard(best)
+        for i in ids:
+            max_sim[i] = max(max_sim[i], float(V[i] @ V[best]))
+    return [(d, s, r + 1) for r, (d, s) in enumerate(out)]
+
+
+def test_mmr_matches_pure_python(spark, emb_df):
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    hits = spark.createDataFrame(
+        [(0, d, 1.0 - 0.05 * d) for d in range(1, 9)]
+        + [(1, d, 0.9 - 0.03 * d) for d in range(2, 7)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    got = [
+        (r.query_id, r.doc_id, r.mmr_score, r.rnk)
+        for r in mmr_rerank(hits, emb_df, k=4, lam=0.7)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    exp = []
+    for q, lo, hi, base, slope in ((0, 1, 9, 1.0, 0.05), (1, 2, 7, 0.9, 0.03)):
+        cands = {d: (base - slope * d, EMB[d]) for d in range(lo, hi)}
+        exp.extend((q, d, s, r) for d, s, r in _py_mmr(cands, k=4, lam=0.7))
+    assert len(got) == len(exp)
+    for (gq, gd, gs, gr), (eq, ed, es, er) in zip(got, exp):
+        assert (gq, gd, gr) == (eq, ed, er)
+        assert gs == pytest.approx(es, abs=1e-12)
+
+
+def test_mmr_lam_one_reproduces_relevance_ranking(spark, emb_df):
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    hits = spark.createDataFrame(
+        [(0, d, 10.0 - d) for d in range(1, 9)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    out = mmr_rerank(hits, emb_df, k=5, lam=1.0).orderBy("rnk").collect()
+    assert [r.doc_id for r in out] == [1, 2, 3, 4, 5]
+    assert [r.mmr_score for r in out] == [9.0, 8.0, 7.0, 6.0, 5.0]
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    """Two near-identical top docs: MMR at λ=0.5 keeps one and promotes
+    the orthogonal doc over the paraphrase."""
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.99), (0, 3, 0.5)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    out = mmr_rerank(hits, vecs, k=2, lam=0.5).orderBy("rnk").collect()
+    assert [r.doc_id for r in out] == [1, 3]
+
+
+def test_mmr_partition_invariance_and_validation(spark, emb_df):
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    hits = spark.createDataFrame(
+        [(q, d, 1.0 / (q + d + 1)) for q in range(3) for d in range(1, 8)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    one = [
+        tuple(r) for r in mmr_rerank(hits, emb_df, k=3)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    many = [
+        tuple(r) for r in mmr_rerank(
+            hits.repartition(7), emb_df.repartition(5), k=3
+        ).orderBy("query_id", "rnk").collect()
+    ]
+    assert one == many
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(hits, emb_df, lam=1.5)
+    # candidates without vectors drop out (cannot join the diversity term)
+    missing = spark.createDataFrame(
+        [(0, 999, 5.0), (0, 1, 1.0)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    out = mmr_rerank(missing, emb_df, k=2).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_mmr_composes_with_hybrid(spark, docs_df, emb_df, queries_df):
+    from xdump_spark.operators.retrieval import (
+        build_text_index,
+        hybrid_topk,
+        mmr_rerank,
+    )
+
+    idx = build_text_index(docs_df)
+    hits = hybrid_topk(idx, emb_df, queries_df, k=6, depth=8)
+    out = mmr_rerank(hits, emb_df, k=3, lam=0.8)
+    rows = out.orderBy("query_id", "rnk").collect()
+    assert out.columns == ["query_id", "doc_id", "mmr_score", "rnk"]
+    assert {r.query_id for r in rows} == {1, 3}
+    for q in (1, 3):
+        assert [r.rnk for r in rows if r.query_id == q] == [1, 2, 3]
+
+
 def test_hybrid_depth_defaults_and_clamps(spark, docs_df, emb_df, queries_df):
     idx = build_text_index(docs_df)
     # depth < k clamps to k; default depth = max(2k, 10)

@@ -584,3 +584,89 @@ def hybrid_topk(
         weights=list(weights),
         n_salt=n_salt,
     )
+
+
+def mmr_rerank(
+    hits: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "rrf_score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998) of a per-query shortlist: greedily select ``k`` of the
+    candidates maximizing ``λ·relevance − (1−λ)·max cosine to the
+    already-selected`` — the standard diversity pass between retrieval
+    (:func:`hybrid_topk` / ``bm25_topk`` / ``VectorStore.search``) and
+    consumption (a RAG context window wants coverage, not five
+    paraphrases of the top hit).
+
+    ``hits``: (query_col, id_col, score_col) — relevance is used AS IS
+    (MMR compares relevance against cosines, so feed it scores on a
+    roughly cosine-like scale; RRF scores qualify after the λ tradeoff
+    is tuned, and λ=1 reproduces the input ranking exactly regardless
+    of scale). ``vectors``: (vec_id_col, vec_col) for at least every
+    candidate id; candidates with no vector are dropped (they cannot
+    participate in the diversity term). Returns (query_col, id_col,
+    mmr_score, rnk), rnk ≤ k in selection order.
+
+    Determinism: ties pick the lowest doc id; the per-query kernel is
+    one numpy loop, so there is no partition-order dependence.
+
+    Scale shape: the corpus-sized ``vectors`` frame is touched by ONE
+    broadcast semi-ish join (the shortlist broadcasts into the vector
+    scan — n_q × depth rows, never the corpus), then one
+    groupBy(query) → applyInPandas whose task memory and compute are
+    bounded by depth × dim per query. Nothing here scales with the
+    corpus; the greedy loop is O(k · depth · dim) per query."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    joined = vectors.select(
+        F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_v")
+    ).join(
+        F.broadcast(hits.select(query_col, id_col, score_col)), id_col
+    )
+
+    out_schema = (
+        f"{query_col} {dict(hits.dtypes)[query_col]}, "
+        f"{id_col} {dict(hits.dtypes)[id_col]}, "
+        "mmr_score double, rnk int"
+    )
+
+    def select_mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # deterministic candidate order: ids ascending
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[~remaining] = -np.inf
+            best = int(np.argmax(mmr))  # first max = lowest id on ties
+            selected.append(best)
+            scores.append(float(mmr[best]))
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, V @ V[best])
+        sel = pdf.iloc[selected]
+        return pd.DataFrame({
+            query_col: sel[query_col].to_numpy(),
+            id_col: sel[id_col].to_numpy(),
+            "mmr_score": np.array(scores, dtype=np.float64),
+            "rnk": np.arange(1, len(selected) + 1, dtype=np.int32),
+        })
+
+    return joined.groupBy(query_col).applyInPandas(select_mmr, out_schema)
