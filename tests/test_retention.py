@@ -218,6 +218,42 @@ def test_vector_store_interrupted_delete_reruns_to_completion(
     assert {(x.dup_id, x.kept_id) for x in r.rejects.collect()} == {(111, 11)}
 
 
+def test_vector_store_delete_then_retrain_pq(spark, tmp_path):
+    """Deletion composes with the retrain lifecycle: a retrain after a
+    delete re-buckets ONLY the survivors (codes verbatim — the
+    code-lossless property), and a re-send of the deleted vector is
+    accepted by the post-retrain geometry."""
+    vecs = _vecs(spark, n=30, dim=5)
+    store = VectorStore(
+        spark, str(tmp_path / "pqs"), dtype="pq", pq_m=5, pq_k=100
+    )
+    incremental_semantic_dedup(vecs, store, threshold=0.9999, n_cells=3)
+    codes_before = {
+        r.neighbor_id: list(r.codes)
+        for r in spark.read.parquet(store._assigned_path()).collect()
+    }
+    store.delete_ids([4, 9])
+    rpt = store.retrain(4)
+    assert rpt["rows"] == 28
+    after = {
+        r.neighbor_id: list(r.codes)
+        for r in spark.read.parquet(store._assigned_path()).collect()
+    }
+    assert after == {
+        i: c for i, c in codes_before.items() if i not in (4, 9)
+    }
+    emb = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+    r = incremental_semantic_dedup(
+        spark.createDataFrame(
+            [(104, emb[4]), (105, emb[5])],
+            "vec_id long, embedding array<double>",
+        ),
+        store, threshold=0.9999,
+    )
+    assert sorted(x.id for x in r.accepted.collect()) == [104]
+    assert {(x.dup_id, x.kept_id) for x in r.rejects.collect()} == {(105, 5)}
+
+
 # ---------------------------------------------------------- SignatureStore
 
 

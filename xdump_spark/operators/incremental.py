@@ -273,6 +273,77 @@ class SignatureStore:
             "bands_compacted": rpt["partitions_compacted"],
         }
 
+    def probe(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 128,
+        bands: int = 32,
+        shingle_k: int = 5,
+        threshold: float = 0.5,
+        max_bucket: int | None = 1000,
+    ) -> DataFrame:
+        """Read-only near-dup lookup: which STORED docs does each query
+        doc near-duplicate? Returns (query_id, stored_id, est) for every
+        stored candidate at estimated Jaccard ≥ ``threshold`` — the
+        forensic twin of :func:`incremental_neardup`'s new-vs-store
+        tier ("why was this rejected?", "what does this crawl shard
+        duplicate against?") without mutating anything.
+
+        Same plan shape as the increment's probe: signatures + banding
+        on the (small) query side only, broadcast into the store's
+        band-partitioned scan, estimate on signature agreement.
+        ``num_perm``/``bands``/``shingle_k`` must match the store's
+        (signatures are scheme-specific, like the increment).
+        ``max_bucket`` drops degenerate template buckets by STORED
+        membership, the increment's guard. Empty store → typed empty
+        frame."""
+        spark = self.spark
+        id_t = dict(docs.dtypes).get(id_col, "long")
+        out_schema = (
+            f"query_id {id_t}, stored_id {id_t}, est double"
+        )
+        stored = self.read()
+        if stored is None:
+            return spark.createDataFrame([], out_schema)
+        normed = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("_norm")
+        )
+        sigs = minhash_signatures(normed, num_perm, shingle_k)
+        banded = _banded(sigs, num_perm, bands)
+        if max_bucket is not None:
+            hot = (
+                stored.groupBy("band", "bucket")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > max_bucket)
+                .select("band", "bucket")
+            )
+            banded = banded.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
+        est = _estimate_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm)
+        return (
+            stored.join(
+                F.broadcast(
+                    banded.select(
+                        "band", "bucket",
+                        F.col("id").alias("query_id"),
+                        F.col("sig").alias("sig_a"),
+                    )
+                ),
+                ["band", "bucket"],
+            )
+            .select(
+                "query_id", F.col("id").alias("stored_id"),
+                "sig_a", F.col("sig").alias("sig_b"),
+            )
+            .dropDuplicates(["query_id", "stored_id"])
+            .withColumn("est", est)
+            .filter(F.col("est") >= threshold)
+            .select("query_id", "stored_id", "est")
+        )
+
     def delete_ids(self, ids) -> dict:
         """Retention / right-to-be-forgotten: remove the given doc ids'
         signature rows from the store, so future increments treat
@@ -725,6 +796,46 @@ class ExactHashStore:
             "files_before": len(old_files),
             "files_after": len(self.spark.table(self.table_name).inputFiles()),
         }
+
+    def contains(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Read-only membership check: has each doc's normalized
+        content been accepted before? Returns (``id_col``,
+        ``is_stored`` boolean) — the forensic twin of
+        :func:`incremental_exact_dedup`'s store tier ("would this batch
+        dedup against history?") without mutating anything.
+
+        Plan: the (small) query hashes broadcast into the bucketed
+        store scan — the history never shuffles, same as the
+        increment. An absent store answers all-False (a membership
+        question against nothing stored is 'no', not a crash)."""
+        hashes = content_hashes(docs, text_col=text_col, id_col=id_col)
+        stored = self.read()
+        if stored is None:
+            return hashes.select(
+                F.col("id").alias(id_col), F.lit(False).alias("is_stored")
+            )
+        hits = (
+            stored.join(F.broadcast(hashes), ["h1", "h2"], "left_semi")
+            .select(F.col("h1"), F.col("h2"))
+        )
+        return (
+            hashes.join(
+                hits.withColumn("_hit", F.lit(True)).dropDuplicates(
+                    ["h1", "h2"]
+                ),
+                ["h1", "h2"],
+                "left_outer",
+            )
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("_hit"), F.lit(False)).alias("is_stored"),
+            )
+        )
 
     def delete_hashes(self, hashes: DataFrame) -> dict:
         """Retention / right-to-be-forgotten: remove the given content
