@@ -2708,6 +2708,10 @@ FROM labels
 UNION ALL
 SELECT 'pq_resend' AS method, vec_id, CAST(0 AS BIGINT) AS val
 FROM labels WHERE vec_id = component
+UNION ALL
+SELECT 'retention' AS method, vec_id,
+       CAST(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS val
+FROM labels WHERE vec_id = component
 """
 
 
@@ -2737,7 +2741,16 @@ def dedup_components(spark, sf_dir):
       every one must REJECT (val 0) through the read-codes → decode →
       exact-hash path — the end-to-end gate that codes on disk still
       answer dedup correctly. The codec's LOSSY regime is measured,
-      not oracled: sf10 soak row in SCALE.md r10 + tests."""
+      not oracled: sf10 soak row in SCALE.md r10 + tests.
+    * ``retention`` (r10, second wave) — ``delete_ids`` of the stored
+      survivors with vec_id % 7 == 0, then the FULL survivor set
+      re-sent once more: a deleted survivor must be ACCEPTED again
+      (val 1 — nothing stored to reject against: survivors are
+      pairwise sub-threshold BY construction, one per component, and
+      the vh channel released its hash), a retained one must still
+      vh-reject (val 0). The right-to-be-forgotten path runs inside
+      the hash gate end-to-end: column-pruned id→cell map, pruned
+      cell rewrite, codes-verbatim survivors."""
     import tempfile
 
     from xdump_spark.operators.components import connected_components
@@ -2790,7 +2803,23 @@ def dedup_components(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
     )
-    return cc.unionByName(sd).unionByName(pqf).unionByName(rsf)
+    store.delete_ids(survivors.filter("vec_id % 7 = 0").select("vec_id"))
+    res3 = incremental_semantic_dedup(
+        survivors, store, threshold=0.4, n_cells=1, id_col="vec_id",
+        vec_col="embedding", defer_commit=True,
+    )
+    accepted3 = res3.accepted.select(F.col("id").alias("vec_id"))
+    ret = survivors.select("vec_id").join(
+        accepted3.withColumn("_s", F.lit(1)), "vec_id", "left"
+    ).select(
+        F.lit("retention").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
+    )
+    return (
+        cc.unionByName(sd).unionByName(pqf).unionByName(rsf)
+        .unionByName(ret)
+    )
 
 
 def embed_neardup_lsh(spark, sf_dir):
