@@ -1014,6 +1014,78 @@ def test_cli_search_vector_store(spark, tmp_path, capsys):
              "-o", str(tmp_path / "out3")])
 
 
+def test_cli_search_signature_and_exact(spark, tmp_path, capsys):
+    """r10: `search --kind signature|exact` — the read-only store
+    queries (probe / contains) from the shell."""
+    import json
+    import uuid
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        ExactHashStore,
+        SignatureStore,
+        incremental_exact_dedup,
+        incremental_neardup,
+    )
+
+    BASE = ("the quick brown fox jumps over the lazy dog "
+            "again and again in the yard")
+    NEAR = ("the quick brown fox jumped over the lazy dog "
+            "again and again in the yard")
+    OTHER = ("completely different content about distributed "
+             "query engines and shuffles")
+    docs = spark.createDataFrame(
+        [(1, BASE), (3, OTHER)], "doc_id long, text string"
+    )
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["search"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    sig = SignatureStore(spark, str(tmp_path / "sig"))
+    incremental_neardup(docs, sig)
+    q_path = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(10, NEAR), (12, "nothing like the stored docs at all here")],
+        "doc_id long, text string",
+    ).write.parquet(q_path)
+    out = str(tmp_path / "probe_out")
+    rpt = run(["--kind", "signature", "--store-path", str(tmp_path / "sig"),
+               "-q", q_path, "-o", out])
+    assert rpt["kind"] == "signature" and rpt["rows"] == 1
+    got = spark.read.parquet(out).collect()
+    assert (got[0].query_id, got[0].stored_id) == (10, 1)
+
+    tbl = f"srch_{uuid.uuid4().hex[:8]}"
+    try:
+        ex = ExactHashStore(spark, tbl, n_buckets=4,
+                            path=str(tmp_path / "ex"))
+        incremental_exact_dedup(docs, ex)
+        q2 = str(tmp_path / "q2.parquet")
+        spark.createDataFrame(
+            [(20, BASE.upper()), (21, "novel text")],
+            "doc_id long, text string",
+        ).write.parquet(q2)
+        out2 = str(tmp_path / "contains_out")
+        rpt = run(["--kind", "exact", "--store-table", tbl,
+                   "--buckets", "4", "-q", q2, "-o", out2])
+        assert rpt == {"kind": "exact", "store": tbl, "rows": 2,
+                       "stored": 1}
+        got = {r.doc_id: r.is_stored
+               for r in spark.read.parquet(out2).collect()}
+        assert got == {20: True, 21: False}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    with _pytest.raises(SystemExit, match="needs --store-path"):
+        run(["--kind", "signature", "-q", q_path, "-o", out])
+    with _pytest.raises(SystemExit, match="needs --store-table"):
+        run(["--kind", "exact", "-q", q_path, "-o", out])
+
+
 def test_cli_search_hybrid(spark, tmp_path, capsys):
     """r10: `search --text-index` — hybrid BM25 ⊕ store-ANN RRF from
     the shell, equal to the library hybrid_topk on the same inputs."""

@@ -759,15 +759,34 @@ def build_parser() -> argparse.ArgumentParser:
 
     sr = sub.add_parser(
         "search",
-        help="ANN top-k over a persistent VectorStore: the dedup store "
-             "doubles as the retrieval index (float stores: pruned "
-             "exact cosine; pq stores: ADC over the code table, with "
-             "optional exact re-ranking against a raw-embedding "
-             "parquet). Writes (query_id, neighbor_id, score, rn) "
-             "parquet and prints one JSON summary line.",
+        help="query a persistent store without mutating it. vector "
+             "(default): ANN top-k — the dedup store doubles as the "
+             "retrieval index (float stores: pruned exact cosine; pq "
+             "stores: ADC over the code table, with optional exact "
+             "re-ranking against a raw-embedding parquet; "
+             "--text-index: hybrid BM25+ANN RRF). signature: near-dup "
+             "probe (query_id, stored_id, est) — 'what does this "
+             "duplicate against?'. exact: content membership (id, "
+             "is_stored). Writes a result parquet and prints one JSON "
+             "summary line.",
     )
-    sr.add_argument("--store-path", required=True,
-                    help="the VectorStore directory")
+    sr.add_argument("--kind", default="vector",
+                    choices=["vector", "signature", "exact"])
+    sr.add_argument("--store-path", default=None,
+                    help="vector/signature: the store directory")
+    sr.add_argument("--store-table", default=None,
+                    help="exact: the hash-store catalog table name")
+    sr.add_argument("--buckets", type=int, default=64,
+                    help="exact: the store's bucket count")
+    sr.add_argument("--text-col", default="text",
+                    help="signature/exact: text column of the queries "
+                         "parquet")
+    sr.add_argument("--threshold", type=float, default=0.5,
+                    help="signature: estimated-Jaccard floor")
+    sr.add_argument("--num-perm", type=int, default=128,
+                    help="signature: must match the store's scheme")
+    sr.add_argument("--bands", type=int, default=32,
+                    help="signature: must match the store's scheme")
     sr.add_argument("-q", "--queries", required=True,
                     help="query parquet with --id-col/--vec-col columns")
     sr.add_argument("-o", "--output", required=True,
@@ -776,7 +795,9 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--n-probe", type=int, default=4,
                     help="cells probed per query (of the store's "
                          "n_cells; higher = better recall, more scan)")
-    sr.add_argument("--id-col", default="vec_id")
+    sr.add_argument("--id-col", default=None,
+                    help="query id column (default: vec_id for vector, "
+                         "doc_id for signature/exact)")
     sr.add_argument("--vec-col", default="embedding")
     sr.add_argument("--rerank", type=int, default=None,
                     help="pq stores: ADC shortlist size to rescore "
@@ -1357,6 +1378,50 @@ def run(args, spark) -> int:
 
         from xdump_spark.operators.incremental import VectorStore
 
+        if args.id_col is None:
+            args.id_col = "vec_id" if args.kind == "vector" else "doc_id"
+        if args.kind == "signature":
+            from xdump_spark.operators.incremental import SignatureStore
+
+            if not args.store_path:
+                raise SystemExit("--kind signature needs --store-path")
+            sig = SignatureStore(spark, args.store_path)
+            res = sig.probe(
+                spark.read.parquet(args.queries),
+                text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold, num_perm=args.num_perm,
+                bands=args.bands,
+            )
+            res.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(_json.dumps({
+                "kind": "signature", "store": args.store_path,
+                "threshold": args.threshold, "rows": n,
+            }))
+            return 0
+        if args.kind == "exact":
+            from xdump_spark.operators.incremental import ExactHashStore
+
+            if not args.store_table:
+                raise SystemExit("--kind exact needs --store-table")
+            ex = ExactHashStore(
+                spark, args.store_table, n_buckets=args.buckets,
+                path=args.store_path,
+            )
+            res = ex.contains(
+                spark.read.parquet(args.queries),
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            res.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            print(_json.dumps({
+                "kind": "exact", "store": args.store_table,
+                "rows": out.count(),
+                "stored": out.filter("is_stored").count(),
+            }))
+            return 0
+        if not args.store_path:
+            raise SystemExit("--kind vector needs --store-path")
         store = VectorStore(spark, args.store_path)
         if not store.exists():
             raise SystemExit(f"no VectorStore at {args.store_path}")
