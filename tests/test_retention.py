@@ -218,6 +218,27 @@ def test_vector_store_interrupted_delete_reruns_to_completion(
     assert {(x.dup_id, x.kept_id) for x in r.rejects.collect()} == {(111, 11)}
 
 
+def test_vector_store_delete_purges_orphan_generations(spark, tmp_path):
+    """Right-to-be-forgotten is about bytes: a crashed retrain's orphan
+    generation dir may still hold the doomed vectors — delete_ids
+    purges every non-live generation, not just the live rows."""
+    import shutil
+
+    vecs = _vecs(spark)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    incremental_semantic_dedup(vecs, store, threshold=0.9999, n_cells=3)
+    # simulate the crash-orphan: a copied generation dir the meta never
+    # came to reference
+    shutil.copytree(
+        str(tmp_path / "vs" / "assigned"),
+        str(tmp_path / "vs" / "assigned_g9"),
+    )
+    store.delete_ids([3])
+    names = {p.name for p in (tmp_path / "vs").iterdir()}
+    assert "assigned_g9" not in names and "assigned" in names
+    assert _store_ids(spark, store) == sorted(set(range(20)) - {3})
+
+
 def test_vector_store_delete_then_retrain_pq(spark, tmp_path):
     """Deletion composes with the retrain lifecycle: a retrain after a
     delete re-buckets ONLY the survivors (codes verbatim — the

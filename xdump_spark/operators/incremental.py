@@ -1628,6 +1628,14 @@ class VectorStore:
             self.spark, path, "cell", doomed, ["neighbor_id"],
             only_values=[int(r["cell"]) for r in hits],
         )
+        # right-to-be-forgotten is about BYTES, not just liveness: a
+        # crashed retrain's orphan generation dir (unreferenced, swept
+        # by the next retrain anyway) may still hold the doomed
+        # vectors — purge every non-live generation now
+        live_rel = self._meta().get("assigned_dir", "assigned")
+        for name in fsutil.list_names(self.spark, self.path):
+            if name.startswith("assigned") and name != live_rel:
+                fsutil.delete(self.spark, fsutil.join(self.path, name))
         return {
             "deleted_rows": int(sum(r["n"] for r in hits)),
             "cells_rewritten": n,
