@@ -32,12 +32,15 @@ from retrain_decades import build_store  # noqa: E402
 
 
 def main() -> None:
+    import os
+
     dtype = sys.argv[1] if len(sys.argv) > 1 else "float64"
     sizes = [int(x) for x in sys.argv[2:]] or [250_000, 1_000_000]
+    n_cells = int(os.environ.get("XD_RET_CELLS", "128"))
     spark = get_spark("retention_probe")
     batch = 1_000
     for n in sizes:
-        store = build_store(spark, n, dtype, n_cells=128)
+        store = build_store(spark, n, dtype, n_cells=n_cells)
         before = store.stats()
         doomed = [int(i * (n // batch)) for i in range(batch)]
         t0 = time.time()
@@ -47,7 +50,7 @@ def main() -> None:
         print(
             f"vector/{dtype} n={n}: delete {batch} ids in {wall:.1f}s "
             f"(deleted_rows={rpt['deleted_rows']}, "
-            f"cells_rewritten={rpt['cells_rewritten']}/128), "
+            f"cells_rewritten={rpt['cells_rewritten']}/{n_cells}), "
             f"bytes {before['bytes']/1e6:.1f}MB -> {after['bytes']/1e6:.1f}MB, "
             f"rows {before['rows']} -> {after['rows']}"
         )
