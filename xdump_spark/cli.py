@@ -787,6 +787,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="signature: must match the store's scheme")
     sr.add_argument("--bands", type=int, default=32,
                     help="signature: must match the store's scheme")
+    sr.add_argument("--shingle-k", type=int, default=5,
+                    help="signature: must match the store's scheme")
+    sr.add_argument("--max-bucket", type=int, default=1000,
+                    help="signature: drop (band,bucket) groups with "
+                         "more stored members (template guard); "
+                         "0 disables")
     sr.add_argument("-q", "--queries", required=True,
                     help="query parquet with --id-col/--vec-col columns")
     sr.add_argument("-o", "--output", required=True,
@@ -1390,7 +1396,8 @@ def run(args, spark) -> int:
                 spark.read.parquet(args.queries),
                 text_col=args.text_col, id_col=args.id_col,
                 threshold=args.threshold, num_perm=args.num_perm,
-                bands=args.bands,
+                bands=args.bands, shingle_k=args.shingle_k,
+                max_bucket=args.max_bucket or None,
             )
             res.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
