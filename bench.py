@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: best_sec}, "queries_runs": {name: [pass1, pass2]},
-"calibration": {cpu + memory-bandwidth probe factors}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: best_sec}, "scale_twins": {...},
+"calibration": {cpu + memory-bandwidth probe factors}, "sf": ...,
+"detail": "BENCH_DETAIL.json"}.
+
+The per-pass raw timings (``queries_runs`` / ``scale_twins_runs``) live
+in the ``detail`` side file, NOT on the stdout line: the driver captures
+only the last ~2000 chars of output, and r10's single line carrying the
+raw-runs blocks grew past that window, truncating mid-object
+(BENCH_r10.json ``parsed: null``). The compact line must stay under
+~1800 chars — do not add per-run lists or other O(passes) blocks to it;
+put new detail in the side file.
 
 Each query is forced through the noop sink (full materialization, no
 driver collect cost). The headline set exercises every engine pillar:
@@ -258,32 +267,43 @@ def main() -> None:
     cal_median = sorted(cal_runs)[len(cal_runs) // 2]
     bw_median = sorted(bw_runs)[len(bw_runs) // 2]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "scale_twins": twin_timings,
-                "queries_runs": runs,
-                "scale_twins_runs": twin_runs,
-                "calibration": {
-                    "runs": [round(v, 3) for v in cal_runs],
-                    "median": round(cal_median, 3),
-                    "reference_sec": CAL_REFERENCE_SEC,
-                    "noise_factor": round(cal_median / CAL_REFERENCE_SEC, 3),
-                    "bw_runs": [round(v, 3) for v in bw_runs],
-                    "bw_median": round(bw_median, 3),
-                    "bw_reference_sec": CAL_BW_REFERENCE_SEC,
-                    "bw_noise_factor": round(
-                        bw_median / CAL_BW_REFERENCE_SEC, 3
-                    ),
-                },
-                "sf": sf,
-            }
-        )
+    calibration = {
+        "runs": [round(v, 3) for v in cal_runs],
+        "median": round(cal_median, 3),
+        "reference_sec": CAL_REFERENCE_SEC,
+        "noise_factor": round(cal_median / CAL_REFERENCE_SEC, 3),
+        "bw_runs": [round(v, 3) for v in bw_runs],
+        "bw_median": round(bw_median, 3),
+        "bw_reference_sec": CAL_BW_REFERENCE_SEC,
+        "bw_noise_factor": round(bw_median / CAL_BW_REFERENCE_SEC, 3),
+    }
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "scale_twins": twin_timings,
+        "calibration": calibration,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    # Raw per-pass timings go to the side file so the stdout line stays
+    # inside the driver's tail-capture window (see module docstring).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            dict(compact, queries_runs=runs, scale_twins_runs=twin_runs),
+            fh,
+            indent=1,
+        )
+    line = json.dumps(compact)
+    # Hard guard: a future edit that balloons the compact line past the
+    # driver's capture window should fail loudly here, not silently
+    # produce an unparseable BENCH_r{N}.json.
+    assert len(line) < 1800, f"compact bench line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

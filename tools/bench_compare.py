@@ -26,8 +26,23 @@ def _load(arg: str) -> dict:
         doc = json.loads(arg)
     if "parsed" in doc:  # driver wrapper
         doc = doc["parsed"]
-    if "queries" not in doc:
+    if doc is None or "queries" not in (doc or {}):
         raise SystemExit(f"{arg!r} holds no bench record (no 'queries' key)")
+    # r11+: per-pass raw timings live in a side file (BENCH_DETAIL.json)
+    # so the stdout line stays inside the driver's capture window. Merge
+    # them back for the spread columns when the side file is from the
+    # same run (headline totals match).
+    if "queries_runs" not in doc and doc.get("detail"):
+        for base in (os.path.dirname(os.path.abspath(arg)) if os.path.exists(arg) else ".",
+                     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))):
+            p = os.path.join(base, doc["detail"])
+            if os.path.exists(p):
+                with open(p) as fh:
+                    det = json.load(fh)
+                if det.get("value") == doc.get("value"):
+                    doc.setdefault("queries_runs", det.get("queries_runs", {}))
+                    doc.setdefault("scale_twins_runs", det.get("scale_twins_runs", {}))
+                break
     return doc
 
 
