@@ -1329,3 +1329,131 @@ def test_vector_store_search_empty_shell_no_ops(spark, tmp_path):
     out2 = f64.search(q, k=3)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "neighbor_id", "cosine_sim", "rn"]
+
+
+def test_vector_store_exact_guard_closes_retrain_slips(spark, tmp_path):
+    """r10 verdict #2: ``exact_guard=True`` folds the "chain an
+    ExactHashStore on the vector bytes upstream" recipe into the store.
+    Same adversarial setup as test_vector_store_pq_exact_resend_always_
+    rejects — where the UNGUARDED store deterministically lets 3/30
+    re-sends slip after a retrain — but with the guard on: ZERO slips,
+    every re-send rejected at est 1.0 against its true stored twin,
+    and non-resend decisions identical to the unguarded twin."""
+    import numpy as np
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((30, 64))
+    b1 = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq", pq_m=8,
+                     pq_k=4, exact_guard=True)
+    r1 = incremental_semantic_dedup(b1, pq, threshold=0.95, n_cells=2)
+    assert r1.accepted.count() == 30
+    assert pq.stats()["exact_guard"] is True
+
+    resend = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    # pre-retrain: guard and in-cell vh channel agree — all 30 reject
+    r2 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
+    assert r2.accepted.count() == 0
+
+    # post-retrain: the unguarded twin lets exactly 3 slip on this
+    # fixture (pinned in the _always_rejects test); the guard closes it
+    pq.retrain(n_cells=3)
+    r3 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
+    assert r3.accepted.count() == 0
+    rej3 = r3.rejects.collect()
+    assert len(rej3) == 30 and all(r.est == 1.0 for r in rej3)
+    assert {(r.dup_id, r.kept_id) for r in rej3} == {
+        (1000 + i, i) for i in range(30)
+    }
+
+    # guard setting survives reopen without the flag (meta wins)
+    reopened = VectorStore(spark, str(tmp_path / "pq"))
+    assert reopened.guard_enabled() is True
+    r4 = incremental_semantic_dedup(
+        spark.createDataFrame(
+            [(2000 + i, [float(x) for x in V[i]]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        ),
+        reopened, threshold=0.95, n_cells=2,
+    )
+    assert r4.accepted.count() == 0
+
+
+def test_vector_store_exact_guard_decisions_otherwise_identical(
+    spark, tmp_path
+):
+    """With no byte-identical re-sends in play, a guarded store makes
+    EXACTLY the decisions an unguarded one does (the guard only adds
+    the global hash channel; cosine semantics are untouched). Also
+    pins the float-store guard: vh is stored, survives a retrain
+    verbatim, and delete_ids makes a deleted vector's re-send novel
+    again (retention composes with the guard for free)."""
+    import numpy as np
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16))
+    # batch 2: 6 near-dups of stored rows (small perturbation — NOT
+    # byte-identical) + 4 novel far-away rows
+    near = base[:6] + rng.standard_normal((6, 16)) * 0.01
+    novel = rng.standard_normal((4, 16)) * 2 + 8
+
+    def frame(ids, rows):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in r]) for i, r in zip(ids, rows)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def run(store):
+        incremental_semantic_dedup(
+            frame(range(20), base), store, threshold=0.9, n_cells=3
+        )
+        r = incremental_semantic_dedup(
+            frame(range(100, 110), list(near) + list(novel)),
+            store, threshold=0.9, n_cells=3,
+        )
+        return (
+            sorted(x["id"] for x in r.accepted.collect()),
+            sorted(
+                (x.dup_id, x.kept_id, x.est) for x in r.rejects.collect()
+            ),
+        )
+
+    guarded = run(
+        VectorStore(spark, str(tmp_path / "g"), exact_guard=True)
+    )
+    plain = run(VectorStore(spark, str(tmp_path / "p")))
+    assert guarded == plain
+
+    # float-store guard across retrain + retention
+    st = VectorStore(spark, str(tmp_path / "g"))
+    assert st.guard_enabled() and st.stats()["dtype"] == "float64"
+    st.retrain(n_cells=5, seed=9)
+    resend = frame([500], [base[0]])
+    r = incremental_semantic_dedup(resend, st, threshold=0.9, n_cells=3)
+    assert r.accepted.count() == 0  # vh survived the retrain
+    rej = r.rejects.collect()
+    assert rej[0].kept_id == 0 and rej[0].est == 1.0
+
+    st.delete_ids([0])
+    r2 = incremental_semantic_dedup(
+        frame([501], [base[0]]), st, threshold=0.9, n_cells=3
+    )
+    # 0 is forgotten: its exact re-send is novel again unless a live
+    # near-dup still covers it (base rows are gaussian-independent)
+    assert sorted(x["id"] for x in r2.accepted.collect()) == [501]

@@ -238,6 +238,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--pq-k", type=int, default=256,
                    help="with --vector-dtype pq: codewords per subspace "
                         "at store creation")
+    c.add_argument("--exact-guard", action="store_true",
+                   help="with --vector-store, at store CREATION: keep "
+                        "exact-vector hashes and probe them globally "
+                        "each increment, so byte-identical re-sends "
+                        "reject even across pq retrains (an existing "
+                        "store keeps its own recorded setting)")
     c.add_argument("--embeddings", default=None, metavar="PARQUET",
                    help="with --doc-dedup semantic: an embedding table to "
                         "attach by id before the pipeline (docs without a "
@@ -674,6 +680,9 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--pq-k", type=int, default=256,
                     help="semantic --vector-dtype pq: codewords per "
                          "subspace at store creation")
+    ig.add_argument("--exact-guard", action="store_true",
+                    help="semantic, at store creation: global "
+                         "exact-resend hash guard (survives retrains)")
     ig.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
                     help="semantic: compute hashing-trick embeddings from "
                          "--text-col instead of reading --vec-col")
@@ -951,6 +960,7 @@ def run(args, spark) -> int:
             dedup_store = VectorStore(
                 spark, args.vector_store, dtype=args.vector_dtype,
                 pq_m=args.pq_m, pq_k=args.pq_k,
+                exact_guard=args.exact_guard,
             )
         quality_model = None
         if args.quality_model:
@@ -1341,6 +1351,7 @@ def run(args, spark) -> int:
             semantic_max_cell=args.semantic_max_cell,
             pq_m=args.pq_m,
             pq_k=args.pq_k,
+            exact_guard=args.exact_guard,
             hash_embed=args.hash_embed,
             doc_dedup=args.doc_dedup,
             fuzzy_threshold=args.fuzzy_threshold,

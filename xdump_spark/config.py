@@ -219,16 +219,18 @@ def curate_from_config(spark: SparkSession, path: str):
             # against (r8); dtype applies at store creation only (r9).
             from xdump_spark.operators.incremental import VectorStore
 
-            unknown = set(sc) - {"path", "dtype", "pq_m", "pq_k"}
+            unknown = set(sc) - {"path", "dtype", "pq_m", "pq_k",
+                                 "exact_guard"}
             if unknown or "path" not in sc:
                 raise ValueError(
                     "dedup_store config with doc_dedup='semantic' needs "
-                    "'path' (+ optional 'dtype', 'pq_m', 'pq_k'); got "
-                    f"keys {sorted(cfg['dedup_store'])}"
+                    "'path' (+ optional 'dtype', 'pq_m', 'pq_k', "
+                    f"'exact_guard'); got keys {sorted(cfg['dedup_store'])}"
                 )
             dedup_store = VectorStore(
                 spark, sc["path"], dtype=sc.get("dtype", "float64"),
                 pq_m=sc.get("pq_m", 8), pq_k=sc.get("pq_k", 256),
+                exact_guard=sc.get("exact_guard", False),
             )  # "pq" is a valid dtype here — codes on disk, meta wins
         else:
             # {"table": str, "path": str (optional), "n_buckets": int

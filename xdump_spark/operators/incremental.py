@@ -1196,15 +1196,27 @@ class VectorStore:
     reconstruct far better): m=8 → 11.4× smaller than float64, all 10
     steady-state increments decision-IDENTICAL, post-retrain scope
     churn 6.7%; m=16 → 9.0× / 4.4% — ``pq_m`` is the resolution dial.
-    Chain an :class:`ExactHashStore` on the vector bytes upstream when
-    exact-resend immunity ACROSS retrains matters. ``pq_m``/``pq_k``
-    apply at creation only (``pq_m`` is clamped to the largest divisor
-    of the vector dim)."""
+    ``exact_guard=True`` closes that cross-retrain hole as one knob
+    (the r10 verdict's "chain an ExactHashStore upstream" recipe folded
+    into the store): every stored row keeps its exact-vector hash
+    ``vh``, and each increment probes the batch's hashes against the
+    WHOLE store — a column-pruned scan that reads 8 B/row regardless
+    of dtype or cell geometry — so a byte-identical re-send
+    force-rejects at est 1.0 even when a retrain re-bucketed its
+    stored twin into a different cell (the sf10 soak measured 14.5k
+    such slips without the guard). The probe broadcast-joins the
+    (small) batch into the hash scan: the history never shuffles, the
+    ExactHashStore plan shape. Decisions are otherwise identical —
+    within a generation the in-cell vh channel already rejects the
+    same rows. Applies at CREATION only (recorded in meta; an existing
+    store's meta wins, so the stored schema is uniform).
+    ``pq_m``/``pq_k`` apply at creation only (``pq_m`` is clamped to
+    the largest divisor of the vector dim)."""
 
     _DTYPES = ("float64", "float32", "pq")
 
     def __init__(self, spark: SparkSession, path: str, dtype: str = "float64",
-                 pq_m: int = 8, pq_k: int = 256):
+                 pq_m: int = 8, pq_k: int = 256, exact_guard: bool = False):
         if dtype not in self._DTYPES:
             raise ValueError(
                 f"VectorStore dtype must be one of {self._DTYPES}, got {dtype!r}"
@@ -1214,6 +1226,7 @@ class VectorStore:
         self.dtype = dtype
         self.pq_m = int(pq_m)
         self.pq_k = int(pq_k)
+        self.exact_guard = bool(exact_guard)
         self._cb_cache = None  # PQCodebook, lazily loaded from meta
 
     def _store_dtype(self) -> str:
@@ -1223,6 +1236,15 @@ class VectorStore:
         if self.exists():
             return self._meta().get("dtype", "float64")
         return self.dtype
+
+    def guard_enabled(self) -> bool:
+        """Whether the exact-resend guard is on: the meta's record for
+        an existing store (a store keeps ONE schema for life — see
+        ``exact_guard`` on the class), the ctor request before first
+        write."""
+        if self.exists():
+            return bool(self._meta().get("exact_guard", False))
+        return self.exact_guard
 
     def _upcast(self, df: DataFrame) -> DataFrame:
         """Stored cv → array<double> for compute (no-op on float64
@@ -1324,6 +1346,8 @@ class VectorStore:
         frozen."""
         meta = {"centers": centers, "n_cells": len(centers),
                 "dtype": self.dtype}
+        if self.exact_guard:
+            meta["exact_guard"] = True
         if self.dtype == "pq":
             from xdump_spark.operators.pq import pq_train
 
@@ -1522,6 +1546,49 @@ class VectorStore:
             return self._decode_codes(pruned, keep=("vh",))
         return self._upcast(pruned)
 
+    def probe_hashes(self, batch: DataFrame) -> DataFrame:
+        """The exact_guard probe: which of the batch's exact-vector
+        hashes are ALREADY STORED anywhere in the store, regardless of
+        cell? ``batch``: (neighbor_id, vh). Returns only the hit rows,
+        (neighbor_id, guard_kept) where ``guard_kept`` is the min-id
+        stored twin — the evidence id the increment kernel taints with.
+
+        Plan shape: one column-pruned scan of (neighbor_id, vh) over
+        the whole store — parquet reads ~16 B/row and never touches
+        vectors or codes — with the (small) batch BROADCAST into it;
+        the history never shuffles, and the groupBy reduces to at most
+        batch-size rows before any exchange. This is the increment's
+        only whole-store pass, and it is the point: the in-cell vh
+        channel sees only the touched cells, which after a pq retrain
+        is not where a re-send's twin necessarily lives. Empty result
+        on a store with no data (or a pre-guard store without a vh
+        column)."""
+        from xdump_spark import fsutil
+        from xdump_spark.operators.similarity import _id_type
+
+        idt = _id_type(batch, "neighbor_id")
+        empty = self.spark.createDataFrame(
+            [], f"neighbor_id {idt}, guard_kept {idt}"
+        )
+        if not self.exists():
+            return empty
+        path = self._assigned_path()
+        if not fsutil.list_data_files(self.spark, path):
+            return empty
+        stored = self.spark.read.parquet(path)
+        if "vh" not in stored.columns:
+            return empty
+        q = batch.select(
+            F.col("neighbor_id").alias("_qid"), F.col("vh")
+        )
+        return (
+            stored.select("neighbor_id", "vh")
+            .join(F.broadcast(q), "vh", "inner")
+            .groupBy("_qid")
+            .agg(F.min("neighbor_id").alias("guard_kept"))
+            .select(F.col("_qid").alias("neighbor_id"), "guard_kept")
+        )
+
     def append_assigned(self, assigned: DataFrame) -> None:
         # one narrow shuffle of the (small) increment so each touched
         # cell gains ~one file per append instead of one per upstream
@@ -1533,10 +1600,23 @@ class VectorStore:
         dt = self._store_dtype()
         if dt == "pq":
             assigned = self._encode_codes(assigned)
-        elif dt == "float32":
-            assigned = assigned.withColumn(
-                "cv", F.col("cv").cast("array<float>")
-            )
+        else:
+            # explicit column set: a float store's schema must stay
+            # uniform for the store's life — vh is stored iff the guard
+            # was on at creation, never because a caller happened to
+            # pass it
+            cols = ["neighbor_id", "cv", "cn", "cell"]
+            if self.guard_enabled():
+                if "vh" not in assigned.columns:
+                    assigned = assigned.withColumn(
+                        "vh", F.xxhash64(F.col("cv"))
+                    )
+                cols.append("vh")
+            assigned = assigned.select(*cols)
+            if dt == "float32":
+                assigned = assigned.withColumn(
+                    "cv", F.col("cv").cast("array<float>")
+                )
         assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
             "cell"
         ).parquet(self._assigned_path())
@@ -1561,6 +1641,7 @@ class VectorStore:
             "rows": rows,
             "cells": len(cells),
             "dtype": meta.get("dtype", "float64"),
+            "exact_guard": bool(meta.get("exact_guard", False)),
         }
         if "codebook" in meta:  # pq: the codec shape a maintainer needs
             out["pq_m"] = int(meta["codebook"]["m"])
@@ -1689,6 +1770,7 @@ class VectorStore:
         if not fsutil.list_data_files(self.spark, apath):
             raise ValueError("VectorStore.retrain: store holds no vectors")
         is_pq = meta.get("dtype") == "pq"
+        guarded = bool(meta.get("exact_guard", False))
         raw = self.spark.read.parquet(apath)
         # pq: fit on the reconstructions, re-bucket with codes AND the
         # exact-vector hashes passed through VERBATIM — re-deriving
@@ -1725,6 +1807,22 @@ class VectorStore:
                 idx.centers, stored, id_col="neighbor_id", vec_col="cv",
                 keep=("codes", "vh"),
             ).select("neighbor_id", "codes", "vh", "cell")
+        elif guarded:
+            # float store with the exact-resend guard: the stored vh
+            # hashes must survive the re-bucketing VERBATIM (same
+            # reason as the pq vh above — re-hashing would be a no-op
+            # for float64 but a silent channel break for float32,
+            # whose stored cv is the rounded vector)
+            from xdump_spark.operators.similarity import ivf_assign
+
+            gen_data = ivf_assign(
+                idx.centers, stored, id_col="neighbor_id", vec_col="cv",
+                keep=("vh",),
+            ).select("neighbor_id", "cv", "cn", "cell", "vh")
+            if meta.get("dtype", "float64") == "float32":
+                gen_data = gen_data.withColumn(
+                    "cv", F.col("cv").cast("array<float>")
+                )
         else:
             gen_data = idx.assigned
             if meta.get("dtype", "float64") == "float32":
@@ -1859,7 +1957,8 @@ def incremental_semantic_dedup(
         )
     if assigned_new is None:
         assigned_new = ivf_assign(centers, new_vectors, id_col, vec_col)
-    if store._store_dtype() == "pq":
+    guard_on = store.guard_enabled()
+    if store._store_dtype() == "pq" or guard_on:
         # the exact-vector hash channel: a byte-identical re-send lands
         # in its stored twin's cell (same exact vector, same argmin —
         # deterministic while the generation's centroids stand) and
@@ -1868,24 +1967,38 @@ def incremental_semantic_dedup(
         # reconstruction, so re-sends whose quantization crossed a cell
         # boundary escape until the next exact pass — the measured
         # scope-churn caveat documented on the class (same class as
-        # float32's 0.5%, at quantization-sized epsilon).
+        # float32's 0.5%, at quantization-sized epsilon) — UNLESS the
+        # store carries the exact_guard, whose global probe below
+        # closes exactly that window.
         assigned_new = assigned_new.withColumn(
             "vh", F.xxhash64(F.col("cv"))
         )
     assigned_new = assigned_new.localCheckpoint(eager=True)
 
+    thr, mc, sb = float(threshold), int(max_cell), int(strip_bytes)
+    idt = _id_type(new_vectors, id_col)
+
     touched = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]
     stored = store.read_cells(touched) if touched else None
 
     new_tagged = assigned_new.withColumn("_new", F.lit(True))
+    if guard_on:
+        # global exact-resend probe (cell-independent): hit rows carry
+        # their stored twin's id into the kernel, which treats the twin
+        # as present at cosine 1.0 — cluster taint semantics unchanged
+        gm = store.probe_hashes(assigned_new.select("neighbor_id", "vh"))
+        new_tagged = new_tagged.join(
+            F.broadcast(gm), "neighbor_id", "left_outer"
+        )
+        if stored is not None:
+            stored = stored.withColumn(
+                "guard_kept", F.lit(None).cast(idt)
+            )
     both = (
         new_tagged.unionByName(stored.withColumn("_new", F.lit(False)))
         if stored is not None
         else new_tagged
     )
-
-    thr, mc, sb = float(threshold), int(max_cell), int(strip_bytes)
-    idt = _id_type(new_vectors, id_col)
     out_schema = (
         f"dup_id {idt}, kept_id {idt}, est double, _surv boolean"
     )
@@ -1907,8 +2020,23 @@ def incremental_semantic_dedup(
         M = _matrix(pdf["cv"])
         ids = pdf["neighbor_id"].to_numpy()
         vh = pdf["vh"].to_numpy() if "vh" in pdf.columns else None
+        gk = None
+        if "guard_kept" in pdf.columns:
+            s = pdf["guard_kept"].astype(object).where(
+                pdf["guard_kept"].notna(), None
+            )
+            # a nullable long column reaches pandas as float64 — cast
+            # hits back to the batch's id dtype so taint ids compare
+            # and emit exactly (int ids stay exact up to 2**63)
+            if pd.api.types.is_integer_dtype(pdf["neighbor_id"].dtype):
+                gk = np.array(
+                    [None if v is None else int(v) for v in s],
+                    dtype=object,
+                )
+            else:
+                gk = s.to_numpy()
         rows = _incremental_semantic_cell_kernel(
-            M, ids, new_mask, thr, sb, vh=vh
+            M, ids, new_mask, thr, sb, vh=vh, guard_kept=gk
         )
         return pd.DataFrame(rows)
 

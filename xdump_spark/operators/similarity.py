@@ -237,6 +237,7 @@ def _incremental_semantic_cell_kernel(
     thr: float,
     strip_bytes: int = _STRIP_BYTES,
     vh: np.ndarray | None = None,
+    guard_kept: np.ndarray | None = None,
 ):
     """One cell of :func:`incremental_semantic_dedup`: union-find over
     new-new cosine >= thr edges, store-taint via the best new-stored hit,
@@ -254,7 +255,17 @@ def _incremental_semantic_cell_kernel(
     byte-identical re-send and store-taints at est 1.0 regardless of
     what the stored RECONSTRUCTION scores — the exact-duplicate class
     (the overwhelmingly common one) must never slip through the
-    quantization margin."""
+    quantization margin.
+
+    ``guard_kept`` (exact_guard stores): per-row stored-twin ids
+    aligned with ``ids`` (None where no twin), produced by the
+    GLOBAL hash probe (:meth:`VectorStore.probe_hashes`). The vh
+    channel above only sees stored twins that landed in THIS cell;
+    after a retrain a pq store's rows sit in reconstruction-assigned
+    cells, so a re-send can miss its twin entirely. A guard hit is
+    treated exactly as if the twin were present in the cell at cosine
+    1.0 — it store-taints the row's whole new-new cluster, so cluster
+    semantics are unchanged."""
     new_i = np.nonzero(new_mask)[0]
     old_i = np.nonzero(~new_mask)[0]
     k = len(new_i)
@@ -305,13 +316,26 @@ def _incremental_semantic_cell_kernel(
                 best_old_sim[li] = 1.0
                 best_old[li] = oi
 
+    # materialize the stored-twin ID per new row (an index into ids up
+    # to here); the guard channel injects twins that are NOT in the
+    # cell, so taint must key on actual ids, not matrix indices
+    best_old_id = [
+        ids[best_old[li]] if best_old[li] >= 0 else None for li in range(k)
+    ]
+    if guard_kept is not None:
+        for li in range(k):
+            g = guard_kept[new_i[li]]
+            if g is not None and best_old_sim[li] < 1.0:
+                best_old_sim[li] = 1.0
+                best_old_id[li] = g
+
     # store taint: best stored hit per cluster ((-sim, stored_id) min)
     taint: dict = {}
     for li in range(k):
-        if best_old[li] >= 0:
+        if best_old_id[li] is not None:
             r = labels[li]
             cur = taint.get(r)
-            cand = (-best_old_sim[li], ids[best_old[li]])
+            cand = (-best_old_sim[li], best_old_id[li])
             if cur is None or cand < cur:
                 taint[r] = cand
 

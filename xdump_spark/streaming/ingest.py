@@ -57,6 +57,7 @@ def run_ingest(
     semantic_max_cell: int = 50_000,
     pq_m: int = 8,
     pq_k: int = 256,
+    exact_guard: bool = False,
     hash_embed: int | None = None,
     doc_dedup: str = "exact",
     fuzzy_threshold: float = 0.5,
@@ -138,7 +139,8 @@ def run_ingest(
 
         _require_parquet_schema()
         store = VectorStore(
-            spark, store_path, dtype=vector_dtype, pq_m=pq_m, pq_k=pq_k
+            spark, store_path, dtype=vector_dtype, pq_m=pq_m, pq_k=pq_k,
+            exact_guard=exact_guard,
         )
         q = streaming_semantic_ingest(
             spark, input_dir, store, output, checkpoint_dir,
