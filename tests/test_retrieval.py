@@ -258,3 +258,106 @@ def test_index_append_exact_and_compact(spark, docs_df, tmp_path):
         for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
     )
     assert again == want
+
+
+def test_index_delete_docs_equals_fresh_build_over_retained(
+    spark, docs_df, tmp_path
+):
+    """r11 retention: delete_text_index_docs makes the reloaded index
+    answer bm25_topk HASH-identically to a fresh build over the
+    retained corpus — postings gone, df decremented, n_docs/total_dl/
+    avgdl corrected (df/idf shifts included, not just row removal).
+    Also: no-match no-op; old segment dirs swept; the deleted doc never
+    surfaces again."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        delete_text_index_docs,
+        load_text_index,
+        save_text_index,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+    path = str(tmp_path / "idx")
+    # two segments so the delete exercises the multi-segment merge
+    save_text_index(build_text_index(docs_df.filter("doc_id <= 3")), path,
+                    n_tbuckets=4)
+    append_text_index(spark, path, docs_df.filter("doc_id > 3"))
+
+    # forget docs 2 and 6 (both match 'fox'/'quick' queries, so scores
+    # AND ranks of the survivors must shift through df/avgdl)
+    rpt = delete_text_index_docs(spark, path, [2, 6])
+    assert rpt["deleted_docs"] == 2 and rpt["deleted_postings"] > 0
+
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            build_text_index(docs_df.filter("doc_id NOT IN (2, 6)")),
+            queries, k=4,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+    assert got == want
+    assert not any(d == 2 or d == 6 for _, d, _, _ in got)
+
+    # single committed segment, old dirs swept
+    segs = [n for n in fsutil.list_names(spark, f"{path}/postings")
+            if n.startswith("seg=")]
+    assert segs == [f"seg={rpt['seg']}"]
+
+    # no-match request rewrites nothing (re-run-to-complete semantics)
+    rpt2 = delete_text_index_docs(spark, path, [2, 999])
+    assert rpt2["deleted_docs"] == 0 and rpt2["seg"] == rpt["seg"]
+
+    # zero-term doc caveat: deleting doc 5 (whitespace text) is a
+    # documented no-op — it has no postings to find
+    rpt3 = delete_text_index_docs(spark, path, [5])
+    assert rpt3["deleted_docs"] == 0
+
+
+def test_index_delete_crash_window_keeps_old_index(spark, docs_df, tmp_path):
+    """A crash BEFORE the manifest commit leaves the OLD index fully
+    live (doomed docs still answer; the orphan merged segment is
+    invisible), and re-running the delete completes it."""
+    from unittest.mock import patch
+
+    from xdump_spark import fsutil
+    from xdump_spark.operators.retrieval import (
+        delete_text_index_docs,
+        load_text_index,
+        save_text_index,
+    )
+    import xdump_spark.operators.retrieval as R
+
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(docs_df), path, n_tbuckets=4)
+    queries = spark.createDataFrame([(0, "quick fox")],
+                                    "query_id int, query string")
+    before = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+
+    with patch.object(R, "_write_manifest",
+                      side_effect=RuntimeError("crash before commit")):
+        with pytest.raises(RuntimeError, match="crash"):
+            delete_text_index_docs(spark, path, [2])
+    # old index fully live, orphan segment invisible
+    assert sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    ) == before
+
+    # re-run completes: doc 2 gone, orphan + old dirs swept
+    rpt = delete_text_index_docs(spark, path, [2])
+    assert rpt["deleted_docs"] == 1
+    got = bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    assert all(r.doc_id != 2 for r in got)
+    segs = [n for n in fsutil.list_names(spark, f"{path}/postings")
+            if n.startswith("seg=")]
+    assert segs == [f"seg={rpt['seg']}"]

@@ -730,13 +730,13 @@ def build_parser() -> argparse.ArgumentParser:
              "re-fit centroids + re-bucket history; balance (vector) = "
              "cell-occupancy drift check (retrain_recommended); delete "
              "= retention/right-to-be-forgotten removal (signature/"
-             "vector: --delete-ids; exact: --delete-docs or "
-             "--delete-hashes)",
+             "vector/text-index: --delete-ids; exact: --delete-docs "
+             "or --delete-hashes)",
     )
     mt.add_argument("--delete-ids", default=None, metavar="PARQUET",
-                    help="delete (signature/vector): parquet of ids to "
-                         "forget (one column, or an id/neighbor_id "
-                         "column)")
+                    help="delete (signature/vector/text-index): parquet "
+                         "of ids to forget (one column, or an "
+                         "id/neighbor_id column)")
     mt.add_argument("--delete-docs", default=None, metavar="PARQUET",
                     help="delete (exact): parquet of documents whose "
                          "content hashes to forget (--text-col)")
@@ -1545,12 +1545,26 @@ def run(args, spark) -> int:
                         "--delete-ids"
                     )
                 rpt = store.delete_ids(spark.read.parquet(args.delete_ids))
+            elif args.kind == "text-index":
+                if not args.delete_ids:
+                    raise SystemExit(
+                        "--action delete --kind text-index needs "
+                        "--delete-ids"
+                    )
+                from xdump_spark.operators.retrieval import (
+                    delete_text_index_docs,
+                )
+
+                rpt = delete_text_index_docs(
+                    spark, args.store_path,
+                    spark.read.parquet(args.delete_ids),
+                )
             else:
                 raise SystemExit(
                     "--action delete supports exact/signature/vector "
-                    "stores (window hashes and BM25 postings are "
-                    "content-shared across documents — rebuild those "
-                    "artifacts from the retained corpus instead)"
+                    "stores and the saved text-index (window hashes "
+                    "are content-shared across documents — rebuild "
+                    "that artifact from the retained corpus instead)"
                 )
             print(_json.dumps(rpt))
             return 0

@@ -2001,12 +2001,52 @@ franked AS (SELECT query_id, doc_id, score,
                    CAST(row_number() OVER (
                      PARTITION BY query_id ORDER BY score DESC, doc_id
                    ) AS INT) AS rnk
-            FROM fused)
+            FROM fused),
+shortv AS (SELECT f.query_id, f.doc_id, f.score AS rel, e.cv
+           FROM franked f JOIN c e ON f.doc_id = e.neighbor_id
+           WHERE f.rnk <= 5),
+spair AS (SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+                 list_dot_product(a.cv, b.cv) /
+                 (sqrt(list_dot_product(a.cv, a.cv)) *
+                  sqrt(list_dot_product(b.cv, b.cv))) AS sim
+          FROM shortv a JOIN shortv b USING (query_id)),
+m1 AS (SELECT query_id, doc_id, 0.7 * rel AS mmr FROM shortv
+       QUALIFY row_number() OVER (
+         PARTITION BY query_id ORDER BY 0.7 * rel DESC, doc_id) = 1),
+m1d AS (SELECT query_id, doc_id AS s1 FROM m1),
+m2 AS (SELECT v.query_id, v.doc_id,
+              0.7 * v.rel - (1 - 0.7) * greatest(0, p1.sim) AS mmr
+       FROM shortv v
+       JOIN m1d ON m1d.query_id = v.query_id AND v.doc_id <> m1d.s1
+       JOIN spair p1 ON p1.query_id = v.query_id
+                    AND p1.d1 = v.doc_id AND p1.d2 = m1d.s1
+       QUALIFY row_number() OVER (
+         PARTITION BY v.query_id ORDER BY mmr DESC, v.doc_id) = 1),
+m2d AS (SELECT query_id, doc_id AS s2 FROM m2),
+m3 AS (SELECT v.query_id, v.doc_id,
+              0.7 * v.rel - (1 - 0.7) * greatest(0, p1.sim, p2.sim) AS mmr
+       FROM shortv v
+       JOIN m1d ON m1d.query_id = v.query_id
+       JOIN m2d ON m2d.query_id = v.query_id
+       JOIN spair p1 ON p1.query_id = v.query_id
+                    AND p1.d1 = v.doc_id AND p1.d2 = m1d.s1
+       JOIN spair p2 ON p2.query_id = v.query_id
+                    AND p2.d1 = v.doc_id AND p2.d2 = m2d.s2
+       WHERE v.doc_id <> m1d.s1 AND v.doc_id <> m2d.s2
+       QUALIFY row_number() OVER (
+         PARTITION BY v.query_id ORDER BY mmr DESC, v.doc_id) = 1)
 SELECT part, query_id, doc_id, score, rnk
 FROM ranked WHERE part = 'bm25' AND rnk <= 5
 UNION ALL
 SELECT 'hybrid_rrf' AS part, query_id, doc_id, score, rnk
 FROM franked WHERE rnk <= 5
+UNION ALL
+SELECT 'mmr' AS part, query_id, doc_id, round(mmr, 6) AS score,
+       CAST(1 AS INT) AS rnk FROM m1
+UNION ALL
+SELECT 'mmr', query_id, doc_id, round(mmr, 6), CAST(2 AS INT) FROM m2
+UNION ALL
+SELECT 'mmr', query_id, doc_id, round(mmr, 6), CAST(3 AS INT) FROM m3
 """.format(
     values=", ".join(
         f"('bm25', CAST({i} AS BIGINT), '{s}')" for i, s in _BM25_QUERIES
@@ -2039,6 +2079,19 @@ def retrieval_bm25(spark, sf_dir):
       ANN-backed dispatches (IVFIndex, VectorStore incl. pq/ADC) stay
       pytest-gated equal to this exact path at full probe
       (tests/test_hybrid.py).
+    * ``mmr`` (r11) — ``mmr_rerank`` (Carbonell & Goldstein 1998) of
+      the fused top-5 shortlist, k=3 at λ=0.7 with the embeddings as
+      the diversity space: the oracle replays the greedy argmax step
+      by step in SQL (three chained CTEs — selection 1 is pure
+      relevance, 2 penalizes cosine to s1, 3 penalizes max cosine to
+      {s1, s2}; ties on lowest doc_id, matching np.argmax's
+      first-occurrence rule over id-sorted candidates). Scores are
+      round(6) on both sides; the λ term is written ``(1 - 0.7)`` in
+      the SQL so both engines compute the identical float64
+      0.30000000000000004. Adds no third pipeline (the r10 warning):
+      the part reuses the fused shortlist — 15 rows — plus one
+      broadcast join into the embedding scan for candidate vectors
+      and an O(k·depth·dim)-per-query greedy.
 
     Folded into one entry (r10) so hybrid retrieval runs hash-checked
     inside the driver's 50-entry correctness window. Plan economy: the
@@ -2054,6 +2107,7 @@ def retrieval_bm25(spark, sf_dir):
     from xdump_spark.operators.retrieval import (
         bm25_topk,
         build_text_index,
+        mmr_rerank,
         rrf_fuse,
     )
     from xdump_spark.operators.similarity import cosine_topk
@@ -2074,6 +2128,9 @@ def retrieval_bm25(spark, sf_dir):
     emb = t["embeddings"]
     hy_ids = [i for i, _ in _HYBRID_QUERIES]
     vs = cosine_topk(emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20)
+    # the fused shortlist feeds BOTH the hybrid_rrf part and the mmr
+    # part — 15 rows, checkpointed eagerly so the mmr branch doesn't
+    # re-run the cosine side of the fusion
     hy = rrf_fuse(
         [
             ranked.filter(F.col("query_id").isin(hy_ids)).select(
@@ -2082,9 +2139,18 @@ def retrieval_bm25(spark, sf_dir):
             vs.select("query_id", F.col("neighbor_id").alias("doc_id"), "rn"),
         ],
         k=5,
-    ).withColumnRenamed("rrf_score", "score")
-    return bm.select(F.lit("bm25").alias("part"), *bm.columns).unionByName(
-        hy.select(F.lit("hybrid_rrf").alias("part"), *hy.columns)
+    ).withColumnRenamed("rrf_score", "score").localCheckpoint(eager=True)
+    mmr = mmr_rerank(
+        hy.select("query_id", "doc_id", F.col("score").alias("rrf_score")),
+        emb, k=3, lam=0.7,
+    ).select(
+        "query_id", "doc_id",
+        F.round("mmr_score", 6).alias("score"), "rnk",
+    )
+    return (
+        bm.select(F.lit("bm25").alias("part"), *bm.columns)
+        .unionByName(hy.select(F.lit("hybrid_rrf").alias("part"), *hy.columns))
+        .unionByName(mmr.select(F.lit("mmr").alias("part"), *mmr.columns))
     )
 
 
@@ -2284,7 +2350,42 @@ sp AS (
 SELECT 'minhash' AS method, id_a, id_b, score FROM mh WHERE score >= 0.6
 UNION ALL
 SELECT 'simhash' AS method, id_a, id_b, score FROM sp WHERE score <= 3
+UNION ALL
+SELECT 'store_probe' AS method, doc_id + 10000000 AS id_a,
+       doc_id AS id_b, 1.0 AS score
+FROM shd WHERE doc_id % 15 = 0
 """.replace("{toks}", _SQL_TOKS)
+
+
+_probe_store_cache: dict = {}
+
+
+def _neardup_probe_store(spark, sf_dir):
+    """Cached SignatureStore fixture for the panel's ``store_probe``
+    part: ALL banded 64-perm signatures of the doc_id%3==0 subset
+    appended directly (a pure build — membership carries NO dedup
+    decisions, so the oracle knows exactly what is stored). One-time
+    setup per (session, sf), the ``_bench_pq_store`` pattern."""
+    import tempfile
+
+    from xdump_spark.operators import incremental as INC
+    from xdump_spark.operators.dedup import _norm_text, minhash_signatures
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _probe_store_cache:
+        store = INC.SignatureStore(
+            spark, tempfile.mkdtemp() + "/probe_sigstore"
+        )
+        docs = _cat(spark, sf_dir).tables["documents"]
+        normed = docs.filter("doc_id % 3 = 0").select(
+            F.col("doc_id").alias("id"),
+            _norm_text(F.col("text")).alias("_norm"),
+        )
+        store.append(
+            INC._banded(minhash_signatures(normed, 64, 5), 64, 16)
+        )
+        _probe_store_cache[key] = store
+    return _probe_store_cache[key]
 
 
 @query("neardup_pairs_panel", _NEARDUP_PANEL_SQL)
@@ -2301,6 +2402,26 @@ def neardup_pairs_panel(spark, sf_dir):
     * ``simhash`` — SimHash pairs at Hamming ≤ 3 with md5 token hashes:
       banding is pigeonhole-exhaustive at ≤3 bits, so the banded result
       equals the all-pairs filter the oracle computes.
+
+    * ``store_probe`` (r11) — ``SignatureStore.probe``, the read-only
+      store query, at threshold 1.0 / 64 perms against a store holding
+      ALL banded signatures of the %3 subset (a pure build — stored
+      membership carries no dedup decisions, so the oracle knows it
+      exactly). Queries: the %15==0 stored docs RE-SENT under
+      doc_id+1e7; the part keeps each re-send's hit on its OWN stored
+      twin (stored_id == query_id − 1e7), which is deterministic —
+      identical normalized text ⇒ identical signature ⇒ a candidate in
+      every band at est exactly 1.0 — and so gates signatures, banding,
+      the band-partitioned store scan, the est arithmetic, the
+      threshold filter, and the id plumbing end-to-end. Hits on OTHER
+      stored docs are excluded from the part: this corpus has j≈0.99
+      near-identical pairs whose 64-perm full agreement is a coin flip
+      (0.99⁶⁴ ≈ 0.5), so no signature-based est below "byte-identical"
+      is oracle-predictable — the sub-1.0 est surface stays pinned by
+      tests (probe evidence == the increment's own rejects,
+      tuple-for-tuple). The store is a cached one-time fixture; the
+      probe's query side is 1/15 of the corpus, so the panel absorbs
+      no new pipeline.
 
     Folded into one entry (r5) so BOTH approximate-dedup operators run
     hash-checked inside the driver's 50-entry correctness window; the
@@ -2333,7 +2454,26 @@ def neardup_pairs_panel(spark, sf_dir):
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    pstore = _neardup_probe_store(spark, sf_dir)
+    resent = docs.filter("doc_id % 15 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    pr = (
+        pstore.probe(
+            resent, num_perm=64, bands=16, threshold=1.0, max_bucket=None
+        )
+        # the deterministic slice: each re-send's hit on its own stored
+        # twin (see the docstring for why other est values cannot be
+        # oracle-predicted on this corpus)
+        .filter(F.col("stored_id") == F.col("query_id") - 10_000_000)
+        .select(
+            F.lit("store_probe").alias("method"),
+            F.col("query_id").alias("id_a"),
+            F.col("stored_id").alias("id_b"),
+            F.col("est").alias("score"),
+        )
+    )
+    return mh.unionByName(sh).unionByName(pr)
 
 
 def minhash_pairs(spark, sf_dir):
@@ -2712,6 +2852,10 @@ UNION ALL
 SELECT 'retention' AS method, vec_id,
        CAST(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS val
 FROM labels WHERE vec_id = component
+UNION ALL
+SELECT 'guard_probe' AS method, vec_id,
+       CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS BIGINT) AS val
+FROM labels
 """
 
 
@@ -2750,7 +2894,17 @@ def dedup_components(spark, sf_dir):
       the vh channel released its hash), a retained one must still
       vh-reject (val 0). The right-to-be-forgotten path runs inside
       the hash gate end-to-end: column-pruned id→cell map, pruned
-      cell rewrite, codes-verbatim survivors."""
+      cell rewrite, codes-verbatim survivors.
+    * ``guard_probe`` (r11) — ``VectorStore.probe_hashes``, the
+      exact_guard's global read-only hash probe, run over the FULL
+      corpus against the committed store (before the retention
+      delete; the probe result is eagerly checkpointed since
+      delete_ids mutates the store underneath lazy plans): a vector's
+      exact-byte hash is stored iff the vector survived, and these
+      embeddings are pairwise distinct, so hit ⇔ survivor — the same
+      flag the oracle already derives for semdedup, now asserted
+      through the column-pruned whole-store vh scan + broadcast batch
+      join instead of the cell kernel."""
     import tempfile
 
     from xdump_spark.operators.components import connected_components
@@ -2803,6 +2957,27 @@ def dedup_components(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
     )
+    # guard_probe: global hash probe of the full corpus vs the
+    # committed store. Checkpointed EAGERLY: delete_ids below rewrites
+    # the store's files, and a lazy probe plan would scan post-delete
+    # state. The vh convention is xxhash64 over the double-cast vector,
+    # exactly what the increment hashed at append time.
+    ghits = store.probe_hashes(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.xxhash64(F.col("embedding").cast("array<double>")).alias("vh"),
+        )
+    ).localCheckpoint(eager=True)
+    gp = emb.select("vec_id").join(
+        ghits.select(F.col("neighbor_id").alias("vec_id")).withColumn(
+            "_s", F.lit(1)
+        ),
+        "vec_id", "left",
+    ).select(
+        F.lit("guard_probe").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("val"),
+    )
     store.delete_ids(survivors.filter("vec_id % 7 = 0").select("vec_id"))
     res3 = incremental_semantic_dedup(
         survivors, store, threshold=0.4, n_cells=1, id_col="vec_id",
@@ -2818,7 +2993,7 @@ def dedup_components(spark, sf_dir):
     )
     return (
         cc.unionByName(sd).unionByName(pqf).unionByName(rsf)
-        .unionByName(ret)
+        .unionByName(ret).unionByName(gp)
     )
 
 
