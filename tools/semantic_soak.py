@@ -4,7 +4,8 @@ maintain stats/compact, ivf_balance, retrain, post-retrain increment.
 
 Run from the repo root:
 
-    python tools/semantic_soak.py [sf10|sf1] [float64|float32|pq|both|pq-both|pq16-both]
+    python tools/semantic_soak.py [sf10|sf1] \
+        [float64|float32|pq|both|pq-both|pq16-both|pqguard-both]
 
 ``both`` runs the full lifecycle once per storage dtype on the SAME
 data and prints the byte/time deltas plus a decision-identity check —
@@ -40,9 +41,13 @@ def lifecycle(spark, emb, n_batches: int, dtype: str,
     path = tempfile.mkdtemp() + f"/vs_{dtype}"
     # "pq16" = the higher-resolution codebook dial (m=16 → 4-dim
     # subspaces): half the compression, much smaller reconstruction
-    # error — the knob that trades bytes for post-retrain scope churn
+    # error — the knob that trades bytes for post-retrain scope churn.
+    # "pqguard" = pq with exact_guard=True (r11): the global vh probe
+    # that makes byte-identical re-sends reject ACROSS retrains.
     if dtype == "pq16":
         store = VectorStore(spark, path, dtype="pq", pq_m=16)
+    elif dtype == "pqguard":
+        store = VectorStore(spark, path, dtype="pq", exact_guard=True)
     else:
         store = VectorStore(spark, path, dtype=dtype)
     print(f"[{dtype}] store at {path}", flush=True)
@@ -119,9 +124,9 @@ def main() -> None:
     n = emb.count()
     n_batches = 10
     print(f"{n} vectors, {n_batches} increments", flush=True)
-    if dtype in ("both", "pq-both", "pq16-both"):
+    if dtype in ("both", "pq-both", "pq16-both", "pqguard-both"):
         other = {"both": "float32", "pq-both": "pq",
-                 "pq16-both": "pq16"}[dtype]
+                 "pq16-both": "pq16", "pqguard-both": "pqguard"}[dtype]
         a = lifecycle(spark, emb, n_batches, "float64", collect_ids=True)
         b = lifecycle(spark, emb, n_batches, other, collect_ids=True)
         same = a["accepted"] == b["accepted"]
