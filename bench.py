@@ -224,6 +224,13 @@ def main() -> None:
     if Q0 in qs:
         qs[Q0](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Cold-vs-warm accounting (SCALE.md r11): the store-touching twins
+    # build their fixtures (LM model, pq store, hash store) lazily on
+    # first call at the timed scale, so their FIRST pass includes that
+    # one-time setup — measured 2.0/4.1/0.7 s at sf0.1 vs a 0.1-0.5 s
+    # residual page-cache/JIT tail. min-of-2 therefore reports the
+    # steady state deliberately; the fixture cost is documented in the
+    # SCALE.md table, not hidden in a query timing.
     # Each query is timed twice and the BEST run is reported: a single
     # shot can absorb a multi-second JIT/GC pause (observed: the same
     # pure-JVM query at 1.3 s and 19.8 s across whole-bench runs), and a
