@@ -493,3 +493,63 @@ def test_ingest_semantic_max_cell_reaches_kernel(spark, tmp_path):
             str(tmp_path / "ckpt"), store_path=str(tmp_path / "vs"),
             hash_embed=32, semantic_cells=2, semantic_max_cell=1,
         )
+
+
+def test_ingest_cli_semantic_pq_exact_guard(spark, tmp_path):
+    """r11 --exact-guard through the ingest front door: the flag
+    reaches the ctor (meta records it), cross-drop re-sends reject,
+    and after a CLI retrain a byte-identical re-send STILL rejects —
+    the cross-retrain immunity the flag buys (the deterministic
+    0-slip-vs-3-slip evidence lives in tests/test_incremental.py; this
+    pins the CLI plumbing end to end)."""
+    import json
+    from pathlib import Path
+
+    from xdump_spark.operators.incremental import VectorStore
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    store_path = str(tmp_path / "vs")
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again today",
+        "distributed query engines shuffle data between executor stages",
+        "parquet row groups bound the scan parallelism of a single file",
+        "watermarks let late events join their original session window",
+    ]
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(inp / name)
+        )
+
+    argv = [
+        "ingest", "--kind", "semantic", "-i", str(inp) + "/*", "-o", out,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--store-path", store_path, "--vector-dtype", "pq",
+        "--exact-guard", "--hash-embed", "64",
+        "--semantic-threshold", "0.6", "--semantic-cells", "2",
+    ]
+    drop("day1", list(enumerate(texts)))
+    assert _run_cli(spark, argv) == 0
+    store = VectorStore(spark, store_path)
+    assert store.guard_enabled() is True
+    assert store.stats()["exact_guard"] is True
+
+    # retrain between drops (the window the guard exists for)
+    assert _run_cli(spark, [
+        "maintain", "--kind", "vector", "--store-path", store_path,
+        "--action", "retrain", "--n-cells", "3",
+    ]) == 0
+
+    # day2: byte-identical re-sends under fresh ids + one novel doc
+    drop("day2", [(100 + i, t) for i, t in enumerate(texts[:2])]
+         + [(200, "completely novel content about broadcast joins")])
+    assert _run_cli(spark, argv) == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 3, 200}  # re-sends rejected across the retrain
+
+    # meta records the guard (reopen without the flag keeps it)
+    meta = json.loads((Path(store_path) / "meta.json").read_text())
+    assert meta["exact_guard"] is True

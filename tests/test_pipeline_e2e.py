@@ -1343,6 +1343,55 @@ def test_pipeline_pq_vector_store_from_config_and_cli(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}
 
 
+def test_pipeline_exact_guard_from_config_and_cli(spark, tmp_path):
+    """r11: {"dedup_store": {..., "exact_guard": true}} reaches the
+    ctor through the curate config (meta records it), and the CLI
+    --exact-guard flag does the same through the curate front door;
+    an unknown config key still fails fast."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.config import curate_from_config
+    from xdump_spark.operators.incremental import VectorStore
+
+    day1 = str(tmp_path / "day1.parquet")
+    _emb_rows(spark, [
+        (1, "first document about engines", [1.0, 0.0, 0.0, 0.0]),
+        (3, "an unrelated subject entirely", [0.0, 1.0, 0.0, 0.0]),
+    ]).write.parquet(day1)
+
+    c1 = tmp_path / "c1.json"
+    c1.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out1"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "semantic_kwargs": {"n_cells": 2},
+        "dedup_store": {"path": str(tmp_path / "vs_cfg"), "dtype": "pq",
+                        "exact_guard": True},
+    }))
+    curate_from_config(spark, str(c1))
+    assert VectorStore(spark, str(tmp_path / "vs_cfg")).guard_enabled() is True
+
+    args = cli.build_parser().parse_args([
+        "curate", "-i", day1, "-o", str(tmp_path / "out2"), "--span-k", "0",
+        "--min-tokens", "1", "--doc-dedup", "semantic",
+        "--vector-store", str(tmp_path / "vs_cli"), "--exact-guard",
+    ])
+    assert cli.run(args, spark) == 0
+    assert VectorStore(spark, str(tmp_path / "vs_cli")).guard_enabled() is True
+
+    c2 = tmp_path / "c2.json"
+    c2.write_text(json.dumps({
+        "input": day1, "output": str(tmp_path / "out3"),
+        "span_k": None, "min_tokens": 1, "doc_dedup": "semantic",
+        "dedup_store": {"path": str(tmp_path / "vs_bad"),
+                        "exact_gaurd": True},  # typo'd key must fail
+    }))
+    with _pytest.raises(ValueError, match="dedup_store"):
+        curate_from_config(spark, str(c2))
+
+
 def test_pipeline_pq_store_checkpoint_resume(spark, tmp_path):
     """r10 interaction: checkpoint_dir × doc_dedup='semantic' × a PQ
     store — the crashed-commit replay re-assigns the checkpointed
