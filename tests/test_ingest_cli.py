@@ -553,3 +553,54 @@ def test_ingest_cli_semantic_pq_exact_guard(spark, tmp_path):
     # meta records the guard (reopen without the flag keeps it)
     meta = json.loads((Path(store_path) / "meta.json").read_text())
     assert meta["exact_guard"] is True
+
+
+def test_ingest_cli_index_kind(spark, tmp_path):
+    """r11 --kind index: drops stream into a saved BM25 index through
+    the CLI; the loaded index equals a fresh build over the union and
+    hybrid/bm25 search can use it immediately. Store args are rejected
+    (the output IS the index)."""
+    from xdump_spark.operators.retrieval import (
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+    )
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    idx = str(tmp_path / "tidx")
+
+    rows1 = [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "lazy dogs sleep all day")]
+    rows2 = [(3, "brown bears eat honey"), (4, "quick quick fox")]
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(inp / name)
+        )
+
+    argv = ["ingest", "--kind", "index", "-i", str(inp) + "/*",
+            "-o", idx, "--checkpoint-dir", str(tmp_path / "ckpt")]
+    drop("day1", rows1)
+    assert _run_cli(spark, argv) == 0
+    drop("day2", rows2)
+    assert _run_cli(spark, argv) == 0
+
+    all_docs = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "quick fox")],
+                                    "query_id int, query string")
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(build_text_index(all_docs), queries, k=4).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(load_text_index(spark, idx), queries, k=4).collect()
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="no store arguments"):
+        from xdump_spark.streaming.ingest import run_ingest
+
+        run_ingest(spark, "index", str(inp) + "/*", idx,
+                   str(tmp_path / "c2"), store_table="t")

@@ -361,3 +361,101 @@ def test_index_delete_crash_window_keeps_old_index(spark, docs_df, tmp_path):
     segs = [n for n in fsutil.list_names(spark, f"{path}/postings")
             if n.startswith("seg=")]
     assert segs == [f"seg={rpt['seg']}"]
+
+
+def test_streaming_index_ingest_two_drops(spark, docs_df, tmp_path):
+    """r11 continuous indexing: two drops stream into the saved index
+    and the loaded result answers bm25_topk HASH-identically to a
+    fresh build over the union; a third empty run changes nothing; a
+    re-delivered batch id no-ops (exactly-once via the manifest)."""
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        load_text_index,
+        streaming_index_ingest,
+    )
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    idx_path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+
+    docs_df.filter("doc_id <= 3").write.parquet(str(inp / "day1"))
+    q = streaming_index_ingest(spark, str(inp) + "/*", idx_path, ckpt)
+    q.awaitTermination()
+    assert load_text_index(spark, idx_path).n_docs == 3
+
+    docs_df.filter("doc_id > 3").write.parquet(str(inp / "day2"))
+    q = streaming_index_ingest(spark, str(inp) + "/*", idx_path, ckpt)
+    q.awaitTermination()
+
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(build_text_index(docs_df), queries, k=4).collect()
+    )
+    loaded = load_text_index(spark, idx_path)
+    assert loaded.n_docs == docs_df.count()
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(loaded, queries, k=4).collect()
+    )
+    assert got == want
+
+    # drain with nothing new: index untouched
+    q = streaming_index_ingest(spark, str(inp) + "/*", idx_path, ckpt)
+    q.awaitTermination()
+    assert load_text_index(spark, idx_path).n_docs == docs_df.count()
+
+    # redelivery of an already-committed batch id must NO-OP — a
+    # double-applied index append is NOT harmless (df/n_docs double)
+    man_batch = append_text_index(
+        spark, idx_path, docs_df.filter("doc_id <= 3"), batch_id=0
+    )
+    assert load_text_index(spark, idx_path).n_docs == docs_df.count()
+    assert man_batch.get("batch_id") == 0 or 0 in man_batch.get("batch_ids", ())
+
+
+def test_streaming_index_ingest_idempotence_survives_compact(
+    spark, docs_df, tmp_path
+):
+    """Committed batch ids are carried into compaction's merged
+    segment, so a very late redelivery still no-ops after maintenance;
+    an empty inbox with no schema fails with deploy guidance."""
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        compact_text_index,
+        load_text_index,
+        streaming_index_ingest,
+    )
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    idx_path = str(tmp_path / "idx")
+
+    with pytest.raises(ValueError, match="schema"):
+        streaming_index_ingest(
+            spark, str(inp) + "/*", idx_path, str(tmp_path / "c0")
+        )
+
+    docs_df.filter("doc_id <= 3").write.parquet(str(inp / "day1"))
+    q = streaming_index_ingest(
+        spark, str(inp) + "/*", idx_path, str(tmp_path / "ckpt"),
+        schema="doc_id int, text string",
+    )
+    q.awaitTermination()
+    docs_df.filter("doc_id > 3").write.parquet(str(inp / "day2"))
+    q = streaming_index_ingest(
+        spark, str(inp) + "/*", idx_path, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    compact_text_index(spark, idx_path)
+    n = load_text_index(spark, idx_path).n_docs
+    # redeliver both original batch ids post-compact: no-ops
+    for bid in (0, 1):
+        append_text_index(
+            spark, idx_path, docs_df.filter("doc_id <= 3"), batch_id=bid
+        )
+    assert load_text_index(spark, idx_path).n_docs == n

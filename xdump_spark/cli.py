@@ -612,14 +612,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop-directory streaming ingest: consume files landing in "
              "an input directory through the matching restart-safe "
              "incremental pipeline (WET crawl / SFT conversations / "
-             "preference pairs / semantic documents), dedup against the "
-             "persistent store, append survivors to the output "
+             "preference pairs / semantic documents / plain docs), dedup "
+             "against the persistent store, append survivors to the "
+             "output; --kind index instead feeds the drops into a saved "
+             "segmented BM25 index (exactly-once segment commits — a "
+             "drop is searchable as soon as its manifest commits) "
              "(streaming/ingest.py). Default drains what is present and "
              "exits (scheduler-friendly); --processing-time runs "
              "always-on.",
     )
     ig.add_argument("--kind", required=True,
-                    choices=["wet", "sft", "pairs", "semantic", "docs"])
+                    choices=["wet", "sft", "pairs", "semantic", "docs",
+                             "index"])
     ig.add_argument("--doc-dedup", choices=["exact", "fuzzy"],
                     default="exact",
                     help="docs: dedup semantics — exact content hashes "
@@ -1377,19 +1381,26 @@ def run(args, spark) -> int:
             # checkpoint)
             from xdump_spark import fsutil
 
-            n = (
-                spark.read.parquet(args.output).count()
-                if fsutil.exists(spark, args.output)
-                else 0
-            )
-            print(_json.dumps(
-                {
-                    "kind": args.kind,
-                    "mode": "drain",
-                    "drained": bool(getattr(q, "xd_drained", True)),
-                    "output_rows": n,
-                }
-            ))
+            rpt = {
+                "kind": args.kind,
+                "mode": "drain",
+                "drained": bool(getattr(q, "xd_drained", True)),
+            }
+            if args.kind == "index":
+                # the output is the INDEX directory (postings +
+                # term_stats + manifest), not a row corpus
+                from xdump_spark.operators.retrieval import (
+                    text_index_stats,
+                )
+
+                rpt.update(text_index_stats(spark, args.output))
+            else:
+                rpt["output_rows"] = (
+                    spark.read.parquet(args.output).count()
+                    if fsutil.exists(spark, args.output)
+                    else 0
+                )
+            print(_json.dumps(rpt))
     elif args.command == "search":
         import json as _json
 

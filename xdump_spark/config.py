@@ -111,7 +111,7 @@ def load_ingest_config(path: str) -> dict:
     if not isinstance(store, dict):
         raise ValueError("ingest config 'store' must be an object")
     unknown = set(store) - {"table", "path", "n_buckets", "dtype",
-                            "pq_m", "pq_k"}
+                            "pq_m", "pq_k", "exact_guard"}
     if unknown:
         raise ValueError(f"unknown ingest store keys: {sorted(unknown)}")
     return cfg
@@ -151,6 +151,7 @@ def ingest_from_config(spark: SparkSession, path: str):
         vector_dtype=store.get("dtype", "float64"),
         pq_m=store.get("pq_m", 8),
         pq_k=store.get("pq_k", 256),
+        exact_guard=store.get("exact_guard", False),
         corrupt_out=cfg.get("corrupt_out"),
         rejects_out=cfg.get("rejects_out"),
         template=cfg.get("template", "chatml"),

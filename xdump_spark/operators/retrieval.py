@@ -181,7 +181,8 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
     return {"seg": seg, "n_docs": index.n_docs, "total_dl": int(tdl)}
 
 
-def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
+def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64,
+                    batch_id: str | int | None = None) -> None:
     """Persist a :class:`TextIndex`: the docstring's "the index IS the
     storage format", made literal — as segment 0 of a SEGMENTED layout
     (``postings/seg=K/_tbucket=J``): :func:`append_text_index` adds a
@@ -195,6 +196,8 @@ def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
     ``n_tbuckets`` bucket dirs per segment — plan-asserted in tests)."""
     spark = index.postings.sparkSession
     entry = _write_segment(index, path, 0, n_tbuckets)
+    if batch_id is not None:  # streaming creation: see append_text_index
+        entry["batch_id"] = batch_id
     _write_manifest(spark, path, {
         "version": 2,
         "id_col": index.id_col,
@@ -204,7 +207,8 @@ def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64) -> None:
 
 
 def append_text_index(
-    spark: SparkSession, path: str, docs: DataFrame, text_col: str = "text"
+    spark: SparkSession, path: str, docs: DataFrame, text_col: str = "text",
+    batch_id: str | int | None = None,
 ) -> dict:
     """Add documents to a SAVED index as a new committed segment — the
     daily-increment path: one tokenize pass over the NEW docs only,
@@ -214,11 +218,27 @@ def append_text_index(
     dedup stores upstream. A loaded appended index answers
     ``bm25_topk`` EXACTLY as a fresh build over the concatenated corpus
     (df/n_docs are exact ints, avgdl is total_dl/n_docs — equality is
-    hash-pinned in tests). Returns the new segment's manifest entry."""
+    hash-pinned in tests). Returns the new segment's manifest entry.
+
+    ``batch_id`` makes the append IDEMPOTENT for streaming callers
+    (:func:`streaming_index_ingest`): the id is recorded in the
+    segment's manifest entry, and a re-delivered append with an
+    already-committed id returns that entry WITHOUT touching the index
+    — unlike the dedup stores, a double-applied index append is NOT
+    harmless (df/n_docs would double-count the batch), so exactly-once
+    here comes from the manifest, not from idempotent data."""
     man = _read_manifest(spark, path)
+    if batch_id is not None:
+        for e in man["segments"]:
+            if e.get("batch_id") == batch_id or batch_id in e.get(
+                "batch_ids", ()
+            ):
+                return e
     sub = build_text_index(docs, text_col=text_col, id_col=man["id_col"])
     seg = 1 + max(e["seg"] for e in man["segments"])
     entry = _write_segment(sub, path, seg, man["n_tbuckets"])
+    if batch_id is not None:
+        entry["batch_id"] = batch_id
     man["segments"].append(entry)
     _write_manifest(spark, path, man)
     return entry
@@ -247,6 +267,13 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     seg = 1 + max(e["seg"] for e in man["segments"])
     entry = _write_segment(merged, path, seg, man["n_tbuckets"])
     before = [e["seg"] for e in man["segments"]]
+    # carry the constituents' batch ids so a streaming caller's
+    # idempotence check (append_text_index batch_id) survives compaction
+    ids = [e["batch_id"] for e in man["segments"] if "batch_id" in e]
+    for e in man["segments"]:
+        ids.extend(e.get("batch_ids", ()))
+    if ids:
+        entry["batch_ids"] = ids
     man["segments"] = [entry]
     _write_manifest(spark, path, man)
     for sub in ("postings", "term_stats"):
@@ -327,6 +354,11 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     )
     seg = 1 + max(e["seg"] for e in man["segments"])
     entry = _write_segment(retained, path, seg, man["n_tbuckets"])
+    ids = [e["batch_id"] for e in man["segments"] if "batch_id" in e]
+    for e in man["segments"]:
+        ids.extend(e.get("batch_ids", ()))
+    if ids:  # keep streaming idempotence alive across retention merges
+        entry["batch_ids"] = ids
     man["segments"] = [entry]
     _write_manifest(spark, path, man)
     for sub in ("postings", "term_stats"):
@@ -335,6 +367,80 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
             if name.startswith("seg=") and int(name[4:]) != seg:
                 fsutil.delete(spark, fsutil.join(base, name))
     return {"deleted_docs": n_del, "deleted_postings": p_del, "seg": seg}
+
+
+def streaming_index_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tbuckets: int = 64,
+    schema=None,
+    trigger: dict | None = None,
+):
+    """Continuous INDEXING: parquet document drops landing in
+    ``input_dir`` stream into the saved segmented BM25 index at
+    ``index_path`` — the retrieval-side member of the streaming-twin
+    family (a drop becomes searchable by ``bm25_topk``/``hybrid_topk``
+    as soon as its segment's manifest commits, with no rebuild and no
+    serving process). The FIRST batch creates the index
+    (``save_text_index``); every later batch appends a segment
+    (``append_text_index``). Doc ids must be new across drops — the
+    index does not dedup; run the incremental dedup stores upstream
+    (chain this after a dedup ingest's output directory for the full
+    dedup→index flow).
+
+    Exactly-once discipline — STRONGER than the dedup twins' because a
+    double-applied index append is NOT harmless (df/n_docs would
+    double-count): every segment records its foreachBatch ``batch_id``
+    in the manifest, and a re-delivered batch whose id is already
+    committed no-ops. A crash BEFORE the manifest commit leaves an
+    invisible orphan dir (swept by the next compact) and the
+    checkpoint re-delivers; after it, redelivery hits the batch_id
+    check. Compaction and retention deletes carry the committed
+    batch_ids into their merged segment, so the check survives
+    maintenance. Run maintenance from the same scheduler lane as the
+    ingest (the manifest is single-writer, like the dedup stores'
+    metas).
+
+    ``schema``/``trigger`` as in the other parquet twins: schema (DDL
+    or StructType) required to start a daemon on an empty inbox,
+    inferred from present files otherwise; trigger defaults to
+    drain-and-stop (``availableNow``)."""
+    from xdump_spark import fsutil
+
+    if schema is None:
+        if not fsutil.list_data_files(spark, input_dir.rstrip("/*")):
+            raise ValueError(
+                f"streaming_index_ingest: {input_dir} holds no parquet "
+                "files yet and no schema was given — a parquet file "
+                "stream needs one up front. Pass schema= (CLI --schema) "
+                "as a DDL string, e.g. 'doc_id long, text string', to "
+                "start the daemon before the first drop lands."
+            )
+        schema = spark.read.parquet(input_dir).schema
+    raw = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        man_file = fsutil.join(index_path, _INDEX_MANIFEST)
+        if not fsutil.exists_atomic(spark, man_file):
+            idx = build_text_index(batch_df, text_col=text_col,
+                                   id_col=id_col)
+            save_text_index(idx, index_path, n_tbuckets=n_tbuckets,
+                            batch_id=int(batch_id))
+        else:
+            append_text_index(spark, index_path, batch_df,
+                              text_col=text_col, batch_id=int(batch_id))
+
+    writer = raw.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
 
 
 def text_index_stats(spark: SparkSession, path: str) -> dict:

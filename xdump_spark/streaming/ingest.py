@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-INGEST_KINDS = ("wet", "sft", "pairs", "semantic", "docs")
+INGEST_KINDS = ("wet", "sft", "pairs", "semantic", "docs", "index")
 
 
 def run_ingest(
@@ -78,7 +78,7 @@ def run_ingest(
     ``fuzzy_threshold``).
 
     ``schema`` (a DDL string, e.g. ``"doc_id long, text string"``)
-    applies to the PARQUET kinds (``semantic``/``docs``), whose file
+    applies to the PARQUET kinds (``semantic``/``docs``/``index``), whose file
     stream needs one up front: without it the twins infer from files
     already present, so an always-on daemon deployed BEFORE the first
     drop lands has nothing to infer from — that case fails here with
@@ -149,6 +149,23 @@ def run_ingest(
             vec_col=vec_col, rejects_dir=rejects_out, schema=schema,
             trigger=trigger,
             semantic_kwargs={"max_cell": semantic_max_cell},
+        )
+    elif kind == "index":
+        # continuous BM25 indexing of a drop directory: output IS the
+        # index directory (store_path/store_table do not apply — the
+        # index is the artifact, not a dedup side-store)
+        if store_table or store_path:
+            raise ValueError(
+                "ingest kind 'index' takes no store arguments — the "
+                "OUTPUT is the index directory; dedup upstream"
+            )
+        from xdump_spark.operators.retrieval import streaming_index_ingest
+
+        _require_parquet_schema()
+        q = streaming_index_ingest(
+            spark, input_dir, output, checkpoint_dir,
+            text_col=text_col, id_col=id_col, schema=schema,
+            trigger=trigger,
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
