@@ -755,7 +755,7 @@ def test_cli_maintain_delete(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="needs --delete-ids"):
         run(["--kind", "vector", "--store-path", str(tmp_path / "vs"),
              "--action", "delete"])
-    with _pytest.raises(SystemExit, match="rebuild those"):
+    with _pytest.raises(SystemExit, match="rebuild that"):
         run(["--kind", "window", "--store-path", str(tmp_path / "w"),
              "--action", "delete"])
 

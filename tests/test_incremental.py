@@ -1212,13 +1212,21 @@ def test_vector_store_pq_exact_resend_always_rejects(spark, tmp_path):
 
     # post-retrain: hashes pass through re-bucketing verbatim, so the
     # channel still fires for every re-send scoped with its twin; the
-    # 3/30 whose reconstruction crossed a cell boundary on this
-    # worst-case data escape (deterministic; the documented churn)
+    # few whose reconstruction crossed a cell boundary on this
+    # worst-case data escape — the documented churn. The exact count
+    # is 3 on a quiet run but KMeans|| init is sensitive to
+    # file-listing/scheduling order (observed 3-4 under a loaded
+    # suite), so the pin is an UPPER BOUND: the churn class must stay
+    # small and every non-escaped re-send must carry est 1.0. The
+    # exact_guard test below pins the guarded count at a HARD 0,
+    # which IS order-independent (the global hash probe doesn't
+    # depend on cell geometry).
     pq.retrain(n_cells=3)
     r3 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
-    assert r3.accepted.count() == 3
+    escapes = r3.accepted.count()
+    assert escapes <= 5, escapes
     rej3 = r3.rejects.collect()
-    assert len(rej3) == 27 and all(r.est == 1.0 for r in rej3)
+    assert len(rej3) == 30 - escapes and all(r.est == 1.0 for r in rej3)
 
 
 def test_vector_store_search_float_and_pq(spark, tmp_path):
@@ -1335,8 +1343,9 @@ def test_vector_store_exact_guard_closes_retrain_slips(spark, tmp_path):
     """r10 verdict #2: ``exact_guard=True`` folds the "chain an
     ExactHashStore on the vector bytes upstream" recipe into the store.
     Same adversarial setup as test_vector_store_pq_exact_resend_always_
-    rejects — where the UNGUARDED store deterministically lets 3/30
-    re-sends slip after a retrain — but with the guard on: ZERO slips,
+    rejects — where the UNGUARDED store lets ~3/30 re-sends slip after
+    a retrain (bounded there, exact count KMeans||-order-sensitive) —
+    but with the guard on: ZERO slips, a HARD order-independent bound,
     every re-send rejected at est 1.0 against its true stored twin,
     and non-resend decisions identical to the unguarded twin."""
     import numpy as np
@@ -1366,8 +1375,8 @@ def test_vector_store_exact_guard_closes_retrain_slips(spark, tmp_path):
     r2 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
     assert r2.accepted.count() == 0
 
-    # post-retrain: the unguarded twin lets exactly 3 slip on this
-    # fixture (pinned in the _always_rejects test); the guard closes it
+    # post-retrain: the unguarded twin lets ~3 slip on this fixture
+    # (bounded in the _always_rejects test); the guard closes it
     pq.retrain(n_cells=3)
     r3 = incremental_semantic_dedup(resend, pq, threshold=0.95, n_cells=2)
     assert r3.accepted.count() == 0
