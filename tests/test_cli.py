@@ -1157,3 +1157,80 @@ def test_cli_search_hybrid(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="bad --weights"):
         run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
              "-o", out, "--text-index", idx_dir, "--weights", "a,b"])
+
+
+def test_cli_search_mmr(spark, tmp_path, capsys):
+    """r11: `search --mmr K --mmr-lambda` — MMR-diversify the search
+    shortlist from the shell, equal to the library mmr_rerank composed
+    with the same search; works on both the ANN and hybrid paths;
+    --mmr without --corpus fails with guidance."""
+    import json
+
+    import pytest as _pytest
+
+    from xdump_spark import cli
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.retrieval import (
+        build_text_index,
+        mmr_rerank,
+        save_text_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = spark.createDataFrame(
+        [(i, f"{words[i % 5]} {words[(i + 1) % 5]} text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.02 * i for j in range(4)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus_path = str(tmp_path / "corpus.parquet")
+    vecs.write.parquet(corpus_path)
+    idx_dir = str(tmp_path / "tidx")
+    save_text_index(build_text_index(docs), idx_dir)
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    incremental_semantic_dedup(vecs, store, threshold=0.9999, n_cells=3)
+
+    queries = spark.createDataFrame(
+        [(3, "alpha beta", [1.0, 0.0, 0.0, 0.1])],
+        "vec_id long, query string, embedding array<double>",
+    )
+    q_path = str(tmp_path / "q.parquet")
+    queries.write.parquet(q_path)
+
+    def run(argv):
+        args = cli.build_parser().parse_args(["search"] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # ANN path: search top-6 then MMR down to 3
+    out = str(tmp_path / "out")
+    rpt = run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+               "-o", out, "-k", "6", "--n-probe", "3",
+               "--corpus", corpus_path, "--mmr", "3",
+               "--mmr-lambda", "0.7"])
+    assert rpt["score"] == "mmr_score" and rpt["rows"] == 3
+    got = {(r.query_id, r.rnk): (r.neighbor_id, r.mmr_score)
+           for r in spark.read.parquet(out).collect()}
+    base = store.search(queries, k=6, n_probe=3)
+    exp = {(r.query_id, r.rnk): (r.neighbor_id, r.mmr_score)
+           for r in mmr_rerank(base, vecs, k=3, lam=0.7,
+                               id_col="neighbor_id",
+                               score_col=base.columns[2]).collect()}
+    assert got == exp
+
+    # hybrid path composes too (corpus allowed WITH --mmr)
+    rpt = run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+               "-o", out, "-k", "6", "--n-probe", "3",
+               "--text-index", idx_dir,
+               "--corpus", corpus_path, "--mmr", "3"])
+    assert rpt["score"] == "mmr_score" and rpt["rows"] == 3
+
+    with _pytest.raises(SystemExit, match="needs --corpus"):
+        run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+             "-o", out, "--mmr", "3"])

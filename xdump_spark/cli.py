@@ -841,6 +841,14 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--weights", default="1,1", metavar="WTEXT,WVEC",
                     help="hybrid: comma-separated BM25,vector fusion "
                          "weights")
+    sr.add_argument("--mmr", type=int, default=None, metavar="K",
+                    help="vector/hybrid: MMR-diversify the shortlist "
+                         "down to K results per query (Carbonell & "
+                         "Goldstein); needs --corpus for the candidate "
+                         "vectors (the diversity term)")
+    sr.add_argument("--mmr-lambda", type=float, default=0.5,
+                    help="--mmr relevance/diversity tradeoff in [0,1] "
+                         "(1 = input ranking)")
     return p
 
 
@@ -1455,12 +1463,22 @@ def run(args, spark) -> int:
         if not store.exists():
             raise SystemExit(f"no VectorStore at {args.store_path}")
         queries = spark.read.parquet(args.queries)
+        if args.mmr is not None and not args.corpus:
+            raise SystemExit(
+                "--mmr needs --corpus (the raw-embedding table "
+                "supplying the candidates' diversity vectors — the "
+                "store may hold only codes)"
+            )
         if args.text_index:
-            if args.rerank is not None or args.corpus:
+            if args.rerank is not None or (
+                args.corpus and args.mmr is None
+            ):
                 raise SystemExit(
                     "--rerank/--corpus apply to pure ANN search; the "
                     "hybrid path fuses raw ranks (use a float store or "
-                    "accept ADC ranks on the vector side)"
+                    "accept ADC ranks on the vector side). --corpus "
+                    "with --mmr is the exception: it supplies the "
+                    "diversity vectors."
                 )
             from xdump_spark.operators.retrieval import (
                 hybrid_topk,
@@ -1492,9 +1510,19 @@ def run(args, spark) -> int:
                 id_col=args.id_col, vec_col=args.vec_col,
                 rerank=args.rerank, corpus=corpus,
             )
+        if args.mmr is not None:
+            from xdump_spark.operators.retrieval import mmr_rerank
+
+            id_col = res.columns[1]      # doc_id | neighbor_id
+            score_col = res.columns[2]   # rrf_score | cosine_sim | pq_sim
+            res = mmr_rerank(
+                res, spark.read.parquet(args.corpus), k=args.mmr,
+                lam=args.mmr_lambda, id_col=id_col, score_col=score_col,
+                vec_id_col=args.id_col, vec_col=args.vec_col,
+            )
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
-        score_col = res.columns[2]  # cosine_sim | pq_sim | rrf_score
+        score_col = res.columns[2]  # cosine_sim | pq_sim | rrf_score | mmr_score
         print(_json.dumps({
             "store": args.store_path, "k": args.k,
             "n_probe": args.n_probe, "score": score_col, "rows": n,
