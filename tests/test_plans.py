@@ -403,3 +403,46 @@ def test_pq_store_read_plans(spark, tmp_path):
     plan2 = cells_only._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan2     # decode pruned away
     assert "ReadSchema: struct<>" in plan2    # partition col only
+
+
+def test_guard_probe_plan_never_shuffles_history(spark, tmp_path):
+    """r11 exact_guard plan pins: probe_hashes scans ONLY the
+    (neighbor_id, vh) columns of the store — codes never leave parquet
+    — and the history side moves through NO shuffle exchange (the
+    batch broadcasts in; the only hash exchange carries the
+    batch-sized groupBy)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).limit(200)
+    store = VectorStore(spark, str(tmp_path / "g"), dtype="pq",
+                        exact_guard=True)
+    incremental_semantic_dedup(emb, store, threshold=0.999, n_cells=4)
+
+    batch = emb.limit(20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.xxhash64(F.col("embedding").cast("array<double>")).alias("vh"),
+    ).localCheckpoint(eager=True)
+    probe = store.probe_hashes(batch)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+
+    # column pruning: the store scan reads neighbor_id+vh, never codes
+    store_scans = [seg for seg in plan.split("ReadSchema: ")[1:]
+                   if "vh" in seg[:200]]
+    assert store_scans and all(
+        "codes" not in seg[:200] for seg in store_scans
+    ), plan
+    assert "BroadcastExchange" in plan  # the batch side broadcasts
+    # the only SHUFFLE exchange is the batch-sized groupBy — the
+    # history never repartitions (hashpartitioning appears once)
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) <= 1, plan
+    assert "ArrowEvalPython" not in plan  # no decode on the probe path
