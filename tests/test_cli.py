@@ -1234,3 +1234,52 @@ def test_cli_search_mmr(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="needs --corpus"):
         run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
              "-o", out, "--mmr", "3"])
+
+
+def test_cli_prepare_rag(spark, tmp_path, capsys):
+    """r11 `prepare-rag` e2e: two runs, the second a pure re-send —
+    zero new chunks, index untouched; the first run's chunks are
+    immediately hybrid-searchable via `search --text-index`."""
+    import json
+
+    from xdump_spark import cli
+    from xdump_spark.operators.retrieval import load_text_index
+
+    body1 = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    body2 = " ".join(f"gamma{i} delta{i}" for i in range(30))
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, body1), (2, body2)], "doc_id long, text string"
+    ).write.parquet(docs)
+
+    def run(cmd, argv):
+        args = cli.build_parser().parse_args([cmd] + argv)
+        assert cli.run(args, spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = ["-i", docs, "--store-path", str(tmp_path / "vs"),
+            "--index-dir", str(tmp_path / "tidx"),
+            "-o", str(tmp_path / "chunks"),
+            "--max-tokens", "16", "--overlap", "4",
+            "--hash-embed", "64", "--threshold", "0.9", "--cells", "2"]
+    rpt = run("prepare-rag", base)
+    n = rpt["audit"]["accepted_chunks"]
+    assert n == rpt["audit"]["chunks"] > 2
+    assert load_text_index(spark, str(tmp_path / "tidx")).n_docs == n
+
+    rpt2 = run("prepare-rag", base)  # pure re-send: an increment no-op
+    assert rpt2["audit"]["accepted_chunks"] == 0
+    assert rpt2["index_entry"] is None
+    assert load_text_index(spark, str(tmp_path / "tidx")).n_docs == n
+
+    # the indexed chunks serve hybrid search from the shell
+    q = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(7, "alpha3 beta3", [0.1] * 64)],
+        "vec_id long, query string, embedding array<double>",
+    ).write.parquet(q)
+    srpt = run("search", ["--store-path", str(tmp_path / "vs"),
+                          "-q", q, "-o", str(tmp_path / "hits"),
+                          "-k", "3", "--text-index",
+                          str(tmp_path / "tidx")])
+    assert srpt["score"] == "rrf_score" and srpt["rows"] == 3

@@ -1439,3 +1439,95 @@ def test_pipeline_pq_store_checkpoint_resume(spark, tmp_path):
         dedup_store=store, semantic_kwargs={"n_cells": 2},
     )
     assert r2.corpus.count() == 0
+
+
+def test_prepare_rag_corpus_two_days(spark, tmp_path):
+    """r11 retrieval front door: chunk → hash-embed → semantic store
+    increment → survivors written + indexed. Day 2 re-sends day 1's
+    docs (chunks must all reject — NOTHING re-indexed) plus one new
+    doc (its chunks become one new committed segment); bm25 over the
+    final index equals a fresh build over exactly the accepted
+    chunks; the content-keyed batch id makes a replayed index append a
+    no-op."""
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+    )
+    from xdump_spark.pipeline import prepare_rag_corpus
+
+    body1 = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    body2 = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+    body3 = " ".join(f"eta{i} theta{i} iota{i}" for i in range(40))
+    day1 = spark.createDataFrame(
+        [(1, body1), (2, body2)], "doc_id long, text string"
+    )
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    r1 = prepare_rag_corpus(
+        day1, store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    assert r1.audit["docs"] == 2
+    assert r1.audit["chunks"] > 2  # 120 tokens / stride 24 → 5 per doc
+    assert r1.audit["accepted_chunks"] == r1.audit["chunks"]
+    assert r1.index_entry is not None
+    assert load_text_index(spark, idx_dir).n_docs == r1.audit["chunks"]
+
+    # day 2: doc 1+2 byte-identical re-sends under NEW doc ids would
+    # chunk to the same text but different chunk_ids — semantic dedup
+    # rejects them against the stored history; doc 3 is novel
+    day2 = spark.createDataFrame(
+        [(10, body1), (20, body2), (3, body3)], "doc_id long, text string"
+    )
+    r2 = prepare_rag_corpus(
+        day2, store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    per_doc = r1.audit["chunks"] // 2
+    assert r2.audit["accepted_chunks"] == per_doc  # only doc 3's chunks
+    total = r1.audit["chunks"] + per_doc
+    loaded = load_text_index(spark, idx_dir)
+    assert loaded.n_docs == total
+
+    # the index answers exactly as a fresh build over the accepted set
+    all_chunks = spark.read.parquet(out)
+    assert all_chunks.count() == total
+    queries = spark.createDataFrame(
+        [(0, "alpha3 beta3"), (1, "eta7 theta7")],
+        "query_id int, query string",
+    )
+    want = sorted(
+        (r.query_id, r.chunk_id, r.score, r.rnk)
+        for r in bm25_topk(
+            build_text_index(all_chunks, id_col="chunk_id"), queries, k=3
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.chunk_id, r.score, r.rnk)
+        for r in bm25_topk(loaded, queries, k=3).collect()
+    )
+    assert got == want
+
+    # replayed append with the committed content key: no-op
+    bid = r2.index_entry["batch_id"]
+    append_text_index(spark, idx_dir, r2.chunks, batch_id=bid)
+    assert load_text_index(spark, idx_dir).n_docs == total
+
+    # full re-send day: zero survivors, index untouched, entry None
+    r3 = prepare_rag_corpus(
+        day1, store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    assert r3.audit["accepted_chunks"] == 0 and r3.index_entry is None
+    assert load_text_index(spark, idx_dir).n_docs == total
+
+    # advanced-path guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_embed_dim"):
+        prepare_rag_corpus(day1, store, idx_dir, hash_embed_dim=None)

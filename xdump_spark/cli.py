@@ -507,6 +507,43 @@ def build_parser() -> argparse.ArgumentParser:
              "(conversation_card), or preference pairs (preference_card)",
     )
 
+    rg = sub.add_parser(
+        "prepare-rag",
+        help="RAG corpus preparation: chunk documents, hash-embed, "
+             "semantic-dedup against a persistent VectorStore, write "
+             "surviving chunks, and index them into a saved segmented "
+             "BM25 index — after it, `search --text-index ... --mmr` "
+             "serves a diversified hybrid context window over exactly "
+             "the deduplicated chunk set. Re-runs are increments.",
+    )
+    rg.add_argument("-i", "--input", required=True,
+                    help="documents parquet (doc_id, text)")
+    rg.add_argument("--store-path", required=True,
+                    help="the VectorStore directory (created on first run)")
+    rg.add_argument("--index-dir", required=True,
+                    help="the segmented BM25 index directory")
+    rg.add_argument("-o", "--output", default=None,
+                    help="surviving-chunks parquet (append); omit to "
+                         "only update store+index")
+    rg.add_argument("--max-tokens", type=int, default=256)
+    rg.add_argument("--overlap", type=int, default=32)
+    rg.add_argument("--hash-embed", type=int, default=256, metavar="DIM")
+    rg.add_argument("--threshold", type=float, default=0.95)
+    rg.add_argument("--cells", type=int, default=16,
+                    help="first-run centroid count (frozen thereafter)")
+    rg.add_argument("--vector-dtype",
+                    choices=["float64", "float32", "pq"],
+                    default="float64",
+                    help="store creation dtype (an existing store's "
+                         "meta wins)")
+    rg.add_argument("--pq-m", type=int, default=8)
+    rg.add_argument("--pq-k", type=int, default=256)
+    rg.add_argument("--exact-guard", action="store_true",
+                    help="at store creation: cross-retrain exact-resend "
+                         "guard")
+    rg.add_argument("--text-col", default="text")
+    rg.add_argument("--id-col", default="doc_id")
+
     ps = sub.add_parser(
         "prepare-sft",
         help="prepare an SFT corpus from a conversations dump "
@@ -1216,6 +1253,30 @@ def run(args, spark) -> int:
             print(f"wrote {args.output}")
         else:
             print(payload)
+    elif args.command == "prepare-rag":
+        import json as _json
+
+        from xdump_spark.operators.incremental import VectorStore
+        from xdump_spark.pipeline import prepare_rag_corpus
+
+        store = VectorStore(
+            spark, args.store_path, dtype=args.vector_dtype,
+            pq_m=args.pq_m, pq_k=args.pq_k,
+            exact_guard=args.exact_guard,
+        )
+        res = prepare_rag_corpus(
+            spark.read.parquet(args.input), store, args.index_dir,
+            out_dir=args.output, text_col=args.text_col,
+            id_col=args.id_col, max_tokens=args.max_tokens,
+            overlap=args.overlap, hash_embed_dim=args.hash_embed,
+            threshold=args.threshold, n_cells=args.cells,
+        )
+        print(_json.dumps({
+            "audit": res.audit,
+            "index_entry": res.index_entry,
+            "store": args.store_path,
+            "index": args.index_dir,
+        }))
     elif args.command == "prepare-sft":
         from xdump_spark.operators import sft
 

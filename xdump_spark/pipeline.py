@@ -998,3 +998,152 @@ def prepare_training_corpus(
         resumed=list(ckpt.resumed) if ckpt is not None else [],
         chunks=chunks, splits=split_frames,
     )
+
+
+@dataclass
+class RagResult:
+    """prepare_rag_corpus output: the surviving chunks plus the audit."""
+
+    chunks: DataFrame                 # accepted (chunk_id, doc_id, chunk_idx, text, n_tokens)
+    index_entry: dict | None          # the committed index segment's manifest entry (None if nothing new)
+    audit: dict = field(default_factory=dict)
+
+
+def prepare_rag_corpus(
+    docs: DataFrame,
+    store,
+    index_dir: str,
+    out_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 256,
+    overlap: int = 32,
+    hash_embed_dim: int | None = 256,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    semantic_kwargs: dict | None = None,
+    audit: bool = True,
+) -> RagResult:
+    """The RETRIEVAL-side front door (r11): documents → RAG-ready
+    corpus in one call — chunk → embed → semantic-dedup against the
+    persistent :class:`~xdump_spark.operators.incremental.VectorStore`
+    → write survivors → index them into the saved segmented BM25 index.
+    After it, ``hybrid_topk(load_text_index(index_dir), store, …)`` and
+    ``mmr_rerank`` serve a RAG context window over exactly the
+    deduplicated chunk set; re-running on tomorrow's documents is an
+    INCREMENT (the store rejects re-chunks; only novel chunks join the
+    index as one new committed segment).
+
+    Chunking: :func:`~xdump_spark.operators.chunking.chunk_tokens`
+    (``max_tokens``/``overlap``). Each chunk gets a deterministic
+    ``chunk_id = xxhash64(doc_id ':' chunk_idx)`` — re-runs produce the
+    same ids, and the id doubles as the store's vector id and the
+    index's doc id (collision odds n²/2⁶⁵: ~3% at 1e9 chunks — a
+    colliding chunk would be silently deduped; acceptable for retrieval
+    corpora, use composite keys downstream where it is not).
+
+    Embeddings: ``hash_embed_dim`` (model-free hashing-trick geometry,
+    the default) or ``hash_embed_dim=None`` with a ``vec_col`` already
+    on the chunks' PARENT docs is not meaningful — chunk embeddings
+    must be computed per chunk, so None requires the caller to attach
+    ``vec_col`` to the chunk frame themselves (advanced path; raises
+    here).
+
+    Ordering discipline (the module's store contract): survivors are
+    written and the index segment committed BEFORE the store commit, so
+    a crash re-delivers the batch; duplicate survivor rows are
+    dedupable by chunk_id and a re-committed store append is harmless.
+    The INDEX append — where a double-apply is NOT harmless (df/n_docs
+    would double-count) — is idempotent by CONTENT: the segment's
+    ``batch_id`` is the xor of the survivor chunk-id hashes, so a
+    re-run after a crash in the append→store-commit window recomputes
+    the identical survivor set (the store state is unchanged), derives
+    the identical batch id, and the append no-ops; a run whose store
+    commit DID land dedups to zero survivors and never reaches the
+    append.
+
+    Scale shape: chunking is one exchange-free Project; embedding one
+    Arrow pass; the dedup increment reads only touched cells; the
+    index append tokenizes only the NEW survivors. Nothing rescans
+    history."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.chunking import chunk_tokens
+    from xdump_spark.operators.incremental import incremental_semantic_dedup
+    from xdump_spark.operators.retrieval import (
+        _INDEX_MANIFEST,
+        append_text_index,
+        build_text_index,
+        save_text_index,
+    )
+
+    spark = docs.sparkSession
+    counts: dict = {}
+    if audit:
+        counts["docs"] = docs.count()
+
+    chunks = chunk_tokens(
+        docs, max_tokens=max_tokens, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        F.xxhash64(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx"))
+        ).alias("chunk_id"),
+        F.col(id_col),
+        "chunk_idx",
+        F.col("chunk_text").alias("text"),
+        "n_tokens",
+    )
+    if hash_embed_dim is None:
+        raise ValueError(
+            "prepare_rag_corpus computes chunk embeddings via "
+            "hash_embed_dim; to use external embeddings, chunk first "
+            "(chunk_tokens), attach vectors per chunk, and run "
+            "incremental_semantic_dedup + append_text_index directly"
+        )
+    from xdump_spark.operators.text import hash_embed_col
+
+    embedded = chunks.withColumn(
+        vec_col, hash_embed_col("text", dim=hash_embed_dim)
+    ).localCheckpoint(eager=True)  # chunk+embed feeds dedup AND survivors
+    if audit:
+        counts["chunks"] = embedded.count()
+
+    res = incremental_semantic_dedup(
+        embedded, store, threshold=threshold, id_col="chunk_id",
+        vec_col=vec_col, n_cells=n_cells, defer_commit=True,
+        **(semantic_kwargs or {}),
+    )
+    survivors = embedded.drop(vec_col).join(
+        res.accepted.withColumnRenamed("id", "chunk_id"), "chunk_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    n_surv = survivors.count()
+    counts["accepted_chunks"] = n_surv
+
+    if out_dir is not None:
+        survivors.write.mode("append").parquet(out_dir)
+
+    entry = None
+    if n_surv:
+        # content-keyed idempotence for the index append (see the
+        # ordering-discipline docstring): xor of the survivor id hashes
+        # — deterministic, order/partition-independent
+        bid = int(
+            survivors.agg(
+                F.expr("bit_xor(xxhash64(chunk_id))").alias("b")
+            ).collect()[0]["b"]
+        )
+        if fsutil.exists_atomic(
+            spark, fsutil.join(index_dir, _INDEX_MANIFEST)
+        ):
+            entry = append_text_index(
+                spark, index_dir, survivors, batch_id=bid
+            )
+        else:
+            idx = build_text_index(survivors, id_col="chunk_id")
+            save_text_index(idx, index_dir, batch_id=bid)
+            entry = {"seg": 0, "n_docs": idx.n_docs,
+                     "total_dl": idx.total_dl, "batch_id": bid}
+    res.commit()  # store LAST: outputs durable first (see docstring)
+    return RagResult(chunks=survivors, index_entry=entry, audit=counts)
