@@ -284,6 +284,13 @@ def main() -> None:
         "bw_reference_sec": CAL_BW_REFERENCE_SEC,
         "bw_noise_factor": round(bw_median / CAL_BW_REFERENCE_SEC, 3),
     }
+    # Round-pinned detail filename (r11 verdict "Next #4"): the driver's
+    # per-round run writes the DEFAULT BENCH_DETAIL.json; committed
+    # quiet-host pins are taken with --detail-out BENCH_DETAIL_quiet_rN.json
+    # so the two never clobber each other in the working tree.
+    detail_name = "BENCH_DETAIL.json"
+    if "--detail-out" in sys.argv:
+        detail_name = sys.argv[sys.argv.index("--detail-out") + 1]
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -292,12 +299,12 @@ def main() -> None:
         "scale_twins": twin_timings,
         "calibration": calibration,
         "sf": sf,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     # Raw per-pass timings go to the side file so the stdout line stays
     # inside the driver's tail-capture window (see module docstring).
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -308,8 +315,14 @@ def main() -> None:
     line = json.dumps(compact)
     # Hard guard: a future edit that balloons the compact line past the
     # driver's capture window should fail loudly here, not silently
-    # produce an unparseable BENCH_r{N}.json.
-    assert len(line) < 1800, f"compact bench line too long ({len(line)} chars)"
+    # produce an unparseable BENCH_r{N}.json. An assert would be stripped
+    # under python -O and silently re-open the r10 truncation failure
+    # (ADVICE r11 low), so raise explicitly.
+    if len(line) >= 1800:
+        raise SystemExit(
+            f"compact bench line too long ({len(line)} chars >= 1800); "
+            "move new per-query blocks into the detail side file"
+        )
     print(line)
     spark.stop()
 

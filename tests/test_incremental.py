@@ -1399,6 +1399,114 @@ def test_vector_store_exact_guard_closes_retrain_slips(spark, tmp_path):
     assert r4.accepted.count() == 0
 
 
+def test_retention_delete_broadcast_guard(spark, tmp_path, monkeypatch):
+    """r11 verdict "What's missing #2": every retention delete used to
+    broadcast the doomed frame UNCONDITIONALLY — a mass-retention
+    request (1e8 ids) would blow the broadcast or the driver. The
+    ``_delete_side`` guard broadcasts only below
+    ``MAX_BROADCAST_DELETE_IDS`` and degrades to a shuffle join above
+    it; results are identical either way."""
+    import numpy as np
+
+    from xdump_spark.operators import incremental as I
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    # plan pin, small path: broadcast hint present (unchanged behavior)
+    # — the HINT is the pin (the tiny test frames would auto-broadcast
+    # by statistics either way; at 1e8 ids statistics exceed the
+    # auto-broadcast threshold and only the hint could force it)
+    big = spark.range(1000).withColumnRenamed("id", "neighbor_id")
+    doomed = spark.range(10).withColumnRenamed("id", "neighbor_id")
+    plan_small = (
+        big.join(I._delete_side(doomed), "neighbor_id", "left_anti")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "strategy=broadcast" in plan_small
+
+    # plan pin, mass-retention path: no broadcast hint on the doomed side
+    monkeypatch.setattr(I, "MAX_BROADCAST_DELETE_IDS", 5)
+    plan_large = (
+        big.join(I._delete_side(doomed), "neighbor_id", "left_anti")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "strategy=broadcast" not in plan_large
+
+    # end-to-end over the shuffle path: a VectorStore delete past the
+    # threshold still deletes exactly the requested ids
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((12, 8))
+    st = VectorStore(spark, str(tmp_path / "v"))
+    incremental_semantic_dedup(
+        spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        ),
+        st, threshold=0.99, n_cells=2,
+    )
+    rpt = st.delete_ids(list(range(8)))  # 8 > patched threshold of 5
+    assert rpt["deleted_rows"] == 8
+    left = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(st._assigned_path())
+        .select("neighbor_id").collect()
+    }
+    assert left == {8, 9, 10, 11}
+
+
+def test_exact_guard_probe_skipped_for_empty_increment(spark, tmp_path):
+    """r11 verdict Next #7: the guard probe's whole-store scan costs
+    ~1 s of scheduling even for a no-op batch — an increment that is
+    EMPTY (post-upstream-dedup) must never launch it. The decision
+    output is unchanged: empty accepted/rejects."""
+    from unittest.mock import patch
+
+    import numpy as np
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((10, 16))
+    b1 = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    st = VectorStore(spark, str(tmp_path / "g"), exact_guard=True)
+    incremental_semantic_dedup(b1, st, threshold=0.9, n_cells=2)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with patch.object(
+        VectorStore, "probe_hashes", autospec=True,
+        side_effect=AssertionError("probe must not run on an empty batch"),
+    ):
+        r = incremental_semantic_dedup(empty, st, threshold=0.9, n_cells=2)
+        assert r.accepted.count() == 0 and r.rejects.count() == 0
+
+    # sanity: a NON-empty batch still routes through the probe
+    called = []
+    real = VectorStore.probe_hashes
+
+    def spy(self, batch):
+        called.append(1)
+        return real(self, batch)
+
+    with patch.object(VectorStore, "probe_hashes", spy):
+        r2 = incremental_semantic_dedup(
+            spark.createDataFrame(
+                [(100, [float(x) for x in V[0]])],
+                "vec_id long, embedding array<double>",
+            ),
+            st, threshold=0.9, n_cells=2,
+        )
+        assert r2.accepted.count() == 0  # exact re-send rejected
+    assert called
+
+
 def test_vector_store_exact_guard_decisions_otherwise_identical(
     spark, tmp_path
 ):

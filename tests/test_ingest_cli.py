@@ -604,3 +604,67 @@ def test_ingest_cli_index_kind(spark, tmp_path):
 
         run_ingest(spark, "index", str(inp) + "/*", idx,
                    str(tmp_path / "c2"), store_table="t")
+
+
+def test_ingest_cli_rag_kind_and_config_parity(spark, tmp_path):
+    """r12 --kind rag: the one-daemon RAG chain through the CLI — a
+    drop is chunked, embedded, deduped against the VectorStore, its
+    surviving chunks written AND indexed; a re-sent drop adds nothing.
+    Config-file invocation produces the identical artifacts; validation
+    rejects a missing --index-dir."""
+    import xdump_spark.operators.retrieval as R
+    from xdump_spark.operators.retrieval import load_text_index
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "chunks")
+    idx = str(tmp_path / "tidx")
+    body1 = " ".join(f"alpha{i} beta{i}" for i in range(40))
+    body2 = " ".join(f"delta{i} epsilon{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, body1), (2, body2)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day1"))
+
+    argv = ["ingest", "--kind", "rag", "-i", str(inp) + "/*", "-o", out,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--store-path", str(tmp_path / "vs"),
+            "--index-dir", idx,
+            "--chunk-tokens", "32", "--chunk-overlap", "8",
+            "--hash-embed", "64", "--semantic-cells", "2"]
+    assert _run_cli(spark, argv) == 0
+    n = load_text_index(spark, idx).n_docs
+    assert n > 2
+    assert spark.read.parquet(out).count() == n
+
+    # re-send day under new doc ids: zero new chunks, zero new segments
+    spark.createDataFrame(
+        [(10, body1), (20, body2)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day2"))
+    segs = len(R._read_manifest(spark, idx)["segments"])
+    assert _run_cli(spark, argv) == 0
+    assert load_text_index(spark, idx).n_docs == n
+    assert len(R._read_manifest(spark, idx)["segments"]) == segs
+
+    # config parity: same drop through ingest_from_config builds the
+    # hash-identical index
+    from xdump_spark.config import ingest_from_config
+
+    cfg = {
+        "kind": "rag", "input_dir": str(inp) + "/*",
+        "output": str(tmp_path / "chunks2"),
+        "checkpoint_dir": str(tmp_path / "ckpt2"),
+        "store": {"path": str(tmp_path / "vs2")},
+        "index_dir": str(tmp_path / "tidx2"),
+        "chunk_tokens": 32, "chunk_overlap": 8,
+        "hash_embed": 64, "semantic_cells": 2,
+    }
+    cfg_path = tmp_path / "rag.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ingest_from_config(spark, str(cfg_path))
+    assert load_text_index(spark, str(tmp_path / "tidx2")).n_docs == n
+
+    with pytest.raises(ValueError, match="index_dir"):
+        from xdump_spark.streaming.ingest import run_ingest
+
+        run_ingest(spark, "rag", str(inp) + "/*", out,
+                   str(tmp_path / "c3"), store_path=str(tmp_path / "vs3"))

@@ -1531,3 +1531,243 @@ def test_prepare_rag_corpus_two_days(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hash_embed_dim"):
         prepare_rag_corpus(day1, store, idx_dir, hash_embed_dim=None)
+
+
+def test_streaming_rag_ingest_one_daemon_chain(spark, tmp_path):
+    """r11 verdict Next #1: the one-daemon streaming RAG chain. A
+    parquet drop streams through chunk → embed → store increment →
+    survivors → index append under ONE checkpoint; a drop's novel
+    chunks become searchable (BM25 over the index AND ANN over the
+    store); a kill-and-redeliver in the worst crash window (index
+    segment committed, store commit lost) converges to exactly-once
+    for the index; a full re-send day adds ZERO index segments."""
+    from unittest.mock import patch
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import (
+        bm25_topk,
+        load_text_index,
+    )
+    import xdump_spark.operators.retrieval as R
+    from xdump_spark.pipeline import streaming_rag_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+
+    body1 = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    body2 = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, body1), (2, body2)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day1"))
+
+    def drain():
+        q = streaming_rag_ingest(
+            spark, str(inp) + "/*", store, idx_dir, ckpt, out_dir=out,
+            max_tokens=32, overlap=8, hash_embed_dim=64,
+            threshold=0.9, n_cells=2,
+        )
+        q.awaitTermination()
+
+    drain()
+    idx = load_text_index(spark, idx_dir)
+    n_day1 = idx.n_docs
+    assert n_day1 > 2  # chunked
+    assert spark.read.parquet(out).count() == n_day1
+    # searchable through BOTH retrievers with the same composite ids
+    queries = spark.createDataFrame([(0, "alpha3 beta3")],
+                                    "query_id int, query string")
+    hits = bm25_topk(idx, queries, k=3).collect()
+    assert hits and all(h.chunk_id.startswith("1:") for h in hits)
+    stored = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(store._assigned_path())
+        .select("neighbor_id").collect()
+    }
+    assert len(stored) == n_day1
+
+    # day 2: one novel doc + one byte-identical re-send under a new id,
+    # with a CRASH in the worst window — the index segment commits but
+    # the store commit is lost (append_assigned dies once). Redelivery
+    # must no-op the index append (content-keyed batch id) and then
+    # land the store commit: exactly-once for the index.
+    body3 = " ".join(f"eta{i} theta{i} iota{i}" for i in range(40))
+    spark.createDataFrame(
+        [(3, body3), (10, body1)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day2"))
+
+    real_append = VectorStore.append_assigned
+    state = {"boom": True}
+
+    def flaky_append(self, assigned):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected crash after index append")
+        return real_append(self, assigned)
+
+    with patch.object(VectorStore, "append_assigned", flaky_append):
+        with pytest.raises(Exception, match="injected crash"):
+            drain()
+        segs_after_crash = len(
+            R._read_manifest(spark, idx_dir)["segments"]
+        )
+        drain()  # redelivery from the same checkpoint
+    idx2 = load_text_index(spark, idx_dir)
+    per_doc = n_day1 // 2
+    assert idx2.n_docs == n_day1 + per_doc  # doc 3 only, counted ONCE
+    assert len(R._read_manifest(spark, idx_dir)["segments"]) == segs_after_crash
+    # store committed on the redelivery
+    stored2 = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(store._assigned_path())
+        .select("neighbor_id").collect()
+    }
+    assert len(stored2) == n_day1 + per_doc
+    assert all(not i.startswith("10:") for i in stored2)  # re-send rejected
+
+    # day 3: full re-send — zero new segments, zero new store rows
+    spark.createDataFrame(
+        [(20, body1), (30, body2), (40, body3)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day3"))
+    segs_before = len(R._read_manifest(spark, idx_dir)["segments"])
+    drain()
+    assert len(R._read_manifest(spark, idx_dir)["segments"]) == segs_before
+    assert load_text_index(spark, idx_dir).n_docs == n_day1 + per_doc
+
+
+def test_prepare_rag_corpus_accepted_set_matches_duckdb_replay(
+    spark, tmp_path
+):
+    """r11 verdict Next #6: the RAG front door's composition arithmetic
+    — docs → chunks → ACCEPTED SET — replayed independently in DuckDB.
+    The fixture makes the semantic decisions exactly determined: docs
+    have disjoint vocabularies (no cross-text cosine anywhere near the
+    threshold) plus byte-identical re-keyed duplicates (cosine exactly
+    1.0), so the accepted set must equal: chunk with the fixed-stride
+    SQL chunker, group by chunk TEXT, keep the min composite chunk_id
+    per group (the kernel's min-id survivor rule; string ids compare
+    lexicographically in both engines)."""
+    import duckdb
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import prepare_rag_corpus
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(30))
+
+    rows = [(str(i), body(f"v{i}q")) for i in range(8)]
+    # byte-identical re-sends under new ids — every chunk a dup
+    rows += [(str(100 + i), body(f"v{i}q")) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(src)
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    mt, ov, stride = 32, 8, 24
+    r = prepare_rag_corpus(
+        spark.read.parquet(src), store, str(tmp_path / "tidx"),
+        max_tokens=mt, overlap=ov, hash_embed_dim=64,
+        threshold=0.99, n_cells=2,
+    )
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM read_parquet('{src}/*.parquet')
+          WHERE length(trim(text)) > 0
+        ), c AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0,
+                   CASE WHEN len(t) <= {mt} THEN 0
+                        ELSE CAST(ceil((len(t) - {mt}) / {stride}.0) AS INT)
+                   END)) AS chunk_idx
+          FROM d
+        ), s AS (
+          SELECT doc_id || ':' || chunk_idx AS chunk_id,
+                 array_to_string(list_slice(
+                   t, chunk_idx*{stride} + 1, chunk_idx*{stride} + {mt}
+                 ), ' ') AS chunk_text
+          FROM c
+        )
+        SELECT min(chunk_id) FROM s GROUP BY chunk_text
+    """).fetchall()
+    expected = {x[0] for x in want}
+    got = {x["chunk_id"] for x in r.chunks.select("chunk_id").collect()}
+    assert got == expected
+
+    # the audit counts replay too
+    n_chunks = con.execute(f"""
+        WITH d AS (
+          SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM read_parquet('{src}/*.parquet')
+          WHERE length(trim(text)) > 0
+        )
+        SELECT sum(CASE WHEN len(t) <= {mt} THEN 1
+                   ELSE CAST(ceil((len(t) - {mt}) / {stride}.0) AS INT) + 1
+                   END)
+        FROM d
+    """).fetchone()[0]
+    assert r.audit == {
+        "docs": 11, "chunks": int(n_chunks),
+        "accepted_chunks": len(expected),
+    }
+
+
+def test_prepare_rag_corpus_composite_chunk_identity(spark, tmp_path):
+    """r11 verdict "What's missing #3": chunk identity is the COMPOSITE
+    '{doc_id}:{chunk_idx}' string, not a 64-bit hash — distinct chunks
+    can never share an id (the hashed scheme silently merged colliding
+    chunks in store and index at ~3% odds per 1e9 chunks). Pins: the id
+    format is stable across re-runs; every distinct (doc_id, chunk_idx)
+    keeps a distinct id, including adversarial colon-bearing doc ids
+    whose concatenations could textually overlap; the store and index
+    carry exactly those ids."""
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import load_text_index
+    from xdump_spark.pipeline import prepare_rag_corpus
+
+    # doc ids engineered so naive concatenation could collide:
+    # doc "a:1" chunk 2 vs doc "a" chunk 12 — composite ids "a:1:2" and
+    # "a:12" must stay distinct (chunk_idx is the final int segment).
+    # Bodies are unrelated so semantic dedup keeps every chunk.
+    body1 = " ".join(f"tok{i} word{i} term{i}" for i in range(40))
+    body2 = " ".join(f"red{i} blue{i} green{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [("a:1", body1), ("a", body2)],
+        "doc_id string, text string",
+    )
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    r = prepare_rag_corpus(
+        docs, store, idx_dir, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.999, n_cells=2,
+    )
+    rows = r.chunks.select("chunk_id", "doc_id", "chunk_idx").collect()
+    assert all(x.chunk_id == f"{x.doc_id}:{x.chunk_idx}" for x in rows)
+    assert len({x.chunk_id for x in rows}) == len(rows)
+    # both docs' chunk 0 survive as distinct entries (a hash collision
+    # would have merged them into one id)
+    ids = {x.chunk_id for x in rows}
+    assert "a:1:0" in ids and "a:0" in ids
+
+    # store and index hold exactly the composite ids
+    stored = {
+        x["neighbor_id"]
+        for x in spark.read.parquet(store._assigned_path())
+        .select("neighbor_id").collect()
+    }
+    assert stored == ids
+    idx = load_text_index(spark, idx_dir)
+    assert {x["id"] for x in idx.postings.select("id").distinct().collect()} == ids
+
+    # re-run: identical ids derived again (stability), all rejected by
+    # the store as re-sends — nothing new indexed
+    r2 = prepare_rag_corpus(
+        docs, store, idx_dir, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.999, n_cells=2,
+    )
+    assert r2.audit["accepted_chunks"] == 0 and r2.index_entry is None

@@ -353,14 +353,144 @@ def test_index_delete_crash_window_keeps_old_index(spark, docs_df, tmp_path):
         for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
     ) == before
 
-    # re-run completes: doc 2 gone, orphan + old dirs swept
+    # re-run completes: doc 2 gone, orphan + old dirs swept — AND the
+    # result is hash-identical to a fresh build over the retained corpus
+    # (ADVICE r11 high: the retry picks the SAME seg id as the crashed
+    # attempt's complete orphan; an append into that dir would commit
+    # BOTH copies and double every df, which doc-absence alone misses)
     rpt = delete_text_index_docs(spark, path, [2])
     assert rpt["deleted_docs"] == 1
-    got = bm25_topk(load_text_index(spark, path), queries, k=4).collect()
-    assert all(r.doc_id != 2 for r in got)
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            build_text_index(docs_df.filter("doc_id <> 2")), queries, k=4
+        ).collect()
+    )
+    assert got == want
     segs = [n for n in fsutil.list_names(spark, f"{path}/postings")
             if n.startswith("seg=")]
     assert segs == [f"seg={rpt['seg']}"]
+    # postings rows not duplicated either (belt and braces: the scores
+    # above would already catch a doubled segment through df)
+    n_postings = load_text_index(spark, path).postings.count()
+    assert n_postings == build_text_index(
+        docs_df.filter("doc_id <> 2")
+    ).postings.count()
+
+
+def test_index_delete_everything_stays_loadable(spark, docs_df, tmp_path):
+    """Deleting every postings-bearing doc writes an EMPTY segment —
+    partitionBy on an empty frame emits no part files, so without the
+    manifest's empty flag + postings_schema the index would become
+    unloadable (ADVICE r11 low). The index must stay loadable and
+    queryable (zero hits), keep counting the zero-term doc in n_docs,
+    and a later append must revive it."""
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        delete_text_index_docs,
+        load_text_index,
+        save_text_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(docs_df), path, n_tbuckets=4)
+    rpt = delete_text_index_docs(spark, path, [1, 2, 3, 4, 6])
+    assert rpt["deleted_docs"] == 5
+
+    loaded = load_text_index(spark, path)
+    assert loaded.n_docs == 1  # the zero-term doc 5 keeps its count
+    assert loaded.total_dl == 0 and loaded.avgdl == 0.0
+    assert loaded.postings.count() == 0
+    queries = spark.createDataFrame([(0, "quick fox")],
+                                    "query_id int, query string")
+    assert bm25_topk(loaded, queries, k=4).count() == 0
+
+    # revive: append a fresh corpus; answers as a build over (zero-term
+    # doc 5) + the new docs — df/idf must reflect n_docs = 1 + appended
+    new_docs = docs_df.filter("doc_id IN (1, 2)")
+    append_text_index(spark, path, new_docs)
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            build_text_index(docs_df.filter("doc_id IN (1, 2, 5)")),
+            queries, k=4,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+    assert got == want
+
+
+def test_index_all_zero_term_corpus_round_trips(spark, tmp_path):
+    """A saved index over docs that produce NO postings at all (the
+    empty-segment case at creation time, not retention) is loadable:
+    n_docs/avgdl correct, queries answer empty."""
+    from xdump_spark.operators.retrieval import (
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "!!!")], "doc_id int, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(docs), path, n_tbuckets=4)
+    loaded = load_text_index(spark, path)
+    assert loaded.n_docs == 2 and loaded.total_dl == 0
+    queries = spark.createDataFrame([(0, "anything")],
+                                    "query_id int, query string")
+    assert bm25_topk(loaded, queries, k=4).count() == 0
+
+
+def test_index_append_crash_retry_does_not_duplicate_segment(
+    spark, docs_df, tmp_path
+):
+    """ADVICE r11 high, append flavor: a crash between the segment
+    write and the manifest commit leaves a complete orphan seg=N; the
+    retry picks the SAME N — _write_segment must REPLACE the orphan,
+    not append beside it (which would double every df/tf once the
+    manifest commits)."""
+    from unittest.mock import patch
+
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        load_text_index,
+        save_text_index,
+    )
+    import xdump_spark.operators.retrieval as R
+
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(docs_df.filter("doc_id <= 3")), path,
+                    n_tbuckets=4)
+    day2 = docs_df.filter("doc_id > 3")
+    with patch.object(R, "_write_manifest",
+                      side_effect=RuntimeError("crash before commit")):
+        with pytest.raises(RuntimeError, match="crash"):
+            append_text_index(spark, path, day2)
+    # retry (the streaming checkpoint's redelivery path)
+    append_text_index(spark, path, day2)
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(build_text_index(docs_df), queries, k=4).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(load_text_index(spark, path), queries, k=4).collect()
+    )
+    assert got == want
+    assert load_text_index(spark, path).postings.count() == build_text_index(
+        docs_df
+    ).postings.count()
 
 
 def test_streaming_index_ingest_two_drops(spark, docs_df, tmp_path):
@@ -408,13 +538,79 @@ def test_streaming_index_ingest_two_drops(spark, docs_df, tmp_path):
     q.awaitTermination()
     assert load_text_index(spark, idx_path).n_docs == docs_df.count()
 
-    # redelivery of an already-committed batch id must NO-OP — a
+    # batch keys are SALTED with the streaming query id (ADVICE r11
+    # medium: a bare epoch restarts at 0 under a recreated checkpoint
+    # and would collide with committed ids, silently dropping data)
+    import xdump_spark.operators.retrieval as R
+
+    keys = [e["batch_id"] for e in
+            R._read_manifest(spark, idx_path)["segments"]]
+    assert all(
+        isinstance(k, str) and k.rsplit(":", 1)[1].isdigit() for k in keys
+    )
+    # same checkpoint lineage → same writer id, consecutive epochs
+    assert len({k.rsplit(":", 1)[0] for k in keys}) == 1
+    assert sorted(int(k.rsplit(":", 1)[1]) for k in keys) == [0, 1]
+
+    # redelivery of an already-committed batch key must NO-OP — a
     # double-applied index append is NOT harmless (df/n_docs double)
     man_batch = append_text_index(
-        spark, idx_path, docs_df.filter("doc_id <= 3"), batch_id=0
+        spark, idx_path, docs_df.filter("doc_id <= 3"), batch_id=keys[0]
     )
     assert load_text_index(spark, idx_path).n_docs == docs_df.count()
-    assert man_batch.get("batch_id") == 0 or 0 in man_batch.get("batch_ids", ())
+    assert man_batch.get("batch_id") == keys[0] or keys[0] in man_batch.get(
+        "batch_ids", ()
+    )
+
+
+def test_streaming_index_recreated_checkpoint_appends_new_data(
+    spark, docs_df, tmp_path
+):
+    """The ADVICE r11 medium scenario: an ingest restarted with a NEW
+    checkpoint dir against an existing index restarts its epoch counter
+    at 0 — with a bare-epoch key the new batch would collide with the
+    committed epoch-0 segment and silently no-op (data loss). The
+    (writer id, epoch) key makes it a new key: genuinely new docs must
+    land."""
+    from xdump_spark.operators.retrieval import (
+        load_text_index,
+        streaming_index_ingest,
+    )
+
+    inp1 = tmp_path / "drops1"
+    inp1.mkdir()
+    inp2 = tmp_path / "drops2"
+    inp2.mkdir()
+    idx_path = str(tmp_path / "idx")
+
+    docs_df.filter("doc_id <= 3").write.parquet(str(inp1 / "day1"))
+    q = streaming_index_ingest(
+        spark, str(inp1) + "/*", idx_path, str(tmp_path / "ckptA")
+    )
+    q.awaitTermination()
+    assert load_text_index(spark, idx_path).n_docs == 3
+
+    # second query, fresh checkpoint (epoch restarts at 0), NEW docs
+    docs_df.filter("doc_id > 3").write.parquet(str(inp2 / "day1"))
+    q = streaming_index_ingest(
+        spark, str(inp2) + "/*", idx_path, str(tmp_path / "ckptB")
+    )
+    q.awaitTermination()
+    loaded = load_text_index(spark, idx_path)
+    assert loaded.n_docs == docs_df.count()  # nothing silently dropped
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy brown dog")], "query_id int, query string"
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(build_text_index(docs_df), queries, k=4).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(loaded, queries, k=4).collect()
+    )
+    assert got == want
 
 
 def test_streaming_index_ingest_idempotence_survives_compact(
@@ -451,10 +647,14 @@ def test_streaming_index_ingest_idempotence_survives_compact(
     )
     q.awaitTermination()
 
+    import xdump_spark.operators.retrieval as R
+
+    keys = [e["batch_id"] for e in
+            R._read_manifest(spark, idx_path)["segments"]]
     compact_text_index(spark, idx_path)
     n = load_text_index(spark, idx_path).n_docs
-    # redeliver both original batch ids post-compact: no-ops
-    for bid in (0, 1):
+    # redeliver both original batch keys post-compact: no-ops
+    for bid in keys:
         append_text_index(
             spark, idx_path, docs_df.filter("doc_id <= 3"), batch_id=bid
         )

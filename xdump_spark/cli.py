@@ -660,7 +660,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ig.add_argument("--kind", required=True,
                     choices=["wet", "sft", "pairs", "semantic", "docs",
-                             "index"])
+                             "index", "rag"])
     ig.add_argument("--doc-dedup", choices=["exact", "fuzzy"],
                     default="exact",
                     help="docs: dedup semantics — exact content hashes "
@@ -726,7 +726,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "exact-resend hash guard (survives retrains)")
     ig.add_argument("--hash-embed", type=int, default=None, metavar="DIM",
                     help="semantic: compute hashing-trick embeddings from "
-                         "--text-col instead of reading --vec-col")
+                         "--text-col instead of reading --vec-col "
+                         "(rag: chunk-embedding dims, default 256)")
+    ig.add_argument("--index-dir", default=None,
+                    help="rag: the saved segmented BM25 index directory "
+                         "the surviving chunks are appended into")
+    ig.add_argument("--chunk-tokens", type=int, default=256,
+                    help="rag: chunk budget in whitespace tokens")
+    ig.add_argument("--chunk-overlap", type=int, default=32,
+                    help="rag: overlapping tokens between chunks")
     ig.add_argument("--schema", default=None, metavar="DDL",
                     help="semantic/docs: drop-file schema as a DDL "
                          "string, e.g. 'doc_id long, text string' — "
@@ -1431,6 +1439,9 @@ def run(args, spark) -> int:
             schema=args.schema,
             processing_time=args.processing_time,
             await_seconds=args.await_seconds,
+            index_dir=args.index_dir,
+            chunk_tokens=args.chunk_tokens,
+            chunk_overlap=args.chunk_overlap,
         )
         if args.processing_time:
             # always-on: report and block (the scheduler owns the kill);
@@ -1457,12 +1468,44 @@ def run(args, spark) -> int:
             }
             if args.kind == "index":
                 # the output is the INDEX directory (postings +
-                # term_stats + manifest), not a row corpus
+                # term_stats + manifest), not a row corpus. A zero-batch
+                # drain on a fresh deployment never created the index —
+                # report an empty one instead of failing the (successful)
+                # empty drain on the missing manifest (ADVICE r11 low)
                 from xdump_spark.operators.retrieval import (
+                    _INDEX_MANIFEST,
                     text_index_stats,
                 )
 
-                rpt.update(text_index_stats(spark, args.output))
+                if fsutil.exists_atomic(
+                    spark, fsutil.join(args.output, _INDEX_MANIFEST)
+                ):
+                    rpt.update(text_index_stats(spark, args.output))
+                else:
+                    rpt.update(
+                        {"segments": 0, "n_docs": 0, "files": 0, "bytes": 0}
+                    )
+            elif args.kind == "rag":
+                # two artifacts: the survivor-chunk corpus (output) and
+                # the BM25 index (index_dir) — report both, tolerating
+                # a zero-batch drain that created neither
+                from xdump_spark.operators.retrieval import (
+                    _INDEX_MANIFEST,
+                    text_index_stats,
+                )
+
+                rpt["output_rows"] = (
+                    spark.read.parquet(args.output).count()
+                    if fsutil.exists(spark, args.output)
+                    else 0
+                )
+                if fsutil.exists_atomic(
+                    spark, fsutil.join(args.index_dir, _INDEX_MANIFEST)
+                ):
+                    rpt["index"] = text_index_stats(spark, args.index_dir)
+                else:
+                    rpt["index"] = {"segments": 0, "n_docs": 0,
+                                    "files": 0, "bytes": 0}
             else:
                 rpt["output_rows"] = (
                     spark.read.parquet(args.output).count()

@@ -95,6 +95,7 @@ _INGEST_KEYS = {
     "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
     "semantic_cells", "semantic_max_cell", "hash_embed", "doc_dedup",
     "fuzzy_threshold", "schema", "processing_time", "await_seconds",
+    "index_dir", "chunk_tokens", "chunk_overlap",
 }
 
 
@@ -132,9 +133,10 @@ def ingest_from_config(spark: SparkSession, path: str):
 
     The ``store`` object is the kind-matched dedup store: ``table`` (+
     optional ``path``, ``n_buckets``) for wet/sft/pairs, ``path`` (+
-    optional ``dtype``) for semantic. Returns the (stopped, in drain
-    mode) StreamingQuery from :func:`xdump_spark.streaming.ingest.
-    run_ingest`."""
+    optional ``dtype``) for semantic and rag. ``kind: "rag"`` also
+    takes ``index_dir`` (required), ``chunk_tokens``, ``chunk_overlap``.
+    Returns the (stopped, in drain mode) StreamingQuery from
+    :func:`xdump_spark.streaming.ingest.run_ingest`."""
     from xdump_spark.streaming.ingest import run_ingest
 
     cfg = load_ingest_config(path)
@@ -169,6 +171,9 @@ def ingest_from_config(spark: SparkSession, path: str):
         schema=cfg.get("schema"),
         processing_time=cfg.get("processing_time"),
         await_seconds=cfg.get("await_seconds"),
+        index_dir=cfg.get("index_dir"),
+        chunk_tokens=cfg.get("chunk_tokens", 256),
+        chunk_overlap=cfg.get("chunk_overlap", 32),
     )
 
 

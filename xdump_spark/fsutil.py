@@ -187,7 +187,11 @@ def read_text_atomic(spark: SparkSession, path: str) -> str:
 def list_data_files(spark: SparkSession, path: str) -> list[tuple]:
     """(path, bytes) for every DATA file under ``path``, recursively —
     hidden/metadata entries (``.``/``_`` prefixes: ``_SUCCESS``,
-    ``.crc``, in-flight ``.tmp``) skipped at every level. One
+    ``.crc``, in-flight ``.tmp``) skipped at every level, EXCEPT
+    ``_``-prefixed names containing ``=``: those are partition
+    directories (``_tbucket=3``), exempted exactly as Spark's own
+    InMemoryFileIndex exempts them — without the exemption the text
+    index's bucket-partitioned postings read as "no files". One
     ``listStatus`` per directory. [] when ``path`` is absent."""
     fs, p = _fs(spark, path)
     if not fs.exists(p):
@@ -198,7 +202,9 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple]:
         d = stack.pop()
         for st in fs.listStatus(d):
             name = st.getPath().getName()
-            if name.startswith((".", "_")):
+            if name.startswith(".") or (
+                name.startswith("_") and "=" not in name
+            ):
                 continue
             if st.isDirectory():
                 stack.append(st.getPath())

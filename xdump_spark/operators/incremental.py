@@ -171,7 +171,9 @@ def _delete_from_partitions(
         survivors = survivors.filter(
             F.col(part_col).isin(list(only_values))
         )
-    survivors = survivors.join(F.broadcast(doomed), join_cols, "left_anti")
+    # callers pass the doomed frame pre-hinted via _delete_side — small
+    # requests broadcast, mass-retention requests shuffle-join
+    survivors = survivors.join(doomed, join_cols, "left_anti")
     (
         survivors.repartition(F.col(part_col))
         .write.mode("append").partitionBy(part_col).parquet(path)
@@ -179,6 +181,31 @@ def _delete_from_partitions(
     for f in files:
         fsutil.delete(spark, f, recursive=False)
     return len(dirs)
+
+
+# A retention request is the broadcast side by contract — but ONLY
+# while it is small. A mass-retention request (drop an entire source
+# domain: 1e8 ids) unconditionally broadcast would blow the broadcast
+# memory or the driver (r11 verdict "What's missing #2"); above this
+# threshold the delete joins fall back to a shuffle join, which at that
+# request size is the plan you want anyway (both sides are big).
+MAX_BROADCAST_DELETE_IDS = 2_000_000
+
+
+def _delete_side(doomed: DataFrame) -> DataFrame:
+    """Hint the doomed frame for a retention anti/semi join: broadcast
+    when small (the overwhelmingly common case — plan-pinned in tests),
+    plain (shuffle-join) when the request exceeds
+    ``MAX_BROADCAST_DELETE_IDS``. The size probe is a limit+count (one
+    cheap job per delete call — retention is maintenance, not a hot
+    path), mirroring ``similarity.MAX_QUERY_BATCH_ROWS``' contract
+    enforcement, except retention degrades to the scalable plan rather
+    than raising: a right-to-be-forgotten request must not be refused
+    for being too thorough."""
+    n = doomed.limit(MAX_BROADCAST_DELETE_IDS + 1).count()
+    if n > MAX_BROADCAST_DELETE_IDS:
+        return doomed
+    return F.broadcast(doomed)
 
 
 def _as_id_frame(spark: SparkSession, ids, col: str) -> DataFrame:
@@ -361,9 +388,10 @@ class SignatureStore:
         doomed = _as_id_frame(self.spark, ids, "id")
         if not self.exists():
             return {"deleted_rows": 0, "bands_rewritten": 0}
+        doomed = _delete_side(doomed)
         matched = (
             self.read()
-            .join(F.broadcast(doomed), "id", "left_semi")
+            .join(doomed, "id", "left_semi")
             .count()
         )
         if not matched:
@@ -859,17 +887,17 @@ class ExactHashStore:
 
         if not self.exists():
             return {"deleted_rows": 0, "files_rewritten": 0}
-        doomed = hashes.select("h1", "h2").distinct()
+        doomed = _delete_side(hashes.select("h1", "h2").distinct())
         t = self.spark.table(self.table_name)
         matched = t.join(
-            F.broadcast(doomed), ["h1", "h2"], "left_semi"
+            doomed, ["h1", "h2"], "left_semi"
         ).count()
         if not matched:
             return {"deleted_rows": 0, "files_rewritten": 0}
         old_files = list(t.inputFiles())
         survivors = (
             self.spark.read.parquet(*old_files)
-            .join(F.broadcast(doomed), ["h1", "h2"], "left_anti")
+            .join(doomed, ["h1", "h2"], "left_anti")
             .repartition(self.n_buckets, "h1", "h2")
         )
         write_bucketed(
@@ -1695,10 +1723,11 @@ class VectorStore:
         path = self._assigned_path()
         if not fsutil.list_data_files(self.spark, path):
             return {"deleted_rows": 0, "cells_rewritten": 0}
+        doomed = _delete_side(doomed)
         hits = (
             self.spark.read.parquet(path)
             .select("cell", "neighbor_id")
-            .join(F.broadcast(doomed), "neighbor_id", "left_semi")
+            .join(doomed, "neighbor_id", "left_semi")
             .groupBy("cell")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -1982,10 +2011,15 @@ def incremental_semantic_dedup(
     stored = store.read_cells(touched) if touched else None
 
     new_tagged = assigned_new.withColumn("_new", F.lit(True))
-    if guard_on:
+    if guard_on and touched:
         # global exact-resend probe (cell-independent): hit rows carry
         # their stored twin's id into the kernel, which treats the twin
-        # as present at cosine 1.0 — cluster taint semantics unchanged
+        # as present at cosine 1.0 — cluster taint semantics unchanged.
+        # Skipped entirely when the increment is EMPTY post-upstream-
+        # dedup (touched == []): the probe's whole-store scan costs ~1 s
+        # of scheduling even for a no-op batch (SCALE.md r11 decade
+        # table; r11 verdict Next #7), and an empty batch can hit
+        # nothing.
         gm = store.probe_hashes(assigned_new.select("neighbor_id", "vh"))
         new_tagged = new_tagged.join(
             F.broadcast(gm), "neighbor_id", "left_outer"

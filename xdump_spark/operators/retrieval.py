@@ -158,10 +158,30 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
     term_stats (partitioned seg); returns its manifest entry. A segment
     directory is INVISIBLE until the manifest commits it — loads filter
     to committed seg ids, so a crashed write leaves only an ignored
-    orphan directory (cleaned by the next compact)."""
+    orphan directory (cleaned by the next compact).
+
+    REPLACE, not append (ADVICE r11 high): seg ids are chosen as
+    1 + max(committed), so a crash between a segment write and its
+    manifest commit makes the RETRY pick the SAME id — an append into
+    the orphan dir would commit BOTH copies (every df doubled, BM25
+    silently corrupted). Any pre-existing ``seg=N`` dir for the id we
+    are about to write is by construction an uncommitted orphan, so it
+    is deleted first; the write itself then lands in a clean dir.
+
+    Empty segments (a batch of zero-term docs, a delete of every
+    postings-bearing doc): ``partitionBy`` on an empty frame emits NO
+    data files, which would leave a committed segment whose parquet
+    schema cannot be inferred at load (ADVICE r11 low). The entry is
+    flagged ``empty`` — loads skip it for file reads and fall back to
+    the manifest-recorded postings schema when every committed segment
+    is empty."""
     from xdump_spark import fsutil
 
     spark = index.postings.sparkSession
+    post_dir = fsutil.join(path, "postings", f"seg={seg}")
+    stats_dir = fsutil.join(path, "term_stats", f"seg={seg}")
+    for orphan in (post_dir, stats_dir):
+        fsutil.delete(spark, orphan)
     (
         index.postings
         .withColumn("seg", F.lit(seg))
@@ -178,7 +198,10 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
     tdl = index.total_dl
     if tdl is None:  # hand-built TextIndex without the exact total
         tdl = int(round(index.avgdl * index.n_docs))
-    return {"seg": seg, "n_docs": index.n_docs, "total_dl": int(tdl)}
+    entry = {"seg": seg, "n_docs": index.n_docs, "total_dl": int(tdl)}
+    if not fsutil.list_data_files(spark, post_dir):
+        entry["empty"] = True
+    return entry
 
 
 def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64,
@@ -202,6 +225,11 @@ def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64,
         "version": 2,
         "id_col": index.id_col,
         "n_tbuckets": n_tbuckets,
+        # the loader's schema of record when every committed segment is
+        # empty (no parquet files to infer from — see _write_segment)
+        "postings_schema": index.postings.select(
+            "term", "id", "tf", "dl"
+        ).schema.json(),
         "segments": [entry],
     })
 
@@ -317,15 +345,17 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     first place; its retention story is the corpus's, not the
     index's. Returns {deleted_docs, deleted_postings, seg}."""
     from xdump_spark import fsutil
-    from xdump_spark.operators.incremental import _as_id_frame
+    from xdump_spark.operators.incremental import _as_id_frame, _delete_side
 
     man = _read_manifest(spark, path)
-    doomed = _as_id_frame(spark, ids, "id")
+    # broadcast only when small — a mass-retention request (1e8 ids)
+    # falls back to a shuffle join (incremental._delete_side contract)
+    doomed = _delete_side(_as_id_frame(spark, ids, "id"))
     idx = load_text_index(spark, path)
     # one pass over the doomed postings: how many docs actually exist
     # in the index, and how much document length leaves with them
     hit = (
-        idx.postings.join(F.broadcast(doomed), "id", "left_semi")
+        idx.postings.join(doomed, "id", "left_semi")
         .groupBy("id").agg(F.first("dl").alias("dl"), F.count("*").alias("np"))
         .agg(
             F.count("*").alias("nd"),
@@ -339,7 +369,7 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
         return {"deleted_docs": 0, "deleted_postings": 0,
                 "seg": max(e["seg"] for e in man["segments"])}
     surviving = idx.postings.select("term", "id", "tf", "dl").join(
-        F.broadcast(doomed), "id", "left_anti"
+        doomed, "id", "left_anti"
     )
     retained = TextIndex(
         postings=surviving,
@@ -394,11 +424,18 @@ def streaming_index_ingest(
 
     Exactly-once discipline — STRONGER than the dedup twins' because a
     double-applied index append is NOT harmless (df/n_docs would
-    double-count): every segment records its foreachBatch ``batch_id``
-    in the manifest, and a re-delivered batch whose id is already
-    committed no-ops. A crash BEFORE the manifest commit leaves an
-    invisible orphan dir (swept by the next compact) and the
-    checkpoint re-delivers; after it, redelivery hits the batch_id
+    double-count): every segment records its batch key in the
+    manifest, and a re-delivered batch whose key is already committed
+    no-ops. The key is ``f"{query_id}:{batch_id}"`` — the foreachBatch
+    epoch SALTED with the streaming query's writer id (read from the
+    checkpoint's ``metadata`` file, the Delta-style (writer, epoch)
+    txn pattern; ADVICE r11 medium): a bare epoch restarts at 0 under
+    a recreated checkpoint dir or a second query, which would collide
+    with committed ids and silently no-op genuinely new batches. A
+    recreated checkpoint gets a NEW query id, so its epoch 0 is a new
+    key. A crash BEFORE the manifest commit leaves an invisible orphan
+    dir (replaced verbatim on redelivery — see ``_write_segment``) and
+    the checkpoint re-delivers; after it, redelivery hits the batch-key
     check. Compaction and retention deletes carry the committed
     batch_ids into their merged segment, so the check survives
     maintenance. Run maintenance from the same scheduler lane as the
@@ -423,18 +460,34 @@ def streaming_index_ingest(
         schema = spark.read.parquet(input_dir).schema
     raw = spark.readStream.schema(schema).parquet(input_dir)
 
+    # the writer id lives in the checkpoint's metadata file, written by
+    # Spark at query start (before any batch runs); cached after the
+    # first read — it is stable for the checkpoint's lifetime
+    _writer: list[str] = []
+
+    def _batch_key(batch_id: int) -> str:
+        if not _writer:
+            import json
+
+            meta = fsutil.read_text(
+                spark, fsutil.join(checkpoint_dir, "metadata")
+            )
+            _writer.append(str(json.loads(meta)["id"]))
+        return f"{_writer[0]}:{int(batch_id)}"
+
     def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        key = _batch_key(batch_id)
         man_file = fsutil.join(index_path, _INDEX_MANIFEST)
         if not fsutil.exists_atomic(spark, man_file):
             idx = build_text_index(batch_df, text_col=text_col,
                                    id_col=id_col)
             save_text_index(idx, index_path, n_tbuckets=n_tbuckets,
-                            batch_id=int(batch_id))
+                            batch_id=key)
         else:
             append_text_index(spark, index_path, batch_df,
-                              text_col=text_col, batch_id=int(batch_id))
+                              text_col=text_col, batch_id=key)
 
     writer = raw.writeStream.foreachBatch(_do_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -469,15 +522,40 @@ def load_text_index(spark: SparkSession, path: str) -> TextIndex:
     from xdump_spark import fsutil
 
     man = _read_manifest(spark, path)
-    segs = [int(e["seg"]) for e in man["segments"]]
-    postings = spark.read.parquet(fsutil.join(path, "postings")).filter(
-        F.col("seg").isin(segs)
-    )
-    term_stats = (
-        spark.read.parquet(fsutil.join(path, "term_stats"))
-        .filter(F.col("seg").isin(segs))
-        .groupBy("term").agg(F.sum("df").alias("df"))
-    )
+    # empty-flagged segments contributed manifest scalars (n_docs from
+    # zero-term docs) but no parquet files — reading them is impossible
+    # and unnecessary (see _write_segment)
+    segs = [int(e["seg"]) for e in man["segments"] if not e.get("empty")]
+    if segs:
+        postings = spark.read.parquet(fsutil.join(path, "postings")).filter(
+            F.col("seg").isin(segs)
+        )
+        term_stats = (
+            spark.read.parquet(fsutil.join(path, "term_stats"))
+            .filter(F.col("seg").isin(segs))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+    else:
+        # every committed segment is empty (e.g. retention deleted all
+        # postings-bearing docs): typed empty frames from the manifest's
+        # schema of record keep the index loadable and queryable
+        import json
+
+        from pyspark.sql.types import StructType
+
+        if "postings_schema" not in man:
+            raise ValueError(
+                f"text index at {path} has only empty segments and no "
+                "postings_schema in its manifest (pre-r12 layout) — "
+                "rebuild with save_text_index"
+            )
+        schema = StructType.fromJson(json.loads(man["postings_schema"]))
+        postings = (
+            spark.createDataFrame([], schema)
+            .withColumn("seg", F.lit(0))
+            .withColumn("_tbucket", F.lit(0))
+        )
+        term_stats = spark.createDataFrame([], "term string, df bigint")
     n_docs = sum(int(e["n_docs"]) for e in man["segments"])
     total_dl = sum(int(e["total_dl"]) for e in man["segments"])
     return TextIndex(

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-INGEST_KINDS = ("wet", "sft", "pairs", "semantic", "docs", "index")
+INGEST_KINDS = ("wet", "sft", "pairs", "semantic", "docs", "index", "rag")
 
 
 def run_ingest(
@@ -64,6 +64,9 @@ def run_ingest(
     schema: str | None = None,
     processing_time: str | None = None,
     await_seconds: float | None = None,
+    index_dir: str | None = None,
+    chunk_tokens: int = 256,
+    chunk_overlap: int = 32,
 ):
     """Start (and in drain mode, finish) one drop-directory ingest.
 
@@ -75,10 +78,15 @@ def run_ingest(
     ``docs`` — plain parquet document drops — against an ExactHashStore
     (``doc_dedup="exact"``, ``store_table``) or a MinHash
     SignatureStore (``doc_dedup="fuzzy"``, ``store_path``,
-    ``fuzzy_threshold``).
+    ``fuzzy_threshold``). ``rag`` is the one-daemon retrieval chain
+    (:func:`xdump_spark.pipeline.streaming_rag_ingest`): chunk →
+    hash-embed → VectorStore increment (``store_path``) → surviving
+    chunks appended to ``output`` → BM25 index append to ``index_dir``,
+    chunked by ``chunk_tokens``/``chunk_overlap`` and embedded at
+    ``hash_embed`` dims (default 256).
 
     ``schema`` (a DDL string, e.g. ``"doc_id long, text string"``)
-    applies to the PARQUET kinds (``semantic``/``docs``/``index``), whose file
+    applies to the PARQUET kinds (``semantic``/``docs``/``index``/``rag``), whose file
     stream needs one up front: without it the twins infer from files
     already present, so an always-on daemon deployed BEFORE the first
     drop lands has nothing to infer from — that case fails here with
@@ -166,6 +174,37 @@ def run_ingest(
             spark, input_dir, output, checkpoint_dir,
             text_col=text_col, id_col=id_col, schema=schema,
             trigger=trigger,
+        )
+    elif kind == "rag":
+        # the one-daemon RAG chain: chunk → embed → VectorStore
+        # increment → survivors to OUTPUT → BM25 index append to
+        # index_dir, all in one foreachBatch / one checkpoint
+        if not store_path:
+            raise ValueError("ingest kind 'rag' needs store_path "
+                             "(the VectorStore directory)")
+        if store_table:
+            raise ValueError("ingest kind 'rag' takes store_path, "
+                             "not store_table")
+        if not index_dir:
+            raise ValueError("ingest kind 'rag' needs index_dir "
+                             "(the saved BM25 index directory; CLI "
+                             "--index-dir)")
+        from xdump_spark.operators.incremental import VectorStore
+        from xdump_spark.pipeline import streaming_rag_ingest
+
+        _require_parquet_schema()
+        store = VectorStore(
+            spark, store_path, dtype=vector_dtype, pq_m=pq_m, pq_k=pq_k,
+            exact_guard=exact_guard,
+        )
+        q = streaming_rag_ingest(
+            spark, input_dir, store, index_dir, checkpoint_dir,
+            out_dir=output, text_col=text_col, id_col=id_col,
+            max_tokens=chunk_tokens, overlap=chunk_overlap,
+            hash_embed_dim=(hash_embed or 256), vec_col=vec_col,
+            threshold=semantic_threshold, n_cells=semantic_cells,
+            semantic_kwargs={"max_cell": semantic_max_cell},
+            schema=schema, trigger=trigger,
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
