@@ -1231,8 +1231,24 @@ def test_cli_search_mmr(spark, tmp_path, capsys):
                "--corpus", corpus_path, "--mmr", "3"])
     assert rpt["score"] == "mmr_score" and rpt["rows"] == 3
 
-    with _pytest.raises(SystemExit, match="needs --corpus"):
-        run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+    # r12: a FLOAT store serves its own diversity vectors — --mmr
+    # without --corpus works and equals the corpus-fed run exactly
+    # (the store holds the same floats the corpus file does)
+    out2 = str(tmp_path / "out2")
+    rpt = run(["--store-path", str(tmp_path / "vs"), "-q", q_path,
+               "-o", out2, "-k", "6", "--n-probe", "3",
+               "--mmr", "3", "--mmr-lambda", "0.7"])
+    assert rpt["score"] == "mmr_score" and rpt["rows"] == 3
+    self_served = {(r.query_id, r.rnk): (r.neighbor_id, r.mmr_score)
+                   for r in spark.read.parquet(out2).collect()}
+    assert self_served == exp
+
+    # pq stores hold only codes: --mmr still needs --corpus there
+    pq = VectorStore(spark, str(tmp_path / "vspq"), dtype="pq",
+                     pq_m=2, pq_k=4)
+    incremental_semantic_dedup(vecs, pq, threshold=0.9999, n_cells=3)
+    with _pytest.raises(SystemExit, match="--corpus"):
+        run(["--store-path", str(tmp_path / "vspq"), "-q", q_path,
              "-o", out, "--mmr", "3"])
 
 

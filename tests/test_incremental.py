@@ -1399,6 +1399,55 @@ def test_vector_store_exact_guard_closes_retrain_slips(spark, tmp_path):
     assert r4.accepted.count() == 0
 
 
+def test_vector_store_vectors_serves_floats(spark, tmp_path):
+    """r12: a float store serves its own (id, vector) table —
+    ``vectors()`` returns exactly the stored floats (float32 upcast at
+    read like every exit point), raises on pq stores (codes only) and
+    on a store with no committed data (the id type is unknowable),
+    and ``mmr_rerank`` collapses crash-window duplicate rows."""
+    import numpy as np
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        incremental_semantic_dedup,
+    )
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.default_rng(13)
+    V = rng.standard_normal((8, 4))
+    frame = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    st = VectorStore(spark, str(tmp_path / "f32"), dtype="float32")
+    incremental_semantic_dedup(frame, st, threshold=0.9999, n_cells=2)
+    got = {r["vec_id"]: r["embedding"] for r in st.vectors().collect()}
+    assert set(got) == set(range(8))
+    assert dict(st.vectors().dtypes)["embedding"] == "array<double>"
+    for i in range(8):
+        assert np.allclose(got[i], V[i], atol=1e-6)  # float32 precision
+
+    pq = VectorStore(spark, str(tmp_path / "pq"), dtype="pq",
+                     pq_m=2, pq_k=4)
+    incremental_semantic_dedup(frame, pq, threshold=0.9999, n_cells=2)
+    with pytest.raises(ValueError, match="CODES"):
+        pq.vectors()
+    with pytest.raises(ValueError, match="no vectors"):
+        VectorStore(spark, str(tmp_path / "none")).vectors()
+
+    # duplicate candidate rows (the crash-window family contract)
+    # collapse inside the MMR kernel: result identical to clean input
+    hits = spark.createDataFrame(
+        [(0, i, 1.0 - 0.1 * i) for i in range(4)],
+        "query_id int, doc_id long, score double",
+    )
+    vecs = st.vectors()  # (vec_id, embedding) — mmr_rerank's defaults
+    clean = mmr_rerank(hits, vecs, k=3, lam=0.6, score_col="score").collect()
+    dup = mmr_rerank(hits, vecs.unionByName(vecs), k=3, lam=0.6,
+                     score_col="score").collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, clean))
+
+
 def test_retention_delete_broadcast_guard(spark, tmp_path, monkeypatch):
     """r11 verdict "What's missing #2": every retention delete used to
     broadcast the doomed frame UNCONDITIONALLY — a mass-retention

@@ -889,8 +889,9 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--mmr", type=int, default=None, metavar="K",
                     help="vector/hybrid: MMR-diversify the shortlist "
                          "down to K results per query (Carbonell & "
-                         "Goldstein); needs --corpus for the candidate "
-                         "vectors (the diversity term)")
+                         "Goldstein); a FLOAT store serves its own "
+                         "candidate vectors — pq stores (codes only) "
+                         "need --corpus for the diversity term")
     sr.add_argument("--mmr-lambda", type=float, default=0.5,
                     help="--mmr relevance/diversity tradeoff in [0,1] "
                          "(1 = input ranking)")
@@ -1567,12 +1568,20 @@ def run(args, spark) -> int:
         if not store.exists():
             raise SystemExit(f"no VectorStore at {args.store_path}")
         queries = spark.read.parquet(args.queries)
-        if args.mmr is not None and not args.corpus:
-            raise SystemExit(
-                "--mmr needs --corpus (the raw-embedding table "
-                "supplying the candidates' diversity vectors — the "
-                "store may hold only codes)"
-            )
+        mmr_vecs = None
+        if args.mmr is not None:
+            if args.corpus:
+                mmr_vecs = spark.read.parquet(args.corpus)
+            else:
+                # r12: a FLOAT store serves its own diversity vectors
+                # (the RAG front door's layout needs no side table);
+                # pq stores hold only codes and still need --corpus
+                try:
+                    mmr_vecs = store.vectors(
+                        id_col=args.id_col, vec_col=args.vec_col
+                    )
+                except ValueError as e:
+                    raise SystemExit(f"--mmr without --corpus: {e}")
         if args.text_index:
             if args.rerank is not None or (
                 args.corpus and args.mmr is None
@@ -1620,7 +1629,7 @@ def run(args, spark) -> int:
             id_col = res.columns[1]      # doc_id | neighbor_id
             score_col = res.columns[2]   # rrf_score | cosine_sim | pq_sim
             res = mmr_rerank(
-                res, spark.read.parquet(args.corpus), k=args.mmr,
+                res, mmr_vecs, k=args.mmr,
                 lam=args.mmr_lambda, id_col=id_col, score_col=score_col,
                 vec_id_col=args.id_col, vec_col=args.vec_col,
             )

@@ -1574,6 +1574,51 @@ class VectorStore:
             return self._decode_codes(pruned, keep=("vh",))
         return self._upcast(pruned)
 
+    def vectors(self, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+        """The stored (id, vector) rows of a FLOAT store — the store
+        serving as its own embedding table (r12): ``mmr_rerank`` (and
+        any other consumer of candidate vectors) no longer needs a
+        separate raw-embedding parquet when the store holds the floats
+        anyway, which is exactly the RAG front door's layout
+        (hash-embedded chunks in a float store). One column-pruned
+        scan of (neighbor_id, cv) — cells/hashes never read; float32
+        stores upcast at read like every other exit point.
+
+        Raises on a pq store: codes are quantized, and silently
+        serving reconstructions as "the vectors" would change MMR's
+        diversity arithmetic without the caller opting in — pass the
+        raw-embedding table explicitly there (CLI ``--corpus``).
+
+        Caveat (the family contract): a crash between a survivor
+        append and its re-run can leave duplicate (id, vector) rows —
+        harmless here as everywhere (the vectors are identical);
+        ``mmr_rerank`` drops duplicate candidate ids in its kernel."""
+        from xdump_spark import fsutil
+
+        if not self.exists():
+            raise ValueError(
+                "VectorStore.vectors(): the store holds no vectors yet"
+            )
+        if self._store_dtype() == "pq":
+            raise ValueError(
+                "VectorStore.vectors(): this store holds pq CODES, not "
+                "float vectors — supply the raw-embedding table for "
+                "vector consumers (CLI --corpus), or use a float store"
+            )
+        path = self._assigned_path()
+        if not fsutil.list_data_files(self.spark, path):
+            # no committed increment yet: the id TYPE is unknowable (it
+            # is whatever the first batch brings), so refuse rather
+            # than guess a schema the caller would join against
+            raise ValueError(
+                "VectorStore.vectors(): the store holds no vectors yet"
+            )
+        raw = self.spark.read.parquet(path).select("neighbor_id", "cv")
+        return self._upcast(raw).select(
+            F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+        )
+
     def probe_hashes(self, batch: DataFrame) -> DataFrame:
         """The exact_guard probe: which of the batch's exact-vector
         hashes are ALREADY STORED anywhere in the store, regardless of

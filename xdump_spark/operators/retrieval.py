@@ -911,8 +911,15 @@ def mmr_rerank(
     )
 
     def select_mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # deterministic candidate order: ids ascending
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        # deterministic candidate order: ids ascending. Duplicate
+        # candidate ids collapse to one row (a no-op on clean inputs;
+        # store-served vector frames may carry crash-window duplicate
+        # rows with identical vectors — the family contract)
+        pdf = (
+            pdf.sort_values(id_col)
+            .drop_duplicates(subset=[id_col])
+            .reset_index(drop=True)
+        )
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0.0] = 1.0
