@@ -1299,3 +1299,33 @@ def test_cli_prepare_rag(spark, tmp_path, capsys):
                           "-k", "3", "--text-index",
                           str(tmp_path / "tidx")])
     assert srpt["score"] == "rrf_score" and srpt["rows"] == 3
+
+    # r12 `maintain --kind rag`: the chain's artifacts as one unit —
+    # combined stats, then whole-document forget across store + index
+    # + survivor corpus; validation requires --index-dir
+    mrpt = run("maintain", ["--kind", "rag",
+                            "--store-path", str(tmp_path / "vs"),
+                            "--index-dir", str(tmp_path / "tidx")])
+    assert mrpt["store"]["rows"] == n and mrpt["index"]["n_docs"] == n
+
+    doomed = str(tmp_path / "doomed.parquet")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(doomed)
+    drpt = run("maintain", ["--kind", "rag",
+                            "--store-path", str(tmp_path / "vs"),
+                            "--index-dir", str(tmp_path / "tidx"),
+                            "--corpus-dir", str(tmp_path / "chunks"),
+                            "--action", "delete",
+                            "--delete-ids", doomed])
+    per_doc = n // 2
+    assert drpt["store"]["deleted_rows"] == per_doc
+    assert drpt["index"]["deleted_docs"] == per_doc
+    assert drpt["corpus_rows_deleted"] == per_doc
+    assert load_text_index(spark, str(tmp_path / "tidx")).n_docs == n - per_doc
+    left = spark.read.parquet(str(tmp_path / "chunks"))
+    assert {r["doc_id"] for r in left.select("doc_id").collect()} == {2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--index-dir"):
+        run("maintain", ["--kind", "rag",
+                         "--store-path", str(tmp_path / "vs")])

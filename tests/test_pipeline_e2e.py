@@ -1638,6 +1638,105 @@ def test_streaming_rag_ingest_one_daemon_chain(spark, tmp_path):
     assert load_text_index(spark, idx_dir).n_docs == n_day1 + per_doc
 
 
+def test_forget_rag_docs_three_artifacts(spark, tmp_path):
+    """r12: right-to-be-forgotten for the RAG chain as one call — the
+    doc's chunks leave the vector store (its re-send is novel again),
+    the BM25 index (answers hash-equal a fresh build over the retained
+    chunks), and the survivor corpus; a doc that owned no chunks (a
+    deduped re-send) is a documented no-op; a crash in the store→index
+    window is completed by re-running (chunk ids derive from the UNION
+    of store and index ids, not the store alone)."""
+    from unittest.mock import patch
+
+    import pytest as _pytest
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import (
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+    )
+    from xdump_spark.pipeline import forget_rag_docs, prepare_rag_corpus
+    import xdump_spark.operators.retrieval as R
+
+    body1 = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    body2 = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, body1), (2, body2)], "doc_id long, text string"
+    )
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+    r1 = prepare_rag_corpus(
+        docs, store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    n_all = r1.audit["accepted_chunks"]
+    # a re-send day so doc 10 exists as a chunkless (all-rejected) doc
+    prepare_rag_corpus(
+        spark.createDataFrame([(10, body1)], "doc_id long, text string"),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+
+    rpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+    per_doc = n_all // 2
+    assert rpt["docs_requested"] == 1
+    assert rpt["store"]["deleted_rows"] == per_doc
+    assert rpt["index"]["deleted_docs"] == per_doc
+    assert rpt["corpus_rows_deleted"] == per_doc
+
+    # corpus: only doc 2's chunks remain
+    left = spark.read.parquet(out)
+    assert left.count() == per_doc
+    assert {r["doc_id"] for r in left.select("doc_id").collect()} == {2}
+
+    # index: answers hash-equal a fresh build over the retained chunks
+    queries = spark.createDataFrame(
+        [(0, "alpha3 beta3"), (1, "delta3 epsilon3")],
+        "query_id int, query string",
+    )
+    want = sorted(
+        (r.query_id, r.chunk_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            build_text_index(left, id_col="chunk_id"), queries, k=3
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.chunk_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            load_text_index(spark, idx_dir), queries, k=3
+        ).collect()
+    )
+    assert got == want
+
+    # store: a re-send of the forgotten doc is NOVEL again
+    r3 = prepare_rag_corpus(
+        spark.createDataFrame([(99, body1)], "doc_id long, text string"),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    assert r3.audit["accepted_chunks"] == per_doc
+
+    # chunkless re-send doc: forgetting it owns nothing (dedup
+    # semantics — the content is forgotten by naming the canonical doc)
+    rpt2 = forget_rag_docs(spark, store, idx_dir, [10], corpus_dir=out)
+    assert rpt2["store"]["deleted_rows"] == 0
+    assert rpt2["index"]["deleted_docs"] == 0
+
+    # crash window: store delete lands, index delete crashes — the
+    # re-run must still find doc 99's chunk ids (via the index side)
+    with patch.object(
+        R, "delete_text_index_docs",
+        side_effect=RuntimeError("crash before index delete"),
+    ):
+        with _pytest.raises(RuntimeError, match="crash"):
+            forget_rag_docs(spark, store, idx_dir, [99], corpus_dir=out)
+    rpt3 = forget_rag_docs(spark, store, idx_dir, [99], corpus_dir=out)
+    assert rpt3["index"]["deleted_docs"] == per_doc  # completed on re-run
+    assert load_text_index(spark, idx_dir).n_docs == per_doc  # doc 2 only
+
+
 def test_prepare_rag_corpus_accepted_set_matches_duckdb_replay(
     spark, tmp_path
 ):

@@ -757,11 +757,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     mt.add_argument(
         "--kind", required=True,
-        choices=["exact", "signature", "vector", "window", "text-index"],
+        choices=["exact", "signature", "vector", "window", "text-index",
+                 "rag"],
         help="exact=ExactHashStore (content hashes), signature="
              "SignatureStore (MinHash bands), vector=VectorStore "
              "(embedding cells), window=WindowHashStore (span windows), "
-             "text-index=segmented BM25 index",
+             "text-index=segmented BM25 index, rag=the RAG chain's "
+             "three artifacts as one unit (vector store + BM25 index "
+             "+ optional survivor corpus: stats and whole-document "
+             "delete)",
     )
     mt.add_argument("--store-table", default=None,
                     help="exact: the hash-store catalog table name")
@@ -785,7 +789,14 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--delete-ids", default=None, metavar="PARQUET",
                     help="delete (signature/vector/text-index): parquet "
                          "of ids to forget (one column, or an "
-                         "id/neighbor_id column)")
+                         "id/neighbor_id column); rag: parquet of PARENT "
+                         "doc ids — the doomed chunk ids are derived "
+                         "from the composite chunk-id scheme")
+    mt.add_argument("--index-dir", default=None,
+                    help="rag: the chain's saved BM25 index directory")
+    mt.add_argument("--corpus-dir", default=None,
+                    help="rag delete: also rewrite the survivor-chunk "
+                         "parquet directory (optional third artifact)")
     mt.add_argument("--delete-docs", default=None, metavar="PARQUET",
                     help="delete (exact): parquet of documents whose "
                          "content hashes to forget (--text-col)")
@@ -1666,6 +1677,10 @@ def run(args, spark) -> int:
             from xdump_spark.operators.spans import WindowHashStore
 
             store = WindowHashStore(spark, args.store_path)
+        elif args.kind == "rag":
+            from xdump_spark.operators.incremental import VectorStore
+
+            store = VectorStore(spark, args.store_path)
         else:
             store = None  # text-index: module-level functions below
 
@@ -1673,6 +1688,37 @@ def run(args, spark) -> int:
             raise SystemExit(
                 f"--action {args.action} applies to --kind vector only"
             )
+        if args.kind == "rag":
+            # the chain's artifacts as one unit: stats and
+            # whole-document forget (store -> index -> corpus)
+            if not args.index_dir:
+                raise SystemExit("--kind rag needs --index-dir")
+            from xdump_spark.operators.retrieval import text_index_stats
+
+            if args.action == "stats":
+                rpt = {"store": store.stats(),
+                       "index": text_index_stats(spark, args.index_dir)}
+            elif args.action == "delete":
+                if not args.delete_ids:
+                    raise SystemExit(
+                        "--action delete --kind rag needs --delete-ids "
+                        "(parquet of parent doc ids)"
+                    )
+                from xdump_spark.pipeline import forget_rag_docs
+
+                rpt = forget_rag_docs(
+                    spark, store, args.index_dir,
+                    spark.read.parquet(args.delete_ids),
+                    corpus_dir=args.corpus_dir,
+                )
+            else:
+                raise SystemExit(
+                    "--kind rag supports --action stats and delete "
+                    "(compact/retrain the store and index with their "
+                    "own kinds: vector / text-index)"
+                )
+            print(_json.dumps(rpt))
+            return 0
         if args.action == "delete":
             if args.kind == "exact":
                 if args.delete_docs:

@@ -1155,6 +1155,149 @@ def prepare_rag_corpus(
     return RagResult(chunks=survivors, index_entry=entry, audit=counts)
 
 
+def forget_rag_docs(
+    spark,
+    store,
+    index_dir: str,
+    doc_ids,
+    corpus_dir: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Right-to-be-forgotten for the RAG chain as ONE call (r12): a
+    document indexed by :func:`prepare_rag_corpus` /
+    :func:`streaming_rag_ingest` lives in THREE artifacts — its chunk
+    vectors in the :class:`~xdump_spark.operators.incremental.
+    VectorStore`, its chunk postings in the segmented BM25 index, and
+    its chunk rows in the survivor corpus. Forgetting a doc safely
+    means deleting the same chunk-id set from all three; doing them by
+    hand risks a drifted store (a re-sent doc half-novel, half-stored).
+
+    ``doc_ids``: an iterable or one-column DataFrame of PARENT doc ids
+    (the ``id_col`` values fed to the front door, not chunk ids). The
+    doomed CHUNK ids are derived from the composite id scheme
+    (``chunk_id = '{doc_id}:{chunk_idx}'``): everything before the
+    final ``:``-separated integer segment is the parent doc — computed
+    from the STORE's own id column, so no corpus read is needed and
+    chunks of long-gone corpus files still match. When ``corpus_dir``
+    is given, its rows are ALSO rewritten (doc_id column matched
+    directly) through the family's append-then-delete discipline: a
+    crash leaves doomed rows beside duplicated survivors — incomplete
+    (re-run), never lossy, duplicates dedupable by chunk_id.
+
+    Two contract notes. (1) The derivation requires the composite
+    chunk-id scheme (the r12 front door); on a pre-r12 corpus with
+    hashed chunk ids, delete per-artifact with explicit chunk ids
+    instead. (2) Dedup semantics: a doc whose chunks were all REJECTED
+    as duplicates (a re-send) owns no chunk ids — forgetting it is a
+    no-op; the content is forgotten by naming its CANONICAL (surviving)
+    doc, which is what right-to-be-forgotten means in a deduplicated
+    corpus.
+
+    Ordering: store first (future increments must re-accept a re-send
+    of a forgotten doc — the strictest consistency need), then index,
+    then corpus. Each step is itself re-runnable, so a crash anywhere
+    is completed by re-running the whole call. Cost: one store
+    id-column scan + the per-artifact delete costs (touched-cell
+    rewrite / index merge-rewrite / corpus rewrite); all three
+    per-artifact deletes route the doomed set through the
+    mass-retention broadcast guard. Returns
+    {docs_requested, store, index, corpus_rows_deleted}."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import _as_id_frame, _delete_side
+    from xdump_spark.operators.retrieval import delete_text_index_docs
+
+    doomed_docs = _as_id_frame(spark, doc_ids, id_col).select(
+        F.col(id_col).cast("string").alias("_doc")
+    )
+    n_docs = doomed_docs.count()
+
+    # the composite scheme inverted: parent doc = the chunk id minus
+    # its final ':<int>' segment (colon-bearing doc ids stay correct
+    # because chunk_idx is always the LAST segment)
+    def parent_of(col):
+        return F.expr(
+            f"substring({col}, 1, length({col}) - "
+            f"length(substring_index({col}, ':', -1)) - 1)"
+        )
+
+    # doomed chunk ids come from the UNION of the store's and the
+    # index's own id columns (both column-pruned scans): deriving from
+    # the store alone would leave a crash in the store→index window
+    # incompletable (the re-run's store scan no longer matches, so the
+    # index would keep the forgotten postings forever)
+    from xdump_spark.operators.retrieval import (
+        _INDEX_MANIFEST,
+        load_text_index,
+    )
+
+    apath = store._assigned_path()
+    sources = []
+    if fsutil.list_data_files(spark, apath):
+        sources.append(
+            spark.read.parquet(apath)
+            .select(F.col("neighbor_id").cast("string").alias("id"))
+        )
+    have_index = fsutil.exists_atomic(
+        spark, fsutil.join(index_dir, _INDEX_MANIFEST)
+    )
+    if have_index:
+        sources.append(
+            load_text_index(spark, index_dir)
+            .postings.select(F.col("id").cast("string").alias("id"))
+        )
+    chunk_frame = None
+    if sources:
+        ids = sources[0]
+        for s in sources[1:]:
+            ids = ids.unionByName(s)
+        chunk_frame = (
+            ids.distinct()
+            .withColumn("_doc", parent_of("id"))
+            .join(F.broadcast(doomed_docs), "_doc", "left_semi")
+            .select("id")
+            .localCheckpoint(eager=True)  # several consumers, one scan
+        )
+    if chunk_frame is None or chunk_frame.isEmpty():
+        store_rpt = {"deleted_rows": 0, "cells_rewritten": 0}
+        index_rpt = {"deleted_docs": 0, "deleted_postings": 0}
+        chunk_frame = None
+    else:
+        store_rpt = store.delete_ids(
+            chunk_frame.withColumnRenamed("id", "neighbor_id")
+        )
+        index_rpt = (
+            delete_text_index_docs(spark, index_dir, chunk_frame)
+            if have_index
+            else {"deleted_docs": 0, "deleted_postings": 0}
+        )
+
+    corpus_deleted = 0
+    if corpus_dir is not None and fsutil.list_data_files(spark, corpus_dir):
+        files = [f for f, _ in fsutil.list_data_files(spark, corpus_dir)]
+        rows = spark.read.parquet(*files)
+        doomed_rows = rows.withColumn(
+            "_doc", F.col(id_col).cast("string")
+        ).join(F.broadcast(doomed_docs), "_doc", "left_semi")
+        corpus_deleted = doomed_rows.count()
+        if corpus_deleted:
+            survivors = rows.withColumn(
+                "_doc", F.col(id_col).cast("string")
+            ).join(
+                _delete_side(doomed_docs), "_doc", "left_anti"
+            ).drop("_doc")
+            # append-then-delete (the family crash discipline): a crash
+            # here duplicates survivors, never loses them
+            survivors.write.mode("append").parquet(corpus_dir)
+            for f in files:
+                fsutil.delete(spark, f, recursive=False)
+    return {
+        "docs_requested": n_docs,
+        "store": store_rpt,
+        "index": index_rpt,
+        "corpus_rows_deleted": corpus_deleted,
+    }
+
+
 def streaming_rag_ingest(
     spark,
     input_dir: str,
