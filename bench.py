@@ -153,6 +153,17 @@ def _calibrate_bw(spark) -> float:
 
 
 def main() -> None:
+    # Round-pinned detail filename (r11 verdict "Next #4"): the driver's
+    # per-round run writes the DEFAULT BENCH_DETAIL.json; committed
+    # quiet-host pins are taken with --detail-out BENCH_DETAIL_quiet_rN.json
+    # so the two never clobber each other. Validated FIRST — a bad flag
+    # must fail before the 10-minute run, not after it.
+    detail_name = "BENCH_DETAIL.json"
+    if "--detail-out" in sys.argv:
+        i = sys.argv.index("--detail-out")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--detail-out needs a filename")
+        detail_name = sys.argv[i + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -284,13 +295,6 @@ def main() -> None:
         "bw_reference_sec": CAL_BW_REFERENCE_SEC,
         "bw_noise_factor": round(bw_median / CAL_BW_REFERENCE_SEC, 3),
     }
-    # Round-pinned detail filename (r11 verdict "Next #4"): the driver's
-    # per-round run writes the DEFAULT BENCH_DETAIL.json; committed
-    # quiet-host pins are taken with --detail-out BENCH_DETAIL_quiet_rN.json
-    # so the two never clobber each other in the working tree.
-    detail_name = "BENCH_DETAIL.json"
-    if "--detail-out" in sys.argv:
-        detail_name = sys.argv[sys.argv.index("--detail-out") + 1]
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -1661,23 +1661,25 @@ def test_forget_rag_docs_three_artifacts(spark, tmp_path):
 
     body1 = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
     body2 = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
-    docs = spark.createDataFrame(
-        [(1, body1), (2, body2)], "doc_id long, text string"
-    )
     store = VectorStore(spark, str(tmp_path / "vs"))
     idx_dir = str(tmp_path / "tidx")
     out = str(tmp_path / "chunks")
-    r1 = prepare_rag_corpus(
-        docs, store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
-        hash_embed_dim=64, threshold=0.9, n_cells=2,
-    )
-    n_all = r1.audit["accepted_chunks"]
+
+    def ingest(rows):
+        return prepare_rag_corpus(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+        )
+
+    # two separate drops so each committed index batch id is exactly
+    # one doc's chunk-id xor — the forget-then-resend pin below needs
+    # the re-sent doc's batch key to collide with a committed one
+    r1a = ingest([(1, body1)])
+    r1b = ingest([(2, body2)])
+    n_all = r1a.audit["accepted_chunks"] + r1b.audit["accepted_chunks"]
     # a re-send day so doc 10 exists as a chunkless (all-rejected) doc
-    prepare_rag_corpus(
-        spark.createDataFrame([(10, body1)], "doc_id long, text string"),
-        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
-        hash_embed_dim=64, threshold=0.9, n_cells=2,
-    )
+    ingest([(10, body1)])
 
     rpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
     per_doc = n_all // 2
@@ -1711,11 +1713,7 @@ def test_forget_rag_docs_three_artifacts(spark, tmp_path):
     assert got == want
 
     # store: a re-send of the forgotten doc is NOVEL again
-    r3 = prepare_rag_corpus(
-        spark.createDataFrame([(99, body1)], "doc_id long, text string"),
-        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
-        hash_embed_dim=64, threshold=0.9, n_cells=2,
-    )
+    r3 = ingest([(99, body1)])
     assert r3.audit["accepted_chunks"] == per_doc
 
     # chunkless re-send doc: forgetting it owns nothing (dedup
@@ -1735,6 +1733,24 @@ def test_forget_rag_docs_three_artifacts(spark, tmp_path):
     rpt3 = forget_rag_docs(spark, store, idx_dir, [99], corpus_dir=out)
     assert rpt3["index"]["deleted_docs"] == per_doc  # completed on re-run
     assert load_text_index(spark, idx_dir).n_docs == per_doc  # doc 2 only
+
+    # forget-then-resend under the ORIGINAL id: doc 1's chunk-id set —
+    # and therefore its pure content-keyed batch id — is identical to
+    # the committed day-1 batch that retention carried forward; the
+    # index's retention_epoch folded into the key makes the append
+    # LAND instead of silently no-opping (the chain would otherwise
+    # diverge: store and corpus hold the doc, BM25 never returns it)
+    r4 = ingest([(1, body1)])
+    assert r4.audit["accepted_chunks"] == per_doc
+    idx_after = load_text_index(spark, idx_dir)
+    assert idx_after.n_docs == 2 * per_doc
+    back = bm25_topk(
+        idx_after,
+        spark.createDataFrame([(0, "alpha3 beta3")],
+                              "query_id int, query string"),
+        k=3,
+    ).collect()
+    assert back and all(r.chunk_id.startswith("1:") for r in back)
 
 
 def test_prepare_rag_corpus_accepted_set_matches_duckdb_replay(

@@ -563,6 +563,56 @@ def test_streaming_index_ingest_two_drops(spark, docs_df, tmp_path):
     )
 
 
+def test_streaming_index_legacy_int_key_migration_window(
+    spark, docs_df, tmp_path
+):
+    """Manifests written before the (writer, epoch) keys hold BARE-INT
+    epochs. A redelivery straddling the upgrade (same checkpoint, crash
+    after the old code's manifest commit) must match the legacy key and
+    NO-OP — double-applying would corrupt df/n_docs, which is strictly
+    worse than the conservative skip. Pinned: a drop whose epoch
+    collides with a committed legacy int is skipped; a later epoch
+    (no legacy collision) appends normally with the new key shape."""
+    from xdump_spark.operators.retrieval import (
+        append_text_index,
+        load_text_index,
+        save_text_index,
+        streaming_index_ingest,
+    )
+    import xdump_spark.operators.retrieval as R
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    idx_path = str(tmp_path / "idx")
+    # simulate a pre-upgrade index: segment committed under bare epoch 0
+    save_text_index(
+        build_text_index(docs_df.filter("doc_id <= 3")), idx_path,
+        n_tbuckets=4, batch_id=0,
+    )
+    n0 = load_text_index(spark, idx_path).n_docs
+
+    # the upgraded daemon redelivers epoch 0 (same drop content):
+    # legacy match → no-op, nothing double-applied
+    docs_df.filter("doc_id <= 3").write.parquet(str(inp / "day1"))
+    q = streaming_index_ingest(spark, str(inp) + "/*", idx_path,
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert load_text_index(spark, idx_path).n_docs == n0
+
+    # epoch 1 carries genuinely new docs: no legacy collision, appends
+    # under the new (writer, epoch) key
+    docs_df.filter("doc_id > 3").write.parquet(str(inp / "day2"))
+    q = streaming_index_ingest(spark, str(inp) + "/*", idx_path,
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert load_text_index(spark, idx_path).n_docs == docs_df.count()
+    keys = [e["batch_id"] for e in
+            R._read_manifest(spark, idx_path)["segments"]]
+    assert 0 in keys and any(
+        isinstance(k, str) and k.endswith(":1") for k in keys
+    )
+
+
 def test_streaming_index_recreated_checkpoint_appends_new_data(
     spark, docs_df, tmp_path
 ):

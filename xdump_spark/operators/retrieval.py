@@ -390,6 +390,13 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     if ids:  # keep streaming idempotence alive across retention merges
         entry["batch_ids"] = ids
     man["segments"] = [entry]
+    # retention epoch (r12): content-keyed appenders (prepare_rag_corpus)
+    # fold this counter into their batch key, so a doc re-sent AFTER a
+    # retention delete — whose survivor chunk-id set, and therefore its
+    # pure content key, is identical to the originally-committed batch —
+    # computes a NEW key and re-enters the index instead of silently
+    # no-opping against the carried batch_ids above
+    man["retention_epoch"] = int(man.get("retention_epoch", 0)) + 1
     _write_manifest(spark, path, man)
     for sub in ("postings", "term_stats"):
         base = fsutil.join(path, sub)
@@ -486,6 +493,18 @@ def streaming_index_ingest(
             save_text_index(idx, index_path, n_tbuckets=n_tbuckets,
                             batch_id=key)
         else:
+            # migration window: manifests written before the (writer,
+            # epoch) keys hold BARE-INT epochs — a crash straddling the
+            # upgrade would redeliver a batch whose old-format commit
+            # the new key cannot match, double-applying it (the exact
+            # df/n_docs corruption this mechanism prevents). Honor the
+            # legacy key with legacy semantics before appending.
+            legacy = int(batch_id)
+            for e in _read_manifest(spark, index_path)["segments"]:
+                if e.get("batch_id") == legacy or legacy in e.get(
+                    "batch_ids", ()
+                ):
+                    return
             append_text_index(spark, index_path, batch_df,
                               text_col=text_col, batch_id=key)
 

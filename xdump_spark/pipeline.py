@@ -1134,15 +1134,33 @@ def prepare_rag_corpus(
     if n_surv:
         # content-keyed idempotence for the index append (see the
         # ordering-discipline docstring): xor of the survivor id hashes
-        # — deterministic, order/partition-independent
-        bid = int(
+        # — deterministic, order/partition-independent. The index's
+        # retention_epoch is folded in (as a string key once it is
+        # non-zero; the epoch-0 key stays the bare int for manifest
+        # compatibility): a doc forgotten via delete_text_index_docs /
+        # forget_rag_docs and RE-SENT under its original id reproduces
+        # the identical chunk-id set, and without the epoch its key
+        # would hit the retention merge's carried batch_ids and the
+        # append would silently no-op — the index diverging from the
+        # store forever. Within a crash-replay window no retention ran,
+        # the epoch is unchanged, and the replay still no-ops.
+        xor = int(
             survivors.agg(
                 F.expr("bit_xor(xxhash64(chunk_id))").alias("b")
             ).collect()[0]["b"]
         )
-        if fsutil.exists_atomic(
+        has_index = fsutil.exists_atomic(
             spark, fsutil.join(index_dir, _INDEX_MANIFEST)
-        ):
+        )
+        epoch = 0
+        if has_index:
+            from xdump_spark.operators.retrieval import _read_manifest
+
+            epoch = int(
+                _read_manifest(spark, index_dir).get("retention_epoch", 0)
+            )
+        bid = xor if epoch == 0 else f"rag:{epoch}:{xor}"
+        if has_index:
             entry = append_text_index(
                 spark, index_dir, survivors, batch_id=bid
             )
@@ -1210,6 +1228,11 @@ def forget_rag_docs(
         F.col(id_col).cast("string").alias("_doc")
     )
     n_docs = doomed_docs.count()
+    # the derivation/corpus joins below route through the same
+    # mass-retention guard as the per-artifact deletes — an
+    # unconditional broadcast here would defeat the guard for 1e8-doc
+    # requests before any delete ran
+    doomed_side = _delete_side(doomed_docs)
 
     # the composite scheme inverted: parent doc = the chunk id minus
     # its final ':<int>' segment (colon-bearing doc ids stay correct
@@ -1253,7 +1276,7 @@ def forget_rag_docs(
         chunk_frame = (
             ids.distinct()
             .withColumn("_doc", parent_of("id"))
-            .join(F.broadcast(doomed_docs), "_doc", "left_semi")
+            .join(doomed_side, "_doc", "left_semi")
             .select("id")
             .localCheckpoint(eager=True)  # several consumers, one scan
         )
@@ -1277,13 +1300,13 @@ def forget_rag_docs(
         rows = spark.read.parquet(*files)
         doomed_rows = rows.withColumn(
             "_doc", F.col(id_col).cast("string")
-        ).join(F.broadcast(doomed_docs), "_doc", "left_semi")
+        ).join(doomed_side, "_doc", "left_semi")
         corpus_deleted = doomed_rows.count()
         if corpus_deleted:
             survivors = rows.withColumn(
                 "_doc", F.col(id_col).cast("string")
             ).join(
-                _delete_side(doomed_docs), "_doc", "left_anti"
+                doomed_side, "_doc", "left_anti"
             ).drop("_doc")
             # append-then-delete (the family crash discipline): a crash
             # here duplicates survivors, never loses them
