@@ -427,6 +427,81 @@ def test_index_delete_everything_stays_loadable(spark, docs_df, tmp_path):
     assert got == want
 
 
+def test_save_refuses_in_place_rebuild(spark, docs_df, tmp_path):
+    """save_text_index over an already-committed index would delete the
+    committed seg=0 BEFORE the new manifest commits (_write_segment's
+    orphan replacement) — a crash in that window breaks 'a half-written
+    index is never loadable'. It must refuse with fresh-directory
+    guidance instead."""
+    from xdump_spark.operators.retrieval import save_text_index
+
+    path = str(tmp_path / "idx")
+    idx = build_text_index(docs_df)
+    save_text_index(idx, path, n_tbuckets=4)
+    with pytest.raises(ValueError, match="fresh directory"):
+        save_text_index(idx, path, n_tbuckets=4)
+
+
+def test_pre_r12_manifest_backfilled_before_delete_everything(
+    spark, docs_df, tmp_path
+):
+    """A pre-r12 manifest lacks postings_schema; a delete of every
+    postings-bearing doc on such an index would commit an all-empty
+    manifest that load_text_index refuses — AFTER destroying the data
+    to rebuild from. The manifest-rewriting paths backfill the key, so
+    the doomsday delete stays loadable."""
+    import json
+
+    from xdump_spark import fsutil
+    from xdump_spark.operators.retrieval import (
+        _INDEX_MANIFEST,
+        delete_text_index_docs,
+        load_text_index,
+        save_text_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_text_index(build_text_index(docs_df), path, n_tbuckets=4)
+    # simulate the pre-r12 layout
+    mf = fsutil.join(path, _INDEX_MANIFEST)
+    man = json.loads(fsutil.read_text_atomic(spark, mf))
+    del man["postings_schema"]
+    fsutil.write_text_atomic(spark, mf, json.dumps(man))
+
+    rpt = delete_text_index_docs(spark, path, [1, 2, 3, 4, 6])
+    assert rpt["deleted_docs"] == 5
+    loaded = load_text_index(spark, path)  # must not raise
+    assert loaded.n_docs == 1 and loaded.postings.count() == 0
+
+
+def test_mmr_duplicate_ids_with_different_vectors_deterministic(spark):
+    """Same-id candidate rows with DIFFERENT vectors (a chunk re-sent
+    with changed content under its original id) must select the same
+    keeper regardless of input row order — the kernel tie-breaks on
+    the vector bytes, not arrival order."""
+    from xdump_spark.operators.retrieval import mmr_rerank
+
+    hits = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.9), (0, 3, 0.8)],
+        "query_id int, doc_id long, score double",
+    )
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),  # same id, different vector
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows[::-1],
+                              "vec_id long, embedding array<double>")
+    ra = sorted(map(tuple, mmr_rerank(
+        hits, a, k=3, lam=0.5, score_col="score").collect()))
+    rb = sorted(map(tuple, mmr_rerank(
+        hits, b.repartition(7), k=3, lam=0.5, score_col="score"
+    ).collect()))
+    assert ra == rb
+
+
 def test_index_all_zero_term_corpus_round_trips(spark, tmp_path):
     """A saved index over docs that produce NO postings at all (the
     empty-segment case at creation time, not retention) is loadable:

@@ -204,6 +204,19 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
     return entry
 
 
+def _find_batch_entry(man: dict, batch_id) -> "dict | None":
+    """The committed segment entry carrying ``batch_id`` (directly or
+    in a merge's carried ``batch_ids``), or None — THE membership
+    predicate for append idempotence; keep every checker on this one
+    definition so a future key-format change cannot drift."""
+    for e in man["segments"]:
+        if e.get("batch_id") == batch_id or batch_id in e.get(
+            "batch_ids", ()
+        ):
+            return e
+    return None
+
+
 def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64,
                     batch_id: str | int | None = None) -> None:
     """Persist a :class:`TextIndex`: the docstring's "the index IS the
@@ -216,8 +229,23 @@ def save_text_index(index: TextIndex, path: str, n_tbuckets: int = 64,
     The ``_tbucket = pmod(xxhash64(term), n_tbuckets)`` partitioning
     makes the matched query terms a PARTITION filter at query time
     (a 3-term query over a 10 B-posting index opens ≤3 of
-    ``n_tbuckets`` bucket dirs per segment — plan-asserted in tests)."""
+    ``n_tbuckets`` bucket dirs per segment — plan-asserted in tests).
+
+    Refuses a path that already holds a committed index: an in-place
+    re-save would delete the committed ``seg=0`` BEFORE the new
+    manifest commits (``_write_segment``'s orphan replacement), so a
+    crash in that window breaks the "a half-written index is never
+    loadable" contract — rebuild into a FRESH directory and swap."""
+    from xdump_spark import fsutil
+
     spark = index.postings.sparkSession
+    if fsutil.exists_atomic(spark, fsutil.join(path, _INDEX_MANIFEST)):
+        raise ValueError(
+            f"an index is already committed at {path} — "
+            "append_text_index to add documents, compact/delete to "
+            "maintain, or save the rebuild to a fresh directory and "
+            "swap it in"
+        )
     entry = _write_segment(index, path, 0, n_tbuckets)
     if batch_id is not None:  # streaming creation: see append_text_index
         entry["batch_id"] = batch_id
@@ -257,17 +285,23 @@ def append_text_index(
     here comes from the manifest, not from idempotent data."""
     man = _read_manifest(spark, path)
     if batch_id is not None:
-        for e in man["segments"]:
-            if e.get("batch_id") == batch_id or batch_id in e.get(
-                "batch_ids", ()
-            ):
-                return e
+        hit = _find_batch_entry(man, batch_id)
+        if hit is not None:
+            return hit
     sub = build_text_index(docs, text_col=text_col, id_col=man["id_col"])
     seg = 1 + max(e["seg"] for e in man["segments"])
     entry = _write_segment(sub, path, seg, man["n_tbuckets"])
     if batch_id is not None:
         entry["batch_id"] = batch_id
     man["segments"].append(entry)
+    # backfill the all-empty loader's schema of record onto pre-r12
+    # manifests while a postings frame is at hand (save writes it; a
+    # later delete-everything on an unbackfilled index would commit an
+    # unloadable manifest AFTER destroying the data to rebuild from)
+    man.setdefault(
+        "postings_schema",
+        sub.postings.select("term", "id", "tf", "dl").schema.json(),
+    )
     _write_manifest(spark, path, man)
     return entry
 
@@ -303,6 +337,10 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     if ids:
         entry["batch_ids"] = ids
     man["segments"] = [entry]
+    man.setdefault(  # pre-r12 manifest backfill (see append_text_index)
+        "postings_schema",
+        merged.postings.select("term", "id", "tf", "dl").schema.json(),
+    )
     _write_manifest(spark, path, man)
     for sub in ("postings", "term_stats"):
         base = fsutil.join(path, sub)
@@ -390,6 +428,12 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     if ids:  # keep streaming idempotence alive across retention merges
         entry["batch_ids"] = ids
     man["segments"] = [entry]
+    man.setdefault(  # pre-r12 manifest backfill — CRITICAL here: this
+        # very call may be committing the all-empty state whose load
+        # depends on it, after destroying the data to rebuild from
+        "postings_schema",
+        retained.postings.select("term", "id", "tf", "dl").schema.json(),
+    )
     # retention epoch (r12): content-keyed appenders (prepare_rag_corpus)
     # fold this counter into their batch key, so a doc re-sent AFTER a
     # retention delete — whose survivor chunk-id set, and therefore its
@@ -498,13 +542,25 @@ def streaming_index_ingest(
             # upgrade would redeliver a batch whose old-format commit
             # the new key cannot match, double-applying it (the exact
             # df/n_docs corruption this mechanism prevents). Honor the
-            # legacy key with legacy semantics before appending.
-            legacy = int(batch_id)
-            for e in _read_manifest(spark, index_path)["segments"]:
-                if e.get("batch_id") == legacy or legacy in e.get(
-                    "batch_ids", ()
-                ):
-                    return
+            # legacy key with legacy semantics — but ONLY while the
+            # manifest actually still carries int-typed ids: on a
+            # new-format index the check is skipped entirely, so a
+            # recreated checkpoint's fresh epoch 0 can never be
+            # swallowed. On a legacy-keyed index the residual
+            # ambiguity is unavoidable — a recreated checkpoint's
+            # small epoch colliding with a committed legacy int is
+            # SKIPPED (the conservative side: a skipped batch is
+            # recoverable by re-dropping the files; doubled df is
+            # silent corruption). Legacy ids age out only with a
+            # fresh-directory rebuild.
+            man = _read_manifest(spark, index_path)
+            has_legacy = any(
+                isinstance(e.get("batch_id"), int)
+                or any(isinstance(b, int) for b in e.get("batch_ids", ()))
+                for e in man["segments"]
+            )
+            if has_legacy and _find_batch_entry(man, int(batch_id)):
+                return
             append_text_index(spark, index_path, batch_df,
                               text_col=text_col, batch_id=key)
 
@@ -933,10 +989,18 @@ def mmr_rerank(
         # deterministic candidate order: ids ascending. Duplicate
         # candidate ids collapse to one row (a no-op on clean inputs;
         # store-served vector frames may carry crash-window duplicate
-        # rows with identical vectors — the family contract)
+        # rows). The keeper is tie-broken on the VECTOR BYTES, not on
+        # arrival order: same-id rows with different vectors exist (a
+        # chunk re-sent with changed content under its original id),
+        # and arrival order is partition-dependent — an unkeyed
+        # drop_duplicates would weaken the function's determinism
+        # guarantee exactly there.
+        pdf = pdf.copy()
+        pdf["_vk"] = pdf["_v"].map(lambda v: tuple(v))
         pdf = (
-            pdf.sort_values(id_col)
+            pdf.sort_values([id_col, "_vk"])
             .drop_duplicates(subset=[id_col])
+            .drop(columns=["_vk"])
             .reset_index(drop=True)
         )
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])

@@ -1214,7 +1214,11 @@ def forget_rag_docs(
     Ordering: store first (future increments must re-accept a re-send
     of a forgotten doc — the strictest consistency need), then index,
     then corpus. Each step is itself re-runnable, so a crash anywhere
-    is completed by re-running the whole call. Cost: one store
+    is completed by re-running the whole call. Run retention from the
+    same scheduler lane as ingest (the manifest's single-writer
+    discipline): a forget interleaved INSIDE a crashed ingest's
+    redelivery window bumps the retention epoch and re-keys the
+    replayed batch, double-applying it. Cost: one store
     id-column scan + the per-artifact delete costs (touched-cell
     rewrite / index merge-rewrite / corpus rewrite); all three
     per-artifact deletes route the doomed set through the
