@@ -164,6 +164,16 @@ def main() -> None:
         if i + 1 >= len(sys.argv):
             raise SystemExit("--detail-out needs a filename")
         detail_name = sys.argv[i + 1]
+    else:
+        # the '--detail-out=NAME' spelling must work too (ADVICE r12
+        # low: the space-only scan silently ignored it and the run
+        # clobbered the default detail file — the exact clobbering the
+        # flag exists to prevent)
+        eq = [a for a in sys.argv if a.startswith("--detail-out=")]
+        if eq:
+            detail_name = eq[-1].split("=", 1)[1]
+            if not detail_name:
+                raise SystemExit("--detail-out needs a filename")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

@@ -1832,6 +1832,60 @@ def test_prepare_rag_corpus_accepted_set_matches_duckdb_replay(
     }
 
 
+def test_prepare_rag_corpus_content_updated_resend_reenters_index(
+    spark, tmp_path
+):
+    """ADVICE r12 medium: the index-append idempotence key must be
+    CONTENT, not merely the chunk-id set. A doc re-sent with corrected
+    text and the same chunk count reproduces the identical chunk ids;
+    an id-only key would hit the committed manifest entry and silently
+    no-op the append — the store accepting the new vectors while BM25
+    keeps only the old postings, diverged forever. With the text hash
+    folded into the key the corrected batch computes a NEW key and
+    re-enters the index (byte-identical crash replays still no-op —
+    pinned in the two-day test above)."""
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import bm25_topk, load_text_index
+    from xdump_spark.pipeline import prepare_rag_corpus
+
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    # corrected text: same token COUNT (same chunk grid → identical
+    # chunk ids) but different words — far outside the dedup threshold,
+    # so the store accepts the new vectors
+    fixed = " ".join(f"sigma{i} tau{i} upsilon{i}" for i in range(40))
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+
+    def ingest(text):
+        return prepare_rag_corpus(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"),
+            store, idx_dir, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+        )
+
+    r1 = ingest(body)
+    per_doc = r1.audit["accepted_chunks"]
+    assert per_doc > 1 and r1.index_entry is not None
+
+    r2 = ingest(fixed)
+    # the store accepted the corrected chunks (novel vectors under the
+    # SAME composite chunk ids) ...
+    assert r2.audit["accepted_chunks"] == per_doc
+    # ... and the index append LANDED — an id-only key would no-op here
+    assert r2.index_entry is not None
+    assert r2.index_entry["batch_id"] != r1.index_entry["batch_id"]
+    idx = load_text_index(spark, idx_dir)
+    assert idx.n_docs == 2 * per_doc
+    hits = bm25_topk(
+        idx,
+        spark.createDataFrame(
+            [(0, "sigma3 tau3")], "query_id int, query string"
+        ),
+        k=3,
+    ).collect()
+    assert hits and all(h.chunk_id.startswith("1:") for h in hits)
+
+
 def test_prepare_rag_corpus_composite_chunk_identity(spark, tmp_path):
     """r11 verdict "What's missing #3": chunk identity is the COMPOSITE
     '{doc_id}:{chunk_idx}' string, not a 64-bit hash — distinct chunks

@@ -204,6 +204,28 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
     return entry
 
 
+def _rekey_legacy_ids(ids: list) -> list:
+    """Translate carried pre-(writer, epoch) BARE-INT batch ids into
+    string tombstones (``legacy:<int>``) when a maintenance pass
+    rewrites the manifest (r12 verdict "What's missing #3"). Post-
+    maintenance the manifest carries no int-typed ids, so the
+    conservative legacy-collision skip in
+    :func:`streaming_index_ingest` stops firing and a recreated
+    checkpoint's epoch-0 batch LANDS — the ambiguity window closes
+    without a fresh-directory rebuild.
+
+    Safety: a tombstoned id no longer matches a pre-upgrade
+    checkpoint's redelivery (which would re-apply the batch). That
+    window is closed by the module's existing single-writer lane
+    discipline — maintenance (compact/delete) runs from the same
+    scheduler lane as ingest, so when it runs there IS no in-flight
+    crashed redelivery; any pre-upgrade crash was either redelivered
+    before the maintenance pass or its checkpoint abandoned."""
+    return [
+        f"legacy:{b}" if isinstance(b, int) else b for b in ids
+    ]
+
+
 def _find_batch_entry(man: dict, batch_id) -> "dict | None":
     """The committed segment entry carrying ``batch_id`` (directly or
     in a merge's carried ``batch_ids``), or None — THE membership
@@ -313,7 +335,12 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     written FIRST, the manifest then commits it alone, and only after
     that are the old (now uncommitted) segment dirs deleted — a crash
     at any point leaves a loadable index; orphan dirs from earlier
-    crashes are swept here too. Returns {segments_before, seg}."""
+    crashes are swept here too. Carried pre-upgrade bare-int batch ids
+    are rekeyed to ``legacy:<int>`` tombstones while the manifest is
+    being rewritten anyway (see :func:`_rekey_legacy_ids`) — the
+    post-compact manifest is int-free, so the streaming ingester's
+    conservative legacy-collision skip can no longer swallow a
+    recreated checkpoint's batch. Returns {segments_before, seg}."""
     from xdump_spark import fsutil
 
     man = _read_manifest(spark, path)
@@ -330,10 +357,14 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     entry = _write_segment(merged, path, seg, man["n_tbuckets"])
     before = [e["seg"] for e in man["segments"]]
     # carry the constituents' batch ids so a streaming caller's
-    # idempotence check (append_text_index batch_id) survives compaction
+    # idempotence check (append_text_index batch_id) survives
+    # compaction; pre-upgrade bare-int ids are rekeyed to tombstones
+    # here (see _rekey_legacy_ids) so the post-compact manifest is
+    # int-free and the legacy-collision skip window closes
     ids = [e["batch_id"] for e in man["segments"] if "batch_id" in e]
     for e in man["segments"]:
         ids.extend(e.get("batch_ids", ()))
+    ids = _rekey_legacy_ids(ids)
     if ids:
         entry["batch_ids"] = ids
     man["segments"] = [entry]
@@ -425,7 +456,11 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     ids = [e["batch_id"] for e in man["segments"] if "batch_id" in e]
     for e in man["segments"]:
         ids.extend(e.get("batch_ids", ()))
-    if ids:  # keep streaming idempotence alive across retention merges
+    # keep streaming idempotence alive across retention merges; legacy
+    # bare-int ids are rekeyed to tombstones like compact does (same
+    # maintenance-lane safety argument — see _rekey_legacy_ids)
+    ids = _rekey_legacy_ids(ids)
+    if ids:
         entry["batch_ids"] = ids
     man["segments"] = [entry]
     man.setdefault(  # pre-r12 manifest backfill — CRITICAL here: this
@@ -551,7 +586,9 @@ def streaming_index_ingest(
             # small epoch colliding with a committed legacy int is
             # SKIPPED (the conservative side: a skipped batch is
             # recoverable by re-dropping the files; doubled df is
-            # silent corruption). Legacy ids age out only with a
+            # silent corruption). Legacy ids age out when
+            # compact_text_index / delete_text_index_docs next rewrite
+            # the manifest (rekeyed to string tombstones) — or with a
             # fresh-directory rebuild.
             man = _read_manifest(spark, index_path)
             has_legacy = any(
@@ -560,6 +597,26 @@ def streaming_index_ingest(
                 for e in man["segments"]
             )
             if has_legacy and _find_batch_entry(man, int(batch_id)):
+                # ADVICE r12 low: the conservative skip is recoverable
+                # (re-drop the files) ONLY if the operator can see it
+                # fired — on a legacy-keyed index a recreated
+                # checkpoint's genuinely new epoch-N batch is
+                # indistinguishable from a pre-upgrade redelivery, so
+                # say so loudly instead of silently dropping it
+                import warnings
+
+                warnings.warn(
+                    f"streaming_index_ingest: batch {int(batch_id)} "
+                    f"matches a committed LEGACY bare-int key at "
+                    f"{index_path} and was SKIPPED (conservative "
+                    "migration semantics). If this daemon's checkpoint "
+                    "is new (not a pre-upgrade redelivery), the "
+                    "batch's documents were NOT indexed — re-drop "
+                    "them after compacting the index "
+                    "(compact_text_index rekeys legacy ids and closes "
+                    "this window) or rebuild into a fresh directory.",
+                    stacklevel=2,
+                )
                 return
             append_text_index(spark, index_path, batch_df,
                               text_col=text_col, batch_id=key)

@@ -1062,12 +1062,15 @@ def prepare_rag_corpus(
     dedupable by chunk_id and a re-committed store append is harmless.
     The INDEX append — where a double-apply is NOT harmless (df/n_docs
     would double-count) — is idempotent by CONTENT: the segment's
-    ``batch_id`` is the xor of the survivor chunk-id hashes, so a
-    re-run after a crash in the append→store-commit window recomputes
-    the identical survivor set (the store state is unchanged), derives
-    the identical batch id, and the append no-ops; a run whose store
-    commit DID land dedups to zero survivors and never reaches the
-    append.
+    ``batch_id`` is the xor of the survivor (chunk id, chunk TEXT)
+    hashes, so a re-run after a crash in the append→store-commit
+    window recomputes the identical survivor set (the store state is
+    unchanged), derives the identical batch id, and the append
+    no-ops; a run whose store commit DID land dedups to zero
+    survivors and never reaches the append. A re-send with CHANGED
+    text under the same chunk ids computes a different key and
+    re-enters (as an append — forget_rag_docs first for replacement
+    semantics).
 
     Scale shape: chunking is one exchange-free Project; embedding one
     Arrow pass; the dedup increment reads only touched cells; the
@@ -1133,20 +1136,37 @@ def prepare_rag_corpus(
     entry = None
     if n_surv:
         # content-keyed idempotence for the index append (see the
-        # ordering-discipline docstring): xor of the survivor id hashes
-        # — deterministic, order/partition-independent. The index's
-        # retention_epoch is folded in (as a string key once it is
-        # non-zero; the epoch-0 key stays the bare int for manifest
-        # compatibility): a doc forgotten via delete_text_index_docs /
-        # forget_rag_docs and RE-SENT under its original id reproduces
-        # the identical chunk-id set, and without the epoch its key
-        # would hit the retention merge's carried batch_ids and the
-        # append would silently no-op — the index diverging from the
-        # store forever. Within a crash-replay window no retention ran,
-        # the epoch is unchanged, and the replay still no-ops.
+        # ordering-discipline docstring): xor over the survivor
+        # (chunk id, chunk TEXT) hashes — deterministic,
+        # order/partition-independent. The text hash is folded in
+        # (ADVICE r12 medium) because the chunk-id set alone is NOT
+        # content: a doc re-sent with corrected text and the same
+        # chunk count reproduces the identical id set, and an id-only
+        # key would hit the committed manifest entry and silently
+        # no-op the append — the store accepting the new vectors while
+        # BM25 keeps only the old postings, diverged forever. With the
+        # text folded in, a crash replay (identical content) still
+        # no-ops, while a content-updated re-send computes a new key
+        # and re-enters the index (as an APPEND — a caller wanting
+        # replacement semantics must forget_rag_docs first, exactly as
+        # with any other id reuse). The index's retention_epoch is
+        # folded in too: a doc forgotten via delete_text_index_docs /
+        # forget_rag_docs and RE-SENT byte-identical under its
+        # original id reproduces the identical content key, and
+        # without the epoch it would no-op against the retention
+        # merge's carried batch_ids — same divergence. Within a
+        # crash-replay window no retention ran, the epoch is
+        # unchanged, and the replay still no-ops. The key is ALWAYS a
+        # string (even at epoch 0): maintenance rewrites tombstone
+        # bare-int manifest ids as pre-upgrade legacy keys
+        # (retrieval._rekey_legacy_ids), and an int key here would be
+        # swept up by that.
         xor = int(
             survivors.agg(
-                F.expr("bit_xor(xxhash64(chunk_id))").alias("b")
+                F.expr(
+                    "bit_xor(xxhash64(concat(chunk_id, ':', "
+                    "cast(xxhash64(text) as string))))"
+                ).alias("b")
             ).collect()[0]["b"]
         )
         has_index = fsutil.exists_atomic(
@@ -1159,7 +1179,7 @@ def prepare_rag_corpus(
             epoch = int(
                 _read_manifest(spark, index_dir).get("retention_epoch", 0)
             )
-        bid = xor if epoch == 0 else f"rag:{epoch}:{xor}"
+        bid = f"rag:{epoch}:{xor}"
         if has_index:
             entry = append_text_index(
                 spark, index_dir, survivors, batch_id=bid
@@ -1363,7 +1383,8 @@ def streaming_rag_ingest(
       set, and a double-appended store row cannot change any later
       decision;
     * the index append is idempotent BY CONTENT — its segment's batch
-      id is the xor of the survivor chunk-id hashes, so a redelivery
+      id is the xor of the survivor (chunk id, chunk text) hashes, so
+      a redelivery
       whose store commit had NOT landed recomputes the identical id
       and no-ops against the manifest, while one whose store commit
       HAD landed dedups to zero survivors and never reaches the
