@@ -1251,6 +1251,14 @@ def test_cli_search_mmr(spark, tmp_path, capsys):
         run(["--store-path", str(tmp_path / "vspq"), "-q", q_path,
              "-o", out, "--mmr", "3"])
 
+    # r13: --allow-recon opts the pq store into serving PQ
+    # reconstructions as the diversity vectors — no side table needed
+    out3 = str(tmp_path / "out3")
+    rpt = run(["--store-path", str(tmp_path / "vspq"), "-q", q_path,
+               "-o", out3, "-k", "6", "--n-probe", "3",
+               "--mmr", "3", "--mmr-lambda", "0.7", "--allow-recon"])
+    assert rpt["score"] == "mmr_score" and rpt["rows"] == 3
+
 
 def test_cli_prepare_rag(spark, tmp_path, capsys):
     """r11 `prepare-rag` e2e: two runs, the second a pure re-send —

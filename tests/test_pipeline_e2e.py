@@ -1753,6 +1753,316 @@ def test_forget_rag_docs_three_artifacts(spark, tmp_path):
     assert back and all(r.chunk_id.startswith("1:") for r in back)
 
 
+def test_forget_zero_term_docs_resend_noop_keeps_counts_exact(
+    spark, tmp_path
+):
+    """ADVICE r12 low, investigated and pinned the OTHER way: forgetting
+    a doc whose chunks carry no postings (punctuation-only text — a
+    nonzero hash embedding, zero BM25 terms) must NOT bump the
+    retention epoch. The index never removed those chunks (no postings
+    to find; their n_docs stay — the documented zero-term caveat), so
+    a byte-identical re-send no-opping against its committed content
+    key is CORRECT: the chunks stay counted exactly ONCE, segments
+    unchanged, and BM25 answers exactly as a fresh build over the
+    logical corpus. An epoch bump would re-key the re-send, land it as
+    a new segment, and double-count n_docs — the df/n_docs drift the
+    epoch exists to prevent. (A termful forget still bumps — pinned in
+    the three-artifacts test.)"""
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import (
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+    )
+    from xdump_spark.pipeline import forget_rag_docs, prepare_rag_corpus
+    import xdump_spark.operators.retrieval as R
+
+    # whitespace tokens exist (hash-embeddable), no [a-z0-9] (no terms)
+    punct = " ".join(["!!! ??? ;;; :::"] * 10)
+    body2 = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+
+    def ingest(rows):
+        return prepare_rag_corpus(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            store, idx_dir, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+        )
+
+    r1 = ingest([(1, punct)])   # its own batch: one committed key
+    n1 = r1.audit["accepted_chunks"]
+    assert n1 >= 1 and r1.index_entry is not None
+    ingest([(2, body2)])
+    n_total = load_text_index(spark, idx_dir).n_docs
+    segs_before = len(R._read_manifest(spark, idx_dir)["segments"])
+
+    # forget the zero-term doc: store rows leave, index zero-hit
+    rpt = forget_rag_docs(spark, store, idx_dir, [1])
+    assert rpt["store"]["deleted_rows"] == n1
+    assert rpt["index"]["deleted_docs"] == 0
+    man = R._read_manifest(spark, idx_dir)
+    assert int(man.get("retention_epoch", 0)) == 0  # NOT bumped
+    assert len(man["segments"]) == segs_before  # no merge-rewrite ran
+
+    # byte-identical re-send: store re-accepts, index no-ops — chunks
+    # counted exactly once, segment count unchanged
+    r2 = ingest([(1, punct)])
+    assert r2.audit["accepted_chunks"] == n1
+    assert len(R._read_manifest(spark, idx_dir)["segments"]) == segs_before
+    idx = load_text_index(spark, idx_dir)
+    assert idx.n_docs == n_total  # no double count
+
+    # BM25 equals a fresh build over the LOGICAL corpus (doc 1's
+    # zero-term chunks + doc 2's chunks, each once): same n_docs prior
+    fresh_docs = spark.createDataFrame(
+        [(1, punct), (2, body2)], "doc_id long, text string"
+    )
+    from xdump_spark.operators.chunking import chunk_tokens
+
+    fresh_chunks = chunk_tokens(
+        fresh_docs, max_tokens=32, overlap=8,
+        text_col="text", id_col="doc_id",
+    ).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx")
+        ).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    queries = spark.createDataFrame(
+        [(0, "delta3 epsilon3")], "query_id int, query string"
+    )
+    want = sorted(
+        (r.query_id, r.chunk_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(
+            build_text_index(fresh_chunks, id_col="chunk_id"),
+            queries, k=3,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.chunk_id, round(r.score, 9), r.rnk)
+        for r in bm25_topk(idx, queries, k=3).collect()
+    )
+    assert got == want
+
+
+def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
+    """r12 verdict Next #1/#5: the survivor corpus is bucketed by doc
+    hash, and forget_rag_docs rewrites ONLY the buckets containing
+    doomed docs — untouched buckets byte-identical by file listing
+    (the test_retention.py pin style) — with the doomed count observed
+    on the rewrite pass itself: the corpus step runs a bounded number
+    of jobs and no separate counting scan."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        _as_id_frame,
+        _delete_side,
+    )
+    from xdump_spark.pipeline import (
+        _forget_corpus_rows,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    docs = [(i, body(f"v{i}q")) for i in range(1, 5)]
+    r = prepare_rag_corpus(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2, corpus_buckets=8,
+    )
+    per_doc = r.audit["accepted_chunks"] // 4
+
+    # the bucket each doc hashes into, via the same spark expression
+    bucket_of = {
+        row.d: int(row.b)
+        for row in spark.createDataFrame(
+            [(str(i),) for i in range(1, 5)], ["d"]
+        ).select(
+            "d", F.pmod(F.xxhash64("d"), F.lit(8)).alias("b")
+        ).collect()
+    }
+    doomed_bucket = bucket_of["1"]
+    untouched_before = {
+        (f, sz)
+        for f, sz in fsutil.list_data_files(spark, out)
+        if f"/_bucket={doomed_bucket}/" not in f
+    }
+    assert untouched_before  # ≥1 other bucket exists to prove pruning
+
+    rpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+    assert rpt["corpus_rows_deleted"] == per_doc
+    # untouched buckets: file set (path AND size) byte-identical
+    untouched_after = {
+        (f, sz)
+        for f, sz in fsutil.list_data_files(spark, out)
+        if f"/_bucket={doomed_bucket}/" not in f
+    }
+    assert untouched_after == untouched_before
+    left = spark.read.parquet(out)
+    assert left.count() == 3 * per_doc
+    assert {r_["doc_id"] for r_ in left.select("doc_id").collect()} == {
+        2, 3, 4,
+    }
+
+    # one-scan pin (r12 verdict Next #5): the doomed count is OBSERVED
+    # on the rewrite pass itself — the corpus step may never run a
+    # counting action (the pre-r13 shape was count-then-rewrite, two
+    # full passes over the touched files), and its job total stays a
+    # small constant (measured 6: parquet schema read, bucket collect,
+    # broadcast build, AQE write stages — none a second data pass)
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame as _DF
+
+    doomed_side = _delete_side(
+        _as_id_frame(spark, [2], "doc_id").select(
+            F.col("doc_id").cast("string").alias("_doc")
+        )
+    )
+
+    def _no_count(self):
+        raise AssertionError(
+            "corpus forget must not run a separate counting scan"
+        )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("forget-corpus-pin", "one-scan assertion")
+    try:
+        with patch.object(_DF, "count", _no_count):
+            n_del = _forget_corpus_rows(spark, out, doomed_side, "doc_id")
+    finally:
+        sc.setJobGroup("", "")
+    assert n_del == per_doc
+    jobs = sc.statusTracker().getJobIdsForGroup("forget-corpus-pin")
+    assert 1 <= len(jobs) <= 8, jobs
+
+    # forgetting a doc that never existed touches nothing: its bucket
+    # is read+rewritten only if it held files, other buckets untouched
+    before_all = set(fsutil.list_data_files(spark, out))
+    rpt2 = forget_rag_docs(spark, store, idx_dir, [999], corpus_dir=out)
+    assert rpt2["corpus_rows_deleted"] == 0
+    untouched = {
+        (f, sz)
+        for f, sz in before_all
+        if f"/_bucket={bucket_of.get('999', -1)}/" not in f
+    }
+    after_all = set(fsutil.list_data_files(spark, out))
+    assert untouched <= after_all
+    assert spark.read.parquet(out).count() == 2 * per_doc
+
+
+def test_forget_rag_corpus_flat_legacy_layout(spark, tmp_path):
+    """A pre-r13 FLAT survivor corpus (root-level files, no meta
+    sidecar) keeps working: appends stay flat (mixing root files with
+    partition dirs would break parquet partition discovery) and forget
+    degrades to the documented full rewrite with the same counts."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import (
+        _CORPUS_META,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    # simulate the pre-r13 layout: flat files already present
+    spark.createDataFrame(
+        [("0:0", 0, 0, "seed row", 2)],
+        "chunk_id string, doc_id long, chunk_idx int, text string, "
+        "n_tokens int",
+    ).write.parquet(out)
+
+    r = prepare_rag_corpus(
+        spark.createDataFrame(
+            [(1, body("a")), (2, body("b"))], "doc_id long, text string"
+        ),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    per_doc = r.audit["accepted_chunks"] // 2
+    # still flat: no bucket dirs, no meta sidecar appeared
+    assert not fsutil.exists_atomic(
+        spark, fsutil.join(out, _CORPUS_META)
+    )
+    assert all(
+        "/_bucket=" not in f
+        for f, _ in fsutil.list_data_files(spark, out)
+    )
+    assert spark.read.parquet(out).count() == 1 + 2 * per_doc
+
+    rpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+    assert rpt["corpus_rows_deleted"] == per_doc
+    left = spark.read.parquet(out)
+    assert left.count() == 1 + per_doc
+    assert {r_["doc_id"] for r_ in left.select("doc_id").collect()} == {
+        0, 2,
+    }
+
+
+def test_forget_chunk_id_derivation_filters_before_distinct(
+    spark, tmp_path
+):
+    """r12 verdict What's-wrong #2 plan pin: the doomed-chunk-id
+    derivation semi-joins the (broadcast) doomed-parent frame BEFORE
+    the distinct, so a small forget never exchanges the full
+    postings-id universe. In the physical plan the distinct's
+    HashAggregate must sit ABOVE the LeftSemi broadcast join (printed
+    first) — distinct-first would print the join above the
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    import contextlib
+    import io
+
+    from xdump_spark.operators.incremental import (
+        VectorStore,
+        _as_id_frame,
+        _delete_side,
+    )
+    from xdump_spark.pipeline import _doomed_chunk_ids, prepare_rag_corpus
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    prepare_rag_corpus(
+        spark.createDataFrame([(1, body)], "doc_id long, text string"),
+        store, idx_dir, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    doomed_side = _delete_side(
+        _as_id_frame(spark, [1], "doc_id").select(
+            F.col("doc_id").cast("string").alias("_doc")
+        )
+    )
+    df = _doomed_chunk_ids(spark, store, idx_dir, doomed_side)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan and "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("LeftSemi"), plan
+    # small request → the doomed side broadcasts into both source scans
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_prepare_rag_corpus_accepted_set_matches_duckdb_replay(
     spark, tmp_path
 ):

@@ -525,6 +525,11 @@ def build_parser() -> argparse.ArgumentParser:
     rg.add_argument("-o", "--output", default=None,
                     help="surviving-chunks parquet (append); omit to "
                          "only update store+index")
+    rg.add_argument("--corpus-buckets", type=int, default=64,
+                    help="doc-hash partition buckets for a NEW survivor "
+                         "corpus (maintain --kind rag forgets rewrite "
+                         "only doomed buckets); an existing corpus's "
+                         "recorded layout wins")
     rg.add_argument("--max-tokens", type=int, default=256)
     rg.add_argument("--overlap", type=int, default=32)
     rg.add_argument("--hash-embed", type=int, default=256, metavar="DIM")
@@ -735,6 +740,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rag: chunk budget in whitespace tokens")
     ig.add_argument("--chunk-overlap", type=int, default=32,
                     help="rag: overlapping tokens between chunks")
+    ig.add_argument("--corpus-buckets", type=int, default=64,
+                    help="rag: doc-hash partition buckets for a NEW "
+                         "survivor corpus (forgets rewrite only doomed "
+                         "buckets); an existing corpus's layout wins")
     ig.add_argument("--schema", default=None, metavar="DDL",
                     help="semantic/docs: drop-file schema as a DDL "
                          "string, e.g. 'doc_id long, text string' — "
@@ -779,7 +788,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["stats", "compact", "retrain", "balance", "delete"],
         default="stats",
         help="stats = sizing/trigger inputs (no rewrite); compact = "
-             "rewrite append piles into sized files; retrain (vector) = "
+             "rewrite append piles into sized files (text-index: also "
+             "rekeys pre-upgrade bare-int streaming batch ids to "
+             "legacy tombstones, closing the recreated-checkpoint "
+             "skip window — the in-place alternative to the "
+             "fresh-directory rebuild migration); retrain (vector) = "
              "re-fit centroids + re-bucket history; balance (vector) = "
              "cell-occupancy drift check (retrain_recommended); delete "
              "= retention/right-to-be-forgotten removal (signature/"
@@ -906,6 +919,11 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--mmr-lambda", type=float, default=0.5,
                     help="--mmr relevance/diversity tradeoff in [0,1] "
                          "(1 = input ranking)")
+    sr.add_argument("--allow-recon", action="store_true",
+                    help="--mmr on a pq store without --corpus: serve "
+                         "PQ reconstructions as the diversity vectors "
+                         "(diversity-grade approximation — exact "
+                         "relevance ranks are unaffected)")
     return p
 
 
@@ -1290,6 +1308,7 @@ def run(args, spark) -> int:
             id_col=args.id_col, max_tokens=args.max_tokens,
             overlap=args.overlap, hash_embed_dim=args.hash_embed,
             threshold=args.threshold, n_cells=args.cells,
+            corpus_buckets=args.corpus_buckets,
         )
         print(_json.dumps({
             "audit": res.audit,
@@ -1454,6 +1473,7 @@ def run(args, spark) -> int:
             index_dir=args.index_dir,
             chunk_tokens=args.chunk_tokens,
             chunk_overlap=args.chunk_overlap,
+            corpus_buckets=args.corpus_buckets,
         )
         if args.processing_time:
             # always-on: report and block (the scheduler owns the kill);
@@ -1586,10 +1606,13 @@ def run(args, spark) -> int:
             else:
                 # r12: a FLOAT store serves its own diversity vectors
                 # (the RAG front door's layout needs no side table);
-                # pq stores hold only codes and still need --corpus
+                # pq stores hold only codes — --allow-recon (r13) opts
+                # into PQ reconstructions for the diversity term,
+                # otherwise they still need --corpus
                 try:
                     mmr_vecs = store.vectors(
-                        id_col=args.id_col, vec_col=args.vec_col
+                        id_col=args.id_col, vec_col=args.vec_col,
+                        reconstructed=args.allow_recon,
                     )
                 except ValueError as e:
                     raise SystemExit(f"--mmr without --corpus: {e}")

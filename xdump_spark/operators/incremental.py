@@ -1575,7 +1575,8 @@ class VectorStore:
         return self._upcast(pruned)
 
     def vectors(self, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                reconstructed: bool = False) -> DataFrame:
         """The stored (id, vector) rows of a FLOAT store — the store
         serving as its own embedding table (r12): ``mmr_rerank`` (and
         any other consumer of candidate vectors) no longer needs a
@@ -1585,10 +1586,19 @@ class VectorStore:
         scan of (neighbor_id, cv) — cells/hashes never read; float32
         stores upcast at read like every other exit point.
 
-        Raises on a pq store: codes are quantized, and silently
-        serving reconstructions as "the vectors" would change MMR's
-        diversity arithmetic without the caller opting in — pass the
-        raw-embedding table explicitly there (CLI ``--corpus``).
+        Raises on a pq store by default: codes are quantized, and
+        silently serving reconstructions as "the vectors" would change
+        MMR's diversity arithmetic without the caller opting in.
+        ``reconstructed=True`` is that opt-in (r12 verdict "What's
+        missing #2"): PQ reconstructions are served as DIVERSITY
+        vectors — the manifold probe measures recon cosine 0.93-0.99,
+        plenty for an MMR penalty term, though NOT for exact scoring
+        (use ``search(rerank=..., corpus=...)`` for corrected
+        distances). The codes scan stays pruned (m smallints per row);
+        reconstruction is the executor-side
+        :func:`~xdump_spark.operators.pq.pq_reconstruct` gather, the
+        ADC serving path's own decode. For exact vectors, pass the
+        raw-embedding table (CLI ``--corpus``).
 
         Caveat (the family contract): a crash between a survivor
         append and its re-run can leave duplicate (id, vector) rows —
@@ -1600,11 +1610,15 @@ class VectorStore:
             raise ValueError(
                 "VectorStore.vectors(): the store holds no vectors yet"
             )
-        if self._store_dtype() == "pq":
+        is_pq = self._store_dtype() == "pq"
+        if is_pq and not reconstructed:
             raise ValueError(
                 "VectorStore.vectors(): this store holds pq CODES, not "
                 "float vectors — supply the raw-embedding table for "
-                "vector consumers (CLI --corpus), or use a float store"
+                "vector consumers (CLI --corpus), opt into PQ "
+                "reconstructions with vectors(reconstructed=True) "
+                "(CLI --allow-recon; diversity-grade, not "
+                "exact-score-grade), or use a float store"
             )
         path = self._assigned_path()
         if not fsutil.list_data_files(self.spark, path):
@@ -1614,8 +1628,12 @@ class VectorStore:
             raise ValueError(
                 "VectorStore.vectors(): the store holds no vectors yet"
             )
-        raw = self.spark.read.parquet(path).select("neighbor_id", "cv")
-        return self._upcast(raw).select(
+        raw = self.spark.read.parquet(path)
+        if is_pq:
+            decoded = self._decode_codes(raw)
+        else:
+            decoded = self._upcast(raw.select("neighbor_id", "cv"))
+        return decoded.select(
             F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
         )
 

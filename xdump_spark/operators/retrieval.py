@@ -435,6 +435,19 @@ def delete_text_index_docs(spark: SparkSession, path: str, ids) -> dict:
     )
     n_del, dl_del, p_del = int(hit["nd"]), int(hit["tdl"]), int(hit["nposts"])
     if n_del == 0:
+        # Deliberately NO retention_epoch bump on the zero-hit path
+        # (ADVICE r12 low, investigated and pinned the other way): a
+        # zero-hit request means every requested id was postings-free,
+        # and postings-free docs are never REMOVED from the index —
+        # their n_docs/total_dl contributions stay (the zero-term
+        # caveat above). A byte-identical re-send of such a batch
+        # SHOULD therefore no-op against its committed content key:
+        # the chunks are still counted exactly once and BM25 answers
+        # exactly as a fresh build over the logical corpus. Bumping
+        # the epoch here would re-key that re-send, LAND it as a new
+        # segment, and double-count its n_docs — introducing the very
+        # df/n_docs drift the epoch mechanism exists to prevent
+        # (pinned in tests/test_pipeline_e2e.py zero-term test).
         return {"deleted_docs": 0, "deleted_postings": 0,
                 "seg": max(e["seg"] for e in man["segments"])}
     surviving = idx.postings.select("term", "id", "tf", "dl").join(

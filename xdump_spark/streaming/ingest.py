@@ -67,6 +67,7 @@ def run_ingest(
     index_dir: str | None = None,
     chunk_tokens: int = 256,
     chunk_overlap: int = 32,
+    corpus_buckets: int = 64,
 ):
     """Start (and in drain mode, finish) one drop-directory ingest.
 
@@ -205,6 +206,7 @@ def run_ingest(
             threshold=semantic_threshold, n_cells=semantic_cells,
             semantic_kwargs={"max_cell": semantic_max_cell},
             schema=schema, trigger=trigger,
+            corpus_buckets=corpus_buckets,
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
