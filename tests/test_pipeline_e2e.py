@@ -1888,7 +1888,7 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
     bucket_of = {
         row.d: int(row.b)
         for row in spark.createDataFrame(
-            [(str(i),) for i in range(1, 5)], ["d"]
+            [(str(i),) for i in (1, 2, 3, 4, 999)], ["d"]
         ).select(
             "d", F.pmod(F.xxhash64("d"), F.lit(8)).alias("b")
         ).collect()
@@ -1948,15 +1948,16 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("forget-corpus-pin")
     assert 1 <= len(jobs) <= 8, jobs
 
-    # forgetting a doc that never existed touches nothing: its bucket
-    # is read+rewritten only if it held files, other buckets untouched
+    # forgetting a doc that never existed touches nothing outside its
+    # own hash bucket: that bucket is read+rewritten only if it held
+    # files, every other bucket stays byte-identical
     before_all = set(fsutil.list_data_files(spark, out))
     rpt2 = forget_rag_docs(spark, store, idx_dir, [999], corpus_dir=out)
     assert rpt2["corpus_rows_deleted"] == 0
     untouched = {
         (f, sz)
         for f, sz in before_all
-        if f"/_bucket={bucket_of.get('999', -1)}/" not in f
+        if f"/_bucket={bucket_of['999']}/" not in f
     }
     after_all = set(fsutil.list_data_files(spark, out))
     assert untouched <= after_all
@@ -2194,6 +2195,83 @@ def test_prepare_rag_corpus_content_updated_resend_reenters_index(
         k=3,
     ).collect()
     assert hits and all(h.chunk_id.startswith("1:") for h in hits)
+
+
+def test_prepare_rag_corpus_legacy_int_key_crash_replay_noop(
+    spark, tmp_path
+):
+    """Pre-r13 prepare_rag_corpus keyed the index append as the
+    BARE-INT id-only xor. A crash in its index-commit→store-commit
+    window, replayed after the upgrade, recomputes a DIFFERENT
+    (content-keyed, string) id — without a migration guard the replay
+    would append the same postings twice (silent df/n_docs
+    corruption). While the manifest still carries int-typed ids, a
+    batch whose id-only xor matches a committed int must be treated as
+    already applied — with a warning — and the store commit must still
+    land (completing the crashed run)."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark.operators.chunking import chunk_tokens
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.operators.retrieval import (
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+    from xdump_spark.pipeline import prepare_rag_corpus
+    import xdump_spark.operators.retrieval as R
+
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    idx_dir = str(tmp_path / "tidx")
+    store = VectorStore(spark, str(tmp_path / "vs"))
+
+    # reconstruct the pre-r13 crash state: the front door's chunks,
+    # indexed under the OLD id-only bare-int key; store commit LOST
+    chunks = chunk_tokens(
+        docs, max_tokens=32, overlap=8, text_col="text", id_col="doc_id"
+    ).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx")
+        ).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    legacy_xor = int(
+        chunks.agg(
+            F.expr("bit_xor(xxhash64(chunk_id))").alias("b")
+        ).collect()[0]["b"]
+    )
+    save_text_index(
+        build_text_index(chunks, id_col="chunk_id"), idx_dir,
+        batch_id=legacy_xor,
+    )
+    n0 = load_text_index(spark, idx_dir).n_docs
+
+    # the redelivery, under r13 code: every chunk is novel to the
+    # (empty) store, so the batch reaches the index append with the
+    # SAME chunk-id set the pre-r13 run committed
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        r = prepare_rag_corpus(
+            docs, store, idx_dir, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+        )
+    assert r.audit["accepted_chunks"] == n0  # store commit landed
+    assert r.index_entry is not None
+    assert r.index_entry.get("batch_id") == legacy_xor  # the OLD entry
+    assert load_text_index(spark, idx_dir).n_docs == n0  # NOT doubled
+    assert len(R._read_manifest(spark, idx_dir)["segments"]) == 1
+    assert any("pre-r13" in str(w.message) for w in caught)
+
+    # and the completed state is healthy: a full re-send now dedups to
+    # zero survivors and never reaches the append
+    r2 = prepare_rag_corpus(
+        docs, store, idx_dir, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    assert r2.audit["accepted_chunks"] == 0 and r2.index_entry is None
 
 
 def test_prepare_rag_corpus_composite_chunk_identity(spark, tmp_path):

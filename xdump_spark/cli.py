@@ -1615,7 +1615,11 @@ def run(args, spark) -> int:
                         reconstructed=args.allow_recon,
                     )
                 except ValueError as e:
-                    raise SystemExit(f"--mmr without --corpus: {e}")
+                    # the store's own message carries the right advice
+                    # (--corpus vs --allow-recon vs empty store) — a
+                    # fixed '--corpus' prefix would mislead the
+                    # --allow-recon-on-empty-store case
+                    raise SystemExit(f"search --mmr: {e}")
         if args.text_index:
             if args.rerank is not None or (
                 args.corpus and args.mmr is None

@@ -1249,29 +1249,77 @@ def prepare_rag_corpus(
         # bare-int manifest ids as pre-upgrade legacy keys
         # (retrieval._rekey_legacy_ids), and an int key here would be
         # swept up by that.
-        xor = int(
-            survivors.agg(
-                F.expr(
-                    "bit_xor(xxhash64(concat(chunk_id, ':', "
-                    "cast(xxhash64(text) as string))))"
-                ).alias("b")
-            ).collect()[0]["b"]
-        )
+        # both key formulas in ONE agg: the r13 content key and the
+        # pre-r13 id-only xor (the legacy migration guard below)
+        krow = survivors.agg(
+            F.expr(
+                "bit_xor(xxhash64(concat(chunk_id, ':', "
+                "cast(xxhash64(text) as string))))"
+            ).alias("b"),
+            F.expr("bit_xor(xxhash64(chunk_id))").alias("legacy"),
+        ).collect()[0]
+        xor, legacy_xor = int(krow["b"]), int(krow["legacy"])
         has_index = fsutil.exists_atomic(
             spark, fsutil.join(index_dir, _INDEX_MANIFEST)
         )
         epoch = 0
+        man = None
         if has_index:
             from xdump_spark.operators.retrieval import _read_manifest
 
-            epoch = int(
-                _read_manifest(spark, index_dir).get("retention_epoch", 0)
-            )
+            man = _read_manifest(spark, index_dir)
+            epoch = int(man.get("retention_epoch", 0))
         bid = f"rag:{epoch}:{xor}"
         if has_index:
-            entry = append_text_index(
-                spark, index_dir, survivors, batch_id=bid
+            # pre-r13 migration window (same conservative shape as
+            # streaming_index_ingest's legacy check): a pre-r13 run
+            # keyed this batch as the BARE-INT id-only xor, so a crash
+            # in its index-commit→store-commit window redelivered
+            # under r13 would compute a different key and double-apply
+            # the append (silent df/n_docs corruption). While the
+            # manifest still CARRIES int-typed ids, a batch whose
+            # id-only xor matches a committed int is treated as
+            # already applied — conservative: a content-updated
+            # re-send colliding this way is skipped with a warning
+            # (recoverable: compact rekeys legacy ids to tombstones,
+            # closing this window) rather than risking doubled df.
+            # On an int-free manifest the check never fires. Residual
+            # (accepted): an r12-era 'rag:{epoch}:{old_xor}' key —
+            # possible only on an index that had undergone retention
+            # BEFORE the upgrade AND crashed in the narrow window —
+            # is indistinguishable from a new-format key and stays
+            # unguarded; that replay double-applies (rebuild if hit).
+            from xdump_spark.operators.retrieval import _find_batch_entry
+
+            has_legacy = any(
+                isinstance(e.get("batch_id"), int)
+                or any(
+                    isinstance(b, int) for b in e.get("batch_ids", ())
+                )
+                for e in man["segments"]
             )
+            legacy_hit = (
+                _find_batch_entry(man, legacy_xor) if has_legacy else None
+            )
+            if legacy_hit is not None:
+                import warnings
+
+                warnings.warn(
+                    f"prepare_rag_corpus: this batch's pre-r13 id-only "
+                    f"key {legacy_xor} matches a committed legacy "
+                    f"bare-int entry at {index_dir}; treating the "
+                    "index append as already applied (conservative "
+                    "migration semantics — a pre-r13 crash replay "
+                    "no-ops correctly; a content-updated re-send that "
+                    "collides here was NOT re-indexed: compact the "
+                    "index to rekey legacy ids, then re-send).",
+                    stacklevel=2,
+                )
+                entry = legacy_hit
+            else:
+                entry = append_text_index(
+                    spark, index_dir, survivors, batch_id=bid
+                )
         else:
             idx = build_text_index(survivors, id_col="chunk_id")
             save_text_index(idx, index_dir, batch_id=bid)
@@ -1361,17 +1409,20 @@ def _forget_corpus_rows(spark, corpus_dir, doomed_side, id_col) -> int:
     beside duplicated survivors — incomplete (re-run the forget),
     never lossy, duplicates dedupable by chunk_id.
 
-    Degradations: a pre-r13 FLAT corpus full-rewrites as before; a
-    bucketed corpus whose meta sidecar is gone rewrites every bucket
-    but preserves each row's recorded bucket assignment (the
-    partition column read back via basePath)."""
+    Degradations: a pre-r13 FLAT corpus keeps its pre-r13 shape —
+    count the doomed rows first, rewrite only when any matched (the
+    count-first probe costs a second scan, but it caps the no-match
+    worst case: a typo'd forget against a flat 100 TB corpus must not
+    full-rewrite it); a bucketed corpus whose meta sidecar is gone
+    rewrites every bucket but preserves each row's recorded bucket
+    assignment (the partition column read back via basePath). On the
+    bucketed path a no-match request still rewrites the doomed docs'
+    buckets (~touched/N of the corpus) — bounded, and the price of
+    the single-scan count."""
     from pyspark.sql import Observation
 
     from xdump_spark import fsutil
 
-    all_files = fsutil.list_data_files(spark, corpus_dir)
-    if not all_files:
-        return 0
     layout = _corpus_layout(spark, corpus_dir)
     bucketed = layout["kind"] == "bucketed"
     if bucketed and layout["n_buckets"]:
@@ -1384,14 +1435,19 @@ def _forget_corpus_rows(spark, corpus_dir, doomed_side, id_col) -> int:
                 F.pmod(F.xxhash64("_doc"), F.lit(n)).alias("b")
             ).distinct().collect()
         }
-        markers = {
-            f"/{_CORPUS_BUCKET_COL}={b}/" for b in doomed_buckets
-        }
+        # list ONLY the doomed buckets' dirs: a whole-corpus listing
+        # would put O(corpus files) driver work under a one-doc forget
+        # — the exact cost class the bucketing exists to remove
         files = [
-            f for f, _ in all_files if any(m in f for m in markers)
+            f
+            for b in sorted(doomed_buckets)
+            for f, _ in fsutil.list_data_files(
+                spark,
+                fsutil.join(corpus_dir, f"{_CORPUS_BUCKET_COL}={b}"),
+            )
         ]
     else:
-        files = [f for f, _ in all_files]
+        files = [f for f, _ in fsutil.list_data_files(spark, corpus_dir)]
     if not files:
         return 0
     reader = spark.read
@@ -1400,6 +1456,23 @@ def _forget_corpus_rows(spark, corpus_dir, doomed_side, id_col) -> int:
         # anchors them — survivors must keep their bucket for write-back
         reader = reader.option("basePath", corpus_dir)
     rows = reader.parquet(*files)
+    if not bucketed:
+        # flat legacy: count first, rewrite only on a match (docstring)
+        doomed_rows = rows.withColumn(
+            "_doc", F.col(id_col).cast("string")
+        ).join(doomed_side, "_doc", "left_semi")
+        n_doomed = doomed_rows.count()
+        if n_doomed == 0:
+            return 0
+        survivors = (
+            rows.withColumn("_doc", F.col(id_col).cast("string"))
+            .join(doomed_side, "_doc", "left_anti")
+            .drop("_doc")
+        )
+        survivors.write.mode("append").parquet(corpus_dir)
+        for f in files:
+            fsutil.delete(spark, f, recursive=False)
+        return n_doomed
     obs = Observation()
     marked = (
         rows.withColumn("_doc", F.col(id_col).cast("string"))
@@ -1407,23 +1480,19 @@ def _forget_corpus_rows(spark, corpus_dir, doomed_side, id_col) -> int:
         .observe(obs, F.coalesce(F.sum("_dm"), F.lit(0)).alias("doomed"))
     )
     survivors = marked.filter(F.col("_dm").isNull()).drop("_dm", "_doc")
-    if bucketed:
-        # NO repartition before this write, deliberately: the input
-        # files live in bucket dirs already, so each scan task holds
-        # exactly one bucket and writes ≤1 file per input file — an
-        # exchange buys nothing, and it is actively harmful here: when
-        # every read row is doomed (a whole-bucket forget, the common
-        # single-doc case) AQE's empty-relation propagation replaces
-        # the post-shuffle subtree — INCLUDING the CollectMetrics node
-        # — and the observed doomed count silently comes back empty
-        # (measured; Spark 4.1). One stage end-to-end keeps the
-        # metrics attached to the write job.
-        (
-            survivors.write.mode("append")
-            .partitionBy(_CORPUS_BUCKET_COL).parquet(corpus_dir)
-        )
-    else:
-        survivors.write.mode("append").parquet(corpus_dir)
+    # NO repartition before this write, deliberately: the input files
+    # live in bucket dirs already, so each scan task holds exactly one
+    # bucket and writes ≤1 file per input file — an exchange buys
+    # nothing, and it is actively harmful here: when every read row is
+    # doomed (a whole-bucket forget, the common single-doc case) AQE's
+    # empty-relation propagation replaces the post-shuffle subtree —
+    # INCLUDING the CollectMetrics node — and the observed doomed
+    # count silently comes back empty (measured; Spark 4.1). One stage
+    # end-to-end keeps the metrics attached to the write job.
+    (
+        survivors.write.mode("append")
+        .partitionBy(_CORPUS_BUCKET_COL).parquet(corpus_dir)
+    )
     for f in files:
         fsutil.delete(spark, f, recursive=False)
     return int(obs.get["doomed"])
