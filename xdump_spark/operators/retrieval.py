@@ -226,6 +226,21 @@ def _rekey_legacy_ids(ids: list) -> list:
     ]
 
 
+def _has_legacy_int_ids(man: dict) -> bool:
+    """Does the manifest still carry pre-(writer, epoch) BARE-INT batch
+    ids? THE gate for every conservative legacy-migration check
+    (streaming_index_ingest's epoch-collision skip,
+    prepare_rag_corpus's id-only-xor replay guard) — one definition so
+    a change to the legacy representation cannot drift between
+    callers. Tombstoned ``legacy:<int>`` strings do NOT count: after a
+    maintenance rekey the window is closed."""
+    return any(
+        isinstance(e.get("batch_id"), int)
+        or any(isinstance(b, int) for b in e.get("batch_ids", ()))
+        for e in man["segments"]
+    )
+
+
 def _find_batch_entry(man: dict, batch_id) -> "dict | None":
     """The committed segment entry carrying ``batch_id`` (directly or
     in a merge's carried ``batch_ids``), or None — THE membership
@@ -604,12 +619,9 @@ def streaming_index_ingest(
             # the manifest (rekeyed to string tombstones) — or with a
             # fresh-directory rebuild.
             man = _read_manifest(spark, index_path)
-            has_legacy = any(
-                isinstance(e.get("batch_id"), int)
-                or any(isinstance(b, int) for b in e.get("batch_ids", ()))
-                for e in man["segments"]
-            )
-            if has_legacy and _find_batch_entry(man, int(batch_id)):
+            if _has_legacy_int_ids(man) and _find_batch_entry(
+                man, int(batch_id)
+            ):
                 # ADVICE r12 low: the conservative skip is recoverable
                 # (re-drop the files) ONLY if the operator can see it
                 # fired — on a legacy-keyed index a recreated

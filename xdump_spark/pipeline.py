@@ -1142,6 +1142,16 @@ def prepare_rag_corpus(
     ``vec_col`` to the chunk frame themselves (advanced path; raises
     here).
 
+    Survivor corpus layout (``out_dir``): rows land under
+    ``_bucket = pmod(xxhash64(string(doc_id)), corpus_buckets)``
+    partition dirs (:func:`_write_survivor_corpus` — the bucket count
+    is recorded in an atomic ``_corpus_meta.json`` sidecar on first
+    write, and later appends follow it), so :func:`forget_rag_docs`
+    rewrites only the doomed docs' buckets. ``spark.read.parquet`` of
+    the corpus therefore carries an extra int ``_bucket`` partition
+    column — drop it for layout-agnostic consumers. The returned
+    ``chunks`` frame does NOT carry it.
+
     Ordering discipline (the module's store contract): survivors are
     written and the index segment committed BEFORE the store commit, so
     a crash re-delivers the batch; duplicate survivor rows are
@@ -1289,17 +1299,15 @@ def prepare_rag_corpus(
             # BEFORE the upgrade AND crashed in the narrow window —
             # is indistinguishable from a new-format key and stays
             # unguarded; that replay double-applies (rebuild if hit).
-            from xdump_spark.operators.retrieval import _find_batch_entry
-
-            has_legacy = any(
-                isinstance(e.get("batch_id"), int)
-                or any(
-                    isinstance(b, int) for b in e.get("batch_ids", ())
-                )
-                for e in man["segments"]
+            from xdump_spark.operators.retrieval import (
+                _find_batch_entry,
+                _has_legacy_int_ids,
             )
+
             legacy_hit = (
-                _find_batch_entry(man, legacy_xor) if has_legacy else None
+                _find_batch_entry(man, legacy_xor)
+                if _has_legacy_int_ids(man)
+                else None
             )
             if legacy_hit is not None:
                 import warnings
