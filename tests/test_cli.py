@@ -1332,6 +1332,27 @@ def test_cli_prepare_rag(spark, tmp_path, capsys):
     left = spark.read.parquet(str(tmp_path / "chunks"))
     assert {r["doc_id"] for r in left.select("doc_id").collect()} == {2}
 
+    # r13: stats sees the corpus when --corpus-dir is given, and
+    # --action compact maintains all three artifacts in one command
+    srpt2 = run("maintain", ["--kind", "rag",
+                             "--store-path", str(tmp_path / "vs"),
+                             "--index-dir", str(tmp_path / "tidx"),
+                             "--corpus-dir", str(tmp_path / "chunks")])
+    assert srpt2["corpus"]["layout"] == "bucketed"
+    assert srpt2["corpus"]["files"] >= 1
+
+    crpt = run("maintain", ["--kind", "rag",
+                            "--store-path", str(tmp_path / "vs"),
+                            "--index-dir", str(tmp_path / "tidx"),
+                            "--corpus-dir", str(tmp_path / "chunks"),
+                            "--action", "compact"])
+    assert {"store", "index", "corpus"} <= set(crpt)
+    assert crpt["index"]["segments_before"] >= 1
+    # rows survive compaction (doc 2's chunks, post-forget)
+    left2 = spark.read.parquet(str(tmp_path / "chunks"))
+    assert {r["doc_id"] for r in left2.select("doc_id").collect()} == {2}
+    assert left2.count() == per_doc
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit, match="--index-dir"):

@@ -1964,6 +1964,85 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2 * per_doc
 
 
+def test_compact_rag_corpus_buckets_and_flat(spark, tmp_path):
+    """r13: per-bucket small-file compaction for the survivor corpus.
+    Every increment appends ~one file per touched bucket (a year of
+    daily drops = O(days) files per bucket); compact_rag_corpus
+    coalesces each bucket dir through the store family's kernel — file
+    count drops, the row multiset is unchanged, and forget still
+    prunes afterwards. A flat legacy corpus compacts its root files
+    through the same append-then-delete discipline."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import (
+        compact_rag_corpus,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    # three increments over two buckets: each occupied bucket piles up
+    # one file per increment that touches it
+    for day in range(3):
+        docs = [(day * 3 + i, body(f"d{day}i{i}q")) for i in range(3)]
+        prepare_rag_corpus(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+            corpus_buckets=2,
+        )
+    files_before = len(fsutil.list_data_files(spark, out))
+    rows_before = sorted(
+        (r.chunk_id, r.doc_id, r.text)
+        for r in spark.read.parquet(out)
+        .select("chunk_id", "doc_id", "text").collect()
+    )
+    assert files_before > 2  # piled up past one file per bucket
+
+    rpt = compact_rag_corpus(spark, out)
+    assert rpt["partitions_compacted"] >= 1
+    assert rpt["files_after"] < files_before
+    assert len(fsutil.list_data_files(spark, out)) == rpt["files_after"]
+    rows_after = sorted(
+        (r.chunk_id, r.doc_id, r.text)
+        for r in spark.read.parquet(out)
+        .select("chunk_id", "doc_id", "text").collect()
+    )
+    assert rows_after == rows_before
+
+    # idempotent: already-compacted buckets are skipped
+    rpt2 = compact_rag_corpus(spark, out)
+    assert rpt2["partitions_compacted"] == 0
+    assert rpt2["files_after"] == rpt["files_after"]
+
+    # the compacted layout still prunes forgets
+    per_doc = len(rows_before) // 9
+    frpt = forget_rag_docs(spark, store, idx_dir, [0], corpus_dir=out)
+    assert frpt["corpus_rows_deleted"] == per_doc
+    assert spark.read.parquet(out).count() == len(rows_before) - per_doc
+
+    # flat legacy corpus: root files coalesce the same way
+    flat = str(tmp_path / "flat")
+    frame = spark.createDataFrame(
+        [(f"{i}:0", i, "seed text") for i in range(10)],
+        "chunk_id string, doc_id long, text string",
+    )
+    for _ in range(3):
+        frame.write.mode("append").parquet(flat)
+    n_flat_before = len(fsutil.list_data_files(spark, flat))
+    assert n_flat_before >= 3
+    frpt2 = compact_rag_corpus(spark, flat)
+    assert frpt2["partitions_compacted"] == 1
+    assert frpt2["files_after"] < n_flat_before
+    assert spark.read.parquet(flat).count() == 30
+
+
 def test_forget_rag_corpus_flat_legacy_layout(spark, tmp_path):
     """A pre-r13 FLAT survivor corpus (root-level files, no meta
     sidecar) keeps working: appends stay flat (mixing root files with

@@ -773,8 +773,8 @@ def build_parser() -> argparse.ArgumentParser:
              "(embedding cells), window=WindowHashStore (span windows), "
              "text-index=segmented BM25 index, rag=the RAG chain's "
              "three artifacts as one unit (vector store + BM25 index "
-             "+ optional survivor corpus: stats and whole-document "
-             "delete)",
+             "+ optional survivor corpus: stats, compact, and "
+             "whole-document delete)",
     )
     mt.add_argument("--store-table", default=None,
                     help="exact: the hash-store catalog table name")
@@ -1725,6 +1725,33 @@ def run(args, spark) -> int:
             if args.action == "stats":
                 rpt = {"store": store.stats(),
                        "index": text_index_stats(spark, args.index_dir)}
+                if args.corpus_dir:
+                    from xdump_spark import fsutil
+                    from xdump_spark.pipeline import _corpus_layout
+
+                    cf = fsutil.list_data_files(spark, args.corpus_dir)
+                    rpt["corpus"] = {
+                        "layout": _corpus_layout(
+                            spark, args.corpus_dir
+                        )["kind"],
+                        "files": len(cf),
+                        "bytes": sum(b for _, b in cf),
+                    }
+            elif args.action == "compact":
+                # one-command maintenance for the chain: store cells,
+                # index segments (also rekeys legacy batch ids), and
+                # the survivor corpus's per-bucket small files
+                from xdump_spark.operators.retrieval import (
+                    compact_text_index,
+                )
+                from xdump_spark.pipeline import compact_rag_corpus
+
+                rpt = {"store": store.compact(),
+                       "index": compact_text_index(spark, args.index_dir)}
+                if args.corpus_dir:
+                    rpt["corpus"] = compact_rag_corpus(
+                        spark, args.corpus_dir
+                    )
             elif args.action == "delete":
                 if not args.delete_ids:
                     raise SystemExit(
@@ -1740,9 +1767,9 @@ def run(args, spark) -> int:
                 )
             else:
                 raise SystemExit(
-                    "--kind rag supports --action stats and delete "
-                    "(compact/retrain the store and index with their "
-                    "own kinds: vector / text-index)"
+                    "--kind rag supports --action stats, compact, and "
+                    "delete (retrain the vector store with --kind "
+                    "vector)"
                 )
             print(_json.dumps(rpt))
             return 0

@@ -1337,6 +1337,56 @@ def prepare_rag_corpus(
     return RagResult(chunks=survivors, index_entry=entry, audit=counts)
 
 
+def compact_rag_corpus(
+    spark, corpus_dir: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Per-bucket small-file compaction for the survivor-chunk corpus
+    (r13): every :func:`prepare_rag_corpus` / :func:`streaming_rag_ingest`
+    increment appends ~one file per touched bucket, so a year of daily
+    drops leaves O(days) small files per bucket — the
+    death-by-a-thousand-footers scan cost the store family already
+    solves with its compaction kernel. This IS that kernel
+    (``incremental._compact_partition_dirs``) pointed at the
+    ``_bucket=`` dirs: per bucket, list the data files as of now, read
+    exactly those files, coalesce to ``ceil(bytes/target)``, append the
+    rewrite into the same dir, delete the listed originals. A crash can
+    only DUPLICATE rows — duplicate chunk rows are dedupable by
+    chunk_id (the corpus family contract), and concurrent increment
+    appends land new files that are never touched. A pre-r13 FLAT
+    corpus compacts its root files through the same discipline. Run
+    from the maintenance lane like every other store compaction (CLI
+    ``maintain --kind rag --action compact``). Returns
+    {files_before, files_after, partitions_compacted}."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import _compact_partition_dirs
+
+    layout = _corpus_layout(spark, corpus_dir)
+    if layout["kind"] == "bucketed":
+        return _compact_partition_dirs(
+            spark, corpus_dir, f"/{_CORPUS_BUCKET_COL}=",
+            target_file_bytes=target_file_bytes,
+        )
+    # flat legacy: the root dir is the one "partition", same discipline
+    before = fsutil.list_data_files(spark, corpus_dir)
+    total = sum(b for _, b in before)
+    n_out = max(1, -(-total // target_file_bytes))
+    if not before or len(before) <= n_out:
+        return {"files_before": len(before), "files_after": len(before),
+                "partitions_compacted": 0}
+    (
+        spark.read.parquet(*[f for f, _ in before])
+        .coalesce(n_out)
+        .write.mode("append").parquet(corpus_dir)
+    )
+    for f, _ in before:
+        fsutil.delete(spark, f, recursive=False)
+    return {
+        "files_before": len(before),
+        "files_after": len(fsutil.list_data_files(spark, corpus_dir)),
+        "partitions_compacted": 1,
+    }
+
+
 def _parent_of(col: str):
     """The composite chunk-id scheme inverted: parent doc = the chunk
     id minus its final ``:<int>`` segment (colon-bearing doc ids stay
