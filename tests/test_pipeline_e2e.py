@@ -1577,6 +1577,21 @@ def test_streaming_rag_ingest_one_daemon_chain(spark, tmp_path):
     n_day1 = idx.n_docs
     assert n_day1 > 2  # chunked
     assert spark.read.parquet(out).count() == n_day1
+    # r13: the daemon writes the survivor corpus through the bucketed
+    # layout too — meta sidecar committed, every file under a bucket
+    # dir, so forget_rag_docs prunes streaming-built corpora as well
+    from xdump_spark import fsutil as _fsutil
+    from xdump_spark.pipeline import _CORPUS_META, _corpus_layout
+
+    assert _fsutil.exists_atomic(
+        spark, _fsutil.join(out, _CORPUS_META)
+    )
+    assert _corpus_layout(spark, out) == {
+        "kind": "bucketed", "n_buckets": 64,
+    }
+    assert all(
+        "/_bucket=" in f for f, _ in _fsutil.list_data_files(spark, out)
+    )
     # searchable through BOTH retrievers with the same composite ids
     queries = spark.createDataFrame([(0, "alpha3 beta3")],
                                     "query_id int, query string")
