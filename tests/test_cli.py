@@ -1353,6 +1353,16 @@ def test_cli_prepare_rag(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in left2.select("doc_id").collect()} == {2}
     assert left2.count() == per_doc
 
+    # scheduled form: --when-files-over gates on the chain's TOTAL
+    # file count, making an aggressive cron schedule a cheap no-op
+    grpt = run("maintain", ["--kind", "rag",
+                            "--store-path", str(tmp_path / "vs"),
+                            "--index-dir", str(tmp_path / "tidx"),
+                            "--corpus-dir", str(tmp_path / "chunks"),
+                            "--action", "compact",
+                            "--when-files-over", "100000"])
+    assert grpt.get("skipped") is True and grpt["files"] >= 1
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit, match="--index-dir"):

@@ -1741,16 +1741,39 @@ def run(args, spark) -> int:
                 # one-command maintenance for the chain: store cells,
                 # index segments (also rekeys legacy batch ids), and
                 # the survivor corpus's per-bucket small files
+                from xdump_spark import fsutil
                 from xdump_spark.operators.retrieval import (
                     compact_text_index,
+                    text_index_stats,
                 )
                 from xdump_spark.pipeline import compact_rag_corpus
 
-                rpt = {"store": store.compact(),
+                if args.when_files_over is not None:
+                    # scheduled form: the gate is the chain's TOTAL
+                    # file count (all compactable artifacts pile up
+                    # together on a daily-increment cadence)
+                    total = (
+                        store.stats()["files"]
+                        + text_index_stats(spark, args.index_dir)["files"]
+                        + (
+                            len(fsutil.list_data_files(
+                                spark, args.corpus_dir
+                            ))
+                            if args.corpus_dir
+                            else 0
+                        )
+                    )
+                    if total <= args.when_files_over:
+                        print(_json.dumps(
+                            {"skipped": True, "files": total}
+                        ))
+                        return 0
+                rpt = {"store": store.compact(args.target_file_bytes),
                        "index": compact_text_index(spark, args.index_dir)}
                 if args.corpus_dir:
                     rpt["corpus"] = compact_rag_corpus(
-                        spark, args.corpus_dir
+                        spark, args.corpus_dir,
+                        target_file_bytes=args.target_file_bytes,
                     )
             elif args.action == "delete":
                 if not args.delete_ids:
