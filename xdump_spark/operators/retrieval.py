@@ -205,14 +205,22 @@ def _write_segment(index: TextIndex, path: str, seg: int, n_tbuckets: int) -> di
 
 
 def _rekey_legacy_ids(ids: list) -> list:
-    """Translate carried pre-(writer, epoch) BARE-INT batch ids into
-    string tombstones (``legacy:<int>``) when a maintenance pass
-    rewrites the manifest (r12 verdict "What's missing #3"). Post-
-    maintenance the manifest carries no int-typed ids, so the
-    conservative legacy-collision skip in
-    :func:`streaming_index_ingest` stops firing and a recreated
-    checkpoint's epoch-0 batch LANDS — the ambiguity window closes
-    without a fresh-directory rebuild.
+    """Translate carried pre-upgrade batch ids into string tombstones
+    (``legacy:<old>``) when a maintenance pass rewrites the manifest.
+    Two legacy generations are retired here:
+
+    * pre-(writer, epoch) BARE-INT ids (r12 verdict "What's missing
+      #3") — post-maintenance the manifest carries no int-typed ids,
+      so the conservative legacy-collision skip in
+      :func:`streaming_index_ingest` stops firing and a recreated
+      checkpoint's epoch-0 batch LANDS;
+    * pre-r14 un-versioned ``rag:``-prefixed keys (both the r12-era
+      id-only xor and the r13-era content xor) — post-maintenance
+      :func:`~xdump_spark.pipeline.prepare_rag_corpus`'s conservative
+      old-``rag:``-key replay probes stop firing, so a content-updated
+      re-send whose pre-r14 id-only key collides with a committed
+      entry is indexed instead of skipped. New appends key as
+      ``rag2:{epoch}:{content_xor}``, which this pass never touches.
 
     Safety: a tombstoned id no longer matches a pre-upgrade
     checkpoint's redelivery (which would re-apply the batch). That
@@ -222,7 +230,11 @@ def _rekey_legacy_ids(ids: list) -> list:
     crashed redelivery; any pre-upgrade crash was either redelivered
     before the maintenance pass or its checkpoint abandoned."""
     return [
-        f"legacy:{b}" if isinstance(b, int) else b for b in ids
+        f"legacy:{b}"
+        if isinstance(b, int)
+        or (isinstance(b, str) and b.startswith("rag:"))
+        else b
+        for b in ids
     ]
 
 
@@ -237,6 +249,25 @@ def _has_legacy_int_ids(man: dict) -> bool:
     return any(
         isinstance(e.get("batch_id"), int)
         or any(isinstance(b, int) for b in e.get("batch_ids", ()))
+        for e in man["segments"]
+    )
+
+
+def _has_old_rag_keys(man: dict) -> bool:
+    """Does the manifest still carry pre-r14 un-versioned ``rag:``
+    batch keys (the r12-era id-only xor or the r13-era content xor —
+    the two are format-indistinguishable)? THE gate for
+    :func:`~xdump_spark.pipeline.prepare_rag_corpus`'s conservative
+    old-key replay probes, mirroring :func:`_has_legacy_int_ids` for
+    the bare-int generation. Tombstoned ``legacy:rag:…`` strings do
+    NOT count: after a maintenance rekey the window is closed."""
+
+    def _old(b) -> bool:
+        return isinstance(b, str) and b.startswith("rag:")
+
+    return any(
+        _old(e.get("batch_id"))
+        or any(_old(b) for b in e.get("batch_ids", ()))
         for e in man["segments"]
     )
 
@@ -350,12 +381,14 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     written FIRST, the manifest then commits it alone, and only after
     that are the old (now uncommitted) segment dirs deleted — a crash
     at any point leaves a loadable index; orphan dirs from earlier
-    crashes are swept here too. Carried pre-upgrade bare-int batch ids
-    are rekeyed to ``legacy:<int>`` tombstones while the manifest is
-    being rewritten anyway (see :func:`_rekey_legacy_ids`) — the
-    post-compact manifest is int-free, so the streaming ingester's
-    conservative legacy-collision skip can no longer swallow a
-    recreated checkpoint's batch. Returns {segments_before, seg}."""
+    crashes are swept here too. Carried pre-upgrade batch ids (bare
+    ints and un-versioned ``rag:`` keys) are rekeyed to ``legacy:…``
+    tombstones while the manifest is being rewritten anyway (see
+    :func:`_rekey_legacy_ids`) — the post-compact manifest carries
+    only current-format keys, so the streaming ingester's
+    legacy-collision skip and prepare_rag_corpus's old-``rag:`` replay
+    probes can no longer swallow a genuinely new batch. Returns
+    {segments_before, seg}."""
     from xdump_spark import fsutil
 
     man = _read_manifest(spark, path)
