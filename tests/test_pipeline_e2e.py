@@ -1918,6 +1918,12 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
 
     rpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
     assert rpt["corpus_rows_deleted"] == per_doc
+    # observability (r13 verdict Next #5): the report carries the
+    # structural scale signals — one doomed bucket touched, and only
+    # its files rewritten
+    assert rpt["corpus"]["rows_deleted"] == per_doc
+    assert rpt["corpus"]["buckets_touched"] == 1
+    assert rpt["corpus"]["files_rewritten"] >= 1
     # untouched buckets: file set (path AND size) byte-identical
     untouched_after = {
         (f, sz)
@@ -1956,10 +1962,10 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
     sc.setJobGroup("forget-corpus-pin", "one-scan assertion")
     try:
         with patch.object(_DF, "count", _no_count):
-            n_del = _forget_corpus_rows(spark, out, doomed_side, "doc_id")
+            crpt = _forget_corpus_rows(spark, out, doomed_side, "doc_id")
     finally:
         sc.setJobGroup("", "")
-    assert n_del == per_doc
+    assert crpt["rows_deleted"] == per_doc
     jobs = sc.statusTracker().getJobIdsForGroup("forget-corpus-pin")
     assert 1 <= len(jobs) <= 8, jobs
 
@@ -1977,6 +1983,69 @@ def test_forget_rag_corpus_bucket_pruning(spark, tmp_path):
     after_all = set(fsutil.list_data_files(spark, out))
     assert untouched <= after_all
     assert spark.read.parquet(out).count() == 2 * per_doc
+
+
+def test_forget_rag_corpus_bucketed_without_sidecar(spark, tmp_path):
+    """ADVICE r13 low: a bucketed corpus whose ``_corpus_meta.json``
+    sidecar is lost degrades to a full read — but it must get the flat
+    path's COUNT-FIRST probe, so a typo'd no-match forget touches
+    nothing instead of full-rewriting the corpus; a real match still
+    rewrites with each surviving row keeping its RECORDED bucket (the
+    partition column read back via basePath)."""
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import (
+        _CORPUS_META,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    docs = [(i, body(f"v{i}q")) for i in range(1, 5)]
+    r = prepare_rag_corpus(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2, corpus_buckets=8,
+    )
+    per_doc = r.audit["accepted_chunks"] // 4
+    fsutil.delete(spark, fsutil.join(out, _CORPUS_META), recursive=False)
+    bucket_by_chunk = {
+        row.chunk_id: row._bucket
+        for row in spark.read.parquet(out)
+        .select("chunk_id", "_bucket").collect()
+    }
+
+    # no-match forget: the count-first probe fires and NOTHING is
+    # rewritten — every file byte-identical by (path, size) listing
+    before = set(fsutil.list_data_files(spark, out))
+    rpt = forget_rag_docs(spark, store, idx_dir, [999], corpus_dir=out)
+    assert rpt["corpus_rows_deleted"] == 0
+    assert rpt["corpus"] == {
+        "rows_deleted": 0, "buckets_touched": 0, "files_rewritten": 0,
+    }
+    assert set(fsutil.list_data_files(spark, out)) == before
+
+    # a real match rewrites (degraded: every bucket read), and each
+    # surviving row keeps the bucket it was recorded under
+    rpt2 = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+    assert rpt2["corpus_rows_deleted"] == per_doc
+    assert rpt2["corpus"]["files_rewritten"] == len(before)
+    left = spark.read.parquet(out)
+    assert left.count() == 3 * per_doc
+    assert {
+        row.chunk_id: row._bucket
+        for row in left.select("chunk_id", "_bucket").collect()
+    } == {
+        c: b
+        for c, b in bucket_by_chunk.items()
+        if not c.startswith("1:")
+    }
 
 
 def test_compact_rag_corpus_buckets_and_flat(spark, tmp_path):

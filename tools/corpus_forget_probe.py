@@ -95,7 +95,9 @@ def main() -> None:
         for name, d in (("flat", flat_dir), ("bucketed", buck_dir)):
             before = set(fsutil.list_data_files(spark, d))
             t0 = time.time()
-            n = _forget_corpus_rows(spark, d, doomed, "doc_id")
+            n = _forget_corpus_rows(spark, d, doomed, "doc_id")[
+                "rows_deleted"
+            ]
             dt = time.time() - t0
             after = set(fsutil.list_data_files(spark, d))
             report[name] = {
