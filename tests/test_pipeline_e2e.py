@@ -2111,7 +2111,12 @@ def test_compact_rag_corpus_buckets_and_flat(spark, tmp_path):
     assert frpt["corpus_rows_deleted"] == per_doc
     assert spark.read.parquet(out).count() == len(rows_before) - per_doc
 
-    # flat legacy corpus: root files coalesce the same way
+    # flat legacy corpus: compaction MIGRATES it to the bucketed
+    # layout (r14 — the compact was going to read every flat file
+    # anyway; see test_compact_rag_corpus_migrates_flat_to_bucketed
+    # for the full migration contract)
+    from xdump_spark.pipeline import _corpus_layout
+
     flat = str(tmp_path / "flat")
     frame = spark.createDataFrame(
         [(f"{i}:0", i, "seed text") for i in range(10)],
@@ -2122,9 +2127,234 @@ def test_compact_rag_corpus_buckets_and_flat(spark, tmp_path):
     n_flat_before = len(fsutil.list_data_files(spark, flat))
     assert n_flat_before >= 3
     frpt2 = compact_rag_corpus(spark, flat)
-    assert frpt2["partitions_compacted"] == 1
-    assert frpt2["files_after"] < n_flat_before
+    assert frpt2["migration"]["files_migrated"] == n_flat_before
+    assert frpt2["migration"]["n_buckets"] == 64
+    assert _corpus_layout(spark, flat) == {
+        "kind": "bucketed", "n_buckets": 64,
+    }
+    assert all(
+        "/_bucket=" in f for f, _ in fsutil.list_data_files(spark, flat)
+    )
     assert spark.read.parquet(flat).count() == 30
+
+
+def test_compact_rag_corpus_migrates_flat_to_bucketed(spark, tmp_path):
+    """r13 verdict Next #1: compacting a pre-r13 FLAT survivor corpus
+    migrates it to the bucketed layout in the same bounded rewrite —
+    pre-r13 corpora permanently shed the flat forget degradation
+    (full rewrite per forget). Post-migration: the meta sidecar
+    records the count, forget prunes to the doomed docs' buckets
+    (untouched buckets byte-identical), and appends follow the new
+    layout."""
+    from pyspark.sql import functions as F
+
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import (
+        _corpus_layout,
+        compact_rag_corpus,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    # the pre-r13 layout: a flat file already present, then increments
+    # that keep appending flat
+    spark.createDataFrame(
+        [("0:0", 0, 0, "seed row", 2)],
+        "chunk_id string, doc_id long, chunk_idx int, text string, "
+        "n_tokens int",
+    ).write.parquet(out)
+    r = prepare_rag_corpus(
+        spark.createDataFrame(
+            [(i, body(f"v{i}q")) for i in range(1, 5)],
+            "doc_id long, text string",
+        ),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    per_doc = r.audit["accepted_chunks"] // 4
+    assert _corpus_layout(spark, out)["kind"] == "flat"
+    cols = ["chunk_id", "doc_id", "text"]
+    rows_before = sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    )
+
+    rpt = compact_rag_corpus(spark, out, n_buckets=8)
+    assert rpt["migration"]["n_buckets"] == 8
+    assert _corpus_layout(spark, out) == {"kind": "bucketed", "n_buckets": 8}
+    assert all(
+        "/_bucket=" in f for f, _ in fsutil.list_data_files(spark, out)
+    )
+    assert sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    ) == rows_before
+    # every row sits in its doc-hash bucket
+    assert spark.read.parquet(out).filter(
+        F.col("_bucket")
+        != F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(8))
+    ).count() == 0
+
+    # the migrated corpus prunes forgets: untouched buckets stay
+    # byte-identical by (path, size) listing
+    doomed_bucket = int(
+        spark.createDataFrame([("1",)], ["d"])
+        .select(F.pmod(F.xxhash64("d"), F.lit(8)).alias("b"))
+        .collect()[0]["b"]
+    )
+    untouched_before = {
+        (f, sz)
+        for f, sz in fsutil.list_data_files(spark, out)
+        if f"/_bucket={doomed_bucket}/" not in f
+    }
+    assert untouched_before
+    frpt = forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+    assert frpt["corpus_rows_deleted"] == per_doc
+    assert frpt["corpus"]["buckets_touched"] == 1
+    assert {
+        (f, sz)
+        for f, sz in fsutil.list_data_files(spark, out)
+        if f"/_bucket={doomed_bucket}/" not in f
+    } == untouched_before
+
+    # appends now follow the bucketed layout (no new root-level files)
+    prepare_rag_corpus(
+        spark.createDataFrame(
+            [(9, body("newdoc"))], "doc_id long, text string"
+        ),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2,
+    )
+    assert all(
+        "/_bucket=" in f for f, _ in fsutil.list_data_files(spark, out)
+    )
+
+
+def test_compact_rag_corpus_rebucket_and_crash_recovery(spark, tmp_path):
+    """r13 verdict Next #4 + the migration crash matrix: an explicit
+    ``n_buckets`` re-buckets a bucketed corpus (sizing: N ≈
+    corpus_bytes / target_rewrite_bytes), the marker refuses every
+    other corpus reader/writer mid-migration, a pre-commit crash is
+    recovered by discarding the partial rewrite and redoing from the
+    intact originals, and a post-commit crash by finishing the
+    deletes."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from xdump_spark import fsutil
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import (
+        _CORPUS_MIGRATION,
+        _corpus_layout,
+        _write_survivor_corpus,
+        compact_rag_corpus,
+        forget_rag_docs,
+        prepare_rag_corpus,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    idx_dir = str(tmp_path / "tidx")
+    out = str(tmp_path / "chunks")
+
+    def body(tag):
+        return " ".join(f"{tag}{i} {tag}x{i} {tag}y{i}" for i in range(40))
+
+    prepare_rag_corpus(
+        spark.createDataFrame(
+            [(i, body(f"v{i}q")) for i in range(1, 5)],
+            "doc_id long, text string",
+        ),
+        store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+        hash_embed_dim=64, threshold=0.9, n_cells=2, corpus_buckets=8,
+    )
+    cols = ["chunk_id", "doc_id", "text"]
+    rows_before = sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    )
+
+    # n_buckets=None (the default) never re-buckets
+    compact_rag_corpus(spark, out)
+    assert _corpus_layout(spark, out)["n_buckets"] == 8
+
+    # explicit re-bucket 8 → 2: rows preserved, every row re-hashed
+    rpt = compact_rag_corpus(spark, out, n_buckets=2)
+    assert rpt["migration"]["n_buckets"] == 2
+    assert _corpus_layout(spark, out) == {"kind": "bucketed", "n_buckets": 2}
+    assert sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    ) == rows_before
+    assert spark.read.parquet(out).filter(
+        F.col("_bucket")
+        != F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    ).count() == 0
+
+    # pre-commit crash reconstruction: marker durable, a partial
+    # (unlisted) rewrite file present, originals intact
+    listed = [f for f, _ in fsutil.list_data_files(spark, out)]
+    fsutil.write_text_atomic(
+        spark, fsutil.join(out, _CORPUS_MIGRATION),
+        json.dumps({"version": 1, "n_buckets": 4, "bucket_by": "doc_id",
+                    "files": listed}),
+    )
+    junk_dir = tmp_path / "chunks" / "_bucket=0"
+    junk_dir.mkdir(exist_ok=True)
+    junk = junk_dir / "part-partial-rewrite.parquet"
+    junk.write_bytes(b"not parquet")
+
+    # mid-migration every other corpus reader/writer refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interrupted layout migration"):
+        _write_survivor_corpus(
+            spark.createDataFrame(
+                [("9:0", 9, "x")], "chunk_id string, doc_id long, text string"
+            ),
+            out, "doc_id", 8,
+        )
+    with _pytest.raises(ValueError, match="interrupted layout migration"):
+        forget_rag_docs(spark, store, idx_dir, [1], corpus_dir=out)
+
+    rpt2 = compact_rag_corpus(spark, out)
+    assert rpt2["migration"] == {
+        "files_migrated": len(listed), "n_buckets": 4, "resumed": True,
+    }
+    assert not junk.exists()  # the partial rewrite was discarded
+    assert _corpus_layout(spark, out) == {"kind": "bucketed", "n_buckets": 4}
+    assert sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    ) == rows_before
+
+    # post-commit crash reconstruction: meta already names the target
+    # count, some listed originals undeleted — resume finishes the
+    # deletes and drops the marker without touching surviving data
+    junk2 = junk_dir / "part-old-original.parquet"
+    junk2.write_bytes(b"stale original")
+    junk2_uri = next(  # the listing's URI form (file:/…), as a real
+        f                # migration would have recorded it
+        for f, _ in fsutil.list_data_files(spark, out)
+        if f.endswith("part-old-original.parquet")
+    )
+    fsutil.write_text_atomic(
+        spark, fsutil.join(out, _CORPUS_MIGRATION),
+        json.dumps({"version": 1, "n_buckets": 4, "bucket_by": "doc_id",
+                    "files": [junk2_uri]}),
+    )
+    rpt3 = compact_rag_corpus(spark, out)
+    assert rpt3["migration"]["resumed"] is True
+    assert not junk2.exists()
+    assert not fsutil.exists_atomic(
+        spark, fsutil.join(out, _CORPUS_MIGRATION)
+    )
+    assert sorted(
+        tuple(row) for row in spark.read.parquet(out).select(*cols).collect()
+    ) == rows_before
 
 
 def test_forget_rag_corpus_flat_legacy_layout(spark, tmp_path):

@@ -810,6 +810,17 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--corpus-dir", default=None,
                     help="rag delete: also rewrite the survivor-chunk "
                          "parquet directory (optional third artifact)")
+    mt.add_argument("--corpus-buckets", type=int, default=None,
+                    help="rag compact: re-bucket the survivor corpus to "
+                         "this doc-hash bucket count (also the target "
+                         "for a flat legacy corpus' automatic "
+                         "migration, default 64; size as corpus_bytes / "
+                         "target-rewrite-bytes — each forget rewrites "
+                         "the doomed docs' whole buckets)")
+    mt.add_argument("--id-col", default="doc_id",
+                    help="rag compact: the survivor corpus' parent-doc "
+                         "id column, the bucket-by key for a layout "
+                         "migration")
     mt.add_argument("--delete-docs", default=None, metavar="PARQUET",
                     help="delete (exact): parquet of documents whose "
                          "content hashes to forget (--text-col)")
@@ -1774,6 +1785,8 @@ def run(args, spark) -> int:
                     rpt["corpus"] = compact_rag_corpus(
                         spark, args.corpus_dir,
                         target_file_bytes=args.target_file_bytes,
+                        n_buckets=args.corpus_buckets,
+                        id_col=args.id_col,
                     )
             elif args.action == "delete":
                 if not args.delete_ids:

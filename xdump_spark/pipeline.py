@@ -1010,6 +1010,7 @@ class RagResult:
 
 
 _CORPUS_META = "_corpus_meta.json"
+_CORPUS_MIGRATION = "_corpus_migration.json"
 _CORPUS_BUCKET_COL = "_bucket"
 
 
@@ -1019,12 +1020,21 @@ def _corpus_layout(spark, corpus_dir: str) -> dict:
     the r13 default), ``{"kind": "bucketed", "n_buckets": None}``
     (bucket dirs present but the meta sidecar is gone — rewrites
     preserve each row's recorded bucket; appends refuse),
-    ``{"kind": "flat"}`` (pre-r13 root-level files), or
-    ``{"kind": "fresh"}`` (nothing yet)."""
+    ``{"kind": "flat"}`` (pre-r13 root-level files),
+    ``{"kind": "fresh"}`` (nothing yet), or ``{"kind": "migrating"}``
+    (an interrupted layout migration left its marker — every reader/
+    writer but :func:`compact_rag_corpus`, which completes it, must
+    refuse: mid-migration the directory may mix root files with
+    partition dirs). The marker check comes FIRST: during a re-bucket
+    the meta sidecar still names the OLD count."""
     import json
 
     from xdump_spark import fsutil
 
+    if fsutil.exists_atomic(
+        spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION)
+    ):
+        return {"kind": "migrating"}
     meta_path = fsutil.join(corpus_dir, _CORPUS_META)
     if fsutil.exists_atomic(spark, meta_path):
         meta = json.loads(fsutil.read_text_atomic(spark, meta_path))
@@ -1035,6 +1045,15 @@ def _corpus_layout(spark, corpus_dir: str) -> dict:
     if any(f"/{_CORPUS_BUCKET_COL}=" in f for f, _ in files):
         return {"kind": "bucketed", "n_buckets": None}
     return {"kind": "flat"}
+
+
+def _migrating_error(corpus_dir: str) -> ValueError:
+    return ValueError(
+        f"survivor corpus at {corpus_dir} has an interrupted layout "
+        "migration (its _corpus_migration.json marker is present) — "
+        "run compact_rag_corpus (CLI: maintain --kind rag --action "
+        "compact) to complete it before reading or writing the corpus"
+    )
 
 
 def _write_survivor_corpus(
@@ -1052,15 +1071,18 @@ def _write_survivor_corpus(
     layout known; the ``_`` prefix keeps the sidecar invisible to
     parquet reads and ``fsutil.list_data_files`` alike). Later appends
     follow the RECORDED layout and ignore the parameter — one corpus,
-    one bucket count. A pre-r13 FLAT corpus keeps its flat layout
-    (mixing root-level files with partition dirs breaks parquet
-    partition discovery); migrate by re-preparing into a fresh dir."""
+    one bucket count. A pre-r13 FLAT corpus keeps its flat layout on
+    append (mixing root-level files with partition dirs breaks parquet
+    partition discovery); :func:`compact_rag_corpus` migrates it to
+    the bucketed layout in one bounded rewrite (r14)."""
     import json
 
     from xdump_spark import fsutil
 
     spark = survivors.sparkSession
     layout = _corpus_layout(spark, corpus_dir)
+    if layout["kind"] == "migrating":
+        raise _migrating_error(corpus_dir)
     if layout["kind"] == "flat":
         survivors.write.mode("append").parquet(corpus_dir)
         return
@@ -1393,8 +1415,149 @@ def prepare_rag_corpus(
     return RagResult(chunks=survivors, index_entry=entry, audit=counts)
 
 
+def _finish_corpus_migration(
+    spark, corpus_dir: str, old_files: list, id_col: str, target_n: int
+) -> None:
+    """The rewrite+commit half of a corpus layout migration (marker
+    already durable): read EXACTLY the listed old files (leaf reads —
+    partition columns drop, so a re-bucket recomputes every row's
+    bucket from scratch), append them under ``target_n`` doc-hash
+    bucket dirs, COMMIT by writing the meta sidecar naming the new
+    count, then delete the listed originals and finally the marker.
+    Crash anywhere → re-run :func:`compact_rag_corpus`:
+    :func:`_resume_corpus_migration` distinguishes pre-commit (meta
+    absent or naming a different count — discard every UNLISTED data
+    file, i.e. the partial rewrite, and redo; the originals are all
+    intact because deletes only happen post-commit) from post-commit
+    (finish the deletes and drop the marker)."""
+    import json
+
+    from xdump_spark import fsutil
+
+    rows = spark.read.parquet(*old_files)
+    if _CORPUS_BUCKET_COL in rows.columns:  # defensive: leaf reads drop it
+        rows = rows.drop(_CORPUS_BUCKET_COL)
+    (
+        rows.withColumn(
+            _CORPUS_BUCKET_COL,
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")),
+                F.lit(target_n),
+            ),
+        )
+        .repartition(F.col(_CORPUS_BUCKET_COL))
+        .write.mode("append").partitionBy(_CORPUS_BUCKET_COL)
+        .parquet(corpus_dir)
+    )
+    fsutil.write_text_atomic(  # THE commit point
+        spark, fsutil.join(corpus_dir, _CORPUS_META),
+        json.dumps(
+            {"version": 1, "n_buckets": target_n, "bucket_by": id_col}
+        ),
+    )
+    for f in old_files:
+        fsutil.delete(spark, f, recursive=False)
+    fsutil.delete(
+        spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION), recursive=False
+    )
+
+
+def _migrate_corpus_layout(
+    spark, corpus_dir: str, target_n: int, id_col: str
+) -> dict:
+    """In-place layout migration for the survivor corpus: flat →
+    bucketed (r13 verdict Next #1) or bucketed N → bucketed M (Next
+    #4), as one bounded rewrite of every current data file. The
+    durable ``_corpus_migration.json`` marker (written FIRST, atomic)
+    records the target count, the bucket-by column, and the exact old
+    file list — it is what makes a crash anywhere re-runnable, and
+    while it exists every other corpus reader/writer refuses
+    (:func:`_migrating_error`): mid-migration the directory mixes the
+    old and new layouts, which plain parquet reads cannot parse (flat
+    case) or would read with duplicated rows (re-bucket case)."""
+    import json
+
+    from xdump_spark import fsutil
+
+    if target_n < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {target_n}")
+    old_files = [f for f, _ in fsutil.list_data_files(spark, corpus_dir)]
+    if not old_files:
+        # nothing to rewrite (e.g. every row forgotten): commit the
+        # new layout directly — no marker window needed
+        fsutil.write_text_atomic(
+            spark, fsutil.join(corpus_dir, _CORPUS_META),
+            json.dumps(
+                {"version": 1, "n_buckets": int(target_n),
+                 "bucket_by": id_col}
+            ),
+        )
+        return {"files_migrated": 0, "n_buckets": int(target_n)}
+    fsutil.write_text_atomic(
+        spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION),
+        json.dumps({
+            "version": 1,
+            "n_buckets": int(target_n),
+            "bucket_by": id_col,
+            "files": old_files,
+        }),
+    )
+    _finish_corpus_migration(spark, corpus_dir, old_files, id_col, target_n)
+    return {"files_migrated": len(old_files), "n_buckets": int(target_n)}
+
+
+def _resume_corpus_migration(spark, corpus_dir: str) -> dict:
+    """Complete an interrupted corpus layout migration (see
+    :func:`_finish_corpus_migration` for the crash-window analysis)."""
+    import json
+
+    from xdump_spark import fsutil
+
+    marker = json.loads(
+        fsutil.read_text_atomic(
+            spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION)
+        )
+    )
+    target_n, id_col = int(marker["n_buckets"]), marker["bucket_by"]
+    listed = set(marker["files"])
+    meta_path = fsutil.join(corpus_dir, _CORPUS_META)
+    committed = False
+    if fsutil.exists_atomic(spark, meta_path):
+        meta = json.loads(fsutil.read_text_atomic(spark, meta_path))
+        committed = int(meta["n_buckets"]) == target_n
+    current = fsutil.list_data_files(spark, corpus_dir)
+    if not committed:
+        # pre-commit crash: every UNLISTED data file is partial
+        # rewrite output — discard it and redo from the (all intact)
+        # originals
+        for f, _ in current:
+            if f not in listed:
+                fsutil.delete(spark, f, recursive=False)
+        old_files = [f for f, _ in current if f in listed]
+        _finish_corpus_migration(
+            spark, corpus_dir, old_files, id_col, target_n
+        )
+    else:
+        # post-commit crash: the new layout is complete and named by
+        # the meta sidecar — finish deleting the originals, then the
+        # marker (in that order: the marker outlives every old file)
+        for f, _ in current:
+            if f in listed:
+                fsutil.delete(spark, f, recursive=False)
+        fsutil.delete(
+            spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION),
+            recursive=False,
+        )
+    return {"files_migrated": len(listed), "n_buckets": target_n,
+            "resumed": True}
+
+
 def compact_rag_corpus(
-    spark, corpus_dir: str, target_file_bytes: int = 128 << 20
+    spark,
+    corpus_dir: str,
+    target_file_bytes: int = 128 << 20,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
 ) -> dict:
     """Per-bucket small-file compaction for the survivor-chunk corpus
     (r13): every :func:`prepare_rag_corpus` / :func:`streaming_rag_ingest`
@@ -1408,39 +1571,69 @@ def compact_rag_corpus(
     rewrite into the same dir, delete the listed originals. A crash can
     only DUPLICATE rows — duplicate chunk rows are dedupable by
     chunk_id (the corpus family contract), and concurrent increment
-    appends land new files that are never touched. A pre-r13 FLAT
-    corpus compacts its root files through the same discipline. Run
-    from the maintenance lane like every other store compaction (CLI
-    ``maintain --kind rag --action compact``). Returns
-    {files_before, files_after, partitions_compacted}."""
+    appends land new files that are never touched.
+
+    Layout migration rides the same maintenance pass (r14):
+
+    * a pre-r13 FLAT corpus is MIGRATED to the bucketed layout
+      (``n_buckets`` or 64) instead of compacted flat — the compact
+      was going to read every flat file anyway, and one bounded
+      rewrite permanently sheds the flat forget degradation
+      (flat = full rewrite per forget; r13 verdict Next #1);
+    * an already-bucketed corpus given an EXPLICIT ``n_buckets``
+      different from its recorded count is RE-BUCKETED (Next #4) —
+      sizing guidance: N ≈ corpus_bytes / target_rewrite_bytes, since
+      each forget rewrites the doomed docs' whole buckets. This is
+      also the recovery path for a lost meta sidecar (the rewrite
+      records a fresh one);
+    * ``n_buckets=None`` (the default) never re-buckets an existing
+      bucketed corpus.
+
+    Migration is crash-re-runnable via a durable marker (see
+    :func:`_migrate_corpus_layout`); while the marker exists, every
+    other corpus reader/writer refuses and THIS function completes
+    the migration first. Run from the maintenance lane like every
+    other store compaction (CLI ``maintain --kind rag --action
+    compact``) — mid-migration the directory is not cleanly readable,
+    so migration, like retention, owns its window. Returns
+    {files_before, files_after, partitions_compacted} plus
+    ``migration`` when a layout change happened."""
+    import json
+
     from xdump_spark import fsutil
     from xdump_spark.operators.incremental import _compact_partition_dirs
 
+    migration = None
+    if fsutil.exists_atomic(
+        spark, fsutil.join(corpus_dir, _CORPUS_MIGRATION)
+    ):
+        migration = _resume_corpus_migration(spark, corpus_dir)
     layout = _corpus_layout(spark, corpus_dir)
-    if layout["kind"] == "bucketed":
-        return _compact_partition_dirs(
-            spark, corpus_dir, f"/{_CORPUS_BUCKET_COL}=",
-            target_file_bytes=target_file_bytes,
+    if layout["kind"] == "flat":
+        migration = _migrate_corpus_layout(
+            spark, corpus_dir, n_buckets or 64, id_col
         )
-    # flat legacy: the root dir is the one "partition", same discipline
-    before = fsutil.list_data_files(spark, corpus_dir)
-    total = sum(b for _, b in before)
-    n_out = max(1, -(-total // target_file_bytes))
-    if not before or len(before) <= n_out:
-        return {"files_before": len(before), "files_after": len(before),
-                "partitions_compacted": 0}
-    (
-        spark.read.parquet(*[f for f, _ in before])
-        .coalesce(n_out)
-        .write.mode("append").parquet(corpus_dir)
+    elif (
+        layout["kind"] == "bucketed"
+        and n_buckets is not None
+        and layout["n_buckets"] != n_buckets
+    ):
+        bucket_by = id_col
+        meta_path = fsutil.join(corpus_dir, _CORPUS_META)
+        if fsutil.exists_atomic(spark, meta_path):
+            bucket_by = json.loads(
+                fsutil.read_text_atomic(spark, meta_path)
+            ).get("bucket_by", id_col)
+        migration = _migrate_corpus_layout(
+            spark, corpus_dir, n_buckets, bucket_by
+        )
+    rpt = _compact_partition_dirs(
+        spark, corpus_dir, f"/{_CORPUS_BUCKET_COL}=",
+        target_file_bytes=target_file_bytes,
     )
-    for f, _ in before:
-        fsutil.delete(spark, f, recursive=False)
-    return {
-        "files_before": len(before),
-        "files_after": len(fsutil.list_data_files(spark, corpus_dir)),
-        "partitions_compacted": 1,
-    }
+    if migration is not None:
+        rpt["migration"] = migration
+    return rpt
 
 
 def _parent_of(col: str):
@@ -1546,6 +1739,8 @@ def _forget_corpus_rows(spark, corpus_dir, doomed_side, id_col) -> dict:
 
     zero = {"rows_deleted": 0, "buckets_touched": 0, "files_rewritten": 0}
     layout = _corpus_layout(spark, corpus_dir)
+    if layout["kind"] == "migrating":
+        raise _migrating_error(corpus_dir)
     bucketed = layout["kind"] == "bucketed"
     pruned = bool(bucketed and layout["n_buckets"])
     if pruned:
@@ -1672,7 +1867,7 @@ def forget_rag_docs(
     the doomed count observed on the rewrite pass itself — one scan,
     cost tracking the doomed bucket count, untouched buckets
     byte-identical; a pre-r13 flat corpus degrades to the full
-    rewrite.
+    rewrite until :func:`compact_rag_corpus` migrates it (r14).
 
     Two contract notes. (1) The derivation requires the composite
     chunk-id scheme (the r12 front door); on a pre-r12 corpus with
