@@ -668,3 +668,46 @@ def test_ingest_cli_rag_kind_and_config_parity(spark, tmp_path):
 
         run_ingest(spark, "rag", str(inp) + "/*", out,
                    str(tmp_path / "c3"), store_path=str(tmp_path / "vs3"))
+
+
+def test_ingest_cli_rag_replace_flag(spark, tmp_path):
+    """r14 --replace: the corrected-document inbox — each drop
+    REPLACES its doc ids across the chain's three artifacts, so a
+    re-dropped doc with corrected text lands (instead of the plain
+    path's dedup-to-zero) and the stale content is gone from corpus
+    and index alike."""
+    from xdump_spark.operators.retrieval import load_text_index
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "chunks")
+    idx = str(tmp_path / "tidx")
+    body = " ".join(f"alpha{i} beta{i}" for i in range(40))
+    fixed = " ".join(f"sigma{i} tau{i}" for i in range(40))
+    other = " ".join(f"delta{i} epsilon{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, body), (2, other)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day1"))
+
+    argv = ["ingest", "--kind", "rag", "-i", str(inp) + "/*", "-o", out,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--store-path", str(tmp_path / "vs"),
+            "--index-dir", idx, "--replace",
+            "--chunk-tokens", "32", "--chunk-overlap", "8",
+            "--hash-embed", "64", "--semantic-cells", "2"]
+    assert _run_cli(spark, argv) == 0
+    n = load_text_index(spark, idx).n_docs
+    assert n > 2
+
+    # the corrected doc 1 re-dropped: same chunk grid, new words
+    spark.createDataFrame(
+        [(1, fixed)], "doc_id long, text string"
+    ).write.parquet(str(inp / "day2"))
+    assert _run_cli(spark, argv) == 0
+    assert load_text_index(spark, idx).n_docs == n  # replaced, not added
+    texts = " ".join(
+        r.text
+        for r in spark.read.parquet(out)
+        .filter("doc_id = 1").select("text").collect()
+    )
+    assert "sigma0" in texts and "alpha0" not in texts

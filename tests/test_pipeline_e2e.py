@@ -2840,6 +2840,119 @@ def test_prepare_rag_corpus_r12_era_string_key_crash_replay_noop(
     assert load_text_index(spark, idx_dir).n_docs == n0
 
 
+def _rag_chain_state(spark, store, idx_dir, out):
+    """The RAG chain's CONTENT, artifact by artifact, in comparable
+    form: corpus rows, index postings + scalars, store vectors."""
+    from xdump_spark.operators.retrieval import load_text_index
+
+    idx = load_text_index(spark, idx_dir)
+    return {
+        "corpus": sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("chunk_id", "doc_id", "text").collect()
+        ),
+        "postings": sorted(
+            (r.term, r.id, r.tf, r.dl)
+            for r in idx.postings.select("term", "id", "tf", "dl").collect()
+        ),
+        "n_docs": idx.n_docs,
+        "total_dl": idx.total_dl,
+        "vectors": sorted(
+            (r.vec_id, tuple(r.embedding))
+            for r in store.vectors().collect()
+        ),
+    }
+
+
+def test_prepare_rag_corpus_replace_upserts_corrected_doc(
+    spark, tmp_path
+):
+    """r13 verdict Next #3: ``replace=True`` is the one-call
+    replace/upsert front door — a content-updated re-send forgets the
+    incoming doc ids across store/index/corpus, then ingests; the end
+    state must equal a FRESH build over the corrected corpus in every
+    artifact (corpus rows, postings + scalars, store vectors)."""
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import prepare_rag_corpus
+
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    fixed = " ".join(f"sigma{i} tau{i} upsilon{i}" for i in range(40))
+    other = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(40))
+
+    def ingest(docs, store, idx_dir, out, **kw):
+        return prepare_rag_corpus(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+            corpus_buckets=8, **kw,
+        )
+
+    # chain A: v1 ingest, then the corrected doc 1 through replace=True
+    store_a = VectorStore(spark, str(tmp_path / "vs_a"))
+    idx_a, out_a = str(tmp_path / "tidx_a"), str(tmp_path / "chunks_a")
+    ingest([(1, body), (2, other)], store_a, idx_a, out_a)
+    r = ingest([(1, fixed)], store_a, idx_a, out_a, replace=True)
+    assert r.audit["replaced"]["docs_requested"] == 1
+    assert r.audit["replaced"]["corpus_rows_deleted"] > 0
+    assert r.index_entry is not None  # the corrected postings LANDED
+
+    # chain B: one fresh build over the corrected corpus
+    store_b = VectorStore(spark, str(tmp_path / "vs_b"))
+    idx_b, out_b = str(tmp_path / "tidx_b"), str(tmp_path / "chunks_b")
+    ingest([(1, fixed), (2, other)], store_b, idx_b, out_b)
+
+    assert _rag_chain_state(spark, store_a, idx_a, out_a) == (
+        _rag_chain_state(spark, store_b, idx_b, out_b)
+    )
+
+    # replace with a doc id new to every artifact degrades to a plain
+    # ingest (the forget legs no-op) — safe for mixed batches
+    novel = " ".join(f"kappa{i} lam{i} mu{i}" for i in range(40))
+    r2 = ingest([(7, novel)], store_a, idx_a, out_a, replace=True)
+    assert r2.audit["replaced"]["corpus_rows_deleted"] == 0
+    assert r2.audit["accepted_chunks"] > 0
+
+
+def test_prepare_rag_corpus_replace_crash_at_forget_ingest_seam(
+    spark, tmp_path
+):
+    """The replace path's crash seam: the forget completed but the
+    ingest never ran. Re-running the SAME replace call must converge —
+    its forget legs no-op where already clean — to the fresh-build
+    state over the corrected corpus."""
+    from xdump_spark.operators.incremental import VectorStore
+    from xdump_spark.pipeline import forget_rag_docs, prepare_rag_corpus
+
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    fixed = " ".join(f"sigma{i} tau{i} upsilon{i}" for i in range(40))
+    other = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(40))
+
+    def ingest(docs, store, idx_dir, out, **kw):
+        return prepare_rag_corpus(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            store, idx_dir, out_dir=out, max_tokens=32, overlap=8,
+            hash_embed_dim=64, threshold=0.9, n_cells=2,
+            corpus_buckets=8, **kw,
+        )
+
+    store_a = VectorStore(spark, str(tmp_path / "vs_a"))
+    idx_a, out_a = str(tmp_path / "tidx_a"), str(tmp_path / "chunks_a")
+    ingest([(1, body), (2, other)], store_a, idx_a, out_a)
+    # the crash state: replace's forget half ran, ingest half did not
+    forget_rag_docs(spark, store_a, idx_a, [1], corpus_dir=out_a)
+    # the redelivery: the whole replace call again
+    ingest([(1, fixed)], store_a, idx_a, out_a, replace=True)
+
+    store_b = VectorStore(spark, str(tmp_path / "vs_b"))
+    idx_b, out_b = str(tmp_path / "tidx_b"), str(tmp_path / "chunks_b")
+    ingest([(1, fixed), (2, other)], store_b, idx_b, out_b)
+
+    assert _rag_chain_state(spark, store_a, idx_a, out_a) == (
+        _rag_chain_state(spark, store_b, idx_b, out_b)
+    )
+
+
 def test_prepare_rag_corpus_rag2_keys_survive_compaction(spark, tmp_path):
     """New index appends key as ``rag2:{epoch}:{content_xor}``, and a
     maintenance rekey must carry them VERBATIM (only bare-int and

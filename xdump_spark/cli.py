@@ -744,6 +744,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rag: doc-hash partition buckets for a NEW "
                          "survivor corpus (forgets rewrite only doomed "
                          "buckets); an existing corpus's layout wins")
+    ig.add_argument("--replace", action="store_true",
+                    help="rag: each drop REPLACES its doc ids — forget "
+                         "them across store/index/corpus before "
+                         "ingesting (the corrected-document inbox; "
+                         "one-call upsert semantics)")
     ig.add_argument("--schema", default=None, metavar="DDL",
                     help="semantic/docs: drop-file schema as a DDL "
                          "string, e.g. 'doc_id long, text string' — "
@@ -1485,6 +1490,7 @@ def run(args, spark) -> int:
             chunk_tokens=args.chunk_tokens,
             chunk_overlap=args.chunk_overlap,
             corpus_buckets=args.corpus_buckets,
+            replace=args.replace,
         )
         if args.processing_time:
             # always-on: report and block (the scheduler owns the kill);

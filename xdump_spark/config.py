@@ -95,7 +95,8 @@ _INGEST_KEYS = {
     "path_glob", "text_col", "id_col", "vec_col", "semantic_threshold",
     "semantic_cells", "semantic_max_cell", "hash_embed", "doc_dedup",
     "fuzzy_threshold", "schema", "processing_time", "await_seconds",
-    "index_dir", "chunk_tokens", "chunk_overlap",
+    "index_dir", "chunk_tokens", "chunk_overlap", "corpus_buckets",
+    "replace",
 }
 
 
@@ -134,7 +135,9 @@ def ingest_from_config(spark: SparkSession, path: str):
     The ``store`` object is the kind-matched dedup store: ``table`` (+
     optional ``path``, ``n_buckets``) for wet/sft/pairs, ``path`` (+
     optional ``dtype``) for semantic and rag. ``kind: "rag"`` also
-    takes ``index_dir`` (required), ``chunk_tokens``, ``chunk_overlap``.
+    takes ``index_dir`` (required), ``chunk_tokens``, ``chunk_overlap``,
+    ``corpus_buckets``, and ``replace`` (each drop replaces its doc
+    ids across the chain — the corrected-document inbox).
     Returns the (stopped, in drain mode) StreamingQuery from
     :func:`xdump_spark.streaming.ingest.run_ingest`."""
     from xdump_spark.streaming.ingest import run_ingest
@@ -174,6 +177,8 @@ def ingest_from_config(spark: SparkSession, path: str):
         index_dir=cfg.get("index_dir"),
         chunk_tokens=cfg.get("chunk_tokens", 256),
         chunk_overlap=cfg.get("chunk_overlap", 32),
+        corpus_buckets=cfg.get("corpus_buckets", 64),
+        replace=cfg.get("replace", False),
     )
 
 

@@ -1155,6 +1155,7 @@ def prepare_rag_corpus(
     semantic_kwargs: dict | None = None,
     audit: bool = True,
     corpus_buckets: int = 64,
+    replace: bool = False,
 ) -> RagResult:
     """The RETRIEVAL-side front door (r11): documents → RAG-ready
     corpus in one call — chunk → embed → semantic-dedup against the
@@ -1211,12 +1212,29 @@ def prepare_rag_corpus(
     survivors and never reaches the append. A re-send with CHANGED
     text under the same chunk ids computes a different key and
     re-enters (as an append — forget_rag_docs first for replacement
-    semantics).
+    semantics, or pass ``replace=True``).
+
+    ``replace=True`` (r13 verdict Next #3) is the one-call
+    replace/upsert front door: :func:`forget_rag_docs` the INCOMING
+    doc ids across all three artifacts first, then ingest — the
+    "corrected document" flow without the two-call dance and its
+    ordering constraint. Crash at the forget→ingest seam: re-run the
+    whole call — the forget legs are individually re-runnable and
+    no-op where already clean, then the ingest proceeds; the end
+    state is identical to a fresh build over the corrected corpus
+    (pinned in tests). Ids absent from every artifact forget as
+    no-ops, so ``replace=True`` is safe for mixed new+corrected
+    batches. Cost: the forget's per-artifact rewrite costs (index
+    merge-rewrite is O(index) — batch corrections rather than
+    replacing one doc at a time); the forget's epoch bump re-keys
+    the ingest's index append, so it can never collide with the
+    forgotten generation's key.
 
     Scale shape: chunking is one exchange-free Project; embedding one
     Arrow pass; the dedup increment reads only touched cells; the
     index append tokenizes only the NEW survivors. Nothing rescans
-    history."""
+    history (``replace=True`` adds the forget legs' touched-artifact
+    rewrites)."""
     from xdump_spark import fsutil
     from xdump_spark.operators.chunking import chunk_tokens
     from xdump_spark.operators.incremental import incremental_semantic_dedup
@@ -1231,6 +1249,16 @@ def prepare_rag_corpus(
     counts: dict = {}
     if audit:
         counts["docs"] = docs.count()
+
+    if replace:
+        # one-call replace/upsert (docstring): forget the incoming doc
+        # ids first — runs in this same ingest lane, so the manifest's
+        # single-writer discipline holds by construction
+        counts["replaced"] = forget_rag_docs(
+            spark, store, index_dir,
+            docs.select(F.col(id_col)).distinct(),
+            corpus_dir=out_dir, id_col=id_col,
+        )
 
     chunks = chunk_tokens(
         docs, max_tokens=max_tokens, overlap=overlap,
@@ -1670,9 +1698,11 @@ def _doomed_chunk_ids(spark, store, index_dir, doomed_side):
         load_text_index,
     )
 
-    apath = store._assigned_path()
+    # a store that was never created holds no ids (the fresh-world
+    # replace=True path reaches here before any increment ran)
+    apath = store._assigned_path() if store.exists() else None
     sources = []
-    if fsutil.list_data_files(spark, apath):
+    if apath is not None and fsutil.list_data_files(spark, apath):
         sources.append(
             spark.read.parquet(apath)
             .select(F.col("neighbor_id").cast("string").alias("id"))
@@ -1968,6 +1998,7 @@ def streaming_rag_ingest(
     schema=None,
     trigger: dict | None = None,
     corpus_buckets: int = 64,
+    replace: bool = False,
 ):
     """The ONE-DAEMON streaming RAG chain (r11 verdict Next #1):
     parquet document drops landing in ``input_dir`` stream through the
@@ -2004,6 +2035,16 @@ def streaming_rag_ingest(
     every streaming twin). A re-send day (all drops already stored)
     adds ZERO index segments.
 
+    ``replace=True`` makes each drop REPLACE its doc ids (the
+    corrected-document inbox): every micro-batch forgets its incoming
+    ids across the three artifacts before ingesting
+    (``prepare_rag_corpus(replace=True)``). The redelivery story
+    changes shape but stays convergent: a replayed batch re-forgets
+    (no-op where clean) and re-ingests, converging to the same end
+    state by REWRITING instead of no-opping — costlier per redelivery,
+    and a doc meant to appear once across many drops would be
+    re-keyed each time, so keep it for inboxes with replace semantics.
+
     ``schema``/``trigger`` as in the other parquet twins: a DDL string
     (or StructType) is required to start a daemon on an empty inbox;
     trigger defaults to drain-and-stop (``availableNow``). Scale shape
@@ -2034,7 +2075,7 @@ def streaming_rag_ingest(
             hash_embed_dim=hash_embed_dim, vec_col=vec_col,
             threshold=threshold, n_cells=n_cells,
             semantic_kwargs=semantic_kwargs, audit=False,
-            corpus_buckets=corpus_buckets,
+            corpus_buckets=corpus_buckets, replace=replace,
         )
 
     writer = raw.writeStream.foreachBatch(_do_batch).option(

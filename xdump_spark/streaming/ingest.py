@@ -68,6 +68,7 @@ def run_ingest(
     chunk_tokens: int = 256,
     chunk_overlap: int = 32,
     corpus_buckets: int = 64,
+    replace: bool = False,
 ):
     """Start (and in drain mode, finish) one drop-directory ingest.
 
@@ -84,7 +85,10 @@ def run_ingest(
     hash-embed → VectorStore increment (``store_path``) → surviving
     chunks appended to ``output`` → BM25 index append to ``index_dir``,
     chunked by ``chunk_tokens``/``chunk_overlap`` and embedded at
-    ``hash_embed`` dims (default 256).
+    ``hash_embed`` dims (default 256); ``replace=True`` makes each
+    drop REPLACE its doc ids across the chain's three artifacts (the
+    corrected-document inbox — see
+    :func:`~xdump_spark.pipeline.streaming_rag_ingest`).
 
     ``schema`` (a DDL string, e.g. ``"doc_id long, text string"``)
     applies to the PARQUET kinds (``semantic``/``docs``/``index``/``rag``), whose file
@@ -206,7 +210,7 @@ def run_ingest(
             threshold=semantic_threshold, n_cells=semantic_cells,
             semantic_kwargs={"max_cell": semantic_max_cell},
             schema=schema, trigger=trigger,
-            corpus_buckets=corpus_buckets,
+            corpus_buckets=corpus_buckets, replace=replace,
         )
     elif kind == "docs":
         from xdump_spark.operators.incremental import (
