@@ -446,3 +446,76 @@ def test_guard_probe_plan_never_shuffles_history(spark, tmp_path):
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert len(shuffles) <= 1, plan
     assert "ArrowEvalPython" not in plan  # no decode on the probe path
+
+
+def test_aqe_empty_relation_drops_collect_metrics_canary(spark, tmp_path):
+    """r13 verdict Next #7: the exchange-free rewrite in
+    ``pipeline._forget_corpus_rows`` exists BECAUSE AQE's
+    empty-relation propagation replaces the post-shuffle subtree —
+    INCLUDING the CollectMetrics node — whenever every read row is
+    filtered out (the whole-bucket forget case), so the write action's
+    observation comes back as an EMPTY row and ``Observation.get``
+    fails (measured on Spark 4.1; PLANS.md r13). This canary pins BOTH
+    halves of that premise on the forget path's exact shape
+    (basePath'd leaf scan → broadcast-left marker join →
+    CollectMetrics → filter → partitioned write). If the with-exchange
+    half starts RETURNING the metric after a Spark upgrade, the
+    premise changed — re-evaluate the no-exchange constraint (and this
+    test) against PLANS.md r13 before trusting either shape."""
+    import threading
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "corpus")
+    (
+        spark.range(50)
+        .withColumn("_bucket", F.lit(0))
+        .withColumn("doc", F.col("id") % 5)
+        .write.partitionBy("_bucket").parquet(src_dir)
+    )
+    rows = spark.read.option("basePath", src_dir).parquet(
+        src_dir + "/_bucket=0"
+    )
+    doomed = F.broadcast(
+        spark.createDataFrame([(i,) for i in range(5)], ["doc"])
+        .withColumn("_dm", F.lit(1))
+    )
+
+    def run(with_exchange: bool):
+        obs = Observation()
+        marked = rows.join(doomed, "doc", "left").observe(
+            obs, F.coalesce(F.sum("_dm"), F.lit(0)).alias("doomed")
+        )
+        surv = marked.filter(F.col("_dm").isNull()).drop("_dm")
+        if with_exchange:
+            surv = surv.repartition(F.col("_bucket"))
+        surv.write.mode("append").partitionBy("_bucket").parquet(
+            str(tmp_path / f"out_{with_exchange}")
+        )
+        # obs.get on a dropped CollectMetrics raises (empty metrics
+        # row); guard with a thread in case a future Spark blocks
+        # instead — both count as "metric unavailable"
+        result: dict = {}
+
+        def fetch():
+            try:
+                result["value"] = dict(obs.get)
+            except Exception as exc:  # noqa: BLE001 — the measured mode
+                result["error"] = exc
+
+        t = threading.Thread(target=fetch, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        return result
+
+    # the shape _forget_corpus_rows ships: metric observed on the write
+    assert run(with_exchange=False) == {"value": {"doomed": 50}}
+    # the shape it deliberately avoids: the metric is unavailable
+    res = run(with_exchange=True)
+    assert "value" not in res, (
+        "AQE now preserves CollectMetrics through empty-relation "
+        f"propagation (observed {res}) — the no-exchange constraint in "
+        "_forget_corpus_rows rests on the OLD behavior; re-run the "
+        "PLANS.md r13 measurements before changing either."
+    )

@@ -1906,9 +1906,9 @@ def run(args, spark) -> int:
             )
         elif args.action == "stats":
             rpt = store.stats()
-        elif args.kind == "exact":
-            rpt = store.compact()
         elif args.kind == "window":
+            # WindowHashStore's knob is files_per_band (its swap-based
+            # rewrite has no byte-sizing), and its compact returns None
             store.compact()
             rpt = store.stats()
         else:

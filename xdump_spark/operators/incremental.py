@@ -781,10 +781,14 @@ class ExactHashStore:
             "buckets": self.n_buckets,
         }
 
-    def compact(self) -> dict:
-        """Rewrite the accumulated per-append file pile into one file
-        per bucket, preserving the bucket layout (the rewrite goes back
-        through ``write_bucketed``, so the history-never-shuffles plan
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite the accumulated per-append file pile into
+        ``ceil(bucket_bytes / target_file_bytes)`` files per bucket
+        (the store family's standard knob, r13 verdict Next #6 —
+        previously unconditionally one file per bucket, which at a
+        fixed bucket count grows per-file size without bound),
+        preserving the bucket layout (the rewrite goes back through
+        ``write_bucketed``, so the history-never-shuffles plan
         property is untouched — re-asserted in tests).
 
         Same crash discipline as ``SignatureStore.compact``: the file
@@ -800,17 +804,25 @@ class ExactHashStore:
         if not self.exists():
             return {"files_before": 0, "files_after": 0}
         old_files = list(self.spark.table(self.table_name).inputFiles())
-        if len(old_files) > self.n_buckets:
+        total = sum(
+            b for _, b, _ in fsutil.file_statuses(self.spark, old_files)
+        )
+        # output partition count: a MULTIPLE of n_buckets, sized to the
+        # target. Spark's repartition and its native bucketing share
+        # the Murmur3 hash, so with n_out = k·n_buckets every task
+        # holds exactly one bucket's rows (pmod(H, k·N) fixes
+        # pmod(H, N)) and the bucketed write emits one file per task —
+        # k files per bucket, never a sliver file per (task, bucket).
+        per_bucket = max(
+            1, -(-total // (target_file_bytes * self.n_buckets))
+        )
+        n_out = self.n_buckets * per_bucket
+        if len(old_files) > n_out:
             # one coalesced pass over the listed files only (a raw-path
             # read: fine — the write re-buckets, one exchange of 16 B/row
             # hashes, the expected O(store) compaction cost)
-            # repartition to the store's own bucketing first: each task
-            # then holds exactly one bucket's rows and the bucketed
-            # write emits ONE file per bucket (without it, every task
-            # writes a sliver file into every bucket it touches — a
-            # bigger pile than the one being compacted)
             rows = self.spark.read.parquet(*old_files).repartition(
-                self.n_buckets, "h1", "h2"
+                n_out, "h1", "h2"
             )
             write_bucketed(
                 rows.select("h1", "h2"), self.table_name, ["h1", "h2"],
