@@ -118,6 +118,30 @@ _SEED_TOP2 = "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 2"
 _SEED_LI = "SELECT * FROM lineitem WHERE l_orderkey <= 64"
 
 
+def _overlap(*thunks):
+    """Run independent DataFrame-builder thunks on driver threads and
+    return their results in thunk order.
+
+    The panel builders chain several driver-BLOCKING protocol steps —
+    eager localCheckpoints of shared survivor frames, KMeans fits,
+    query-batch collects — that are data-independent of each other but
+    were executed serially, so each panel's wall time was the SUM of
+    its sub-builds (r14 decomposition: posttrain 6.9 s build vs 2.0 s
+    execute; knn 2.8 vs 1.1). Spark's scheduler happily overlaps jobs
+    submitted from several driver threads (optimization guide §2.6),
+    and the py4j socket waits release the GIL, so the Column-building
+    chatter overlaps too. Results are IDENTICAL by construction: the
+    same sub-frames are built and unioned in the same order — only the
+    wall-clock overlap changes."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _msum(col, scale: int = 2):
     """Order-independent money sum, presentation-rounded IN DECIMAL.
     Per-addend cast to DECIMAL(20,6), decimal summation is associative —
@@ -1735,23 +1759,6 @@ def posttrain_prepare_panel(spark, sf_dir):
     from xdump_spark.operators import sft as SFT
 
     docs = _cat(spark, sf_dir).tables["documents"]
-    convs = _mk_convs(docs)
-    flagged = SFT.validate_conversations(convs)
-    validate = flagged.select(
-        F.lit("validate").alias("part"),
-        F.col("conv_id").alias("id"),
-        F.coalesce("reason", F.lit("valid")).alias("v"),
-    )
-    conv_stats = SFT.conversation_stats(convs).select(
-        F.lit("conv_stats").alias("part"),
-        F.col("conv_id").alias("id"),
-        F.concat_ws(
-            ":", "n_turns", "n_system", "n_user", "n_assistant",
-            "user_tokens", "assistant_tokens", "total_tokens",
-        ).alias("v"),
-    )
-    res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
-
     def fan(df: DataFrame, id_col: str, parts: list[tuple[str, F.Column]]):
         """One pass emitting several (part, id, v) rows per input row —
         union branches would replan the shared lineage per branch (no
@@ -1767,62 +1774,91 @@ def posttrain_prepare_panel(spark, sf_dir):
             ).alias("pv"),
         ).select("pv.part", "id", "pv.v")
 
-    # survivor frames feed several parts each — checkpoint the SMALL
-    # survivor sets once so the dedup/render lineage runs once, EAGERLY:
-    # a lazy checkpoint keeps the full lineage in the logical plan until
-    # first materialization, so all 13 union parts re-ANALYZE it per
-    # build (measured ~1 s of the panel's driver time); eager truncates
-    # it at build for the cost of materializing a few-thousand-row frame
-    # (protocol cost control; a real user calls the front door once)
-    conv_surv = fan(
-        res.convs.localCheckpoint(eager=True), "conv_id",
-        [
-            ("kept", F.lit("")),
-            ("render", F.md5("text")),
-            ("spans", F.array_join(
-                F.transform(
-                    "spans", lambda sp: F.concat_ws(":", sp["start"], sp["end"])
-                ), "|",
-            )),
-        ],
-    )
+    # The three sub-families below (conversation/SFT, preference-pair,
+    # scored-ratings) are data-independent until the final union; each
+    # carries its own eager checkpoint (a blocking driver job) plus a
+    # long py4j Column-building chain — built via _overlap so the
+    # protocol steps overlap instead of serializing (r14 decomposition:
+    # the serial form measured 6.9 s build vs 2.0 s execute at sf0.1).
+    def _conv_side():
+        convs = _mk_convs(docs)
+        flagged = SFT.validate_conversations(convs)
+        validate = flagged.select(
+            F.lit("validate").alias("part"),
+            F.col("conv_id").alias("id"),
+            F.coalesce("reason", F.lit("valid")).alias("v"),
+        )
+        conv_stats = SFT.conversation_stats(convs).select(
+            F.lit("conv_stats").alias("part"),
+            F.col("conv_id").alias("id"),
+            F.concat_ws(
+                ":", "n_turns", "n_system", "n_user", "n_assistant",
+                "user_tokens", "assistant_tokens", "total_tokens",
+            ).alias("v"),
+        )
+        res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
 
-    pairs = _mk_pairs(docs)
-    p_validate = PREF.validate_pairs(pairs).select(
-        F.lit("pair_validate").alias("part"),
-        F.col("pair_id").alias("id"),
-        F.coalesce("reason", F.lit("valid")).alias("v"),
-    )
-    p_stats = PREF.pair_stats(pairs).select(
-        F.lit("pair_stats").alias("part"),
-        F.col("pair_id").alias("id"),
-        F.concat_ws(
-            ":", "prompt_tokens", "chosen_tokens",
-            "rejected_tokens", "token_delta",
-        ).alias("v"),
-    )
-    pres = PREF.prepare_preference_corpus(
-        pairs, shuffle_seed=None, audit=False, length_bias=False
-    )
+        # survivor frames feed several parts each — checkpoint the SMALL
+        # survivor sets once so the dedup/render lineage runs once, EAGERLY:
+        # a lazy checkpoint keeps the full lineage in the logical plan until
+        # first materialization, so all 13 union parts re-ANALYZE it per
+        # build (measured ~1 s of the panel's driver time); eager truncates
+        # it at build for the cost of materializing a few-thousand-row frame
+        # (protocol cost control; a real user calls the front door once)
+        conv_surv = fan(
+            res.convs.localCheckpoint(eager=True), "conv_id",
+            [
+                ("kept", F.lit("")),
+                ("render", F.md5("text")),
+                ("spans", F.array_join(
+                    F.transform(
+                        "spans", lambda sp: F.concat_ws(":", sp["start"], sp["end"])
+                    ), "|",
+                )),
+            ],
+        )
 
-    def span_str(col: str) -> F.Column:
-        return F.concat_ws(":", F.col(col)["start"], F.col(col)["end"])
+        return validate, conv_stats, conv_surv
 
-    pair_surv = fan(
-        pres.pairs.localCheckpoint(eager=True), "pair_id",
-        [
-            ("pair_kept", F.lit("")),
-            ("pair_render", F.md5("text_chosen")),
-            ("pair_render_r", F.md5("text_rejected")),
-            ("pair_span", span_str("span_chosen")),
-            ("pair_span_r", span_str("span_rejected")),
-        ],
-    )
-    p_contra = pres.contradictions.select(
-        F.lit("pair_contra").alias("part"),
-        F.col("id_a").alias("id"),
-        F.col("id_b").cast("string").alias("v"),
-    )
+    def _pair_side():
+        pairs = _mk_pairs(docs)
+        p_validate = PREF.validate_pairs(pairs).select(
+            F.lit("pair_validate").alias("part"),
+            F.col("pair_id").alias("id"),
+            F.coalesce("reason", F.lit("valid")).alias("v"),
+        )
+        p_stats = PREF.pair_stats(pairs).select(
+            F.lit("pair_stats").alias("part"),
+            F.col("pair_id").alias("id"),
+            F.concat_ws(
+                ":", "prompt_tokens", "chosen_tokens",
+                "rejected_tokens", "token_delta",
+            ).alias("v"),
+        )
+        pres = PREF.prepare_preference_corpus(
+            pairs, shuffle_seed=None, audit=False, length_bias=False
+        )
+
+        def span_str(col: str) -> F.Column:
+            return F.concat_ws(":", F.col(col)["start"], F.col(col)["end"])
+
+        pair_surv = fan(
+            pres.pairs.localCheckpoint(eager=True), "pair_id",
+            [
+                ("pair_kept", F.lit("")),
+                ("pair_render", F.md5("text_chosen")),
+                ("pair_render_r", F.md5("text_rejected")),
+                ("pair_span", span_str("span_chosen")),
+                ("pair_span_r", span_str("span_rejected")),
+            ],
+        )
+        p_contra = pres.contradictions.select(
+            F.lit("pair_contra").alias("part"),
+            F.col("id_a").alias("id"),
+            F.col("id_b").cast("string").alias("v"),
+        )
+
+        return p_validate, p_stats, pair_surv, p_contra
 
     # r8: the scored-response interchange (pairs_from_ratings) — both
     # pairing policies over a deterministic ratings fixture; the id is
@@ -1830,26 +1866,34 @@ def posttrain_prepare_panel(spark, sf_dir):
     # xxhash64 DuckDB can't recompute), ratings doubled to exact ints.
     # The fixture is checkpointed once: both policy lineages replan it
     # otherwise (same no-cross-branch-CSE protocol note as above).
-    ratings = _mk_ratings(docs).localCheckpoint(eager=True)
+    def _ratings_side():
+        ratings = _mk_ratings(docs).localCheckpoint(eager=True)
 
-    def rating_part(name: str, policy: str, margin: float) -> DataFrame:
-        p = PREF.pairs_from_ratings(ratings, policy=policy, margin=margin)
-        rid = F.regexp_extract(
-            F.col("prompt")[0]["content"], r"(\d+)", 1
-        ).cast("long")
-        v = F.concat(
-            F.col("chosen"), F.lit(""), F.col("rejected"),
-            F.lit(""),
-            (F.col("chosen_rating") * 2).cast("int").cast("string"),
-            F.lit(":"),
-            (F.col("rejected_rating") * 2).cast("int").cast("string"),
-        )
-        return p.select(
-            F.lit(name).alias("part"), rid.alias("id"), v.alias("v")
-        )
+        def rating_part(name: str, policy: str, margin: float) -> DataFrame:
+            p = PREF.pairs_from_ratings(ratings, policy=policy, margin=margin)
+            rid = F.regexp_extract(
+                F.col("prompt")[0]["content"], r"(\d+)", 1
+            ).cast("long")
+            v = F.concat(
+                F.col("chosen"), F.lit(""), F.col("rejected"),
+                F.lit(""),
+                (F.col("chosen_rating") * 2).cast("int").cast("string"),
+                F.lit(":"),
+                (F.col("rejected_rating") * 2).cast("int").cast("string"),
+            )
+            return p.select(
+                F.lit(name).alias("part"), rid.alias("id"), v.alias("v")
+            )
 
-    r_best = rating_part("ratings_best", "best_vs_worst", 0.0)
-    r_all = rating_part("ratings_all", "all_pairs", 0.5)
+        r_best = rating_part("ratings_best", "best_vs_worst", 0.0)
+        r_all = rating_part("ratings_all", "all_pairs", 0.5)
+        return (r_best, r_all)
+
+    (
+        (validate, conv_stats, conv_surv),
+        (p_validate, p_stats, pair_surv, p_contra),
+        (r_best, r_all),
+    ) = _overlap(_conv_side, _pair_side, _ratings_side)
 
     out = validate
     for part in (
@@ -2113,21 +2157,32 @@ def retrieval_bm25(spark, sf_dir):
     from xdump_spark.operators.similarity import cosine_topk
 
     t = _cat(spark, sf_dir).tables
-    idx = build_text_index(t["documents"])
-    allq = spark.createDataFrame(
-        _BM25_QUERIES + _HYBRID_QUERIES, "query_id long, query string"
-    )
-    # both parts branch from this 120-row frame; checkpoint it eagerly
-    # so the union's two branches don't each re-run the index pipeline
-    # (the posttrain panel's shared-fixture discipline)
-    ranked = bm25_topk(idx, allq, k=20).localCheckpoint(eager=True)
+    emb = t["embeddings"]
+    hy_ids = [i for i, _ in _HYBRID_QUERIES]
+
+    # the text side (index build collect + ranked checkpoint — two
+    # blocking driver jobs over the document corpus) and the vector
+    # side (query-batch collect + the lazy cosine scan) are
+    # data-independent until the fusion — overlapped via _overlap
+    def _text_side():
+        idx = build_text_index(t["documents"])
+        allq = spark.createDataFrame(
+            _BM25_QUERIES + _HYBRID_QUERIES, "query_id long, query string"
+        )
+        # both parts branch from this 120-row frame; checkpoint it
+        # eagerly so the union's two branches don't each re-run the
+        # index pipeline (the posttrain panel's shared-fixture
+        # discipline)
+        return bm25_topk(idx, allq, k=20).localCheckpoint(eager=True)
+
+    def _vec_side():
+        return cosine_topk(emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20)
+
+    ranked, vs = _overlap(_text_side, _vec_side)
     bm_ids = [i for i, _ in _BM25_QUERIES]
     bm = ranked.filter(
         F.col("query_id").isin(bm_ids) & (F.col("rnk") <= 5)
     )
-    emb = t["embeddings"]
-    hy_ids = [i for i, _ in _HYBRID_QUERIES]
-    vs = cosine_topk(emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20)
     # the fused shortlist feeds BOTH the hybrid_rrf part and the mmr
     # part — 15 rows, checkpointed eagerly so the mmr branch doesn't
     # re-run the cosine side of the fusion
@@ -2427,52 +2482,66 @@ def neardup_pairs_panel(spark, sf_dir):
     hash-checked inside the driver's 50-entry correctness window; the
     previous rows-only ``minhash_pairs`` entry is retired."""
     docs = _cat(spark, sf_dir).tables["documents"]
-    # minhash side runs on a deterministic 1/3 subset: exact-verify cost
-    # is candidate-pair-bound and r=2 banding (needed for near-certain
-    # recall at the threshold) is a permissive candidate generator, so
-    # n² matters; the subset cuts candidates 9× while the oracle applies
-    # the identical filter. Estimate mode on the full corpus stays the
-    # scale path.
-    mh = D.minhash_lsh_pairs(
-        docs.filter("doc_id % 3 = 0"),
-        threshold=0.6,
-        num_perm=32,
-        bands=16,
-        verify="exact",
-        max_bucket=None,  # the skew guard drops hot-bucket pairs, which
-                          # would void oracle exactness; bounded here by
-                          # the subset size, not needed
-    ).select(
-        F.lit("minhash").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("jaccard").cast("double").alias("score"),
-    )
-    sh = D.simhash_pairs(docs, max_hamming=3, hash_fn="md5", max_bucket=None).select(
-        F.lit("simhash").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("double").alias("score"),
-    )
-    pstore = _neardup_probe_store(spark, sf_dir)
-    resent = docs.filter("doc_id % 15 = 0").select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-    )
-    pr = (
-        pstore.probe(
-            resent, num_perm=64, bands=16, threshold=1.0, max_bucket=None
+
+    # the three method sides are data-independent; minhash and simhash
+    # each materialize eager signature/shingle checkpoints (blocking
+    # driver jobs, 1.26 s of the 3.1 s serial build at sf0.1 — r14
+    # decomposition) — overlapped via _overlap
+    def _mh_side():
+        # minhash side runs on a deterministic 1/3 subset: exact-verify
+        # cost is candidate-pair-bound and r=2 banding (needed for
+        # near-certain recall at the threshold) is a permissive
+        # candidate generator, so n² matters; the subset cuts candidates
+        # 9× while the oracle applies the identical filter. Estimate
+        # mode on the full corpus stays the scale path.
+        return D.minhash_lsh_pairs(
+            docs.filter("doc_id % 3 = 0"),
+            threshold=0.6,
+            num_perm=32,
+            bands=16,
+            verify="exact",
+            max_bucket=None,  # the skew guard drops hot-bucket pairs,
+                              # which would void oracle exactness;
+                              # bounded here by the subset size
+        ).select(
+            F.lit("minhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").cast("double").alias("score"),
         )
-        # the deterministic slice: each re-send's hit on its own stored
-        # twin (see the docstring for why other est values cannot be
-        # oracle-predicted on this corpus)
-        .filter(F.col("stored_id") == F.col("query_id") - 10_000_000)
-        .select(
-            F.lit("store_probe").alias("method"),
-            F.col("query_id").alias("id_a"),
-            F.col("stored_id").alias("id_b"),
-            F.col("est").alias("score"),
+
+    def _sh_side():
+        return D.simhash_pairs(
+            docs, max_hamming=3, hash_fn="md5", max_bucket=None
+        ).select(
+            F.lit("simhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("double").alias("score"),
         )
-    )
+
+    def _probe_side():
+        pstore = _neardup_probe_store(spark, sf_dir)
+        resent = docs.filter("doc_id % 15 = 0").select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return (
+            pstore.probe(
+                resent, num_perm=64, bands=16, threshold=1.0, max_bucket=None
+            )
+            # the deterministic slice: each re-send's hit on its own
+            # stored twin (see the docstring for why other est values
+            # cannot be oracle-predicted on this corpus)
+            .filter(F.col("stored_id") == F.col("query_id") - 10_000_000)
+            .select(
+                F.lit("store_probe").alias("method"),
+                F.col("query_id").alias("id_a"),
+                F.col("stored_id").alias("id_b"),
+                F.col("est").alias("score"),
+            )
+        )
+
+    mh, sh, pr = _overlap(_mh_side, _sh_side, _probe_side)
     return mh.unionByName(sh).unionByName(pr)
 
 
@@ -2550,20 +2619,34 @@ def knn_topk_panel(spark, sf_dir):
     driver's 50-entry correctness window without evicting an
     oracle-backed row."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
-    exact = S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
-    ivf = S.ivf_topk(
-        emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=16
-    )
-    cb = PQ.pq_train(emb, m=8, k=64)
-    codes = PQ.pq_encode(emb, cb)
-    pq = PQ.pq_topk_rerank(
-        codes, emb, cb,
-        # vec_id < 10000 is a no-op at the oracle scales (every id fits)
-        # but bounds the method's queries×corpus ADC work at soak scale,
-        # where the full-rerank protocol is otherwise quadratic
-        emb.filter("vec_id % 100 = 2 AND vec_id < 10000"),
-        k=5, rerank=1_000_000,
-    )
+
+    # the three method sides are data-independent; each runs blocking
+    # driver protocol (query-batch collects, the IVF KMeans fit, the PQ
+    # codebook fit) — overlapped via _overlap (r14: the serial form
+    # measured 2.8 s build vs 1.1 s execute at sf0.1, the fit/collect
+    # chain being the build)
+    def _exact_side():
+        return S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+    def _ivf_side():
+        return S.ivf_topk(
+            emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=16
+        )
+
+    def _pq_side():
+        cb = PQ.pq_train(emb, m=8, k=64)
+        codes = PQ.pq_encode(emb, cb)
+        return PQ.pq_topk_rerank(
+            codes, emb, cb,
+            # vec_id < 10000 is a no-op at the oracle scales (every id
+            # fits) but bounds the method's queries×corpus ADC work at
+            # soak scale, where the full-rerank protocol is otherwise
+            # quadratic
+            emb.filter("vec_id % 100 = 2 AND vec_id < 10000"),
+            k=5, rerank=1_000_000,
+        )
+
+    exact, ivf, pq = _overlap(_exact_side, _ivf_side, _pq_side)
     return (
         exact.select(F.lit("exact").alias("method"), *exact.columns)
         .unionByName(ivf.select(F.lit("ivf_full_probe").alias("method"), *ivf.columns))
