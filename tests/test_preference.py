@@ -611,3 +611,20 @@ def test_pairs_from_ratings_prompt_surface_deterministic(spark):
         assert len(p) == 1
         outs.add(p[0]["prompt"][0]["content"])
     assert outs == {"Pick one"}  # lexicographic min surface, always
+
+
+def test_prepare_preference_corpus_precomputed_flagged_identical(spark, pairs):
+    """flagged= (r14 driver-side optimization) must be a pure no-op on
+    results: passing validate_pairs' own output produces frames
+    identical to the internal validation path."""
+    base = P.prepare_preference_corpus(pairs, shuffle_seed=0)
+    pre = P.prepare_preference_corpus(
+        pairs, shuffle_seed=0, flagged=P.validate_pairs(pairs)
+    )
+    assert sorted(map(tuple, base.pairs.collect())) == sorted(
+        map(tuple, pre.pairs.collect())
+    )
+    assert sorted(map(tuple, base.rejects.collect())) == sorted(
+        map(tuple, pre.rejects.collect())
+    )
+    assert base.audit == pre.audit

@@ -602,3 +602,20 @@ def test_prepare_sft_with_store_two_drops(spark, tmp_path):
     )
     res2 = sft.prepare_sft_corpus(day2, dedup_store=store, shuffle_seed=None)
     assert {r["conv_id"] for r in res2.convs.collect()} == {11}
+
+
+def test_prepare_sft_corpus_precomputed_flagged_identical(spark, convs):
+    """flagged= (r14 driver-side optimization) must be a pure no-op on
+    results: passing validate_conversations' own output produces frames
+    identical to the internal validation path."""
+    base = sft.prepare_sft_corpus(convs, shuffle_seed=0)
+    pre = sft.prepare_sft_corpus(
+        convs, shuffle_seed=0, flagged=sft.validate_conversations(convs)
+    )
+    assert sorted(map(tuple, base.convs.collect())) == sorted(
+        map(tuple, pre.convs.collect())
+    )
+    assert sorted(map(tuple, base.rejects.collect())) == sorted(
+        map(tuple, pre.rejects.collect())
+    )
+    assert base.audit == pre.audit

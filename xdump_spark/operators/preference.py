@@ -731,6 +731,7 @@ def prepare_preference_corpus(
     rating_margin: float = 0.0,
     splits: dict[str, float] | None = None,
     split_seed: int = 0,
+    flagged: DataFrame | None = None,
 ) -> PreferenceResult:
     """One-call preference preparation: validate → (reject with reasons)
     → pair dedup → drop BOTH sides of contradicting pairs → optional
@@ -747,7 +748,14 @@ def prepare_preference_corpus(
     ``rejected_col`` then name the CONVERTED columns (leave default).
     ``splits`` partitions the final frame with the deterministic
     ``cleaning.hash_split`` on ``id_col`` (same contract as the SFT and
-    pretraining front doors); ``result.splits`` maps name → frame."""
+    pretraining front doors); ``result.splits`` maps name → frame.
+
+    ``flagged``: the output of :func:`validate_pairs` over ``pairs``
+    under the SAME validation kwargs, if the caller already built it —
+    same contract (and same driver-side motivation) as
+    ``prepare_sft_corpus``'s ``flagged``. Ignored when
+    ``from_ratings=True`` (the converted frame differs from the
+    caller's input)."""
     if from_ratings:
         pairs = pairs_from_ratings(
             pairs,
@@ -758,13 +766,15 @@ def prepare_preference_corpus(
             margin=rating_margin,
             id_col=id_col,
         )
+        flagged = None  # the converted frame is not the caller's input
     kw = dict(prompt_col=prompt_col, chosen_col=chosen_col, rejected_col=rejected_col)
-    flagged = validate_pairs(
-        pairs,
-        allowed_roles=allowed_roles,
-        require_alternation=require_alternation,
-        **kw,
-    )
+    if flagged is None:
+        flagged = validate_pairs(
+            pairs,
+            allowed_roles=allowed_roles,
+            require_alternation=require_alternation,
+            **kw,
+        )
     rejects = flagged.filter(~F.col("valid")).select(id_col, "reason")
     cur = flagged.filter(F.col("valid")).drop("valid", "reason")
     counts: dict = {}

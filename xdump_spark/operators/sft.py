@@ -635,6 +635,7 @@ def prepare_sft_corpus(
     audit: bool = True,
     vocab: DataFrame | None = None,
     mask_im_end: bool = True,
+    flagged: DataFrame | None = None,
 ) -> SFTResult:
     """One-call SFT preparation: validate → (reject with reasons) →
     fingerprint-dedup → render under ``template`` → assistant loss-mask
@@ -652,14 +653,23 @@ def prepare_sft_corpus(
     ``cleaning.hash_split`` on ``id_col`` (membership a pure function of
     (``split_seed``, id)); ``result.splits`` maps name → frame and
     ``result.encoded`` is built from the FIRST-named split only (the
-    train split by convention — no val/test leakage)."""
-    flagged = validate_conversations(
-        convs,
-        conv_col=conv_col,
-        allowed_roles=allowed_roles,
-        require_alternation=require_alternation,
-        require_assistant_last=require_assistant_last,
-    )
+    train split by convention — no val/test leakage).
+
+    ``flagged``: the output of :func:`validate_conversations` over
+    ``convs`` under the SAME validation kwargs, if the caller already
+    built it (a pipeline that reports validation reasons separately
+    would otherwise build the identical frame twice — the validation
+    expression tree is a few hundred driver-side Column constructions,
+    measurable when the front door runs per panel/micro-batch).
+    Results are identical by definition; when in doubt pass nothing."""
+    if flagged is None:
+        flagged = validate_conversations(
+            convs,
+            conv_col=conv_col,
+            allowed_roles=allowed_roles,
+            require_alternation=require_alternation,
+            require_assistant_last=require_assistant_last,
+        )
     rejects = flagged.filter(~F.col("valid")).select(id_col, "reason")
     cur = flagged.filter(F.col("valid")).drop("valid", "reason")
     counts: dict = {}

@@ -1796,7 +1796,12 @@ def posttrain_prepare_panel(spark, sf_dir):
                 "user_tokens", "assistant_tokens", "total_tokens",
             ).alias("v"),
         )
-        res = SFT.prepare_sft_corpus(convs, shuffle_seed=None, audit=False)
+        # the identical flagged frame feeds both the validate part and
+        # the front door (flagged= contract) — the ~350 ms validation
+        # Column chain builds once per pass, not twice
+        res = SFT.prepare_sft_corpus(
+            convs, shuffle_seed=None, audit=False, flagged=flagged
+        )
 
         # survivor frames feed several parts each — checkpoint the SMALL
         # survivor sets once so the dedup/render lineage runs once, EAGERLY:
@@ -1822,7 +1827,8 @@ def posttrain_prepare_panel(spark, sf_dir):
 
     def _pair_side():
         pairs = _mk_pairs(docs)
-        p_validate = PREF.validate_pairs(pairs).select(
+        pflagged = PREF.validate_pairs(pairs)
+        p_validate = pflagged.select(
             F.lit("pair_validate").alias("part"),
             F.col("pair_id").alias("id"),
             F.coalesce("reason", F.lit("valid")).alias("v"),
@@ -1835,8 +1841,12 @@ def posttrain_prepare_panel(spark, sf_dir):
                 "rejected_tokens", "token_delta",
             ).alias("v"),
         )
+        # same flagged= contract as the SFT side: one validation
+        # Column chain per pass (validate_pairs measured ~760 ms of
+        # driver build), shared by the part and the front door
         pres = PREF.prepare_preference_corpus(
-            pairs, shuffle_seed=None, audit=False, length_bias=False
+            pairs, shuffle_seed=None, audit=False, length_bias=False,
+            flagged=pflagged,
         )
 
         def span_str(col: str) -> F.Column:
