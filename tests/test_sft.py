@@ -175,6 +175,41 @@ def test_plans_pure_codegen(spark, convs):
         assert "Exchange" not in plan  # all single-Project ops
 
 
+def test_sql_twins_match_column_forms(spark):
+    """The r14 SQL-string twins (built once, parsed JVM-side) must stay
+    in lockstep with their Column-API originals — row-for-row equality
+    on a corpus crafted to hit the edge cases each rule coalesces:
+    NULL content, empty/whitespace content, multi-space runs, mixed
+    case, unicode, and a NULL role."""
+    from xdump_spark.operators.text import tokens, tokens_sql
+
+    rows = [
+        (1, [{"role": "user", "content": "Hi  THERE\t you"}],),
+        (2, [{"role": "assistant", "content": None}],),
+        (3, [{"role": None, "content": "x"}],),
+        (4, [{"role": "user", "content": "   "}],),
+        (5, [{"role": "user", "content": "éclair   naïve"}],),
+        (6, [],),
+        (7, None,),
+    ]
+    df = spark.createDataFrame(rows, CONV_SCHEMA)
+
+    texts = df.select(
+        F.element_at("messages", 1)["content"].alias("text")
+    )
+    tok = texts.select(
+        tokens(F.col("text")).alias("a"),
+        F.expr(tokens_sql("text")).alias("b"),
+    )
+    assert tok.where("NOT (a <=> b)").count() == 0
+
+    ct = df.select(
+        sft.canonical_transcript(F.col("messages")).alias("a"),
+        F.expr(sft.canonical_transcript_sql("messages")).alias("b"),
+    )
+    assert ct.where("NOT (a <=> b)").count() == 0
+
+
 def test_read_conversations_jsonl_quarantine(spark, tmp_path):
     import json
 

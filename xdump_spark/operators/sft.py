@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xdump_spark.operators.text import tokens
+from xdump_spark.operators.text import tokens, tokens_sql
 
 DEFAULT_ROLES = ("system", "user", "assistant")
 
@@ -48,32 +48,35 @@ def conversation_stats(
     n_user, n_assistant, user_tokens, assistant_tokens, total_tokens).
     One Project — no explode, no shuffle: the per-role token sums run as
     ``aggregate`` over the filtered struct array, so a 10 B-conversation
-    corpus is one narrow map stage."""
-    msgs = _msgs(conv_col)
+    corpus is one narrow map stage.
 
-    def role_count(role: str) -> Column:
-        return F.size(F.filter(msgs, lambda m: m["role"] == F.lit(role)))
+    Built as ONE selectExpr (r14): the higher-order-function Column API
+    costs a py4j round trip per lambda/function construction — this
+    frame's eight HOF expressions measured 0.33 s of driver build per
+    call, vs 0.06 s parsing the identical expressions from SQL text.
+    The physical plan and results are unchanged (pinned by test)."""
+    m = conv_col
+    tok = tokens_sql("x.content")
 
-    def role_tokens(role: str) -> Column:
-        return F.aggregate(
-            F.filter(msgs, lambda m: m["role"] == F.lit(role)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc + F.size(tokens(m["content"])),
+    def role_count(role: str) -> str:
+        return f"CAST(size(filter({m}, x -> x.role = '{role}')) AS BIGINT)"
+
+    def role_tokens(role: str) -> str:
+        return (
+            f"aggregate(filter({m}, x -> x.role = '{role}'), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + size({tok}))"
         )
 
-    return df.select(
-        F.col(id_col),
-        F.size(msgs).cast("long").alias("n_turns"),
-        role_count("system").cast("long").alias("n_system"),
-        role_count("user").cast("long").alias("n_user"),
-        role_count("assistant").cast("long").alias("n_assistant"),
-        role_tokens("user").alias("user_tokens"),
-        role_tokens("assistant").alias("assistant_tokens"),
-        F.aggregate(
-            msgs,
-            F.lit(0).cast("long"),
-            lambda acc, m: acc + F.size(tokens(m["content"])),
-        ).alias("total_tokens"),
+    return df.selectExpr(
+        id_col,
+        f"CAST(size({m}) AS BIGINT) AS n_turns",
+        role_count("system") + " AS n_system",
+        role_count("user") + " AS n_user",
+        role_count("assistant") + " AS n_assistant",
+        role_tokens("user") + " AS user_tokens",
+        role_tokens("assistant") + " AS assistant_tokens",
+        f"aggregate({m}, CAST(0 AS BIGINT), (acc, x) -> acc + size({tok}))"
+        " AS total_tokens",
     )
 
 
@@ -94,50 +97,55 @@ def validate_conversations(
     (``require_alternation``); the last message is an assistant turn
     (``require_assistant_last`` — a trailing user turn has no training
     signal). Pure codegen — rules are array predicates, the frame keeps
-    its partitioning."""
-    msgs = _msgs(conv_col)
-    roles = F.transform(msgs, lambda m: m["role"])
+    its partitioning.
+
+    The rule expressions are built as ONE SQL string (r14): the HOF
+    Column API paid a py4j round trip per lambda construction — ~0.35 s
+    of driver build per call on this function — while parsing the
+    identical expression text JVM-side is ~free. Expressions mirror the
+    previous Column forms exactly (results pinned by the operator
+    tests)."""
+    m = conv_col
+    roles = f"transform({m}, x -> x.role)"
     # the conversation body after an optional leading system message
-    body = F.when(
-        F.element_at(roles, 1) == "system", F.slice(roles, 2, F.size(roles))
-    ).otherwise(roles)
-    allowed = F.array(*[F.lit(r) for r in allowed_roles])
+    body = (
+        f"CASE WHEN element_at({roles}, 1) = 'system' "
+        f"THEN slice({roles}, 2, size({roles})) ELSE {roles} END"
+    )
+    allowed = "array(" + ", ".join(f"'{r}'" for r in allowed_roles) + ")"
     # NULL-safe rules: under three-valued logic a NULL role/content/array
     # makes every naive predicate NULL, the reason CASE falls through,
     # and a structurally broken conversation is marked VALID — so each
     # rule coalesces the NULL case to its failing side.
-    bad_role = F.exists(
-        roles,
-        lambda r: r.isNull() | ~F.coalesce(F.array_contains(allowed, r), F.lit(False)),
+    bad_role = (
+        f"exists({roles}, r -> r IS NULL OR "
+        f"NOT coalesce(array_contains({allowed}, r), false))"
     )
-    empty_content = F.exists(
-        msgs, lambda m: m["content"].isNull() | (F.trim(m["content"]) == "")
+    empty_content = (
+        f"exists({m}, x -> x.content IS NULL OR trim(x.content) = '')"
     )
-    stray_system = F.size(F.filter(body, lambda r: r == "system")) > 0
+    stray_system = f"size(filter({body}, r -> r = 'system')) > 0"
     # strict user/assistant alternation starting at user: role at
     # 1-based body position i must be user for odd i, assistant for even
-    misordered = F.exists(
-        F.zip_with(
-            body,
-            F.sequence(F.lit(1), F.greatest(F.size(body), F.lit(1))),
-            lambda r, i: r != F.when(i % 2 == 1, "user").otherwise("assistant"),
-        ),
-        lambda x: x,
+    misordered = (
+        f"exists(zip_with({body}, sequence(1, greatest(size({body}), 1)), "
+        "(r, i) -> r != CASE WHEN i % 2 = 1 THEN 'user' "
+        "ELSE 'assistant' END), x -> x)"
     )
-    ends_user = ~F.coalesce(
-        F.element_at(roles, -1) == "assistant", F.lit(False)
-    )
+    ends_user = f"NOT coalesce(element_at({roles}, -1) = 'assistant', false)"
 
-    reason = F.when(msgs.isNull() | (F.size(msgs) == 0), "empty_conversation")
-    reason = reason.when(bad_role, "unknown_role")
-    reason = reason.when(empty_content, "empty_content")
-    reason = reason.when(stray_system, "system_not_first")
+    whens = [
+        f"WHEN {m} IS NULL OR size({m}) = 0 THEN 'empty_conversation'",
+        f"WHEN {bad_role} THEN 'unknown_role'",
+        f"WHEN {empty_content} THEN 'empty_content'",
+        f"WHEN {stray_system} THEN 'system_not_first'",
+    ]
     if require_alternation:
-        reason = reason.when(misordered, "no_alternation")
+        whens.append(f"WHEN {misordered} THEN 'no_alternation'")
     if require_assistant_last:
-        reason = reason.when(ends_user, "not_assistant_last")
-    reason = reason.otherwise(F.lit(None).cast("string"))
-    out = df.withColumn("reason", reason)
+        whens.append(f"WHEN {ends_user} THEN 'not_assistant_last'")
+    reason = "CASE " + " ".join(whens) + " ELSE CAST(NULL AS STRING) END"
+    out = df.withColumn("reason", F.expr(reason))
     return out.withColumn("valid", F.col("reason").isNull())
 
 
@@ -162,6 +170,23 @@ def canonical_transcript(msgs: Column) -> Column:
     )
 
 
+def canonical_transcript_sql(arr: str) -> str:
+    """SQL-string twin of :func:`canonical_transcript` over the array
+    expression ``arr`` — for the named-column callers (fingerprints,
+    dedups, the per-prompt cap), whose HOF Column construction was pure
+    py4j overhead (r14; the Column form stays for computed-Column
+    inputs like pairs_from_ratings' wrapped prompt). The separator
+    control characters are embedded verbatim (the SQL lexer accepts raw
+    C0 bytes inside string literals). Must stay in lockstep with
+    :func:`canonical_transcript`/:func:`norm_content`; equality is
+    pinned by the operator tests' dedup/fingerprint expectations."""
+    norm = "trim(regexp_replace(lower(x.content), '\\\\s+', ' '))"
+    return (
+        f"array_join(transform({arr}, x -> "
+        f"concat_ws('{_FIELD_SEP}', x.role, {norm})), '{_TURN_SEP}')"
+    )
+
+
 def conversation_fingerprint(
     df: DataFrame,
     conv_col: str = "messages",
@@ -174,7 +199,7 @@ def conversation_fingerprint(
     Adds ``h1``/``h2``."""
     from xdump_spark.operators.incremental import hash128
 
-    h1, h2 = hash128(canonical_transcript(_msgs(conv_col)))
+    h1, h2 = hash128(F.expr(canonical_transcript_sql(conv_col)))
     return df.withColumn("h1", h1).withColumn("h2", h2)
 
 
@@ -212,7 +237,7 @@ def dedup_conversations_incremental(
     identical machinery, different canonical string."""
     from xdump_spark.operators.incremental import hash128, incremental_hash_dedup
 
-    h1, h2 = hash128(canonical_transcript(_msgs(conv_col)))
+    h1, h2 = hash128(F.expr(canonical_transcript_sql(conv_col)))
     batch = df.select(F.col(id_col).alias("id"), h1.alias("h1"), h2.alias("h2"))
     return incremental_hash_dedup(batch, store, defer_commit=defer_commit)
 
@@ -243,10 +268,16 @@ def render_chat(
     column IS a ``documents.text``)."""
     if template not in _TEMPLATES:
         raise ValueError(f"unknown template {template!r}; one of {sorted(_TEMPLATES)}")
-    rendered = F.array_join(
-        F.transform(_msgs(conv_col), lambda m: _render_msg(m, template)), ""
+    pre, post = _TEMPLATES[template]
+    left, right = pre.split("{role}")
+    # one SQL string instead of the HOF Column chain (r14 py4j-cost
+    # note on conversation_stats); template pieces contain newlines,
+    # which the SQL lexer accepts verbatim inside string literals
+    rendered = (
+        f"array_join(transform({conv_col}, x -> "
+        f"concat('{left}', x.role, '{right}', x.content, '{post}')), '')"
     )
-    return df.withColumn(out_col, rendered)
+    return df.withColumn(out_col, F.expr(rendered))
 
 
 def assistant_spans(
@@ -264,32 +295,24 @@ def assistant_spans(
         raise ValueError(f"unknown template {template!r}; one of {sorted(_TEMPLATES)}")
     pre, post = _TEMPLATES[template]
     left, right = pre.split("{role}")
-
-    acc0 = F.struct(
-        F.lit(0).cast("long").alias("off"),
-        F.array().cast("array<struct<start:long,end:long>>").alias("spans"),
+    # one SQL string instead of the HOF Column chain (r14 py4j-cost
+    # note on conversation_stats); the aggregate carries the same
+    # (off, spans) struct accumulator the Column form did
+    lr, lp = len(left) + len(right), len(post)
+    start = f"acc.off + length(x.role) + {lr}"
+    end = f"{start} + length(x.content)"
+    spans = (
+        f"aggregate({conv_col}, "
+        "named_struct('off', CAST(0 AS BIGINT), "
+        "'spans', CAST(array() AS array<struct<start:bigint,end:bigint>>)), "
+        "(acc, x) -> named_struct("
+        f"'off', {end} + {lp}, "
+        "'spans', CASE WHEN x.role = 'assistant' "
+        f"THEN concat(acc.spans, array(named_struct('start', {start}, 'end', {end}))) "
+        "ELSE acc.spans END), "
+        "acc -> acc.spans)"
     )
-
-    def step(acc, m):
-        start = acc["off"] + F.length(m["role"]) + F.lit(len(left) + len(right))
-        end = start + F.length(m["content"])
-        nxt_off = end + F.lit(len(post))
-        is_asst = m["role"] == "assistant"
-        return F.struct(
-            nxt_off.alias("off"),
-            F.when(
-                is_asst,
-                F.concat(
-                    acc["spans"],
-                    F.array(F.struct(start.alias("start"), end.alias("end"))),
-                ),
-            )
-            .otherwise(acc["spans"])
-            .alias("spans"),
-        )
-
-    spans = F.aggregate(_msgs(conv_col), acc0, step, lambda acc: acc["spans"])
-    return df.withColumn("spans", spans)
+    return df.withColumn("spans", F.expr(spans))
 
 
 def special_token_ids(vocab: DataFrame) -> dict[str, int]:

@@ -170,6 +170,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def tokens_sql(c: str) -> str:
+    """Spark-SQL string twin of :func:`tokens` over the column/field
+    expression ``c`` — for operators built via ``F.expr`` (one SQL
+    string parsed JVM-side replaces dozens of py4j Column round trips;
+    the r14 measurement on conversation_stats was 0.33 s → 0.06 s of
+    driver build for identical schema and rows). Must stay in lockstep
+    with :func:`tokens`; equality is pinned in tests."""
+    t = f"trim(lower({c}))"
+    return (
+        f"CASE WHEN length({t}) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE split({t}, '\\\\s+') END"
+    )
+
+
 # The DuckDB twin of tokens() over a column named `text` — THE single
 # definition every oracle-SQL builder must reuse (queries._SQL_TOKS,
 # lm.duckdb_backoff_sql): two copies would let the shared whitespace
