@@ -1300,3 +1300,73 @@ def test_argmax_label_equals_case_chain(spark):
     }
     for i, r in enumerate(rows):
         assert got[i] == chain_winner(r), (i, r, got[i])
+
+
+def test_quality_langid_sql_matches_column_twin(spark):
+    """The r14 selectExpr-built quality_langid_frame must stay in
+    lockstep with the retained Column helpers (script_count_exprs,
+    _script_effective, _lang_pred, tokens, punct_count) — row-for-row
+    equality on edge cases: NULL/empty/whitespace text, CJK scripts,
+    kana share, Cyrillic, marker ties, quotes, and accents."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Hello the world  of and"), (2, ""), (3, None), (4, "  \t  "),
+        (5, "这是 中文 文本 的 测试"),
+        (6, "これは にほんご の テスト です 漢字 かな"),
+        (7, "Привет мир это тест"), (8, "der und die das ist ein"),
+        (9, "O'Brien's isn't... 'quoted'!?"), (10, "mixé café naïve déjà"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = {r["doc_id"]: r.asDict() for r in TX.quality_langid_frame(df).collect()}
+
+    t = F.col("text")
+    pre = df.select(
+        F.col("doc_id"),
+        F.length(t).cast("long").alias("_len"),
+        F.size(TX.tokens(t)).alias("_ntok"),
+        F.filter(TX.tokens(t), lambda x: x.isin(*TX.ALL_MARKERS)).alias("_mtoks"),
+        TX.punct_count(t).cast("long").alias("_punct"),
+        F.length(F.regexp_replace(F.trim(F.lower(t)), TX._WS, "")).alias("_nsp"),
+        F.size(TX.bpe_tokens(t)).cast("long").alias("_bpe"),
+        F.md5(F.trim(F.regexp_replace(F.lower(t), TX._WS, " "))).alias("_fp"),
+        *[c.alias(f"_sc_{k}") for k, c in TX.script_count_exprs(t).items()],
+    )
+    eff = TX._script_effective({k: F.col(f"_sc_{k}") for k in TX.SCRIPT_CLASSES})
+    counted = pre.select(
+        "*",
+        *[eff[l].alias(f"_s_{l}") for l in TX.SCRIPT_LANG_ORDER],
+        *[
+            F.size(
+                F.filter(F.col("_mtoks"), lambda x: x.isin(*TX.LANG_MARKERS[lang]))
+            ).alias(f"_h_{lang}")
+            for lang in TX.LANG_ORDER
+        ],
+    )
+    n_tok = F.col("_ntok")
+    hits = {lang: F.col(f"_h_{lang}") for lang in TX.LANG_ORDER}
+    old = {
+        r["doc_id"]: r.asDict()
+        for r in counted.select(
+            F.col("doc_id"),
+            F.col("_len").alias("n_chars"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(
+                F.when(n_tok > 0, F.col("_nsp") / n_tok).otherwise(F.lit(0.0)), 6
+            ).alias("mean_token_len"),
+            F.round(
+                F.when(F.col("_len") > 0, F.col("_punct") / F.col("_len")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("punct_ratio"),
+            F.round(
+                F.when(n_tok > 0, hits["en"] / n_tok).otherwise(F.lit(0.0)), 6
+            ).alias("stopword_ratio"),
+            TX._lang_pred(F.col("_sc_latin")).alias("pred_lang"),
+            *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in TX.LANG_ORDER],
+            F.col("_bpe").alias("n_bpe_tokens"),
+            F.col("_fp").alias("fingerprint"),
+        ).collect()
+    }
+    assert new == old

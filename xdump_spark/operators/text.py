@@ -136,6 +136,57 @@ def _script_effective(c: dict) -> dict[str, Column]:
     }
 
 
+def script_count_sql(key: str, text_expr: str, non_ascii_expr: str) -> str:
+    """SQL twin of one :func:`script_count_exprs` entry (same Java-regex
+    pattern, same ASCII gate) — see :func:`_marker_tokens_sql` for the
+    r14 py4j-cost rationale behind the SQL-text forms."""
+    pat = "[" + "".join(f"\\p{{Is{s}}}" for s in SCRIPT_CLASSES[key]) + "]"
+    return (
+        f"CASE WHEN {non_ascii_expr} "
+        f"THEN regexp_count({text_expr}, {_sql_str(pat)}) ELSE 0 END"
+    )
+
+
+def _script_effective_sql(c: dict[str, str]) -> dict[str, str]:
+    """SQL twin of :func:`_script_effective` over count EXPRESSIONS."""
+    ja_like = f"({c['kana']} > 0 AND {c['kana']} * {KANA_JA_DEN} >= {c['han']})"
+    out = {
+        "zh": f"CASE WHEN {ja_like} THEN 0 ELSE {c['han']} END",
+        "ja": f"CASE WHEN {ja_like} THEN {c['han']} + {c['kana']} ELSE 0 END",
+    }
+    for l in ("ko", "ru", "ar", "hi", "el", "he", "th"):
+        out[l] = c[l]
+    return out
+
+
+def _argmax_label_sql(counts: dict[str, str], order: list[str], fallback: str) -> str:
+    """SQL twin of :func:`_argmax_label` (same earlier-wins argmax via
+    array_position; the repeated array(...) text is the same duplicated
+    subtree the reused Column object produced — Column reuse shares the
+    PYTHON handle, not the plan node)."""
+    arr = "array(" + ", ".join(counts[n] for n in order) + ")"
+    labels = "array(" + ", ".join(_sql_str(n) for n in order) + ")"
+    return (
+        f"CASE WHEN array_max({arr}) > 0 THEN element_at({labels}, "
+        f"CAST(array_position({arr}, array_max({arr})) AS INT)) "
+        f"ELSE {fallback} END"
+    )
+
+
+def _lang_pred_sql(latin_expr: str) -> str:
+    """SQL twin of :func:`_lang_pred` over the projected ``_s_<lang>`` /
+    ``_h_<lang>`` count columns."""
+    scounts = {l: f"_s_{l}" for l in SCRIPT_LANG_ORDER}
+    hits = {l: f"_h_{l}" for l in LANG_ORDER}
+    marker_pred = _argmax_label_sql(hits, LANG_ORDER, "'und'")
+    script_pred = _argmax_label_sql(scounts, SCRIPT_LANG_ORDER, "'und'")
+    gmax = "greatest(" + ", ".join(scounts[l] for l in SCRIPT_LANG_ORDER) + ")"
+    return (
+        f"CASE WHEN {gmax} > {latin_expr} THEN {script_pred} "
+        f"ELSE {marker_pred} END"
+    )
+
+
 def _argmax_label(counts: dict, order: list[str], fallback: Column) -> Column:
     """Earlier-wins argmax over named counts: the label at the FIRST
     index achieving the maximum (``array_position`` returns the first
@@ -194,9 +245,12 @@ DUCKDB_TOKS_SQL = (
 )
 
 
+# ASCII punctuation; Java \p{Punct} == POSIX [[:punct:]] on ASCII input
+_PUNCT = r"\p{Punct}"
+
+
 def punct_count(text: Column) -> Column:
-    # ASCII punctuation; Java \p{Punct} == POSIX [[:punct:]] on ASCII input
-    return F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+    return F.length(text) - F.length(F.regexp_replace(text, _PUNCT, ""))
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
@@ -244,22 +298,36 @@ def quality_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _marker_tokens(toks: Column) -> Column:
+def _sql_str(w: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``w`` (markers are
+    plain lowercase words today; escape defensively anyway)."""
+    return "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _marker_tokens_sql(toks_expr: str) -> str:
     """ONE pass over the token array keeping only marker-word
     occurrences (any language) — the per-language counts then filter
     this tiny survivor array instead of re-scanning every token per
     language (~1-20 markers per doc vs hundreds of tokens; identical
     counts, since the prefilter preserves every occurrence of every
-    listed marker). ``isin`` (not array_contains over a literal array):
+    listed marker). ``IN`` (not array_contains over a literal array):
     above inSetConversionThreshold it compiles to an InSet HASH lookup,
-    O(1) per token instead of a linear scan of ~100 literals."""
-    return F.filter(toks, lambda x: x.isin(*ALL_MARKERS))
+    O(1) per token instead of a linear scan of ~100 literals.
+
+    Built as ONE SQL string (r14): the Column form paid one py4j round
+    trip PER LITERAL (~140 markers) plus one per lambda — together with
+    the per-language hit counts that was 1.4 s of the 1.9 s
+    quality_langid_frame driver build (profiled); the SQL text parses
+    JVM-side in ~ms and yields the identical In/InSet expression."""
+    lits = ", ".join(_sql_str(w) for w in ALL_MARKERS)
+    return f"filter({toks_expr}, x -> x IN ({lits}))"
 
 
-def _marker_hits(words: list[str]) -> Column:
+def _marker_hits_sql(words: list[str]) -> str:
     """Occurrence count of ``words`` over the projected ``_mtoks``
-    marker-survivor column."""
-    return F.size(F.filter(F.col("_mtoks"), lambda x: x.isin(*words)))
+    marker-survivor column (SQL text — see :func:`_marker_tokens_sql`)."""
+    lits = ", ".join(_sql_str(w) for w in words)
+    return f"size(filter(_mtoks, x -> x IN ({lits})))"
 
 
 def _lang_pred(latin_col: Column) -> Column:
@@ -295,26 +363,31 @@ def lang_id_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     CodegenFallback), and every extra interpreted boundary pays a full
     row copy — measured 2.5× on this frame when the same expressions
     were spread over four stages."""
-    t = F.col(text_col)
-    pre = df.select(
-        F.col(id_col),
-        _marker_tokens(tokens(t)).alias("_mtoks"),
-        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
+    t = f"`{text_col}`"
+    na = f"octet_length({t}) != length({t})"
+    # the whole frame is built as selectExpr SQL text (r14): the Column
+    # form paid a py4j round trip per function/lambda/literal — see
+    # _marker_tokens_sql; expressions mirror the Column helpers exactly
+    # (the helpers stay for the equivalence tests)
+    pre = df.selectExpr(
+        f"`{id_col}`",
+        _marker_tokens_sql(tokens_sql(t)) + " AS _mtoks",
+        *[script_count_sql(k, t, na) + f" AS _sc_{k}" for k in SCRIPT_CLASSES],
     )
-    eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
-    counted = pre.select(
-        F.col(id_col),
-        F.col("_sc_latin"),
-        *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
+    eff = _script_effective_sql({k: f"_sc_{k}" for k in SCRIPT_CLASSES})
+    counted = pre.selectExpr(
+        f"`{id_col}`",
+        "_sc_latin",
+        *[f"{eff[l]} AS _s_{l}" for l in SCRIPT_LANG_ORDER],
         *[
-            _marker_hits(LANG_MARKERS[lang]).alias(f"_h_{lang}")
+            _marker_hits_sql(LANG_MARKERS[lang]) + f" AS _h_{lang}"
             for lang in LANG_ORDER
         ],
     )
-    return counted.select(
-        F.col(id_col),
-        _lang_pred(F.col("_sc_latin")).alias("pred_lang"),
-        *[F.col(f"_h_{lang}").cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+    return counted.selectExpr(
+        f"`{id_col}`",
+        _lang_pred_sql("_sc_latin") + " AS pred_lang",
+        *[f"CAST(_h_{lang} AS BIGINT) AS hits_{lang}" for lang in LANG_ORDER],
     )
 
 
@@ -432,55 +505,53 @@ def quality_langid_frame(
     slot). Same two-stage projection discipline as the parts:
     tokenization/regex once into real columns, hit counts into real
     columns, then the metric/CASE expressions over those."""
-    t = F.col(text_col)
+    t = f"`{text_col}`"
+    na = f"octet_length({t}) != length({t})"
     # stage count deliberately MINIMAL (three) — see lang_id_frame's
     # docstring: HOF-bearing projections run interpreted and each extra
     # boundary pays a per-row copy of every carried column (incl. the
     # token array). n_tokens and the marker survivors are both derived
     # from the SAME tokenization expression in stage 1; only the (tiny)
     # survivor array and the token COUNT flow downstream — the full
-    # token array never crosses a stage boundary.
-    pre = df.select(
-        F.col(id_col),
-        F.length(t).cast("long").alias("_len"),
-        F.size(tokens(t)).alias("_ntok"),
-        _marker_tokens(tokens(t)).alias("_mtoks"),
-        punct_count(t).cast("long").alias("_punct"),
-        F.length(F.regexp_replace(F.trim(F.lower(t)), _WS, "")).alias("_nsp"),
-        F.size(bpe_tokens(t)).cast("long").alias("_bpe"),
-        F.md5(F.trim(F.regexp_replace(F.lower(t), _WS, " "))).alias("_fp"),
-        *[c.alias(f"_sc_{k}") for k, c in script_count_exprs(t).items()],
+    # token array never crosses a stage boundary. Built as selectExpr
+    # SQL text (r14, see _marker_tokens_sql): the Column form measured
+    # 0.9-1.3 s of driver build per call, ~5k py4j round trips.
+    pre = df.selectExpr(
+        f"`{id_col}`",
+        f"CAST(length({t}) AS BIGINT) AS _len",
+        f"size({tokens_sql(t)}) AS _ntok",
+        _marker_tokens_sql(tokens_sql(t)) + " AS _mtoks",
+        f"CAST(length({t}) - length(regexp_replace({t}, {_sql_str(_PUNCT)}, ''))"
+        " AS BIGINT) AS _punct",
+        f"length(regexp_replace(trim(lower({t})), {_sql_str(_WS)}, '')) AS _nsp",
+        f"CAST(size(regexp_extract_all({t}, {_sql_str(BPE_SPLIT_PATTERN)}, 0))"
+        " AS BIGINT) AS _bpe",
+        f"md5(trim(regexp_replace(lower({t}), {_sql_str(_WS)}, ' '))) AS _fp",
+        *[script_count_sql(k, t, na) + f" AS _sc_{k}" for k in SCRIPT_CLASSES],
     )
-    eff = _script_effective({k: F.col(f"_sc_{k}") for k in SCRIPT_CLASSES})
-    counted = pre.select(
+    eff = _script_effective_sql({k: f"_sc_{k}" for k in SCRIPT_CLASSES})
+    counted = pre.selectExpr(
         "*",
-        *[eff[l].alias(f"_s_{l}") for l in SCRIPT_LANG_ORDER],
+        *[f"{eff[l]} AS _s_{l}" for l in SCRIPT_LANG_ORDER],
         *[
-            _marker_hits(LANG_MARKERS[lang]).alias(f"_h_{lang}")
+            _marker_hits_sql(LANG_MARKERS[lang]) + f" AS _h_{lang}"
             for lang in LANG_ORDER
         ],
     )
-    n_tok = F.col("_ntok")
-    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
-    pred = _lang_pred(F.col("_sc_latin"))
-    return counted.select(
-        F.col(id_col),
-        F.col("_len").alias("n_chars"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(F.when(n_tok > 0, F.col("_nsp") / n_tok).otherwise(F.lit(0.0)), 6).alias(
-            "mean_token_len"
-        ),
-        F.round(
-            F.when(F.col("_len") > 0, F.col("_punct") / F.col("_len")).otherwise(F.lit(0.0)),
-            6,
-        ).alias("punct_ratio"),
-        F.round(
-            F.when(n_tok > 0, hits["en"] / n_tok).otherwise(F.lit(0.0)), 6
-        ).alias("stopword_ratio"),
-        pred.alias("pred_lang"),
-        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
-        F.col("_bpe").alias("n_bpe_tokens"),
-        F.col("_fp").alias("fingerprint"),
+    return counted.selectExpr(
+        f"`{id_col}`",
+        "_len AS n_chars",
+        "CAST(_ntok AS BIGINT) AS n_tokens",
+        "round(CASE WHEN _ntok > 0 THEN _nsp / _ntok ELSE 0.0D END, 6)"
+        " AS mean_token_len",
+        "round(CASE WHEN _len > 0 THEN _punct / _len ELSE 0.0D END, 6)"
+        " AS punct_ratio",
+        "round(CASE WHEN _ntok > 0 THEN _h_en / _ntok ELSE 0.0D END, 6)"
+        " AS stopword_ratio",
+        _lang_pred_sql("_sc_latin") + " AS pred_lang",
+        *[f"CAST(_h_{lang} AS BIGINT) AS hits_{lang}" for lang in LANG_ORDER],
+        "_bpe AS n_bpe_tokens",
+        "_fp AS fingerprint",
     )
 
 
