@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from xdump_spark import fsutil
 from xdump_spark.operators.sizing import spread
-from xdump_spark.operators.text import tokens
+from xdump_spark.operators.text import tokens, tokens_sql
 
 ALPHA = 0.4
 
@@ -215,19 +215,22 @@ def lm_score(
     model too large to broadcast; same result, pinned by test.
     """
     b = F.broadcast if broadcast else (lambda d: d)
-    pos_arr = F.transform(
-        F.sequence(F.lit(1), F.size("_toks")),
-        lambda i: F.struct(
-            F.when(i >= 3, F.element_at("_toks", i - F.lit(2))).alias("u"),
-            F.when(i >= 2, F.element_at("_toks", i - F.lit(1))).alias("v"),
-            F.element_at("_toks", i).alias("w"),
-        ),
+    # expressions as SQL text (r14): the Column-API form of the position
+    # transform + backoff CASE chain measured ~1.3 s of driver build per
+    # call (1.3k py4j round trips); the identical expressions parsed
+    # JVM-side are ~ms, plan and results unchanged (lockstep-pinned in
+    # tests/test_lm.py against the DuckDB backoff oracle)
+    pos_arr = (
+        "transform(sequence(1, size(_toks)), i -> named_struct("
+        "'u', CASE WHEN i >= 3 THEN element_at(_toks, i - 2) END, "
+        "'v', CASE WHEN i >= 2 THEN element_at(_toks, i - 1) END, "
+        "'w', element_at(_toks, i)))"
     )
     pos = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")))
-        .select("id", tokens(F.col("_text")).alias("_toks"))
+        .selectExpr("id", tokens_sql("_text") + " AS _toks")
         .filter(F.size("_toks") > 0)
-        .select("id", F.size("_toks").alias("_nt"), F.explode(pos_arr).alias("p"))
+        .selectExpr("id", "size(_toks) AS _nt", f"explode({pos_arr}) AS p")
         .select("id", "_nt", "p.u", "p.v", "p.w")
     )
     tri = lm.trigrams.select("u", "v", "w", F.col("n").alias("_c_uvw"))
@@ -246,24 +249,26 @@ def lm_score(
         .join(b(uni_v), ["v"], "left")
         .join(b(uni_w), ["w"], "left")
     )
-    s1 = (F.coalesce(F.col("_c_w"), F.lit(0)) + 1) / F.lit(
-        lm.n_tokens + lm.vocab_size
+    # numeric literals: integer denominators stay integral (SQL `/` on
+    # them is double division, same as the Column form); alpha uses the
+    # `D` double-literal suffix so the multiplier is the identical
+    # float64 the Column form's F.lit(alpha) produced
+    alpha = f"{lm.alpha!r}D"
+    s1 = f"(coalesce(_c_w, 0) + 1) / {lm.n_tokens + lm.vocab_size}"
+    s2 = (
+        "CASE WHEN _c_vw IS NOT NULL AND _c_v IS NOT NULL "
+        f"THEN _c_vw / _c_v ELSE {alpha} * ({s1}) END"
     )
-    s2 = F.when(
-        F.col("_c_vw").isNotNull() & F.col("_c_v").isNotNull(),
-        F.col("_c_vw") / F.col("_c_v"),
-    ).otherwise(F.lit(lm.alpha) * s1)
-    s3 = F.when(
-        F.col("_c_uvw").isNotNull() & F.col("_c_uv").isNotNull(),
-        F.col("_c_uvw") / F.col("_c_uv"),
-    ).otherwise(F.lit(lm.alpha) * s2)
+    s3 = (
+        "CASE WHEN _c_uvw IS NOT NULL AND _c_uv IS NOT NULL "
+        f"THEN _c_uvw / _c_uv ELSE {alpha} * ({s2}) END"
+    )
     s = (
-        F.when(F.col("u").isNotNull(), s3)
-        .when(F.col("v").isNotNull(), s2)
-        .otherwise(s1)
+        f"CASE WHEN u IS NOT NULL THEN {s3} "
+        f"WHEN v IS NOT NULL THEN {s2} ELSE {s1} END"
     )
     return (
-        scored.withColumn("_s", -F.log(s))
+        scored.withColumn("_s", F.expr(f"-ln({s})"))
         .groupBy(F.col("id").alias(id_col), F.col("_nt").cast("long").alias("n_tokens"))
         .agg(F.round(F.avg("_s"), 6).alias("mean_surprisal"))
         .withColumn("ppl", F.round(F.exp("mean_surprisal"), 4))

@@ -996,40 +996,51 @@ def hybrid_topk(
         depth = max(2 * k, 10)
     depth = max(depth, k)
 
-    text_q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_text_col).alias("query"),
-    )
-    bm = bm25_topk(
-        text_index, text_q, k=depth, n_salt=n_salt, **bm25_kwargs
-    ).select(
-        "query_id", F.col(text_index.id_col).alias("doc_id"), "rnk"
-    )
+    # both retriever builds run blocking driver protocol (BM25's
+    # term-bucket prune collect; the vector side's guarded query-batch
+    # collect and cell-probe selection) and are data-independent until
+    # the fusion — overlapped on driver threads (r14, guide §2.6;
+    # measured serially as 1.0 s + 1.3 s of the twin's 2.1 s build)
+    from xdump_spark.operators.concurrency import overlap
 
-    vec_q = queries.select(
-        F.col(query_id_col).alias(vec_id_col),
-        F.col(query_vec_col).alias("embedding"),
-    )
-    if isinstance(vec_source, DataFrame):
-        from xdump_spark.operators.similarity import cosine_topk
+    def _text_side():
+        text_q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_text_col).alias("query"),
+        )
+        return bm25_topk(
+            text_index, text_q, k=depth, n_salt=n_salt, **bm25_kwargs
+        ).select(
+            "query_id", F.col(text_index.id_col).alias("doc_id"), "rnk"
+        )
 
-        vs = cosine_topk(
-            vec_source, vec_q, k=depth, id_col=vec_id_col,
-            vec_col="embedding",
+    def _vec_side():
+        vec_q = queries.select(
+            F.col(query_id_col).alias(vec_id_col),
+            F.col(query_vec_col).alias("embedding"),
         )
-    elif hasattr(vec_source, "search"):
-        vs = vec_source.search(
-            vec_q, k=depth, n_probe=n_probe, id_col=vec_id_col,
-            vec_col="embedding",
-        )
-    else:
-        from xdump_spark.operators.similarity import ivf_search
+        if isinstance(vec_source, DataFrame):
+            from xdump_spark.operators.similarity import cosine_topk
 
-        vs = ivf_search(
-            vec_source, vec_q, k=depth, id_col=vec_id_col,
-            vec_col="embedding", n_probe=n_probe,
-        )
-    vs = vs.select("query_id", F.col("neighbor_id").alias("doc_id"), "rn")
+            vs = cosine_topk(
+                vec_source, vec_q, k=depth, id_col=vec_id_col,
+                vec_col="embedding",
+            )
+        elif hasattr(vec_source, "search"):
+            vs = vec_source.search(
+                vec_q, k=depth, n_probe=n_probe, id_col=vec_id_col,
+                vec_col="embedding",
+            )
+        else:
+            from xdump_spark.operators.similarity import ivf_search
+
+            vs = ivf_search(
+                vec_source, vec_q, k=depth, id_col=vec_id_col,
+                vec_col="embedding", n_probe=n_probe,
+            )
+        return vs.select("query_id", F.col("neighbor_id").alias("doc_id"), "rn")
+
+    bm, vs = overlap(_text_side, _vec_side)
 
     return rrf_fuse(
         [bm, vs],

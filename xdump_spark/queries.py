@@ -132,14 +132,11 @@ def _overlap(*thunks):
     and the py4j socket waits release the GIL, so the Column-building
     chatter overlaps too. Results are IDENTICAL by construction: the
     same sub-frames are built and unioned in the same order — only the
-    wall-clock overlap changes."""
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    from concurrent.futures import ThreadPoolExecutor
+    wall-clock overlap changes. (Shared kernel: operators/concurrency.py
+    — r14 also overlaps inside hybrid_topk.)"""
+    from xdump_spark.operators.concurrency import overlap
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futures]
+    return overlap(*thunks)
 
 
 def _msum(col, scale: int = 2):
@@ -2186,7 +2183,14 @@ def retrieval_bm25(spark, sf_dir):
         return bm25_topk(idx, allq, k=20).localCheckpoint(eager=True)
 
     def _vec_side():
-        return cosine_topk(emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20)
+        # eager: the cosine corpus scan executes INSIDE the overlap
+        # window (next to the text side's index materialization)
+        # instead of serially inside the fused-shortlist checkpoint
+        # below (r14 stage timing: cosine exec was 0.5-0.7 s of the
+        # 0.74 s hy_ckpt step)
+        return cosine_topk(
+            emb, emb.filter(F.col("vec_id").isin(hy_ids)), k=20
+        ).localCheckpoint(eager=True)
 
     ranked, vs = _overlap(_text_side, _vec_side)
     bm_ids = [i for i, _ in _BM25_QUERIES]
