@@ -785,6 +785,39 @@ def prepare_preference_corpus(
         ).first()
         counts["input"] = int(row["n"])
         counts["valid"] = int(row["v"] or 0)
+
+    # Every id-set gate below (batch dedup, contradiction drop, the
+    # per-prompt cap) keys on hashes of the SAME canonical texts. Built
+    # independently, each gate re-derives the full validate + canonical-
+    # transcript lineage per self-join branch — the panel's plan showed
+    # 10 corpus scans / 106 regexp_replace evaluations, and the pair
+    # front door measured 4.5-7.7 s to materialize at sf0.1 (r14). One
+    # narrow pass now computes every needed key and eagerly checkpoints
+    # (id + up to 7 hash/bool columns, ~50 B/row — scale-safe where
+    # checkpointing the full text frame would not be); the gates then
+    # run id-algebra on the checkpointed frame and the full-text lineage
+    # executes once more for the final render. Results are identical:
+    # the same keys feed the same groupBy/join logic.
+    batch_dedup = dedup and dedup_store is None
+    keys = None
+    if batch_dedup or drop_contradictions or max_per_prompt is not None:
+        from xdump_spark.operators.incremental import hash128
+
+        c = norm_content(F.col(chosen_col))
+        r = norm_content(F.col(rejected_col))
+        pt = canonical_transcript(F.col(prompt_col))
+        fp1, fp2 = hash128(F.concat_ws(_SECTION_SEP, pt, c, r))
+        ck1, ck2 = hash128(
+            F.concat_ws(_SECTION_SEP, pt, F.least(c, r), F.greatest(c, r))
+        )
+        pp1, pp2 = hash128(pt)
+        keys = cur.select(
+            F.col(id_col).alias("id"),
+            fp1.alias("_f1"), fp2.alias("_f2"),
+            ck1.alias("_c1"), ck2.alias("_c2"), (c < r).alias("_orient"),
+            pp1.alias("_p1"), pp2.alias("_p2"),
+        ).localCheckpoint(eager=True)
+
     store_commit = None
     if dedup and dedup_store is not None:
         # daily-drop mode — see dedup_pairs_incremental; commit deferred
@@ -796,27 +829,56 @@ def prepare_preference_corpus(
         cur = cur.join(
             accepted.withColumnRenamed("id", id_col), id_col, "left_semi"
         )
+        if keys is not None:
+            keys = keys.join(
+                accepted.withColumnRenamed("id", id_col)
+                .select(F.col(id_col).alias("id")),
+                "id", "left_semi",
+            )
         if audit:
             cur = cur.persist()
             counts["deduped"] = cur.count()
     elif dedup:
-        cur = dedup_pairs(cur, id_col=id_col, **kw)
+        # keep the min-id pair per canonical fingerprint — the
+        # dedup_pairs contract, driven off the checkpointed keys
+        keep = keys.groupBy("_f1", "_f2").agg(F.min("id").alias("id"))
+        kept_ids = keep.select("id")
+        cur = cur.join(
+            kept_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        keys = keys.join(kept_ids, "id", "left_semi")
         if audit:
             cur = cur.persist()
             counts["deduped"] = cur.count()
     both = None
     if drop_contradictions:
-        both = contradicting_pairs(cur, id_col=id_col, **kw)
+        # contradicting_pairs' self-join, over the checkpointed keys
+        a, b = keys.alias("a"), keys.alias("b")
+        both = a.join(
+            b,
+            (F.col("a._c1") == F.col("b._c1"))
+            & (F.col("a._c2") == F.col("b._c2"))
+            & (F.col("a._orient") != F.col("b._orient"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         bad_ids = both.select(F.col("id_a").alias(id_col)).unionByName(
             both.select(F.col("id_b").alias(id_col))
         ).distinct()
         cur = cur.join(bad_ids, id_col, "left_anti")
+        keys = keys.join(
+            bad_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+        )
         if audit:
             counts["consistent"] = cur.count()
     if max_per_prompt is not None:
-        cur = cap_per_prompt(
-            cur, max_pairs=max_per_prompt, prompt_col=prompt_col, id_col=id_col
-        )
+        # cap_per_prompt's skew-robust top-k, driven off the keys frame
+        from xdump_spark.operators.skew import topk_per_key
+
+        kept = topk_per_key(
+            keys.select("id", "_p1", "_p2"),
+            ["_p1", "_p2"], [F.col("id").asc()], k=max_per_prompt, n_salt=16,
+        ).select(F.col("id").alias(id_col))
+        cur = cur.join(kept, id_col, "left_semi")
         if audit:
             counts["capped"] = cur.count()
     if benchmark is not None:
