@@ -158,7 +158,14 @@ def main() -> None:
     # quiet-host pins are taken with --detail-out BENCH_DETAIL_quiet_rN.json
     # so the two never clobber each other. Validated FIRST — a bad flag
     # must fail before the 10-minute run, not after it.
-    detail_name = "BENCH_DETAIL.json"
+    # r15 (r14 verdict "Next #7"): the driver's 32-core and low-core
+    # scaling runs both wrote the literal default BENCH_DETAIL.json, so
+    # the second run clobbered the first's per-pass detail. Folding the
+    # core count into the default name keeps both; --detail-out still
+    # overrides for committed quiet-host pins. Timing methodology is
+    # untouched.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    detail_name = f"BENCH_DETAIL_c{cpus}.json"
     if "--detail-out" in sys.argv:
         i = sys.argv.index("--detail-out")
         if i + 1 >= len(sys.argv):
