@@ -127,6 +127,20 @@ def test_pair_stats_hand_values(spark, pairs):
     assert (s2["token_delta"], s2["chosen_longer"]) == (1 - 2, False)
 
 
+def test_pair_stats_keep_passthrough(spark, pairs):
+    # keep= appends pass-through columns WITHOUT changing the stats —
+    # the one-scan contract the posttrain panel fans validate+stats from
+    flagged = P.validate_pairs(pairs)
+    plain = {r["pair_id"]: r.asDict() for r in P.pair_stats(flagged).collect()}
+    kept = {r["pair_id"]: r.asDict()
+            for r in P.pair_stats(flagged, keep=("reason",)).collect()}
+    reasons = {r["pair_id"]: r["reason"] for r in flagged.collect()}
+    assert set(kept) == set(plain)
+    for pid, row in kept.items():
+        assert row.pop("reason") == reasons[pid]
+        assert row == plain[pid]
+
+
 def test_length_bias_stats(spark):
     rows = [
         (1, msgs(("user", "q")), "one two three", "one"),

@@ -51,6 +51,20 @@ def test_stats_hand_values(spark, convs):
     assert got[11]["n_turns"] == 0 and got[11]["total_tokens"] == 0
 
 
+def test_stats_keep_passthrough(spark, convs):
+    # keep= appends pass-through columns WITHOUT changing the stats —
+    # the one-scan contract the posttrain panel fans validate+stats from
+    flagged = sft.validate_conversations(convs)
+    plain = {r["conv_id"]: r.asDict() for r in sft.conversation_stats(flagged).collect()}
+    kept = {r["conv_id"]: r.asDict() for r in
+            sft.conversation_stats(flagged, keep=("reason",)).collect()}
+    reasons = {r["conv_id"]: r["reason"] for r in flagged.collect()}
+    assert set(kept) == set(plain)
+    for cid, row in kept.items():
+        assert row.pop("reason") == reasons[cid]
+        assert row == plain[cid]
+
+
 def test_validate_rules(spark, convs):
     got = {
         r["conv_id"]: (r["valid"], r["reason"])

@@ -1268,6 +1268,14 @@ class VectorStore:
         self.pq_k = int(pq_k)
         self.exact_guard = bool(exact_guard)
         self._cb_cache = None  # PQCodebook, lazily loaded from meta
+        # The parsed meta, cached per INSTANCE: one increment read the
+        # meta file 5× through the Hadoop FS API (~0.35 s of driver
+        # latency per call chain at sf0.1 — r15 profile), yet the meta
+        # only changes through this instance's _write_meta (creation /
+        # retrain), which refreshes the cache. A concurrent writer on
+        # another instance is already outside the store's contract
+        # (single-writer increments; see append_assigned).
+        self._meta_cache: dict | None = None
 
     def _store_dtype(self) -> str:
         """The precision vectors are stored at: the meta's record for
@@ -1423,6 +1431,8 @@ class VectorStore:
         # fallback's crash window (ADVICE r9)
         from xdump_spark import fsutil
 
+        if self._meta_cache is not None:  # a loaded meta IS liveness
+            return True
         return fsutil.exists_atomic(self.spark, self._meta_file()) or fsutil.is_dir(
             self.spark, fsutil.join(self.path, "meta")
         )
@@ -1432,16 +1442,21 @@ class VectorStore:
 
         from xdump_spark import fsutil
 
+        if self._meta_cache is not None:
+            return self._meta_cache
         if fsutil.exists_atomic(self.spark, self._meta_file()):
-            return json.loads(
+            meta = json.loads(
                 fsutil.read_text_atomic(self.spark, self._meta_file())
             )
-        # legacy dir format (pre-r9 stores)
-        return json.loads(
-            self.spark.read.json(
-                fsutil.join(self.path, "meta")
-            ).first()["meta"]
-        )
+        else:
+            # legacy dir format (pre-r9 stores)
+            meta = json.loads(
+                self.spark.read.json(
+                    fsutil.join(self.path, "meta")
+                ).first()["meta"]
+            )
+        self._meta_cache = meta
+        return meta
 
     def _write_meta(self, meta: dict) -> None:
         """Atomically commit the meta (see the liveness note above);
@@ -1451,6 +1466,7 @@ class VectorStore:
         from xdump_spark import fsutil
 
         fsutil.write_text_atomic(self.spark, self._meta_file(), json.dumps(meta))
+        self._meta_cache = dict(meta)
         legacy = fsutil.join(self.path, "meta")
         if fsutil.is_dir(self.spark, legacy):
             fsutil.delete(self.spark, legacy)

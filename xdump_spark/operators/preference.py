@@ -466,11 +466,16 @@ def pair_stats(
     chosen_col: str = "chosen",
     rejected_col: str = "rejected",
     id_col: str = "pair_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-pair shape: (id, prompt_turns, prompt_tokens, chosen_tokens,
     rejected_tokens, token_delta, chosen_longer). One Project — the
     aggregate over the prompt array and the two token counts run in a
-    single narrow map stage."""
+    single narrow map stage.
+
+    ``keep`` passes input columns through beside the stats (r15, same
+    contract as ``sft.conversation_stats``): one pass for stats plus
+    other per-row columns instead of one corpus scan per projection."""
     return df.select(
         F.col(id_col),
         F.size(F.col(prompt_col)).cast("long").alias("prompt_turns"),
@@ -487,6 +492,7 @@ def pair_stats(
         (
             F.size(tokens(F.col(chosen_col))) > F.size(tokens(F.col(rejected_col)))
         ).alias("chosen_longer"),
+        *[F.col(c) for c in keep],
     )
 
 

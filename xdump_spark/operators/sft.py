@@ -43,6 +43,7 @@ def conversation_stats(
     df: DataFrame,
     conv_col: str = "messages",
     id_col: str = "conv_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-conversation shape and budget: (id, n_turns, n_system,
     n_user, n_assistant, user_tokens, assistant_tokens, total_tokens).
@@ -54,7 +55,13 @@ def conversation_stats(
     costs a py4j round trip per lambda/function construction — this
     frame's eight HOF expressions measured 0.33 s of driver build per
     call, vs 0.06 s parsing the identical expressions from SQL text.
-    The physical plan and results are unchanged (pinned by test)."""
+    The physical plan and results are unchanged (pinned by test).
+
+    ``keep`` passes input columns through beside the stats (r15): a
+    caller that needs stats AND other per-row columns (e.g. the
+    validation ``reason``) in ONE pass would otherwise scan the corpus
+    once per projection — at scale duplicate scans are the dominant
+    waste, not the extra columns."""
     m = conv_col
     tok = tokens_sql("x.content")
 
@@ -77,6 +84,7 @@ def conversation_stats(
         role_tokens("assistant") + " AS assistant_tokens",
         f"aggregate({m}, CAST(0 AS BIGINT), (acc, x) -> acc + size({tok}))"
         " AS total_tokens",
+        *[f"`{c}`" for c in keep],
     )
 
 

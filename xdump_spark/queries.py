@@ -1780,18 +1780,20 @@ def posttrain_prepare_panel(spark, sf_dir):
     def _conv_side():
         convs = _mk_convs(docs)
         flagged = SFT.validate_conversations(convs)
-        validate = flagged.select(
-            F.lit("validate").alias("part"),
-            F.col("conv_id").alias("id"),
-            F.coalesce("reason", F.lit("valid")).alias("v"),
-        )
-        conv_stats = SFT.conversation_stats(convs).select(
-            F.lit("conv_stats").alias("part"),
-            F.col("conv_id").alias("id"),
-            F.concat_ws(
-                ":", "n_turns", "n_system", "n_user", "n_assistant",
-                "user_tokens", "assistant_tokens", "total_tokens",
-            ).alias("v"),
+        # ONE documents scan feeds BOTH per-conversation parts (r15,
+        # verdict #3): stats computed over the flagged frame with the
+        # validation reason kept beside them, fanned into the two part
+        # rows — the separate validate/conv_stats branches each re-ran
+        # the full _mk_convs + validation lineage against parquet.
+        conv_meta = fan(
+            SFT.conversation_stats(flagged, keep=("reason",)), "conv_id",
+            [
+                ("validate", F.coalesce("reason", F.lit("valid"))),
+                ("conv_stats", F.concat_ws(
+                    ":", "n_turns", "n_system", "n_user", "n_assistant",
+                    "user_tokens", "assistant_tokens", "total_tokens",
+                )),
+            ],
         )
         # the identical flagged frame feeds both the validate part and
         # the front door (flagged= contract) — the ~350 ms validation
@@ -1820,23 +1822,21 @@ def posttrain_prepare_panel(spark, sf_dir):
             ],
         )
 
-        return validate, conv_stats, conv_surv
+        return conv_meta, conv_surv
 
     def _pair_side():
         pairs = _mk_pairs(docs)
         pflagged = PREF.validate_pairs(pairs)
-        p_validate = pflagged.select(
-            F.lit("pair_validate").alias("part"),
-            F.col("pair_id").alias("id"),
-            F.coalesce("reason", F.lit("valid")).alias("v"),
-        )
-        p_stats = PREF.pair_stats(pairs).select(
-            F.lit("pair_stats").alias("part"),
-            F.col("pair_id").alias("id"),
-            F.concat_ws(
-                ":", "prompt_tokens", "chosen_tokens",
-                "rejected_tokens", "token_delta",
-            ).alias("v"),
+        # same one-scan fan as the conversation side (r15, verdict #3)
+        pair_meta = fan(
+            PREF.pair_stats(pflagged, keep=("reason",)), "pair_id",
+            [
+                ("pair_validate", F.coalesce("reason", F.lit("valid"))),
+                ("pair_stats", F.concat_ws(
+                    ":", "prompt_tokens", "chosen_tokens",
+                    "rejected_tokens", "token_delta",
+                )),
+            ],
         )
         # same flagged= contract as the SFT side: one validation
         # Column chain per pass (validate_pairs measured ~760 ms of
@@ -1865,7 +1865,7 @@ def posttrain_prepare_panel(spark, sf_dir):
             F.col("id_b").cast("string").alias("v"),
         )
 
-        return p_validate, p_stats, pair_surv, p_contra
+        return pair_meta, pair_surv, p_contra
 
     # r8: the scored-response interchange (pairs_from_ratings) — both
     # pairing policies over a deterministic ratings fixture; the id is
@@ -1897,15 +1897,14 @@ def posttrain_prepare_panel(spark, sf_dir):
         return (r_best, r_all)
 
     (
-        (validate, conv_stats, conv_surv),
-        (p_validate, p_stats, pair_surv, p_contra),
+        (conv_meta, conv_surv),
+        (pair_meta, pair_surv, p_contra),
         (r_best, r_all),
     ) = _overlap(_conv_side, _pair_side, _ratings_side)
 
-    out = validate
+    out = conv_meta
     for part in (
-        conv_stats, conv_surv, p_validate, p_stats, pair_surv, p_contra,
-        r_best, r_all,
+        conv_surv, pair_meta, pair_surv, p_contra, r_best, r_all,
     ):
         out = out.unionByName(part)
     return out
