@@ -65,6 +65,17 @@ BROADCAST_KEY_LIMIT = 5_000_000
 # a fact-sized self-FK table stays on the distributed loop.
 DRIVER_SELF_CLOSURE_LIMIT = 1_000_000
 
+# Generalization of the same bound to the WHOLE closure (r15): when every
+# table the worklist could touch fits this narrow-projection row bound,
+# the FK subgraph is collected once (one bounded collect per table,
+# overlapped on driver threads) and the entire fixed point saturates as a
+# driver-side BFS — O(tables) small jobs instead of O(depth × tables)
+# checkpoint+count job pairs. Any oversized table keeps the distributed
+# loop for the whole closure. Aggregate driver memory is bounded by
+# (reached tables) × limit narrow rows; with the 10-table catalog that is
+# the same order as one broadcast relation.
+DRIVER_CLOSURE_LIMIT = DRIVER_SELF_CLOSURE_LIMIT
+
 
 def validate_tables(catalog: Catalog, full_tables, partial_tables) -> None:
     """Full and partial table sets must be disjoint and known.
@@ -251,9 +262,13 @@ def compute_closure(
             return None
         edges: dict = {}
         for row in narrow.collect():
-            dsts = tuple(v for v in row[1:] if v is not None)
+            dsts = [v for v in row[1:] if v is not None]
             if dsts:
-                edges[row[0]] = dsts
+                # Accumulate per key: a duplicated key value must keep
+                # EVERY row's edges, exactly as the distributed semi-join
+                # pulls every matching row (last-write-wins would silently
+                # under-export).
+                edges.setdefault(row[0], []).extend(dsts)
         self_edges_cache[parent] = edges
         return edges
 
@@ -274,6 +289,170 @@ def compute_closure(
             return narrow_base[parent], True
         return catalog.tables[parent], False
 
+    def driver_closure_fastpath() -> bool:
+        """Whole-closure driver-side fixed point (r15, generalizing the
+        r14 all-self-FK BFS to mixed-edge graphs): when EVERY table the
+        worklist could statically touch fits DRIVER_CLOSURE_LIMIT narrow
+        rows, collect each table's (key + FK columns) projection once —
+        one bounded collect per table, overlapped on driver threads — and
+        saturate the entire closure as a dict-speed BFS. The distributed
+        loop pays a checkpoint job + a count job per TOUCHED TABLE per
+        ROUND (the merge scenario = ~4 rounds × up to 6 tables of pure
+        scheduling latency, 8↔32-core ratio 1.02 in the r14 driver bench
+        — job latency, not compute); the fast path pays O(tables)
+        bounded collects in one overlapped wave. Key-set semantics are
+        identical: seed keys are marked seen without re-pulling base
+        rows, null FK values never propagate, edges into full tables are
+        skipped, and self-edges saturate naturally. Returns False — and
+        the caller keeps the distributed loop — when any reachable
+        table's narrow projection exceeds the bound (the bounded
+        ``limit(L+1)`` collect reads at most L+1 narrow rows even on a
+        100 TB table) or a referenced-key resolution fails."""
+        # Statically reachable tables (superset of what the worklist can
+        # dynamically touch); edges into full tables are skipped.
+        reach: set[str] = set(seeds) | set(full)
+        stack = list(reach)
+        while stack:
+            for fk in catalog.outgoing(stack.pop()):
+                p = fk.foreign_table
+                if p not in full and p not in reach:
+                    reach.add(p)
+                    stack.append(p)
+        try:
+            key_of = {
+                t: (None if t in full else catalog.referenced_key(t))
+                for t in reach
+            }
+        except ValueError:
+            # Multi-column reference target: only an error if dynamically
+            # touched — let the distributed loop decide.
+            return False
+
+        # Propagation targets per table: (child column, parent) per FK
+        # edge into a non-full parent, in a fixed order shared by the
+        # collected row tuples.
+        targets: dict[str, list[tuple[str, str]]] = {}
+        for t in reach:
+            tgts = [
+                (fk.column, fk.foreign_table)
+                for fk in catalog.outgoing(t)
+                if fk.foreign_table not in full
+            ]
+            for col, parent in tgts:
+                fkc = next(
+                    fk.foreign_column
+                    for fk in catalog.outgoing(t)
+                    if fk.column == col and fk.foreign_table == parent
+                )
+                if key_of[parent] != fkc:
+                    raise ValueError(
+                        f"FK {t}.{col} disagrees with key column "
+                        f"{key_of[parent]!r} of {parent!r}"
+                    )
+            if tgts:
+                targets[t] = tgts
+
+        # Frames whose rows must be collected: every full table's
+        # propagation projection (all rows propagate once), every
+        # referenced table's key+FK projection (rows selected by key
+        # later), and every seed's key+FK projection (the seed SQL is
+        # evaluated exactly once, as the loop's snap checkpoint does).
+        grabs: list[tuple[str, str, DataFrame, list[tuple[str, str]]]] = []
+        for t in sorted(reach):
+            tgts = targets.get(t, [])
+            if t in full:
+                if tgts:
+                    grabs.append(
+                        ("full", t, catalog.tables[t].select(
+                            *[F.col(c) for c, _ in tgts]), tgts)
+                    )
+                continue
+            if key_of[t] is not None and tgts:
+                grabs.append(
+                    ("table", t, catalog.tables[t].select(
+                        key_of[t], *[F.col(c) for c, _ in tgts]), tgts)
+                )
+            if t in seeds and (key_of[t] is not None or tgts):
+                cols = ([key_of[t]] if key_of[t] is not None else []) + [
+                    F.col(c) for c, _ in tgts
+                ]
+                grabs.append(("seed", t, seeds[t].select(*cols), tgts))
+
+        from xdump_spark.operators.concurrency import overlap
+
+        limit = DRIVER_CLOSURE_LIMIT
+
+        def grab(df: DataFrame):
+            rows = df.limit(limit + 1).collect()
+            return rows if len(rows) <= limit else None
+
+        collected = (
+            overlap(*[lambda df=df: grab(df) for _, _, df, _ in grabs])
+            if grabs
+            else []
+        )
+        if any(rows is None for rows in collected):
+            return False
+
+        # BFS state: selected key values per table. Referenced seed
+        # tables get an entry even when empty so their out-membership
+        # matches the loop (which adds the seed key-set unconditionally).
+        selected: dict[str, set] = {}
+        table_rows: dict[str, dict] = {}
+        pend: list[tuple[str, object]] = []
+
+        def contribute(parent: str, value) -> None:
+            if value is None:
+                return
+            vals = selected.setdefault(parent, set())
+            if value not in vals:
+                vals.add(value)
+                pend.append((parent, value))
+
+        for (kind, t, _df, tgts), rows in zip(grabs, collected):
+            if kind == "table":
+                by_key: dict = {}
+                for row in rows:
+                    by_key.setdefault(row[0], []).append(tuple(row[1:]))
+                table_rows[t] = by_key
+            elif kind == "seed" and key_of[t] is not None:
+                # Seed keys are seen-but-not-expanded: the loop never
+                # re-pulls base rows for seed keys either (they enter the
+                # accumulated set before any anti-join).
+                selected.setdefault(t, set()).update(
+                    row[0] for row in rows if row[0] is not None
+                )
+
+        for (kind, t, _df, tgts), rows in zip(grabs, collected):
+            if kind == "table":
+                continue
+            off = 1 if kind == "seed" and key_of[t] is not None else 0
+            for row in rows:
+                for i, (_c, parent) in enumerate(tgts):
+                    contribute(parent, row[off + i])
+
+        while pend:
+            t, v = pend.pop()
+            for vt in table_rows.get(t, {}).get(v, ()):
+                for i, (_c, parent) in enumerate(targets[t]):
+                    contribute(parent, vt[i])
+
+        from pyspark.sql import types as T
+
+        for t in sorted(reach - full):
+            s = sel(t)
+            if s.key_col is None:
+                continue
+            vals = selected.get(t)
+            if vals is None:
+                continue
+            schema = T.StructType([catalog.tables[t].schema[s.key_col]])
+            keys = catalog.tables[t].sparkSession.createDataFrame(
+                [(v,) for v in sorted(vals)], schema
+            )
+            s.add_keys(keys, len(vals))
+        return True
+
     # Level-synchronous BFS over the FK graph: each round gathers ALL key
     # contributions per parent table (one union+distinct+anti-join+
     # checkpoint per touched table per round), so the number of Spark jobs
@@ -286,7 +465,6 @@ def compute_closure(
         # materializing a full table's FK columns could be huge; repeated
         # pruned parquet scans are the safer trade.
         sel(t, needs_key=False).is_full = True
-        pending.setdefault(t, []).append(catalog.tables[t])
     for t, seed_df in seeds.items():
         s = sel(t)
         if s.key_col is not None and set(seed_df.columns) != set(catalog.tables[t].columns):
@@ -305,19 +483,26 @@ def compute_closure(
                 "or seed an unreferenced table"
             )
         s.seed_dfs.append(seed_df)
-        prop_cols = propagation_columns(t)
-        if s.key_col is not None or prop_cols:
-            # Seeds are arbitrary user SQL (sorts, joins, limits, ...) —
-            # evaluate each ONCE: checkpoint the narrow projection
-            # (key + FK columns) and derive both the initial key-set and
-            # the first propagation increment from the materialized frame.
-            keep = sorted(set(prop_cols) | ({s.key_col} if s.key_col else set()))
-            snap = seed_df.select(*keep).localCheckpoint(eager=True)
-            if s.key_col is not None:
-                keys = snap.select(s.key_col).distinct().localCheckpoint(eager=True)
-                s.add_keys(keys, keys.count())
-            if prop_cols:
-                pending.setdefault(t, []).append(snap.select(*prop_cols))
+
+    if not driver_closure_fastpath():
+        for t in full:
+            pending.setdefault(t, []).append(catalog.tables[t])
+        for t, seed_df in seeds.items():
+            s = state[t]
+            prop_cols = propagation_columns(t)
+            if s.key_col is not None or prop_cols:
+                # Seeds are arbitrary user SQL (sorts, joins, limits, ...)
+                # — evaluate each ONCE: checkpoint the narrow projection
+                # (key + FK columns) and derive both the initial key-set
+                # and the first propagation increment from the
+                # materialized frame.
+                keep = sorted(set(prop_cols) | ({s.key_col} if s.key_col else set()))
+                snap = seed_df.select(*keep).localCheckpoint(eager=True)
+                if s.key_col is not None:
+                    keys = snap.select(s.key_col).distinct().localCheckpoint(eager=True)
+                    s.add_keys(keys, keys.count())
+                if prop_cols:
+                    pending.setdefault(t, []).append(snap.select(*prop_cols))
 
     rounds = 0
     while pending:
