@@ -405,3 +405,40 @@ def test_strip_contaminated_spans_surgical(spark):
         assert w not in text1.split()
     assert text1.startswith("intro words here")      # head survives
     assert "onward" in text1                          # tail survives
+
+
+def test_window_store_format_marker(spark, tmp_path):
+    """The hash formula is part of the persisted store format: reads and
+    appends fail loudly on a marker mismatch (or a markerless store from
+    before the marker existed) instead of silently matching nothing."""
+    import pytest
+
+    from xdump_spark.operators.spans import WindowHashStore, _window_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    wins = _window_hashes(docs, 8, "text", "doc_id")
+
+    store = WindowHashStore(spark, str(tmp_path / "wsfmt"))
+    store.append(wins)
+    assert store.read().count() == 1  # marker written, read passes
+
+    # compaction preserves the marker
+    store.compact()
+    assert store.read().count() == 1
+
+    # tampered / older-formula marker -> loud failure on read and append
+    from xdump_spark import fsutil
+
+    fsutil.write_text_atomic(spark, store._format_path(), "gram-string-v1")
+    with pytest.raises(ValueError, match="window-hash format"):
+        store.read()
+    with pytest.raises(ValueError, match="window-hash format"):
+        store.append(wins)
+
+    # markerless non-empty store (written before the marker existed)
+    fsutil.delete(spark, store._format_path())
+    with pytest.raises(ValueError, match="window-hash format"):
+        store.read()

@@ -186,6 +186,17 @@ class WindowHashStore:
 
     N_BANDS = 64
 
+    # The window-hash FORMULA is part of the persisted format: (band,
+    # h1, h2) rows written under a different formula silently match
+    # nothing (every historical duplicate would be missed, no error).
+    # r14 switched the hashes from the joined gram string to the
+    # token-array slice, so the store carries an explicit format marker
+    # and reads fail loudly on any mismatch — including markerless
+    # stores written before the marker existed, which must be rebuilt
+    # (re-append the corpus or run the batch pass once).
+    HASH_FORMAT = "xxhash64-token-slice-v2"
+    _FORMAT_FILE = "_window_hash_format"
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -200,10 +211,50 @@ class WindowHashStore:
             for n in fsutil.list_names(self.spark, self.path)
         )
 
+    def _format_path(self) -> str:
+        from xdump_spark import fsutil
+
+        return fsutil.join(self.path, self._FORMAT_FILE)
+
+    def _check_format(self) -> None:
+        from xdump_spark import fsutil
+
+        marker = (
+            fsutil.read_text(self.spark, self._format_path()).strip()
+            if fsutil.exists(self.spark, self._format_path())
+            else None
+        )
+        if marker != self.HASH_FORMAT:
+            raise ValueError(
+                f"WindowHashStore at {self.path!r} was written with window-"
+                f"hash format {marker!r}, this engine produces "
+                f"{self.HASH_FORMAT!r}; probing it would silently match "
+                "nothing. Rebuild the store (re-append the accepted corpus) "
+                "before running increments."
+            )
+
+    def _write_format(self) -> None:
+        from xdump_spark import fsutil
+
+        if not fsutil.exists(self.spark, self._format_path()):
+            fsutil.mkdirs(self.spark, self.path)
+            fsutil.write_text_atomic(
+                self.spark, self._format_path(), self.HASH_FORMAT
+            )
+
     def read(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self.exists() else None
+        if not self.exists():
+            return None
+        self._check_format()
+        return self.spark.read.parquet(self.path)
 
     def append(self, wins: DataFrame) -> None:
+        # Marker first: exists() ignores underscore files, so a crash
+        # between the marker and the data write leaves an "empty" store.
+        # An EXISTING store must match before rows are mixed in.
+        if self.exists():
+            self._check_format()
+        self._write_format()
         # repartition-by-band before the append: ~one file per band per
         # increment instead of one per upstream task (the store-family
         # small-file discipline — see SCALE.md r8's VectorStore
@@ -252,6 +303,13 @@ class WindowHashStore:
             .repartition(self.N_BANDS * files_per_band, "band")
             .write.partitionBy("band")
             .parquet(tmp)
+        )
+        # the rewritten store keeps the format marker (the swap below
+        # would otherwise move it out with the old directory)
+        from xdump_spark import fsutil
+
+        fsutil.write_text_atomic(
+            self.spark, fsutil.join(tmp, self._FORMAT_FILE), self.HASH_FORMAT
         )
         old = self.path.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
