@@ -383,15 +383,21 @@ def compute_closure(
         limit = DRIVER_CLOSURE_LIMIT
 
         def grab(df: DataFrame):
-            rows = df.limit(limit + 1).collect()
-            return rows if len(rows) <= limit else None
+            # Arrow transfer, not collect(): a py4j Row collect of a
+            # 150k-row narrow costs ~1 s of driver-side Row construction
+            # alone (guide §6 Arrow-for-driver-transfers); the columnar
+            # path is ~20× cheaper. Column-major lists out.
+            tbl = df.limit(limit + 1).toArrow()
+            if tbl.num_rows > limit:
+                return None
+            return [col.to_pylist() for col in tbl.columns]
 
         collected = (
             overlap(*[lambda df=df: grab(df) for _, _, df, _ in grabs])
             if grabs
             else []
         )
-        if any(rows is None for rows in collected):
+        if any(cols is None for cols in collected):
             return False
 
         # BFS state: selected key values per table. Referenced seed
@@ -409,27 +415,27 @@ def compute_closure(
                 vals.add(value)
                 pend.append((parent, value))
 
-        for (kind, t, _df, tgts), rows in zip(grabs, collected):
+        for (kind, t, _df, tgts), cols in zip(grabs, collected):
             if kind == "table":
                 by_key: dict = {}
-                for row in rows:
-                    by_key.setdefault(row[0], []).append(tuple(row[1:]))
+                for key, vals in zip(cols[0], zip(*cols[1:])):
+                    by_key.setdefault(key, []).append(vals)
                 table_rows[t] = by_key
             elif kind == "seed" and key_of[t] is not None:
                 # Seed keys are seen-but-not-expanded: the loop never
                 # re-pulls base rows for seed keys either (they enter the
                 # accumulated set before any anti-join).
                 selected.setdefault(t, set()).update(
-                    row[0] for row in rows if row[0] is not None
+                    v for v in cols[0] if v is not None
                 )
 
-        for (kind, t, _df, tgts), rows in zip(grabs, collected):
+        for (kind, t, _df, tgts), cols in zip(grabs, collected):
             if kind == "table":
                 continue
             off = 1 if kind == "seed" and key_of[t] is not None else 0
-            for row in rows:
-                for i, (_c, parent) in enumerate(tgts):
-                    contribute(parent, row[off + i])
+            for i, (_c, parent) in enumerate(tgts):
+                for v in cols[off + i]:
+                    contribute(parent, v)
 
         while pend:
             t, v = pend.pop()
@@ -447,9 +453,18 @@ def compute_closure(
             if vals is None:
                 continue
             schema = T.StructType([catalog.tables[t].schema[s.key_col]])
-            keys = catalog.tables[t].sparkSession.createDataFrame(
-                [(v,) for v in sorted(vals)], schema
-            )
+            session = catalog.tables[t].sparkSession
+            if len(vals) > 100_000:
+                # Arrow path for big key sets (same reasoning as grab())
+                import pandas as pd
+
+                keys = session.createDataFrame(
+                    pd.DataFrame({s.key_col: sorted(vals)}), schema
+                )
+            else:
+                keys = session.createDataFrame(
+                    [(v,) for v in sorted(vals)], schema
+                )
             s.add_keys(keys, len(vals))
         return True
 
