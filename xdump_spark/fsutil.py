@@ -169,6 +169,19 @@ def _recover_commit(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def status(spark: SparkSession, path: str) -> tuple | None:
+    """(length, modification_time) of one file, or None when absent —
+    ONE namenode/object-store RPC, the cheap freshness probe for
+    driver-side caches of manifest files (a full atomic read chain is
+    several round trips plus the payload)."""
+    fs, p = _fs(spark, path)
+    try:
+        st = fs.getFileStatus(p)
+    except Exception:
+        return None
+    return (int(st.getLen()), int(st.getModificationTime()))
+
+
 def exists_atomic(spark: SparkSession, path: str) -> bool:
     """exists() for files committed by :func:`write_text_atomic`,
     resolving interrupted backup-swap commits first (a liveness bit —

@@ -1268,14 +1268,17 @@ class VectorStore:
         self.pq_k = int(pq_k)
         self.exact_guard = bool(exact_guard)
         self._cb_cache = None  # PQCodebook, lazily loaded from meta
-        # The parsed meta, cached per INSTANCE: one increment read the
-        # meta file 5× through the Hadoop FS API (~0.35 s of driver
-        # latency per call chain at sf0.1 — r15 profile), yet the meta
-        # only changes through this instance's _write_meta (creation /
-        # retrain), which refreshes the cache. A concurrent writer on
-        # another instance is already outside the store's contract
-        # (single-writer increments; see append_assigned).
-        self._meta_cache: dict | None = None
+        # The parsed meta, cached per instance and validated against the
+        # meta FILE's (length, mtime) stamp: one increment read the meta
+        # 5× through the Hadoop FS API (~0.35 s of driver latency per
+        # call chain at sf0.1 — r15 profile); a stamp probe is ONE RPC
+        # per read instead of the full atomic read chain. The stamp —
+        # not blind trust in the instance — keeps a SECOND writer
+        # instance on the same path (CLI maintenance retrain) and
+        # interrupted-overwrite recovery visible: any change to the file
+        # invalidates the cache, and a missing file (mid-swap crash
+        # window) falls through to the recovering read path.
+        self._meta_cache: tuple | None = None  # (stamp, parsed meta)
 
     def _store_dtype(self) -> str:
         """The precision vectors are stored at: the meta's record for
@@ -1425,13 +1428,27 @@ class VectorStore:
 
         return fsutil.join(self.path, "meta.json")
 
+    def _cached_meta(self) -> dict | None:
+        """The cached parsed meta iff the file's (length, mtime) stamp
+        still matches — one RPC; None on any change, a missing file
+        (interrupted-swap crash window), or a cold cache."""
+        from xdump_spark import fsutil
+
+        if self._meta_cache is None:
+            return None
+        stamp, meta = self._meta_cache
+        if fsutil.status(self.spark, self._meta_file()) == stamp:
+            return meta
+        self._meta_cache = None
+        return None
+
     def exists(self) -> bool:
         # exists_atomic: rolls an interrupted meta-swap forward, so the
         # liveness bit cannot read as dead inside the backup-swap
         # fallback's crash window (ADVICE r9)
         from xdump_spark import fsutil
 
-        if self._meta_cache is not None:  # a loaded meta IS liveness
+        if self._cached_meta() is not None:  # a stamp-fresh meta IS liveness
             return True
         return fsutil.exists_atomic(self.spark, self._meta_file()) or fsutil.is_dir(
             self.spark, fsutil.join(self.path, "meta")
@@ -1442,20 +1459,27 @@ class VectorStore:
 
         from xdump_spark import fsutil
 
-        if self._meta_cache is not None:
-            return self._meta_cache
+        cached = self._cached_meta()
+        if cached is not None:
+            return cached
+        # stamp BEFORE the read: a writer racing between read and stamp
+        # must leave a stale stamp (next probe re-reads), never a fresh
+        # stamp over stale content
+        stamp = fsutil.status(self.spark, self._meta_file())
         if fsutil.exists_atomic(self.spark, self._meta_file()):
             meta = json.loads(
                 fsutil.read_text_atomic(self.spark, self._meta_file())
             )
+            if stamp is not None:
+                self._meta_cache = (stamp, meta)
         else:
-            # legacy dir format (pre-r9 stores)
+            # legacy dir format (pre-r9 stores) — no single file to
+            # stamp, so never cached
             meta = json.loads(
                 self.spark.read.json(
                     fsutil.join(self.path, "meta")
                 ).first()["meta"]
             )
-        self._meta_cache = meta
         return meta
 
     def _write_meta(self, meta: dict) -> None:
@@ -1466,7 +1490,8 @@ class VectorStore:
         from xdump_spark import fsutil
 
         fsutil.write_text_atomic(self.spark, self._meta_file(), json.dumps(meta))
-        self._meta_cache = dict(meta)
+        stamp = fsutil.status(self.spark, self._meta_file())
+        self._meta_cache = (stamp, dict(meta)) if stamp is not None else None
         legacy = fsutil.join(self.path, "meta")
         if fsutil.is_dir(self.spark, legacy):
             fsutil.delete(self.spark, legacy)
@@ -2172,10 +2197,17 @@ def incremental_semantic_dedup(
     )
     rejects = verdicts.filter("NOT _surv").select("dup_id", "kept_id", "est")
 
+    # LAZY on purpose (r15): both inputs are already checkpointed
+    # (assigned_new above, accepted_ids from the checkpointed verdicts),
+    # so each consumer — commit()'s append and the returned ``accepted``
+    # — re-derives only a broadcast semi-join of in-memory frames.
+    # Eagerly checkpointing it was a third full materialization job per
+    # increment that bought nothing (the kernel cannot re-run; its
+    # checkpoint is the one that matters).
     accepted_assigned = assigned_new.join(
         accepted_ids.withColumnRenamed("id", "neighbor_id"), "neighbor_id",
         "left_semi",
-    ).localCheckpoint(eager=True)
+    )
 
     def commit() -> None:
         store.append_assigned(accepted_assigned)
