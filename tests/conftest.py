@@ -80,3 +80,27 @@ def employees_catalog(spark) -> Catalog:
 
 def ids(df, col="id"):
     return {r[col] for r in df.select(col).collect()}
+
+
+# --------------------------------------------------------------------------
+# slow-test profile (r15, VERDICT #1): the full suite outgrew the driver's
+# verify window (53 min; the gate read as failed on truncation, not on any
+# failure). tests/slow_tests.txt lists whole modules and individual tests
+# that carry the `slow` marker; pyproject's addopts runs `-m "not slow"` by
+# default so the contract suite finishes in minutes. Full run:
+#   python -m pytest tests/ -m "slow or not slow"
+# --------------------------------------------------------------------------
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    manifest = pathlib.Path(__file__).parent / "slow_tests.txt"
+    entries = {
+        line.strip()
+        for line in manifest.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    }
+    modules = {e for e in entries if e.endswith(".py")}
+    for item in items:
+        fname, _, rest = item.nodeid.partition("::")
+        if fname in modules or f"{fname}::{rest.split('[', 1)[0]}" in entries:
+            item.add_marker(pytest.mark.slow)
