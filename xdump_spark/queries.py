@@ -2690,13 +2690,26 @@ def pq_rerank_scale(spark, sf_dir):
     the scale configuration of ``knn_topk_panel``'s ``pq_rerank_full``
     method, which must shortlist the whole corpus to stay oracle-exact.
     Recall floors are pytest-pinned (tests/test_pq.py); bench-only twin
-    (r6, VERDICT #3)."""
+    (r6, VERDICT #3).
+
+    The codebook fit (id count + sample collect + driver Lloyd) and the
+    query-batch materialization are data-independent blocking steps —
+    overlapped on driver threads (r15, VERDICT #6; same `_overlap`
+    pattern as the r14 panels). `pq_topk_rerank`'s internal query
+    collect then reads the already-checkpointed 1%-slice instead of
+    re-scanning the embeddings table."""
+
     emb = _cat(spark, sf_dir).tables["embeddings"]
-    cb = PQ.pq_train(emb, m=8, k=64)
+
+    def _cb_side():
+        return PQ.pq_train(emb, m=8, k=64)
+
+    def _q_side():
+        return emb.filter("vec_id % 100 = 2").localCheckpoint(eager=True)
+
+    cb, q = _overlap(_cb_side, _q_side)
     codes = PQ.pq_encode(emb, cb)
-    return PQ.pq_topk_rerank(
-        codes, emb, cb, emb.filter("vec_id % 100 = 2"), k=5, rerank=50
-    )
+    return PQ.pq_topk_rerank(codes, emb, cb, q, k=5, rerank=50)
 
 
 _incr_store_cache: dict = {}
