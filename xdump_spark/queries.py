@@ -2641,23 +2641,40 @@ def knn_topk_panel(spark, sf_dir):
     def _exact_side():
         return S.cosine_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
 
+    # within the IVF and PQ sides the (KMeans / codebook) fit and the
+    # query-slice materialization are ALSO data-independent blocking
+    # steps (r15, VERDICT #2/#6): each side overlaps them on a nested
+    # driver thread, and the search's internal query collect then reads
+    # the checkpointed slice instead of re-scanning embeddings
     def _ivf_side():
-        return S.ivf_topk(
-            emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=16
-        )
+        def _fit():
+            return S.ivf_build(
+                emb, id_col="vec_id", vec_col="embedding",
+                n_cells=16, seed=42, max_iter=5, persist=False,
+            )
+
+        def _q():
+            return emb.filter("vec_id % 100 = 1").localCheckpoint(eager=True)
+
+        index, q = _overlap(_fit, _q)
+        return S.ivf_search(index, q, k=5, n_probe=16)
 
     def _pq_side():
-        cb = PQ.pq_train(emb, m=8, k=64)
-        codes = PQ.pq_encode(emb, cb)
-        return PQ.pq_topk_rerank(
-            codes, emb, cb,
+        def _fit():
+            return PQ.pq_train(emb, m=8, k=64)
+
+        def _q():
             # vec_id < 10000 is a no-op at the oracle scales (every id
             # fits) but bounds the method's queries×corpus ADC work at
             # soak scale, where the full-rerank protocol is otherwise
             # quadratic
-            emb.filter("vec_id % 100 = 2 AND vec_id < 10000"),
-            k=5, rerank=1_000_000,
-        )
+            return emb.filter(
+                "vec_id % 100 = 2 AND vec_id < 10000"
+            ).localCheckpoint(eager=True)
+
+        cb, q = _overlap(_fit, _q)
+        codes = PQ.pq_encode(emb, cb)
+        return PQ.pq_topk_rerank(codes, emb, cb, q, k=5, rerank=1_000_000)
 
     exact, ivf, pq = _overlap(_exact_side, _ivf_side, _pq_side)
     return (
