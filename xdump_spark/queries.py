@@ -2697,9 +2697,22 @@ def ivf_topk_pruned(spark, sf_dir):
     path the oracle panel's full-probe mode cannot time: only ~1/4 of the
     corpus is scanned per query. Recall floors are pytest-pinned
     (tests/test_operators.py); bench-only twin of ``knn_topk_panel``'s
-    ``ivf_full_probe`` method (r6, VERDICT #3)."""
+    ``ivf_full_probe`` method (r6, VERDICT #3). KMeans fit ∥ query-slice
+    checkpoint on driver threads (r15 — same overlap as the panel's
+    sides)."""
     emb = _cat(spark, sf_dir).tables["embeddings"]
-    return S.ivf_topk(emb, emb.filter("vec_id % 100 = 1"), k=5, n_cells=16, n_probe=4)
+
+    def _fit():
+        return S.ivf_build(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_cells=16, seed=42, max_iter=5, persist=False,
+        )
+
+    def _q():
+        return emb.filter("vec_id % 100 = 1").localCheckpoint(eager=True)
+
+    index, q = _overlap(_fit, _q)
+    return S.ivf_search(index, q, k=5, n_probe=4)
 
 
 def pq_rerank_scale(spark, sf_dir):
