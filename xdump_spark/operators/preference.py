@@ -761,7 +761,16 @@ def prepare_preference_corpus(
     same contract (and same driver-side motivation) as
     ``prepare_sft_corpus``'s ``flagged``. Ignored when
     ``from_ratings=True`` (the converted frame differs from the
-    caller's input)."""
+    caller's input).
+
+    NOTE — eager work at build time: when any of ``dedup`` (without a
+    store), ``drop_contradictions``, or ``max_per_prompt`` is active
+    (the default), the builder runs ONE Spark job immediately — an
+    eager localCheckpoint of the narrow (id + hash keys) frame the
+    gates share (r14; the lazy form re-derived the full validate +
+    canonical-transcript lineage per gate, 10 corpus scans at sf0.1).
+    Callers that construct the frame without ever executing it pay
+    that one narrow pass."""
     if from_ratings:
         pairs = pairs_from_ratings(
             pairs,

@@ -25,9 +25,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xdump_spark.operators.text import tokens, tokens_sql
+from xdump_spark.operators.text import _sql_str, tokens, tokens_sql
 
 DEFAULT_ROLES = ("system", "user", "assistant")
+
+
+def _qident(name: str) -> str:
+    """Backtick-quoted SQL identifier (the r14 SQL-text forms embed
+    column names verbatim; a name with spaces/quotes/keywords must not
+    parse as syntax — same discipline as text.py's lang_id_frame)."""
+    return "`" + name.replace("`", "``") + "`"
 
 # Unit separators for the canonical fingerprint: chosen from the C0
 # control block so no realistic content collides with the framing.
@@ -62,7 +69,7 @@ def conversation_stats(
     validation ``reason``) in ONE pass would otherwise scan the corpus
     once per projection — at scale duplicate scans are the dominant
     waste, not the extra columns."""
-    m = conv_col
+    m = _qident(conv_col)
     tok = tokens_sql("x.content")
 
     def role_count(role: str) -> str:
@@ -75,7 +82,7 @@ def conversation_stats(
         )
 
     return df.selectExpr(
-        id_col,
+        _qident(id_col),
         f"CAST(size({m}) AS BIGINT) AS n_turns",
         role_count("system") + " AS n_system",
         role_count("user") + " AS n_user",
@@ -113,14 +120,14 @@ def validate_conversations(
     identical expression text JVM-side is ~free. Expressions mirror the
     previous Column forms exactly (results pinned by the operator
     tests)."""
-    m = conv_col
+    m = _qident(conv_col)
     roles = f"transform({m}, x -> x.role)"
     # the conversation body after an optional leading system message
     body = (
         f"CASE WHEN element_at({roles}, 1) = 'system' "
         f"THEN slice({roles}, 2, size({roles})) ELSE {roles} END"
     )
-    allowed = "array(" + ", ".join(f"'{r}'" for r in allowed_roles) + ")"
+    allowed = "array(" + ", ".join(_sql_str(r) for r in allowed_roles) + ")"
     # NULL-safe rules: under three-valued logic a NULL role/content/array
     # makes every naive predicate NULL, the reason CASE falls through,
     # and a structurally broken conversation is marked VALID — so each
@@ -207,7 +214,7 @@ def conversation_fingerprint(
     Adds ``h1``/``h2``."""
     from xdump_spark.operators.incremental import hash128
 
-    h1, h2 = hash128(F.expr(canonical_transcript_sql(conv_col)))
+    h1, h2 = hash128(F.expr(canonical_transcript_sql(_qident(conv_col))))
     return df.withColumn("h1", h1).withColumn("h2", h2)
 
 
@@ -245,7 +252,7 @@ def dedup_conversations_incremental(
     identical machinery, different canonical string."""
     from xdump_spark.operators.incremental import hash128, incremental_hash_dedup
 
-    h1, h2 = hash128(F.expr(canonical_transcript_sql(conv_col)))
+    h1, h2 = hash128(F.expr(canonical_transcript_sql(_qident(conv_col))))
     batch = df.select(F.col(id_col).alias("id"), h1.alias("h1"), h2.alias("h2"))
     return incremental_hash_dedup(batch, store, defer_commit=defer_commit)
 
@@ -279,11 +286,13 @@ def render_chat(
     pre, post = _TEMPLATES[template]
     left, right = pre.split("{role}")
     # one SQL string instead of the HOF Column chain (r14 py4j-cost
-    # note on conversation_stats); template pieces contain newlines,
-    # which the SQL lexer accepts verbatim inside string literals
+    # note on conversation_stats); template pieces go through _sql_str
+    # so a future template containing a quote or backslash renders as a
+    # literal instead of breaking (or silently changing) the expression
     rendered = (
-        f"array_join(transform({conv_col}, x -> "
-        f"concat('{left}', x.role, '{right}', x.content, '{post}')), '')"
+        f"array_join(transform({_qident(conv_col)}, x -> "
+        f"concat({_sql_str(left)}, x.role, {_sql_str(right)}, "
+        f"x.content, {_sql_str(post)})), '')"
     )
     return df.withColumn(out_col, F.expr(rendered))
 
@@ -310,7 +319,7 @@ def assistant_spans(
     start = f"acc.off + length(x.role) + {lr}"
     end = f"{start} + length(x.content)"
     spans = (
-        f"aggregate({conv_col}, "
+        f"aggregate({_qident(conv_col)}, "
         "named_struct('off', CAST(0 AS BIGINT), "
         "'spans', CAST(array() AS array<struct<start:bigint,end:bigint>>)), "
         "(acc, x) -> named_struct("
