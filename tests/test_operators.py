@@ -651,6 +651,40 @@ def test_minhash_estimate_calibration(spark):
     assert truth01 == est01 and len(truth01) == 25
 
 
+def test_minhash_exact_driver_fastpath_lockstep(spark, monkeypatch):
+    """r15: verify='exact' takes a bounded driver fast path (numpy
+    banding + one intersection GEMM) when the corpus fits
+    _DRIVER_PAIR_MAX_*; forcing the bounds to zero must reproduce the
+    distributed result row-for-row — on the oracle panel's real shape,
+    with the skew guard engaged, and when the raw-pair budget forces the
+    mid-function fallback."""
+
+    def pairs(df, **kw):
+        return sorted(tuple(r) for r in D.minhash_lsh_pairs(df, **kw).collect())
+
+    d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    panel_kw = dict(
+        threshold=0.6, num_perm=32, bands=16, verify="exact", max_bucket=None
+    )
+    fast = pairs(d01.filter("doc_id % 3 = 0"), **panel_kw)
+    # low threshold + tight bucket cap: prefilter margin and hot-bucket
+    # drop both engaged
+    guard_kw = dict(
+        threshold=0.2, num_perm=32, bands=16, verify="exact", max_bucket=20
+    )
+    fast_guard = pairs(d01, **guard_kw)
+    # raw-pair budget exhausted mid-function ⇒ _driver_lsh_pairs returns
+    # None and the distributed plan must produce the same rows
+    monkeypatch.setattr(D, "_DRIVER_PAIR_MAX_RAW_PAIRS", 0)
+    budget_fallback = pairs(d01.filter("doc_id % 3 = 0"), **panel_kw)
+    monkeypatch.setattr(D, "_DRIVER_PAIR_MAX_RAW_PAIRS", 50_000_000)
+    monkeypatch.setattr(D, "_DRIVER_PAIR_MAX_DOCS", 0)
+    slow = pairs(d01.filter("doc_id % 3 = 0"), **panel_kw)
+    slow_guard = pairs(d01, **guard_kw)
+    assert fast and fast == slow == budget_fallback
+    assert fast_guard == slow_guard
+
+
 # ------------------------------------------- connected components ----
 def test_connected_components_handcrafted(spark):
     from xdump_spark.operators.components import connected_components, dedup_survivors

@@ -183,6 +183,8 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
         # pinned by the r6/r7 calibration).
         BLOCK = 1024
         buf = np.empty((BLOCK, len(A)), dtype=np.int64)
+        # reused scaled-adds scratch (grown on demand, see below)
+        poly_tmp = np.empty(4096, dtype=np.uint64)
         with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
             for t in texts:
                 b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
@@ -190,8 +192,22 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
                     out.append(None)
                     continue
                 if len(b) >= shingle_k:
-                    win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
-                    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+                    # Scaled adds instead of the sliding-window product
+                    # (r15): (win × pw).sum materialized an (m × k) uint64
+                    # temporary (~40 B/byte of text); k shifted in-place
+                    # multiply-adds into one reused m-vector touch ~3× m
+                    # per term. Wrapping uint64 addition is associative,
+                    # so the sums are bit-identical (golden-signature
+                    # tests pin the values; kernel measured 4.6-8×
+                    # on the hash step, see OPTIMIZATION_r15.md).
+                    m = len(b) - shingle_k + 1
+                    if len(poly_tmp) < m:
+                        poly_tmp = np.empty(m, dtype=np.uint64)
+                    pt = poly_tmp[:m]
+                    h = b[:m] * pw[0]
+                    for i in range(1, shingle_k):
+                        np.multiply(b[i : m + i], pw[i], out=pt)
+                        h += pt
                 else:  # short doc: the whole text is its single shingle
                     p = np.empty(len(b), dtype=np.uint64)
                     p[-1] = 1
@@ -209,6 +225,13 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
                 h ^= h >> np.uint64(33)
                 # h32 < 2^32, a < 2^30 keep a*h32 + b below 2^63: no overflow
                 h32 = np.atleast_1d(h).astype(np.int64) & 0xFFFFFFFF
+                # MinHash is idempotent over duplicate shingles, so the
+                # reduction only needs the DISTINCT hashes: np.unique
+                # costs one O(m log m) sort and cuts the (m × num_perm)
+                # universal-hash work by the duplicate fraction (~30% on
+                # the template-heavy corpus — measured r15; min over a
+                # subset containing every distinct value is unchanged).
+                h32 = np.unique(h32)
                 acc = None
                 for i in range(0, len(h32), BLOCK):
                     c = h32[i:i + BLOCK]
@@ -241,6 +264,161 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
 # --------------------------------------------------------------------------
 # MinHash + banded LSH near-dup pairs
 # --------------------------------------------------------------------------
+
+# r15 driver fast path bounds (_driver_lsh_pairs). The banded self-join +
+# per-pair verification of a DRIVER-SMALL corpus is pure job latency on a
+# cluster: when the checkpointed signature frame fits these bounds, the
+# banding, candidate enumeration, and verification COUNTS run as numpy on
+# the driver (one Arrow collect of the narrow frames), and only the final
+# Jaccard arithmetic returns to Spark expressions so rounding semantics
+# stay bit-identical with the distributed path. Any oversized input keeps
+# the distributed plan — the same scale-adaptive cutover discipline as
+# planner/closure.py's DRIVER_CLOSURE_LIMIT.
+_DRIVER_PAIR_MAX_DOCS = 8192            # n² float32 intersection matrix ≤ 256 MB
+_DRIVER_PAIR_MAX_SHINGLES = 8_000_000   # exact mode: CSR collect ≤ ~64 MB
+_DRIVER_PAIR_MAX_DENSE_BYTES = 1536 << 20  # exact mode: n × V float32 budget
+_DRIVER_PAIR_MAX_RAW_PAIRS = 50_000_000    # Σ C(bucket, 2) enumeration budget
+
+
+def _arrow_list_matrix(tbl, col: str, width: int):
+    """(n × width) numpy matrix from an Arrow list column of uniform
+    ``width``-length arrays; None when any row deviates (caller falls
+    back to the distributed path)."""
+    la = tbl.column(col).combine_chunks()
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    n = len(tbl)
+    if len(flat) != n * width:
+        return None
+    return np.ascontiguousarray(flat.reshape(n, width))
+
+
+def _driver_banded_candidates(
+    SIG: np.ndarray, bands: int, rows_per_band: int, max_bucket: int | None
+):
+    """Unique candidate row-index pairs (ia < ib) sharing ≥1 LSH band,
+    enumerated driver-side. Bucket membership is EXACT slice equality —
+    the very contract the distributed form's xxhash64 bucketing
+    implements (see the banding comment in minhash_lsh_pairs). Returns
+    (ia, ib) or None when Σ C(bucket, 2) exceeds the enumeration budget.
+    Rows must be pre-sorted by id so row order == id order."""
+    n = SIG.shape[0]
+    keys = []
+    total_raw = 0
+    for j in range(bands):
+        sl = SIG[:, j * rows_per_band : (j + 1) * rows_per_band]
+        _, inv = np.unique(sl, axis=0, return_inverse=True)
+        counts = np.bincount(inv)
+        order = np.argsort(inv, kind="stable")  # stable ⇒ ascending rows per bucket
+        inv_sorted = inv[order]
+        starts = np.searchsorted(inv_sorted, np.arange(len(counts)))
+        for b in np.nonzero(counts >= 2)[0]:
+            m = int(counts[b])
+            if max_bucket is not None and m > max_bucket:
+                continue  # the skew guard drops hot buckets wholesale
+            total_raw += m * (m - 1) // 2
+            if total_raw > _DRIVER_PAIR_MAX_RAW_PAIRS:
+                return None
+            rs = order[starts[b] : starts[b] + m]
+            iu, ju = np.triu_indices(m, 1)
+            keys.append(rs[iu].astype(np.int64) * n + rs[ju])
+    if not keys:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k = np.unique(np.concatenate(keys))
+    return k // n, k % n
+
+
+def _driver_lsh_pairs(
+    spark,
+    sigs: DataFrame,
+    docs: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+    id_type: str,
+) -> DataFrame | None:
+    """Driver-side candidate generation + exact-verification counts for
+    a bounded-small corpus (bounds above; exact mode only — the
+    estimate mode's 128-comparison verify was MEASURED faster left
+    distributed, see OPTIMIZATION_r15.md). ``docs`` is the checkpointed
+    (id, hashed shingles) frame. Returns the final pair frame, or None
+    to fall back to the distributed path. Only pairs inside a
+    conservative margin of the threshold ship back to Spark, where the
+    identical division/round/filter expressions run — so results are
+    bit-identical to the distributed form."""
+    rows_per_band = num_perm // bands
+    st = sigs.toArrow()
+    n = len(st)
+    if n < 2:
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
+    SIG = _arrow_list_matrix(st, "sig", num_perm)
+    if SIG is None:
+        return None
+    ids = np.asarray(st.column("id").to_pylist())
+    order = np.argsort(ids, kind="stable")
+    ids, SIG = ids[order], SIG[order]
+
+    cand = _driver_banded_candidates(SIG, bands, rows_per_band, max_bucket)
+    if cand is None:
+        return None
+    ia, ib = cand
+
+    # |A ∩ B| for every pair at once via ONE dense matmul over the
+    # doc × distinct-shingle incidence matrix (counts ≤ 2^24 are exact
+    # in float32). The per-pair array_intersect probe this replaces
+    # walked both shingle arrays per candidate pair.
+    dt = docs.toArrow()
+    la = dt.column("shingles").combine_chunks()
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    lens = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_d = np.asarray(dt.column("id").to_pylist())
+    order_d = np.argsort(ids_d, kind="stable")
+    if not np.array_equal(ids_d[order_d], ids):
+        return None  # signature/shingle frames out of step — distributed path
+    uniqv, inv = np.unique(flat, return_inverse=True)
+    V = len(uniqv)
+    if n * V * 4 > _DRIVER_PAIR_MAX_DENSE_BYTES or lens.max(initial=0) >= (1 << 24):
+        return None
+    S = np.zeros((n, V), dtype=np.float32)
+    row_of = np.empty(len(ids_d), dtype=np.int64)
+    row_of[order_d] = np.arange(n)
+    S[np.repeat(row_of, lens), inv] = 1.0
+    P = S @ S.T
+    inter = P[ia, ib].astype(np.int64)
+    sizes = np.zeros(n, dtype=np.int64)
+    sizes[row_of] = lens
+    # Conservative prefilter: only near-threshold pairs ship to Spark
+    # (round moves a value by ≤ 5e-7, so every pair the JVM filter keeps
+    # satisfies inter/uni ≥ threshold − 1e-6); the authoritative
+    # round+filter below is the SAME expression as the distributed path.
+    uni = sizes[ia] + sizes[ib] - inter
+    keep = inter >= (float(threshold) - 1e-6) * uni
+    ia, ib, inter, uni = ia[keep], ib[keep], inter[keep], uni[keep]
+    pdf = pd.DataFrame(
+        {
+            "id_a": ids[ia],
+            "id_b": ids[ib],
+            "inter": inter.astype(np.int32),
+            "size_a": sizes[ia].astype(np.int32),
+            "size_b": sizes[ib].astype(np.int32),
+        }
+    )
+    res = spark.createDataFrame(
+        pdf,
+        schema=(
+            f"id_a {id_type}, id_b {id_type}, inter int, size_a int, size_b int"
+        ),
+    )
+    return (
+        res.withColumn("uni", F.col("size_a") + F.col("size_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -344,6 +522,36 @@ def minhash_lsh_pairs(
     # the whole scan→norm→signature pipeline per consumer.
     sigs = minhash_signatures(normed, num_perm, shingle_k).localCheckpoint(eager=True)
 
+    # Driver fast path (r15, EXACT mode only): banding + candidate
+    # enumeration + exact intersection counts in numpy on one Arrow grab
+    # when the corpus is driver-small (bounds at _DRIVER_PAIR_MAX_*);
+    # the Jaccard arithmetic returns to the identical Spark expressions,
+    # so the result is bit-identical (lockstep-tested). The distributed
+    # plan runs unchanged past the bounds — and estimate mode stays
+    # distributed at every size: its signature-agreement verify is cheap
+    # per pair and was MEASURED faster on the cluster path (3.8 vs 2.4 s
+    # at sf0.1), while exact mode's per-pair set intersections collapse
+    # into one driver GEMM (6.0 → 2.6 s measured, see
+    # OPTIMIZATION_r15.md).
+    n_sig = stats["n"] if verify == "exact" else sigs.count()
+    if (
+        verify == "exact"
+        and n_sig <= _DRIVER_PAIR_MAX_DOCS
+        and n_shingles <= _DRIVER_PAIR_MAX_SHINGLES
+    ):
+        fast = _driver_lsh_pairs(
+            df.sparkSession,
+            sigs,
+            docs,
+            num_perm,
+            bands,
+            threshold,
+            max_bucket,
+            df.schema[id_col].dataType.simpleString(),
+        )
+        if fast is not None:
+            return fast
+
     # xxhash64 hashes the array slice directly (no per-component string
     # cast + concat): bucket VALUES differ from a string-keyed scheme but
     # bucket MEMBERSHIP — equality of r-length signature slices — is
@@ -414,7 +622,7 @@ def minhash_lsh_pairs(
     # both signature arrays per pair dominates).
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    if sigs.count() <= _BROADCAST_SIG_LIMIT:
+    if n_sig <= _BROADCAST_SIG_LIMIT:
         a, b = F.broadcast(a), F.broadcast(b)
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
