@@ -685,6 +685,25 @@ def test_minhash_exact_driver_fastpath_lockstep(spark, monkeypatch):
     assert fast_guard == slow_guard
 
 
+def test_simhash_driver_fastpath_lockstep(spark, monkeypatch):
+    """r15: simhash_pairs takes the integer-only driver fast path
+    (numpy banding + XOR popcount) below _DRIVER_PAIR_MAX_DOCS; forcing
+    the bound to zero must reproduce the distributed self-join
+    row-for-row — on the oracle panel's md5 exhaustive shape and on the
+    default xxhash64 configuration with the skew guard engaged."""
+
+    def pairs(df, **kw):
+        return sorted(tuple(r) for r in D.simhash_pairs(df, **kw).collect())
+
+    d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    panel_kw = dict(max_hamming=3, hash_fn="md5", max_bucket=None)
+    fast_panel = pairs(d01, **panel_kw)
+    fast_default = pairs(d01, max_bucket=20)
+    monkeypatch.setattr(D, "_DRIVER_PAIR_MAX_DOCS", 0)
+    assert fast_panel == pairs(d01, **panel_kw) and fast_panel
+    assert fast_default == pairs(d01, max_bucket=20)
+
+
 # ------------------------------------------- connected components ----
 def test_connected_components_handcrafted(spark):
     from xdump_spark.operators.components import connected_components, dedup_survivors

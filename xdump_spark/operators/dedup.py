@@ -477,6 +477,7 @@ def minhash_lsh_pairs(
         # a persist here leaked storage across repeated calls in a
         # long-lived session until executors evicted.
         normed = normed.localCheckpoint(eager=True)
+
         # Verify on HASHED shingles: xxhash64 per distinct shingle makes
         # the per-pair array_intersect probe 8-byte long equality instead
         # of 5-char string equality and shrinks the doc-side frame ~5×
@@ -485,19 +486,34 @@ def minhash_lsh_pairs(
         # distinct strings stay distinct under the hash short of a 64-bit
         # collision (~1e-8 across the whole corpus, and the value-hash
         # oracle would surface one) — so the Jaccard is still exact.
-        docs = normed.select(
-            "id",
-            F.transform(
-                _shingles_of_norm(F.col("_norm"), shingle_k),
-                lambda s: F.xxhash64(s),
-            ).alias("shingles"),
-        ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
-        # One cheap agg over the checkpointed frame guards BOTH axes: doc
-        # count (join fan-out) and total shingle bytes (broadcast size —
-        # the quantity that actually hits Spark's 8 GB broadcast limit).
-        stats = docs.agg(
-            F.count("*").alias("n"), F.sum(F.size("shingles")).alias("sh")
-        ).collect()[0]
+        def _docs_side():
+            d = normed.select(
+                "id",
+                F.transform(
+                    _shingles_of_norm(F.col("_norm"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                ).alias("shingles"),
+            ).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
+            # One cheap agg over the checkpointed frame guards BOTH axes:
+            # doc count (join fan-out) and total shingle bytes (broadcast
+            # size — the quantity that actually hits Spark's 8 GB
+            # broadcast limit).
+            return d, d.agg(
+                F.count("*").alias("n"), F.sum(F.size("shingles")).alias("sh")
+            ).collect()[0]
+
+        def _sigs_side():
+            return minhash_signatures(
+                normed, num_perm, shingle_k
+            ).localCheckpoint(eager=True)
+
+        # The shingle and signature checkpoints both read the
+        # materialized `normed` blocks and are data-independent —
+        # overlapped on driver threads (guide §2.6); the size guards run
+        # on the main thread right after.
+        from xdump_spark.operators.concurrency import overlap as _ov
+
+        (docs, stats), sigs = _ov(_docs_side, _sigs_side)
         n_docs, n_shingles = stats["n"], stats["sh"] or 0
         if n_docs > MAX_EXACT_VERIFY_DOCS:
             raise ValueError(
@@ -519,8 +535,12 @@ def minhash_lsh_pairs(
     # verification) and the frame is tiny (num_perm longs per doc):
     # eagerly checkpoint so every consumer reads materialized blocks — a
     # lazy persist lets parallel stages of the SAME job race and recompute
-    # the whole scan→norm→signature pipeline per consumer.
-    sigs = minhash_signatures(normed, num_perm, shingle_k).localCheckpoint(eager=True)
+    # the whole scan→norm→signature pipeline per consumer. (Exact mode
+    # checkpointed them above, overlapped with the shingle side.)
+    if verify != "exact":
+        sigs = minhash_signatures(normed, num_perm, shingle_k).localCheckpoint(
+            eager=True
+        )
 
     # Driver fast path (r15, EXACT mode only): banding + candidate
     # enumeration + exact intersection counts in numpy on one Arrow grab
@@ -700,6 +720,54 @@ def _simhash_sig_udf(bits: int):
     return sig_udf
 
 
+# 8-bit popcount lookup (numpy here has no bitwise_count); XOR'd
+# signatures are viewed as bytes and summed through this table.
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _driver_simhash_pairs(
+    spark,
+    sigs: DataFrame,
+    max_hamming: int,
+    max_bucket: int | None,
+    band_w: int,
+    id_type: str,
+) -> DataFrame | None:
+    """Driver-side banding + Hamming verification for a bounded-small
+    signature frame (r15; the minhash exact fast path's integer-only
+    sibling — Hamming distance is bit_count of the XOR, so there is no
+    float arithmetic to keep in Spark and final pairs ship directly).
+    Returns the pair frame, or None to fall back to the distributed
+    self-join."""
+    st = sigs.toArrow()
+    n = len(st)
+    if n < 2:
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, hamming int"
+        )
+    ids = np.asarray(st.column("id").to_pylist())
+    sig = st.column("sig").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, sig = ids[order], sig[order]
+    mask = np.int64((1 << band_w) - 1)
+    BANDS = np.column_stack(
+        [(sig >> np.int64(band_w * i)) & mask for i in range(4)]
+    )
+    cand = _driver_banded_candidates(BANDS, 4, 1, max_bucket)
+    if cand is None:
+        return None
+    ia, ib = cand
+    x = (sig[ia] ^ sig[ib]).view(np.uint64)
+    ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int32)
+    keep = ham <= max_hamming
+    pdf = pd.DataFrame(
+        {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+    )
+    return spark.createDataFrame(
+        pdf, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -737,6 +805,23 @@ def simhash_pairs(
         eager=True
     )
     band_w = 15 if hash_fn == "md5" else 16
+    # Driver fast path (r15): for a driver-small signature frame the
+    # band self-join + XOR/bit_count verify is pure job latency —
+    # banding, candidate enumeration, and Hamming popcounts run as
+    # numpy on one Arrow grab (bit-identical: integer-only arithmetic,
+    # same hot-bucket drop, lockstep-tested). Oversized inputs keep the
+    # distributed self-join unchanged.
+    if sigs.count() <= _DRIVER_PAIR_MAX_DOCS:
+        fast = _driver_simhash_pairs(
+            df.sparkSession,
+            sigs,
+            max_hamming,
+            max_bucket,
+            band_w,
+            df.schema[id_col].dataType.simpleString(),
+        )
+        if fast is not None:
+            return fast
     band_mask = (1 << band_w) - 1
     bands = sigs.select(
         "id",
