@@ -356,7 +356,10 @@ def _driver_lsh_pairs(
     SIG = _arrow_list_matrix(st, "sig", num_perm)
     if SIG is None:
         return None
-    ids = np.asarray(st.column("id").to_pylist())
+    id_list = st.column("id").to_pylist()
+    if any(i is None for i in id_list):
+        return None  # null ids: keep the distributed path's null semantics
+    ids = np.asarray(id_list)
     order = np.argsort(ids, kind="stable")
     ids, SIG = ids[order], SIG[order]
 
@@ -745,7 +748,10 @@ def _driver_simhash_pairs(
         return spark.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, hamming int"
         )
-    ids = np.asarray(st.column("id").to_pylist())
+    id_list = st.column("id").to_pylist()
+    if any(i is None for i in id_list):
+        return None  # null ids: keep the distributed path's null semantics
+    ids = np.asarray(id_list)
     sig = st.column("sig").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids, kind="stable")
     ids, sig = ids[order], sig[order]
